@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Mirrors the driver's t1 smoke: SparkEntry.entry must return rows > 0
+  * on sf0.001. Run: sbt "runMain graft.Smoke"
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    println(s"[smoke] entry rows=$n schema=${df.schema.simpleString}")
+    df.show(5, truncate = false)
+    assert(n > 0, "entry returned no rows")
+    spark.stop()
+  }
+}

@@ -1,13 +1,146 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.{MissingOps, PointwiseOps, TemporalOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY §2 appears as a `queries` entry
+  * (Spark side) and, where SQL-expressible, an `oracleSql` entry (DuckDB
+  * side) with identical column names/types.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val T = Panel.TimeCol
+  private val U = Panel.UnitCol
+
+  /** Flagship: the classic ViEWS conflict-history feature — decayed
+    * time-since-last-event per unit (time_since → decay composition,
+    * views_2.py:244-293). Driver smoke-checks rows > 0 on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val p = Panel.densePanel(spark, "/root/testdata/sf0.001")
+    TemporalOps.timeSince(p, "value", 0.0, out = "ts_ev")
+      .select(col(T), col(U),
+        PointwiseOps.decay(col("ts_ev").cast("double"), 12.0).as("decayed"))
+  }
+
+  private def onPanel(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Panel.densePanel(s, dir))
+
+  private def onMissing(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Panel.missingPanel(s, dir))
+
+  /** Select (month_id, unit_id, expr as name) on the dense panel. */
+  private def colQ(name: String, expr: Column): (SparkSession, String) => DataFrame =
+    onPanel(p => p.select(col(T), col(U), expr.as(name)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 pointwise
+    "q_identity" -> onPanel(p => p.select(col(T), col(U), col("value"), col("value2"))),
+    "q_ge" -> colQ("ge_50", PointwiseOps.greaterOrEqual(col("value"), 50.0)),
+    "q_le" -> colQ("le_50", PointwiseOps.smallerOrEqual(col("value"), 50.0)),
+    "q_in_range" -> colQ("in_range", PointwiseOps.inRange(col("value"), 10.0, 100.0)),
+    "q_ln" -> colQ("ln_val", PointwiseOps.ln(col("value"))),
+    "q_decay" -> colQ("decay_12", PointwiseOps.decay(col("value"), 12.0)),
+    "q_add" -> colQ("added", PointwiseOps.addColumn(col("value"), col("value2"))),
+    "q_sub" -> colQ("subtracted", PointwiseOps.subtractColumn(col("value"), col("value2"))),
+    "q_mul" -> colQ("multiplied", PointwiseOps.multiplyColumn(col("value"), col("value2"))),
+    "q_div" -> onPanel(p => p.filter(col("value2") > 0.0)
+      .select(col(T), col(U), PointwiseOps.divideColumn(col("value"), col("value2")).as("divided"))),
+
+    // §2.5 temporal windows
+    "q_tlag" -> colQ("tlag_2", TemporalOps.tlag(col("value"), 2)),
+    "q_tlead" -> colQ("tlead_2", TemporalOps.tlead(col("value"), 2)),
+    "q_delta" -> colQ("delta_1", TemporalOps.delta(col("value"), 1)),
+    "q_mavg" -> colQ("mavg_3", TemporalOps.movingAverage(col("value"), 3)),
+    "q_msum" -> colQ("msum_5", TemporalOps.movingSum(col("value"), 5)),
+    "q_rollmax" -> colQ("rollmax_4", TemporalOps.rollmax(col("value"), 4)),
+    "q_mean" -> colQ("mean_val", TemporalOps.meanOverTime(col("value"))),
+    "q_demean" -> colQ("demeaned", TemporalOps.demean(col("value"))),
+    "q_cweq" -> onPanel(p =>
+      TemporalOps.cweq(p, "value", 0.0, out = "cweq")
+        .select(col(T), col(U), col("cweq"))),
+    "q_cweq_seed" -> onPanel(p =>
+      TemporalOps.cweq(p, "value", 0.0, seed = Some(12), out = "cweq")
+        .select(col(T), col(U), col("cweq"))),
+    "q_time_since" -> onPanel(p =>
+      TemporalOps.timeSince(p, "value", 0.0, out = "time_since")
+        .select(col(T), col(U), col("time_since"))),
+    "q_onset_possible" -> colQ("onset_possible", TemporalOps.onsetPossible(col("value"), 6)),
+    "q_onset" -> colQ("onset", TemporalOps.onset(col("value"), 6)),
+    "q_tick" -> onPanel { p =>
+      val tis = TemporalOps.timeSince(p, "value", 0.0, out = "time_since")
+        .withColumn("time_since", col("time_since").cast("double"))
+      tis.select(col(T), col(U),
+        TemporalOps.tickTimeSince(col("value"), col("time_since")).as("tick"))
+    },
+    "q_entropy" -> colQ("entropy", TemporalOps.temporalEntropy(col("value"), 12, 1.0)),
+
+    // §2.10 missing data
+    "q_replace_na" -> onMissing(p => p.select(col(T), col(U),
+      coalesce(col("value"), lit(0.0)).as("filled"))),
+    "q_ffill" -> onMissing(p =>
+      MissingOps.fill(p, "value", "forward", None).select(col(T), col(U), col("filled"))),
+    "q_bfill" -> onMissing(p =>
+      MissingOps.fill(p, "value", "backward", None).select(col(T), col(U), col("filled"))),
+    "q_fill_both" -> onMissing(p =>
+      MissingOps.fill(p, "value", "both", None).select(col(T), col(U), col("filled"))),
+    "q_fill_inside" -> onMissing(p =>
+      MissingOps.fill(p, "value", "both", Some("inside")).select(col(T), col(U), col("filled"))),
+    "q_fill_outside" -> onMissing(p =>
+      MissingOps.fill(p, "value", "both", Some("outside")).select(col(T), col(U), col("filled"))),
+    "q_interpolate" -> onMissing(p =>
+      MissingOps.extrapolate(p, "value", "both", None).select(col(T), col(U), col("interp"))),
+    "q_group_global_means" -> onMissing(p =>
+      MissingOps.fillWithGroupAndGlobalMeans(p, "value").select(col(T), col(U), col("filled"))),
+    "q_time_means" -> onPanel { p =>
+      val tm = p.withColumn("value",
+        when(col(U) % 17 === 0, lit(null).cast("double")).otherwise(col("value")))
+      MissingOps.fillGroupsWithTimeMeans(tm, "value").select(col(T), col(U), col("filled"))
+    },
+    "q_list_totally_missing" -> onMissing { p =>
+      val withNullCol = p.withColumn("value3", lit(null).cast("double"))
+      MissingOps.listTotallyMissing(withNullCol, Seq("value", "value3"))
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_identity" -> Oracle.qIdentity,
+    "q_ge" -> Oracle.qGe,
+    "q_le" -> Oracle.qLe,
+    "q_in_range" -> Oracle.qInRange,
+    "q_ln" -> Oracle.qLn,
+    "q_decay" -> Oracle.qDecay,
+    "q_add" -> Oracle.qAdd,
+    "q_sub" -> Oracle.qSub,
+    "q_mul" -> Oracle.qMul,
+    "q_div" -> Oracle.qDiv,
+    "q_tlag" -> Oracle.qTlag,
+    "q_tlead" -> Oracle.qTlead,
+    "q_delta" -> Oracle.qDelta,
+    "q_mavg" -> Oracle.qMavg,
+    "q_msum" -> Oracle.qMsum,
+    "q_rollmax" -> Oracle.qRollmax,
+    "q_mean" -> Oracle.qMean,
+    "q_demean" -> Oracle.qDemean,
+    "q_cweq" -> Oracle.qCweq,
+    "q_cweq_seed" -> Oracle.qCweqSeed,
+    "q_time_since" -> Oracle.qTimeSince,
+    "q_onset_possible" -> Oracle.qOnsetPossible,
+    "q_onset" -> Oracle.qOnset,
+    "q_tick" -> Oracle.qTick,
+    "q_entropy" -> Oracle.qEntropy,
+    "q_replace_na" -> Oracle.qReplaceNa,
+    "q_ffill" -> Oracle.qFfill,
+    "q_bfill" -> Oracle.qBfill,
+    "q_fill_both" -> Oracle.qFillBoth,
+    "q_fill_inside" -> Oracle.qFillInside,
+    "q_fill_outside" -> Oracle.qFillOutside,
+    "q_interpolate" -> Oracle.qInterpolate,
+    "q_group_global_means" -> Oracle.qGroupGlobalMeans,
+    "q_time_means" -> Oracle.qTimeMeans,
+    "q_list_totally_missing" -> Oracle.qListTotallyMissing,
+  )
 }

@@ -1,0 +1,132 @@
+package graft
+
+import graft.ops.{MissingOps, PointwiseOps, TemporalOps}
+import org.apache.spark.sql.functions._
+
+/** Golden tests for the temporal window family, from the reference's own
+  * worked examples (views_2.py docstrings; FIXTURES.md F5) and
+  * hand-computed values per the documented semantics.
+  */
+class TemporalOpsSpec extends SparkSpec {
+  import spark.implicits._
+  private val T = Panel.TimeCol
+  private val U = Panel.UnitCol
+
+  /** 1-unit panel from a sequence of values, months 1..n. */
+  private def panel1(vs: Double*) =
+    vs.zipWithIndex.map { case (v, i) => (i + 1L, 1L, v) }.toDF(T, U, "value")
+
+  private def outInts(df: org.apache.spark.sql.DataFrame, c: String): Seq[Int] =
+    df.orderBy(T).select(c).collect().map(_.getInt(0)).toSeq
+
+  private def outDoubles(df: org.apache.spark.sql.DataFrame, c: String): Seq[Any] =
+    df.orderBy(T).select(c).collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+
+  test("cweq matches the worked example views_2.py:255-266") {
+    // event  : 0, 0, 1, 1, 0, 0 -> cweq_0 : 1, 2, 0, 0, 1, 2
+    val p = panel1(0, 0, 1, 1, 0, 0)
+    assert(outInts(TemporalOps.cweq(p, "value", 0.0), "cweq") == Seq(1, 2, 0, 0, 1, 2))
+  }
+
+  test("time_since matches the worked example (first row dropped)") {
+    // tisiev : ., 1, 2, 0, 0, 1
+    val p = panel1(0, 0, 1, 1, 0, 0)
+    val out = TemporalOps.timeSince(p, "value")
+    assert(outInts(out, "time_since") == Seq(1, 2, 0, 0, 1))
+    assert(out.count() == 5) // month 1 dropped (lag undefined -> dropna)
+  }
+
+  test("cweq seed injects prior history at the panel's first timestep") {
+    val p = panel1(0, 0, 1, 0, 0, 0)
+    assert(outInts(TemporalOps.cweq(p, "value", 0.0, seed = Some(10)), "cweq")
+      == Seq(10, 11, 0, 1, 2, 3))
+    // seed ignored when the first step doesn't satisfy the condition
+    val p2 = panel1(1, 0, 0, 0, 0, 0)
+    assert(outInts(TemporalOps.cweq(p2, "value", 0.0, seed = Some(10)), "cweq")
+      == Seq(0, 1, 2, 3, 4, 5))
+    // seed=0 is falsy in the reference (views_2.py:232) -> ignored
+    assert(outInts(TemporalOps.cweq(p, "value", 0.0, seed = Some(0)), "cweq")
+      == Seq(1, 2, 0, 1, 2, 3))
+  }
+
+  test("cweq drops NaN rows before counting (views_2.py:211)") {
+    val p = Seq((1L, 1L, Some(0.0)), (2L, 1L, None), (3L, 1L, Some(0.0)))
+      .toDF(T, U, "value")
+    // NaN row removed -> consecutive run continues across the gap
+    assert(outInts(TemporalOps.cweq(p, "value", 0.0), "cweq") == Seq(1, 2))
+  }
+
+  test("cweq resets independently per unit") {
+    val p = Seq(
+      (1L, 1L, 0.0), (2L, 1L, 5.0), (3L, 1L, 0.0),
+      (1L, 2L, 0.0), (2L, 2L, 0.0), (3L, 2L, 0.0)).toDF(T, U, "value")
+    val out = TemporalOps.cweq(p, "value", 0.0)
+      .orderBy(U, T).select("cweq").collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(1, 0, 1, 1, 2, 3))
+  }
+
+  test("moving ops use min_periods=0 expanding starts (views_2.py:135-137)") {
+    val p = panel1(1, 2, 3, 4)
+    assert(outDoubles(p.select(col(T), TemporalOps.movingAverage(col("value"), 3).as("m")), "m")
+      == Seq(1.0, 1.5, 2.0, 3.0))
+    assert(outDoubles(p.select(col(T), TemporalOps.movingSum(col("value"), 2).as("m")), "m")
+      == Seq(1.0, 3.0, 5.0, 7.0))
+    assert(outDoubles(p.select(col(T), TemporalOps.rollmax(col("value"), 2).as("m")), "m")
+      == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("tlag/tlead/delta") {
+    val p = panel1(1, 2, 4, 8)
+    assert(outDoubles(p.select(col(T), TemporalOps.tlag(col("value"), 1).as("m")), "m")
+      == Seq(null, 1.0, 2.0, 4.0))
+    assert(outDoubles(p.select(col(T), TemporalOps.tlead(col("value"), 2).as("m")), "m")
+      == Seq(4.0, 8.0, null, null))
+    assert(outDoubles(p.select(col(T), TemporalOps.delta(col("value"), 1).as("m")), "m")
+      == Seq(null, 1.0, 2.0, 4.0))
+    intercept[IllegalArgumentException](TemporalOps.tlag(col("value"), 0))
+  }
+
+  test("onset semantics (views_2.py:354-383)") {
+    // events at months 2 and 5; window 2
+    val p = panel1(0, 3, 0, 0, 7, 0)
+    val op = outInts(p.select(col(T), col(U),
+      TemporalOps.onsetPossible(col("value"), 2).as("op")), "op")
+    // lagged series: -,0,3,0,0,7 filled 0 -> rollmax2: 0,0,3,3,0,7
+    assert(op == Seq(1, 1, 0, 0, 1, 0))
+    val on = outInts(p.select(col(T), col(U),
+      TemporalOps.onset(col("value"), 2).as("on")), "on")
+    assert(on == Seq(0, 1, 0, 0, 1, 0))
+  }
+
+  test("temporal entropy: uniform window hits log2(w), constant-zero is 0") {
+    // all-equal values with offset keep x_i identical -> H = log2(#rows in frame)
+    val p = panel1(0, 0, 0, 0)
+    val h = outDoubles(p.select(col(T), col(U),
+      TemporalOps.temporalEntropy(col("value"), 4, 1.0).as("h")), "h")
+    val exp = Seq(0.0, 1.0, math.log(3) / math.log(2), 2.0)
+    h.zip(exp).foreach { case (a, e) =>
+      assert(math.abs(a.asInstanceOf[Double] - e) < 1e-12)
+    }
+  }
+
+  test("tick_time_since reproduces time_since one step ahead (views_2.py:385-418)") {
+    val p = panel1(0, 0, 1, 1, 0, 0)
+    val tis = TemporalOps.timeSince(p, "value", 0.0)
+      .withColumn("time_since", col("time_since").cast("double"))
+    val tick = outDoubles(tis.select(col(T), col(U),
+      TemporalOps.tickTimeSince(col("value"), col("time_since")).as("tk")), "tk")
+    // months 2..6; lag within kept rows: tick = ., 2, 0, 0, 1
+    assert(tick == Seq(null, 2.0, 0.0, 0.0, 1.0))
+  }
+
+  test("decay halves per halflife; ln is log1p (views_2.py:279-319)") {
+    val p = panel1(0, 12, 24)
+    val d = outDoubles(p.select(col(T), col(U),
+      PointwiseOps.decay(col("value"), 12.0).as("d")), "d")
+    assert(d.map(_.asInstanceOf[Double]).zip(Seq(1.0, 0.5, 0.25))
+      .forall { case (a, e) => math.abs(a - e) < 1e-12 })
+    val l = outDoubles(p.select(col(T), col(U),
+      PointwiseOps.ln(col("value")).as("l")), "l")
+    assert(math.abs(l.head.asInstanceOf[Double]) < 1e-12)
+  }
+}

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: for each query result
+parquet written by graft.Verify, run the corresponding oracle SQL in
+DuckDB over the same testdata tables and compare (sorted columns, sorted
+rows, doubles rounded to 1e-9).
+
+Usage: verify_local.py <sfDir> <outDir> [query ...]
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for f in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype(float).round(9)
+        elif str(df[c].dtype) == 'bool':
+            df[c] = df[c].astype(int)
+        else:
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except Exception:
+                df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), na_position='first').reset_index(drop=True)
+    return df
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
+    res_path = f"{outdir}/{name}"
+    if not os.path.isdir(res_path):
+        print(f"FAIL {name}: no spark result dir")
+        fails += 1
+        continue
+    try:
+        spark_df = pd.read_parquet(res_path)
+        duck_df = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}")
+        fails += 1
+        continue
+    a, b = canon(spark_df), canon(duck_df)
+    if list(a.columns) != list(b.columns):
+        print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+        fails += 1
+        continue
+    if len(a) != len(b):
+        print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
+        fails += 1
+        continue
+    ok = True
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            same = ((av.isna() & bv.isna()) | np.isclose(av.astype(float), bv.astype(float),
+                    rtol=0, atol=2e-9, equal_nan=True)).all()
+        else:
+            same = (av.fillna('__null__') == bv.fillna('__null__')).all() if av.dtype == object \
+                else ((av.isna() & bv.isna()) | (av == bv)).all()
+        if not same:
+            bad = None
+            try:
+                m = ~(((av.isna()) & (bv.isna())) | (av == bv))
+                bad = pd.DataFrame({"spark": av[m], "duck": bv[m]}).head(5)
+            except Exception:
+                pass
+            print(f"FAIL {name}: column {c} mismatch\n{bad}")
+            ok = False
+            fails += 1
+            break
+    if ok:
+        print(f"OK   {name} ({len(a)} rows)")
+print(f"\n{'ALL OK' if fails == 0 else f'{fails} FAILURES'}")
+sys.exit(1 if fails else 0)
