@@ -271,6 +271,134 @@ object Oracle {
        |       ELSE value END AS filled
        |FROM tm""".stripMargin
 
+  // --- §2.8 spatial ---------------------------------------------------------
+
+  /** Panel with grid coordinates (Grid.unitLon/unitLat embedding). */
+  private val cells =
+    """cells AS (
+      |  SELECT month_id, unit_id,
+      |         unit_id % 40 AS lon, unit_id // 40 AS lat, value
+      |  FROM panel
+      |)""".stripMargin
+
+  private def splag4dSql(inner: Int, width: Int, power: Double, norm: Boolean): String = {
+    val kv = spatial.Grid.kernelValuesSql(inner, width, power, norm)
+    s"""$panel, $cells, kernel(dx, dy, w) AS (VALUES $kv),
+       |contrib AS (
+       |  SELECT c.month_id, c.unit_id, SUM(n.value * k.w) AS s
+       |  FROM cells c CROSS JOIN kernel k
+       |  JOIN cells n ON n.month_id = c.month_id
+       |    AND n.lon = c.lon + k.dx AND n.lat = c.lat + k.dy
+       |  GROUP BY 1, 2)
+       |SELECT p.month_id, p.unit_id, COALESCE(ct.s, 0.0) AS splag
+       |FROM panel p LEFT JOIN contrib ct
+       |  ON ct.month_id = p.month_id AND ct.unit_id = p.unit_id""".stripMargin
+  }
+
+  val qSplag4d: String = splag4dSql(1, 1, 1.0, norm = false)
+  val qSplag4dNorm: String = splag4dSql(1, 2, 2.0, norm = true)
+
+  /** Queen adjacency over the unit grid (month-invariant derivation; the
+    * Spark side replicates it per month, which is equivalent).
+    */
+  private val adj =
+    """u AS (SELECT unit_id, unit_id % 40 AS lon, unit_id // 40 AS lat FROM units),
+      |adj AS (
+      |  SELECT a.unit_id AS a_id, b.unit_id AS b_id
+      |  FROM u a, u b
+      |  WHERE abs(a.lon - b.lon) <= 1 AND abs(a.lat - b.lat) <= 1
+      |    AND a.unit_id <> b.unit_id
+      |)""".stripMargin
+
+  val qSplagCountry: String =
+    s"""$panel, $adj,
+       |lagv AS (
+       |  SELECT p.month_id, a.a_id AS unit_id, SUM(p.value) AS s
+       |  FROM adj a JOIN panel p ON p.unit_id = a.b_id
+       |  GROUP BY 1, 2)
+       |SELECT p.month_id, p.unit_id, COALESCE(l.s, 0.0) AS splag
+       |FROM panel p LEFT JOIN lagv l
+       |  ON l.month_id = p.month_id AND l.unit_id = p.unit_id""".stripMargin
+
+  val qSplagCountryRing2: String =
+    s"""$panel, $adj,
+       |o1 AS (SELECT unit_id AS seed, unit_id AS member FROM units
+       |       UNION SELECT a_id, b_id FROM adj),
+       |o2 AS (SELECT seed, member FROM o1
+       |       UNION SELECT o1.seed, adj.b_id FROM o1 JOIN adj ON adj.a_id = o1.member),
+       |ring AS (SELECT seed, member FROM o2 EXCEPT SELECT seed, member FROM o1),
+       |lagv AS (
+       |  SELECT p.month_id, r.seed AS unit_id, SUM(p.value) AS s
+       |  FROM ring r JOIN panel p ON p.unit_id = r.member
+       |  GROUP BY 1, 2)
+       |SELECT p.month_id, p.unit_id, COALESCE(l.s, 0.0) AS splag
+       |FROM panel p LEFT JOIN lagv l
+       |  ON l.month_id = p.month_id AND l.unit_id = p.unit_id""".stripMargin
+
+  val qSplagCountryNorm: String =
+    s"""$panel, $adj,
+       |adjd AS (
+       |  SELECT a_id, b_id,
+       |    sqrt(pow(0.5*((a_id % 40) - (b_id % 40)), 2)
+       |       + pow(0.5*((a_id // 40) - (b_id // 40)), 2)) AS d
+       |  FROM adj),
+       |nw AS (SELECT a_id, b_id, d / SUM(d) OVER (PARTITION BY a_id) AS w FROM adjd),
+       |lagv AS (
+       |  SELECT p.month_id, n.a_id AS unit_id, SUM(p.value * n.w) AS s
+       |  FROM nw n JOIN panel p ON p.unit_id = n.b_id
+       |  GROUP BY 1, 2)
+       |SELECT p.month_id, p.unit_id, COALESCE(l.s, 0.0) AS splag
+       |FROM panel p LEFT JOIN lagv l
+       |  ON l.month_id = p.month_id AND l.unit_id = p.unit_id""".stripMargin
+
+  private val stEvents =
+    """ev AS (
+      |  SELECT month_id AS e_t, lon AS e_lon, lat AS e_lat,
+      |         unit_id AS e_u, value AS e_size
+      |  FROM cells WHERE value > 400.0
+      |)""".stripMargin
+
+  private def stPairs(nu: Double): String =
+    s"""pairs AS (
+       |  SELECT c.month_id, c.unit_id, e.e_t, e.e_u, e.e_size,
+       |    sqrt(pow(0.5*(c.lon - e.e_lon), 2) + pow(0.5*(c.lat - e.e_lat), 2)
+       |       + pow(${Grid.fmt(nu)}*(c.month_id - e.e_t), 2)) AS d
+       |  FROM cells c JOIN ev e ON e.e_t <= c.month_id
+       |)""".stripMargin
+  private def Grid = spatial.Grid
+
+  val qSpacetimeDistK1: String =
+    s"""$panel, $cells, $stEvents, ${stPairs(1.0)},
+       |mind AS (SELECT month_id, unit_id, MIN(d) AS d FROM pairs GROUP BY 1, 2)
+       |SELECT c.month_id, c.unit_id, COALESCE(m.d, 999.0) AS stdist
+       |FROM cells c LEFT JOIN mind m
+       |  ON m.month_id = c.month_id AND m.unit_id = c.unit_id""".stripMargin
+
+  val qSpacetimeDistK5: String =
+    s"""$panel, $cells, $stEvents, ${stPairs(2.0)},
+       |topk AS (
+       |  SELECT month_id, unit_id, d,
+       |    ROW_NUMBER() OVER (PARTITION BY month_id, unit_id
+       |      ORDER BY d, e_t, e_u) AS rn
+       |  FROM pairs),
+       |agg AS (SELECT month_id, unit_id, AVG(d) AS d FROM topk WHERE rn <= 5 GROUP BY 1, 2)
+       |SELECT c.month_id, c.unit_id, COALESCE(a.d, 999.0) AS stdist
+       |FROM cells c LEFT JOIN agg a
+       |  ON a.month_id = c.month_id AND a.unit_id = c.unit_id""".stripMargin
+
+  val qSpacetimeWeightsK1: String =
+    s"""$panel, $cells, $stEvents, ${stPairs(1.0)},
+       |topk AS (
+       |  SELECT month_id, unit_id, d, e_size,
+       |    ROW_NUMBER() OVER (PARTITION BY month_id, unit_id
+       |      ORDER BY d, e_t, e_u) AS rn
+       |  FROM pairs)
+       |SELECT c.month_id, c.unit_id,
+       |  COALESCE(CASE WHEN t.d = 0.0 THEN t.e_size
+       |                ELSE t.e_size / pow(t.d, 2.0) END, 999.0) AS stdist
+       |FROM cells c LEFT JOIN (SELECT * FROM topk WHERE rn = 1) t
+       |  ON t.month_id = c.month_id AND t.unit_id = c.unit_id""".stripMargin
+
   val qListTotallyMissing: String =
     s"""$mpanel, allnull AS (
        |  SELECT month_id, unit_id, value, CAST(NULL AS DOUBLE) AS value3 FROM mpanel)

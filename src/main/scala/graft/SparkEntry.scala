@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.{MissingOps, PointwiseOps, TemporalOps}
+import graft.spatial.{CountryLag, Grid, KernelLag, SpacetimeDist}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -104,7 +105,45 @@ object SparkEntry {
       val withNullCol = p.withColumn("value3", lit(null).cast("double"))
       MissingOps.listTotallyMissing(withNullCol, Seq("value", "value3"))
     },
+
+    // §2.8 spatial
+    "q_splag4d" -> onGrid(gp =>
+      KernelLag.splag4d(gp, "value", 1, 1, 1.0, norm = false)
+        .select(col(T), col(U), col("splag"))),
+    "q_splag4d_norm" -> onGrid(gp =>
+      KernelLag.splag4d(gp, "value", 1, 2, 2.0, norm = true)
+        .select(col(T), col(U), col("splag"))),
+    "q_splag_country" -> onPanel(p =>
+      CountryLag.splagCountry(p, "value", CountryLag.gridAdjacency(p),
+        CountryLag.gridCentroids(p), 1, 1, 0.0, norm = false)
+        .select(col(T), col(U), col("splag"))),
+    "q_splag_country_ring2" -> onPanel(p =>
+      CountryLag.splagCountry(p, "value", CountryLag.gridAdjacency(p),
+        CountryLag.gridCentroids(p), 2, 1, 0.0, norm = false)
+        .select(col(T), col(U), col("splag"))),
+    "q_splag_country_norm" -> onPanel(p =>
+      CountryLag.splagCountry(p, "value", CountryLag.gridAdjacency(p),
+        CountryLag.gridCentroids(p), 1, 1, 1.0, norm = true)
+        .select(col(T), col(U), col("splag"))),
+    "q_spacetime_dist_k1" -> onGrid(gp =>
+      SpacetimeDist.spacetimeDistances(gp, "value", "distances",
+        k = 1, nu = 1.0, power = 0.0, eventThreshold = 400.0)
+        .select(col(T), col(U), col("stdist"))),
+    "q_spacetime_dist_k5" -> onGrid(gp =>
+      SpacetimeDist.spacetimeDistances(gp, "value", "distances",
+        k = 5, nu = 2.0, power = 0.0, eventThreshold = 400.0)
+        .select(col(T), col(U), col("stdist"))),
+    "q_spacetime_weights_k1" -> onGrid(gp =>
+      SpacetimeDist.spacetimeDistances(gp, "value", "weights",
+        k = 1, nu = 1.0, power = 2.0, eventThreshold = 400.0)
+        .select(col(T), col(U), col("stdist"))),
   )
+
+  /** Dense panel with grid coordinates (Grid.unitLon/unitLat). */
+  private def onGrid(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
+    onPanel(p => f(p
+      .withColumn("lon", Grid.unitLon(col(U)))
+      .withColumn("lat", Grid.unitLat(col(U)))))
 
   def oracleSql: Map[String, String] = Map(
     "q_identity" -> Oracle.qIdentity,
@@ -142,5 +181,13 @@ object SparkEntry {
     "q_group_global_means" -> Oracle.qGroupGlobalMeans,
     "q_time_means" -> Oracle.qTimeMeans,
     "q_list_totally_missing" -> Oracle.qListTotallyMissing,
+    "q_splag4d" -> Oracle.qSplag4d,
+    "q_splag4d_norm" -> Oracle.qSplag4dNorm,
+    "q_splag_country" -> Oracle.qSplagCountry,
+    "q_splag_country_ring2" -> Oracle.qSplagCountryRing2,
+    "q_splag_country_norm" -> Oracle.qSplagCountryNorm,
+    "q_spacetime_dist_k1" -> Oracle.qSpacetimeDistK1,
+    "q_spacetime_dist_k5" -> Oracle.qSpacetimeDistK5,
+    "q_spacetime_weights_k1" -> Oracle.qSpacetimeWeightsK1,
   )
 }

@@ -1,0 +1,132 @@
+package graft.spatial
+
+import graft.Panel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Country-graph spatial lag — reference get_splag_country
+  * (splag_country.py:8-340, utilities.py:296-403).
+  *
+  * Semantics (from the reference's recursion + its tests):
+  *  - `ninner = kernel_inner − 1`, `nouter = ninner + kernel_width`
+  *  - orderSet(k) = BFS closure of {c} expanded k times over the
+  *    month-varying adjacency, INCLUDING c; a negative radius is the
+  *    empty set (splag_country.py:95-107)
+  *  - ring(c) = orderSet(nouter) \ orderSet(ninner), so (0,0) → ∅,
+  *    (0,1) → {c} (identity), (1,1) → first-order neighbours
+  *  - weight(c, b) = euclidean_centroid_distance(c, b) ^ kernel_power
+  *    (0^0 = 1 — the identity kernel relies on it), optionally
+  *    normalised per (month, c); lag = Σ value(b)·w; countries/months
+  *    absent from the adjacency data → 0
+  *
+  * Spark-first: the reference's per-(month, country) recursive BFS
+  * becomes `nouter` self-joins of the adjacency DataFrame (nouter is a
+  * tiny constant), the ring an anti-join, the lag one broadcast-join +
+  * hash aggregation. Adjacency and centroids are explicit input
+  * DataFrames (the reference fetches them from a live DB mid-transform,
+  * utilities.py:313,386-397 — hoisted to sources here).
+  */
+object CountryLag {
+
+  /** orderSet(k) as a (month_id, seed, member) DataFrame. */
+  private def orderSet(adj: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    // adj: (month_id, a_id, b_id); seeds: (month_id, seed) = every
+    // (month, country) pair to expand from.
+    val T = Panel.TimeCol
+    var reach = seeds.select(col(T), col("seed"), col("seed").as("member"))
+    for (i <- 1 to k) {
+      // alias both sides: repeated self-joins through `adj` otherwise
+      // trip Spark's ambiguous-self-join detection
+      val r = reach.alias(s"r$i")
+      val a = adj.alias(s"a$i")
+      val next = r.join(a,
+        col(s"r$i.$T") === col(s"a$i.$T") &&
+          col(s"r$i.member") === col(s"a$i.a_id"))
+        .select(col(s"r$i.$T").as(T), col(s"r$i.seed").as("seed"),
+          col(s"a$i.b_id").as("member"))
+      reach = reach.union(next).distinct()
+    }
+    reach
+  }
+
+  /** @param adjacency (month_id, a_id, b_id) symmetric neighbour pairs
+    * @param centroids (country_id, lat, lon)
+    */
+  def splagCountry(panel: DataFrame, valueCol: String,
+                   adjacency: DataFrame, centroids: DataFrame,
+                   inner: Int, width: Int, power: Double, norm: Boolean,
+                   out: String = "splag"): DataFrame = {
+    val T = Panel.TimeCol
+    val U = Panel.UnitCol
+    val ninner = inner - 1
+    val nouter = ninner + width
+
+    val result =
+      if (nouter < 0) {
+        // ring is empty everywhere -> all zeros
+        panel.select(col(T), col(U), lit(0.0).as(out))
+      } else {
+        val seeds = panel.select(col(T), col(U).as("seed")).distinct()
+        val outer = orderSet(adjacency, seeds, nouter)
+        val ring =
+          if (ninner < 0) outer
+          else outer.join(orderSet(adjacency, seeds, ninner),
+            Seq(T, "seed", "member"), "left_anti")
+
+        val cs = broadcast(centroids.select(col("country_id").as("seed"),
+          col("lat").as("s_lat"), col("lon").as("s_lon")))
+        val cm = broadcast(centroids.select(col("country_id").as("member"),
+          col("lat").as("m_lat"), col("lon").as("m_lon")))
+        val withDist = ring.join(cs, "seed").join(cm, "member")
+          .withColumn("d", sqrt(
+            pow(col("s_lat") - col("m_lat"), 2.0) +
+              pow(col("s_lon") - col("m_lon"), 2.0)))
+          .withColumn("w", pow(col("d"), power))
+        val weighted =
+          if (norm)
+            withDist.withColumn("w",
+              col("w") / sum(col("w")).over(
+                org.apache.spark.sql.expressions.Window.partitionBy(col(T), col("seed"))))
+          else withDist
+
+        val vals = panel.select(col(T).as("v_t"), col(U).as("member"),
+          // reference zeroes infinities before summing (splag_country.py:289)
+          when(col(valueCol) === Double.PositiveInfinity, 0.0)
+            .otherwise(col(valueCol)).as("v"))
+        val lag = weighted.join(vals,
+          weighted(T) === vals("v_t") && weighted("member") === vals("member"))
+          .groupBy(weighted(T), col("seed").as(U))
+          .agg(sum(col("v") * col("w")).as(out))
+        panel.select(col(T), col(U)).join(lag, Seq(T, U), "left")
+          .na.fill(0.0, Seq(out))
+      }
+    result
+  }
+
+  /** Derived adjacency for the testdata unit grid (queen adjacency on
+    * the 40-column embedding), replicated per month — a stand-in for the
+    * reference's `country_country_month_expanded` table.
+    */
+  def gridAdjacency(panel: DataFrame): DataFrame = {
+    val units = panel.select(col(Panel.UnitCol)).distinct()
+    val months = panel.select(col(Panel.TimeCol)).distinct()
+    val a = units.select(col(Panel.UnitCol).as("a_id"),
+      Grid.unitLon(col(Panel.UnitCol)).as("a_lon"),
+      Grid.unitLat(col(Panel.UnitCol)).as("a_lat"))
+    val b = units.select(col(Panel.UnitCol).as("b_id"),
+      Grid.unitLon(col(Panel.UnitCol)).as("b_lon"),
+      Grid.unitLat(col(Panel.UnitCol)).as("b_lat"))
+    val adj = a.crossJoin(broadcast(b))
+      .filter(abs(col("a_lon") - col("b_lon")) <= 1 &&
+        abs(col("a_lat") - col("b_lat")) <= 1 &&
+        col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+    broadcast(months).crossJoin(adj)
+  }
+
+  /** Derived centroids: half-degree cell centres of the unit grid. */
+  def gridCentroids(panel: DataFrame): DataFrame =
+    panel.select(col(Panel.UnitCol).as("country_id")).distinct()
+      .withColumn("lon", Grid.unitLon(col("country_id")).cast("double") * 0.5)
+      .withColumn("lat", Grid.unitLat(col("country_id")).cast("double") * 0.5)
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.spatial.{CountryLag, Grid, KernelLag, SpacetimeDist}
+import org.apache.spark.sql.functions._
+
+/** Golden tests for the spatial family, ported from the reference's own
+  * tests (FIXTURES.md F1/F2) plus impulse-response checks (F6).
+  */
+class SpatialSpec extends SparkSpec {
+  import spark.implicits._
+  private val T = Panel.TimeCol
+  private val U = Panel.UnitCol
+
+  test("kernel weights match build_kernel_weights (splag4d.py:95-118)") {
+    // inner=1, width=1, power=1: 3x3, centre zeroed, sides 1, diags 1/sqrt(2)
+    val k = Grid.kernelOffsets(1, 1, 1.0, norm = false)
+      .map { case (dx, dy, w) => ((dx, dy), w) }.toMap
+    assert(k.size == 8)
+    assert(math.abs(k((0, 1)) - 1.0) < 1e-15)
+    assert(math.abs(k((1, 1)) - 1.0 / math.sqrt(2)) < 1e-15)
+    // norm: weights sum to 1
+    val kn = Grid.kernelOffsets(1, 2, 2.0, norm = true)
+    assert(math.abs(kn.map(_._3).sum - 1.0) < 1e-12)
+  }
+
+  test("splag4d impulse response equals the kernel (F6)") {
+    // 4x4 grid of units 0..15 (lon=u%4... use the 40-wide embedding but
+    // units 0..3,40..43 style; simpler: units laid out with unitLon/Lat)
+    val units = Seq(0L, 1L, 2L, 40L, 41L, 42L, 80L, 81L, 82L) // 3x3 block
+    val rows = for (m <- Seq(1L); u <- units)
+      yield (m, u, if (u == 41L) 1.0 else 0.0) // impulse at centre
+    val p = rows.toDF(T, U, "value")
+      .withColumn("lon", Grid.unitLon(col(U)))
+      .withColumn("lat", Grid.unitLat(col(U)))
+    val out = KernelLag.splag4d(p, "value", 1, 1, 1.0, norm = false)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(math.abs(out(40L) - 1.0) < 1e-12)            // side neighbour
+    assert(math.abs(out(0L) - 1.0 / math.sqrt(2)) < 1e-12) // diagonal
+    assert(out(41L) == 0.0)                              // zeroed centre
+  }
+
+  test("splag_country reproduces the reference test kernels (F2)") {
+    // 6 countries, 1 month; adjacency reconstructed so 237's first-order
+    // neighbours are {59, 235} (tests/test_splag_country.py)
+    val p = Seq((229L, 57L, 0.0), (229L, 59L, 281.0), (229L, 120L, 0.0),
+      (229L, 235L, 18.0), (229L, 237L, 18.0), (229L, 242L, 0.0))
+      .toDF(T, U, "value")
+    val pairs = Seq((57L, 59L), (59L, 237L), (235L, 237L), (120L, 242L))
+    val adj = pairs.flatMap { case (a, b) => Seq((229L, a, b), (229L, b, a)) }
+      .toDF(T, "a_id", "b_id")
+    val cent = Seq(57L, 59L, 120L, 235L, 237L, 242L)
+      .map(c => (c, c.toDouble, c.toDouble * 2)).toDF("country_id", "lat", "lon")
+
+    def run(inner: Int, width: Int) =
+      CountryLag.splagCountry(p, "value", adj, cent, inner, width, 0.0, norm = false)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+
+    // kernel (0,0) -> all zeros
+    assert(run(0, 0).values.forall(_ == 0.0))
+    // kernel (0,1) -> identity (ring = {self}, weight d^0 with d=0 -> 1)
+    val id = run(0, 1)
+    assert(id(59L) == 281.0 && id(237L) == 18.0 && id(57L) == 0.0)
+    // kernel (1,1) -> first-order neighbour sums: 237 -> 281 + 18 = 299
+    val n1 = run(1, 1)
+    assert(n1(237L) == 299.0)
+    assert(n1(57L) == 281.0)  // only neighbour 59
+    assert(n1(120L) == 0.0)   // neighbour 242 has value 0
+  }
+
+  test("spacetime distances reproduce the reference fixture (F1)") {
+    // 3 months x 3x3 pgid block, single event at (101, centre)
+    val units = Seq(0L, 1L, 2L, 40L, 41L, 42L, 80L, 81L, 82L)
+    val rows = for (m <- Seq(100L, 101L, 102L); u <- units)
+      yield (m, u, if (m == 101L && u == 41L) 1.0 else 0.0)
+    val p = rows.toDF(T, U, "value")
+      .withColumn("lon", Grid.unitLon(col(U)))
+      .withColumn("lat", Grid.unitLat(col(U)))
+
+    def run(rv: String, k: Int, nu: Double, power: Double) =
+      SpacetimeDist.spacetimeDistances(p, "value", rv, k, nu, power)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    val d = run("distances", 1, 1.0, 0.0)
+    assert(d((100L, 41L)) == 999.0)                       // no events yet
+    assert(d((101L, 41L)) == 0.0)                         // at the event
+    assert(math.abs(d((101L, 42L)) - 0.5) < 1e-9)         // one cell away
+    assert(math.abs(d((101L, 2L)) - math.sqrt(0.5)) < 1e-9) // wait: (2,0) vs (1,1)
+    assert(math.abs(d((102L, 41L)) - 1.0) < 1e-9)         // one month later
+    assert(math.abs(d((102L, 40L)) - math.sqrt(1.25)) < 1e-9)
+    // nu stretches time
+    val d10 = run("distances", 1, 10.0, 0.0)
+    assert(math.abs(d10((102L, 41L)) - 10.0) < 1e-9)
+    // weights: dist=0 -> event size; else size/d^power
+    val w = run("weights", 1, 1.0, 2.0)
+    assert(w((101L, 41L)) == 1.0)
+    assert(math.abs(w((101L, 42L)) - 1.0 / 0.25) < 1e-9)
+    assert(math.abs(w((102L, 41L)) - 1.0) < 1e-9)
+  }
+}
