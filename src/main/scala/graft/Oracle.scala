@@ -399,6 +399,155 @@ object Oracle {
        |FROM cells c LEFT JOIN (SELECT * FROM topk WHERE rn = 1) t
        |  ON t.month_id = c.month_id AND t.unit_id = c.unit_id""".stripMargin
 
+  // --- §2.8/§2.9 tree + fourier lags ---------------------------------------
+
+  /** Shared centred power-of-two embedding CTEs (utilities.py:145-216
+    * in SQL): gp carries ncells/power, emb the per-unit cell coords.
+    */
+  private val embSql =
+    """g AS (
+      |  SELECT MIN(unit_id % 40) AS ln0, MAX(unit_id % 40) AS ln1,
+      |         MIN(unit_id // 40) AS lt0, MAX(unit_id // 40) AS lt1
+      |  FROM units),
+      |gp AS (
+      |  SELECT ln0, ln1, lt0, lt1, pw AS power,
+      |         CAST(pow(2.0, pw) AS BIGINT) AS ncells
+      |  FROM (SELECT *,
+      |          1 + CAST(floor(log2(greatest(ln1 - ln0, lt1 - lt0))) AS INT) AS pw
+      |        FROM g)),
+      |emb AS (
+      |  SELECT u.unit_id,
+      |         (u.unit_id % 40) - ln0 + (ncells - (ln1 - ln0)) // 2 AS ex,
+      |         (u.unit_id // 40) - lt0 + (ncells - (lt1 - lt0)) // 2 AS ey
+      |  FROM units u, gp)""".stripMargin
+
+  /** Closed-form Barnes-Hut interaction lists in SQL: a node is accepted
+    * by a target iff every proper ancestor is opened (theta > crit) and
+    * the node itself either satisfies theta <= crit or is a foreign leaf
+    * (equivalent to the reference's BFS walk, spatial_tree.py:296-372).
+    */
+  private def treeLagSql(thetacrit: Double, wExpr: String): String =
+    s"""$panel, $embSql,
+       |lvs AS (SELECT l AS level FROM (VALUES (0),(1),(2),(3),(4),(5),
+       |        (6),(7),(8),(9),(10)) v(l), gp WHERE l <= power),
+       |mem AS (
+       |  SELECT e.unit_id, l.level,
+       |         e.ex // (gp.ncells // (1 << l.level)) AS nx,
+       |         e.ey // (gp.ncells // (1 << l.level)) AS ny
+       |  FROM emb e, lvs l, gp),
+       |nodes AS (SELECT DISTINCT level, nx, ny FROM mem),
+       |nodevals AS (
+       |  SELECT p.month_id, m.level, m.nx, m.ny, SUM(p.value) AS v
+       |  FROM panel p JOIN mem m ON m.unit_id = p.unit_id
+       |  GROUP BY 1, 2, 3, 4),
+       |cand AS (
+       |  SELECT t.unit_id, t.ex, t.ey, n.level, n.nx, n.ny,
+       |         gp.ncells // (1 << n.level) AS s, gp.power
+       |  FROM emb t, nodes n, gp),
+       |cand2 AS (
+       |  SELECT *, sqrt(pow(ex + 0.5 - (nx * s + s / 2.0) + 0.01, 2)
+       |               + pow(ey + 0.5 - (ny * s + s / 2.0) + 0.01, 2)) AS d
+       |  FROM cand),
+       |anc AS (
+       |  SELECT c.unit_id, c.ex, c.ey, c.level, c.nx, c.ny,
+       |         gp.ncells // (1 << la.level) AS sa,
+       |         c.nx // (1 << (c.level - la.level)) AS anx,
+       |         c.ny // (1 << (c.level - la.level)) AS any_
+       |  FROM cand c, lvs la, gp WHERE la.level < c.level),
+       |ancbad AS (
+       |  SELECT DISTINCT unit_id, level, nx, ny FROM anc
+       |  WHERE sa / sqrt(pow(ex + 0.5 - (anx * sa + sa / 2.0) + 0.01, 2)
+       |                + pow(ey + 0.5 - (any_ * sa + sa / 2.0) + 0.01, 2))
+       |        <= $thetacrit),
+       |il AS (
+       |  SELECT c.unit_id, c.level, c.nx, c.ny, $wExpr AS w
+       |  FROM cand2 c
+       |  WHERE (c.s / c.d <= $thetacrit OR c.level = c.power)
+       |    AND NOT (c.level = c.power AND c.nx = c.ex AND c.ny = c.ey)
+       |    AND NOT EXISTS (SELECT 1 FROM ancbad b
+       |      WHERE b.unit_id = c.unit_id AND b.level = c.level
+       |        AND b.nx = c.nx AND b.ny = c.ny)),
+       |lagv AS (
+       |  SELECT nv.month_id, il.unit_id, SUM(nv.v * il.w) AS s
+       |  FROM il JOIN nodevals nv
+       |    ON nv.level = il.level AND nv.nx = il.nx AND nv.ny = il.ny
+       |  GROUP BY 1, 2)
+       |SELECT p.month_id, p.unit_id, COALESCE(l.s, 0.0) AS treelag
+       |FROM panel p LEFT JOIN lagv l
+       |  ON l.month_id = p.month_id AND l.unit_id = p.unit_id""".stripMargin
+
+  val qTreeLag: String = treeLagSql(0.5, "1.0 / ln(1.0 + c.d)")
+  val qTreeLagD2: String = treeLagSql(1.0, "1.0 / (c.d * c.d)")
+
+  /** Temporal tree, uniform weights: the walk decomposes the past into
+    * disjoint nodes covering every stocked month <= tnow exactly once,
+    * so uniform weighting equals the running cumulative sum — except the
+    * final timestep, which has no leaf in the reference's padded axis
+    * (nseq = tend − tstart) and therefore lags to 0.
+    */
+  val qTemporalTreeUniform: String =
+    s"""$panel SELECT month_id, unit_id,
+       |  CASE WHEN month_id = (SELECT MAX(month_id) FROM panel) THEN 0.0
+       |       ELSE SUM(value) OVER ($cum) END AS treelag
+       |FROM panel""".stripMargin
+
+  /** Temporal tree, 1/(tnow − mid + 1.5) weights: the effective
+    * (tnow, month) weight matrix is a pure function of the time axis
+    * (days 1..30 in the driver testdata), generated by the same ported
+    * walk the Spark operator uses.
+    */
+  val qTemporalTreeOneovert: String = {
+    val wm = temporal.TreeLag.weightMatrix((1L to 30L), 0.8, "oneovert", 1.0)
+      .sortBy(t => (t._1, t._2))
+      .map { case (tnow, m, w) => s"($tnow, $m, ${spatial.Grid.fmt(w)})" }
+      .mkString(", ")
+    s"""$panel, wm(tnow, month_id, w) AS (VALUES $wm),
+       |lagv AS (
+       |  SELECT wm.tnow, p.unit_id, SUM(p.value * wm.w) AS s
+       |  FROM panel p JOIN wm ON wm.month_id = p.month_id
+       |  GROUP BY 1, 2)
+       |SELECT p.month_id, p.unit_id, COALESCE(l.s, 0.0) AS treelag
+       |FROM panel p LEFT JOIN lagv l
+       |  ON l.tnow = p.month_id AND l.unit_id = p.unit_id""".stripMargin
+  }
+
+  /** Fourier lag: the fft→divide→ifft composition is a circular
+    * convolution with the Green's function G = ifft2(divisor), so the
+    * oracle convolves directly (sources = unit cells; the grid is the
+    * full 2^p square whose min/max drive the rescale). G is generated by
+    * the same FFT code the Spark operator uses, for the sf0.01 grid
+    * (ncells = 64).
+    */
+  val qFourierLag: String = {
+    val n = 64
+    val g = spatial.FourierLag.greens(n)
+    val gv = (0 until n).flatMap(gx => (0 until n).map(gy =>
+      s"($gx, $gy, ${spatial.Grid.fmt(g(gx * n + gy))})")).mkString(", ")
+    s"""$panel, $embSql,
+       |gk(gx, gy, g) AS (VALUES $gv),
+       |grid AS (SELECT a.range AS cx, b.range AS cy
+       |         FROM range(0, $n) a, range(0, $n) b),
+       |src AS (SELECT p.month_id, e.ex, e.ey, p.value
+       |        FROM panel p JOIN emb e ON e.unit_id = p.unit_id),
+       |conv AS (
+       |  SELECT s.month_id, g.cx, g.cy, SUM(s.value * k.g) AS y
+       |  FROM grid g CROSS JOIN src s
+       |  JOIN gk k ON k.gx = ((g.cx - s.ex) % $n + $n) % $n
+       |          AND k.gy = ((g.cy - s.ey) % $n + $n) % $n
+       |  GROUP BY 1, 2, 3),
+       |st AS (
+       |  SELECT month_id, cx, cy, y,
+       |         MIN(y) OVER (PARTITION BY month_id) AS ymin,
+       |         MAX(y) OVER (PARTITION BY month_id) AS ymax
+       |  FROM conv),
+       |rho AS (SELECT month_id, GREATEST(MAX(value), 0.0) AS rhomax
+       |        FROM src GROUP BY 1)
+       |SELECT st.month_id, e.unit_id,
+       |  (st.y - st.ymin) * rho.rhomax / GREATEST(st.ymax - st.ymin, 1.0) AS flag_value
+       |FROM st JOIN emb e ON e.ex = st.cx AND e.ey = st.cy
+       |JOIN rho ON rho.month_id = st.month_id""".stripMargin
+  }
+
   val qListTotallyMissing: String =
     s"""$mpanel, allnull AS (
        |  SELECT month_id, unit_id, value, CAST(NULL AS DOUBLE) AS value3 FROM mpanel)

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.{MissingOps, PointwiseOps, TemporalOps}
-import graft.spatial.{CountryLag, Grid, KernelLag, SpacetimeDist}
+import graft.spatial.{CountryLag, FourierLag, Grid, KernelLag, SpacetimeDist, TreeLag}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -137,6 +137,23 @@ object SparkEntry {
       SpacetimeDist.spacetimeDistances(gp, "value", "weights",
         k = 1, nu = 1.0, power = 2.0, eventThreshold = 400.0)
         .select(col(T), col(U), col("stdist"))),
+
+    // §2.8 Barnes-Hut spatial tree lag / §2.9 temporal tree lag / fourier
+    "q_tree_lag" -> onGrid(gp =>
+      TreeLag.treeLag(gp, "value", thetacrit = 0.5, dfunctionOption = 0)
+        .select(col(T), col(U), col("treelag"))),
+    "q_tree_lag_d2" -> onGrid(gp =>
+      TreeLag.treeLag(gp, "value", thetacrit = 1.0, dfunctionOption = 2)
+        .select(col(T), col(U), col("treelag"))),
+    "q_temporal_tree_uniform" -> onPanel(p =>
+      temporal.TreeLag.treeLag(p, "value", thetacrit = 0.8, fname = "uniform")
+        .select(col(T), col(U), col("treelag"))),
+    "q_temporal_tree_oneovert" -> onPanel(p =>
+      temporal.TreeLag.treeLag(p, "value", thetacrit = 0.8, fname = "oneovert")
+        .select(col(T), col(U), col("treelag"))),
+    "q_fourier_lag" -> onGrid(gp =>
+      FourierLag.fourierLag(gp, "value")
+        .select(col(T), col(U), col("flag_value"))),
   )
 
   /** Dense panel with grid coordinates (Grid.unitLon/unitLat). */
@@ -189,5 +206,10 @@ object SparkEntry {
     "q_spacetime_dist_k1" -> Oracle.qSpacetimeDistK1,
     "q_spacetime_dist_k5" -> Oracle.qSpacetimeDistK5,
     "q_spacetime_weights_k1" -> Oracle.qSpacetimeWeightsK1,
+    "q_tree_lag" -> Oracle.qTreeLag,
+    "q_tree_lag_d2" -> Oracle.qTreeLagD2,
+    "q_temporal_tree_uniform" -> Oracle.qTemporalTreeUniform,
+    "q_temporal_tree_oneovert" -> Oracle.qTemporalTreeOneovert,
+    "q_fourier_lag" -> Oracle.qFourierLag,
   )
 }

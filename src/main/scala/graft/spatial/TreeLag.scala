@@ -1,0 +1,144 @@
+package graft.spatial
+
+import graft.Panel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Barnes-Hut spatial tree lag — reference get_tree_lag
+  * (spatial_tree.py:6-476): a quadtree over the pgid grid, node values =
+  * sums of contained leaves, and per-leaf interaction lists chosen by an
+  * opening-angle walk (theta = node_size / distance > thetacrit → open),
+  * with distance weights 1/ln(1+d), 1/d or 1/d².
+  *
+  * The tree geometry (node set, interaction lists, weights) depends only
+  * on the unit-cell set — not on time or values — so it is computed once
+  * on the driver (the same O(N log N) pruned walk as the reference,
+  * spatial_tree.py:296-372) and broadcast as two small tables:
+  *
+  *   membership(unit, level, nx, ny)  — each unit's ancestor node per level
+  *   interactions(target, level, nx, ny, w)
+  *
+  * Execution is then pure relational algebra: node values via one
+  * groupBy over (month, node) — the per-level roll-up the reference does
+  * with recursive stocking (spatial_tree.py:374-419) — and the lag via a
+  * broadcast join + hash aggregation. One shuffle for node values, one
+  * for the final aggregation, independent of thetacrit.
+  */
+object TreeLag {
+
+  /** Centred power-of-two embedding of the unit cells — a faithful port
+    * of utilities._map_pgids_2d (utilities.py:145-216).
+    */
+  case class Embedding(cells: Map[Long, (Int, Int)], ncells: Int, power: Int)
+
+  def embed(units: Seq[(Long, Int, Int)]): Embedding = {
+    val lonmin = units.map(_._2).min
+    val latmin = units.map(_._3).min
+    val lonrange = units.map(_._2).max - lonmin
+    val latrange = units.map(_._3).max - latmin
+    val maxsize = math.max(lonrange, latrange)
+    // power = 1 + int(log2(maxsize)) without float hazards
+    var power = 0
+    while ((1 << power) <= maxsize) power += 1
+    if (power == 0) power = 1
+    val ncells = 1 << power
+    val nudgeLon = (ncells - lonrange) / 2
+    val nudgeLat = (ncells - latrange) / 2
+    val cells = units.map { case (u, lon, lat) =>
+      u -> (lon - lonmin + nudgeLon, lat - latmin + nudgeLat)
+    }.toMap
+    Embedding(cells, ncells, power)
+  }
+
+  /** Distance-weight registry (spatial_tree.py:48-79). */
+  def dfunction(option: Int): Double => Double = option match {
+    case 0 => d => 1.0 / math.log(1.0 + d)
+    case 1 => d => 1.0 / d
+    case 2 => d => 1.0 / (d * d)
+    case other => throw new IllegalArgumentException(
+      s"dfunction_option must be 0 (1/ln(1+d)), 1 (1/d) or 2 (1/d^2); got $other")
+  }
+
+  /** Interaction list for one target leaf via the reference's pruned
+    * walk (spatial_tree.py:296-372): BFS from the root; theta = h/d with
+    * d = |target_centre − node_centre + (0.01, 0.01)|; theta > crit
+    * opens internal nodes, adds foreign leaves; theta <= crit accepts
+    * the aggregate node.
+    */
+  private def walk(emb: Embedding, nodeSet: Set[(Int, Int, Int)],
+                   ex: Int, ey: Int, thetacrit: Double,
+                   f: Double => Double): Seq[(Int, Int, Int, Double)] = {
+    val out = Seq.newBuilder[(Int, Int, Int, Double)]
+    val todo = scala.collection.mutable.Queue((0, 0, 0))
+    while (todo.nonEmpty) {
+      val (lvl, nx, ny) = todo.dequeue()
+      val s = emb.ncells >> lvl
+      val cx = nx * s + s / 2.0
+      val cy = ny * s + s / 2.0
+      val dx = ex + 0.5 - cx + 0.01
+      val dy = ey + 0.5 - cy + 0.01
+      val d = math.sqrt(dx * dx + dy * dy)
+      val theta = s / d
+      if (theta > thetacrit) {
+        if (lvl == emb.power) {
+          if (!(nx == ex && ny == ey)) out += ((lvl, nx, ny, f(d)))
+        } else {
+          var cxi = 2 * nx
+          while (cxi <= 2 * nx + 1) {
+            var cyi = 2 * ny
+            while (cyi <= 2 * ny + 1) {
+              if (nodeSet((lvl + 1, cxi, cyi))) todo.enqueue((lvl + 1, cxi, cyi))
+              cyi += 1
+            }
+            cxi += 1
+          }
+        }
+      } else out += ((lvl, nx, ny, f(d)))
+    }
+    out.result()
+  }
+
+  /** @param panel dense panel with `lon`/`lat` cell-coordinate columns */
+  def treeLag(panel: DataFrame, valueCol: String,
+              thetacrit: Double, dfunctionOption: Int,
+              lonCol: String = "lon", latCol: String = "lat",
+              out: String = "treelag"): DataFrame = {
+    val spark = panel.sparkSession
+    import spark.implicits._
+    val T = Panel.TimeCol
+    val U = Panel.UnitCol
+    val f = dfunction(dfunctionOption)
+
+    // Geometry: distinct unit cells only (small — the global PRIO grid
+    // itself is ~260k cells); everything time/value-dependent stays
+    // distributed.
+    val units = panel.select(col(U), col(lonCol), col(latCol)).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)).toSeq
+    val emb = embed(units)
+
+    val membership = emb.cells.toSeq.flatMap { case (u, (ex, ey)) =>
+      (0 to emb.power).map { lvl =>
+        val s = emb.ncells >> lvl
+        (u, lvl, ex / s, ey / s)
+      }
+    }
+    val nodeSet = membership.map { case (_, l, nx, ny) => (l, nx, ny) }.toSet
+    val il = emb.cells.toSeq.flatMap { case (u, (ex, ey)) =>
+      walk(emb, nodeSet, ex, ey, thetacrit, f)
+        .map { case (l, nx, ny, w) => (u, l, nx, ny, w) }
+    }
+
+    val memberDf = broadcast(membership.toDF(U, "level", "nx", "ny"))
+    val ilDf = broadcast(il.toDF("target", "level", "nx", "ny", "w"))
+
+    val nodevals = panel.select(col(T), col(U), col(valueCol))
+      .join(memberDf, U)
+      .groupBy(col(T), col("level"), col("nx"), col("ny"))
+      .agg(sum(col(valueCol)).as("v"))
+    val lag = nodevals.join(ilDf, Seq("level", "nx", "ny"))
+      .groupBy(col(T), col("target").as(U))
+      .agg(sum(col("v") * col("w")).as(out))
+    panel.select(col(T), col(U)).join(lag, Seq(T, U), "left")
+      .na.fill(0.0, Seq(out))
+  }
+}
