@@ -1,0 +1,214 @@
+package graft
+
+/** DuckDB oracle SQL for the training-data-pipeline extensions (text
+  * analysis, dedup, similarity). Same contract as Oracle: identical
+  * column names/types to the Spark side; md5-string hashing and
+  * left-to-right double folds so both engines compute bit-identical
+  * values.
+  */
+object OracleExt {
+
+  /** Normalised documents + word lists (mirrors TextOps.normalize). */
+  private val norm =
+    """WITH norm AS (
+      |  SELECT doc_id, text,
+      |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      |  FROM documents
+      |)""".stripMargin
+
+  private def stopHits(padded: String, words: Seq[String]): String =
+    words.map { w =>
+      s"(length($padded) - length(regexp_replace($padded, ' $w ', ' ', 'g'))) / ${w.length + 1}"
+    }.mkString(" + ")
+
+  val qTextAnalyze: String = {
+    val langs = text.TextOps.LangMarkers
+    val scoreExprs = langs.map { case (lang, ws) =>
+      s"(${stopHits("pd", ws)}) AS s_$lang"
+    }.mkString(", ")
+    val best = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
+    val langCase = langs.map { case (lang, _) =>
+      s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""$norm, pad AS (SELECT doc_id, text, nt, ' ' || nt || ' ' AS pd FROM norm),
+       |sc AS (SELECT doc_id, text, nt, pd, $scoreExprs,
+       |         (${stopHits("pd", Seq("the", "a", "and", "of", "is"))}) AS stop_hits
+       |       FROM pad)
+       |SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens_bpe,
+       |  md5(nt) AS fingerprint,
+       |  least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 200.0, 1.0) * 0.4
+       |    + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+       |        / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3
+       |    + least(stop_hits / 10.0, 1.0) * 0.3 AS quality,
+       |  CASE $langCase ELSE 'unknown' END AS lang_pred
+       |FROM sc""".stripMargin
+  }
+
+  val qDedupExact: String =
+    s"""$norm, fp AS (SELECT doc_id, md5(nt) AS fingerprint FROM norm)
+       |SELECT doc_id,
+       |  MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size,
+       |  CAST(CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint)
+       |       THEN 1 ELSE 0 END AS INTEGER) AS is_duplicate
+       |FROM fp""".stripMargin
+
+  /** Word-bigram shingle CTE over a bounded doc set. */
+  private def shingleCte(filter: String): String =
+    s"""words AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM norm $filter),
+       |wi AS (SELECT doc_id, ws,
+       |         unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i
+       |       FROM words),
+       |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ws[i], ws[i+1]) AS shingle
+       |       FROM wi)""".stripMargin
+
+  val MinhashHashes = 12
+
+  val qMinhashLsh: String = {
+    val mins = (0 until MinhashHashes)
+      .map(s => s"min(md5(shingle || ':$s')) AS mh_$s").mkString(", ")
+    val bandVals = (0 until MinhashHashes).map(b => s"($b)").mkString(", ")
+    val bucketCase = (0 until MinhashHashes)
+      .map(b => s"WHEN $b THEN md5(mh_$b)").mkString(" ")
+    s"""$norm, ${shingleCte("WHERE doc_id < 200")},
+       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, band, CASE band $bucketCase END AS bucket
+       |          FROM mh, (VALUES $bandVals) b(band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |         FROM bands a JOIN bands b2
+       |           ON a.band = b2.band AND a.bucket = b2.bucket
+       |              AND a.doc_id < b2.doc_id),
+       |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS n
+       |          FROM cand c
+       |          JOIN sh sa ON sa.doc_id = c.id_a
+       |          JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+       |          GROUP BY 1, 2),
+       |j AS (SELECT c.id_a, c.id_b,
+       |        CAST(COALESCE(i.n, 0) AS DOUBLE)
+       |          / CAST(za.sz + zb.sz - COALESCE(i.n, 0) AS DOUBLE) AS jaccard
+       |      FROM cand c
+       |      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |      JOIN szs za ON za.doc_id = c.id_a
+       |      JOIN szs zb ON zb.doc_id = c.id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.1""".stripMargin
+  }
+
+  private val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    .map(h => s"'$h'").mkString(", ")
+
+  /** 16-bit simhash signature CTE (hex-MSB projection, token-frequency
+    * weighted) — mirrors Dedup.simhash.
+    */
+  private def simhashCte(filter: String): String = {
+    val bits = (1 to 16).map(j =>
+      s"""CASE WHEN SUM(CASE WHEN substr(h, $j, 1) IN ($highHex)
+         | THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END""".stripMargin)
+      .mkString(" || ")
+    s"""toks0 AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok
+       |          FROM norm $filter),
+       |toks AS (SELECT doc_id, md5(tok) AS h FROM toks0),
+       |sig AS (SELECT doc_id, $bits AS simhash FROM toks GROUP BY doc_id)""".stripMargin
+  }
+
+  val qSimhash: String =
+    s"$norm, ${simhashCte("")} SELECT doc_id, simhash FROM sig"
+
+  val qSimhashPairs: String = {
+    val ham = (1 to 16).map(j =>
+      s"CASE WHEN substr(sh_a, $j, 1) <> substr(sh_b, $j, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$norm, ${simhashCte("WHERE doc_id < 200")},
+       |blocks AS (
+       |  SELECT doc_id, simhash,
+       |         unnest(['1:' || substr(simhash, 1, 8),
+       |                 '2:' || substr(simhash, 9, 8)]) AS block
+       |  FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |                a.simhash AS sh_a, b.simhash AS sh_b
+       |         FROM blocks a JOIN blocks b
+       |           ON a.block = b.block AND a.doc_id < b.doc_id),
+       |h AS (SELECT id_a, id_b, $ham AS hamming FROM cand)
+       |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+       |FROM h WHERE hamming <= 3""".stripMargin
+  }
+
+  val qNgramJaccard: String =
+    s"""$norm, ni AS (
+       |  SELECT doc_id, nt,
+       |         unnest(generate_series(1, greatest(length(nt) - 3, 1))) AS i
+       |  FROM norm WHERE doc_id < 60),
+       |grams AS (SELECT DISTINCT doc_id, substr(nt, i, 4) AS shingle FROM ni),
+       |szs AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |ids AS (SELECT doc_id FROM norm WHERE doc_id < 60),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM ids a, ids b WHERE a.doc_id < b.doc_id),
+       |inter AS (SELECT p.id_a, p.id_b, count(*) AS n
+       |          FROM pairs p
+       |          JOIN grams ga ON ga.doc_id = p.id_a
+       |          JOIN grams gb ON gb.doc_id = p.id_b AND gb.shingle = ga.shingle
+       |          GROUP BY 1, 2),
+       |j AS (SELECT p.id_a, p.id_b,
+       |        CAST(COALESCE(i.n, 0) AS DOUBLE)
+       |          / CAST(za.sz + zb.sz - COALESCE(i.n, 0) AS DOUBLE) AS jaccard
+       |      FROM pairs p
+       |      LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+       |      JOIN szs za ON za.doc_id = p.id_a
+       |      JOIN szs zb ON zb.doc_id = p.id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.35""".stripMargin
+
+  private val embCte =
+    """WITH c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |)""".stripMargin
+
+  val qEmbedTopK: String =
+    s"""$embCte, q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 50),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(qv, v)
+       |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+       |  FROM c, q WHERE c.vec_id <> q.query_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+       |FROM rk WHERE rank <= 10""".stripMargin
+
+  val qEmbedLshTopK: String = {
+    val bucket = (1 to 8).map(d =>
+      s"CASE WHEN v[$d] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""$embCte, cb AS (SELECT vec_id, v, $bucket AS bucket FROM c),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 50),
+       |scored AS (
+       |  SELECT q.query_id, cb.vec_id AS neighbor_id,
+       |    list_dot_product(qv, v)
+       |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+       |  FROM cb JOIN q ON cb.bucket = q.bucket AND cb.vec_id <> q.query_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+       |FROM rk WHERE rank <= 10""".stripMargin
+  }
+
+  /** Regression imputation (the 2-column analogue of the reference's
+    * IterativeImputer, missing.py:165-209): OLS of value on value2 over
+    * observed rows, predictions clipped to the observed min/max.
+    */
+  val qImputeRegression: String =
+    s"""${Oracle.mpanel},
+       |obs AS (SELECT * FROM mpanel WHERE value IS NOT NULL),
+       |st AS (SELECT AVG(value2) AS mx, AVG(value) AS my,
+       |              SUM(value2 * value) AS sxy, SUM(value2 * value2) AS sxx,
+       |              CAST(COUNT(*) AS DOUBLE) AS n,
+       |              MIN(value) AS vmin, MAX(value) AS vmax
+       |       FROM obs),
+       |b AS (SELECT (sxy - n * mx * my) / (sxx - n * mx * mx) AS beta,
+       |             mx, my, vmin, vmax FROM st)
+       |SELECT m.month_id, m.unit_id,
+       |  CASE WHEN m.value IS NOT NULL THEN m.value
+       |       ELSE least(greatest((b.my - b.beta * b.mx) + b.beta * m.value2,
+       |                           b.vmin), b.vmax) END AS imputed
+       |FROM mpanel m, b""".stripMargin
+}

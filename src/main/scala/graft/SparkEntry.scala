@@ -154,7 +154,57 @@ object SparkEntry {
     "q_fourier_lag" -> onGrid(gp =>
       FourierLag.fourierLag(gp, "value")
         .select(col(T), col(U), col("flag_value"))),
+
+    // training-data-pipeline extensions: text / dedup / similarity / ML
+    "q_text_analyze" -> ((s, dir) =>
+      text.TextOps.analyze(docs(s, dir)).select(col("doc_id"),
+        col("n_tokens").cast("long"), col("n_tokens_bpe").cast("long"),
+        col("fingerprint"), col("quality"), col("lang_pred"))),
+    "q_dedup_exact" -> ((s, dir) => dedup.Dedup.exact(docs(s, dir))),
+    "q_minhash_lsh" -> ((s, dir) =>
+      dedup.Dedup.minhashLsh(docs(s, dir).filter(col("doc_id") < 200),
+        shingleSize = 2, numHashes = OracleExt.MinhashHashes,
+        bandRows = 1, threshold = 0.1)),
+    "q_simhash" -> ((s, dir) => dedup.Dedup.simhash(docs(s, dir))),
+    "q_simhash_pairs" -> ((s, dir) =>
+      dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200), maxDist = 3)),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      dedup.Dedup.ngramJaccard(docs(s, dir).filter(col("doc_id") < 60),
+        n = 4, minJaccard = 0.35)),
+    "q_embed_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      similarity.Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 50), k = 10)
+    }),
+    "q_embed_lsh_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      similarity.Similarity.lshTopK(e, e.filter(col("vec_id") < 50),
+        k = 10, dims = 0 until 8)
+    }),
+    "q_impute_regression" -> onMissing(p =>
+      ml.Imputer.regressionImpute(p, "value", "value2")
+        .select(col(T), col(U), col("imputed"))),
+
+    // no SQL oracle (driver records rows-only): stubbed-decode
+    // multimodal plumbing, MICE chain, streaming-shaped tick
+    "q_multimodal_features" -> ((s, dir) =>
+      multimodal.Multimodal.extractFeatures(
+        multimodal.Multimodal.synthesize(docs(s, dir)))),
+    "q_mice" -> onMissing(p =>
+      ml.Imputer.iterativeImpute(p, Seq("value", "value2"), maxIter = 3)
+        .select(col(T), col(U), col("value_imp"), col("value2_imp"))),
+    "q_tick_stream" -> ((s, dir) => {
+      import s.implicits._
+      val ds = Panel.densePanel(s, dir)
+        .select(col(U), col(T), col("value"))
+        .as[streaming.TickStream.PanelRow]
+      streaming.TickStream.tickTimeSince(ds).toDF()
+    }),
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** Dense panel with grid coordinates (Grid.unitLon/unitLat). */
   private def onGrid(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
@@ -211,5 +261,14 @@ object SparkEntry {
     "q_temporal_tree_uniform" -> Oracle.qTemporalTreeUniform,
     "q_temporal_tree_oneovert" -> Oracle.qTemporalTreeOneovert,
     "q_fourier_lag" -> Oracle.qFourierLag,
+    "q_text_analyze" -> OracleExt.qTextAnalyze,
+    "q_dedup_exact" -> OracleExt.qDedupExact,
+    "q_minhash_lsh" -> OracleExt.qMinhashLsh,
+    "q_simhash" -> OracleExt.qSimhash,
+    "q_simhash_pairs" -> OracleExt.qSimhashPairs,
+    "q_ngram_jaccard" -> OracleExt.qNgramJaccard,
+    "q_embed_topk" -> OracleExt.qEmbedTopK,
+    "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,
+    "q_impute_regression" -> OracleExt.qImputeRegression,
   )
 }

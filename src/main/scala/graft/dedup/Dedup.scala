@@ -1,0 +1,190 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for corpus pipelines: exact (hash-groupBy),
+  * MinHash + LSH banding, SimHash, and exact n-gram Jaccard.
+  *
+  * Portability-by-construction: every hash is an md5 hex STRING and
+  * minima are lexicographic string minima, so the identical computation
+  * is expressible in any SQL engine (the DuckDB oracle) without relying
+  * on engine-specific integer hash functions.
+  *
+  * Scale design: exact dedup is one hash aggregation; MinHash is
+  * shingle-explode → groupBy(doc) minima → band-bucket self-join on
+  * collision keys (never an all-pairs product); SimHash is one pass of
+  * Column expressions; exact Jaccard is reserved for candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup on the normalised-text fingerprint: every doc mapped to
+    * the smallest doc_id sharing its fingerprint, with the group size.
+    * One shuffle on the fingerprint.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint"))
+    docs.withColumn("fingerprint", TextOps.fingerprint(col(textCol)))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_duplicate",
+        (col(idCol) =!= col("canonical_id")).cast("int"))
+      .select(col(idCol), col("canonical_id"), col("group_size").cast("long"),
+        col("is_duplicate"))
+  }
+
+  /** Word n-gram shingles of the normalised text, one row per distinct
+    * shingle: (id, shingle). Positional n-grams via element_at — no
+    * engine-specific slicing.
+    */
+  def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val words = split(TextOps.normalize(col(textCol)), " ")
+    val idx = sequence(lit(1), greatest(size(words) - (n - 1), lit(1)))
+    val sh = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(words, i + o)): _*))
+    docs.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** MinHash signatures: for each seed, the lexicographic minimum of
+    * md5(shingle:seed) — a valid min-wise permutation family. Returns
+    * (id, mh_0..mh_{k-1}).
+    */
+  def minhash(sh: DataFrame, numHashes: Int, idCol: String = "doc_id"): DataFrame = {
+    val aggs = (0 until numHashes).map(s =>
+      min(md5(concat(col("shingle"), lit(s":$s")))).as(s"mh_$s"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (r rows per band), bucket
+    * on md5 of the concatenated band, self-join buckets. Emits each
+    * candidate pair once (a < b). The join is on band-bucket equality —
+    * shuffle on bucket keys, never an all-pairs product.
+    */
+  def lshCandidates(signatures: DataFrame, numHashes: Int, bandRows: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must divide into bands")
+    val nBands = numHashes / bandRows
+    val bands = signatures.select(col(idCol), explode(array(
+      (0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|",
+            (0 until bandRows).map(r => col(s"mh_${b * bandRows + r}")): _*))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val a = bands.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = bands.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard similarity over distinct shingle sets for given
+    * pairs: |A∩B| / |A∪B| via one equi-join on the shingle plus
+    * per-doc set sizes.
+    */
+  def jaccard(pairs: DataFrame, sh: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val shB = sh.select(col(idCol).as("id_b"), col("shingle").as("shingle_b"))
+    val inter = pairs
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(shB, shB("id_b") === pairs("id_b") && col("shingle") === col("shingle_b"))
+      .groupBy(pairs("id_a"), pairs("id_b")).agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash+LSH near-duplicate detection end-to-end: shingle → sign →
+    * band → candidates → exact-Jaccard verify ≥ threshold.
+    */
+  def minhashLsh(docs: DataFrame, shingleSize: Int, numHashes: Int,
+                 bandRows: Int, threshold: Double,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, shingleSize, idCol, textCol).cache()
+    val sig = minhash(sh, numHashes, idCol)
+    val cand = lshCandidates(sig, numHashes, bandRows, idCol)
+    jaccard(cand, sh, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash from the MSB of each md5 hex digit of every token:
+    * bit j is 1 iff the frequency-weighted sum of (±1 per token) is
+    * positive. Returned as a 16-char '0'/'1' string (portable across
+    * engines — no 64-bit arithmetic required).
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(TextOps.normalize(col(textCol)), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val bits = (1 to 16).map { j =>
+      sum(when(substring(col("h"), j, 1).isin(highHex: _*), 1).otherwise(-1))
+    }
+    toks.groupBy(col(idCol))
+      .agg(concat(bits.map(b => when(b > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** Hamming distance between two equal-length bit strings. */
+  def hamming(a: Column, b: Column, nBits: Int): Column =
+    (1 to nBits).map(j =>
+      when(substring(a, j, 1) =!= substring(b, j, 1), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, blocked on
+    * the two 8-bit halves (a pair within distance d<=8 must agree on at
+    * least one half only when d is concentrated — for 16-bit keys with
+    * maxDist<=7 and half-agreement blocking this is the standard
+    * approximate blocking; pairs differing in both halves are missed by
+    * design, like any LSH).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = simhash(docs, idCol, textCol)
+      .withColumn("h1", substring(col("simhash"), 1, 8))
+      .withColumn("h2", substring(col("simhash"), 9, 8))
+    val blocks = sig.select(col(idCol), col("simhash"),
+      explode(array(concat(lit("1:"), col("h1")), concat(lit("2:"), col("h2"))))
+        .as("block"))
+    val a = blocks.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("block"))
+    val b = blocks.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("block"))
+    a.join(b, "block").filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b"), 16))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Distinct character n-grams of the normalised text. */
+  def charGrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val norm = TextOps.normalize(col(textCol))
+    val idx = sequence(lit(1), greatest(length(norm) - (n - 1), lit(1)))
+    docs.select(col(idCol),
+      explode(array_distinct(transform(idx, i => norm.substr(i, lit(n)))))
+        .as("shingle"))
+  }
+
+  /** Exact character-n-gram Jaccard over all pairs of a bounded doc set
+    * (the exact-verification path; the LSH variants above are the scale
+    * path — never run this on an unbounded corpus).
+    */
+  def ngramJaccard(docs: DataFrame, n: Int, minJaccard: Double,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = charGrams(docs, n, idCol, textCol)
+    val ids = docs.select(col(idCol))
+    val pairs = ids.select(col(idCol).as("id_a"))
+      .crossJoin(ids.select(col(idCol).as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    jaccard(pairs, grams, idCol).filter(col("jaccard") >= minJaccard)
+  }
+}

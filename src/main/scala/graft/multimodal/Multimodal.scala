@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media (image/audio/video) travel as
+  * opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extraction runs as a partition-wise kernel so heavyweight
+  * decoders amortise per-partition setup and batch their input — the
+  * same execution shape as a Pandas-UDF `mapInPandas` stage in a
+  * PySpark pipeline.
+  *
+  * The actual codec call is STUBBED (`decodeStub`) because no media
+  * libraries exist in this environment: it derives deterministic
+  * pseudo-features from the bytes. Everything around it — schema,
+  * batching, partitioning, output shape — is real and tested; swapping
+  * `decodeStub` for a JNI/process-boundary decoder is a one-function
+  * change.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true))), nullable = true)))
+
+  /** Synthesize a media table from any (id, text) table — utf-8 bytes
+    * stand in for encoded media so the binary path is exercised
+    * end-to-end on the driver testdata.
+    */
+  def synthesize(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("media_id"),
+      encode(col(textCol), "UTF-8").as("content"),
+      struct(
+        lit("synthetic/utf8").as("format"),
+        (length(col(textCol)) % 640).cast("int").as("width"),
+        (length(col(textCol)) % 480).cast("int").as("height")).as("meta"))
+
+  val FeatureDim = 8
+
+  /** STUB — stands in for a real image/audio decode + feature extract.
+    * Deterministic: feature d = mean over the bytes at positions ≡ d
+    * (mod FeatureDim), scaled to [0, 1]. Replace with a real codec
+    * behind the same signature for production.
+    */
+  def decodeStub(content: Array[Byte]): Array[Float] = {
+    val acc = new Array[Double](FeatureDim)
+    val cnt = new Array[Int](FeatureDim)
+    var i = 0
+    while (i < content.length) {
+      val d = i % FeatureDim
+      acc(d) += (content(i) & 0xff)
+      cnt(d) += 1
+      i += 1
+    }
+    Array.tabulate(FeatureDim)(d =>
+      if (cnt(d) == 0) 0f else (acc(d) / cnt(d) / 255.0).toFloat)
+  }
+
+  /** Partition-wise decode + feature extraction: one `mapPartitions`
+    * pass so a real decoder could initialise once per partition and
+    * process its rows as a batch (the `mapInPandas` execution shape).
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] = media
+      .select(col("media_id"), coalesce(col("content"), lit(Array.empty[Byte])))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      // per-partition decoder init would go here
+      rows.map { case (id, bytes) => (id, bytes.length.toLong, decodeStub(bytes)) }
+    }.toDF("media_id", "n_bytes", "features")
+  }
+}

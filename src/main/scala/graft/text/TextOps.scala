@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, document
+  * fingerprinting. All pure Column expressions (whole-stage codegen, no
+  * UDFs) so they run at scan speed over 100 TB of documents.
+  *
+  * These extend the reference's purely numeric surface (SURVEY §2.2
+  * notes it has no string functions) with the operations a pretraining
+  * corpus pipeline needs.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: alphabetic runs, digit runs, and single
+    * punctuation marks each count as one token (a cheap proxy for
+    * subword tokenizers when budgeting corpus sizes).
+    */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  /** Normalised text: lowercased, whitespace collapsed, trimmed. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** md5 fingerprint of the normalised text — the exact-dedup key. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Heuristic quality score in [0, 1]:
+    *  0.4 · length component (saturating at 200 tokens)
+    *  0.3 · (1 − punctuation ratio)
+    *  0.3 · stopword presence (saturating at 10 hits)
+    * Deterministic and cheap — the shape of C4/Gopher-style quality
+    * filters, not a trained model.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val punct = (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+      .cast("double")
+    val punctRatio = punct / greatest(length(text).cast("double"), lit(1.0))
+    val stop = stopwordHits(text, Seq("the", "a", "and", "of", "is")).cast("double")
+    least(toks / 200.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - punctRatio) * 0.3 +
+      least(stop / 10.0, lit(1.0)) * 0.3
+  }
+
+  /** Number of occurrences of any of `words` as whitespace-delimited
+    * tokens (counted via padded literal replace — identical semantics in
+    * any SQL dialect, no regex needed).
+    */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val padded = concat(lit(" "), normalize(text), lit(" "))
+    words.map { w =>
+      require(w.matches("[a-z0-9]+"), s"stopword must be plain alphanumeric: $w")
+      // each removed occurrence shortens the string by len(w)+1
+      // (replacement " " keeps one space; non-overlapping scan is
+      // identical in Java regex and RE2, so the count ports exactly)
+      (length(padded) - length(regexp_replace(padded, s" $w ", " "))) / (w.length + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Language-ID scores: hits of per-language stopword lists. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"),
+  )
+
+  /** Predicted language: argmax of marker-stopword hits with a fixed
+    * tie-break order (en > de > fr > es > unknown). An n-gram/stopword
+    * heuristic, not a model — deterministic and oracle-checkable.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val firstBest = scores.foldRight(lit("unknown")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+    firstBest
+  }
+
+  /** Standard quality/shape columns for a documents table. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_tokens_bpe", tokenCountBpe(t))
+      .withColumn("fingerprint", fingerprint(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+  }
+}

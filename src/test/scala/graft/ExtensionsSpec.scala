@@ -1,0 +1,93 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.streaming.TickStream
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Tests for the training-data-pipeline extensions. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf = Seq(
+    (1L, "The cat sat on the mat and the dog barked"),
+    (2L, "the cat  sat on the mat and the dog barked"), // dup modulo case/space
+    (3L, "Der Hund und die Katze und der Vogel"),
+    (4L, "completely different words entirely here banana")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalised duplicates") {
+    val out = Dedup.exact(docsDf).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 1L && out(0).getInt(3) == 0) // canonical
+    assert(out(1).getLong(1) == 1L && out(1).getInt(3) == 1) // duplicate of 1
+    assert(out(1).getLong(2) == 2L)                          // group size
+    assert(out(2).getInt(3) == 0 && out(3).getInt(3) == 0)
+  }
+
+  test("minhash LSH finds exact duplicates with jaccard 1.0") {
+    val pairs = Dedup.minhashLsh(docsDf, shingleSize = 2, numHashes = 12,
+      bandRows = 1, threshold = 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical docs same signature; near-dup pairs found") {
+    val sig = Dedup.simhash(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L).length == 16 && sig(1L).forall(c => c == '0' || c == '1'))
+    val pairs = Dedup.simhashPairs(docsDf, maxDist = 0).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("langid picks marker language; token counts are sane") {
+    val out = TextOps.analyze(docsDf).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("lang_pred") == "en")
+    assert(out(2).getAs[String]("lang_pred") == "de")
+    assert(out(3).getAs[String]("lang_pred") == "unknown")
+    assert(out(0).getAs[Int]("n_tokens") == 10)
+    val q = out(0).getAs[Double]("quality")
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("cosine top-k: orthogonal vs identical vectors rank correctly") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),   // identical to 0
+      (2L, Array(-1f, 1f, 0f, 0f)),  // negative dim-0 -> different sign bucket
+      (3L, Array(1f, 1f, 0f, 0f))    // 45 degrees
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 3)
+      .orderBy("rank").collect()
+    assert(out(0).getLong(1) == 1L && math.abs(out(0).getDouble(2) - 1.0) < 1e-12)
+    assert(out(1).getLong(1) == 3L)
+    assert(out(2).getLong(1) == 2L && out(2).getDouble(2) < 0.0)
+    // LSH with sign bits of dims 0-1: vec 2 lands in a different bucket
+    val lsh = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0), 3, Seq(0, 1))
+      .collect()
+    assert(lsh.map(_.getLong(1)).toSet == Set(1L, 3L)) // 2 not a candidate
+  }
+
+  test("multimodal: stubbed decode preserves schema/batch shape") {
+    val media = Multimodal.synthesize(docsDf)
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "content", "meta"))
+    val out = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(out.length == 4)
+    val feats = out(0).getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.length == Multimodal.FeatureDim)
+    assert(feats.forall(f => f >= 0f && f <= 1f))
+    assert(out(0).getAs[Long]("n_bytes") == docsDf.collect()(0).getString(1).length)
+  }
+
+  test("streaming tick matches the batch worked example") {
+    val rows = Seq(0.0, 0.0, 1.0, 1.0, 0.0, 0.0).zipWithIndex
+      .map { case (v, i) => TickStream.PanelRow(1L, i + 1L, v) }
+    val out = TickStream.tickTimeSince(rows.toDS()).collect()
+      .sortBy(_.month_id).map(_.tick)
+    // reference: tick = 0 if prev event else prev_tick + 1; first = NaN
+    assert(out.toSeq == Seq(None, Some(1.0), Some(2.0), Some(0.0), Some(0.0), Some(1.0)))
+  }
+}
