@@ -479,6 +479,55 @@ object Oracle {
   val qTreeLag: String = treeLagSql(0.5, "1.0 / ln(1.0 + c.d)")
   val qTreeLagD2: String = treeLagSql(1.0, "1.0 / (c.d * c.d)")
 
+  /** Adaptive-mesh grid lag (spatial_tree.py:478-591): mesh(month) =
+    * nodes whose ancestors all split (value > threshold) and which
+    * themselves don't (or are leaves); every cell lags against the mesh
+    * excluding its own leaf; d has no +0.01 nudge here.
+    */
+  private def gridLagSql(threshold: Double, wExpr: String): String =
+    s"""$panel, $embSql,
+       |lvs AS (SELECT l AS level FROM (VALUES (0),(1),(2),(3),(4),(5),
+       |        (6),(7),(8),(9),(10)) v(l), gp WHERE l <= power),
+       |mem AS (
+       |  SELECT e.unit_id, l.level,
+       |         e.ex // (gp.ncells // (1 << l.level)) AS nx,
+       |         e.ey // (gp.ncells // (1 << l.level)) AS ny
+       |  FROM emb e, lvs l, gp),
+       |nodevals AS (
+       |  SELECT p.month_id, m.level, m.nx, m.ny, SUM(p.value) AS v
+       |  FROM panel p JOIN mem m ON m.unit_id = p.unit_id
+       |  GROUP BY 1, 2, 3, 4),
+       |blocked AS (
+       |  SELECT DISTINCT nv.month_id, nv.level, nv.nx, nv.ny
+       |  FROM nodevals nv
+       |  JOIN lvs la ON la.level < nv.level
+       |  JOIN nodevals av ON av.month_id = nv.month_id AND av.level = la.level
+       |    AND av.nx = nv.nx // (1 << (nv.level - la.level))
+       |    AND av.ny = nv.ny // (1 << (nv.level - la.level))
+       |  WHERE av.v <= $threshold),
+       |mesh AS (
+       |  SELECT nv.month_id, nv.level, nv.nx, nv.ny, nv.v,
+       |         CAST(gp.ncells // (1 << nv.level) AS DOUBLE) AS s, gp.power
+       |  FROM nodevals nv, gp
+       |  WHERE (nv.v <= $threshold OR nv.level = gp.power)
+       |    AND NOT EXISTS (SELECT 1 FROM blocked b
+       |      WHERE b.month_id = nv.month_id AND b.level = nv.level
+       |        AND b.nx = nv.nx AND b.ny = nv.ny)),
+       |md AS (
+       |  SELECT m.month_id, t.unit_id, m.v,
+       |    sqrt(pow(t.ex + 0.5 - (m.nx * m.s + m.s / 2.0), 2)
+       |       + pow(t.ey + 0.5 - (m.ny * m.s + m.s / 2.0), 2)) AS d
+       |  FROM mesh m, emb t
+       |  WHERE NOT (m.level = m.power AND m.nx = t.ex AND m.ny = t.ey)),
+       |lagv AS (
+       |  SELECT month_id, unit_id, SUM(v * ($wExpr)) AS s
+       |  FROM md GROUP BY 1, 2)
+       |SELECT p.month_id, p.unit_id, COALESCE(l.s, 0.0) AS gridlag
+       |FROM panel p LEFT JOIN lagv l
+       |  ON l.month_id = p.month_id AND l.unit_id = p.unit_id""".stripMargin
+
+  val qGridLag: String = gridLagSql(2000.0, "1.0 / ln(1.0 + d)")
+
   /** Temporal tree, uniform weights: the walk decomposes the past into
     * disjoint nodes covering every stocked month <= tnow exactly once,
     * so uniform weighting equals the running cumulative sum — except the

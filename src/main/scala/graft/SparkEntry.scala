@@ -145,6 +145,9 @@ object SparkEntry {
     "q_tree_lag_d2" -> onGrid(gp =>
       TreeLag.treeLag(gp, "value", thetacrit = 1.0, dfunctionOption = 2)
         .select(col(T), col(U), col("treelag"))),
+    "q_grid_lag" -> onGrid(gp =>
+      TreeLag.gridLag(gp, "value", threshold = 2000.0, dfunctionOption = 0)
+        .select(col(T), col(U), col("gridlag"))),
     "q_temporal_tree_uniform" -> onPanel(p =>
       temporal.TreeLag.treeLag(p, "value", thetacrit = 0.8, fname = "uniform")
         .select(col(T), col(U), col("treelag"))),
@@ -258,6 +261,7 @@ object SparkEntry {
     "q_spacetime_weights_k1" -> Oracle.qSpacetimeWeightsK1,
     "q_tree_lag" -> Oracle.qTreeLag,
     "q_tree_lag_d2" -> Oracle.qTreeLagD2,
+    "q_grid_lag" -> Oracle.qGridLag,
     "q_temporal_tree_uniform" -> Oracle.qTemporalTreeUniform,
     "q_temporal_tree_oneovert" -> Oracle.qTemporalTreeOneovert,
     "q_fourier_lag" -> Oracle.qFourierLag,

@@ -141,4 +141,83 @@ object TreeLag {
     panel.select(col(T), col(U)).join(lag, Seq(T, U), "left")
       .na.fill(0.0, Seq(out))
   }
+
+  /** Adaptive-mesh grid lag — reference get_grid_lag
+    * (spatial_tree.py:478-591): per month, refine the quadtree top-down,
+    * splitting nodes whose value exceeds `threshold` ('min' criterion,
+    * spatial_tree.py:507-531); every leaf cell is then lagged against
+    * the resulting mixed-resolution mesh, excluding its own leaf node,
+    * with d = |target_centre − node_centre| (no +0.01 nudge here — the
+    * reference comments it out, spatial_tree.py:563-564).
+    *
+    * The value-dependent mesh is still relational: a node is in
+    * mesh(month) iff every proper ancestor's value exceeds the threshold
+    * (they all split) and the node's own value does not (or it is a
+    * leaf). That is one self-join of the node-value table against its
+    * ancestor levels — no per-month driver work, fully distributed, and
+    * the mesh×target product matches the reference's own
+    * O(leaves × grid_nodes) cost.
+    */
+  def gridLag(panel: DataFrame, valueCol: String,
+              threshold: Double, dfunctionOption: Int,
+              lonCol: String = "lon", latCol: String = "lat",
+              out: String = "gridlag"): DataFrame = {
+    val spark = panel.sparkSession
+    import spark.implicits._
+    val T = Panel.TimeCol
+    val U = Panel.UnitCol
+
+    val units = panel.select(col(U), col(lonCol), col(latCol)).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)).toSeq
+    val emb = embed(units)
+    val membership = emb.cells.toSeq.flatMap { case (u, (ex, ey)) =>
+      (0 to emb.power).map { lvl =>
+        val s = emb.ncells >> lvl
+        (u, lvl, ex / s, ey / s)
+      }
+    }
+    val memberDf = broadcast(membership.toDF(U, "level", "nx", "ny"))
+    val targets = broadcast(emb.cells.toSeq.map { case (u, (ex, ey)) => (u, ex, ey) }
+      .toDF("target", "ex", "ey"))
+
+    val nodevals = panel.select(col(T), col(U), col(valueCol))
+      .join(memberDf, U)
+      .groupBy(col(T), col("level"), col("nx"), col("ny"))
+      .agg(sum(col(valueCol)).as("v"))
+
+    // a node is blocked when any proper ancestor did NOT split
+    val lvls = spark.range(0, emb.power + 1L).select(col("id").cast("int").as("alevel"))
+    val anc = nodevals.select(col(T).as("a_t"), col("level").as("a_lv"),
+      col("nx").as("a_nx"), col("ny").as("a_ny"), col("v").as("av"))
+    val blocked = nodevals.select(col(T), col("level"), col("nx"), col("ny"))
+      .join(broadcast(lvls), col("alevel") < col("level"))
+      .withColumn("anx", floor(col("nx") / pow(lit(2.0), col("level") - col("alevel"))).cast("long"))
+      .withColumn("any", floor(col("ny") / pow(lit(2.0), col("level") - col("alevel"))).cast("long"))
+      .join(anc, col("a_t") === col(T) && col("a_lv") === col("alevel") &&
+        col("a_nx") === col("anx") && col("a_ny") === col("any"))
+      .filter(col("av") <= threshold)
+      .select(col(T), col("level"), col("nx"), col("ny")).distinct()
+
+    val mesh = nodevals
+      .filter(col("v") <= threshold || col("level") === emb.power)
+      .join(blocked, Seq(T, "level", "nx", "ny"), "left_anti")
+      .withColumn("s", (lit(emb.ncells) / pow(lit(2.0), col("level"))).cast("double"))
+
+    val dx = col("ex") + 0.5 - (col("nx") * col("s") + col("s") / 2.0)
+    val dy = col("ey") + 0.5 - (col("ny") * col("s") + col("s") / 2.0)
+    val d = sqrt(dx * dx + dy * dy)
+    val w = dfunctionOption match {
+      case 0 => lit(1.0) / log(lit(1.0) + d)
+      case 1 => lit(1.0) / d
+      case 2 => lit(1.0) / (d * d)
+      case other => throw new IllegalArgumentException(s"bad dfunction $other")
+    }
+    val lag = mesh.crossJoin(targets)
+      .filter(!(col("level") === emb.power &&
+        col("nx") === col("ex") && col("ny") === col("ey")))
+      .groupBy(col(T), col("target").as(U))
+      .agg(sum(col("v") * w).as(out))
+    panel.select(col(T), col(U)).join(lag, Seq(T, U), "left")
+      .na.fill(0.0, Seq(out))
+  }
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RegistrySpec extends SparkSpec {
+  import spark.implicits._
+  private val T = Panel.TimeCol
+  private val U = Panel.UnitCol
+
+  private def p = Seq((1L, 1L, 0.0), (2L, 1L, 0.0), (3L, 1L, 5.0),
+    (4L, 1L, 0.0), (5L, 1L, 0.0), (6L, 1L, 0.0)).toDF(T, U, "value")
+
+  test("JSON pipeline spec composes transforms (reference wire format)") {
+    // the canonical ViEWS feature: decayed time-since-event
+    val out = Registry.run(p, """[{"type":"time_since","args":[0]},
+      {"type":"decay","args":[2]}]""")
+      .orderBy(T).select("value").collect().map(_.getDouble(0))
+    // time_since: months 2..6 -> 1,2,0,1,2 ; decay halflife 2 -> 2^(-ts/2)
+    val ts = Seq(1.0, 2.0, 0.0, 1.0, 2.0)
+    out.toSeq.zip(ts.map(t => math.pow(2.0, -t / 2.0))).foreach { case (a, e) =>
+      assert(math.abs(a - e) < 1e-14) // Spark's pow (StrictMath) may differ 1 ulp
+    }
+  }
+
+  test("unknown transform raises with the known list") {
+    val e = intercept[IllegalArgumentException](
+      Registry.run(p, """[{"type":"nope"}]"""))
+    assert(e.getMessage.contains("unknown transform 'nope'"))
+    assert(e.getMessage.contains("tlag"))
+  }
+
+  test("a chained window pipeline stays a single-shuffle plan") {
+    val out = Registry.run(p, """[{"type":"tlag","args":[1]},
+      {"type":"moving_average","args":[3]},{"type":"demean","args":[]}]""")
+    val shuffles = out.queryExecution.executedPlan.toString()
+      .split("\n").count(_.contains("Exchange"))
+    assert(shuffles <= 1, s"expected at most 1 shuffle, got $shuffles:\n${out.queryExecution.executedPlan}")
+  }
+}
