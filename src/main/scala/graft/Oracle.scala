@@ -88,6 +88,14 @@ object Oracle {
   val qTlag: String =
     s"$panel SELECT month_id, unit_id, LAG(value, 2) OVER ($wuo) AS tlag_2 FROM panel"
 
+  /** tlag3d multi-lag: zeros (not null) outside the series start. */
+  val qTlags3d: String =
+    s"""$panel SELECT month_id, unit_id,
+       | COALESCE(LAG(value, 1) OVER ($wuo), 0.0) AS tlag_1,
+       | COALESCE(LAG(value, 3) OVER ($wuo), 0.0) AS tlag_3,
+       | COALESCE(LAG(value, 6) OVER ($wuo), 0.0) AS tlag_6
+       | FROM panel""".stripMargin
+
   val qTlead: String =
     s"$panel SELECT month_id, unit_id, LEAD(value, 2) OVER ($wuo) AS tlead_2 FROM panel"
 
@@ -545,8 +553,8 @@ object Oracle {
     * (days 1..30 in the driver testdata), generated by the same ported
     * walk the Spark operator uses.
     */
-  val qTemporalTreeOneovert: String = {
-    val wm = temporal.TreeLag.weightMatrix((1L to 30L), 0.8, "oneovert", 1.0)
+  private def temporalTreeSql(fname: String, thetacrit: Double, sigma: Double): String = {
+    val wm = temporal.TreeLag.weightMatrix((1L to 30L), thetacrit, fname, sigma)
       .sortBy(t => (t._1, t._2))
       .map { case (tnow, m, w) => s"($tnow, $m, ${spatial.Grid.fmt(w)})" }
       .mkString(", ")
@@ -559,6 +567,11 @@ object Oracle {
        |FROM panel p LEFT JOIN lagv l
        |  ON l.tnow = p.month_id AND l.unit_id = p.unit_id""".stripMargin
   }
+
+  val qTemporalTreeOneovert: String = temporalTreeSql("oneovert", 0.8, 1.0)
+  val qTemporalTreeSigmoid: String = temporalTreeSql("sigmoid", 0.8, 5.0)
+  val qTemporalTreeExpon: String = temporalTreeSql("expon", 0.8, 4.0)
+  val qTemporalTreeRamp: String = temporalTreeSql("ramp", 0.8, 10.0)
 
   /** Fourier lag: the fft→divide→ifft composition is a circular
     * convolution with the Green's function G = ifft2(divisor), so the

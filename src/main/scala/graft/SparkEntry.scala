@@ -53,6 +53,9 @@ object SparkEntry {
 
     // §2.5 temporal windows
     "q_tlag" -> colQ("tlag_2", TemporalOps.tlag(col("value"), 2)),
+    "q_tlags3d" -> onPanel(p =>
+      TemporalOps.tlags(p, "value", Seq(1, 3, 6))
+        .select(col(T), col(U), col("tlag_1"), col("tlag_3"), col("tlag_6"))),
     "q_tlead" -> colQ("tlead_2", TemporalOps.tlead(col("value"), 2)),
     "q_delta" -> colQ("delta_1", TemporalOps.delta(col("value"), 1)),
     "q_mavg" -> colQ("mavg_3", TemporalOps.movingAverage(col("value"), 3)),
@@ -154,8 +157,20 @@ object SparkEntry {
     "q_temporal_tree_oneovert" -> onPanel(p =>
       temporal.TreeLag.treeLag(p, "value", thetacrit = 0.8, fname = "oneovert")
         .select(col(T), col(U), col("treelag"))),
+    "q_temporal_tree_sigmoid" -> onPanel(p =>
+      temporal.TreeLag.treeLag(p, "value", 0.8, "sigmoid", sigma = 5.0)
+        .select(col(T), col(U), col("treelag"))),
+    "q_temporal_tree_expon" -> onPanel(p =>
+      temporal.TreeLag.treeLag(p, "value", 0.8, "expon", sigma = 4.0)
+        .select(col(T), col(U), col("treelag"))),
+    "q_temporal_tree_ramp" -> onPanel(p =>
+      temporal.TreeLag.treeLag(p, "value", 0.8, "ramp", sigma = 10.0)
+        .select(col(T), col(U), col("treelag"))),
     "q_fourier_lag" -> onGrid(gp =>
       FourierLag.fourierLag(gp, "value")
+        .select(col(T), col(U), col("flag_value"))),
+    "q_fourier_lag_3d" -> onGrid(gp =>
+      FourierLag.fourierLag(gp, "value", dimensionality = 3)
         .select(col(T), col(U), col("flag_value"))),
 
     // training-data-pipeline extensions: text / dedup / similarity / ML
@@ -227,6 +242,7 @@ object SparkEntry {
     "q_mul" -> Oracle.qMul,
     "q_div" -> Oracle.qDiv,
     "q_tlag" -> Oracle.qTlag,
+    "q_tlags3d" -> Oracle.qTlags3d,
     "q_tlead" -> Oracle.qTlead,
     "q_delta" -> Oracle.qDelta,
     "q_mavg" -> Oracle.qMavg,
@@ -264,6 +280,9 @@ object SparkEntry {
     "q_grid_lag" -> Oracle.qGridLag,
     "q_temporal_tree_uniform" -> Oracle.qTemporalTreeUniform,
     "q_temporal_tree_oneovert" -> Oracle.qTemporalTreeOneovert,
+    "q_temporal_tree_sigmoid" -> Oracle.qTemporalTreeSigmoid,
+    "q_temporal_tree_expon" -> Oracle.qTemporalTreeExpon,
+    "q_temporal_tree_ramp" -> Oracle.qTemporalTreeRamp,
     "q_fourier_lag" -> Oracle.qFourierLag,
     "q_text_analyze" -> OracleExt.qTextAnalyze,
     "q_dedup_exact" -> OracleExt.qDedupExact,

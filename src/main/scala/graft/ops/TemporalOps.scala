@@ -33,6 +33,16 @@ object TemporalOps {
   /** s − tlag(s, t) — views_2.py:12-24. */
   def delta(c: Column, t: Int): Column = c - tlag(c, t)
 
+  /** Multi-lag in one pass — tlag3d.py:6-134: one output column per
+    * requested lag; out-of-range positions are 0.0, not null (the
+    * reference initialises with np.zeros, tlag3d.py:66). All columns
+    * share the same window spec → still one shuffle.
+    */
+  def tlags(df: DataFrame, valueCol: String, lags: Seq[Int]): DataFrame =
+    lags.foldLeft(df) { (d, l) =>
+      d.withColumn(s"tlag_$l", coalesce(tlag(col(valueCol), l), lit(0.0)))
+    }
+
   /** Rolling mean over trailing `t` rows, `min_periods=0` (expanding at
     * the series start, never inducing NaN) — views_2.py:117-142. Spark's
     * shrinking frames at partition start give this for free.

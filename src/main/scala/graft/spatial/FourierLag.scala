@@ -174,10 +174,117 @@ object FourierLag {
     re
   }
 
+  val LDivisor = 4
+
+  /** 3-D FFT over an n×n×l row-major grid (index = (i*n + j)*l + k). */
+  def fft3(re: Array[Double], im: Array[Double], n: Int, l: Int, invert: Boolean): Unit = {
+    val tr = new Array[Double](math.max(n, l))
+    val ti = new Array[Double](math.max(n, l))
+    // axis 0 (i)
+    var j = 0
+    while (j < n) {
+      var k = 0
+      while (k < l) {
+        var i = 0
+        while (i < n) { tr(i) = re((i * n + j) * l + k); ti(i) = im((i * n + j) * l + k); i += 1 }
+        val sr = java.util.Arrays.copyOf(tr, n); val si = java.util.Arrays.copyOf(ti, n)
+        fft(sr, si, invert)
+        i = 0
+        while (i < n) { re((i * n + j) * l + k) = sr(i); im((i * n + j) * l + k) = si(i); i += 1 }
+        k += 1
+      }
+      j += 1
+    }
+    // axis 1 (j)
+    var i = 0
+    while (i < n) {
+      var k = 0
+      while (k < l) {
+        var jj = 0
+        while (jj < n) { tr(jj) = re((i * n + jj) * l + k); ti(jj) = im((i * n + jj) * l + k); jj += 1 }
+        val sr = java.util.Arrays.copyOf(tr, n); val si = java.util.Arrays.copyOf(ti, n)
+        fft(sr, si, invert)
+        jj = 0
+        while (jj < n) { re((i * n + jj) * l + k) = sr(jj); im((i * n + jj) * l + k) = si(jj); jj += 1 }
+        k += 1
+      }
+      i += 1
+    }
+    // axis 2 (k)
+    i = 0
+    while (i < n) {
+      var jj = 0
+      while (jj < n) {
+        var k = 0
+        while (k < l) { tr(k) = re((i * n + jj) * l + k); ti(k) = im((i * n + jj) * l + k); k += 1 }
+        val sr = java.util.Arrays.copyOf(tr, l); val si = java.util.Arrays.copyOf(ti, l)
+        fft(sr, si, invert)
+        k = 0
+        while (k < l) { re((i * n + jj) * l + k) = sr(k); im((i * n + jj) * l + k) = si(k); k += 1 }
+        jj += 1
+      }
+      i += 1
+    }
+  }
+
+  /** 3-D divisor 1/(j²+k²+l²) with the DC term zeroed (same
+    * output-equivalence argument as the 2-D case).
+    */
+  def divisor3(n: Int, l: Int): Array[Double] = {
+    val fj = clampedFreqs(n)
+    val fl = clampedFreqs(l)
+    val d = new Array[Double](n * n * l)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        var k = 0
+        while (k < l) {
+          d((i * n + j) * l + k) = 1.0 / (fj(i) * fj(i) + fj(j) * fj(j) + fl(k) * fl(k))
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    d(0) = 0.0
+    d
+  }
+
+  /** 3-D variant (fourier_lag.py:158-262): the slice is embedded as the
+    * midplane of an n × n × n/LDIVISOR cube (~1/d weighting instead of
+    * −ln d); min-subtraction and rescale run over the FULL cube; the
+    * midplane is returned.
+    */
+  def solveSlice3d(x: Array[Double], n: Int): Array[Double] = {
+    val l = math.max(n / LDivisor, 2)
+    val mid = l / 2
+    val rhomax = x.max
+    val re = new Array[Double](n * n * l)
+    val im = new Array[Double](n * n * l)
+    var i = 0
+    while (i < n * n) { re(i * l + mid) = x(i); i += 1 }
+    fft3(re, im, n, l, invert = false)
+    val div = divisor3(n, l)
+    i = 0
+    while (i < n * n * l) { re(i) *= div(i); im(i) *= div(i); i += 1 }
+    fft3(re, im, n, l, invert = true)
+    var mn = Double.MaxValue
+    i = 0
+    while (i < n * n * l) { if (re(i) < mn) mn = re(i); i += 1 }
+    var mx = Double.MinValue
+    i = 0
+    while (i < n * n * l) { val v = re(i) - mn; if (v > mx) mx = v; i += 1 }
+    val phimax = math.max(mx, 1.0)
+    Array.tabulate(n * n)(c => (re(c * l + mid) - mn) * rhomax / phimax)
+  }
+
   /** @param panel dense panel with `lon`/`lat` cell-coordinate columns */
   def fourierLag(panel: DataFrame, valueCol: String,
                  lonCol: String = "lon", latCol: String = "lat",
-                 out: String = "flag_value"): DataFrame = {
+                 out: String = "flag_value", dimensionality: Int = 2): DataFrame = {
+    require(dimensionality == 2 || dimensionality == 3,
+      s"dimensionality must be 2 or 3, got $dimensionality")
     val spark = panel.sparkSession
     import spark.implicits._
     val T = Panel.TimeCol
@@ -192,6 +299,8 @@ object FourierLag {
 
     val ds = panel.select(col(T), col(U), col(valueCol))
       .as[(Long, Long, Double)]
+    val solver: (Array[Double], Int) => Array[Double] =
+      if (dimensionality == 3) solveSlice3d else solveSlice
     ds.groupByKey(_._1)
       .flatMapGroups { (month: Long, rows: Iterator[(Long, Long, Double)]) =>
         val (cells, nc) = bc.value
@@ -202,7 +311,7 @@ object FourierLag {
           grid(ex * nc + ey) = v // [lon, lat] layout like the reference tensor
           present += u
         }
-        val solved = solveSlice(grid, nc)
+        val solved = solver(grid, nc)
         present.iterator.map { u =>
           val (ex, ey) = cells(u)
           (month, u, solved(ex * nc + ey))

