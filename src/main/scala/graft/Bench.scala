@@ -27,8 +27,9 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // warmup: JVM/codegen/parquet-footer costs land here, not on q1
-    force(Panel.densePanel(spark, sfDir).limit(1000))
+    // warmup: JVM/codegen/parquet-footer costs AND the shared panel
+    // cache materialisation land here, not on the first measured query
+    force(SparkEntry.queries("q_identity")(spark, sfDir))
 
     // optional comma-separated filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

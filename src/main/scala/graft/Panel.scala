@@ -80,13 +80,16 @@ object Panel {
   def densePanel(spark: SparkSession, dir: String): DataFrame =
     dense(fromEvents(spark, dir), Seq("value", "value2"))
 
-  /** Dense panel with deterministic missingness injected into `value`
-    * (cells where `(unit_id*31 + month_id) % 7 == 0`), for exercising the
+  /** Deterministic missingness injected into `value` (cells where
+    * `(unit_id*31 + month_id) % 7 == 0`), for exercising the
     * missing-data operator family against the DuckDB oracle.
     */
-  def missingPanel(spark: SparkSession, dir: String): DataFrame =
-    densePanel(spark, dir).withColumn(
+  def withMissing(panel: DataFrame): DataFrame =
+    panel.withColumn(
       "value",
       when((col(UnitCol) * 31 + col(TimeCol)) % 7 === 0, lit(null).cast("double"))
         .otherwise(col("value")))
+
+  def missingPanel(spark: SparkSession, dir: String): DataFrame =
+    withMissing(densePanel(spark, dir))
 }

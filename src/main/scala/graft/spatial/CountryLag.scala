@@ -28,12 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object CountryLag {
 
-  /** orderSet(k) as a (month_id, seed, member) DataFrame. */
-  private def orderSet(adj: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
-    // adj: (month_id, a_id, b_id); seeds: (month_id, seed) = every
-    // (month, country) pair to expand from.
+  /** Expand a (month_id, seed, member) reachability set `k` more BFS
+    * steps over the month-varying adjacency.
+    */
+  private def expand(start: DataFrame, adj: DataFrame, k: Int): DataFrame = {
     val T = Panel.TimeCol
-    var reach = seeds.select(col(T), col("seed"), col("seed").as("member"))
+    var reach = start
     for (i <- 1 to k) {
       // alias both sides: repeated self-joins through `adj` otherwise
       // trip Spark's ambiguous-self-join detection
@@ -48,6 +48,11 @@ object CountryLag {
     }
     reach
   }
+
+  /** orderSet(k) as a (month_id, seed, member) DataFrame. */
+  private def orderSet(adj: DataFrame, seeds: DataFrame, k: Int): DataFrame =
+    expand(seeds.select(col(Panel.TimeCol), col("seed"), col("seed").as("member")),
+      adj, k)
 
   /** @param adjacency (month_id, a_id, b_id) symmetric neighbour pairs
     * @param centroids (country_id, lat, lon)
@@ -67,11 +72,17 @@ object CountryLag {
         panel.select(col(T), col(U), lit(0.0).as(out))
       } else {
         val seeds = panel.select(col(T), col(U).as("seed")).distinct()
-        val outer = orderSet(adjacency, seeds, nouter)
+        // build outer incrementally from inner (outer ⊇ inner by
+        // construction) instead of two from-scratch BFS runs; the inner
+        // set is read twice (outer base + ring anti-join) so persist it
         val ring =
-          if (ninner < 0) outer
-          else outer.join(orderSet(adjacency, seeds, ninner),
-            Seq(T, "seed", "member"), "left_anti")
+          if (ninner < 0) orderSet(adjacency, seeds, nouter)
+          else {
+            val inner = orderSet(adjacency, seeds, ninner)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val outer = expand(inner, adjacency, nouter - ninner)
+            outer.join(inner, Seq(T, "seed", "member"), "left_anti")
+          }
 
         val cs = broadcast(centroids.select(col("country_id").as("seed"),
           col("lat").as("s_lat"), col("lon").as("s_lon")))
@@ -121,7 +132,10 @@ object CountryLag {
         abs(col("a_lat") - col("b_lat")) <= 1 &&
         col("a_id") =!= col("b_id"))
       .select("a_id", "b_id")
+    // the BFS ring expansion re-reads the adjacency once per order —
+    // persist the derivation so the O(units²) candidate filter runs once
     broadcast(months).crossJoin(adj)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Derived centroids: half-degree cell centres of the unit grid. */
