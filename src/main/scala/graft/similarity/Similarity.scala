@@ -18,8 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a sequential fold over doubles. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ — a native codegen'd Catalyst expression
+    * (graft.functions.DotProduct): same left-to-right fold as the
+    * higher-order `aggregate(zip_with(...))` formulation but without the
+    * per-row intermediate array or the codegen break HOFs cause.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
+
+  /** The HOF formulation, kept for cross-checking the native expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

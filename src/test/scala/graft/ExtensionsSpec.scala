@@ -71,6 +71,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(lsh.map(_.getLong(1)).toSet == Set(1L, 3L)) // 2 not a candidate
   }
 
+  test("native DotProduct matches the HOF fold bit-for-bit and stays in codegen") {
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 0.7 + d) * (d % 7 - 3))))
+      .toDF("vec_id", "embedding")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val both = vecs.crossJoin(vecs.select(col("v").as("w")))
+      .select(Similarity.dot(col("v"), col("w")).as("native"),
+        Similarity.dotHof(col("v"), col("w")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // native-only projection stays inside whole-stage codegen (the HOF
+    // version breaks it, which is exactly why the expression exists);
+    // parquet-backed so ConvertToLocalRelation can't pre-fold the plan
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val nativeOnly = emb.select(Similarity.dot(col("v"), col("v")).as("n"))
+    // '*(N)' prefixes mark WholeStageCodegen stages in the plan string
+    val plan = nativeOnly.queryExecution.executedPlan.toString()
+    assert(plan.contains("*(1) Project [dot_product"), plan)
+    assert(nativeOnly.filter(col("n") <= 0).count() == 0)
+  }
+
   test("multimodal: stubbed decode preserves schema/batch shape") {
     val media = Multimodal.synthesize(docsDf)
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "content", "meta"))
