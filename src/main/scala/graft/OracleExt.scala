@@ -192,6 +192,15 @@ object OracleExt {
        |FROM rk WHERE rank <= 10""".stripMargin
   }
 
+  val qEmbedNearDup: String =
+    s"""$embCte, p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_dot_product(a.v, b.v)
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+       |  FROM c a, c b
+       |  WHERE a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3""".stripMargin
+
   /** Regression imputation (the 2-column analogue of the reference's
     * IterativeImputer, missing.py:165-209): OLS of value on value2 over
     * observed rows, predictions clipped to the observed min/max.

@@ -211,6 +211,9 @@ object SparkEntry {
       similarity.Similarity.lshTopK(e, e.filter(col("vec_id") < 50),
         k = 10, dims = 0 until 8)
     }),
+    "q_embed_neardup" -> ((s, dir) =>
+      similarity.Similarity.cosineNearDupPairs(
+        embeddings(s, dir).filter(col("vec_id") < 200), threshold = 0.3)),
     "q_impute_regression" -> onMissing(p =>
       ml.Imputer.regressionImpute(p, "value", "value2")
         .select(col(T), col(U), col("imputed"))),
@@ -305,6 +308,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> OracleExt.qNgramJaccard,
     "q_embed_topk" -> OracleExt.qEmbedTopK,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,
+    "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_impute_regression" -> OracleExt.qImputeRegression,
   )
 }

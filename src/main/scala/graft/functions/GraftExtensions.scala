@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook exposing graft's native expressions to
+  * SQL. Activate with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * or inject into a live session via `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", name)
+
+  val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dot_product", info("dot_product", "dot product of two array<double>"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product takes exactly 2 arguments")
+        DotProduct(args.head, args(1))
+      }),
+  )
+
+  /** Register on an already-built session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    injections.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+}

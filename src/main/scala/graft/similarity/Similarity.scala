@@ -55,6 +55,22 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs of a
+    * bounded corpus with cosine >= threshold — the exact-verification
+    * path of embedding dedup. For an unbounded corpus, pre-block with
+    * `signBucket` (lshTopK's bucketing) and verify candidates here.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Sign-LSH bucket key: one bit per hyperplane — here the sign of the
     * coordinate at each given dimension index (axis-aligned hyperplanes;
     * any fixed projection family works the same way).

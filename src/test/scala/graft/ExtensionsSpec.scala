@@ -92,6 +92,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(nativeOnly.filter(col("n") <= 0).count() == 0)
   }
 
+  test("dot_product registers as a SQL function via extensions") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(CAST(array(1.0, 2.0, 3.0) AS array<double>), " +
+        "CAST(array(4.0, 5.0, 6.0) AS array<double>)) AS d")
+      .first().getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("cosine near-dup pairs: identical vectors always pair") {
+    val vecs = Seq(
+      (0L, Array(1f, 2f, 0f, 1f)),
+      (1L, Array(1f, 2f, 0f, 1f)),
+      (2L, Array(-2f, 1f, 3f, -1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, 0.99).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 0L && pairs(0).getLong(1) == 1L)
+    assert(math.abs(pairs(0).getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("multimodal: stubbed decode preserves schema/batch shape") {
     val media = Multimodal.synthesize(docsDf)
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "content", "meta"))
