@@ -394,6 +394,41 @@ object Oracle {
        |FROM cells c LEFT JOIN agg a
        |  ON a.month_id = c.month_id AND a.unit_id = c.unit_id""".stripMargin
 
+  val qSpacetimeWeightsK5: String =
+    s"""$panel, $cells, $stEvents, ${stPairs(1.0)},
+       |topk AS (
+       |  SELECT month_id, unit_id, d, e_size,
+       |    ROW_NUMBER() OVER (PARTITION BY month_id, unit_id
+       |      ORDER BY d, e_t, e_u) AS rn
+       |  FROM pairs),
+       |agg AS (
+       |  SELECT month_id, unit_id,
+       |    AVG(CASE WHEN d = 0.0 THEN e_size ELSE e_size / pow(d, 2.0) END) AS w
+       |  FROM topk WHERE rn <= 5 GROUP BY 1, 2)
+       |SELECT c.month_id, c.unit_id, COALESCE(a.w, 999.0) AS stdist
+       |FROM cells c LEFT JOIN agg a
+       |  ON a.month_id = c.month_id AND a.unit_id = c.unit_id""".stripMargin
+
+  /** The flagship pipeline (Registry spec time_since → decay) as SQL:
+    * proves the §3 composition surface inside the correctness gate.
+    */
+  val qPipelineDecay: String =
+    s"""$panel, lagged AS (
+       |  SELECT month_id, unit_id, LAG(value, 1) OVER ($wuo) AS lv FROM panel
+       |), kept AS (SELECT * FROM lagged WHERE lv IS NOT NULL),
+       |cw AS (
+       |  SELECT month_id, unit_id,
+       |    CASE WHEN lv = 0.0 THEN 1 ELSE 0 END AS cnt,
+       |    SUM(CASE WHEN lv = 0.0 THEN 0 ELSE 1 END) OVER ($cum) AS block
+       |  FROM kept),
+       |tis AS (
+       |  SELECT month_id, unit_id,
+       |    CAST(SUM(cnt) OVER (PARTITION BY unit_id, block ORDER BY month_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS ts
+       |  FROM cw)
+       |SELECT month_id, unit_id, POWER(2.0, (ts * -1.0) / 12.0) AS value
+       |FROM tis""".stripMargin
+
   val qSpacetimeWeightsK1: String =
     s"""$panel, $cells, $stEvents, ${stPairs(1.0)},
        |topk AS (

@@ -153,6 +153,13 @@ object SparkEntry {
       SpacetimeDist.spacetimeDistances(gp, "value", "weights",
         k = 1, nu = 1.0, power = 2.0, eventThreshold = 400.0)
         .select(col(T), col(U), col("stdist"))),
+    "q_spacetime_weights_k5" -> onGrid(gp =>
+      SpacetimeDist.spacetimeDistances(gp, "value", "weights",
+        k = 5, nu = 1.0, power = 2.0, eventThreshold = 400.0)
+        .select(col(T), col(U), col("stdist"))),
+    "q_pipeline_decay" -> onPanel(p =>
+      Registry.run(p.select(col(T), col(U), col("value")),
+        """[{"type":"time_since","args":[0]},{"type":"decay","args":[12]}]""")),
 
     // §2.8 Barnes-Hut spatial tree lag / §2.9 temporal tree lag / fourier
     "q_tree_lag" -> onGrid(gp =>
@@ -291,6 +298,8 @@ object SparkEntry {
     "q_spacetime_dist_k1" -> Oracle.qSpacetimeDistK1,
     "q_spacetime_dist_k5" -> Oracle.qSpacetimeDistK5,
     "q_spacetime_weights_k1" -> Oracle.qSpacetimeWeightsK1,
+    "q_spacetime_weights_k5" -> Oracle.qSpacetimeWeightsK5,
+    "q_pipeline_decay" -> Oracle.qPipelineDecay,
     "q_tree_lag" -> Oracle.qTreeLag,
     "q_tree_lag_d2" -> Oracle.qTreeLagD2,
     "q_grid_lag" -> Oracle.qGridLag,

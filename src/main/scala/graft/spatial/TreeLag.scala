@@ -180,10 +180,13 @@ object TreeLag {
     val targets = broadcast(emb.cells.toSeq.map { case (u, (ex, ey)) => (u, ex, ey) }
       .toDF("target", "ex", "ey"))
 
+    // read 4x below (blocked both sides, mesh filter, lag values) —
+    // persist so the membership join + aggregation runs once
     val nodevals = panel.select(col(T), col(U), col(valueCol))
       .join(memberDf, U)
       .groupBy(col(T), col("level"), col("nx"), col("ny"))
       .agg(sum(col(valueCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // a node is blocked when any proper ancestor did NOT split
     val lvls = spark.range(0, emb.power + 1L).select(col("id").cast("int").as("alevel"))
