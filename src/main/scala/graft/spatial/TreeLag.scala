@@ -158,18 +158,18 @@ object TreeLag {
     * the mesh×target product matches the reference's own
     * O(leaves × grid_nodes) cost.
     */
-  def gridLag(panel: DataFrame, valueCol: String,
-              threshold: Double, dfunctionOption: Int,
-              lonCol: String = "lon", latCol: String = "lat",
-              out: String = "gridlag"): DataFrame = {
+  /** The per-month adaptive mesh as a DataFrame (month_id, level, nx,
+    * ny, v, s): the reference's `keep_grids` surface. A node is in
+    * mesh(month) iff every proper ancestor's value exceeds the threshold
+    * and its own doesn't (or it is a leaf) — a disjoint cover of the
+    * occupied cells every month.
+    */
+  def adaptiveMesh(panel: DataFrame, valueCol: String, threshold: Double,
+                   emb: Embedding): DataFrame = {
     val spark = panel.sparkSession
     import spark.implicits._
     val T = Panel.TimeCol
     val U = Panel.UnitCol
-
-    val units = panel.select(col(U), col(lonCol), col(latCol)).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)).toSeq
-    val emb = embed(units)
     val membership = emb.cells.toSeq.flatMap { case (u, (ex, ey)) =>
       (0 to emb.power).map { lvl =>
         val s = emb.ncells >> lvl
@@ -177,8 +177,6 @@ object TreeLag {
       }
     }
     val memberDf = broadcast(membership.toDF(U, "level", "nx", "ny"))
-    val targets = broadcast(emb.cells.toSeq.map { case (u, (ex, ey)) => (u, ex, ey) }
-      .toDF("target", "ex", "ey"))
 
     // read 4x below (blocked both sides, mesh filter, lag values) —
     // persist so the membership join + aggregation runs once
@@ -201,10 +199,28 @@ object TreeLag {
       .filter(col("av") <= threshold)
       .select(col(T), col("level"), col("nx"), col("ny")).distinct()
 
-    val mesh = nodevals
+    nodevals
       .filter(col("v") <= threshold || col("level") === emb.power)
       .join(blocked, Seq(T, "level", "nx", "ny"), "left_anti")
       .withColumn("s", (lit(emb.ncells) / pow(lit(2.0), col("level"))).cast("double"))
+  }
+
+  def gridLag(panel: DataFrame, valueCol: String,
+              threshold: Double, dfunctionOption: Int,
+              lonCol: String = "lon", latCol: String = "lat",
+              out: String = "gridlag"): DataFrame = {
+    val spark = panel.sparkSession
+    import spark.implicits._
+    val T = Panel.TimeCol
+    val U = Panel.UnitCol
+
+    val units = panel.select(col(U), col(lonCol), col(latCol)).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)).toSeq
+    val emb = embed(units)
+    val targets = broadcast(emb.cells.toSeq.map { case (u, (ex, ey)) => (u, ex, ey) }
+      .toDF("target", "ex", "ey"))
+
+    val mesh = adaptiveMesh(panel, valueCol, threshold, emb)
 
     val dx = col("ex") + 0.5 - (col("nx") * col("s") + col("s") / 2.0)
     val dy = col("ey") + 0.5 - (col("ny") * col("s") + col("s") / 2.0)

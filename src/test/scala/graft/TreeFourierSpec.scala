@@ -61,6 +61,32 @@ class TreeFourierSpec extends SparkSpec {
     assert(math.abs(out(0L) - exp0) < 1e-9, s"got ${out(0L)} want $exp0")
   }
 
+  test("adaptive mesh is a disjoint exact cover of the occupied cells every month") {
+    val units = Seq(0L, 1L, 2L, 40L, 41L, 42L, 80L, 81L, 82L)
+    val rows = for (m <- Seq(1L, 2L); u <- units)
+      yield (m, u, if (m == 1L && u == 41L) 100.0 else 1.0)
+    val p = rows.toDF(T, U, "value")
+      .withColumn("lon", spatial.Grid.unitLon(col(U)))
+      .withColumn("lat", spatial.Grid.unitLat(col(U)))
+    val emb = spatial.TreeLag.embed(units.map(u =>
+      (u, (u % 40).toInt, (u / 40).toInt)))
+    // threshold 50: month 1 splits down to the hot cell, month 2 stays coarse
+    val mesh = spatial.TreeLag.adaptiveMesh(
+      p.select(col(T), col(U), col("value")), "value", 50.0, emb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2).toLong, r.getInt(3).toLong))
+    // cover check: every unit cell maps to exactly one mesh node per month
+    for (m <- Seq(1L, 2L); u <- units) {
+      val (ex, ey) = emb.cells(u)
+      val covering = mesh.filter { case (mm, lvl, nx, ny) =>
+        mm == m && ex / (emb.ncells >> lvl) == nx && ey / (emb.ncells >> lvl) == ny
+      }
+      assert(covering.length == 1, s"unit $u month $m covered by ${covering.length} nodes")
+    }
+    // month 2 (all values <= threshold): mesh is just the root
+    assert(mesh.count(_._1 == 2L) == 1)
+    assert(mesh.count(_._1 == 1L) > 1)
+  }
+
   test("FFT round-trips and matches the DFT definition") {
     val n = 8
     val re = Array.tabulate(n)(i => math.sin(i * 1.7) + i)
