@@ -43,6 +43,15 @@ object SparkEntry {
   private def onPanel(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(cachedPanel(s, dir))
 
+  /** The derived grid adjacency is shared by the three country-lag
+    * queries — cache it per panel instance (gridAdjacency persists; this
+    * avoids three separate materialisations of the same derivation).
+    */
+  private val adjCache =
+    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+  private def cachedAdjacency(p: DataFrame): DataFrame =
+    adjCache.getOrElseUpdate(p, CountryLag.gridAdjacency(p))
+
   private def onMissing(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Panel.withMissing(cachedPanel(s, dir)))
 
@@ -130,15 +139,15 @@ object SparkEntry {
       KernelLag.splag4d(gp, "value", 1, 2, 2.0, norm = true)
         .select(col(T), col(U), col("splag"))),
     "q_splag_country" -> onPanel(p =>
-      CountryLag.splagCountry(p, "value", CountryLag.gridAdjacency(p),
+      CountryLag.splagCountry(p, "value", cachedAdjacency(p),
         CountryLag.gridCentroids(p), 1, 1, 0.0, norm = false)
         .select(col(T), col(U), col("splag"))),
     "q_splag_country_ring2" -> onPanel(p =>
-      CountryLag.splagCountry(p, "value", CountryLag.gridAdjacency(p),
+      CountryLag.splagCountry(p, "value", cachedAdjacency(p),
         CountryLag.gridCentroids(p), 2, 1, 0.0, norm = false)
         .select(col(T), col(U), col("splag"))),
     "q_splag_country_norm" -> onPanel(p =>
-      CountryLag.splagCountry(p, "value", CountryLag.gridAdjacency(p),
+      CountryLag.splagCountry(p, "value", cachedAdjacency(p),
         CountryLag.gridCentroids(p), 1, 1, 1.0, norm = true)
         .select(col(T), col(U), col("splag"))),
     "q_spacetime_dist_k1" -> onGrid(gp =>

@@ -80,8 +80,22 @@ object CountryLag {
           else {
             val inner = orderSet(adjacency, seeds, ninner)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            val outer = expand(inner, adjacency, nouter - ninner)
-            outer.join(inner, Seq(T, "seed", "member"), "left_anti")
+            if (nouter - ninner == 1) {
+              // common kernel shapes (width = 1): the ring is just the
+              // frontier — one join + distinct + anti-join, never
+              // materialising the full outer set
+              val r = inner.alias("rf")
+              val a = adjacency.alias("af")
+              r.join(a, col(s"rf.$T") === col(s"af.$T") &&
+                  col("rf.member") === col("af.a_id"))
+                .select(col(s"rf.$T").as(T), col("rf.seed").as("seed"),
+                  col("af.b_id").as("member"))
+                .distinct()
+                .join(inner, Seq(T, "seed", "member"), "left_anti")
+            } else {
+              val outer = expand(inner, adjacency, nouter - ninner)
+              outer.join(inner, Seq(T, "seed", "member"), "left_anti")
+            }
           }
 
         val cs = broadcast(centroids.select(col("country_id").as("seed"),

@@ -85,33 +85,38 @@ object SpacetimeDist {
       .filter(col("e_t") <= col(T))
     val visible = broadcast(events.join(broadcast(monthPairs), "e_t"))
 
+    // work in SQUARED distance through the hot path: d² orders
+    // identically to d (monotone), needs only multiplications (Spark's
+    // pow is StrictMath.pow — an order of magnitude slower than x*x),
+    // and sqrt/pow run only on the ~k rows per cell that survive
+    // aggregation. d^power = (d²)^(power/2) exactly.
+    val dx = (col(lonCol) - col("e_lon")) * 0.5
+    val dy = (col(latCol) - col("e_lat")) * 0.5
+    val dt = (col(T) - col("e_t")) * nu
     val cells = panel.select(col(T), col(U), col(lonCol), col(latCol))
     val pairs = cells.join(visible, T)
-      .withColumn("d", sqrt(
-        pow((col(lonCol) - col("e_lon")) * 0.5, 2.0) +
-          pow((col(latCol) - col("e_lat")) * 0.5, 2.0) +
-          pow((col(T) - col("e_t")) * nu, 2.0)))
+      .withColumn("d2", dx * dx + dy * dy + dt * dt)
 
-    def weightOf(d: org.apache.spark.sql.Column, size: org.apache.spark.sql.Column) =
-      when(d === 0.0, size).otherwise(size / pow(d, power))
+    def weightOf2(d2: org.apache.spark.sql.Column, size: org.apache.spark.sql.Column) =
+      when(d2 === 0.0, size).otherwise(size / pow(d2, power / 2.0))
 
     val agg: DataFrame =
       if (k == 1) {
         if (returnValues == "distances")
-          pairs.groupBy(col(T), col(U)).agg(min(col("d")).as(out))
+          pairs.groupBy(col(T), col(U)).agg(sqrt(min(col("d2"))).as(out))
         else {
           // two-pass argmin: a plain double min stays in whole-stage
           // codegen'd HashAggregate (min over a struct would sort-
           // aggregate every candidate row); the re-join on the exact
           // minimum then touches ~one row per cell, where the
           // (e_t, e_u) tie-break is a trivially small struct-min
-          val md = pairs.groupBy(col(T), col(U)).agg(min(col("d")).as("md"))
+          val md = pairs.groupBy(col(T), col(U)).agg(min(col("d2")).as("md2"))
           // md is one row per (month, cell) — broadcast it so the big
           // candidate side never shuffles
-          val ties = pairs.join(broadcast(md), Seq(T, U)).filter(col("d") === col("md"))
-          ties.groupBy(col(T), col(U), col("md"))
+          val ties = pairs.join(broadcast(md), Seq(T, U)).filter(col("d2") === col("md2"))
+          ties.groupBy(col(T), col(U), col("md2"))
             .agg(min(struct(col("e_t"), col("e_u"), col("e_size"))).as("b"))
-            .select(col(T), col(U), weightOf(col("md"), col("b.e_size")).as(out))
+            .select(col(T), col(U), weightOf2(col("md2"), col("b.e_size")).as(out))
         }
       } else {
         val spark = panel.sparkSession
@@ -121,12 +126,12 @@ object SpacetimeDist {
         spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
         val topk = udaf(new TopK(k))
         val grouped = pairs.groupBy(col(T), col(U))
-          .agg(topk(col("d"), col("e_t"), col("e_u"), col("e_size")).as("cands"))
+          .agg(topk(col("d2"), col("e_t"), col("e_u"), col("e_size")).as("cands"))
         val c = explode(col("cands")).as("c")
         val per = grouped.select(col(T), col(U), c)
-          .select(col(T), col(U), col("c._1").as("d"), col("c._4").as("e_size"))
-        val perEvent = if (returnValues == "distances") col("d")
-                       else weightOf(col("d"), col("e_size"))
+          .select(col(T), col(U), col("c._1").as("d2"), col("c._4").as("e_size"))
+        val perEvent = if (returnValues == "distances") sqrt(col("d2"))
+                       else weightOf2(col("d2"), col("e_size"))
         per.groupBy(col(T), col(U)).agg(avg(perEvent).as(out))
       }
 
