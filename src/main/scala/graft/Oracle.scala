@@ -645,6 +645,44 @@ object Oracle {
        |JOIN rho ON rho.month_id = st.month_id""".stripMargin
   }
 
+  /** Multi-feature fourier lag: each feature solved and rescaled
+    * independently in the same pass, outputs flag_<feature>.
+    */
+  val qFourierLagMulti: String = {
+    val n = 64
+    val g = spatial.FourierLag.greens(n)
+    val gv = (0 until n).flatMap(gx => (0 until n).map(gy =>
+      s"($gx, $gy, ${spatial.Grid.fmt(g(gx * n + gy))})")).mkString(", ")
+    s"""$panel, $embSql,
+       |gk(gx, gy, g) AS (VALUES $gv),
+       |grid AS (SELECT a.range AS cx, b.range AS cy
+       |         FROM range(0, $n) a, range(0, $n) b),
+       |src AS (SELECT p.month_id, e.ex, e.ey, p.value, p.value2
+       |        FROM panel p JOIN emb e ON e.unit_id = p.unit_id),
+       |conv AS (
+       |  SELECT s.month_id, g.cx, g.cy,
+       |    SUM(s.value * k.g) AS y1, SUM(s.value2 * k.g) AS y2
+       |  FROM grid g CROSS JOIN src s
+       |  JOIN gk k ON k.gx = ((g.cx - s.ex) % $n + $n) % $n
+       |          AND k.gy = ((g.cy - s.ey) % $n + $n) % $n
+       |  GROUP BY 1, 2, 3),
+       |st AS (
+       |  SELECT month_id, cx, cy, y1, y2,
+       |         MIN(y1) OVER (PARTITION BY month_id) AS y1min,
+       |         MAX(y1) OVER (PARTITION BY month_id) AS y1max,
+       |         MIN(y2) OVER (PARTITION BY month_id) AS y2min,
+       |         MAX(y2) OVER (PARTITION BY month_id) AS y2max
+       |  FROM conv),
+       |rho AS (SELECT month_id, GREATEST(MAX(value), 0.0) AS rho1,
+       |               GREATEST(MAX(value2), 0.0) AS rho2
+       |        FROM src GROUP BY 1)
+       |SELECT st.month_id, e.unit_id,
+       |  (st.y1 - st.y1min) * rho.rho1 / GREATEST(st.y1max - st.y1min, 1.0) AS flag_value,
+       |  (st.y2 - st.y2min) * rho.rho2 / GREATEST(st.y2max - st.y2min, 1.0) AS flag_value2
+       |FROM st JOIN emb e ON e.ex = st.cx AND e.ey = st.cy
+       |JOIN rho ON rho.month_id = st.month_id""".stripMargin
+  }
+
   val qListTotallyMissing: String =
     s"""$mpanel, allnull AS (
        |  SELECT month_id, unit_id, value, CAST(NULL AS DOUBLE) AS value3 FROM mpanel)

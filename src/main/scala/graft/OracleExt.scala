@@ -201,6 +201,46 @@ object OracleExt {
        |  WHERE a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200)
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3""".stripMargin
 
+  // --- relational star-schema queries --------------------------------------
+
+  val qPricingSummary: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty,
+      |  SUM(l_extendedprice) AS sum_base_price,
+      |  SUM(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+      |  AVG(l_quantity) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY 1, 2""".stripMargin
+
+  val qTopOrders: String =
+    """WITH revenue AS (
+      |  SELECT l.l_orderkey, o.o_orderdate,
+      |    SUM(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_mktsegment = 'BUILDING'
+      |    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |    AND l.l_shipdate > TIMESTAMP '1998-01-01'
+      |  GROUP BY 1, 2)
+      |SELECT l_orderkey, o_orderdate, revenue,
+      |  CAST(rk AS INTEGER) AS rk
+      |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS rk
+      |      FROM revenue)
+      |WHERE rk <= 10""".stripMargin
+
+  val qRegionRevenue: String =
+    """SELECT r.r_name,
+      |  SUM(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY 1""".stripMargin
+
   /** Regression imputation (the 2-column analogue of the reference's
     * IterativeImputer, missing.py:165-209): OLS of value on value2 over
     * observed rows, predictions clipped to the observed min/max.

@@ -201,6 +201,9 @@ object SparkEntry {
     "q_fourier_lag_3d" -> onGrid(gp =>
       FourierLag.fourierLag(gp, "value", dimensionality = 3)
         .select(col(T), col(U), col("flag_value"))),
+    "q_fourier_lag_multi" -> onGrid(gp =>
+      FourierLag.fourierLagMulti(gp, Seq("value", "value2"))
+        .select(col(T), col(U), col("flag_value"), col("flag_value2"))),
 
     // training-data-pipeline extensions: text / dedup / similarity / ML
     "q_text_analyze" -> ((s, dir) =>
@@ -233,6 +236,11 @@ object SparkEntry {
     "q_impute_regression" -> onMissing(p =>
       ml.Imputer.regressionImpute(p, "value", "value2")
         .select(col(T), col(U), col("imputed"))),
+
+    // relational star-schema surface (broadcast dims, pushdown, top-k)
+    "q_pricing_summary" -> ((s, dir) => relational.StarQueries.pricingSummary(s, dir)),
+    "q_top_orders" -> ((s, dir) => relational.StarQueries.topUnshippedOrders(s, dir)),
+    "q_region_revenue" -> ((s, dir) => relational.StarQueries.regionRevenue(s, dir)),
 
     // no SQL oracle (driver records rows-only): stubbed-decode
     // multimodal plumbing, MICE chain, streaming-shaped tick
@@ -318,6 +326,7 @@ object SparkEntry {
     "q_temporal_tree_expon" -> Oracle.qTemporalTreeExpon,
     "q_temporal_tree_ramp" -> Oracle.qTemporalTreeRamp,
     "q_fourier_lag" -> Oracle.qFourierLag,
+    "q_fourier_lag_multi" -> Oracle.qFourierLagMulti,
     "q_text_analyze" -> OracleExt.qTextAnalyze,
     "q_dedup_exact" -> OracleExt.qDedupExact,
     "q_minhash_lsh" -> OracleExt.qMinhashLsh,
@@ -328,5 +337,8 @@ object SparkEntry {
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_impute_regression" -> OracleExt.qImputeRegression,
+    "q_pricing_summary" -> OracleExt.qPricingSummary,
+    "q_top_orders" -> OracleExt.qTopOrders,
+    "q_region_revenue" -> OracleExt.qRegionRevenue,
   )
 }

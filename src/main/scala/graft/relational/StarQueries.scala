@@ -1,0 +1,70 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the TPC-H-style star schema — the general
+  * query surface around the panel engine. Shapes chosen so the physical
+  * plans demonstrate the cluster-scale fundamentals: predicate pushdown
+  * into the parquet scans, broadcast of dimension tables, partial
+  * aggregation, and top-k without a global sort.
+  */
+object StarQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** TPC-H Q1 shape: scan-heavy aggregation with computed measures;
+    * the date filter pushes into the scan, aggregation is map-side
+    * partial over a handful of groups.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        avg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3 shape: fact-to-fact join with a broadcast dimension and a
+    * deterministic top-k by revenue (row_number window over the small
+    * aggregated side — never a global sort of the fact table).
+    */
+  def topUnshippedOrders(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val orders = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    val revenue = li
+      .join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    revenue.withColumn("rk", row_number().over(
+        Window.orderBy(col("revenue").desc, col("l_orderkey"))))
+      .filter(col("rk") <= k)
+      .select(col("l_orderkey"), col("o_orderdate"), col("revenue"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  /** Star join through two broadcast dimension hops (nation → region):
+    * revenue per region, every dimension a BroadcastHashJoin.
+    */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val supp = t(spark, dir, "supplier")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+}

@@ -279,10 +279,16 @@ object FourierLag {
     Array.tabulate(n * n)(c => (re(c * l + mid) - mn) * rhomax / phimax)
   }
 
-  /** @param panel dense panel with `lon`/`lat` cell-coordinate columns */
-  def fourierLag(panel: DataFrame, valueCol: String,
-                 lonCol: String = "lon", latCol: String = "lat",
-                 out: String = "flag_value", dimensionality: Int = 2): DataFrame = {
+  /** Multi-feature form — the reference transforms every feature column
+    * of the frame per slice and prefixes outputs `flag_<feature>`
+    * (fourier_lag.py:303); each feature's slice is solved and rescaled
+    * independently within the same per-month group.
+    *
+    * @param panel dense panel with `lon`/`lat` cell-coordinate columns
+    */
+  def fourierLagMulti(panel: DataFrame, valueCols: Seq[String],
+                      lonCol: String = "lon", latCol: String = "lat",
+                      dimensionality: Int = 2): DataFrame = {
     require(dimensionality == 2 || dimensionality == 3,
       s"dimensionality must be 2 or 3, got $dimensionality")
     val spark = panel.sparkSession
@@ -293,30 +299,42 @@ object FourierLag {
     val units = panel.select(col(U), col(lonCol), col(latCol)).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)).toSeq
     val emb = TreeLag.embed(units)
-    val n = emb.ncells
-    val cellOf = emb.cells // unit -> (ex, ey)
-    val bc = spark.sparkContext.broadcast((cellOf, n))
+    val bc = spark.sparkContext.broadcast((emb.cells, emb.ncells))
+    val nf = valueCols.size
 
-    val ds = panel.select(col(T), col(U), col(valueCol))
-      .as[(Long, Long, Double)]
+    val ds = panel.select(col(T), col(U),
+        array(valueCols.map(c => col(c).cast("double")): _*).as("__vs"))
+      .as[(Long, Long, Seq[Double])]
     val solver: (Array[Double], Int) => Array[Double] =
       if (dimensionality == 3) solveSlice3d else solveSlice
-    ds.groupByKey(_._1)
-      .flatMapGroups { (month: Long, rows: Iterator[(Long, Long, Double)]) =>
+    val solvedDs = ds.groupByKey(_._1)
+      .flatMapGroups { (month: Long, rows: Iterator[(Long, Long, Seq[Double])]) =>
         val (cells, nc) = bc.value
-        val grid = new Array[Double](nc * nc)
+        val grids = Array.fill(nf)(new Array[Double](nc * nc))
         val present = scala.collection.mutable.ArrayBuffer.empty[Long]
-        rows.foreach { case (_, u, v) =>
+        rows.foreach { case (_, u, vs) =>
           val (ex, ey) = cells(u)
-          grid(ex * nc + ey) = v // [lon, lat] layout like the reference tensor
+          var f = 0
+          while (f < nf) { grids(f)(ex * nc + ey) = vs(f); f += 1 }
           present += u
         }
-        val solved = solver(grid, nc)
+        val solved = grids.map(g => solver(g, nc))
         present.iterator.map { u =>
           val (ex, ey) = cells(u)
-          (month, u, solved(ex * nc + ey))
+          (month, u, solved.map(_(ex * nc + ey)).toSeq)
         }
       }
-      .toDF(T, U, out)
+    solvedDs.toDF(T, U, "__flags")
+      .select(col(T) +: col(U) +:
+        valueCols.zipWithIndex.map { case (c, i) =>
+          element_at(col("__flags"), i + 1).as(s"flag_$c")
+        }: _*)
   }
+
+  /** Single-feature convenience wrapper. */
+  def fourierLag(panel: DataFrame, valueCol: String,
+                 lonCol: String = "lon", latCol: String = "lat",
+                 out: String = "flag_value", dimensionality: Int = 2): DataFrame =
+    fourierLagMulti(panel, Seq(valueCol), lonCol, latCol, dimensionality)
+      .withColumnRenamed(s"flag_$valueCol", out)
 }
