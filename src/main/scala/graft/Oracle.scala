@@ -306,6 +306,28 @@ object Oracle {
   val qSplag4d: String = splag4dSql(1, 1, 1.0, norm = false)
   val qSplag4dNorm: String = splag4dSql(1, 2, 2.0, norm = true)
 
+  /** Multi-feature kernel lag: both features through one join/agg. */
+  val qSplag4dMulti: String = {
+    val kv = spatial.Grid.kernelValuesSql(1, 1, 1.0, norm = false)
+    s"""$panel, cells2 AS (
+       |  SELECT month_id, unit_id,
+       |         unit_id % 40 AS lon, unit_id // 40 AS lat, value, value2
+       |  FROM panel
+       |), kernel(dx, dy, w) AS (VALUES $kv),
+       |contrib AS (
+       |  SELECT c.month_id, c.unit_id,
+       |    SUM(n.value * k.w) AS s1, SUM(n.value2 * k.w) AS s2
+       |  FROM cells2 c CROSS JOIN kernel k
+       |  JOIN cells2 n ON n.month_id = c.month_id
+       |    AND n.lon = c.lon + k.dx AND n.lat = c.lat + k.dy
+       |  GROUP BY 1, 2)
+       |SELECT p.month_id, p.unit_id,
+       |  COALESCE(ct.s1, 0.0) AS splag_value,
+       |  COALESCE(ct.s2, 0.0) AS splag_value2
+       |FROM panel p LEFT JOIN contrib ct
+       |  ON ct.month_id = p.month_id AND ct.unit_id = p.unit_id""".stripMargin
+  }
+
   /** Queen adjacency over the unit grid (month-invariant derivation; the
     * Spark side replicates it per month, which is equivalent).
     */

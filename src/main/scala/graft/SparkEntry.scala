@@ -138,6 +138,9 @@ object SparkEntry {
     "q_splag4d_norm" -> onGrid(gp =>
       KernelLag.splag4d(gp, "value", 1, 2, 2.0, norm = true)
         .select(col(T), col(U), col("splag"))),
+    "q_splag4d_multi" -> onGrid(gp =>
+      KernelLag.splag4dMulti(gp, Seq("value", "value2"), 1, 1, 1.0, norm = false)
+        .select(col(T), col(U), col("splag_value"), col("splag_value2"))),
     "q_splag_country" -> onPanel(p =>
       CountryLag.splagCountry(p, "value", cachedAdjacency(p),
         CountryLag.gridCentroids(p), 1, 1, 0.0, norm = false)
@@ -309,6 +312,7 @@ object SparkEntry {
     "q_list_totally_missing" -> Oracle.qListTotallyMissing,
     "q_splag4d" -> Oracle.qSplag4d,
     "q_splag4d_norm" -> Oracle.qSplag4dNorm,
+    "q_splag4d_multi" -> Oracle.qSplag4dMulti,
     "q_splag_country" -> Oracle.qSplagCountry,
     "q_splag_country_ring2" -> Oracle.qSplagCountryRing2,
     "q_splag_country_norm" -> Oracle.qSplagCountryNorm,

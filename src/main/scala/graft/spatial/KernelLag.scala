@@ -29,13 +29,25 @@ object KernelLag {
   def splag4d(panel: DataFrame, valueCol: String,
               inner: Int, width: Int, power: Double, norm: Boolean,
               lonCol: String = "lon", latCol: String = "lat",
-              out: String = "splag"): DataFrame = {
+              out: String = "splag"): DataFrame =
+    splag4dMulti(panel, Seq(valueCol), inner, width, power, norm, lonCol, latCol)
+      .withColumnRenamed(s"splag_$valueCol", out)
+
+  /** Multi-feature form: all features convolved in ONE pass — the same
+    * join produces one weighted sum per feature (the reference loops
+    * features over tensor slices, splag4d.py:134-140; here they share
+    * the join and the aggregation hash table). Outputs `splag_<c>`.
+    */
+  def splag4dMulti(panel: DataFrame, valueCols: Seq[String],
+                   inner: Int, width: Int, power: Double, norm: Boolean,
+                   lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
     val spark = panel.sparkSession
     val T = Panel.TimeCol
     val U = Panel.UnitCol
     val kernel = Grid.kernelDf(spark, inner, width, power, norm)
 
-    val cells = panel.select(col(T), col(U), col(lonCol), col(latCol), col(valueCol))
+    val cells = panel.select(
+      col(T) +: col(U) +: col(lonCol) +: col(latCol) +: valueCols.map(col): _*)
     // Every (target cell, kernel offset) pair, keyed by the neighbour
     // coordinate it needs.
     val wanted = cells.select(col(T), col(U), col(lonCol), col(latCol))
@@ -44,18 +56,20 @@ object KernelLag {
         (col(lonCol) + col("dx")).as("n_lon"),
         (col(latCol) + col("dy")).as("n_lat"),
         col("w"))
-    val neigh = cells.select(col(T).as("n_t"), col(lonCol).as("n_lon"),
-      col(latCol).as("n_lat"), col(valueCol).as("n_val"))
+    val neigh = cells.select(
+      col(T).as("n_t") +: col(lonCol).as("n_lon") +: col(latCol).as("n_lat") +:
+        valueCols.map(c => col(c).as(s"n_$c")): _*)
+    val aggs = valueCols.map(c => sum(col(s"n_$c") * col("w")).as(s"splag_$c"))
     val contrib = wanted.join(neigh,
       wanted(T) === neigh("n_t") &&
         wanted("n_lon") === neigh("n_lon") && wanted("n_lat") === neigh("n_lat"),
       "inner")
       .groupBy(wanted(T), wanted(U))
-      .agg(sum(col("n_val") * col("w")).as(out))
+      .agg(aggs.head, aggs.tail: _*)
     // Dense-output contract (splag4d 'from_product' reindex): every input
     // cell appears, cells with no in-range neighbours get 0.
     panel.select(col(T), col(U))
       .join(contrib, Seq(T, U), "left")
-      .na.fill(0.0, Seq(out))
+      .na.fill(0.0, valueCols.map(c => s"splag_$c"))
   }
 }
