@@ -236,6 +236,13 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) =>
       similarity.Similarity.cosineNearDupPairs(
         embeddings(s, dir).filter(col("vec_id") < 200), threshold = 0.3)),
+    // rows-only: IVF is approximate by design; exactness is covered by
+    // q_embed_topk and the recall spec
+    "q_embed_ivf_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      similarity.Similarity.ivfTopK(e, e.filter(col("vec_id") < 50),
+        k = 10, nlists = 16, nprobe = 4)
+    }),
     "q_impute_regression" -> onMissing(p =>
       ml.Imputer.regressionImpute(p, "value", "value2")
         .select(col(T), col(U), col("imputed"))),

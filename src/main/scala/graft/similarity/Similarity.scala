@@ -71,6 +71,97 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** IVF (inverted-file) index: a deterministic k-means coarse
+    * quantizer — centroids seeded from evenly-spaced corpus vectors,
+    * refined by `iters` Lloyd steps (each one aggregation over the
+    * corpus) — then each vector assigned to its nearest centroid's
+    * list. Queries probe the `nprobe` nearest centroid lists only, so
+    * the scored candidate set shrinks by ~nlists/nprobe; like any ANN
+    * index, recall < 1 by design.
+    *
+    * Deterministic end-to-end: seeding, Lloyd order, and assignment
+    * tie-breaks are all fixed, so results are reproducible across runs
+    * and engines.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlists: Int, nprobe: Int, iters: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
+
+    // deterministic seeding: every (n/nlists)-th corpus vector in id
+    // order — only the nlists seed rows are collected, never the corpus
+    val n = c.count()
+    require(n > 0, "empty corpus")
+    val stride = math.max(n / nlists, 1L)
+    val seedRows = c.withColumn("__rn", row_number().over(
+        Window.orderBy(col("neighbor_id"))))
+      .filter((col("__rn") - 1) % stride === 0 && col("__rn") <= stride * nlists)
+      .orderBy("__rn").select("c_vec").collect()
+    var centroids: Array[Array[Double]] =
+      (0 until nlists).map(i =>
+        seedRows(math.min(i, seedRows.length - 1)).getSeq[Double](0).toArray).toArray
+
+    def nearestCentroid(bcCents: Array[Array[Double]]) = {
+      // argmin over centroids of squared euclidean distance, index tie-break
+      udf { (v: Seq[Double]) =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < bcCents.length) {
+          val cent = bcCents(ci)
+          var d = 0.0
+          var j = 0
+          while (j < cent.length) { val t = v(j) - cent(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        best
+      }
+    }
+
+    // Lloyd iterations: assignment + mean, each one distributed pass
+    for (_ <- 1 to iters) {
+      val assignUdf = nearestCentroid(centroids)
+      val means = c.withColumn("list", assignUdf(col("c_vec")))
+        .groupBy("list")
+        .agg(array((0 until centroids(0).length).map(j =>
+          avg(element_at(col("c_vec"), j + 1))): _*).as("mean_vec"))
+        .collect()
+      val next = centroids.clone()
+      means.foreach { r =>
+        next(r.getInt(0)) = r.getSeq[Double](1).toArray
+      }
+      centroids = next
+    }
+
+    val assignUdf = nearestCentroid(centroids)
+    val assigned = c.withColumn("list", assignUdf(col("c_vec")))
+
+    // queries probe the nprobe nearest centroid lists
+    val centDf = centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("list", "cent")
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+    val qLists = q.crossJoin(broadcast(centDf))
+      .withColumn("cd", dot(col("q_vec"), col("cent")) * -2.0
+        + dot(col("cent"), col("cent")))  // ||q-c||² − ||q||² (rank-equivalent)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cd"), col("list"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("list"))
+
+    val scored = assigned.join(broadcast(qLists), "list")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Sign-LSH bucket key: one bit per hyperplane — here the sign of the
     * coordinate at each given dimension index (axis-aligned hyperplanes;
     * any fixed projection family works the same way).
