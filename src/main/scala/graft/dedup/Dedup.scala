@@ -44,8 +44,11 @@ object Dedup {
                textCol: String = "text"): DataFrame = {
     val words = split(TextOps.normalize(col(textCol)), " ")
     val idx = sequence(lit(1), greatest(size(words) - (n - 1), lit(1)))
+    // try_element_at: out-of-range -> null (SQL list semantics; plain
+    // element_at throws under Spark 4's default ANSI mode for texts
+    // shorter than the shingle width)
     val sh = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(words, i + o)): _*))
+      concat_ws(" ", (0 until n).map(o => try_element_at(words, i + o)): _*))
     docs.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
   }
 

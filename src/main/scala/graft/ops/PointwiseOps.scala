@@ -31,11 +31,20 @@ object PointwiseOps {
   def decay(c: Column, halflife: Double): Column =
     pow(lit(2.0), (c * -1.0) / halflife)
 
-  /** Two-column arithmetic — multi_column.py:5-46. Double division by
-    * zero yields ±Infinity in Spark doubles, matching NumPy.
-    */
+  /** Two-column arithmetic — multi_column.py:5-46. */
   def addColumn(a: Column, b: Column): Column = a + b
   def subtractColumn(a: Column, b: Column): Column = a - b
   def multiplyColumn(a: Column, b: Column): Column = a * b
-  def divideColumn(a: Column, b: Column): Column = a / b
+
+  /** Division with NumPy's zero semantics (±inf, 0/0 → NaN): the
+    * reference has no zero guard (multi_column.py:38-46) and Spark 4's
+    * default ANSI mode would otherwise throw on a zero divisor. The
+    * `when` guard keeps the engine division on the non-zero branch only.
+    */
+  def divideColumn(a: Column, b: Column): Column =
+    when(b === 0.0,
+      when(a > 0.0, Double.PositiveInfinity)
+        .when(a < 0.0, Double.NegativeInfinity)
+        .otherwise(Double.NaN))
+      .otherwise(a / b)
 }
