@@ -150,7 +150,10 @@ object TemporalOps {
   def temporalEntropy(c: Column, win: Int, offset: Double): Column = {
     val x = c + offset
     val total = sum(x).over(trailing(win))
-    val sLog = sum(x * log(2.0, x)).over(trailing(win))
+    // 0·log 0 := 0 (the information-theoretic convention; the reference
+    // dodges the case by requiring offset > 0, temporal_entropy.py:54)
+    val term = when(x > 0.0, x * log(2.0, x)).otherwise(0.0)
+    val sLog = sum(term).over(trailing(win))
     when(total > 0.0, log(2.0, total) - sLog / total).otherwise(0.0)
   }
 }

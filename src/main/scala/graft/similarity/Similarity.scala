@@ -31,7 +31,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine with a zero-vector guard (0 by convention): ANSI-mode Spark
+    * would throw on the zero-norm division otherwise.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
+  }
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
