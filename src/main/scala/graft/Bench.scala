@@ -19,6 +19,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // bounded top-k aggregators over panel-cardinality groups
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -35,10 +37,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir))
       catch { case e: Throwable =>
+        failures += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -46,7 +50,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a thrown query records near-zero wall-clock — surface it so a
+    // regression can't masquerade as a fast run
+    val fj = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -190,7 +190,9 @@ object Oracle {
     s"""$panel, e AS (
        |  SELECT month_id, unit_id,
        |    SUM(value + 1.0) OVER (${trail(12)}) AS x,
-       |    SUM((value + 1.0) * LOG2(value + 1.0)) OVER (${trail(12)}) AS s
+       |    SUM(CASE WHEN value + 1.0 > 0.0
+       |        THEN (value + 1.0) * LOG2(value + 1.0) ELSE 0.0 END)
+       |      OVER (${trail(12)}) AS s
        |  FROM panel)
        |SELECT month_id, unit_id,
        |  CASE WHEN x > 0.0 THEN LOG2(x) - s / x ELSE 0.0 END AS entropy

@@ -164,12 +164,18 @@ object OracleExt {
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |)""".stripMargin
 
+  /** Cosine with the same zero-norm guard as Similarity.cosine. */
+  private def cosSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
+       | THEN 0.0
+       | ELSE list_dot_product($a, $b)
+       |   / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END""".stripMargin
+
   val qEmbedTopK: String =
     s"""$embCte, q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 50),
        |scored AS (
        |  SELECT q.query_id, c.vec_id AS neighbor_id,
-       |    list_dot_product(qv, v)
-       |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+       |    ${cosSql("qv", "v")} AS cosine
        |  FROM c, q WHERE c.vec_id <> q.query_id),
        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
@@ -183,8 +189,7 @@ object OracleExt {
        |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 50),
        |scored AS (
        |  SELECT q.query_id, cb.vec_id AS neighbor_id,
-       |    list_dot_product(qv, v)
-       |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+       |    ${cosSql("qv", "v")} AS cosine
        |  FROM cb JOIN q ON cb.bucket = q.bucket AND cb.vec_id <> q.query_id),
        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
@@ -195,8 +200,7 @@ object OracleExt {
   val qEmbedNearDup: String =
     s"""$embCte, p AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |    list_dot_product(a.v, b.v)
-       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+       |    ${cosSql("a.v", "b.v")} AS cosine
        |  FROM c a, c b
        |  WHERE a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200)
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3""".stripMargin

@@ -32,6 +32,11 @@ object SparkEntry {
     * not a repeated source re-aggregation (the production path
     * materialises the panel once via PanelIO; this is the in-session
     * equivalent).
+    *
+    * Lifetime note: entries are never evicted — this object is the
+    * driver-contract harness, whose sessions are few and process-scoped.
+    * A long-lived service should materialise panels via PanelIO instead
+    * of this cache.
     */
   private val panelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]

@@ -18,11 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions", name)
+  private def info(className: String, name: String, usage: String) =
+    new ExpressionInfo(className, null, name, usage, "", "", "", "", "", "", "built-in")
 
   val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    ("dot_product", info("dot_product", "dot product of two array<double>"),
+    ("dot_product",
+      info(classOf[DotProduct].getName, "dot_product",
+        "_FUNC_(a, b) - dot product of two array<double> columns"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_product takes exactly 2 arguments")
         DotProduct(args.head, args(1))

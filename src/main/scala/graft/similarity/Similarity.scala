@@ -41,6 +41,17 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Shared ranking tail: per-query top-k by cosine with deterministic
+    * neighbour-id tie-break. Expects columns query_id/neighbor_id/cosine.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank").cast("int").as("rank"))
+
   /** Exact cosine top-k: for each query vector (`queries`), the k
     * most-similar corpus vectors (excluding itself), deterministically
     * tie-broken by corpus id.
@@ -50,15 +61,9 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("q_vec")))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
-    val scored = c.crossJoin(q)
+    rankTopK(c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"),
-        col("rank").cast("int").as("rank"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec"))), k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs of a
@@ -96,15 +101,13 @@ object Similarity {
     import spark.implicits._
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
 
-    // deterministic seeding: every (n/nlists)-th corpus vector in id
-    // order — only the nlists seed rows are collected, never the corpus
-    val n = c.count()
-    require(n > 0, "empty corpus")
-    val stride = math.max(n / nlists, 1L)
-    val seedRows = c.withColumn("__rn", row_number().over(
-        Window.orderBy(col("neighbor_id"))))
-      .filter((col("__rn") - 1) % stride === 0 && col("__rn") <= stride * nlists)
-      .orderBy("__rn").select("c_vec").collect()
+    // deterministic seeding: the nlists smallest-id corpus vectors via
+    // a distributed TakeOrderedAndProject (per-partition top-k + merge —
+    // no global-sort window, no full-corpus collect); Lloyd iterations
+    // spread the centroids from there
+    val seedRows = c.orderBy(col("neighbor_id")).limit(nlists)
+      .select("c_vec").collect()
+    require(seedRows.nonEmpty, "empty corpus")
     var centroids: Array[Array[Double]] =
       (0 until nlists).map(i =>
         seedRows(math.min(i, seedRows.length - 1)).getSeq[Double](0).toArray).toArray
@@ -157,15 +160,9 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("q_vec"), col("list"))
 
-    val scored = assigned.join(broadcast(qLists), "list")
+    rankTopK(assigned.join(broadcast(qLists), "list")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"),
-        col("rank").cast("int").as("rank"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec"))), k)
   }
 
   /** Sign-LSH bucket key: one bit per hyperplane — here the sign of the
@@ -188,14 +185,8 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("c_vec"),
       signBucket(asDouble(col(vecCol)), dims).as("bucket"))
-    val scored = c.join(broadcast(q), "bucket")
+    rankTopK(c.join(broadcast(q), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"),
-        col("rank").cast("int").as("rank"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec"))), k)
   }
 }

@@ -120,10 +120,15 @@ object SpacetimeDist {
         }
       } else {
         val spark = panel.sparkSession
-        // the bounded-buffer aggregate lives in ObjectHashAggregate,
+        // The bounded-buffer aggregate lives in ObjectHashAggregate,
         // whose default sort-based fallback kicks in at 128 groups —
-        // far below a panel's (month, cell) cardinality
-        spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+        // far below a panel's (month, cell) cardinality. Raise the
+        // threshold only if the session still has the default, so we
+        // never clobber an operator-external tuning choice; sessions
+        // built by Bench/Verify set it explicitly.
+        val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+        if (spark.conf.getOption(key).forall(_ == "128"))
+          spark.conf.set(key, "4000000")
         val topk = udaf(new TopK(k))
         val grouped = pairs.groupBy(col(T), col(U))
           .agg(topk(col("d2"), col("e_t"), col("e_u"), col("e_size")).as("cands"))

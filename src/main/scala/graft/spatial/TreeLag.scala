@@ -116,12 +116,7 @@ object TreeLag {
       .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)).toSeq
     val emb = embed(units)
 
-    val membership = emb.cells.toSeq.flatMap { case (u, (ex, ey)) =>
-      (0 to emb.power).map { lvl =>
-        val s = emb.ncells >> lvl
-        (u, lvl, ex / s, ey / s)
-      }
-    }
+    val membership = membershipRows(emb)
     val nodeSet = membership.map { case (_, l, nx, ny) => (l, nx, ny) }.toSet
     val il = emb.cells.toSeq.flatMap { case (u, (ex, ey)) =>
       walk(emb, nodeSet, ex, ey, thetacrit, f)
@@ -158,6 +153,15 @@ object TreeLag {
     * the mesh×target product matches the reference's own
     * O(leaves × grid_nodes) cost.
     */
+  /** Every unit's ancestor node per level: (unit, level, nx, ny). */
+  private def membershipRows(emb: Embedding): Seq[(Long, Int, Int, Int)] =
+    emb.cells.toSeq.flatMap { case (u, (ex, ey)) =>
+      (0 to emb.power).map { lvl =>
+        val s = emb.ncells >> lvl
+        (u, lvl, ex / s, ey / s)
+      }
+    }
+
   /** The per-month adaptive mesh as a DataFrame (month_id, level, nx,
     * ny, v, s): the reference's `keep_grids` surface. A node is in
     * mesh(month) iff every proper ancestor's value exceeds the threshold
@@ -170,13 +174,7 @@ object TreeLag {
     import spark.implicits._
     val T = Panel.TimeCol
     val U = Panel.UnitCol
-    val membership = emb.cells.toSeq.flatMap { case (u, (ex, ey)) =>
-      (0 to emb.power).map { lvl =>
-        val s = emb.ncells >> lvl
-        (u, lvl, ex / s, ey / s)
-      }
-    }
-    val memberDf = broadcast(membership.toDF(U, "level", "nx", "ny"))
+    val memberDf = broadcast(membershipRows(emb).toDF(U, "level", "nx", "ny"))
 
     // read 4x below (blocked both sides, mesh filter, lag values) —
     // persist so the membership join + aggregation runs once

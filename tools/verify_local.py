@@ -15,6 +15,11 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 only = set(sys.argv[3:])
 
+if "sf0.01" not in sfdir:
+    print(f"WARNING: the fourier/temporal-tree oracles hardcode the sf0.01 "
+          f"geometry (ncells=64, months 1..30); expect spurious FAILs for "
+          f"q_fourier_lag*/q_temporal_tree_* at {sfdir}")
+
 con = duckdb.connect()
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f).replace(".parquet", "")
