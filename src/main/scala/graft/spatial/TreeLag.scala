@@ -102,12 +102,25 @@ object TreeLag {
   def treeLag(panel: DataFrame, valueCol: String,
               thetacrit: Double, dfunctionOption: Int,
               lonCol: String = "lon", latCol: String = "lat",
-              out: String = "treelag"): DataFrame = {
+              out: String = "treelag"): DataFrame =
+    treeLagWith(panel, valueCol, thetacrit,
+      Seq(out -> dfunction(dfunctionOption)), lonCol, latCol)
+
+  /** Multi-weight-function form — the reference's extension point is a
+    * dict of distance→weight callables producing one output per
+    * function (spatial_tree.py:48-79, tree_lag outputs
+    * nweightfunctions columns per feature). Every function shares the
+    * SAME interaction lists and node values: one walk, one broadcast
+    * join, one aggregation with N weighted sums.
+    */
+  def treeLagWith(panel: DataFrame, valueCol: String, thetacrit: Double,
+                  weightFns: Seq[(String, Double => Double)],
+                  lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
     val spark = panel.sparkSession
     import spark.implicits._
     val T = Panel.TimeCol
     val U = Panel.UnitCol
-    val f = dfunction(dfunctionOption)
+    require(weightFns.nonEmpty, "at least one weight function required")
 
     // Geometry: distinct unit cells only (small — the global PRIO grid
     // itself is ~260k cells); everything time/value-dependent stays
@@ -118,23 +131,30 @@ object TreeLag {
 
     val membership = membershipRows(emb)
     val nodeSet = membership.map { case (_, l, nx, ny) => (l, nx, ny) }.toSet
+    // walk once computing the raw distance, then evaluate every weight
+    // function on it driver-side (the lists are geometry, not data)
     val il = emb.cells.toSeq.flatMap { case (u, (ex, ey)) =>
-      walk(emb, nodeSet, ex, ey, thetacrit, f)
-        .map { case (l, nx, ny, w) => (u, l, nx, ny, w) }
+      walk(emb, nodeSet, ex, ey, thetacrit, d => d)
+        .map { case (l, nx, ny, d) =>
+          (u, l, nx, ny, weightFns.map(_._2(d)))
+        }
     }
 
     val memberDf = broadcast(membership.toDF(U, "level", "nx", "ny"))
-    val ilDf = broadcast(il.toDF("target", "level", "nx", "ny", "w"))
+    val ilDf = broadcast(il.toDF("target", "level", "nx", "ny", "ws"))
 
     val nodevals = panel.select(col(T), col(U), col(valueCol))
       .join(memberDf, U)
       .groupBy(col(T), col("level"), col("nx"), col("ny"))
       .agg(sum(col(valueCol)).as("v"))
+    val aggs = weightFns.zipWithIndex.map { case ((name, _), i) =>
+      sum(col("v") * element_at(col("ws"), i + 1)).as(name)
+    }
     val lag = nodevals.join(ilDf, Seq("level", "nx", "ny"))
       .groupBy(col(T), col("target").as(U))
-      .agg(sum(col("v") * col("w")).as(out))
+      .agg(aggs.head, aggs.tail: _*)
     panel.select(col(T), col(U)).join(lag, Seq(T, U), "left")
-      .na.fill(0.0, Seq(out))
+      .na.fill(0.0, weightFns.map(_._1))
   }
 
   /** Adaptive-mesh grid lag — reference get_grid_lag
@@ -207,10 +227,30 @@ object TreeLag {
               threshold: Double, dfunctionOption: Int,
               lonCol: String = "lon", latCol: String = "lat",
               out: String = "gridlag"): DataFrame = {
+    val w: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      dfunctionOption match {
+        case 0 => d => lit(1.0) / log(lit(1.0) + d)
+        case 1 => d => lit(1.0) / d
+        case 2 => d => lit(1.0) / (d * d)
+        case other => throw new IllegalArgumentException(s"bad dfunction $other")
+      }
+    gridLagWith(panel, valueCol, threshold, Seq(out -> w), lonCol, latCol)
+  }
+
+  /** Multi-weight-function form (the reference accepts an arbitrary
+    * dict of distance functions, spatial_tree.py:95-97): weight builders
+    * are plan-build-time `Column => Column` lambdas — they compose into
+    * the same codegen'd expression tree, no UDFs — and all share one
+    * mesh × target pass.
+    */
+  def gridLagWith(panel: DataFrame, valueCol: String, threshold: Double,
+                  weightFns: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
+                  lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
     val spark = panel.sparkSession
     import spark.implicits._
     val T = Panel.TimeCol
     val U = Panel.UnitCol
+    require(weightFns.nonEmpty, "at least one weight function required")
 
     val units = panel.select(col(U), col(lonCol), col(latCol)).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)).toSeq
@@ -223,18 +263,15 @@ object TreeLag {
     val dx = col("ex") + 0.5 - (col("nx") * col("s") + col("s") / 2.0)
     val dy = col("ey") + 0.5 - (col("ny") * col("s") + col("s") / 2.0)
     val d = sqrt(dx * dx + dy * dy)
-    val w = dfunctionOption match {
-      case 0 => lit(1.0) / log(lit(1.0) + d)
-      case 1 => lit(1.0) / d
-      case 2 => lit(1.0) / (d * d)
-      case other => throw new IllegalArgumentException(s"bad dfunction $other")
+    val aggs = weightFns.map { case (name, w) =>
+      sum(col("v") * w(d)).as(name)
     }
     val lag = mesh.crossJoin(targets)
       .filter(!(col("level") === emb.power &&
         col("nx") === col("ex") && col("ny") === col("ey")))
       .groupBy(col(T), col("target").as(U))
-      .agg(sum(col("v") * w).as(out))
+      .agg(aggs.head, aggs.tail: _*)
     panel.select(col(T), col(U)).join(lag, Seq(T, U), "left")
-      .na.fill(0.0, Seq(out))
+      .na.fill(0.0, weightFns.map(_._1))
   }
 }

@@ -87,6 +87,32 @@ class TreeFourierSpec extends SparkSpec {
     assert(mesh.count(_._1 == 1L) > 1)
   }
 
+  test("multi-weight tree/grid lags equal per-function single runs") {
+    val units = Seq(0L, 1L, 2L, 40L, 41L, 42L)
+    val rows = for (m <- Seq(1L, 2L); u <- units) yield (m, u, (u % 7 + m).toDouble)
+    val p = rows.toDF(T, U, "value")
+      .withColumn("lon", spatial.Grid.unitLon(col(U)))
+      .withColumn("lat", spatial.Grid.unitLat(col(U)))
+    // tree: both dfunctions in one pass == two single-function runs
+    val multi = spatial.TreeLag.treeLagWith(p, "value", 0.5,
+      Seq("w_logd" -> spatial.TreeLag.dfunction(0),
+          "w_d2" -> spatial.TreeLag.dfunction(2)))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    val single0 = spatial.TreeLag.treeLag(p, "value", 0.5, 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val single2 = spatial.TreeLag.treeLag(p, "value", 0.5, 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    multi.foreach { case (k, (a, b)) =>
+      assert(math.abs(a - single0(k)) < 1e-12 && math.abs(b - single2(k)) < 1e-12)
+    }
+    // grid: a custom Column-level weight lambda (reference's dict
+    // extension point) runs without UDFs
+    val custom = spatial.TreeLag.gridLagWith(p, "value", 10.0,
+      Seq("inv_sq" -> (d => org.apache.spark.sql.functions.lit(1.0) / (d * d + 1.0))))
+    assert(custom.columns.toSeq == Seq(T, U, "inv_sq"))
+    assert(custom.count() == 12)
+  }
+
   test("FFT round-trips and matches the DFT definition") {
     val n = 8
     val re = Array.tabulate(n)(i => math.sin(i * 1.7) + i)
