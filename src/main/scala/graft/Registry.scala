@@ -17,49 +17,72 @@ import org.apache.spark.sql.functions._
 object Registry {
 
   /** A transform: (panel, positional args) → panel with `value`
-    * replaced by the transformed series.
+    * replaced by the transformed series. Args are positional JSON
+    * scalars — numbers or strings (the fill family takes direction/area
+    * names).
     */
-  type Transform = (DataFrame, Seq[Double]) => DataFrame
+  type Transform = (DataFrame, Seq[Any]) => DataFrame
 
-  private def colT(f: (Column, Seq[Double]) => Column): Transform =
+  private implicit class ArgOps(args: Seq[Any]) {
+    def num(i: Int): Double = args(i) match {
+      case d: Double => d
+      case other => throw new IllegalArgumentException(s"arg $i must be numeric, got $other")
+    }
+    def numOpt(i: Int): Option[Double] =
+      if (args.length > i) Some(num(i)) else None
+    def str(i: Int): String = args(i) match {
+      case s: String => s
+      case other => throw new IllegalArgumentException(s"arg $i must be a string, got $other")
+    }
+    def strOpt(i: Int): Option[String] =
+      if (args.length > i) Some(str(i)) else None
+  }
+
+  private def colT(f: (Column, Seq[Any]) => Column): Transform =
     (df, args) => df.withColumn("value", f(col("value"), args))
 
   val transforms: Map[String, Transform] = Map(
     // names follow the reference registry (views_2.py function names)
     "identity" -> ((df, _) => df),
-    "ge" -> colT((c, a) => PointwiseOps.greaterOrEqual(c, a.head).cast("double")),
-    "le" -> colT((c, a) => PointwiseOps.smallerOrEqual(c, a.head).cast("double")),
-    "in_range" -> colT((c, a) => PointwiseOps.inRange(c, a(0), a(1)).cast("double")),
+    "ge" -> colT((c, a) => PointwiseOps.greaterOrEqual(c, a.num(0)).cast("double")),
+    "le" -> colT((c, a) => PointwiseOps.smallerOrEqual(c, a.num(0)).cast("double")),
+    "in_range" -> colT((c, a) => PointwiseOps.inRange(c, a.num(0), a.num(1)).cast("double")),
     "ln" -> colT((c, _) => PointwiseOps.ln(c)),
-    "decay" -> colT((c, a) => PointwiseOps.decay(c, a.head)),
-    "tlag" -> colT((c, a) => TemporalOps.tlag(c, a.head.toInt)),
-    "tlead" -> colT((c, a) => TemporalOps.tlead(c, a.head.toInt)),
-    "delta" -> colT((c, a) => TemporalOps.delta(c, a.head.toInt)),
-    "moving_average" -> colT((c, a) => TemporalOps.movingAverage(c, a.head.toInt)),
-    "moving_sum" -> colT((c, a) => TemporalOps.movingSum(c, a.head.toInt)),
-    "rollmax" -> colT((c, a) => TemporalOps.rollmax(c, a.head.toInt)),
+    "decay" -> colT((c, a) => PointwiseOps.decay(c, a.num(0))),
+    "tlag" -> colT((c, a) => TemporalOps.tlag(c, a.num(0).toInt)),
+    "tlead" -> colT((c, a) => TemporalOps.tlead(c, a.num(0).toInt)),
+    "delta" -> colT((c, a) => TemporalOps.delta(c, a.num(0).toInt)),
+    "moving_average" -> colT((c, a) => TemporalOps.movingAverage(c, a.num(0).toInt)),
+    "moving_sum" -> colT((c, a) => TemporalOps.movingSum(c, a.num(0).toInt)),
+    "rollmax" -> colT((c, a) => TemporalOps.rollmax(c, a.num(0).toInt)),
     "mean" -> colT((c, _) => TemporalOps.meanOverTime(c)),
     "demean" -> colT((c, _) => TemporalOps.demean(c)),
-    "onset_possible" -> colT((c, a) => TemporalOps.onsetPossible(c, a.head.toInt).cast("double")),
-    "onset" -> colT((c, a) => TemporalOps.onset(c, a.head.toInt).cast("double")),
-    "temporal_entropy" -> colT((c, a) => TemporalOps.temporalEntropy(c, a(0).toInt, a(1))),
+    "onset_possible" -> colT((c, a) => TemporalOps.onsetPossible(c, a.num(0).toInt).cast("double")),
+    "onset" -> colT((c, a) => TemporalOps.onset(c, a.num(0).toInt).cast("double")),
+    "temporal_entropy" -> colT((c, a) => TemporalOps.temporalEntropy(c, a.num(0).toInt, a.num(1))),
     "cweq" -> ((df, a) => {
-      val seed = if (a.length > 1) Some(a(1).toInt) else None
-      TemporalOps.cweq(df, "value", a.head, seed, out = "__cw")
+      TemporalOps.cweq(df, "value", a.num(0), a.numOpt(1).map(_.toInt), out = "__cw")
         .withColumn("value", col("__cw").cast("double")).drop("__cw")
     }),
     "time_since" -> ((df, a) => {
-      val v = if (a.nonEmpty) a.head else 0.0
-      val seed = if (a.length > 1) Some(a(1).toInt) else None
-      TemporalOps.timeSince(df, "value", v, seed, out = "__ts")
+      TemporalOps.timeSince(df, "value", a.numOpt(0).getOrElse(0.0),
+        a.numOpt(1).map(_.toInt), out = "__ts")
         .withColumn("value", col("__ts").cast("double")).drop("__ts")
     }),
     "replace_na" -> ((df, a) =>
-      MissingOps.replaceNa(df, Seq("value"), if (a.nonEmpty) a.head else 0.0)),
+      MissingOps.replaceNa(df, Seq("value"), a.numOpt(0).getOrElse(0.0))),
+    "fill" -> ((df, a) =>
+      MissingOps.fill(df, "value", a.strOpt(0).getOrElse("both"),
+        a.strOpt(1), out = "__f")
+        .withColumn("value", col("__f")).drop("__f")),
+    "extrapolate" -> ((df, a) =>
+      MissingOps.extrapolate(df, "value", a.strOpt(0).getOrElse("both"),
+        a.strOpt(1), out = "__f")
+        .withColumn("value", col("__f")).drop("__f")),
   )
 
   /** One step of a pipeline spec. */
-  final case class Step(name: String, args: Seq[Double])
+  final case class Step(name: String, args: Seq[Any])
 
   /** Apply a named transform. */
   def apply(df: DataFrame, step: Step): DataFrame =
@@ -86,14 +109,15 @@ object Registry {
             case JString(s) => s
             case _ => throw new IllegalArgumentException(s"missing 'type' in $obj")
           }
-          val args = (obj \ "args") match {
+          val args: Seq[Any] = (obj \ "args") match {
             case JArray(vs) => vs.map {
               case JInt(i) => i.toDouble
               case JDouble(d) => d
               case JLong(l) => l.toDouble
-              case other => throw new IllegalArgumentException(s"non-numeric arg $other")
+              case JString(s) => s
+              case other => throw new IllegalArgumentException(s"unsupported arg $other")
             }
-            case JNothing => Seq.empty[Double]
+            case JNothing => Seq.empty[Any]
             case other => throw new IllegalArgumentException(s"bad args $other")
           }
           Step(name, args)

@@ -22,6 +22,20 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("string args reach the fill family through the wire format") {
+    val withNulls = Seq[(Long, Long, Option[Double])](
+      (1L, 1L, None), (2L, 1L, Some(3.0)), (3L, 1L, None), (4L, 1L, Some(5.0)),
+      (5L, 1L, None)
+    ).toDF(T, U, "value")
+    val ff = Registry.run(withNulls, """[{"type":"fill","args":["forward"]}]""")
+      .orderBy(T).collect().map(r => if (r.isNullAt(2)) null else r.getDouble(2)).toSeq
+    assert(ff == Seq(null, 3.0, 3.0, 5.0, 5.0))
+    val interp = Registry.run(withNulls,
+      """[{"type":"extrapolate","args":["both","inside"]}]""")
+      .orderBy(T).collect().map(r => if (r.isNullAt(2)) null else r.getDouble(2)).toSeq
+    assert(interp == Seq(null, 3.0, 4.0, 5.0, null))
+  }
+
   test("unknown transform raises with the known list") {
     val e = intercept[IllegalArgumentException](
       Registry.run(p, """[{"type":"nope"}]"""))
