@@ -1,0 +1,46 @@
+package graft
+
+import graft.spatial.{Grid, KernelLag, TreeLag}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the scale-critical join strategies the
+  * operators are designed around must actually appear in the plans
+  * (regressions here are invisible to value-level tests).
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+  private val T = Panel.TimeCol
+  private val U = Panel.UnitCol
+
+  private def gridPanel = {
+    val rows = for (m <- 1L to 3L; u <- 0L until 60L) yield (m, u, (u + m).toDouble)
+    rows.toDF(T, U, "value")
+      .withColumn("lon", Grid.unitLon(col(U)))
+      .withColumn("lat", Grid.unitLat(col(U)))
+  }
+
+  test("splag4d joins the kernel via broadcast, never a shuffled kernel side") {
+    val plan = KernelLag.splag4d(gridPanel, "value", 1, 1, 1.0, norm = false)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("tree lag's geometry tables broadcast; node values aggregate hash-side") {
+    val plan = TreeLag.treeLag(gridPanel, "value", 0.5, 0)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("spacetime kNN plans as equi hash joins (no nested-loop range join)") {
+    val plan = spatial.SpacetimeDist.spacetimeDistances(
+        gridPanel, "value", "distances", k = 1, nu = 1.0, power = 0.0)
+      .queryExecution.executedPlan.toString()
+    // the DATA-path join (cells x visible events) must be a month-key
+    // broadcast hash join; a nested loop is acceptable only in the tiny
+    // months x months pair-table construction
+    assert(plan.contains("BroadcastHashJoin [month_id"), plan)
+    val bnl = plan.split("\n").filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl.forall(_.contains("e_t")), s"unexpected BNL:\n${bnl.mkString("\n")}")
+  }
+}
