@@ -205,6 +205,66 @@ object OracleExt {
        |  WHERE a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200)
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3""".stripMargin
 
+  /** The composed corpus-preparation pipeline: drop normalised-text
+    * duplicates (keep the canonical id), keep documents above a quality
+    * floor whose predicted language is English, emit the surviving ids
+    * with their stats — the realistic end-to-end shape the individual
+    * text/dedup operators exist for.
+    */
+  val qCorpusFilter: String = {
+    val langs = text.TextOps.LangMarkers
+    val scoreExprs = langs.map { case (lang, ws) =>
+      s"(${stopHits("pd", ws)}) AS s_$lang"
+    }.mkString(", ")
+    val best = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
+    val langCase = langs.map { case (lang, _) =>
+      s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""$norm, pad AS (SELECT doc_id, text, nt, ' ' || nt || ' ' AS pd FROM norm),
+       |sc AS (SELECT doc_id, text, nt, pd, $scoreExprs,
+       |         (${stopHits("pd", Seq("the", "a", "and", "of", "is"))}) AS stop_hits
+       |       FROM pad),
+       |feat AS (
+       |  SELECT doc_id, md5(nt) AS fingerprint,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 200.0, 1.0) * 0.4
+       |      + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+       |          / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3
+       |      + least(stop_hits / 10.0, 1.0) * 0.3 AS quality,
+       |    CASE $langCase ELSE 'unknown' END AS lang_pred
+       |  FROM sc),
+       |dedup AS (
+       |  SELECT *, MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
+       |  FROM feat)
+       |SELECT doc_id, n_tokens, quality, lang_pred
+       |FROM dedup
+       |WHERE doc_id = canonical_id AND quality >= 0.5 AND lang_pred = 'en'""".stripMargin
+  }
+
+  /** Corpus budgeting: token totals per predicted language. */
+  val qCorpusStats: String = {
+    val langs = text.TextOps.LangMarkers
+    val scoreExprs = langs.map { case (lang, ws) =>
+      s"(${stopHits("pd", ws)}) AS s_$lang"
+    }.mkString(", ")
+    val best = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
+    val langCase = langs.map { case (lang, _) =>
+      s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""$norm, pad AS (SELECT doc_id, text, nt, ' ' || nt || ' ' AS pd FROM norm),
+       |sc AS (SELECT doc_id, text, $scoreExprs FROM pad),
+       |feat AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    CASE $langCase ELSE 'unknown' END AS lang_pred
+       |  FROM sc)
+       |SELECT lang_pred,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  AVG(CAST(n_tokens AS DOUBLE)) AS avg_tokens
+       |FROM feat GROUP BY 1""".stripMargin
+  }
+
   // --- relational star-schema queries --------------------------------------
 
   val qPricingSummary: String =

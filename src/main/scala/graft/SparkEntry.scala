@@ -219,6 +219,9 @@ object SparkEntry {
         col("n_tokens").cast("long"), col("n_tokens_bpe").cast("long"),
         col("fingerprint"), col("quality"), col("lang_pred"))),
     "q_dedup_exact" -> ((s, dir) => dedup.Dedup.exact(docs(s, dir))),
+    "q_corpus_filter" -> ((s, dir) =>
+      text.TextOps.corpusFilter(docs(s, dir), minQuality = 0.5, lang = "en")),
+    "q_corpus_stats" -> ((s, dir) => text.TextOps.corpusStats(docs(s, dir))),
     "q_minhash_lsh" -> ((s, dir) =>
       dedup.Dedup.minhashLsh(docs(s, dir).filter(col("doc_id") < 200),
         shingleSize = 2, numHashes = OracleExt.MinhashHashes,
@@ -345,6 +348,8 @@ object SparkEntry {
     "q_fourier_lag_multi" -> Oracle.qFourierLagMulti,
     "q_text_analyze" -> OracleExt.qTextAnalyze,
     "q_dedup_exact" -> OracleExt.qDedupExact,
+    "q_corpus_filter" -> OracleExt.qCorpusFilter,
+    "q_corpus_stats" -> OracleExt.qCorpusStats,
     "q_minhash_lsh" -> OracleExt.qMinhashLsh,
     "q_simhash" -> OracleExt.qSimhash,
     "q_simhash_pairs" -> OracleExt.qSimhashPairs,

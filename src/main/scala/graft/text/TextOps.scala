@@ -96,4 +96,28 @@ object TextOps {
       .withColumn("quality", qualityScore(t))
       .withColumn("lang_pred", langId(t))
   }
+
+  /** The composed corpus-preparation pipeline: exact-dedup (keep the
+    * canonical doc per fingerprint), quality floor, language filter —
+    * one declarative plan over the raw documents.
+    */
+  def corpusFilter(docs: DataFrame, minQuality: Double, lang: String,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val analyzed = analyze(docs, textCol)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
+    analyzed
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("canonical_id") &&
+        col("quality") >= minQuality && col("lang_pred") === lang)
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        col("quality"), col("lang_pred"))
+  }
+
+  /** Corpus budgeting: token totals per predicted language. */
+  def corpusStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    analyze(docs, textCol)
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        avg(col("n_tokens").cast("double")).as("avg_tokens"))
 }
