@@ -131,24 +131,27 @@ object CountryLag {
   /** Derived adjacency for the testdata unit grid (queen adjacency on
     * the 40-column embedding), replicated per month — a stand-in for the
     * reference's `country_country_month_expanded` table.
+    *
+    * Like the quadtree geometry, this is a pure function of the distinct
+    * unit set: computed on the driver via a hash-set neighbour lookup
+    * (O(units·8), no O(units²) crossJoin) and replicated over the months.
+    * Real deployments supply adjacency as an input table instead.
     */
   def gridAdjacency(panel: DataFrame): DataFrame = {
+    val spark = panel.sparkSession
+    import spark.implicits._
     val units = panel.select(col(Panel.UnitCol)).distinct()
+      .collect().map(_.getLong(0))
+    val cellToUnit = units.map(u => ((u % Grid.UnitCols, u / Grid.UnitCols), u)).toMap
+    val pairs = for {
+      u <- units.toSeq
+      dx <- -1 to 1
+      dy <- -1 to 1
+      if !(dx == 0 && dy == 0)
+      v <- cellToUnit.get((u % Grid.UnitCols + dx, u / Grid.UnitCols + dy))
+    } yield (u, v)
     val months = panel.select(col(Panel.TimeCol)).distinct()
-    val a = units.select(col(Panel.UnitCol).as("a_id"),
-      Grid.unitLon(col(Panel.UnitCol)).as("a_lon"),
-      Grid.unitLat(col(Panel.UnitCol)).as("a_lat"))
-    val b = units.select(col(Panel.UnitCol).as("b_id"),
-      Grid.unitLon(col(Panel.UnitCol)).as("b_lon"),
-      Grid.unitLat(col(Panel.UnitCol)).as("b_lat"))
-    val adj = a.crossJoin(broadcast(b))
-      .filter(abs(col("a_lon") - col("b_lon")) <= 1 &&
-        abs(col("a_lat") - col("b_lat")) <= 1 &&
-        col("a_id") =!= col("b_id"))
-      .select("a_id", "b_id")
-    // the BFS ring expansion re-reads the adjacency once per order —
-    // persist the derivation so the O(units²) candidate filter runs once
-    broadcast(months).crossJoin(adj)
+    broadcast(months).crossJoin(broadcast(pairs.toDF("a_id", "b_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
