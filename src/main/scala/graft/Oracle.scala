@@ -186,16 +186,47 @@ object Oracle {
        |       ELSE LAG(time_since, 1) OVER ($wuo) + 1.0 END AS tick
        |FROM tis""".stripMargin
 
-  val qEntropy: String =
-    s"""$panel, e AS (
-       |  SELECT month_id, unit_id,
-       |    SUM(value + 1.0) OVER (${trail(12)}) AS x,
-       |    SUM(CASE WHEN value + 1.0 > 0.0
-       |        THEN (value + 1.0) * LOG2(value + 1.0) ELSE 0.0 END)
-       |      OVER (${trail(12)}) AS s
-       |  FROM panel)
+  /** Batch-equivalent of the streaming tick (TickStream.updateGroup):
+    * NULL on each unit's first row (no prior step), 0 right after an
+    * event, else the length of the zero-run ending at the previous row
+    * (gaps-and-islands on the cumulative event count).
+    */
+  val qTickStream: String =
+    s"""$panel, z AS (
+       |  SELECT month_id, unit_id, value,
+       |    SUM(CASE WHEN value <> 0.0 THEN 1 ELSE 0 END) OVER ($cum) AS grp
+       |  FROM panel),
+       |r AS (
+       |  SELECT month_id, unit_id, value,
+       |    SUM(CASE WHEN value = 0.0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY unit_id, grp ORDER BY month_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zrun
+       |  FROM z)
        |SELECT month_id, unit_id,
-       |  CASE WHEN x > 0.0 THEN LOG2(x) - s / x ELSE 0.0 END AS entropy
+       |  CASE WHEN LAG(value) OVER ($wuo) IS NULL THEN NULL
+       |       WHEN LAG(value) OVER ($wuo) <> 0.0 THEN 0.0
+       |       ELSE CAST(LAG(zrun) OVER ($wuo) AS DOUBLE) END AS tick
+       |FROM r""".stripMargin
+
+  /** Bit-exact parity with TemporalOps.temporalEntropy: LN-ratio (Spark's
+    * log(2.0, x) = ln x / ln 2, and DuckDB's LOG2 differs from it in the
+    * last ulp) and left-to-right list-folds for the trailing sums (Spark's
+    * sliding window frame recomputes the aggregate in frame order, while
+    * DuckDB's windowed SUM uses segment-tree association).
+    */
+  val qEntropy: String =
+    s"""$panel, t AS (
+       |  SELECT month_id, unit_id, value + 1.0 AS x,
+       |    CASE WHEN value + 1.0 > 0.0
+       |      THEN (value + 1.0) * (LN(value + 1.0) / LN(2.0)) ELSE 0.0 END AS term
+       |  FROM panel),
+       |e AS (
+       |  SELECT month_id, unit_id,
+       |    list_reduce(list(x) OVER (${trail(12)}), (a, b) -> a + b) AS x,
+       |    list_reduce(list(term) OVER (${trail(12)}), (a, b) -> a + b) AS s
+       |  FROM t)
+       |SELECT month_id, unit_id,
+       |  CASE WHEN x > 0.0 THEN LN(x) / LN(2.0) - s / x ELSE 0.0 END AS entropy
        |FROM e""".stripMargin
 
   // --- §2.10 missing data --------------------------------------------------

@@ -305,6 +305,42 @@ object OracleExt {
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |GROUP BY 1""".stripMargin
 
+  /** Multimodal feature extraction (Multimodal.synthesize →
+    * extractFeatures over documents): content = utf-8 bytes of `text`
+    * (pure ASCII in the testdata, so byte i = ascii(char i)), feature d
+    * = mean of bytes at 0-based positions ≡ d (mod FeatureDim) / 255,
+    * rounded through float32 exactly as the Scala kernel does. Byte
+    * sums of integers are exact in double, so association order is
+    * irrelevant here (unlike the entropy window sums).
+    */
+  val qMultimodalFeatures: String = {
+    val dim = graft.multimodal.Multimodal.FeatureDim
+    val feats = (0 until dim).map { d =>
+      s"""COALESCE(CAST(CAST(
+         |  SUM(CASE WHEN dim = $d THEN b END)
+         |    / COUNT(CASE WHEN dim = $d THEN b END) / 255.0
+         |  AS REAL) AS DOUBLE), 0.0) AS f$d""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+       |         length(text) AS n
+       |  FROM documents),
+       |pos AS (
+       |  SELECT media_id, text, n, unnest(generate_series(1, n)) AS i
+       |  FROM d WHERE n > 0),
+       |byt AS (
+       |  SELECT media_id, (i - 1) % $dim AS dim,
+       |         CAST(ascii(substr(text, i, 1)) AS DOUBLE) AS b
+       |  FROM pos),
+       |agg AS (
+       |  SELECT media_id,
+       |$feats
+       |  FROM byt GROUP BY media_id)
+       |SELECT d.media_id, CAST(d.n AS BIGINT) AS n_bytes,
+       |  ${(0 until dim).map(d => s"COALESCE(a.f$d, 0.0) AS f$d").mkString(", ")}
+       |FROM d LEFT JOIN agg a ON a.media_id = d.media_id""".stripMargin
+  }
+
   /** Regression imputation (the 2-column analogue of the reference's
     * IterativeImputer, missing.py:165-209): OLS of value on value2 over
     * observed rows, predictions clipped to the observed min/max.

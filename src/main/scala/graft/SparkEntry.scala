@@ -314,6 +314,7 @@ object SparkEntry {
     "q_onset_possible" -> Oracle.qOnsetPossible,
     "q_onset" -> Oracle.qOnset,
     "q_tick" -> Oracle.qTick,
+    "q_tick_stream" -> Oracle.qTickStream,
     "q_entropy" -> Oracle.qEntropy,
     "q_replace_na" -> Oracle.qReplaceNa,
     "q_ffill" -> Oracle.qFfill,
@@ -358,6 +359,7 @@ object SparkEntry {
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_impute_regression" -> OracleExt.qImputeRegression,
+    "q_multimodal_features" -> OracleExt.qMultimodalFeatures,
     "q_pricing_summary" -> OracleExt.qPricingSummary,
     "q_top_orders" -> OracleExt.qTopOrders,
     "q_region_revenue" -> OracleExt.qRegionRevenue,

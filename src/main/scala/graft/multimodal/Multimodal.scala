@@ -66,6 +66,10 @@ object Multimodal {
   /** Partition-wise decode + feature extraction: one `mapPartitions`
     * pass so a real decoder could initialise once per partition and
     * process its rows as a batch (the `mapInPandas` execution shape).
+    * The fixed-width feature vector is projected to scalar columns
+    * `f0..f{FeatureDim-1}` — a flat, sortable schema that any
+    * downstream consumer (or comparison harness) can handle without
+    * array support.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -73,9 +77,12 @@ object Multimodal {
     val ds: Dataset[(Long, Array[Byte])] = media
       .select(col("media_id"), coalesce(col("content"), lit(Array.empty[Byte])))
       .as[(Long, Array[Byte])]
-    ds.mapPartitions { rows =>
+    val raw = ds.mapPartitions { rows =>
       // per-partition decoder init would go here
       rows.map { case (id, bytes) => (id, bytes.length.toLong, decodeStub(bytes)) }
     }.toDF("media_id", "n_bytes", "features")
+    raw.select(
+      col("media_id") +: col("n_bytes") +:
+        (0 until FeatureDim).map(d => col("features")(d).cast("double").as(s"f$d")): _*)
   }
 }

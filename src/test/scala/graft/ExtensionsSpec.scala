@@ -134,11 +134,13 @@ class ExtensionsSpec extends SparkSpec {
   test("multimodal: stubbed decode preserves schema/batch shape") {
     val media = Multimodal.synthesize(docsDf)
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "content", "meta"))
-    val out = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val df = Multimodal.extractFeatures(media)
+    assert(df.schema.fieldNames.toSeq ==
+      "media_id" +: "n_bytes" +: (0 until Multimodal.FeatureDim).map(d => s"f$d"))
+    val out = df.orderBy("media_id").collect()
     assert(out.length == 4)
-    val feats = out(0).getAs[scala.collection.Seq[Float]]("features")
-    assert(feats.length == Multimodal.FeatureDim)
-    assert(feats.forall(f => f >= 0f && f <= 1f))
+    val feats = (0 until Multimodal.FeatureDim).map(d => out(0).getAs[Double](s"f$d"))
+    assert(feats.forall(f => f >= 0.0 && f <= 1.0))
     assert(out(0).getAs[Long]("n_bytes") == docsDf.collect()(0).getString(1).length)
   }
 
