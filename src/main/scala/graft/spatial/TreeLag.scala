@@ -185,8 +185,17 @@ object TreeLag {
   /** The per-month adaptive mesh as a DataFrame (month_id, level, nx,
     * ny, v, s): the reference's `keep_grids` surface. A node is in
     * mesh(month) iff every proper ancestor's value exceeds the threshold
-    * and its own doesn't (or it is a leaf) — a disjoint cover of the
-    * occupied cells every month.
+    * (they all split) and the node's own value does not (or it is a
+    * leaf) — a disjoint cover of the occupied cells every month.
+    *
+    * Computed as a per-unit argmin rather than an ancestor self-join:
+    * walking a unit's ancestor path root→leaf, the mesh node covering
+    * it is the SHALLOWEST eligible node (value ≤ threshold, or the
+    * leaf) — every shallower ancestor necessarily split, which is
+    * exactly the blocked-ancestor condition. Since every occupied node
+    * contains a unit, the distinct covering nodes ARE the mesh. One
+    * broadcast membership join + one min_by hash aggregation + one
+    * distinct — no self-join, fully distributed.
     */
   def adaptiveMesh(panel: DataFrame, valueCol: String, threshold: Double,
                    emb: Embedding): DataFrame = {
@@ -196,55 +205,53 @@ object TreeLag {
     val U = Panel.UnitCol
     val memberDf = broadcast(membershipRows(emb).toDF(U, "level", "nx", "ny"))
 
-    // read 4x below (blocked both sides, mesh filter, lag values) —
-    // persist so the membership join + aggregation runs once
     val nodevals = panel.select(col(T), col(U), col(valueCol))
       .join(memberDf, U)
       .groupBy(col(T), col("level"), col("nx"), col("ny"))
       .agg(sum(col(valueCol)).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // a node is blocked when any proper ancestor did NOT split
-    val lvls = spark.range(0, emb.power + 1L).select(col("id").cast("int").as("alevel"))
-    val anc = nodevals.select(col(T).as("a_t"), col("level").as("a_lv"),
-      col("nx").as("a_nx"), col("ny").as("a_ny"), col("v").as("av"))
-    val blocked = nodevals.select(col(T), col("level"), col("nx"), col("ny"))
-      .join(broadcast(lvls), col("alevel") < col("level"))
-      .withColumn("anx", floor(col("nx") / pow(lit(2.0), col("level") - col("alevel"))).cast("long"))
-      .withColumn("any", floor(col("ny") / pow(lit(2.0), col("level") - col("alevel"))).cast("long"))
-      .join(anc, col("a_t") === col(T) && col("a_lv") === col("alevel") &&
-        col("a_nx") === col("anx") && col("a_ny") === col("any"))
-      .filter(col("av") <= threshold)
-      .select(col(T), col("level"), col("nx"), col("ny")).distinct()
-
-    nodevals
+    val cover = nodevals
       .filter(col("v") <= threshold || col("level") === emb.power)
-      .join(blocked, Seq(T, "level", "nx", "ny"), "left_anti")
+      .join(memberDf, Seq("level", "nx", "ny"))
+      .groupBy(col(T), col(U))
+      .agg(min_by(struct(col("level"), col("nx"), col("ny"), col("v")),
+        col("level")).as("node"))
+
+    cover.select(col(T), col("node.level").as("level"),
+        col("node.nx").as("nx"), col("node.ny").as("ny"),
+        col("node.v").as("v")).distinct()
       .withColumn("s", (lit(emb.ncells) / pow(lit(2.0), col("level"))).cast("double"))
   }
 
   def gridLag(panel: DataFrame, valueCol: String,
               threshold: Double, dfunctionOption: Int,
               lonCol: String = "lon", latCol: String = "lat",
-              out: String = "gridlag"): DataFrame = {
-    val w: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      dfunctionOption match {
-        case 0 => d => lit(1.0) / log(lit(1.0) + d)
-        case 1 => d => lit(1.0) / d
-        case 2 => d => lit(1.0) / (d * d)
-        case other => throw new IllegalArgumentException(s"bad dfunction $other")
-      }
-    gridLagWith(panel, valueCol, threshold, Seq(out -> w), lonCol, latCol)
-  }
+              out: String = "gridlag"): DataFrame =
+    gridLagWith(panel, valueCol, threshold,
+      Seq(out -> dfunction(dfunctionOption)), lonCol, latCol)
+
+  /** Targets per dense-kernel block: bounds task size (and the
+    * mesh-row replication factor) so parallelism is months × blocks,
+    * not just months.
+    */
+  private val GridLagBlock = 8192
 
   /** Multi-weight-function form (the reference accepts an arbitrary
-    * dict of distance functions, spatial_tree.py:95-97): weight builders
-    * are plan-build-time `Column => Column` lambdas — they compose into
-    * the same codegen'd expression tree, no UDFs — and all share one
-    * mesh × target pass.
+    * dict of distance functions, spatial_tree.py:95-97).
+    *
+    * Execution: a per-(month, target-block) dense kernel. The
+    * mesh × target product is the operator's defined output (every leaf
+    * against every mesh node, spatial_tree.py:548-573), but it must
+    * never cross a shuffle: instead of crossJoin'ing O(U × M) rows, the
+    * (tiny) per-month mesh rows are replicated to each target block and
+    * the product is evaluated in a tight in-task loop over the
+    * broadcast target geometry — the same shape as FourierLag's
+    * per-month kernel. Shuffled volume is O(M × blocks) mesh rows +
+    * O(U) result rows, independent of the product size; wall-clock
+    * parallelism is months × ceil(U / 8192) tasks.
     */
   def gridLagWith(panel: DataFrame, valueCol: String, threshold: Double,
-                  weightFns: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
+                  weightFns: Seq[(String, Double => Double)],
                   lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
     val spark = panel.sparkSession
     import spark.implicits._
@@ -255,22 +262,53 @@ object TreeLag {
     val units = panel.select(col(U), col(lonCol), col(latCol)).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)).toSeq
     val emb = embed(units)
-    val targets = broadcast(emb.cells.toSeq.map { case (u, (ex, ey)) => (u, ex, ey) }
-      .toDF("target", "ex", "ey"))
+    // driver-side geometry (unit → embedded cell), broadcast once;
+    // sorted so block slicing is deterministic
+    val targetArr = emb.cells.toSeq.map { case (u, (ex, ey)) => (u, ex, ey) }
+      .sortBy(_._1).toArray
+    val bcTargets = spark.sparkContext.broadcast(targetArr)
+    val nBlocks = math.max(1, (targetArr.length + GridLagBlock - 1) / GridLagBlock)
+    val power = emb.power
+    val block = GridLagBlock
+    val fns = weightFns.map(_._2).toArray
+    val nW = fns.length
 
     val mesh = adaptiveMesh(panel, valueCol, threshold, emb)
-
-    val dx = col("ex") + 0.5 - (col("nx") * col("s") + col("s") / 2.0)
-    val dy = col("ey") + 0.5 - (col("ny") * col("s") + col("s") / 2.0)
-    val d = sqrt(dx * dx + dy * dy)
-    val aggs = weightFns.map { case (name, w) =>
-      sum(col("v") * w(d)).as(name)
-    }
-    val lag = mesh.crossJoin(targets)
-      .filter(!(col("level") === emb.power &&
-        col("nx") === col("ex") && col("ny") === col("ey")))
-      .groupBy(col(T), col("target").as(U))
-      .agg(aggs.head, aggs.tail: _*)
+    val lag = mesh
+      .select(col(T), col("level"), col("nx"), col("ny"), col("v"), col("s"))
+      .as[(Long, Int, Int, Int, Double, Double)]
+      .flatMap(n => Iterator.range(0, nBlocks).map(b => (b, n)))
+      .groupByKey { case (b, n) => (n._1, b) }
+      .flatMapGroups { (key: (Long, Int), it: Iterator[(Int, (Long, Int, Int, Int, Double, Double))]) =>
+        val (t, b) = key
+        val targets = bcTargets.value
+        val lo = b * block
+        val hi = math.min(lo + block, targets.length)
+        val acc = Array.ofDim[Double](hi - lo, nW)
+        it.foreach { case (_, (_, lvl, nx, ny, v, s)) =>
+          val cx = nx * s + s / 2.0
+          val cy = ny * s + s / 2.0
+          var i = lo
+          while (i < hi) {
+            val (_, ex, ey) = targets(i)
+            // a leaf never lags against its own mesh node
+            if (!(lvl == power && nx == ex && ny == ey)) {
+              val dx = ex + 0.5 - cx
+              val dy = ey + 0.5 - cy
+              val d = math.sqrt(dx * dx + dy * dy)
+              var k = 0
+              while (k < nW) { acc(i - lo)(k) += v * fns(k)(d); k += 1 }
+            }
+            i += 1
+          }
+        }
+        Iterator.range(lo, hi).map(i =>
+          (t, targets(i)._1, acc(i - lo).toSeq))
+      }
+      .toDF(T, U, "ws")
+      .select(col(T) +: col(U) +: weightFns.zipWithIndex.map { case ((name, _), k) =>
+        col("ws")(k).as(name)
+      }: _*)
     panel.select(col(T), col(U)).join(lag, Seq(T, U), "left")
       .na.fill(0.0, weightFns.map(_._1))
   }

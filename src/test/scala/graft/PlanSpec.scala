@@ -32,6 +32,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("grid lag never materialises the mesh x target product in the plan") {
+    val plan = TreeLag.gridLag(gridPanel, "value", threshold = 50.0, dfunctionOption = 0)
+      .queryExecution.executedPlan.toString()
+    // the product is evaluated inside the per-(month, block) kernel;
+    // any nested-loop/cartesian node would mean it crossed the shuffle
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("spacetime kNN plans as equi hash joins (no nested-loop range join)") {
     val plan = spatial.SpacetimeDist.spacetimeDistances(
         gridPanel, "value", "distances", k = 1, nu = 1.0, power = 0.0)

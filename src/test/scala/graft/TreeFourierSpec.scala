@@ -105,10 +105,10 @@ class TreeFourierSpec extends SparkSpec {
     multi.foreach { case (k, (a, b)) =>
       assert(math.abs(a - single0(k)) < 1e-12 && math.abs(b - single2(k)) < 1e-12)
     }
-    // grid: a custom Column-level weight lambda (reference's dict
-    // extension point) runs without UDFs
+    // grid: a custom weight lambda (reference's dict extension point)
+    // evaluates inside the dense per-month kernel
     val custom = spatial.TreeLag.gridLagWith(p, "value", 10.0,
-      Seq("inv_sq" -> (d => org.apache.spark.sql.functions.lit(1.0) / (d * d + 1.0))))
+      Seq("inv_sq" -> ((d: Double) => 1.0 / (d * d + 1.0))))
     assert(custom.columns.toSeq == Seq(T, U, "inv_sq"))
     assert(custom.count() == 12)
   }
