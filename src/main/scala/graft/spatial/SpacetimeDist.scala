@@ -15,18 +15,17 @@ import org.apache.spark.sql.functions._
   * when d = 0). Cells with no events yet get the 999.0 sentinel
   * (spacetime_distance.py:151).
   *
-  * Spark-first plan, tuned for scale:
-  *  - The as-of predicate `event.month <= cell.month` becomes an
-  *    EQUI-join: events are expanded over a broadcast (month, e_month)
-  *    pair table (months are few; events are sparse), so the big join is
-  *    a codegen'd BroadcastHashJoin on month_id — never a nested-loop
-  *    range join.
-  *  - k = 1 reduces by `min` / `min(struct(...))` (argmin with the same
-  *    deterministic tie-break) — partial aggregation runs map-side, so
-  *    only one row per (month, cell) crosses the shuffle.
-  *  - k > 1 uses a bounded top-k Aggregator (size-k sorted buffer,
-  *    merged associatively) — the same map-side reduction, k rows per
-  *    cell instead of every candidate through a sort.
+  * Spark-first plan, tuned for scale (two-stage, broadcast O(E)):
+  *  1. Per (unit, event-month) spatial top-k against the broadcast RAW
+  *     event set — within one event-month the time term is constant, so
+  *     only the k spatially-nearest events of that month can ever reach
+  *     the unit's global top-k at any t (exact pruning). The broadcast
+  *     never depends on month count; the product streams into bounded
+  *     partial aggregation, never across a shuffle.
+  *  2. The as-of predicate `e_t <= t` rides a shuffled EQUI-join keyed
+  *     by unit (k·event-months candidate rows per unit), reduced
+  *     map-side by a second bounded top-k (or codegen'd min for k=1
+  *     distances).
   *  - Ties in distance break by (event month, event unit); the
   *    reference's KD-tree tie order is arbitrary, so determinism is our
   *    choice.
@@ -66,72 +65,84 @@ object SpacetimeDist {
                          lonCol: String = "lon", latCol: String = "lat",
                          out: String = "stdist",
                          monthCap: Option[Int] = None): DataFrame = {
+    val spark = panel.sparkSession
     val T = Panel.TimeCol
     val U = Panel.UnitCol
     require(returnValues == "distances" || returnValues == "weights",
       s"return_values must be 'distances' or 'weights', got $returnValues")
 
-    val allMonths = panel.select(col(T)).distinct()
-    val months = monthCap match {
-      case Some(cap) => allMonths.orderBy(col(T)).limit(cap)
-      case None => allMonths
+    // The bounded-buffer aggregate lives in ObjectHashAggregate, whose
+    // default sort-based fallback kicks in at 128 groups — far below a
+    // panel's (month, cell) cardinality. Raise the threshold only if
+    // the session still has the default, so we never clobber an
+    // operator-external tuning choice; sessions built by Bench/Verify
+    // set it explicitly.
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (spark.conf.getOption(key).forall(_ == "128"))
+      spark.conf.set(key, "4000000")
+
+    val allCells = panel.select(col(T), col(U))
+    val (cells, events) = monthCap match {
+      case Some(cap) =>
+        val months = panel.select(col(T)).distinct().orderBy(col(T)).limit(cap)
+        (allCells.join(broadcast(months), T, "left_semi"),
+          panel.filter(col(valueCol) > eventThreshold)
+            .join(broadcast(months), T, "left_semi")
+            .select(col(T).as("e_t"), col(lonCol).as("e_lon"),
+              col(latCol).as("e_lat"), col(valueCol).as("e_size"), col(U).as("e_u")))
+      case None =>
+        (allCells,
+          panel.filter(col(valueCol) > eventThreshold)
+            .select(col(T).as("e_t"), col(lonCol).as("e_lon"),
+              col(latCol).as("e_lat"), col(valueCol).as("e_size"), col(U).as("e_u")))
     }
 
-    val events = panel.filter(col(valueCol) > eventThreshold)
-      .select(col(T).as("e_t"), col(lonCol).as("e_lon"),
-        col(latCol).as("e_lat"), col(valueCol).as("e_size"), col(U).as("e_u"))
-    val monthPairs = months.select(col(T))
-      .crossJoin(months.select(col(T).as("e_t")))
-      .filter(col("e_t") <= col(T))
-    val visible = broadcast(events.join(broadcast(monthPairs), "e_t"))
+    // Stage 1 — per (unit, event-month) spatial top-k. Within one
+    // event-month the time term is constant across candidates, so the
+    // spatial order IS the full order: only the k spatially-nearest
+    // events of each month can ever reach a unit's global top-k at any
+    // later t (an exact pruning, not an approximation). The broadcast
+    // is the RAW event set — O(E), independent of month count — and
+    // the product never crosses a shuffle: it streams straight into
+    // the bounded top-k partial aggregation.
+    //
+    // Squared distance through the hot path: d² orders identically to
+    // d, needs only multiplications (Spark's pow is StrictMath.pow —
+    // an order of magnitude slower than x*x); sqrt/pow run only on the
+    // ~k rows per cell that survive aggregation.
+    val unitGeo = panel.select(col(U), col(lonCol), col(latCol)).distinct()
+    val sdx = (col(lonCol) - col("e_lon")) * 0.5
+    val sdy = (col(latCol) - col("e_lat")) * 0.5
+    val topk = udaf(new TopK(k))
+    val cand = unitGeo.crossJoin(broadcast(events))
+      .withColumn("sd2", sdx * sdx + sdy * sdy)
+      .groupBy(col(U), col("e_t"))
+      .agg(topk(col("sd2"), col("e_t"), col("e_u"), col("e_size")).as("cs"))
+      .select(col(U), explode(col("cs")).as("c"))
+      .select(col(U), col("c._1").as("sd2"), col("c._2").as("e_t"),
+        col("c._3").as("e_u"), col("c._4").as("e_size"))
 
-    // work in SQUARED distance through the hot path: d² orders
-    // identically to d (monotone), needs only multiplications (Spark's
-    // pow is StrictMath.pow — an order of magnitude slower than x*x),
-    // and sqrt/pow run only on the ~k rows per cell that survive
-    // aggregation. d^power = (d²)^(power/2) exactly.
-    val dx = (col(lonCol) - col("e_lon")) * 0.5
-    val dy = (col(latCol) - col("e_lat")) * 0.5
+    // Stage 2 — the as-of predicate rides on an EQUI-join keyed by
+    // unit (candidates are k·event-months rows per unit), so the join
+    // shuffles O(cells + candidates) rows and partial aggregation
+    // reduces each (month, cell) group map-side. No month-expanded
+    // event table exists anywhere in the plan.
     val dt = (col(T) - col("e_t")) * nu
-    val cells = panel.select(col(T), col(U), col(lonCol), col(latCol))
-    val pairs = cells.join(visible, T)
-      .withColumn("d2", dx * dx + dy * dy + dt * dt)
+    val stream = cells.join(cand, U)
+      .filter(col("e_t") <= col(T))
+      .withColumn("d2", col("sd2") + dt * dt)
 
     def weightOf2(d2: org.apache.spark.sql.Column, size: org.apache.spark.sql.Column) =
       when(d2 === 0.0, size).otherwise(size / pow(d2, power / 2.0))
 
     val agg: DataFrame =
-      if (k == 1) {
-        if (returnValues == "distances")
-          pairs.groupBy(col(T), col(U)).agg(sqrt(min(col("d2"))).as(out))
-        else {
-          // two-pass argmin: a plain double min stays in whole-stage
-          // codegen'd HashAggregate (min over a struct would sort-
-          // aggregate every candidate row); the re-join on the exact
-          // minimum then touches ~one row per cell, where the
-          // (e_t, e_u) tie-break is a trivially small struct-min
-          val md = pairs.groupBy(col(T), col(U)).agg(min(col("d2")).as("md2"))
-          // md is one row per (month, cell) — broadcast it so the big
-          // candidate side never shuffles
-          val ties = pairs.join(broadcast(md), Seq(T, U)).filter(col("d2") === col("md2"))
-          ties.groupBy(col(T), col(U), col("md2"))
-            .agg(min(struct(col("e_t"), col("e_u"), col("e_size"))).as("b"))
-            .select(col(T), col(U), weightOf2(col("md2"), col("b.e_size")).as(out))
-        }
-      } else {
-        val spark = panel.sparkSession
-        // The bounded-buffer aggregate lives in ObjectHashAggregate,
-        // whose default sort-based fallback kicks in at 128 groups —
-        // far below a panel's (month, cell) cardinality. Raise the
-        // threshold only if the session still has the default, so we
-        // never clobber an operator-external tuning choice; sessions
-        // built by Bench/Verify set it explicitly.
-        val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-        if (spark.conf.getOption(key).forall(_ == "128"))
-          spark.conf.set(key, "4000000")
-        val topk = udaf(new TopK(k))
-        val grouped = pairs.groupBy(col(T), col(U))
-          .agg(topk(col("d2"), col("e_t"), col("e_u"), col("e_size")).as("cands"))
+      if (k == 1 && returnValues == "distances")
+        // plain double min stays in whole-stage codegen'd HashAggregate
+        stream.groupBy(col(T), col(U)).agg(sqrt(min(col("d2"))).as(out))
+      else {
+        val topkFull = udaf(new TopK(k))
+        val grouped = stream.groupBy(col(T), col(U))
+          .agg(topkFull(col("d2"), col("e_t"), col("e_u"), col("e_size")).as("cands"))
         val c = explode(col("cands")).as("c")
         val per = grouped.select(col(T), col(U), c)
           .select(col(T), col(U), col("c._1").as("d2"), col("c._4").as("e_size"))
@@ -140,7 +151,7 @@ object SpacetimeDist {
         per.groupBy(col(T), col(U)).agg(avg(perEvent).as(out))
       }
 
-    cells.select(col(T), col(U))
+    allCells
       .join(agg, Seq(T, U), "left")
       .na.fill(999.0, Seq(out))
   }

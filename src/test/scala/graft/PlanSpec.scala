@@ -41,15 +41,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("spacetime kNN plans as equi hash joins (no nested-loop range join)") {
+  test("spacetime kNN broadcasts raw events only; as-of join is unit-keyed") {
     val plan = spatial.SpacetimeDist.spacetimeDistances(
         gridPanel, "value", "distances", k = 1, nu = 1.0, power = 0.0)
       .queryExecution.executedPlan.toString()
-    // the DATA-path join (cells x visible events) must be a month-key
-    // broadcast hash join; a nested loop is acceptable only in the tiny
-    // months x months pair-table construction
-    assert(plan.contains("BroadcastHashJoin [month_id"), plan)
-    val bnl = plan.split("\n").filter(_.contains("BroadcastNestedLoopJoin"))
-    assert(bnl.forall(_.contains("e_t")), s"unexpected BNL:\n${bnl.mkString("\n")}")
+    // the old shape broadcast events x month-pairs (O(E x T)) and hash-
+    // joined on month_id; the new shape must not join events on month
+    assert(!plan.contains("BroadcastHashJoin [month_id"), plan)
+    // stage 1 is the units x raw-events product (broadcast side O(E))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // stage 2 joins candidates to cells as an equi join keyed by unit
+    val unitJoin = plan.split("\n").exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) && l.contains("unit_id"))
+    assert(unitJoin, plan)
   }
 }
