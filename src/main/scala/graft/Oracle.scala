@@ -229,6 +229,15 @@ object Oracle {
        |  CASE WHEN x > 0.0 THEN LN(x) / LN(2.0) - s / x ELSE 0.0 END AS entropy
        |FROM e""".stripMargin
 
+  /** Composed pipeline spec crossing operator families (splag4d →
+    * tlag): the spatial oracle wrapped by a window lag, mirroring
+    * Registry composition order.
+    */
+  lazy val qPipelineChain: String =
+    s"""SELECT month_id, unit_id,
+       |  LAG(splag, 2) OVER ($wuo) AS lagged
+       |FROM ($qSplag4d)""".stripMargin
+
   // --- §2.10 missing data --------------------------------------------------
 
   val qReplaceNa: String =

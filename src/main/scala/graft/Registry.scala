@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.{MissingOps, PointwiseOps, TemporalOps}
+import graft.spatial.{CountryLag, FourierLag, Grid, KernelLag, SpacetimeDist, TreeLag}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -36,10 +37,47 @@ object Registry {
     }
     def strOpt(i: Int): Option[String] =
       if (args.length > i) Some(str(i)) else None
+    def bool(i: Int, default: Boolean): Boolean =
+      if (args.length <= i) default
+      else args(i) match {
+        case b: Boolean => b
+        case d: Double => d != 0.0
+        case other => throw new IllegalArgumentException(s"arg $i must be boolean, got $other")
+      }
   }
 
   private def colT(f: (Column, Seq[Any]) => Column): Transform =
     (df, args) => df.withColumn("value", f(col("value"), args))
+
+  /** Two-column pointwise op (reference multi_column.py:5-46): the
+    * second operand is a named column of the panel, default `value2`.
+    */
+  private def colT2(f: (Column, Column) => Column): Transform =
+    (df, args) => df.withColumn("value",
+      f(col("value"), col(args.strOpt(0).getOrElse("value2"))))
+
+  /** Whole-panel op whose result lands in `out`: run it, then restore
+    * the pipeline contract (same columns, transformed series in
+    * `value`) by re-joining on the panel key — ops like the tree/grid
+    * lags return only (time, unit, out).
+    */
+  private def outT(out: String)(f: (DataFrame, Seq[Any]) => DataFrame): Transform =
+    (df, args) => {
+      val T = Panel.TimeCol
+      val U = Panel.UnitCol
+      val res = f(df, args).select(col(T), col(U), col(out).as("__v"))
+      df.drop("value").join(res, Seq(T, U), "left")
+        .withColumn("value", col("__v")).drop("__v")
+    }
+
+  /** Spatial op: derive the grid embedding columns the same way the
+    * driver harness does (Grid.unitLon/unitLat), run, re-join.
+    */
+  private def spatialT(out: String)(f: (DataFrame, Seq[Any]) => DataFrame): Transform =
+    outT(out) { (df, args) =>
+      f(df.withColumn("lon", Grid.unitLon(col(Panel.UnitCol)))
+          .withColumn("lat", Grid.unitLat(col(Panel.UnitCol))), args)
+    }
 
   val transforms: Map[String, Transform] = Map(
     // names follow the reference registry (views_2.py function names)
@@ -79,6 +117,47 @@ object Registry {
       MissingOps.extrapolate(df, "value", a.strOpt(0).getOrElse("both"),
         a.strOpt(1), out = "__f")
         .withColumn("value", col("__f")).drop("__f")),
+
+    // two-column family (multi_column.py:5-46)
+    "add_column" -> colT2(PointwiseOps.addColumn),
+    "subtract_column" -> colT2(PointwiseOps.subtractColumn),
+    "multiply_column" -> colT2(PointwiseOps.multiplyColumn),
+    "divide_column" -> colT2(PointwiseOps.divideColumn),
+
+    // incremental tick (views_2.py:385-418) — the q_tick composition
+    "tick_time_since" -> ((df, _) => {
+      val tis = TemporalOps.timeSince(df, "value", 0.0, out = "__ts")
+        .withColumn("__ts", col("__ts").cast("double"))
+      tis.withColumn("value",
+        TemporalOps.tickTimeSince(col("value"), col("__ts"))).drop("__ts")
+    }),
+
+    // spatial family — args follow the reference's positional order
+    "splag4d" -> spatialT("splag")((gp, a) =>
+      KernelLag.splag4d(gp, "value", a.numOpt(0).getOrElse(1.0).toInt,
+        a.numOpt(1).getOrElse(1.0).toInt, a.numOpt(2).getOrElse(0.0),
+        a.bool(3, default = false))),
+    "splag_country" -> spatialT("splag")((gp, a) =>
+      CountryLag.splagCountry(gp, "value", CountryLag.gridAdjacency(gp),
+        CountryLag.gridCentroids(gp), a.numOpt(0).getOrElse(1.0).toInt,
+        a.numOpt(1).getOrElse(1.0).toInt, a.numOpt(2).getOrElse(0.0),
+        a.bool(3, default = false))),
+    "tree_lag" -> spatialT("treelag")((gp, a) =>
+      TreeLag.treeLag(gp, "value", a.numOpt(0).getOrElse(0.5),
+        a.numOpt(1).getOrElse(0.0).toInt)),
+    "grid_lag" -> spatialT("gridlag")((gp, a) =>
+      TreeLag.gridLag(gp, "value", a.num(0), a.numOpt(1).getOrElse(0.0).toInt)),
+    "fourier_lag" -> spatialT("flag_value")((gp, a) =>
+      FourierLag.fourierLag(gp, "value",
+        dimensionality = a.numOpt(0).getOrElse(2.0).toInt)),
+    "spacetime_dist" -> spatialT("stdist")((gp, a) =>
+      SpacetimeDist.spacetimeDistances(gp, "value",
+        a.strOpt(0).getOrElse("distances"), a.numOpt(1).getOrElse(1.0).toInt,
+        a.numOpt(2).getOrElse(1.0), a.numOpt(3).getOrElse(0.0),
+        a.numOpt(4).getOrElse(0.0))),
+    "temporal_tree_lag" -> outT("treelag")((df, a) =>
+      temporal.TreeLag.treeLag(df, "value", a.numOpt(0).getOrElse(0.8),
+        a.strOpt(1).getOrElse("uniform"), a.numOpt(2).getOrElse(1.0))),
   )
 
   /** One step of a pipeline spec. */
@@ -115,6 +194,7 @@ object Registry {
               case JDouble(d) => d
               case JLong(l) => l.toDouble
               case JString(s) => s
+              case JBool(b) => b
               case other => throw new IllegalArgumentException(s"unsupported arg $other")
             }
             case JNothing => Seq.empty[Any]

@@ -178,6 +178,51 @@ object SparkEntry {
       Registry.run(p.select(col(T), col(U), col("value")),
         """[{"type":"time_since","args":[0]},{"type":"decay","args":[12]}]""")),
 
+    // registry dispatch coverage: every operator family reachable from
+    // the JSON wire format (reference README.md:28-30); results are
+    // re-aliased to the plain queries' column names so they share
+    // oracles
+    "q_pipeline_mul" -> onPanel(p =>
+      Registry.run(p.select(col(T), col(U), col("value"), col("value2")),
+        """[{"type":"multiply_column","args":["value2"]}]""")
+        .select(col(T), col(U), col("value").as("multiplied"))),
+    "q_pipeline_tick" -> onPanel(p =>
+      Registry.run(p.select(col(T), col(U), col("value")),
+        """[{"type":"tick_time_since"}]""")
+        .select(col(T), col(U), col("value").as("tick"))),
+    "q_pipeline_splag4d" -> onPanel(p =>
+      Registry.run(p.select(col(T), col(U), col("value")),
+        """[{"type":"splag4d","args":[1,1,1,false]}]""")
+        .select(col(T), col(U), col("value").as("splag"))),
+    "q_pipeline_splag_country" -> onPanel(p =>
+      Registry.run(p.select(col(T), col(U), col("value")),
+        """[{"type":"splag_country","args":[1,1,0,false]}]""")
+        .select(col(T), col(U), col("value").as("splag"))),
+    "q_pipeline_tree_lag" -> onPanel(p =>
+      Registry.run(p.select(col(T), col(U), col("value")),
+        """[{"type":"tree_lag","args":[0.5,0]}]""")
+        .select(col(T), col(U), col("value").as("treelag"))),
+    "q_pipeline_grid_lag" -> onPanel(p =>
+      Registry.run(p.select(col(T), col(U), col("value")),
+        """[{"type":"grid_lag","args":[2000,0]}]""")
+        .select(col(T), col(U), col("value").as("gridlag"))),
+    "q_pipeline_fourier" -> onPanel(p =>
+      Registry.run(p.select(col(T), col(U), col("value")),
+        """[{"type":"fourier_lag"}]""")
+        .select(col(T), col(U), col("value").as("flag_value"))),
+    "q_pipeline_spacetime" -> onPanel(p =>
+      Registry.run(p.select(col(T), col(U), col("value")),
+        """[{"type":"spacetime_dist","args":["distances",1,1,0,400]}]""")
+        .select(col(T), col(U), col("value").as("stdist"))),
+    "q_pipeline_temporal_tree" -> onPanel(p =>
+      Registry.run(p.select(col(T), col(U), col("value")),
+        """[{"type":"temporal_tree_lag","args":[0.8,"uniform"]}]""")
+        .select(col(T), col(U), col("value").as("treelag"))),
+    "q_pipeline_chain" -> onPanel(p =>
+      Registry.run(p.select(col(T), col(U), col("value")),
+        """[{"type":"splag4d","args":[1,1,1,false]},{"type":"tlag","args":[2]}]""")
+        .select(col(T), col(U), col("value").as("lagged"))),
+
     // §2.8 Barnes-Hut spatial tree lag / §2.9 temporal tree lag / fourier
     "q_tree_lag" -> onGrid(gp =>
       TreeLag.treeLag(gp, "value", thetacrit = 0.5, dfunctionOption = 0)
@@ -337,6 +382,16 @@ object SparkEntry {
     "q_spacetime_weights_k1" -> Oracle.qSpacetimeWeightsK1,
     "q_spacetime_weights_k5" -> Oracle.qSpacetimeWeightsK5,
     "q_pipeline_decay" -> Oracle.qPipelineDecay,
+    "q_pipeline_mul" -> Oracle.qMul,
+    "q_pipeline_tick" -> Oracle.qTick,
+    "q_pipeline_splag4d" -> Oracle.qSplag4d,
+    "q_pipeline_splag_country" -> Oracle.qSplagCountry,
+    "q_pipeline_tree_lag" -> Oracle.qTreeLag,
+    "q_pipeline_grid_lag" -> Oracle.qGridLag,
+    "q_pipeline_fourier" -> Oracle.qFourierLag,
+    "q_pipeline_spacetime" -> Oracle.qSpacetimeDistK1,
+    "q_pipeline_temporal_tree" -> Oracle.qTemporalTreeUniform,
+    "q_pipeline_chain" -> Oracle.qPipelineChain,
     "q_tree_lag" -> Oracle.qTreeLag,
     "q_tree_lag_d2" -> Oracle.qTreeLagD2,
     "q_grid_lag" -> Oracle.qGridLag,

@@ -43,6 +43,28 @@ class RegistrySpec extends SparkSpec {
     assert(e.getMessage.contains("tlag"))
   }
 
+  test("every operator family dispatches through the wire format") {
+    // tiny 2-unit panel with value2 so every family can execute
+    val mp = Seq((1L, 0L, 1.0, 2.0), (1L, 1L, 3.0, 4.0),
+      (2L, 0L, 5.0, 6.0), (2L, 1L, 0.0, 1.0)).toDF(T, U, "value", "value2")
+    val specs = Seq(
+      """[{"type":"add_column"}]""",
+      """[{"type":"divide_column","args":["value2"]}]""",
+      """[{"type":"tick_time_since"}]""",
+      """[{"type":"splag4d","args":[1,1,1,false]}]""",
+      """[{"type":"splag_country","args":[1,1,0,false]}]""",
+      """[{"type":"tree_lag","args":[0.5,0]}]""",
+      """[{"type":"grid_lag","args":[10,0]}]""",
+      """[{"type":"fourier_lag"}]""",
+      """[{"type":"spacetime_dist","args":["distances",1,1,0,0]}]""",
+      """[{"type":"temporal_tree_lag","args":[0.8,"uniform"]}]""")
+    specs.foreach { s =>
+      val out = Registry.run(mp, s)
+      assert(out.columns.contains("value"), s)
+      assert(out.select("value").count() > 0, s)
+    }
+  }
+
   test("a chained window pipeline stays a single-shuffle plan") {
     val out = Registry.run(p, """[{"type":"tlag","args":[1]},
       {"type":"moving_average","args":[3]},{"type":"demean","args":[]}]""")
