@@ -360,4 +360,44 @@ object OracleExt {
        |       ELSE least(greatest((b.my - b.beta * b.mx) + b.beta * m.value2,
        |                           b.vmin), b.vmax) END AS imputed
        |FROM mpanel m, b""".stripMargin
+
+  /** Shared closed form for the MICE oracles. On the gate panel only
+    * `value` carries nulls, so the round-robin chain is exactly solvable:
+    * the predictor (value2, fully observed — its own imputation is the
+    * identity) and the observed target set never change between passes,
+    * so pass 1 already produces the closed-form OLS fill and every later
+    * pass is idempotent. The chain oracle is therefore the regression
+    * imputation, independent of maxIter.
+    */
+  private val miceFill: String =
+    s"""${Oracle.mpanel},
+       |obs AS (SELECT * FROM mpanel WHERE value IS NOT NULL),
+       |st AS (SELECT AVG(value2) AS mx, AVG(value) AS my,
+       |              SUM(value2 * value) AS sxy, SUM(value2 * value2) AS sxx,
+       |              CAST(COUNT(*) AS DOUBLE) AS n,
+       |              MIN(value) AS vmin, MAX(value) AS vmax
+       |       FROM obs),
+       |b AS (SELECT (sxy - n * mx * my) / (sxx - n * mx * mx) AS beta,
+       |             mx, my, vmin, vmax FROM st),
+       |fill AS (
+       |  SELECT m.month_id, m.unit_id, m.value, m.value2,
+       |    CASE WHEN m.value IS NOT NULL THEN m.value
+       |         ELSE least(greatest((b.my - b.beta * b.mx) + b.beta * m.value2,
+       |                             b.vmin), b.vmax) END AS value_imp
+       |  FROM mpanel m, b)""".stripMargin
+
+  val qMice: String =
+    s"$miceFill SELECT month_id, unit_id, value_imp, value2 AS value2_imp FROM fill"
+
+  /** impute_mice_generator (missing.py:212-230): n = 3 chains stacked
+    * under imputation_id; chain i perturbs imputed (null-origin) cells
+    * by (1 + i·1e-6), observed cells are identical across chains.
+    */
+  val qMiceGen: String =
+    s"""$miceFill
+       |SELECT month_id, unit_id, CAST(c.i AS INTEGER) AS imputation_id,
+       |  CASE WHEN value IS NULL THEN value_imp * (1.0 + c.i * 1e-6)
+       |       ELSE value_imp END AS value_imp,
+       |  value2 AS value2_imp
+       |FROM fill, (VALUES (0), (1), (2)) c(i)""".stripMargin
 }

@@ -305,14 +305,26 @@ object SparkEntry {
     "q_top_orders" -> ((s, dir) => relational.StarQueries.topUnshippedOrders(s, dir)),
     "q_region_revenue" -> ((s, dir) => relational.StarQueries.regionRevenue(s, dir)),
 
-    // no SQL oracle (driver records rows-only): stubbed-decode
-    // multimodal plumbing, MICE chain, streaming-shaped tick
     "q_multimodal_features" -> ((s, dir) =>
       multimodal.Multimodal.extractFeatures(
         multimodal.Multimodal.synthesize(docs(s, dir)))),
     "q_mice" -> onMissing(p =>
       ml.Imputer.iterativeImpute(p, Seq("value", "value2"), maxIter = 3)
         .select(col(T), col(U), col("value_imp"), col("value2_imp"))),
+    "q_mice_gen" -> onMissing(p =>
+      ml.Imputer.miceGenerator(p, Seq("value", "value2"),
+        nImputations = 3, maxIter = 2)
+        .select(col(T), col(U), col("imputation_id"),
+          col("value_imp"), col("value2_imp"))),
+    // the reference's keep_grids surface: the adaptive mesh itself
+    "q_keep_grids" -> onGrid { gp =>
+      val units = gp.select(col(U), col("lon"), col("lat")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)).toSeq
+      val emb = TreeLag.embed(units)
+      TreeLag.adaptiveMesh(gp.select(col(T), col(U), col("value")),
+        "value", 2000.0, emb)
+        .select(col(T), col("level"), col("nx"), col("ny"), col("v"), col("s"))
+    },
     "q_tick_stream" -> ((s, dir) => {
       import s.implicits._
       val ds = Panel.densePanel(s, dir)
@@ -401,6 +413,7 @@ object SparkEntry {
     "q_temporal_tree_expon" -> Oracle.qTemporalTreeExpon,
     "q_temporal_tree_ramp" -> Oracle.qTemporalTreeRamp,
     "q_fourier_lag" -> Oracle.qFourierLag,
+    "q_fourier_lag_3d" -> Oracle.qFourierLag3d,
     "q_fourier_lag_multi" -> Oracle.qFourierLagMulti,
     "q_text_analyze" -> OracleExt.qTextAnalyze,
     "q_dedup_exact" -> OracleExt.qDedupExact,
@@ -415,6 +428,9 @@ object SparkEntry {
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_impute_regression" -> OracleExt.qImputeRegression,
     "q_multimodal_features" -> OracleExt.qMultimodalFeatures,
+    "q_mice" -> OracleExt.qMice,
+    "q_mice_gen" -> OracleExt.qMiceGen,
+    "q_keep_grids" -> Oracle.qKeepGrids,
     "q_pricing_summary" -> OracleExt.qPricingSummary,
     "q_top_orders" -> OracleExt.qTopOrders,
     "q_region_revenue" -> OracleExt.qRegionRevenue,

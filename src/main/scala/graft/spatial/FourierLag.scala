@@ -251,6 +251,17 @@ object FourierLag {
     d
   }
 
+  /** 3-D Green's function G3 = Re(ifft3(divisor3)) — the equivalent
+    * circular convolution kernel on the n×n×l cube, used by the DuckDB
+    * oracle (which convolves directly instead of transforming).
+    */
+  def greens3(n: Int, l: Int): Array[Double] = {
+    val re = divisor3(n, l)
+    val im = new Array[Double](n * n * l)
+    fft3(re, im, n, l, invert = true)
+    re
+  }
+
   /** 3-D variant (fourier_lag.py:158-262): the slice is embedded as the
     * midplane of an n × n × n/LDIVISOR cube (~1/d weighting instead of
     * −ln d); min-subtraction and rescale run over the FULL cube; the
