@@ -112,28 +112,26 @@ object Similarity {
       (0 until nlists).map(i =>
         seedRows(math.min(i, seedRows.length - 1)).getSeq[Double](0).toArray).toArray
 
-    def nearestCentroid(bcCents: Array[Array[Double]]) = {
-      // argmin over centroids of squared euclidean distance, index tie-break
-      udf { (v: Seq[Double]) =>
-        var best = 0
-        var bestD = Double.MaxValue
-        var ci = 0
-        while (ci < bcCents.length) {
-          val cent = bcCents(ci)
-          var d = 0.0
-          var j = 0
-          while (j < cent.length) { val t = v(j) - cent(j); d += t * t; j += 1 }
-          if (d < bestD) { bestD = d; best = ci }
-          ci += 1
-        }
-        best
+    // argmin over centroids of squared euclidean distance as a
+    // codegen'd least-of-structs over the native DotProduct:
+    // ||v−c||² = ||v||² − 2·v·c + ||c||² and ||v||² is constant per
+    // row, so −2·v·c + ||c||² (with ||c||² a driver-side constant) is
+    // rank-equivalent; the struct's second field breaks ties on the
+    // smallest list index. No UDF — the whole ANN path stays inside
+    // whole-stage codegen.
+    def nearestCentroid(cents: Array[Array[Double]]): Column = {
+      val scored = cents.zipWithIndex.map { case (cent, i) =>
+        struct(
+          (dot(col("c_vec"), typedlit(cent.toSeq)) * -2.0 +
+            lit(cent.map(x => x * x).sum)).as("s"),
+          lit(i).as("i"))
       }
+      least(scored: _*).getField("i")
     }
 
     // Lloyd iterations: assignment + mean, each one distributed pass
     for (_ <- 1 to iters) {
-      val assignUdf = nearestCentroid(centroids)
-      val means = c.withColumn("list", assignUdf(col("c_vec")))
+      val means = c.withColumn("list", nearestCentroid(centroids))
         .groupBy("list")
         .agg(array((0 until centroids(0).length).map(j =>
           avg(element_at(col("c_vec"), j + 1))): _*).as("mean_vec"))
@@ -145,8 +143,7 @@ object Similarity {
       centroids = next
     }
 
-    val assignUdf = nearestCentroid(centroids)
-    val assigned = c.withColumn("list", assignUdf(col("c_vec")))
+    val assigned = c.withColumn("list", nearestCentroid(centroids))
 
     // queries probe the nprobe nearest centroid lists
     val centDf = centroids.zipWithIndex

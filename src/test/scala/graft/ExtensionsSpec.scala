@@ -118,7 +118,11 @@ class ExtensionsSpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(emb, queries, 10, nlists = 8, nprobe = 3).collect()
+    val ivfDf = Similarity.ivfTopK(emb, queries, 10, nlists = 8, nprobe = 3)
+    // the centroid argmin is a codegen'd least-of-structs, not a UDF
+    val plan = ivfDf.queryExecution.executedPlan.toString()
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    val ivf = ivfDf.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // approximate: every IVF result must be a real corpus vector scored
     // exactly; recall must be non-trivial on 500 vectors with 3/8 lists
