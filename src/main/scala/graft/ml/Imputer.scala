@@ -79,8 +79,13 @@ object Imputer {
     */
   def miceGenerator(df: DataFrame, cols: Seq[String],
                     nImputations: Int, maxIter: Int = 10): DataFrame = {
+    // the chain itself is deterministic, so every imputation shares ONE
+    // base run (already localCheckpoint'ed by iterativeImpute — the
+    // union branches reuse the materialised result instead of
+    // recomputing the chain n times); chains differ only in the
+    // per-chain perturbation below
+    val base = iterativeImpute(df, cols, maxIter)
     val runs = (0 until nImputations).map { i =>
-      val base = iterativeImpute(df, cols, maxIter)
       // perturb the chain: shift each imputed value by a tiny
       // chain-indexed epsilon of its magnitude (keeps chains distinct
       // and deterministic without a random source)
