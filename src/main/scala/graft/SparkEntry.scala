@@ -224,14 +224,17 @@ object SparkEntry {
         .select(col(T), col(U), col("value").as("lagged"))),
 
     // §2.8 Barnes-Hut spatial tree lag / §2.9 temporal tree lag / fourier
-    "q_tree_lag" -> onGrid(gp =>
-      TreeLag.treeLag(gp, "value", thetacrit = 0.5, dfunctionOption = 0)
+    "q_tree_lag" -> onGridE((gp, emb) =>
+      TreeLag.treeLag(gp, "value", thetacrit = 0.5, dfunctionOption = 0,
+        embOpt = Some(emb))
         .select(col(T), col(U), col("treelag"))),
-    "q_tree_lag_d2" -> onGrid(gp =>
-      TreeLag.treeLag(gp, "value", thetacrit = 1.0, dfunctionOption = 2)
+    "q_tree_lag_d2" -> onGridE((gp, emb) =>
+      TreeLag.treeLag(gp, "value", thetacrit = 1.0, dfunctionOption = 2,
+        embOpt = Some(emb))
         .select(col(T), col(U), col("treelag"))),
-    "q_grid_lag" -> onGrid(gp =>
-      TreeLag.gridLag(gp, "value", threshold = 2000.0, dfunctionOption = 0)
+    "q_grid_lag" -> onGridE((gp, emb) =>
+      TreeLag.gridLag(gp, "value", threshold = 2000.0, dfunctionOption = 0,
+        embOpt = Some(emb))
         .select(col(T), col(U), col("gridlag"))),
     "q_temporal_tree_uniform" -> onPanel(p =>
       temporal.TreeLag.treeLag(p, "value", thetacrit = 0.8, fname = "uniform")
@@ -248,14 +251,14 @@ object SparkEntry {
     "q_temporal_tree_ramp" -> onPanel(p =>
       temporal.TreeLag.treeLag(p, "value", 0.8, "ramp", sigma = 10.0)
         .select(col(T), col(U), col("treelag"))),
-    "q_fourier_lag" -> onGrid(gp =>
-      FourierLag.fourierLag(gp, "value")
+    "q_fourier_lag" -> onGridE((gp, emb) =>
+      FourierLag.fourierLag(gp, "value", embOpt = Some(emb))
         .select(col(T), col(U), col("flag_value"))),
-    "q_fourier_lag_3d" -> onGrid(gp =>
-      FourierLag.fourierLag(gp, "value", dimensionality = 3)
+    "q_fourier_lag_3d" -> onGridE((gp, emb) =>
+      FourierLag.fourierLag(gp, "value", dimensionality = 3, embOpt = Some(emb))
         .select(col(T), col(U), col("flag_value"))),
-    "q_fourier_lag_multi" -> onGrid(gp =>
-      FourierLag.fourierLagMulti(gp, Seq("value", "value2"))
+    "q_fourier_lag_multi" -> onGridE((gp, emb) =>
+      FourierLag.fourierLagMulti(gp, Seq("value", "value2"), embOpt = Some(emb))
         .select(col(T), col(U), col("flag_value"), col("flag_value2"))),
 
     // training-data-pipeline extensions: text / dedup / similarity / ML
@@ -317,10 +320,7 @@ object SparkEntry {
         .select(col(T), col(U), col("imputation_id"),
           col("value_imp"), col("value2_imp"))),
     // the reference's keep_grids surface: the adaptive mesh itself
-    "q_keep_grids" -> onGrid { gp =>
-      val units = gp.select(col(U), col("lon"), col("lat")).distinct()
-        .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)).toSeq
-      val emb = TreeLag.embed(units)
+    "q_keep_grids" -> onGridE { (gp, emb) =>
       TreeLag.adaptiveMesh(gp.select(col(T), col(U), col("value")),
         "value", 2000.0, emb)
         .select(col(T), col("level"), col("nx"), col("ny"), col("v"), col("s"))
@@ -344,6 +344,23 @@ object SparkEntry {
     onPanel(p => f(p
       .withColumn("lon", Grid.unitLon(col(U)))
       .withColumn("lat", Grid.unitLat(col(U)))))
+
+  /** Grid panel + session-cached quadtree embedding: the embedding is a
+    * pure function of the distinct unit set, but deriving it costs a
+    * distinct pass over the panel — share it across the tree / grid /
+    * fourier / mesh queries instead of re-collecting per query.
+    */
+  private val embCache =
+    scala.collection.concurrent.TrieMap.empty[DataFrame, (DataFrame, TreeLag.Embedding)]
+  private def onGridE(f: (DataFrame, TreeLag.Embedding) => DataFrame): (SparkSession, String) => DataFrame =
+    onPanel { p =>
+      val (gp, emb) = embCache.getOrElseUpdate(p, {
+        val g = p.withColumn("lon", Grid.unitLon(col(U)))
+          .withColumn("lat", Grid.unitLat(col(U)))
+        (g, TreeLag.embedOf(g))
+      })
+      f(gp, emb)
+    }
 
   def oracleSql: Map[String, String] = Map(
     "q_identity" -> Oracle.qIdentity,

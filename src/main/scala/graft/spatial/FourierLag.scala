@@ -299,7 +299,8 @@ object FourierLag {
     */
   def fourierLagMulti(panel: DataFrame, valueCols: Seq[String],
                       lonCol: String = "lon", latCol: String = "lat",
-                      dimensionality: Int = 2): DataFrame = {
+                      dimensionality: Int = 2,
+                      embOpt: Option[TreeLag.Embedding] = None): DataFrame = {
     require(dimensionality == 2 || dimensionality == 3,
       s"dimensionality must be 2 or 3, got $dimensionality")
     val spark = panel.sparkSession
@@ -307,9 +308,7 @@ object FourierLag {
     val T = Panel.TimeCol
     val U = Panel.UnitCol
 
-    val units = panel.select(col(U), col(lonCol), col(latCol)).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)).toSeq
-    val emb = TreeLag.embed(units)
+    val emb = embOpt.getOrElse(TreeLag.embedOf(panel, lonCol, latCol))
     val bc = spark.sparkContext.broadcast((emb.cells, emb.ncells))
     val nf = valueCols.size
 
@@ -345,7 +344,8 @@ object FourierLag {
   /** Single-feature convenience wrapper. */
   def fourierLag(panel: DataFrame, valueCol: String,
                  lonCol: String = "lon", latCol: String = "lat",
-                 out: String = "flag_value", dimensionality: Int = 2): DataFrame =
-    fourierLagMulti(panel, Seq(valueCol), lonCol, latCol, dimensionality)
+                 out: String = "flag_value", dimensionality: Int = 2,
+                 embOpt: Option[TreeLag.Embedding] = None): DataFrame =
+    fourierLagMulti(panel, Seq(valueCol), lonCol, latCol, dimensionality, embOpt)
       .withColumnRenamed(s"flag_$valueCol", out)
 }

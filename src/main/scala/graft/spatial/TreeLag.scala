@@ -98,13 +98,28 @@ object TreeLag {
     out.result()
   }
 
-  /** @param panel dense panel with `lon`/`lat` cell-coordinate columns */
+  /** @param panel dense panel with `lon`/`lat` cell-coordinate columns
+    * @param embOpt precomputed embedding (e.g. a session-level cache) —
+    *   saves the distinct-units pass over the panel; None derives it
+    */
   def treeLag(panel: DataFrame, valueCol: String,
               thetacrit: Double, dfunctionOption: Int,
               lonCol: String = "lon", latCol: String = "lat",
-              out: String = "treelag"): DataFrame =
+              out: String = "treelag",
+              embOpt: Option[Embedding] = None): DataFrame =
     treeLagWith(panel, valueCol, thetacrit,
-      Seq(out -> dfunction(dfunctionOption)), lonCol, latCol)
+      Seq(out -> dfunction(dfunctionOption)), lonCol, latCol, embOpt)
+
+  /** Derive the embedding from a panel's distinct unit cells (one small
+    * aggregation + collect — geometry is O(distinct cells), the global
+    * PRIO grid is ~260k cells). Cache the result across operators on
+    * the same panel: at scale each derivation is a full distinct
+    * shuffle over the panel.
+    */
+  def embedOf(panel: DataFrame, lonCol: String = "lon",
+              latCol: String = "lat"): Embedding =
+    embed(panel.select(col(Panel.UnitCol), col(lonCol), col(latCol)).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)).toSeq)
 
   /** Multi-weight-function form — the reference's extension point is a
     * dict of distance→weight callables producing one output per
@@ -115,19 +130,17 @@ object TreeLag {
     */
   def treeLagWith(panel: DataFrame, valueCol: String, thetacrit: Double,
                   weightFns: Seq[(String, Double => Double)],
-                  lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+                  lonCol: String = "lon", latCol: String = "lat",
+                  embOpt: Option[Embedding] = None): DataFrame = {
     val spark = panel.sparkSession
     import spark.implicits._
     val T = Panel.TimeCol
     val U = Panel.UnitCol
     require(weightFns.nonEmpty, "at least one weight function required")
 
-    // Geometry: distinct unit cells only (small — the global PRIO grid
-    // itself is ~260k cells); everything time/value-dependent stays
-    // distributed.
-    val units = panel.select(col(U), col(lonCol), col(latCol)).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)).toSeq
-    val emb = embed(units)
+    // Geometry: distinct unit cells only; everything time/value-
+    // dependent stays distributed.
+    val emb = embOpt.getOrElse(embedOf(panel, lonCol, latCol))
 
     val membership = membershipRows(emb)
     val nodeSet = membership.map { case (_, l, nx, ny) => (l, nx, ny) }.toSet
@@ -226,9 +239,10 @@ object TreeLag {
   def gridLag(panel: DataFrame, valueCol: String,
               threshold: Double, dfunctionOption: Int,
               lonCol: String = "lon", latCol: String = "lat",
-              out: String = "gridlag"): DataFrame =
+              out: String = "gridlag",
+              embOpt: Option[Embedding] = None): DataFrame =
     gridLagWith(panel, valueCol, threshold,
-      Seq(out -> dfunction(dfunctionOption)), lonCol, latCol)
+      Seq(out -> dfunction(dfunctionOption)), lonCol, latCol, embOpt)
 
   /** Targets per dense-kernel block: bounds task size (and the
     * mesh-row replication factor) so parallelism is months × blocks,
@@ -252,16 +266,15 @@ object TreeLag {
     */
   def gridLagWith(panel: DataFrame, valueCol: String, threshold: Double,
                   weightFns: Seq[(String, Double => Double)],
-                  lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+                  lonCol: String = "lon", latCol: String = "lat",
+                  embOpt: Option[Embedding] = None): DataFrame = {
     val spark = panel.sparkSession
     import spark.implicits._
     val T = Panel.TimeCol
     val U = Panel.UnitCol
     require(weightFns.nonEmpty, "at least one weight function required")
 
-    val units = panel.select(col(U), col(lonCol), col(latCol)).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)).toSeq
-    val emb = embed(units)
+    val emb = embOpt.getOrElse(embedOf(panel, lonCol, latCol))
     // driver-side geometry (unit → embedded cell), broadcast once;
     // sorted so block slicing is deterministic
     val targetArr = emb.cells.toSeq.map { case (u, (ex, ey)) => (u, ex, ey) }
