@@ -186,6 +186,18 @@ object Oracle {
        |       ELSE LAG(time_since, 1) OVER ($wuo) + 1.0 END AS tick
        |FROM tis""".stripMargin
 
+  /** Batch equivalence of the streaming panel build
+    * (PanelStream.panelAggregate): the 1-day event-time windows reduce
+    * to the raw day-of-month aggregation on the one-month synthetic
+    * span.
+    */
+  val qPanelStream: String =
+    """SELECT CAST(day(ts) AS BIGINT) AS month_id,
+      |       CAST(user_id AS BIGINT) AS unit_id,
+      |       SUM(value) AS value,
+      |       CAST(COUNT(*) AS DOUBLE) AS value2
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** Batch-equivalent of the streaming tick (TickStream.updateGroup):
     * NULL on each unit's first row (no prior step), 0 right after an
     * event, else the length of the zero-run ending at the previous row

@@ -325,6 +325,10 @@ object SparkEntry {
         "value", 2000.0, emb)
         .select(col(T), col("level"), col("nx"), col("ny"), col("v"), col("s"))
     },
+    // streaming panel build, run through the same plan in batch mode
+    // (withWatermark is a no-op in batch; the windowed agg is shared)
+    "q_panel_stream" -> ((s, dir) =>
+      streaming.PanelStream.panelAggregate(Panel.readEvents(s, dir))),
     "q_tick_stream" -> ((s, dir) => {
       import s.implicits._
       val ds = Panel.densePanel(s, dir)
@@ -389,6 +393,7 @@ object SparkEntry {
     "q_onset" -> Oracle.qOnset,
     "q_tick" -> Oracle.qTick,
     "q_tick_stream" -> Oracle.qTickStream,
+    "q_panel_stream" -> Oracle.qPanelStream,
     "q_entropy" -> Oracle.qEntropy,
     "q_replace_na" -> Oracle.qReplaceNa,
     "q_ffill" -> Oracle.qFfill,

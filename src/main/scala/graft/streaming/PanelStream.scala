@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.Panel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.LongType
+
+/** Streaming panel ingestion — the engine's readStream → transform →
+  * writeStream path. The reference's batch ingest (a DB snapshot
+  * aggregated into the (time, unit) panel) becomes an event-time
+  * windowed aggregation with a watermark: each (day-window, unit) panel
+  * cell is emitted exactly once when the watermark passes the window
+  * end, and per-window state is dropped afterwards — state stays
+  * bounded by (watermark horizon × active units), independent of total
+  * stream length.
+  *
+  * Downstream, closed panel cells append to a partitioned sink
+  * (`writeParquet`) that batch transforms read as an ordinary panel —
+  * the same lambda-free "stream fills the table, batch queries the
+  * table" layout a 100 TB deployment would use. Stateful per-unit
+  * transforms that must react in-stream (tick_time_since) live in
+  * [[TickStream]] via flatMapGroupsWithState.
+  */
+object PanelStream {
+
+  /** Streaming analogue of Panel.fromEvents: 1-day event-time windows
+    * per user, watermarked with `delay`. Append-mode output: a row per
+    * closed (day, unit) cell with the same schema as the batch panel
+    * (month_id = day-of-month of the window start, matching
+    * Panel.fromEvents' day-of-month bucketing of the one-month
+    * synthetic span).
+    */
+  def panelAggregate(events: DataFrame, delay: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        col("user_id").cast("long").as(Panel.UnitCol))
+      .agg(sum(col("value")).as("value"),
+        count(lit(1)).cast("double").as("value2"))
+      .select(dayofmonth(col("w.start")).cast("long").as(Panel.TimeCol),
+        col(Panel.UnitCol), col("value"), col("value2"))
+
+  /** File-stream source over the events parquet layout (same
+    * TIMESTAMP(NANOS) handling as the batch Panel.readEvents).
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val ev = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    if (schema("ts").dataType == LongType)
+      ev.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else ev
+  }
+
+  /** Append sink: month-partitioned parquet + checkpoint — the stream
+    * side of the stream-fills / batch-reads layout (PanelIO reads it).
+    */
+  def writeParquet(panel: DataFrame, path: String,
+                   checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    panel.writeStream
+      .format("parquet")
+      .partitionBy(Panel.TimeCol)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+}

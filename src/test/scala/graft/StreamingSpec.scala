@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.TickStream
+import graft.streaming.{PanelStream, TickStream}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -35,6 +35,38 @@ class StreamingSpec extends SparkSpec {
         .collect().sortBy(_.month_id).map(_.tick).toSeq
       // reference semantics: ., 1, 2, 0, 0, 1
       assert(out == Seq(None, Some(1.0), Some(2.0), Some(0.0), Some(0.0), Some(1.0)))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed aggregation builds the panel incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val src = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val q = PanelStream.panelAggregate(
+        src.toDS().toDF("ts", "user_id", "value"), delay = "1 hour")
+      .writeStream.format("memory").queryName("panel_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two days of events — windows stay open (watermark at
+      // max event time − 1h, before both window ends)
+      src.addData(
+        (ts("2024-01-01T01:00:00Z"), 1L, 2.0),
+        (ts("2024-01-01T02:00:00Z"), 1L, 3.0),
+        (ts("2024-01-01T01:00:00Z"), 2L, 4.0),
+        (ts("2024-01-02T00:30:00Z"), 1L, 5.0))
+      q.processAllAvailable()
+      assert(spark.table("panel_stream").count() == 0)
+      // batch 2: a day-4 event pushes the watermark past both window
+      // ends — closed cells emit exactly once, matching the batch panel
+      src.addData((ts("2024-01-04T06:00:00Z"), 9L, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("panel_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+        .toMap
+      assert(out == Map(
+        (1L, 1L) -> (5.0, 2.0),   // sum 2+3, count 2
+        (1L, 2L) -> (4.0, 1.0),
+        (2L, 1L) -> (5.0, 1.0)))
     } finally q.stop()
   }
 }
