@@ -54,13 +54,54 @@ object CountryLag {
     expand(seeds.select(col(Panel.TimeCol), col("seed"), col("seed").as("member")),
       adj, k)
 
+  /** The (month_id, seed, member) ring set for a kernel shape — the
+    * value-independent graph geometry of the lag. Exposed so callers
+    * running several kernels over the same adjacency (e.g. the plain
+    * and normalised variants) can compute and persist it once.
+    */
+  def ringSet(panel: DataFrame, adjacency: DataFrame,
+              inner: Int, width: Int): DataFrame = {
+    val T = Panel.TimeCol
+    val U = Panel.UnitCol
+    val ninner = inner - 1
+    val nouter = ninner + width
+    val seeds = panel.select(col(T), col(U).as("seed")).distinct()
+    // build outer incrementally from inner (outer ⊇ inner by
+    // construction) instead of two from-scratch BFS runs; the inner
+    // set is read twice (outer base + ring anti-join) so persist it
+    if (ninner < 0) orderSet(adjacency, seeds, nouter)
+    else {
+      val innerSet = orderSet(adjacency, seeds, ninner)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (nouter - ninner == 1) {
+        // common kernel shapes (width = 1): the ring is just the
+        // frontier — one join + distinct + anti-join, never
+        // materialising the full outer set
+        val r = innerSet.alias("rf")
+        val a = adjacency.alias("af")
+        r.join(a, col(s"rf.$T") === col(s"af.$T") &&
+            col("rf.member") === col("af.a_id"))
+          .select(col(s"rf.$T").as(T), col("rf.seed").as("seed"),
+            col("af.b_id").as("member"))
+          .distinct()
+          .join(innerSet, Seq(T, "seed", "member"), "left_anti")
+      } else {
+        val outer = expand(innerSet, adjacency, nouter - ninner)
+        outer.join(innerSet, Seq(T, "seed", "member"), "left_anti")
+      }
+    }
+  }
+
   /** @param adjacency (month_id, a_id, b_id) symmetric neighbour pairs
     * @param centroids (country_id, lat, lon)
+    * @param ringOpt precomputed ringSet(panel, adjacency, inner, width)
+    *   (e.g. a session cache shared across kernels); None derives it
     */
   def splagCountry(panel: DataFrame, valueCol: String,
                    adjacency: DataFrame, centroids: DataFrame,
                    inner: Int, width: Int, power: Double, norm: Boolean,
-                   out: String = "splag"): DataFrame = {
+                   out: String = "splag",
+                   ringOpt: Option[DataFrame] = None): DataFrame = {
     val T = Panel.TimeCol
     val U = Panel.UnitCol
     val ninner = inner - 1
@@ -71,32 +112,7 @@ object CountryLag {
         // ring is empty everywhere -> all zeros
         panel.select(col(T), col(U), lit(0.0).as(out))
       } else {
-        val seeds = panel.select(col(T), col(U).as("seed")).distinct()
-        // build outer incrementally from inner (outer ⊇ inner by
-        // construction) instead of two from-scratch BFS runs; the inner
-        // set is read twice (outer base + ring anti-join) so persist it
-        val ring =
-          if (ninner < 0) orderSet(adjacency, seeds, nouter)
-          else {
-            val inner = orderSet(adjacency, seeds, ninner)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            if (nouter - ninner == 1) {
-              // common kernel shapes (width = 1): the ring is just the
-              // frontier — one join + distinct + anti-join, never
-              // materialising the full outer set
-              val r = inner.alias("rf")
-              val a = adjacency.alias("af")
-              r.join(a, col(s"rf.$T") === col(s"af.$T") &&
-                  col("rf.member") === col("af.a_id"))
-                .select(col(s"rf.$T").as(T), col("rf.seed").as("seed"),
-                  col("af.b_id").as("member"))
-                .distinct()
-                .join(inner, Seq(T, "seed", "member"), "left_anti")
-            } else {
-              val outer = expand(inner, adjacency, nouter - ninner)
-              outer.join(inner, Seq(T, "seed", "member"), "left_anti")
-            }
-          }
+        val ring = ringOpt.getOrElse(ringSet(panel, adjacency, inner, width))
 
         val cs = broadcast(centroids.select(col("country_id").as("seed"),
           col("lat").as("s_lat"), col("lon").as("s_lon")))
