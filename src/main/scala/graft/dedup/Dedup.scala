@@ -2,7 +2,6 @@ package graft.dedup
 
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for corpus pipelines: exact (hash-groupBy),
@@ -22,17 +21,24 @@ object Dedup {
 
   /** Exact dedup on the normalised-text fingerprint: every doc mapped to
     * the smallest doc_id sharing its fingerprint, with the group size.
-    * One shuffle on the fingerprint.
+    *
+    * Skew-safe by construction: per-fingerprint stats come from a hash
+    * aggregation (map-side partial combine means a hot fingerprint —
+    * boilerplate duplicated millions of times — never lands on one
+    * reducer as raw rows), then join back. A window over the
+    * fingerprint would instead sort every hot group inside a single
+    * task.
     */
   def exact(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col("fingerprint"))
-    docs.withColumn("fingerprint", TextOps.fingerprint(col(textCol)))
-      .withColumn("canonical_id", min(col(idCol)).over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
+    val fp = docs.withColumn("fingerprint", TextOps.fingerprint(col(textCol)))
+    val groups = fp.groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).cast("long").as("group_size"))
+    fp.join(groups, "fingerprint")
       .withColumn("is_duplicate",
         (col(idCol) =!= col("canonical_id")).cast("int"))
-      .select(col(idCol), col("canonical_id"), col("group_size").cast("long"),
+      .select(col(idCol), col("canonical_id"), col("group_size"),
         col("is_duplicate"))
   }
 

@@ -104,9 +104,12 @@ object TextOps {
   def corpusFilter(docs: DataFrame, minQuality: Double, lang: String,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val analyzed = analyze(docs, textCol)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
-    analyzed
-      .withColumn("canonical_id", min(col(idCol)).over(w))
+    // canonical id per fingerprint via hash aggregation + join-back
+    // (skew-safe: map-side partial combine, no per-group sort — see
+    // Dedup.exact); keeping only id == canonical implements the dedup
+    val canon = analyzed.groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"))
+    analyzed.join(canon, "fingerprint")
       .filter(col(idCol) === col("canonical_id") &&
         col("quality") >= minQuality && col("lang_pred") === lang)
       .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
