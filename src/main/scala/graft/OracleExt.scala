@@ -341,6 +341,49 @@ object OracleExt {
        |FROM d LEFT JOIN agg a ON a.media_id = d.media_id""".stripMargin
   }
 
+  /** Resize stub oracle: nearest-neighbour byte subsample to
+    * m = min(outLen, n) bytes, byte i = char (i·n)/m (0-based) — the
+    * resized payload rebuilt as a string (ASCII testdata) and md5'd,
+    * mirroring Multimodal.resizeStub exactly.
+    */
+  def qMultimodalResize(targetW: Int, targetH: Int): String = {
+    val outLen = targetW * targetH
+    s"""WITH d AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS media_id, text, length(text) AS n
+       |  FROM documents),
+       |m AS (SELECT media_id, text, n, least($outLen, n) AS m FROM d),
+       |pos AS (
+       |  SELECT media_id, text, n, m, unnest(generate_series(0, m - 1)) AS i
+       |  FROM m WHERE m > 0),
+       |chars AS (
+       |  SELECT media_id, i, substr(text, CAST(i * n // m AS INT) + 1, 1) AS c
+       |  FROM pos),
+       |resized AS (
+       |  SELECT media_id, string_agg(c, '' ORDER BY i) AS payload
+       |  FROM chars GROUP BY media_id)
+       |SELECT d.media_id, $targetW AS out_w, $targetH AS out_h,
+       |  CAST(COALESCE(length(r.payload), 0) AS BIGINT) AS n_bytes,
+       |  md5(COALESCE(r.payload, '')) AS content_md5
+       |FROM d LEFT JOIN resized r ON r.media_id = d.media_id""".stripMargin
+  }
+
+  /** Frame-sample stub oracle: frame i = chars [i·fb, (i+1)·fb), every
+    * `everyN`-th frame emitted with its length and md5 — mirrors
+    * Multimodal.frameSample.
+    */
+  def qMultimodalFrames(frameBytes: Int, everyN: Int): String =
+    s"""WITH d AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS media_id, text, length(text) AS n
+       |  FROM documents),
+       |f AS (
+       |  SELECT media_id, text, n,
+       |    unnest(generate_series(0, CAST((n + $frameBytes - 1) // $frameBytes AS INT) - 1)) AS i
+       |  FROM d WHERE n > 0)
+       |SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+       |  CAST(length(substr(text, i * $frameBytes + 1, $frameBytes)) AS BIGINT) AS frame_len,
+       |  md5(substr(text, i * $frameBytes + 1, $frameBytes)) AS frame_md5
+       |FROM f WHERE i % $everyN = 0""".stripMargin
+
   /** Regression imputation (the 2-column analogue of the reference's
     * IterativeImputer, missing.py:165-209): OLS of value on value2 over
     * observed rows, predictions clipped to the observed min/max.

@@ -325,6 +325,12 @@ object SparkEntry {
     "q_multimodal_features" -> ((s, dir) =>
       multimodal.Multimodal.extractFeatures(
         multimodal.Multimodal.synthesize(docs(s, dir)))),
+    "q_multimodal_resize" -> ((s, dir) =>
+      multimodal.Multimodal.resize(
+        multimodal.Multimodal.synthesize(docs(s, dir)), targetW = 16, targetH = 16)),
+    "q_multimodal_frames" -> ((s, dir) =>
+      multimodal.Multimodal.frameSample(
+        multimodal.Multimodal.synthesize(docs(s, dir)), frameBytes = 64, everyN = 4)),
     "q_mice" -> onMissing(p =>
       ml.Imputer.iterativeImpute(p, Seq("value", "value2"), maxIter = 3)
         .select(col(T), col(U), col("value_imp"), col("value2_imp"))),
@@ -464,6 +470,8 @@ object SparkEntry {
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_impute_regression" -> OracleExt.qImputeRegression,
     "q_multimodal_features" -> OracleExt.qMultimodalFeatures,
+    "q_multimodal_resize" -> OracleExt.qMultimodalResize(16, 16),
+    "q_multimodal_frames" -> OracleExt.qMultimodalFrames(64, 4),
     "q_mice" -> OracleExt.qMice,
     "q_mice_gen" -> OracleExt.qMiceGen,
     "q_keep_grids" -> Oracle.qKeepGrids,

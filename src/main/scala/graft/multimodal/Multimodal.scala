@@ -63,6 +63,66 @@ object Multimodal {
       if (cnt(d) == 0) 0f else (acc(d) / cnt(d) / 255.0).toFloat)
   }
 
+  /** STUB resize kernel — stands in for an image resize: subsamples the
+    * byte stream to m = min(outLen, n) bytes, byte i = input byte
+    * (i·n)/m (nearest-neighbour downsample along the stream). Replace
+    * with a real codec resize behind the same signature.
+    */
+  def resizeStub(content: Array[Byte], outLen: Int): Array[Byte] = {
+    val n = content.length
+    val m = math.min(outLen, n)
+    Array.tabulate(m)(i => content((i.toLong * n / m).toInt))
+  }
+
+  /** Partition-wise resize: mapPartitions (decoder-amortising shape,
+    * like extractFeatures), emitting the resized payload's length and
+    * md5 plus the target dimensions — a flat, engine-portable summary
+    * of the binary output.
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val outLen = targetW * targetH
+    val ds = media
+      .select(col("media_id"), coalesce(col("content"), lit(Array.empty[Byte])))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      // per-partition decoder init would go here
+      rows.map { case (id, bytes) => (id, resizeStub(bytes, outLen)) }
+    }.toDF("media_id", "resized")
+      .select(col("media_id"), lit(targetW).as("out_w"), lit(targetH).as("out_h"),
+        length(col("resized")).cast("long").as("n_bytes"),
+        md5(col("resized")).as("content_md5"))
+  }
+
+  /** Partition-wise frame sampling — the video path: the payload is
+    * treated as consecutive `frameBytes`-sized frames and every
+    * `everyN`-th frame becomes its own row (media_id, frame_idx,
+    * frame_len, frame_md5) — the explode shape a real decoder's
+    * keyframe sampler would produce.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
+    require(frameBytes > 0 && everyN > 0, "frameBytes and everyN must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds = media
+      .select(col("media_id"), coalesce(col("content"), lit(Array.empty[Byte])))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      rows.flatMap { case (id, bytes) =>
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames)
+          .filter(_ % everyN == 0)
+          .map(i => (id, i,
+            java.util.Arrays.copyOfRange(bytes, i * frameBytes,
+              math.min((i + 1) * frameBytes, bytes.length))))
+      }
+    }.toDF("media_id", "frame_idx", "frame")
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+  }
+
   /** Partition-wise decode + feature extraction: one `mapPartitions`
     * pass so a real decoder could initialise once per partition and
     * process its rows as a batch (the `mapInPandas` execution shape).

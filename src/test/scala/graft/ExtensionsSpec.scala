@@ -148,6 +148,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_bytes") == docsDf.collect()(0).getString(1).length)
   }
 
+  test("multimodal resize/frame-sample: stub kernels, real row shapes") {
+    val media = Multimodal.synthesize(docsDf)
+    val rz = Multimodal.resize(media, targetW = 4, targetH = 2).orderBy("media_id").collect()
+    assert(rz.length == 4)
+    // downsample: never longer than target or source
+    rz.foreach { r =>
+      assert(r.getAs[Long]("n_bytes") <= 8)
+      assert(r.getAs[String]("content_md5").length == 32)
+    }
+    val frames = Multimodal.frameSample(media, frameBytes = 10, everyN = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every sampled index is even; frames are at most frameBytes long
+    assert(frames.nonEmpty)
+    assert(frames.forall { case (_, idx, len) => idx % 2 == 0 && len <= 10 && len > 0 })
+    // doc 1's sampled frames cover exactly the even-indexed slices
+    val d1len = docsDf.collect()(0).getString(1).length
+    assert(frames.filter(_._1 == 1L).map(_._3).sum ==
+      (0 until (d1len + 9) / 10).filter(_ % 2 == 0)
+        .map(i => math.min(10, d1len - i * 10)).sum)
+  }
+
   test("streaming tick matches the batch worked example") {
     val rows = Seq(0.0, 0.0, 1.0, 1.0, 0.0, 0.0).zipWithIndex
       .map { case (v, i) => TickStream.PanelRow(1L, i + 1L, v) }
