@@ -18,7 +18,7 @@ object OracleExt {
 
   private def stopHits(padded: String, words: Seq[String]): String =
     words.map { w =>
-      s"(length($padded) - length(regexp_replace($padded, ' $w ', ' ', 'g'))) / ${w.length + 1}"
+      s"(length($padded) - length(replace($padded, ' $w ', ' '))) / ${w.length + 1}"
     }.mkString(" + ")
 
   val qTextAnalyze: String = {

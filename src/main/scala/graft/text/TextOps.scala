@@ -58,10 +58,12 @@ object TextOps {
     val padded = concat(lit(" "), normalize(text), lit(" "))
     words.map { w =>
       require(w.matches("[a-z0-9]+"), s"stopword must be plain alphanumeric: $w")
-      // each removed occurrence shortens the string by len(w)+1
-      // (replacement " " keeps one space; non-overlapping scan is
-      // identical in Java regex and RE2, so the count ports exactly)
-      (length(padded) - length(regexp_replace(padded, s" $w ", " "))) / (w.length + 1)
+      // each removed occurrence shortens the string by len(w)+1; the
+      // pattern is a plain literal, so this is string replace (~10x
+      // cheaper than a regex engine), with the same non-overlapping
+      // left-to-right scan in every SQL dialect
+      (length(padded) -
+        length(call_function("replace", padded, lit(s" $w "), lit(" ")))) / (w.length + 1)
     }.reduce(_ + _)
   }
 
@@ -103,15 +105,21 @@ object TextOps {
     */
   def corpusFilter(docs: DataFrame, minQuality: Double, lang: String,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val analyzed = analyze(docs, textCol)
-    // canonical id per fingerprint via hash aggregation + join-back
+    // Stage 1 — dedup on the cheap fingerprint alone (one normalise +
+    // md5 per doc): canonical id per group via hash aggregation
     // (skew-safe: map-side partial combine, no per-group sort — see
-    // Dedup.exact); keeping only id == canonical implements the dedup
-    val canon = analyzed.groupBy(col("fingerprint"))
-      .agg(min(col(idCol)).as("canonical_id"))
-    analyzed.join(canon, "fingerprint")
-      .filter(col(idCol) === col("canonical_id") &&
-        col("quality") >= minQuality && col("lang_pred") === lang)
+    // Dedup.exact). A doc survives iff its id IS a canonical id —
+    // each doc belongs to exactly one fingerprint group, so the
+    // semi-join on id implements keep-the-canonical exactly.
+    val canon = docs
+      .select(fingerprint(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(idCol))
+    val kept = docs.join(canon.select(col(idCol)), Seq(idCol), "left_semi")
+    // Stage 2 — the expensive quality/language analysis runs only on
+    // the deduplicated survivors
+    analyze(kept, textCol)
+      .filter(col("quality") >= minQuality && col("lang_pred") === lang)
       .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
         col("quality"), col("lang_pred"))
   }
