@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   * with recursive stocking (spatial_tree.py:374-419) — and the lag via a
   * broadcast join + hash aggregation. One shuffle for node values, one
   * for the final aggregation, independent of thetacrit.
+  *
+  * Scale note: the interaction-list table is O(units · log units ·
+  * nweights) — ~78M rows at the full 260k-cell PRIO grid with typical
+  * thetacrit. The geometry derivation stays cheap (cells only), but at
+  * that extreme the `broadcast(il)` hint should be dropped so the
+  * node-value join shuffles instead (AQE re-broadcasts it at runtime
+  * whenever the actual size is small); everything else is unchanged.
   */
 object TreeLag {
 

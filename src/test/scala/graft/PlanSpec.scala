@@ -41,6 +41,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("fourier lag is a single month-shuffle into the dense kernel") {
+    val plan = spatial.FourierLag.fourierLag(gridPanel, "value")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("MapGroups"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly one exchange feeds the kernel (the groupByKey(month))
+    assert(plan.split("\n").count(_.trim.startsWith("+- Exchange")) <= 2, plan)
+  }
+
+  test("minhash LSH candidates join on band buckets, never all-pairs") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val plan = graft.dedup.Dedup.minhashLsh(docs, 2, 12, 1, 0.1)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("brute-force top-k broadcasts the query side only") {
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val plan = graft.similarity.Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") === 1L), k = 2)
+      .queryExecution.executedPlan.toString()
+    // the corpus side streams; only the (small) query set is broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
+  }
+
   test("spacetime kNN broadcasts raw events only; as-of join is unit-keyed") {
     val plan = spatial.SpacetimeDist.spacetimeDistances(
         gridPanel, "value", "distances", k = 1, nu = 1.0, power = 0.0)
