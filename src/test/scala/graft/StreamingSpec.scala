@@ -69,4 +69,24 @@ class StreamingSpec extends SparkSpec {
         (2L, 1L) -> (5.0, 1.0)))
     } finally q.stop()
   }
+
+  test("stateless registry transforms apply to a stream unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Long, Double)]
+    // pointwise wire-format spec composed directly onto the stream —
+    // stateless Column transforms are streaming-safe by construction
+    val q = Registry.run(src.toDS().toDF(Panel.TimeCol, Panel.UnitCol, "value"),
+        """[{"type":"ln"},{"type":"decay","args":[2]}]""")
+      .writeStream.format("memory").queryName("reg_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData((1L, 1L, 0.0), (2L, 1L, 3.0))
+      q.processAllAvailable()
+      val out = spark.table("reg_stream").collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      def expect(v: Double) = math.pow(2.0, -math.log1p(v) / 2.0)
+      assert(math.abs(out(1L) - expect(0.0)) < 1e-12)
+      assert(math.abs(out(2L) - expect(3.0)) < 1e-12)
+    } finally q.stop()
+  }
 }
