@@ -1,7 +1,7 @@
 package graft.spatial
 
 import graft.Panel
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Barnes-Hut spatial tree lag — reference get_tree_lag
@@ -11,25 +11,22 @@ import org.apache.spark.sql.functions._
   * with distance weights 1/ln(1+d), 1/d or 1/d².
   *
   * The tree geometry (node set, interaction lists, weights) depends only
-  * on the unit-cell set — not on time or values — so it is computed once
-  * on the driver (the same O(N log N) pruned walk as the reference,
-  * spatial_tree.py:296-372) and broadcast as two small tables:
-  *
-  *   membership(unit, level, nx, ny)  — each unit's ancestor node per level
-  *   interactions(target, level, nx, ny, w)
+  * on the unit-cell set — not on time or values. The driver derives only
+  * the O(units) cell embedding and the packed occupied-node key set
+  * (8 bytes per node, O(units · levels)); the per-leaf opening-angle
+  * walks (the same O(N log N) pruned walk as the reference,
+  * spatial_tree.py:296-372) run DISTRIBUTED on executors against the
+  * broadcast key array, so the O(units · log units · nweights)
+  * interaction-list table never materialises on the driver — at the
+  * full 260k-cell PRIO grid it stays a distributed DataFrame and AQE
+  * picks broadcast vs shuffle for its join at runtime from the actual
+  * size.
   *
   * Execution is then pure relational algebra: node values via one
   * groupBy over (month, node) — the per-level roll-up the reference does
-  * with recursive stocking (spatial_tree.py:374-419) — and the lag via a
-  * broadcast join + hash aggregation. One shuffle for node values, one
-  * for the final aggregation, independent of thetacrit.
-  *
-  * Scale note: the interaction-list table is O(units · log units ·
-  * nweights) — ~78M rows at the full 260k-cell PRIO grid with typical
-  * thetacrit. The geometry derivation stays cheap (cells only), but at
-  * that extreme the `broadcast(il)` hint should be dropped so the
-  * node-value join shuffles instead (AQE re-broadcasts it at runtime
-  * whenever the actual size is small); everything else is unchanged.
+  * with recursive stocking (spatial_tree.py:374-419) — and the lag via
+  * join + hash aggregation. One shuffle for node values, one for the
+  * final aggregation, independent of thetacrit.
   */
 object TreeLag {
 
@@ -70,16 +67,18 @@ object TreeLag {
     * walk (spatial_tree.py:296-372): BFS from the root; theta = h/d with
     * d = |target_centre − node_centre + (0.01, 0.01)|; theta > crit
     * opens internal nodes, adds foreign leaves; theta <= crit accepts
-    * the aggregate node.
+    * the aggregate node. Runs on executors: `occupied` is a lookup into
+    * the broadcast packed-key array.
     */
-  private def walk(emb: Embedding, nodeSet: Set[(Int, Int, Int)],
+  private def walk(ncells: Int, power: Int,
+                   occupied: (Int, Int, Int) => Boolean,
                    ex: Int, ey: Int, thetacrit: Double,
                    f: Double => Double): Seq[(Int, Int, Int, Double)] = {
     val out = Seq.newBuilder[(Int, Int, Int, Double)]
     val todo = scala.collection.mutable.Queue((0, 0, 0))
     while (todo.nonEmpty) {
       val (lvl, nx, ny) = todo.dequeue()
-      val s = emb.ncells >> lvl
+      val s = ncells >> lvl
       val cx = nx * s + s / 2.0
       val cy = ny * s + s / 2.0
       val dx = ex + 0.5 - cx + 0.01
@@ -87,14 +86,14 @@ object TreeLag {
       val d = math.sqrt(dx * dx + dy * dy)
       val theta = s / d
       if (theta > thetacrit) {
-        if (lvl == emb.power) {
+        if (lvl == power) {
           if (!(nx == ex && ny == ey)) out += ((lvl, nx, ny, f(d)))
         } else {
           var cxi = 2 * nx
           while (cxi <= 2 * nx + 1) {
             var cyi = 2 * ny
             while (cyi <= 2 * ny + 1) {
-              if (nodeSet((lvl + 1, cxi, cyi))) todo.enqueue((lvl + 1, cxi, cyi))
+              if (occupied(lvl + 1, cxi, cyi)) todo.enqueue((lvl + 1, cxi, cyi))
               cyi += 1
             }
             cxi += 1
@@ -103,6 +102,49 @@ object TreeLag {
       } else out += ((lvl, nx, ny, f(d)))
     }
     out.result()
+  }
+
+  /** 21-bit packed (level, nx, ny) node key (grids to 2M cells/side). */
+  private def packNode(l: Int, nx: Int, ny: Int): Long =
+    (l.toLong << 42) | (nx.toLong << 21) | ny.toLong
+
+  /** Sorted packed keys of every occupied node: the walk's membership
+    * test as a flat broadcastable array (binary search) — 8 bytes per
+    * node, O(units · levels) total, no boxed tuple set on the driver.
+    */
+  private def packedNodeKeys(emb: Embedding): Array[Long] = {
+    val arr = new Array[Long](emb.cells.size * (emb.power + 1))
+    var i = 0
+    emb.cells.valuesIterator.foreach { case (ex, ey) =>
+      var lvl = 0
+      while (lvl <= emb.power) {
+        arr(i) = packNode(lvl, ex >> (emb.power - lvl), ey >> (emb.power - lvl))
+        i += 1
+        lvl += 1
+      }
+    }
+    java.util.Arrays.sort(arr)
+    var w = 0
+    var r = 0
+    while (r < arr.length) {
+      if (w == 0 || arr(r) != arr(w - 1)) { arr(w) = arr(r); w += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(arr, w)
+  }
+
+  /** membership(unit, level, nx, ny) built distributively from the unit
+    * cells: explode the levels, shift the cell coordinates — never an
+    * O(units × levels) driver-side tuple list.
+    */
+  private def memberDfOf(spark: SparkSession, emb: Embedding): DataFrame = {
+    import spark.implicits._
+    emb.cells.toSeq.map { case (u, (ex, ey)) => (u, ex, ey) }.sortBy(_._1)
+      .toDF(Panel.UnitCol, "ex", "ey")
+      .withColumn("level", explode(sequence(lit(0), lit(emb.power))))
+      .withColumn("nx", expr(s"shiftright(ex, ${emb.power} - level)"))
+      .withColumn("ny", expr(s"shiftright(ey, ${emb.power} - level)"))
+      .select(col(Panel.UnitCol), col("level"), col("nx"), col("ny"))
   }
 
   /** @param panel dense panel with `lon`/`lat` cell-coordinate columns
@@ -149,19 +191,31 @@ object TreeLag {
     // dependent stays distributed.
     val emb = embOpt.getOrElse(embedOf(panel, lonCol, latCol))
 
-    val membership = membershipRows(emb)
-    val nodeSet = membership.map { case (_, l, nx, ny) => (l, nx, ny) }.toSet
-    // walk once computing the raw distance, then evaluate every weight
-    // function on it driver-side (the lists are geometry, not data)
-    val il = emb.cells.toSeq.flatMap { case (u, (ex, ey)) =>
-      walk(emb, nodeSet, ex, ey, thetacrit, d => d)
-        .map { case (l, nx, ny, d) =>
-          (u, l, nx, ny, weightFns.map(_._2(d)))
+    // Distributed walks: executors compute each unit's interaction list
+    // (walking once on the raw distance, then evaluating every weight
+    // function) against the broadcast packed node-key array. The
+    // O(units · log units · nweights) list is a distributed DataFrame,
+    // never a driver-side collection; its join strategy is left to
+    // AQE, which broadcasts it at runtime whenever the actual size is
+    // small.
+    val bcGeom = spark.sparkContext.broadcast(
+      (packedNodeKeys(emb), emb.ncells, emb.power))
+    val fns = weightFns.map(_._2).toArray
+    val tc = thetacrit
+    val ilDf = emb.cells.toSeq.map { case (u, (ex, ey)) => (u, ex, ey) }
+      .sortBy(_._1).toDS()
+      .mapPartitions { it =>
+        val (keys, nc, pw) = bcGeom.value
+        val occ = (l: Int, nx: Int, ny: Int) =>
+          java.util.Arrays.binarySearch(keys, packNode(l, nx, ny)) >= 0
+        it.flatMap { case (u, ex, ey) =>
+          walk(nc, pw, occ, ex, ey, tc, d => d).map { case (l, nx, ny, d) =>
+            (u, l, nx, ny, fns.map(_(d)).toSeq)
+          }
         }
-    }
+      }.toDF("target", "level", "nx", "ny", "ws")
 
-    val memberDf = broadcast(membership.toDF(U, "level", "nx", "ny"))
-    val ilDf = broadcast(il.toDF("target", "level", "nx", "ny", "ws"))
+    val memberDf = broadcast(memberDfOf(spark, emb))
 
     val nodevals = panel.select(col(T), col(U), col(valueCol))
       .join(memberDf, U)
@@ -193,15 +247,6 @@ object TreeLag {
     * the mesh×target product matches the reference's own
     * O(leaves × grid_nodes) cost.
     */
-  /** Every unit's ancestor node per level: (unit, level, nx, ny). */
-  private def membershipRows(emb: Embedding): Seq[(Long, Int, Int, Int)] =
-    emb.cells.toSeq.flatMap { case (u, (ex, ey)) =>
-      (0 to emb.power).map { lvl =>
-        val s = emb.ncells >> lvl
-        (u, lvl, ex / s, ey / s)
-      }
-    }
-
   /** The per-month adaptive mesh as a DataFrame (month_id, level, nx,
     * ny, v, s): the reference's `keep_grids` surface. A node is in
     * mesh(month) iff every proper ancestor's value exceeds the threshold
@@ -223,7 +268,7 @@ object TreeLag {
     import spark.implicits._
     val T = Panel.TimeCol
     val U = Panel.UnitCol
-    val memberDf = broadcast(membershipRows(emb).toDF(U, "level", "nx", "ny"))
+    val memberDf = broadcast(memberDfOf(spark, emb))
 
     val nodevals = panel.select(col(T), col(U), col(valueCol))
       .join(memberDf, U)
