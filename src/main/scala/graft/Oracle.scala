@@ -754,9 +754,10 @@ object Oracle {
     // each nonzero source scatters the full kernel, so every cube cell
     // receives exactly one term per source — identical totals to the
     // gather form, ~5x faster in DuckDB. Zero-valued sources contribute
-    // nothing and are filtered (every month has a nonzero source in the
-    // gate data, so cube coverage is complete). The midplane cz = mid
-    // corresponds to kernel slice gz = 0.
+    // nothing and are filtered; a month with no nonzero source at all
+    // has phi ≡ 0 and rhomax 0, which the final LEFT JOIN + COALESCE
+    // reproduces as flag 0.0 for every cell (matching solveSlice3d).
+    // The midplane cz = mid corresponds to kernel slice gz = 0.
     s"""$panel, $embSql,
        |gk(gx, gy, gz, g) AS (VALUES $gv),
        |src AS (SELECT p.month_id, e.ex, e.ey, p.value
@@ -778,12 +779,15 @@ object Oracle {
        |  GROUP BY 1, 2, 3),
        |rho AS (SELECT month_id, GREATEST(MAX(value), 0.0) AS rhomax
        |        FROM src GROUP BY 1)
-       |SELECT m.month_id, e.unit_id,
-       |  (m.y - st.ymin) * rho.rhomax / GREATEST(st.ymax - st.ymin, 1.0) AS flag_value
-       |FROM mid m
-       |JOIN emb e ON e.ex = m.cx AND e.ey = m.cy
-       |JOIN st ON st.month_id = m.month_id
-       |JOIN rho ON rho.month_id = m.month_id""".stripMargin
+       |SELECT p.month_id, p.unit_id,
+       |  COALESCE((m.y - st.ymin) * rho.rhomax
+       |             / GREATEST(st.ymax - st.ymin, 1.0), 0.0) AS flag_value
+       |FROM panel p
+       |JOIN emb e ON e.unit_id = p.unit_id
+       |LEFT JOIN mid m ON m.month_id = p.month_id
+       |                AND m.cx = e.ex AND m.cy = e.ey
+       |LEFT JOIN st ON st.month_id = p.month_id
+       |LEFT JOIN rho ON rho.month_id = p.month_id""".stripMargin
   }
 
   /** Multi-feature fourier lag: each feature solved and rescaled

@@ -137,11 +137,17 @@ object Registry {
       KernelLag.splag4d(gp, "value", a.numOpt(0).getOrElse(1.0).toInt,
         a.numOpt(1).getOrElse(1.0).toInt, a.numOpt(2).getOrElse(0.0),
         a.bool(3, default = false))),
-    "splag_country" -> spatialT("splag")((gp, a) =>
-      CountryLag.splagCountry(gp, "value", CountryLag.gridAdjacency(gp),
-        CountryLag.gridCentroids(gp), a.numOpt(0).getOrElse(1.0).toInt,
-        a.numOpt(1).getOrElse(1.0).toInt, a.numOpt(2).getOrElse(0.0),
-        a.bool(3, default = false))),
+    "splag_country" -> spatialT("splag")((gp, a) => {
+      // one-shot dispatch: derive geometry without persisting (no
+      // handle survives this call to unpersist it later)
+      val adj = CountryLag.gridAdjacency(gp, persist = false)
+      val inner = a.numOpt(0).getOrElse(1.0).toInt
+      val width = a.numOpt(1).getOrElse(1.0).toInt
+      CountryLag.splagCountry(gp, "value", adj,
+        CountryLag.gridCentroids(gp), inner, width,
+        a.numOpt(2).getOrElse(0.0), a.bool(3, default = false),
+        ringOpt = Some(CountryLag.ringSet(gp, adj, inner, width, persist = false)))
+    }),
     "tree_lag" -> spatialT("treelag")((gp, a) =>
       TreeLag.treeLag(gp, "value", a.numOpt(0).getOrElse(0.5),
         a.numOpt(1).getOrElse(0.0).toInt)),

@@ -348,7 +348,8 @@ object SparkEntry {
     // streaming panel build, run through the same plan in batch mode
     // (withWatermark is a no-op in batch; the windowed agg is shared)
     "q_panel_stream" -> ((s, dir) =>
-      streaming.PanelStream.panelAggregate(Panel.readEvents(s, dir))),
+      streaming.PanelStream.toPanel(
+        streaming.PanelStream.panelAggregate(Panel.readEvents(s, dir)))),
     "q_tick_stream" -> ((s, dir) => {
       import s.implicits._
       val ds = Panel.densePanel(s, dir)

@@ -35,7 +35,11 @@ object Dedup {
     val groups = fp.groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"),
         count(lit(1)).cast("long").as("group_size"))
-    fp.join(groups, "fingerprint")
+      .withColumnRenamed("fingerprint", "__g_fp")
+    // null-safe join key: docs with NULL text form one group (as the
+    // grouping above already does) instead of silently dropping out of
+    // an inner equi-join
+    fp.join(groups, fp("fingerprint") <=> groups("__g_fp"))
       .withColumn("is_duplicate",
         (col(idCol) =!= col("canonical_id")).cast("int"))
       .select(col(idCol), col("canonical_id"), col("group_size"),

@@ -80,6 +80,7 @@ object Multimodal {
     * of the binary output.
     */
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
     val spark = media.sparkSession
     import spark.implicits._
     val outLen = targetW * targetH

@@ -126,7 +126,10 @@ object Similarity {
             lit(cent.map(x => x * x).sum)).as("s"),
           lit(i).as("i"))
       }
-      least(scored: _*).getField("i")
+      // least() needs >= 2 args; a single-list quantizer is the
+      // degenerate everything-in-list-0 case
+      if (scored.length == 1) lit(0)
+      else least(scored: _*).getField("i")
     }
 
     // Lloyd iterations: assignment + mean, each one distributed pass

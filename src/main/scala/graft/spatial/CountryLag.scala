@@ -59,8 +59,12 @@ object CountryLag {
     * running several kernels over the same adjacency (e.g. the plain
     * and normalised variants) can compute and persist it once.
     */
+  /** @param persist cache the twice-read inner set (callers running the
+    * derivation once and discarding it — e.g. a pipeline dispatch —
+    * should pass false to avoid unreleasable persisted blocks)
+    */
   def ringSet(panel: DataFrame, adjacency: DataFrame,
-              inner: Int, width: Int): DataFrame = {
+              inner: Int, width: Int, persist: Boolean = true): DataFrame = {
     val T = Panel.TimeCol
     val U = Panel.UnitCol
     val ninner = inner - 1
@@ -71,8 +75,11 @@ object CountryLag {
     // set is read twice (outer base + ring anti-join) so persist it
     if (ninner < 0) orderSet(adjacency, seeds, nouter)
     else {
-      val innerSet = orderSet(adjacency, seeds, ninner)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val innerSet0 = orderSet(adjacency, seeds, ninner)
+      val innerSet =
+        if (persist)
+          innerSet0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else innerSet0
       if (nouter - ninner == 1) {
         // common kernel shapes (width = 1): the ring is just the
         // frontier — one join + distinct + anti-join, never
@@ -153,7 +160,7 @@ object CountryLag {
     * (O(units·8), no O(units²) crossJoin) and replicated over the months.
     * Real deployments supply adjacency as an input table instead.
     */
-  def gridAdjacency(panel: DataFrame): DataFrame = {
+  def gridAdjacency(panel: DataFrame, persist: Boolean = true): DataFrame = {
     val spark = panel.sparkSession
     import spark.implicits._
     val units = panel.select(col(Panel.UnitCol)).distinct()
@@ -167,8 +174,9 @@ object CountryLag {
       v <- cellToUnit.get((u % Grid.UnitCols + dx, u / Grid.UnitCols + dy))
     } yield (u, v)
     val months = panel.select(col(Panel.TimeCol)).distinct()
-    broadcast(months).crossJoin(broadcast(pairs.toDF("a_id", "b_id")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = broadcast(months).crossJoin(broadcast(pairs.toDF("a_id", "b_id")))
+    if (persist) adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else adj
   }
 
   /** Derived centroids: half-degree cell centres of the unit grid. */

@@ -25,11 +25,11 @@ import org.apache.spark.sql.types.LongType
 object PanelStream {
 
   /** Streaming analogue of Panel.fromEvents: 1-day event-time windows
-    * per user, watermarked with `delay`. Append-mode output: a row per
-    * closed (day, unit) cell with the same schema as the batch panel
-    * (month_id = day-of-month of the window start, matching
-    * Panel.fromEvents' day-of-month bucketing of the one-month
-    * synthetic span).
+    * per user, watermarked with `delay`. Append-mode output: one row
+    * per closed (day, unit) cell, keyed by the window-start DATE — a
+    * collision-free key for streams of any length (day-of-month would
+    * merge the 15th of January and February). `toPanel` folds the sink
+    * into the harness's panel convention batch-side.
     */
   def panelAggregate(events: DataFrame, delay: String = "1 day"): DataFrame =
     events
@@ -38,8 +38,21 @@ object PanelStream {
         col("user_id").cast("long").as(Panel.UnitCol))
       .agg(sum(col("value")).as("value"),
         count(lit(1)).cast("double").as("value2"))
-      .select(dayofmonth(col("w.start")).cast("long").as(Panel.TimeCol),
+      .select(to_date(col("w.start")).as("day"),
         col(Panel.UnitCol), col("value"), col("value2"))
+
+  /** Batch fold of the streamed day cells into the panel convention
+    * (month_id = day-of-month, summing across months like
+    * Panel.fromEvents does): run over the parquet sink — or, for
+    * equivalence checks, directly over panelAggregate's plan in batch
+    * mode, where the watermark is a no-op.
+    */
+  def toPanel(dayCells: DataFrame): DataFrame =
+    dayCells
+      .groupBy(dayofmonth(col("day")).cast("long").as(Panel.TimeCol),
+        col(Panel.UnitCol))
+      .agg(sum(col("value")).as("value"),
+        sum(col("value2")).as("value2"))
 
   /** File-stream source over the events parquet layout (same
     * TIMESTAMP(NANOS) handling as the batch Panel.readEvents).
@@ -53,14 +66,15 @@ object PanelStream {
     else ev
   }
 
-  /** Append sink: month-partitioned parquet + checkpoint — the stream
-    * side of the stream-fills / batch-reads layout (PanelIO reads it).
+  /** Append sink: day-partitioned parquet + checkpoint — the stream
+    * side of the stream-fills / batch-reads layout (batch jobs fold it
+    * with `toPanel`).
     */
   def writeParquet(panel: DataFrame, path: String,
                    checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
     panel.writeStream
       .format("parquet")
-      .partitionBy(Panel.TimeCol)
+      .partitionBy("day")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

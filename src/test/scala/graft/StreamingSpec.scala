@@ -61,12 +61,13 @@ class StreamingSpec extends SparkSpec {
       src.addData((ts("2024-01-04T06:00:00Z"), 9L, 0.0))
       q.processAllAvailable()
       val out = spark.table("panel_stream").collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+        .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+          (r.getDouble(2), r.getDouble(3)))
         .toMap
       assert(out == Map(
-        (1L, 1L) -> (5.0, 2.0),   // sum 2+3, count 2
-        (1L, 2L) -> (4.0, 1.0),
-        (2L, 1L) -> (5.0, 1.0)))
+        ("2024-01-01", 1L) -> (5.0, 2.0),   // sum 2+3, count 2
+        ("2024-01-01", 2L) -> (4.0, 1.0),
+        ("2024-01-02", 1L) -> (5.0, 1.0)))
     } finally q.stop()
   }
 
