@@ -197,6 +197,20 @@ object OracleExt {
        |FROM rk WHERE rank <= 10""".stripMargin
   }
 
+  /** LSH-blocked near-dup pairs: sign-bucket self-join + exact cosine
+    * verify (mirrors Similarity.lshNearDupPairs with dims 0..7).
+    */
+  val qEmbedNearDupLsh: String = {
+    val bucket = (1 to 8).map(d =>
+      s"CASE WHEN v[$d] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""$embCte, cb AS (SELECT vec_id, v, $bucket AS bucket FROM c),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${cosSql("a.v", "b.v")} AS cosine
+       |  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3""".stripMargin
+  }
+
   val qEmbedNearDup: String =
     s"""$embCte, p AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -306,6 +306,10 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) =>
       similarity.Similarity.cosineNearDupPairs(
         embeddings(s, dir).filter(col("vec_id") < 200), threshold = 0.3)),
+    // scale path: sign-LSH blocked pairs over the FULL corpus
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      similarity.Similarity.lshNearDupPairs(embeddings(s, dir),
+        threshold = 0.3, dims = 0 until 8)),
     // rows-only: IVF is approximate by design; exactness is covered by
     // q_embed_topk and the recall spec
     "q_embed_ivf_topk" -> ((s, dir) => {
@@ -469,6 +473,7 @@ object SparkEntry {
     "q_embed_topk" -> OracleExt.qEmbedTopK,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
+    "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,
     "q_impute_regression" -> OracleExt.qImputeRegression,
     "q_multimodal_features" -> OracleExt.qMultimodalFeatures,
     "q_multimodal_resize" -> OracleExt.qMultimodalResize(16, 16),

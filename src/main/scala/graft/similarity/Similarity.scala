@@ -82,6 +82,26 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Scale-path near-duplicate pairs: candidates blocked on the sign-LSH
+    * bucket (a pair must share the bucket — vectors with cosine near 1
+    * almost surely agree on every coordinate sign), verified exactly by
+    * cosine. The self-join shuffles on bucket keys only, so corpus size
+    * scales out; recall < 1 by design (sign-boundary pairs are missed),
+    * like any LSH blocking.
+    */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double, dims: Seq[Int],
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"),
+      signBucket(asDouble(col(vecCol)), dims).as("bucket"))
+    val b = corpus.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"),
+      signBucket(asDouble(col(vecCol)), dims).as("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** IVF (inverted-file) index: a deterministic k-means coarse
     * quantizer — centroids seeded from evenly-spaced corpus vectors,
     * refined by `iters` Lloyd steps (each one aggregation over the
