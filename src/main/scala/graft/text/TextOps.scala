@@ -117,9 +117,16 @@ object TextOps {
       .agg(min(col(idCol)).as(idCol))
     val kept = docs.join(canon.select(col(idCol)), Seq(idCol), "left_semi")
     // Stage 2 — the expensive quality/language analysis runs only on
-    // the deduplicated survivors
+    // the deduplicated survivors. The nondeterministic column is a
+    // predicate-pushdown barrier: without it Catalyst substitutes the
+    // wide quality/lang expression trees into the filter BELOW the
+    // projection, evaluating every replace() twice per row and roughly
+    // doubling both generated-code size and runtime. The column itself
+    // is never read and is dropped immediately.
     analyze(kept, textCol)
+      .withColumn("__barrier", monotonically_increasing_id())
       .filter(col("quality") >= minQuality && col("lang_pred") === lang)
+      .drop("__barrier")
       .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
         col("quality"), col("lang_pred"))
   }
