@@ -93,6 +93,64 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("spacetime: k=1 distance equals the minimum of the k=5 candidates") {
+    // the bounded top-k path and the codegen'd min path must agree on
+    // the nearest event for every (month, cell)
+    forAll(seriesGen, count = 4) { vs =>
+      val p = vs.zipWithIndex.flatMap { case (v, i) =>
+        (0L until 4L).map(u => (i + 1L, u, if (u == 1) math.abs(v) else 0.0))
+      }.toDF(T, U, "value")
+        .withColumn("lon", Grid.unitLon(col(U)))
+        .withColumn("lat", Grid.unitLat(col(U)))
+      val k1 = spatial.SpacetimeDist.spacetimeDistances(
+          p, "value", "distances", 1, 1.0, 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val k5 = spatial.SpacetimeDist.spacetimeDistances(
+          p, "value", "distances", 5, 1.0, 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // mean over <=5 nearest >= the single nearest; sentinels align
+      k1.foreach { case (key, d1) =>
+        val d5 = k5(key)
+        assert((d1 == 999.0) == (d5 == 999.0), s"sentinel mismatch at $key")
+        if (d1 != 999.0) assert(d5 >= d1 - 1e-12, s"$key: mean $d5 < min $d1")
+      }
+    }
+  }
+
+  test("adaptive mesh covers every unit exactly once at any threshold") {
+    forAll(gen2(seriesGen, Gen.chooseNum(1.0, 80.0)), count = 4) { case (vs, thr) =>
+      val units = Seq(0L, 1L, 2L, 40L, 41L, 80L)
+      val p = vs.take(4).zipWithIndex.flatMap { case (v, i) =>
+        units.map(u => (i + 1L, u, math.abs(v) * (u % 3 + 1)))
+      }.toDF(T, U, "value")
+      val emb = spatial.TreeLag.embed(units.map(u =>
+        (u, (u % 40).toInt, (u / 40).toInt)))
+      val mesh = spatial.TreeLag.adaptiveMesh(p, "value", thr, emb)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      val months = p.select(T).distinct().collect().map(_.getLong(0))
+      for (m <- months; u <- units) {
+        val (ex, ey) = emb.cells(u)
+        val covering = mesh.filter { case (mm, lvl, nx, ny) =>
+          mm == m && (ex >> (emb.power - lvl)) == nx && (ey >> (emb.power - lvl)) == ny
+        }
+        assert(covering.length == 1,
+          s"unit $u month $m threshold $thr covered ${covering.length}x")
+      }
+    }
+  }
+
+  test("LSH-blocked near-dup pairs are a subset of the exact pairs") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => (math.sin(i * 3.7 + d) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = similarity.Similarity.cosineNearDupPairs(vecs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = similarity.Similarity.lshNearDupPairs(vecs, 0.5, 0 until 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH found non-pairs: ${lsh -- exact}")
+    assert(lsh.nonEmpty)
+  }
+
   test("normalised kernels sum to 1; splag4d is linear in the input") {
     forAll(gen3(Gen.chooseNum(1, 3), Gen.chooseNum(1, 3), Gen.chooseNum(0.0, 3.0))) {
       case (inner, width, power) =>
