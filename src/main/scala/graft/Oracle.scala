@@ -458,6 +458,11 @@ object Oracle {
        |FROM cells c LEFT JOIN mind m
        |  ON m.month_id = c.month_id AND m.unit_id = c.unit_id""".stripMargin
 
+  /** Reference cKDTree semantics: fewer than k cumulative events pads
+    * the missing neighbours with inf, so the mean is inf when
+    * 0 < count < k (spacetime_distance.py:160-186); count = 0 keeps the
+    * 999.0 no-event sentinel.
+    */
   val qSpacetimeDistK5: String =
     s"""$panel, $cells, $stEvents, ${stPairs(2.0)},
        |topk AS (
@@ -465,7 +470,10 @@ object Oracle {
        |    ROW_NUMBER() OVER (PARTITION BY month_id, unit_id
        |      ORDER BY d, e_t, e_u) AS rn
        |  FROM pairs),
-       |agg AS (SELECT month_id, unit_id, AVG(d) AS d FROM topk WHERE rn <= 5 GROUP BY 1, 2)
+       |agg AS (SELECT month_id, unit_id,
+       |          CASE WHEN COUNT(*) < 5 THEN CAST('infinity' AS DOUBLE)
+       |               ELSE AVG(d) END AS d
+       |        FROM topk WHERE rn <= 5 GROUP BY 1, 2)
        |SELECT c.month_id, c.unit_id, COALESCE(a.d, 999.0) AS stdist
        |FROM cells c LEFT JOIN agg a
        |  ON a.month_id = c.month_id AND a.unit_id = c.unit_id""".stripMargin

@@ -16,24 +16,28 @@ object OracleExt {
       |  FROM documents
       |)""".stripMargin
 
-  private def stopHits(padded: String, words: Seq[String]): String =
+  /** Token-equality stopword counts (mirrors TextOps.stopwordHits):
+    * list size before/after filtering the word out — exact for
+    * consecutive repeats.
+    */
+  private def stopHits(nt: String, words: Seq[String]): String =
     words.map { w =>
-      s"(length($padded) - length(replace($padded, ' $w ', ' '))) / ${w.length + 1}"
+      s"(len(string_split($nt, ' ')) - len(list_filter(string_split($nt, ' '), x -> x != '$w')))"
     }.mkString(" + ")
 
   val qTextAnalyze: String = {
     val langs = text.TextOps.LangMarkers
     val scoreExprs = langs.map { case (lang, ws) =>
-      s"(${stopHits("pd", ws)}) AS s_$lang"
+      s"(${stopHits("nt", ws)}) AS s_$lang"
     }.mkString(", ")
     val best = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
     val langCase = langs.map { case (lang, _) =>
       s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
     }.mkString(" ")
-    s"""$norm, pad AS (SELECT doc_id, text, nt, ' ' || nt || ' ' AS pd FROM norm),
-       |sc AS (SELECT doc_id, text, nt, pd, $scoreExprs,
-       |         (${stopHits("pd", Seq("the", "a", "and", "of", "is"))}) AS stop_hits
-       |       FROM pad)
+    s"""$norm,
+       |sc AS (SELECT doc_id, text, nt, $scoreExprs,
+       |         (${stopHits("nt", Seq("the", "a", "and", "of", "is"))}) AS stop_hits
+       |       FROM norm)
        |SELECT doc_id,
        |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens_bpe,
@@ -228,16 +232,16 @@ object OracleExt {
   val qCorpusFilter: String = {
     val langs = text.TextOps.LangMarkers
     val scoreExprs = langs.map { case (lang, ws) =>
-      s"(${stopHits("pd", ws)}) AS s_$lang"
+      s"(${stopHits("nt", ws)}) AS s_$lang"
     }.mkString(", ")
     val best = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
     val langCase = langs.map { case (lang, _) =>
       s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
     }.mkString(" ")
-    s"""$norm, pad AS (SELECT doc_id, text, nt, ' ' || nt || ' ' AS pd FROM norm),
-       |sc AS (SELECT doc_id, text, nt, pd, $scoreExprs,
-       |         (${stopHits("pd", Seq("the", "a", "and", "of", "is"))}) AS stop_hits
-       |       FROM pad),
+    s"""$norm,
+       |sc AS (SELECT doc_id, text, nt, $scoreExprs,
+       |         (${stopHits("nt", Seq("the", "a", "and", "of", "is"))}) AS stop_hits
+       |       FROM norm),
        |feat AS (
        |  SELECT doc_id, md5(nt) AS fingerprint,
        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
@@ -259,14 +263,14 @@ object OracleExt {
   val qCorpusStats: String = {
     val langs = text.TextOps.LangMarkers
     val scoreExprs = langs.map { case (lang, ws) =>
-      s"(${stopHits("pd", ws)}) AS s_$lang"
+      s"(${stopHits("nt", ws)}) AS s_$lang"
     }.mkString(", ")
     val best = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
     val langCase = langs.map { case (lang, _) =>
       s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
     }.mkString(" ")
-    s"""$norm, pad AS (SELECT doc_id, text, nt, ' ' || nt || ' ' AS pd FROM norm),
-       |sc AS (SELECT doc_id, text, $scoreExprs FROM pad),
+    s"""$norm,
+       |sc AS (SELECT doc_id, text, $scoreExprs FROM norm),
        |feat AS (
        |  SELECT doc_id,
        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
@@ -410,7 +414,8 @@ object OracleExt {
        |              CAST(COUNT(*) AS DOUBLE) AS n,
        |              MIN(value) AS vmin, MAX(value) AS vmax
        |       FROM obs),
-       |b AS (SELECT (sxy - n * mx * my) / (sxx - n * mx * mx) AS beta,
+       |b AS (SELECT CASE WHEN sxx - n * mx * mx = 0.0 THEN 0.0
+       |             ELSE (sxy - n * mx * my) / (sxx - n * mx * mx) END AS beta,
        |             mx, my, vmin, vmax FROM st)
        |SELECT m.month_id, m.unit_id,
        |  CASE WHEN m.value IS NOT NULL THEN m.value
@@ -434,7 +439,8 @@ object OracleExt {
        |              CAST(COUNT(*) AS DOUBLE) AS n,
        |              MIN(value) AS vmin, MAX(value) AS vmax
        |       FROM obs),
-       |b AS (SELECT (sxy - n * mx * my) / (sxx - n * mx * mx) AS beta,
+       |b AS (SELECT CASE WHEN sxx - n * mx * mx = 0.0 THEN 0.0
+       |             ELSE (sxy - n * mx * my) / (sxx - n * mx * mx) END AS beta,
        |             mx, my, vmin, vmax FROM st),
        |fill AS (
        |  SELECT m.month_id, m.unit_id, m.value, m.value2,

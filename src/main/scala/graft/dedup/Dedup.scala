@@ -119,11 +119,18 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate detection end-to-end: shingle → sign →
     * band → candidates → exact-Jaccard verify ≥ threshold.
+    *
+    * @param cacheShingles cache the thrice-read shingle table for the
+    *   session (default). A long-lived service calling this repeatedly
+    *   should pass false (no handle survives the call to unpersist) and
+    *   manage its own shingle materialisation.
     */
   def minhashLsh(docs: DataFrame, shingleSize: Int, numHashes: Int,
                  bandRows: Int, threshold: Double,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, shingleSize, idCol, textCol).cache()
+                 idCol: String = "doc_id", textCol: String = "text",
+                 cacheShingles: Boolean = true): DataFrame = {
+    val sh0 = shingles(docs, shingleSize, idCol, textCol)
+    val sh = if (cacheShingles) sh0.cache() else sh0
     val sig = minhash(sh, numHashes, idCol)
     val cand = lshCandidates(sig, numHashes, bandRows, idCol)
     jaccard(cand, sh, idCol).filter(col("jaccard") >= threshold)

@@ -30,8 +30,12 @@ object Imputer {
       sum(x * t).as("__sxy"), sum(x * x).as("__sxx"),
       count(lit(1)).cast("double").as("__n"),
       min(t).as("__vmin"), max(t).as("__vmax"))
-    val beta = (col("__sxy") - col("__n") * col("__mx") * col("__my")) /
-      (col("__sxx") - col("__n") * col("__mx") * col("__mx"))
+    // zero-variance (constant) predictor → slope 0, i.e. intercept-only
+    // mean prediction; the unguarded division would throw under Spark
+    // 4's default ANSI mode
+    val varX = col("__sxx") - col("__n") * col("__mx") * col("__mx")
+    val beta = when(varX === 0.0, 0.0)
+      .otherwise((col("__sxy") - col("__n") * col("__mx") * col("__my")) / varX)
     df.crossJoin(broadcast(st))
       .withColumn(out,
         when(t.isNotNull, t).otherwise(
@@ -70,12 +74,14 @@ object Imputer {
   }
 
   /** Multiple-imputation generator — impute_mice_generator
-    * (missing.py:212-230): `nImputations` independent chains, each with
-    * a deterministic per-chain perturbation of the initial fill (the
-    * analogue of sklearn's per-seed randomisation), returned stacked
-    * under an `imputation_id` column. The chains are independent Spark
-    * jobs — cluster parallelism replaces the reference's
-    * multiprocessing.Pool.
+    * (missing.py:212-230): `nImputations` imputations stacked under an
+    * `imputation_id` column. This engine's chain is fully deterministic
+    * (no per-seed randomisation to replicate), so ONE materialised
+    * chain is shared and each imputation applies a deterministic
+    * per-chain perturbation to its null-origin cells — a stand-in for
+    * (not a replication of) sklearn's per-seed variability: the
+    * between-imputation variance here is the marked epsilon, not an
+    * uncertainty estimate (SURVEY §7.3's statistical-parity caveat).
     */
   def miceGenerator(df: DataFrame, cols: Seq[String],
                     nImputations: Int, maxIter: Int = 10): DataFrame = {

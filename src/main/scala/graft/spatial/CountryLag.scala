@@ -70,10 +70,15 @@ object CountryLag {
     val ninner = inner - 1
     val nouter = ninner + width
     val seeds = panel.select(col(T), col(U).as("seed")).distinct()
+    // a negative outer radius is the documented empty ring ((0,0) → ∅,
+    // splag_country.py:95-107) — orderSet(-1) would wrongly return the
+    // identity set
+    if (nouter < 0)
+      seeds.select(col(T), col("seed"), col("seed").as("member")).filter(lit(false))
     // build outer incrementally from inner (outer ⊇ inner by
     // construction) instead of two from-scratch BFS runs; the inner
     // set is read twice (outer base + ring anti-join) so persist it
-    if (ninner < 0) orderSet(adjacency, seeds, nouter)
+    else if (ninner < 0) orderSet(adjacency, seeds, nouter)
     else {
       val innerSet0 = orderSet(adjacency, seeds, ninner)
       val innerSet =

@@ -176,21 +176,23 @@ object FourierLag {
 
   val LDivisor = 4
 
-  /** 3-D FFT over an n×n×l row-major grid (index = (i*n + j)*l + k). */
+  /** 3-D FFT over an n×n×l row-major grid (index = (i*n + j)*l + k).
+    * One exact-size scratch pair per axis, reused across lines — no
+    * per-line allocation in the per-month kernel.
+    */
   def fft3(re: Array[Double], im: Array[Double], n: Int, l: Int, invert: Boolean): Unit = {
-    val tr = new Array[Double](math.max(n, l))
-    val ti = new Array[Double](math.max(n, l))
+    val srN = new Array[Double](n)
+    val siN = new Array[Double](n)
     // axis 0 (i)
     var j = 0
     while (j < n) {
       var k = 0
       while (k < l) {
         var i = 0
-        while (i < n) { tr(i) = re((i * n + j) * l + k); ti(i) = im((i * n + j) * l + k); i += 1 }
-        val sr = java.util.Arrays.copyOf(tr, n); val si = java.util.Arrays.copyOf(ti, n)
-        fft(sr, si, invert)
+        while (i < n) { srN(i) = re((i * n + j) * l + k); siN(i) = im((i * n + j) * l + k); i += 1 }
+        fft(srN, siN, invert)
         i = 0
-        while (i < n) { re((i * n + j) * l + k) = sr(i); im((i * n + j) * l + k) = si(i); i += 1 }
+        while (i < n) { re((i * n + j) * l + k) = srN(i); im((i * n + j) * l + k) = siN(i); i += 1 }
         k += 1
       }
       j += 1
@@ -201,26 +203,26 @@ object FourierLag {
       var k = 0
       while (k < l) {
         var jj = 0
-        while (jj < n) { tr(jj) = re((i * n + jj) * l + k); ti(jj) = im((i * n + jj) * l + k); jj += 1 }
-        val sr = java.util.Arrays.copyOf(tr, n); val si = java.util.Arrays.copyOf(ti, n)
-        fft(sr, si, invert)
+        while (jj < n) { srN(jj) = re((i * n + jj) * l + k); siN(jj) = im((i * n + jj) * l + k); jj += 1 }
+        fft(srN, siN, invert)
         jj = 0
-        while (jj < n) { re((i * n + jj) * l + k) = sr(jj); im((i * n + jj) * l + k) = si(jj); jj += 1 }
+        while (jj < n) { re((i * n + jj) * l + k) = srN(jj); im((i * n + jj) * l + k) = siN(jj); jj += 1 }
         k += 1
       }
       i += 1
     }
     // axis 2 (k)
+    val srL = new Array[Double](l)
+    val siL = new Array[Double](l)
     i = 0
     while (i < n) {
       var jj = 0
       while (jj < n) {
         var k = 0
-        while (k < l) { tr(k) = re((i * n + jj) * l + k); ti(k) = im((i * n + jj) * l + k); k += 1 }
-        val sr = java.util.Arrays.copyOf(tr, l); val si = java.util.Arrays.copyOf(ti, l)
-        fft(sr, si, invert)
+        while (k < l) { srL(k) = re((i * n + jj) * l + k); siL(k) = im((i * n + jj) * l + k); k += 1 }
+        fft(srL, siL, invert)
         k = 0
-        while (k < l) { re((i * n + jj) * l + k) = sr(k); im((i * n + jj) * l + k) = si(k); k += 1 }
+        while (k < l) { re((i * n + jj) * l + k) = srL(k); im((i * n + jj) * l + k) = siL(k); k += 1 }
         jj += 1
       }
       i += 1

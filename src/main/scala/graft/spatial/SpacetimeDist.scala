@@ -148,7 +148,22 @@ object SpacetimeDist {
           .select(col(T), col(U), col("c._1").as("d2"), col("c._4").as("e_size"))
         val perEvent = if (returnValues == "distances") sqrt(col("d2"))
                        else weightOf2(col("d2"), col("e_size"))
-        per.groupBy(col(T), col(U)).agg(avg(perEvent).as(out))
+        if (returnValues == "distances")
+          // reference fidelity: cKDTree.query pads missing neighbours
+          // with inf when fewer than k events exist yet, so the mean is
+          // inf for months with 0 < count < k (spacetime_distance.py:
+          // 160-186)
+          per.groupBy(col(T), col(U))
+            .agg(avg(perEvent).as("__m"), count(lit(1)).as("__n"))
+            .select(col(T), col(U),
+              when(col("__n") < k, lit(Double.PositiveInfinity))
+                .otherwise(col("__m")).as(out))
+        else
+          // the reference's weights path crashes (IndexError swallowed
+          // by a bare except, leaving np.empty garbage) when count < k;
+          // we deliberately return the mean of the available weights
+          // instead of reproducing that bug (SURVEY §7.3 bug list)
+          per.groupBy(col(T), col(U)).agg(avg(perEvent).as(out))
       }
 
     allCells

@@ -51,19 +51,17 @@ object TextOps {
   }
 
   /** Number of occurrences of any of `words` as whitespace-delimited
-    * tokens (counted via padded literal replace — identical semantics in
-    * any SQL dialect, no regex needed).
+    * tokens, counted by token equality (size before/after array_remove)
+    * — exact even for consecutive repeats, which a padded literal
+    * replace undercounts (adjacent tokens share the delimiter space the
+    * non-overlapping scan consumes), and portable to any SQL dialect
+    * with list filtering.
     */
   def stopwordHits(text: Column, words: Seq[String]): Column = {
-    val padded = concat(lit(" "), normalize(text), lit(" "))
+    val toks = split(normalize(text), " ")
     words.map { w =>
       require(w.matches("[a-z0-9]+"), s"stopword must be plain alphanumeric: $w")
-      // each removed occurrence shortens the string by len(w)+1; the
-      // pattern is a plain literal, so this is string replace (~10x
-      // cheaper than a regex engine), with the same non-overlapping
-      // left-to-right scan in every SQL dialect
-      (length(padded) -
-        length(call_function("replace", padded, lit(s" $w "), lit(" ")))) / (w.length + 1)
+      size(toks) - size(array_remove(toks, w))
     }.reduce(_ + _)
   }
 
