@@ -16,28 +16,30 @@ object OracleExt {
       |  FROM documents
       |)""".stripMargin
 
-  /** Token-equality stopword counts (mirrors TextOps.stopwordHits):
-    * list size before/after filtering the word out — exact for
-    * consecutive repeats.
+  /** Stopword counts over doubled delimiters (mirrors
+    * TextOps.stopwordHits): after doubling every space each token
+    * carries its own surrounding spaces, so consecutive occurrences
+    * no longer overlap and the literal-replace count is exact.
     */
-  private def stopHits(nt: String, words: Seq[String]): String =
+  private def stopHits(pd: String, words: Seq[String]): String =
     words.map { w =>
-      s"(len(string_split($nt, ' ')) - len(list_filter(string_split($nt, ' '), x -> x != '$w')))"
+      s"(length($pd) - length(replace($pd, ' $w ', ' '))) / ${w.length + 1}"
     }.mkString(" + ")
 
   val qTextAnalyze: String = {
     val langs = text.TextOps.LangMarkers
     val scoreExprs = langs.map { case (lang, ws) =>
-      s"(${stopHits("nt", ws)}) AS s_$lang"
+      s"(${stopHits("pd", ws)}) AS s_$lang"
     }.mkString(", ")
     val best = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
     val langCase = langs.map { case (lang, _) =>
       s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
     }.mkString(" ")
-    s"""$norm,
+    s"""$norm, pad AS (SELECT doc_id, text, nt,
+       |  ' ' || replace(nt, ' ', '  ') || ' ' AS pd FROM norm),
        |sc AS (SELECT doc_id, text, nt, $scoreExprs,
-       |         (${stopHits("nt", Seq("the", "a", "and", "of", "is"))}) AS stop_hits
-       |       FROM norm)
+       |         (${stopHits("pd", Seq("the", "a", "and", "of", "is"))}) AS stop_hits
+       |       FROM pad)
        |SELECT doc_id,
        |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens_bpe,
@@ -232,16 +234,17 @@ object OracleExt {
   val qCorpusFilter: String = {
     val langs = text.TextOps.LangMarkers
     val scoreExprs = langs.map { case (lang, ws) =>
-      s"(${stopHits("nt", ws)}) AS s_$lang"
+      s"(${stopHits("pd", ws)}) AS s_$lang"
     }.mkString(", ")
     val best = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
     val langCase = langs.map { case (lang, _) =>
       s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
     }.mkString(" ")
-    s"""$norm,
+    s"""$norm, pad AS (SELECT doc_id, text, nt,
+       |  ' ' || replace(nt, ' ', '  ') || ' ' AS pd FROM norm),
        |sc AS (SELECT doc_id, text, nt, $scoreExprs,
-       |         (${stopHits("nt", Seq("the", "a", "and", "of", "is"))}) AS stop_hits
-       |       FROM norm),
+       |         (${stopHits("pd", Seq("the", "a", "and", "of", "is"))}) AS stop_hits
+       |       FROM pad),
        |feat AS (
        |  SELECT doc_id, md5(nt) AS fingerprint,
        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
@@ -263,14 +266,15 @@ object OracleExt {
   val qCorpusStats: String = {
     val langs = text.TextOps.LangMarkers
     val scoreExprs = langs.map { case (lang, ws) =>
-      s"(${stopHits("nt", ws)}) AS s_$lang"
+      s"(${stopHits("pd", ws)}) AS s_$lang"
     }.mkString(", ")
     val best = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
     val langCase = langs.map { case (lang, _) =>
       s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
     }.mkString(" ")
-    s"""$norm,
-       |sc AS (SELECT doc_id, text, $scoreExprs FROM norm),
+    s"""$norm, pad AS (SELECT doc_id, text, nt,
+       |  ' ' || replace(nt, ' ', '  ') || ' ' AS pd FROM norm),
+       |sc AS (SELECT doc_id, text, $scoreExprs FROM pad),
        |feat AS (
        |  SELECT doc_id,
        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,

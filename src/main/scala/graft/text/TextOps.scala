@@ -51,17 +51,21 @@ object TextOps {
   }
 
   /** Number of occurrences of any of `words` as whitespace-delimited
-    * tokens, counted by token equality (size before/after array_remove)
-    * — exact even for consecutive repeats, which a padded literal
-    * replace undercounts (adjacent tokens share the delimiter space the
-    * non-overlapping scan consumes), and portable to any SQL dialect
-    * with list filtering.
+    * tokens, counted via literal replace over DOUBLED delimiters: after
+    * `replace(nt, " ", "  ")` every token carries its own surrounding
+    * spaces, so consecutive occurrences no longer overlap and the
+    * non-overlapping scan counts them exactly (a single-spaced padded
+    * replace undercounts runs). Each removed " w " (w+2 chars → 1)
+    * shortens the string by len(w)+1. Literal string replace — no
+    * regex, no per-row array allocation, identical in any SQL dialect.
     */
   def stopwordHits(text: Column, words: Seq[String]): Column = {
-    val toks = split(normalize(text), " ")
+    val padded = concat(lit(" "),
+      call_function("replace", normalize(text), lit(" "), lit("  ")), lit(" "))
     words.map { w =>
       require(w.matches("[a-z0-9]+"), s"stopword must be plain alphanumeric: $w")
-      size(toks) - size(array_remove(toks, w))
+      (length(padded) -
+        length(call_function("replace", padded, lit(s" $w "), lit(" ")))) / (w.length + 1)
     }.reduce(_ + _)
   }
 
