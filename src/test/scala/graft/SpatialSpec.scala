@@ -67,6 +67,36 @@ class SpatialSpec extends SparkSpec {
     assert(n1(120L) == 0.0)   // neighbour 242 has value 0
   }
 
+  test("ringSet honours the documented empty (0,0) kernel") {
+    val p = Seq((1L, 0L, 1.0), (1L, 1L, 2.0)).toDF(T, U, "value")
+    val adj = Seq((1L, 0L, 1L), (1L, 1L, 0L)).toDF(T, "a_id", "b_id")
+    assert(CountryLag.ringSet(p, adj, inner = 0, width = 0).count() == 0)
+    // and the identity kernel still yields {self}
+    val id = CountryLag.ringSet(p, adj, inner = 0, width = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(id.toSet == Set((0L, 0L), (1L, 1L)))
+  }
+
+  test("spacetime pads missing neighbours with inf when 0 < count < k (distances)") {
+    // one event total: k=5 distances must be inf once visible, 999 before
+    val rows = for (m <- 1L to 3L; u <- 0L until 4L)
+      yield (m, u, if (m == 2L && u == 1L) 10.0 else 0.0)
+    val p = rows.toDF(T, U, "value")
+      .withColumn("lon", Grid.unitLon(col(U)))
+      .withColumn("lat", Grid.unitLat(col(U)))
+    val out = SpacetimeDist.spacetimeDistances(p, "value", "distances",
+        k = 5, nu = 1.0, power = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // month 1: no events yet -> sentinel; months 2..3: 1 < k events -> inf
+    assert(out((1L, 0L)) == 999.0)
+    assert(out((2L, 0L)).isPosInfinity && out((3L, 2L)).isPosInfinity)
+    // k=1 on the same panel stays finite once the event is visible
+    val k1 = SpacetimeDist.spacetimeDistances(p, "value", "distances",
+        k = 1, nu = 1.0, power = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(k1((2L, 1L)) == 0.0 && !k1((3L, 0L)).isInfinity)
+  }
+
   test("spacetime distances reproduce the reference fixture (F1)") {
     // 3 months x 3x3 pgid block, single event at (101, centre)
     val units = Seq(0L, 1L, 2L, 40L, 41L, 42L, 80L, 81L, 82L)
