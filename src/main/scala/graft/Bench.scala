@@ -47,13 +47,17 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the whole line under ~2.7 KB for ~90
+    // queries — the harness captures only a bounded tail of the run's
+    // output, and the JSON line must fit inside it in full to parse
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // a thrown query records near-zero wall-clock — surface it so a
     // regression can't masquerade as a fast run
     val fj = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failures":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

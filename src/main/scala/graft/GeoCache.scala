@@ -1,0 +1,98 @@
+package graft
+
+import graft.spatial.{CountryLag, TreeLag}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped cache for value-independent spatial geometry: the
+  * quadtree embedding, the country adjacency, and the BFS ring sets.
+  *
+  * All three are pure functions of the panel's unit/month universe —
+  * not of the value columns — yet each derivation costs a distinct
+  * pass over the panel (and, for rings, a chain of BFS self-joins).
+  * At 100 TB a pipeline that re-derives them per operator invocation
+  * spends more on geometry than on the lag itself, so every caller —
+  * the direct operator API and the JSON wire-format dispatch alike —
+  * shares one persisted copy per (session, unit universe).
+  *
+  * Keying: two inputs share geometry iff their panels' (time, unit)
+  * projections optimise to semantically-equal plans. Using the
+  * OPTIMISED plan's semantic hash makes the key blind to value-column
+  * transforms: `panel.select(T, U, f(value))` prunes back to the same
+  * `Project(T, U, scan)` as the raw panel, so a pipeline step that
+  * runs after pointwise/temporal transforms still hits the cache
+  * built by a direct query. A miss is only a recompute — never an
+  * incorrect reuse (different universes hash differently; the Int
+  * hash's collision risk over a handful of live panels is
+  * negligible).
+  *
+  * Lifetime: entries persist until [[clear]]. Handles to every
+  * persisted DataFrame are retained here, so — unlike a fire-and-
+  * forget `persist` inside an operator — a long-lived session can
+  * always release the blocks.
+  */
+object GeoCache {
+
+  private final case class Key(session: SparkSession, planHash: Int)
+
+  private def keyOf(panel: DataFrame): Key =
+    Key(panel.sparkSession,
+      panel.select(col(Panel.TimeCol), col(Panel.UnitCol))
+        .queryExecution.optimizedPlan.semanticHash())
+
+  private val embs =
+    scala.collection.concurrent.TrieMap.empty[Key, TreeLag.Embedding]
+  private val adjs =
+    scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
+  private val cents =
+    scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
+  private val rings =
+    scala.collection.concurrent.TrieMap.empty[(Key, Int, Int), DataFrame]
+
+  /** Quadtree cell embedding of `gridPanel` (must carry lon/lat cell
+    * columns) — one distinct+collect per unit universe, shared across
+    * the tree/grid/fourier/mesh operators.
+    */
+  def embedding(gridPanel: DataFrame,
+                lonCol: String = "lon", latCol: String = "lat"): TreeLag.Embedding =
+    embs.getOrElseUpdate(keyOf(gridPanel),
+      TreeLag.embedOf(gridPanel, lonCol, latCol))
+
+  /** Month-replicated queen adjacency of the panel's unit grid,
+    * persisted with a retained handle.
+    */
+  def adjacency(panel: DataFrame): DataFrame =
+    adjs.getOrElseUpdate(keyOf(panel),
+      CountryLag.gridAdjacency(panel, persist = false)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Unit centroids (country_id, lon, lat) for the country lag. */
+  def centroids(panel: DataFrame): DataFrame =
+    cents.getOrElseUpdate(keyOf(panel), CountryLag.gridCentroids(panel))
+
+  /** BFS ring set for a (inner, width) kernel shape, persisted with a
+    * retained handle. `persist = false` inside the derivation: the
+    * twice-read inner order set is recomputed during the single
+    * materialisation of the (persisted) ring instead of leaving an
+    * unreleasable block behind.
+    */
+  def ring(panel: DataFrame, inner: Int, width: Int): DataFrame =
+    rings.getOrElseUpdate((keyOf(panel), inner, width),
+      CountryLag.ringSet(panel, adjacency(panel), inner, width, persist = false)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Release every cached block owned by `session` and drop the
+    * entries (other sessions' caches are untouched).
+    */
+  def clear(session: SparkSession): Unit = {
+    def owned[K](m: scala.collection.concurrent.TrieMap[K, DataFrame])(sel: K => SparkSession): Unit =
+      m.keys.filter(k => sel(k) == session).foreach { k =>
+        m.remove(k).foreach(_.unpersist())
+      }
+    owned(adjs)(_.session)
+    owned(rings)(_._1.session)
+    cents.keys.filter(_.session == session).foreach(cents.remove)
+    embs.keys.filter(_.session == session).foreach(embs.remove)
+  }
+}

@@ -132,30 +132,36 @@ object Registry {
         TemporalOps.tickTimeSince(col("value"), col("__ts"))).drop("__ts")
     }),
 
-    // spatial family — args follow the reference's positional order
+    // spatial family — args follow the reference's positional order.
+    // Geometry (embedding / adjacency / rings) comes from the shared
+    // GeoCache: the wire format is how a long-lived service invokes
+    // transforms, and re-deriving unit-universe geometry per call
+    // would dominate the lag itself at scale. The cache keys on the
+    // optimised (time, unit) projection, so dispatches after value
+    // transforms still share the direct API's persisted geometry.
     "splag4d" -> spatialT("splag")((gp, a) =>
       KernelLag.splag4d(gp, "value", a.numOpt(0).getOrElse(1.0).toInt,
         a.numOpt(1).getOrElse(1.0).toInt, a.numOpt(2).getOrElse(0.0),
         a.bool(3, default = false))),
     "splag_country" -> spatialT("splag")((gp, a) => {
-      // one-shot dispatch: derive geometry without persisting (no
-      // handle survives this call to unpersist it later)
-      val adj = CountryLag.gridAdjacency(gp, persist = false)
       val inner = a.numOpt(0).getOrElse(1.0).toInt
       val width = a.numOpt(1).getOrElse(1.0).toInt
-      CountryLag.splagCountry(gp, "value", adj,
-        CountryLag.gridCentroids(gp), inner, width,
+      CountryLag.splagCountry(gp, "value", GeoCache.adjacency(gp),
+        GeoCache.centroids(gp), inner, width,
         a.numOpt(2).getOrElse(0.0), a.bool(3, default = false),
-        ringOpt = Some(CountryLag.ringSet(gp, adj, inner, width, persist = false)))
+        ringOpt = Some(GeoCache.ring(gp, inner, width)))
     }),
     "tree_lag" -> spatialT("treelag")((gp, a) =>
       TreeLag.treeLag(gp, "value", a.numOpt(0).getOrElse(0.5),
-        a.numOpt(1).getOrElse(0.0).toInt)),
+        a.numOpt(1).getOrElse(0.0).toInt,
+        embOpt = Some(GeoCache.embedding(gp)))),
     "grid_lag" -> spatialT("gridlag")((gp, a) =>
-      TreeLag.gridLag(gp, "value", a.num(0), a.numOpt(1).getOrElse(0.0).toInt)),
+      TreeLag.gridLag(gp, "value", a.num(0), a.numOpt(1).getOrElse(0.0).toInt,
+        embOpt = Some(GeoCache.embedding(gp)))),
     "fourier_lag" -> spatialT("flag_value")((gp, a) =>
       FourierLag.fourierLag(gp, "value",
-        dimensionality = a.numOpt(0).getOrElse(2.0).toInt)),
+        dimensionality = a.numOpt(0).getOrElse(2.0).toInt,
+        embOpt = Some(GeoCache.embedding(gp)))),
     "spacetime_dist" -> spatialT("stdist")((gp, a) =>
       SpacetimeDist.spacetimeDistances(gp, "value",
         a.strOpt(0).getOrElse("distances"), a.numOpt(1).getOrElse(1.0).toInt,

@@ -48,26 +48,6 @@ object SparkEntry {
   private def onPanel(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(cachedPanel(s, dir))
 
-  /** The derived grid adjacency is shared by the three country-lag
-    * queries — cache it per panel instance (gridAdjacency persists; this
-    * avoids three separate materialisations of the same derivation).
-    */
-  private val adjCache =
-    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
-  private def cachedAdjacency(p: DataFrame): DataFrame =
-    adjCache.getOrElseUpdate(p, CountryLag.gridAdjacency(p))
-
-  /** Ring sets are value-independent graph geometry — share one
-    * persisted set per (panel, kernel shape) across the plain and
-    * normalised country-lag queries.
-    */
-  private val ringCache =
-    scala.collection.concurrent.TrieMap.empty[(DataFrame, Int, Int), DataFrame]
-  private def cachedRing(p: DataFrame, inner: Int, width: Int): DataFrame =
-    ringCache.getOrElseUpdate((p, inner, width),
-      CountryLag.ringSet(p, cachedAdjacency(p), inner, width)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-
   private def onMissing(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Panel.withMissing(cachedPanel(s, dir)))
 
@@ -158,19 +138,19 @@ object SparkEntry {
       KernelLag.splag4dMulti(gp, Seq("value", "value2"), 1, 1, 1.0, norm = false)
         .select(col(T), col(U), col("splag_value"), col("splag_value2"))),
     "q_splag_country" -> onPanel(p =>
-      CountryLag.splagCountry(p, "value", cachedAdjacency(p),
-        CountryLag.gridCentroids(p), 1, 1, 0.0, norm = false,
-        ringOpt = Some(cachedRing(p, 1, 1)))
+      CountryLag.splagCountry(p, "value", GeoCache.adjacency(p),
+        GeoCache.centroids(p), 1, 1, 0.0, norm = false,
+        ringOpt = Some(GeoCache.ring(p, 1, 1)))
         .select(col(T), col(U), col("splag"))),
     "q_splag_country_ring2" -> onPanel(p =>
-      CountryLag.splagCountry(p, "value", cachedAdjacency(p),
-        CountryLag.gridCentroids(p), 2, 1, 0.0, norm = false,
-        ringOpt = Some(cachedRing(p, 2, 1)))
+      CountryLag.splagCountry(p, "value", GeoCache.adjacency(p),
+        GeoCache.centroids(p), 2, 1, 0.0, norm = false,
+        ringOpt = Some(GeoCache.ring(p, 2, 1)))
         .select(col(T), col(U), col("splag"))),
     "q_splag_country_norm" -> onPanel(p =>
-      CountryLag.splagCountry(p, "value", cachedAdjacency(p),
-        CountryLag.gridCentroids(p), 1, 1, 1.0, norm = true,
-        ringOpt = Some(cachedRing(p, 1, 1)))
+      CountryLag.splagCountry(p, "value", GeoCache.adjacency(p),
+        GeoCache.centroids(p), 1, 1, 1.0, norm = true,
+        ringOpt = Some(GeoCache.ring(p, 1, 1)))
         .select(col(T), col(U), col("splag"))),
     "q_spacetime_dist_k1" -> onGrid(gp =>
       SpacetimeDist.spacetimeDistances(gp, "value", "distances",

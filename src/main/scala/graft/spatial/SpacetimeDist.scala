@@ -110,7 +110,11 @@ object SpacetimeDist {
     // d, needs only multiplications (Spark's pow is StrictMath.pow —
     // an order of magnitude slower than x*x); sqrt/pow run only on the
     // ~k rows per cell that survive aggregation.
-    val unitGeo = panel.select(col(U), col(lonCol), col(latCol)).distinct()
+    // one geo row per unit, even if a panel carries inconsistent or
+    // time-varying unit coordinates — a distinct on (unit, lon, lat)
+    // would emit duplicate per-month candidates and corrupt the k>1 mean
+    val unitGeo = panel.groupBy(col(U))
+      .agg(first(col(lonCol)).as(lonCol), first(col(latCol)).as(latCol))
     val sdx = (col(lonCol) - col("e_lon")) * 0.5
     val sdy = (col(latCol) - col("e_lat")) * 0.5
     val topk = udaf(new TopK(k))
