@@ -327,84 +327,113 @@ object OracleExt {
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |GROUP BY 1""".stripMargin
 
+  /** Shared UTF-8 byte table of `documents.text`: one row per byte
+    * with its 0-based stream index `j` and value `b`, built by
+    * expanding each character's codepoint into its UTF-8 bytes in
+    * SQL. This matches the Scala side's `encode(text, 'UTF-8')` byte
+    * semantics for ANY corpus — not just ASCII — without blob
+    * support: this DuckDB build exposes octet_length(encode(x)) but
+    * no blob slicing or blob hashing, so the byte stream is
+    * reconstructed from codepoints instead.
+    */
+  private val utf8Bytes: String =
+    """d AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |cp AS (
+      |  SELECT media_id, text, unnest(generate_series(1, length(text))) AS ci
+      |  FROM d WHERE length(text) > 0),
+      |cpt AS (
+      |  SELECT media_id, ci, ascii(substr(text, ci, 1)) AS c FROM cp),
+      |enc AS (
+      |  SELECT media_id, ci,
+      |    CASE WHEN c < 128 THEN [c]
+      |         WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64]
+      |         WHEN c < 65536 THEN [224 + c // 4096, 128 + (c // 64) % 64, 128 + c % 64]
+      |         ELSE [240 + c // 262144, 128 + (c // 4096) % 64,
+      |               128 + (c // 64) % 64, 128 + c % 64]
+      |    END AS bl
+      |  FROM cpt),
+      |ob AS (
+      |  SELECT media_id, ci, bl,
+      |    SUM(len(bl)) OVER (PARTITION BY media_id ORDER BY ci
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(bl) AS off
+      |  FROM enc),
+      |byt AS (
+      |  SELECT media_id, off + generate_subscripts(bl, 1) - 1 AS j, unnest(bl) AS b
+      |  FROM ob)""".stripMargin
+
+  /** One payload byte as the two-hex-digit token Spark's `hex()`
+    * emits — string_agg of these IS the hex string both engines md5.
+    */
+  private def hexByte(b: String): String = s"lpad(upper(to_hex($b)), 2, '0')"
+
   /** Multimodal feature extraction (Multimodal.synthesize →
-    * extractFeatures over documents): content = utf-8 bytes of `text`
-    * (pure ASCII in the testdata, so byte i = ascii(char i)), feature d
-    * = mean of bytes at 0-based positions ≡ d (mod FeatureDim) / 255,
-    * rounded through float32 exactly as the Scala kernel does. Byte
-    * sums of integers are exact in double, so association order is
-    * irrelevant here (unlike the entropy window sums).
+    * extractFeatures over documents): feature d = mean of the UTF-8
+    * bytes at 0-based positions ≡ d (mod FeatureDim) / 255, rounded
+    * through float32 exactly as the Scala kernel does. Byte sums of
+    * integers are exact in double, so association order is irrelevant
+    * here (unlike the entropy window sums).
     */
   val qMultimodalFeatures: String = {
     val dim = graft.multimodal.Multimodal.FeatureDim
     val feats = (0 until dim).map { d =>
       s"""COALESCE(CAST(CAST(
-         |  SUM(CASE WHEN dim = $d THEN b END)
-         |    / COUNT(CASE WHEN dim = $d THEN b END) / 255.0
+         |  SUM(CASE WHEN j % $dim = $d THEN CAST(b AS DOUBLE) END)
+         |    / COUNT(CASE WHEN j % $dim = $d THEN b END) / 255.0
          |  AS REAL) AS DOUBLE), 0.0) AS f$d""".stripMargin
     }.mkString(",\n")
-    s"""WITH d AS (
-       |  SELECT CAST(doc_id AS BIGINT) AS media_id, text,
-       |         length(text) AS n
-       |  FROM documents),
-       |pos AS (
-       |  SELECT media_id, text, n, unnest(generate_series(1, n)) AS i
-       |  FROM d WHERE n > 0),
-       |byt AS (
-       |  SELECT media_id, (i - 1) % $dim AS dim,
-       |         CAST(ascii(substr(text, i, 1)) AS DOUBLE) AS b
-       |  FROM pos),
+    s"""WITH $utf8Bytes,
        |agg AS (
        |  SELECT media_id,
        |$feats
        |  FROM byt GROUP BY media_id)
-       |SELECT d.media_id, CAST(d.n AS BIGINT) AS n_bytes,
+       |SELECT d.media_id, d.n AS n_bytes,
        |  ${(0 until dim).map(d => s"COALESCE(a.f$d, 0.0) AS f$d").mkString(", ")}
        |FROM d LEFT JOIN agg a ON a.media_id = d.media_id""".stripMargin
   }
 
   /** Resize stub oracle: nearest-neighbour byte subsample to
-    * m = min(outLen, n) bytes, byte i = char (i·n)/m (0-based) — the
-    * resized payload rebuilt as a string (ASCII testdata) and md5'd,
-    * mirroring Multimodal.resizeStub exactly.
+    * m = min(outLen, n) bytes, output byte i = input byte (i·n)/m
+    * (0-based) — selected from the UTF-8 byte table and digested as
+    * the hex string, mirroring Multimodal.resizeStub + md5(hex(..))
+    * byte-for-byte for any input.
     */
   def qMultimodalResize(targetW: Int, targetH: Int): String = {
     val outLen = targetW * targetH
-    s"""WITH d AS (
-       |  SELECT CAST(doc_id AS BIGINT) AS media_id, text, length(text) AS n
-       |  FROM documents),
-       |m AS (SELECT media_id, text, n, least($outLen, n) AS m FROM d),
-       |pos AS (
-       |  SELECT media_id, text, n, m, unnest(generate_series(0, m - 1)) AS i
+    s"""WITH $utf8Bytes,
+       |m AS (SELECT media_id, n, least($outLen, n) AS m FROM d),
+       |pick AS (
+       |  SELECT media_id, n, m, unnest(generate_series(0, m - 1)) AS i
        |  FROM m WHERE m > 0),
-       |chars AS (
-       |  SELECT media_id, i, substr(text, CAST(i * n // m AS INT) + 1, 1) AS c
-       |  FROM pos),
-       |resized AS (
-       |  SELECT media_id, string_agg(c, '' ORDER BY i) AS payload
-       |  FROM chars GROUP BY media_id)
+       |sel AS (
+       |  SELECT p.media_id, p.i, y.b
+       |  FROM pick p JOIN byt y
+       |    ON y.media_id = p.media_id AND y.j = (p.i * p.n) // p.m),
+       |hx AS (
+       |  SELECT media_id, string_agg(${hexByte("b")}, '' ORDER BY i) AS payload
+       |  FROM sel GROUP BY media_id)
        |SELECT d.media_id, $targetW AS out_w, $targetH AS out_h,
-       |  CAST(COALESCE(length(r.payload), 0) AS BIGINT) AS n_bytes,
-       |  md5(COALESCE(r.payload, '')) AS content_md5
-       |FROM d LEFT JOIN resized r ON r.media_id = d.media_id""".stripMargin
+       |  CAST(least($outLen, d.n) AS BIGINT) AS n_bytes,
+       |  md5(COALESCE(h.payload, '')) AS content_md5
+       |FROM d LEFT JOIN hx h ON h.media_id = d.media_id""".stripMargin
   }
 
-  /** Frame-sample stub oracle: frame i = chars [i·fb, (i+1)·fb), every
-    * `everyN`-th frame emitted with its length and md5 — mirrors
-    * Multimodal.frameSample.
+  /** Frame-sample stub oracle: frame i = bytes [i·fb, (i+1)·fb), every
+    * `everyN`-th frame emitted with its length and hex-string md5 —
+    * mirrors Multimodal.frameSample over the UTF-8 byte table.
     */
   def qMultimodalFrames(frameBytes: Int, everyN: Int): String =
-    s"""WITH d AS (
-       |  SELECT CAST(doc_id AS BIGINT) AS media_id, text, length(text) AS n
-       |  FROM documents),
-       |f AS (
-       |  SELECT media_id, text, n,
-       |    unnest(generate_series(0, CAST((n + $frameBytes - 1) // $frameBytes AS INT) - 1)) AS i
-       |  FROM d WHERE n > 0)
-       |SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
-       |  CAST(length(substr(text, i * $frameBytes + 1, $frameBytes)) AS BIGINT) AS frame_len,
-       |  md5(substr(text, i * $frameBytes + 1, $frameBytes)) AS frame_md5
-       |FROM f WHERE i % $everyN = 0""".stripMargin
+    s"""WITH $utf8Bytes,
+       |fr AS (
+       |  SELECT media_id, CAST(j // $frameBytes AS INTEGER) AS frame_idx, j, b
+       |  FROM byt
+       |  WHERE (j // $frameBytes) % $everyN = 0)
+       |SELECT media_id, frame_idx,
+       |  CAST(COUNT(*) AS BIGINT) AS frame_len,
+       |  md5(string_agg(${hexByte("b")}, '' ORDER BY j)) AS frame_md5
+       |FROM fr GROUP BY media_id, frame_idx""".stripMargin
 
   /** Regression imputation (the 2-column analogue of the reference's
     * IterativeImputer, missing.py:165-209): OLS of value on value2 over

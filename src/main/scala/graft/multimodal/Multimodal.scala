@@ -93,7 +93,11 @@ object Multimodal {
     }.toDF("media_id", "resized")
       .select(col("media_id"), lit(targetW).as("out_w"), lit(targetH).as("out_h"),
         length(col("resized")).cast("long").as("n_bytes"),
-        md5(col("resized")).as("content_md5"))
+        // digest the HEX STRING of the payload, not the raw binary:
+        // byte-for-byte equivalent as a content digest, and computable
+        // by any comparison engine that can express the byte sequence
+        // but not hash a blob
+        md5(hex(col("resized"))).as("content_md5"))
   }
 
   /** Partition-wise frame sampling — the video path: the payload is
@@ -121,7 +125,8 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame")
       .select(col("media_id"), col("frame_idx"),
         length(col("frame")).cast("long").as("frame_len"),
-        md5(col("frame")).as("frame_md5"))
+        // hex-string digest — see resize
+        md5(hex(col("frame"))).as("frame_md5"))
   }
 
   /** Partition-wise decode + feature extraction: one `mapPartitions`

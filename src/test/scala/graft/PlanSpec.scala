@@ -69,6 +69,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
   }
 
+  test("corpus filter's barrier keeps the wide text trees out of the filter") {
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog is of note"),
+      (2L, "der schnelle braune fuchs und der hund"),
+      (3L, "the quick brown fox and the lazy dog is of note")).toDF("doc_id", "text")
+    val plan = graft.text.TextOps.corpusFilter(docs, 0.1, "en")
+      .queryExecution.optimizedPlan.toString()
+    // the quality/lang predicate must reference the projected columns,
+    // not inline their replace()-heavy expression trees — inlining
+    // (e.g. a future Catalyst change relaxing the nondeterministic
+    // pushdown barrier) would re-evaluate every tree per row and
+    // double the generated-code size
+    val filterLines = plan.linesIterator.filter(_.contains("Filter")).toSeq
+    assert(filterLines.nonEmpty, plan)
+    assert(!filterLines.exists(_.contains("replace(")), plan)
+  }
+
   test("spacetime kNN broadcasts raw events only; as-of join is unit-keyed") {
     val plan = spatial.SpacetimeDist.spacetimeDistances(
         gridPanel, "value", "distances", k = 1, nu = 1.0, power = 0.0)
