@@ -225,6 +225,67 @@ object OracleExt {
        |  WHERE a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200)
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3""".stripMargin
 
+  /** IVF ANN oracle — replicates Similarity.ivfTopK end-to-end in SQL:
+    * seeds = the `nlists` smallest-id corpus vectors; `iters` unrolled
+    * Lloyd steps, each an argmin assignment by
+    * (−2·v·c + ||c||², list) followed by per-dimension means (lists
+    * with no members keep their previous centroid, as the Scala side's
+    * partial update does); queries probe the `nprobe` nearest lists;
+    * exact cosine top-k over the probed lists. Deterministic by
+    * construction on both engines — the only cross-engine freedom is
+    * summation order inside the 64-dim means, which can only change
+    * the output if an ulp flips an argmin.
+    */
+  def qEmbedIvfTopK(k: Int = 10, nlists: Int = 16, nprobe: Int = 4,
+                    iters: Int = 3, dim: Int = 64): String = {
+    // nearest-list score: ||v−c||² minus the per-row constant ||v||²,
+    // exactly the rank-equivalent form the Scala assignment codegens
+    def score(v: String, cent: String) =
+      s"-2 * list_dot_product($v, $cent) + list_dot_product($cent, $cent)"
+    def assign(cent: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, v, list FROM (
+         |    SELECT c.vec_id, c.v, ct.list,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${score("c.v", "ct.cent")}, ct.list) AS rn
+         |    FROM c, $cent ct)
+         |  WHERE rn = 1)""".stripMargin
+    val means = (1 to dim).map(j => s"avg(v[$j])").mkString(", ")
+    val steps = (0 until iters).map { i =>
+      s"""${assign(s"cent$i", s"asgn$i")},
+         |mean$i AS (
+         |  SELECT list, [$means] AS cent FROM asgn$i GROUP BY list),
+         |cent${i + 1} AS (
+         |  SELECT p.list, COALESCE(m.cent, p.cent) AS cent
+         |  FROM cent$i p LEFT JOIN mean$i m ON m.list = p.list)""".stripMargin
+    }.mkString(",\n")
+    s"""$embCte,
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list, v AS cent
+       |  FROM c ORDER BY vec_id LIMIT $nlists),
+       |$steps,
+       |${assign(s"cent$iters", "asgnF")},
+       |ql AS (
+       |  SELECT query_id, list FROM (
+       |    SELECT q.vec_id AS query_id, ct.list,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${score("q.v", "ct.cent")}, ct.list) AS rn
+       |    FROM c q, cent$iters ct WHERE q.vec_id < 50)
+       |  WHERE rn <= $nprobe),
+       |qv AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 50),
+       |scored AS (
+       |  SELECT ql.query_id, a.vec_id AS neighbor_id,
+       |    ${cosSql("qv.qv", "a.v")} AS cosine
+       |  FROM ql
+       |  JOIN asgnF a ON a.list = ql.list
+       |  JOIN qv ON qv.query_id = ql.query_id
+       |  WHERE a.vec_id <> ql.query_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+       |FROM rk WHERE rank <= $k""".stripMargin
+  }
+
   /** The composed corpus-preparation pipeline: drop normalised-text
     * duplicates (keep the canonical id), keep documents above a quality
     * floor whose predicted language is English, emit the surviving ids

@@ -290,8 +290,9 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> ((s, dir) =>
       similarity.Similarity.lshNearDupPairs(embeddings(s, dir),
         threshold = 0.3, dims = 0 until 8)),
-    // rows-only: IVF is approximate by design; exactness is covered by
-    // q_embed_topk and the recall spec
+    // approximate by design (recall < 1 vs q_embed_topk) but
+    // deterministic end-to-end, so the unrolled-Lloyd SQL oracle
+    // checks it exactly; the recall spec covers ANN quality
     "q_embed_ivf_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       similarity.Similarity.ivfTopK(e, e.filter(col("vec_id") < 50),
@@ -454,6 +455,7 @@ object SparkEntry {
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,
+    "q_embed_ivf_topk" -> OracleExt.qEmbedIvfTopK(),
     "q_impute_regression" -> OracleExt.qImputeRegression,
     "q_multimodal_features" -> OracleExt.qMultimodalFeatures,
     "q_multimodal_resize" -> OracleExt.qMultimodalResize(16, 16),
