@@ -122,11 +122,16 @@ object OracleExt {
   val qSimhash: String =
     s"$norm, ${simhashCte("")} SELECT doc_id, simhash FROM sig"
 
-  val qSimhashPairs: String = {
+  /** CTE chain ending in `h(id_a, id_b, hamming)` — the half-blocked
+    * simhash candidate pairs of docs < 200 (mirrors
+    * Dedup.simhashPairs); shared by the pair query and the
+    * connected-components clustering oracle.
+    */
+  private val simhashPairCtes: String = {
     val ham = (1 to 16).map(j =>
       s"CASE WHEN substr(sh_a, $j, 1) <> substr(sh_b, $j, 1) THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""$norm, ${simhashCte("WHERE doc_id < 200")},
+    s"""${simhashCte("WHERE doc_id < 200")},
        |blocks AS (
        |  SELECT doc_id, simhash,
        |         unnest(['1:' || substr(simhash, 1, 8),
@@ -136,9 +141,59 @@ object OracleExt {
        |                a.simhash AS sh_a, b.simhash AS sh_b
        |         FROM blocks a JOIN blocks b
        |           ON a.block = b.block AND a.doc_id < b.doc_id),
-       |h AS (SELECT id_a, id_b, $ham AS hamming FROM cand)
+       |h AS (SELECT id_a, id_b, $ham AS hamming FROM cand)""".stripMargin
+  }
+
+  val qSimhashPairs: String =
+    s"""$norm, $simhashPairCtes
        |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
        |FROM h WHERE hamming <= 3""".stripMargin
+
+  /** Duplicate-cluster oracle: transitive closure of the simhash pair
+    * graph via a recursive CTE — cluster_id(x) = min id reachable from
+    * x (mirrors Dedup.connectedComponents over simhashPairs ≤ 3).
+    */
+  val qDedupClusters: String =
+    s"""${norm.replaceFirst("WITH ", "WITH RECURSIVE ")}, $simhashPairCtes,
+       |pairs AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+       |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+       |       FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |       FROM cl GROUP BY 1)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size
+       |FROM cl c JOIN sz s ON s.cluster_id = c.cluster_id""".stripMargin
+
+  /** Deterministic hash sample (mirrors Sampling.hashSample over
+    * documents, fraction 0.25, salt "split0" — identical md5 input
+    * string and threshold literal on both engines).
+    */
+  val qSampleHash: String = {
+    val t = graft.sampling.Sampling.thresholdHex(0.25)
+    s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+       |FROM documents
+       |WHERE md5(CAST(doc_id AS VARCHAR) || ':split0') < '$t'""".stripMargin
+  }
+
+  /** Deterministic train/val/test assignment (mirrors
+    * Sampling.hashSplit 0.8/0.1/0.1, salt "split1"; thresholds come
+    * from the same cumulative-sum code so the float literals match
+    * bit-for-bit).
+    */
+  val qSampleSplit: String = {
+    val Seq(t1, t2) = graft.sampling.Sampling.splitThresholds(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).toSeq
+    s"""SELECT doc_id,
+       |  CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':split1') < '$t1' THEN 'train'
+       |       WHEN md5(CAST(doc_id AS VARCHAR) || ':split1') < '$t2' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
   }
 
   val qNgramJaccard: String =

@@ -271,6 +271,20 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) => dedup.Dedup.simhash(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) =>
       dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200), maxDist = 3)),
+    // duplicate-cluster resolution over the simhash pair graph
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 200)
+      dedup.Dedup.connectedComponents(d,
+        dedup.Dedup.simhashPairs(d, maxDist = 3))
+    }),
+    // deterministic hash sampling / split assignment
+    "q_sample_hash" -> ((s, dir) =>
+      sampling.Sampling.hashSample(docs(s, dir), "doc_id", 0.25, "split0")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))),
+    "q_sample_split" -> ((s, dir) =>
+      sampling.Sampling.hashSplit(docs(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "split1")
+        .select(col("doc_id"), col("split"))),
     "q_ngram_jaccard" -> ((s, dir) =>
       dedup.Dedup.ngramJaccard(docs(s, dir).filter(col("doc_id") < 60),
         n = 4, minJaccard = 0.35)),
@@ -450,6 +464,9 @@ object SparkEntry {
     "q_minhash_lsh" -> OracleExt.qMinhashLsh,
     "q_simhash" -> OracleExt.qSimhash,
     "q_simhash_pairs" -> OracleExt.qSimhashPairs,
+    "q_dedup_clusters" -> OracleExt.qDedupClusters,
+    "q_sample_hash" -> OracleExt.qSampleHash,
+    "q_sample_split" -> OracleExt.qSampleSplit,
     "q_ngram_jaccard" -> OracleExt.qNgramJaccard,
     "q_embed_topk" -> OracleExt.qEmbedTopK,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,

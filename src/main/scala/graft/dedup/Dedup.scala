@@ -184,6 +184,61 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Duplicate-cluster resolution: connected components over an
+    * undirected candidate-pair list (the output of simhashPairs /
+    * minhashLsh / lshNearDupPairs), labelling every node with the
+    * smallest doc id reachable from it — the canonical representative
+    * a dedup pipeline keeps.
+    *
+    * Executes as iterative min-label propagation: each pass, every
+    * node adopts the minimum label in its closed neighbourhood (one
+    * shuffled join + hash aggregation per pass), with
+    * `localCheckpoint` truncating the growing lineage the way the
+    * MICE chain does. Passes needed = the largest component's
+    * diameter — small by construction for near-duplicate graphs
+    * (clusters are dense blobs of mutual near-matches, not long
+    * chains), so the loop converges in a handful of O(edges) passes
+    * with no driver-side graph state. The 64-pass bound is a
+    * pathological-chain backstop, not a tuning knob.
+    *
+    * @param nodes one row per document (isolated docs become their own
+    *   singleton cluster)
+    * @return (idCol, cluster_id, cluster_size)
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          idCol: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var pass = 0
+    while (!converged && pass < 64) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(col("node"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      pass += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("node").as(idCol), col("cluster_id"), col("cluster_size"))
+  }
+
   /** Distinct character n-grams of the normalised text. */
   def charGrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {

@@ -1,0 +1,71 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling for corpus pipelines.
+  *
+  * Both operators draw a uniform value per row from
+  * `md5(key ':' salt)` and compare it lexicographically against
+  * 32-hex-digit thresholds — a reproducible Bernoulli draw that is a
+  * pure scan-side filter: no shuffle, no RNG state, identical output
+  * regardless of partitioning, cluster size, or engine (unlike
+  * `DataFrame.sample`, whose result depends on how rows land in
+  * partitions). Different salts give independent draws; the same salt
+  * always reproduces the same sample — what train/eval splits and
+  * corpus ablations need at 100 TB, where "re-run the sample" is a
+  * full scan.
+  */
+object Sampling {
+
+  /** floor(fraction · 16³²) as a zero-padded 32-digit hex literal —
+    * md5 hex strings are uniform over [0, 16³²), and lexicographic
+    * order on equal-length lowercase hex IS numeric order, so
+    * `md5 < thresholdHex(f)` keeps fraction f of rows.
+    */
+  def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0, 1], got $fraction")
+    val t = (BigDecimal(fraction) * BigDecimal(BigInt(16).pow(32))).toBigInt
+    ("0" * 32 + t.toString(16)).takeRight(32)
+  }
+
+  /** The per-row uniform draw. */
+  def hashKey(key: Column, salt: String): Column =
+    md5(concat(key.cast("string"), lit(":" + salt)))
+
+  /** Keep ~`fraction` of rows, deterministically by `keyCol`. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 salt: String): DataFrame =
+    if (fraction >= 1.0) df
+    else df.filter(hashKey(col(keyCol), salt) < lit(thresholdHex(fraction)))
+
+  /** Assign every row to a named split with the given weights
+    * (normalised to 1), deterministically by `keyCol` — e.g.
+    * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Adds a
+    * `split` column; the draw happens once, so the splits are exactly
+    * disjoint and exhaustive.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+                splits: Seq[(String, Double)], salt: String): DataFrame = {
+    val key = hashKey(col(keyCol), salt)
+    // the last split takes everything remaining — no row can fall
+    // through on weight rounding
+    val expr = splits.init.map(_._1).zip(splitThresholds(splits))
+      .foldRight(lit(splits.last._1): Column) {
+        case ((name, hi), acc) => when(key < lit(hi), name).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** The n−1 upper-bound hex thresholds of `hashSplit`'s bands,
+    * exposed so an external checker can reproduce the exact same
+    * literals (the cumulative float sums must match bit-for-bit).
+    */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[String] = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    val total = splits.map(_._2).sum
+    splits.scanLeft(0.0)(_ + _._2 / total).tail.init.map(thresholdHex)
+  }
+}

@@ -43,6 +43,42 @@ class ExtensionsSpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("connected components: chains collapse to min id; isolated docs are singletons") {
+    // pair graph: 1-2, 2-5 (a chain — transitivity must close it),
+    // 3-4; 6 isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 5L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(nodes, pairs)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 3L, 2L),
+      (4L, 3L, 2L), (5L, 1L, 3L), (6L, 6L, 1L)))
+  }
+
+  test("hash sampling: deterministic, fraction-shaped, splits partition exactly") {
+    import graft.sampling.Sampling
+    val ids = (0L until 1000L).toDF("doc_id")
+    val half = Sampling.hashSample(ids, "doc_id", 0.5, "s")
+    val n = half.count()
+    assert(n > 400 && n < 600, s"expected ~500 of 1000, got $n") // md5-uniform
+    // same salt → identical sample; different salt → different draw
+    assert(Sampling.hashSample(ids, "doc_id", 0.5, "s")
+      .except(half).isEmpty && half
+      .except(Sampling.hashSample(ids, "doc_id", 0.5, "s")).isEmpty)
+    assert(Sampling.hashSample(ids, "doc_id", 0.5, "other")
+      .except(half).count() > 0)
+    assert(Sampling.hashSample(ids, "doc_id", 1.0, "s").count() == 1000)
+    assert(Sampling.hashSample(ids, "doc_id", 0.0, "s").count() == 0)
+
+    val split = Sampling.hashSplit(ids, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "s")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000)                  // exhaustive + disjoint
+    assert(counts("train") > 700 && counts("train") < 900, counts.toString)
+    assert(counts.keySet == Set("train", "val", "test"), counts.toString)
+  }
+
   test("langid picks marker language; token counts are sane") {
     val out = TextOps.analyze(docsDf).orderBy("doc_id").collect()
     assert(out(0).getAs[String]("lang_pred") == "en")
