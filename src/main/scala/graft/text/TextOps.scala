@@ -119,16 +119,21 @@ object TextOps {
       .agg(min(col(idCol)).as(idCol))
     val kept = docs.join(canon.select(col(idCol)), Seq(idCol), "left_semi")
     // Stage 2 — the expensive quality/language analysis runs only on
-    // the deduplicated survivors. The nondeterministic column is a
-    // predicate-pushdown barrier: without it Catalyst substitutes the
-    // wide quality/lang expression trees into the filter BELOW the
-    // projection, evaluating every replace() twice per row and roughly
-    // doubling both generated-code size and runtime. The column itself
-    // is never read and is dropped immediately.
+    // the deduplicated survivors, and must be evaluated exactly ONCE
+    // per row: pushed into a Filter below the projection, the wide
+    // quality/lang trees lose Project-side subexpression elimination
+    // (FilterExec doesn't CSE — predicates short-circuit), so every
+    // shared replace()/normalize() re-evaluates per conjunct, ~3-4x
+    // the scan cost. The leading nondeterministic always-true conjunct
+    // pins the whole predicate above the Project: Catalyst pushes only
+    // the leading deterministic prefix of a conjunction
+    // (PushPredicateThroughNonJoin preserves evaluation order), and a
+    // nondeterministic HEAD makes that prefix empty. (A barrier
+    // *column* does not survive: ColumnPruning drops it as unused and
+    // the filter pushes anyway.)
     analyze(kept, textCol)
-      .withColumn("__barrier", monotonically_increasing_id())
-      .filter(col("quality") >= minQuality && col("lang_pred") === lang)
-      .drop("__barrier")
+      .filter(monotonically_increasing_id() >= 0 &&
+        col("quality") >= minQuality && col("lang_pred") === lang)
       .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
         col("quality"), col("lang_pred"))
   }
