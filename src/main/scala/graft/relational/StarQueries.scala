@@ -45,9 +45,14 @@ object StarQueries {
       .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-    revenue.withColumn("rk", row_number().over(
+    // Distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    // (per-partition heap + driver merge of k rows) — no stage ever
+    // moves the full aggregated order set to one partition. The rank
+    // window then runs over exactly k surviving rows, so its single
+    // partition is k-bounded by construction, not data-dependent.
+    revenue.orderBy(col("revenue").desc, col("l_orderkey")).limit(k)
+      .withColumn("rk", row_number().over(
         Window.orderBy(col("revenue").desc, col("l_orderkey"))))
-      .filter(col("rk") <= k)
       .select(col("l_orderkey"), col("o_orderdate"), col("revenue"),
         col("rk").cast("int").as("rk"))
   }

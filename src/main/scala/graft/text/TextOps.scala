@@ -51,22 +51,22 @@ object TextOps {
   }
 
   /** Number of occurrences of any of `words` as whitespace-delimited
-    * tokens, counted via literal replace over DOUBLED delimiters: after
-    * `replace(nt, " ", "  ")` every token carries its own surrounding
-    * spaces, so consecutive occurrences no longer overlap and the
-    * non-overlapping scan counts them exactly (a single-spaced padded
-    * replace undercounts runs). Each removed " w " (w+2 chars → 1)
-    * shortens the string by len(w)+1. Literal string replace — no
-    * regex, no per-row array allocation, identical in any SQL dialect.
+    * tokens: split the normalised text once and count membership hits
+    * with an array filter. Exactly the token-occurrence count (ties out
+    * with a padded-replace SQL formulation in any dialect), but the
+    * expression tree stays SMALL: an earlier replace-chain variant
+    * expanded the normalise/pad chain once per word per language, and
+    * the resulting whole-stage-codegen method was so large that its
+    * first execution spent ~10 s in C2 compilation/deopt before
+    * settling (measured at sf0.1) — a per-executor tax a 1000-executor
+    * job pays 1000 times. Runtime CSE shares the one split across the
+    * quality and per-language scores.
     */
   def stopwordHits(text: Column, words: Seq[String]): Column = {
-    val padded = concat(lit(" "),
-      call_function("replace", normalize(text), lit(" "), lit("  ")), lit(" "))
-    words.map { w =>
-      require(w.matches("[a-z0-9]+"), s"stopword must be plain alphanumeric: $w")
-      (length(padded) -
-        length(call_function("replace", padded, lit(s" $w "), lit(" ")))) / (w.length + 1)
-    }.reduce(_ + _)
+    words.foreach(w =>
+      require(w.matches("[a-z0-9]+"), s"stopword must be plain alphanumeric: $w"))
+    val set = array(words.map(lit): _*)
+    size(filter(split(normalize(text), " "), t => array_contains(set, t)))
   }
 
   /** Language-ID scores: hits of per-language stopword lists. */
@@ -120,22 +120,27 @@ object TextOps {
     val kept = docs.join(canon.select(col(idCol)), Seq(idCol), "left_semi")
     // Stage 2 — the expensive quality/language analysis runs only on
     // the deduplicated survivors, and must be evaluated exactly ONCE
-    // per row: pushed into a Filter below the projection, the wide
-    // quality/lang trees lose Project-side subexpression elimination
-    // (FilterExec doesn't CSE — predicates short-circuit), so every
-    // shared replace()/normalize() re-evaluates per conjunct, ~3-4x
-    // the scan cost. The leading nondeterministic always-true conjunct
-    // pins the whole predicate above the Project: Catalyst pushes only
-    // the leading deterministic prefix of a conjunction
-    // (PushPredicateThroughNonJoin preserves evaluation order), and a
-    // nondeterministic HEAD makes that prefix empty. (A barrier
-    // *column* does not survive: ColumnPruning drops it as unused and
-    // the filter pushes anyway.)
-    analyze(kept, textCol)
-      .filter(monotonically_increasing_id() >= 0 &&
-        col("quality") >= minQuality && col("lang_pred") === lang)
+    // per row. Left to itself, Catalyst pushes the quality/lang
+    // predicate through the projection into a scan-side Filter (and
+    // constraint inference re-derives deterministic copies even past a
+    // nondeterministic-head "barrier" conjunct, the round-2 approach).
+    // FilterExec evaluates each conjunct's tree without cross-conjunct
+    // subexpression elimination, so every shared replace()/normalize()
+    // chain re-runs per conjunct per row — measured ~20x the
+    // single-pass scan cost at sf0.1. An OBJECT boundary
+    // (mapPartitions(identity) over the 4 narrow analysis columns) is
+    // a barrier Catalyst can neither push predicates through nor infer
+    // constraints across: the wide trees evaluate exactly once, with
+    // codegen CSE, in the Project below it; the filter above tests the
+    // materialised scalars. The rows crossing the boundary carry only
+    // (id, n_tokens, quality, lang_pred) — the ser/deser cost is
+    // independent of document length.
+    val analyzed = analyze(kept, textCol)
       .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
         col("quality"), col("lang_pred"))
+    val barrier = analyzed.mapPartitions(identity(_))(
+      org.apache.spark.sql.Encoders.row(analyzed.schema))
+    barrier.filter(col("quality") >= minQuality && col("lang_pred") === lang)
   }
 
   /** Corpus budgeting: token totals per predicted language. */

@@ -70,20 +70,23 @@ class PlanSpec extends SparkSpec {
   }
 
   test("corpus filter's barrier keeps the wide text trees out of the filter") {
-    val docs = Seq(
-      (1L, "the quick brown fox and the lazy dog is of note"),
-      (2L, "der schnelle braune fuchs und der hund"),
-      (3L, "the quick brown fox and the lazy dog is of note")).toDF("doc_id", "text")
-    val plan = graft.text.TextOps.corpusFilter(docs, 0.1, "en")
-      .queryExecution.optimizedPlan.toString()
-    // the quality/lang predicate must reference the projected columns,
-    // not inline their replace()-heavy expression trees — inlining
-    // (e.g. a future Catalyst change relaxing the nondeterministic
-    // pushdown barrier) would re-evaluate every tree per row and
-    // double the generated-code size
+    // exercise the PARQUET path: the round-2 guard used a 3-row
+    // LocalRelation, whose optimized plan differed from the real scan —
+    // it passed while the parquet query inlined the trees into a
+    // scan-side Filter (no cross-conjunct CSE, ~20x the scan cost)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val qe = graft.text.TextOps.corpusFilter(docs, 0.1, "en").queryExecution
+    val plan = qe.optimizedPlan.toString()
+    // the quality/lang predicate must test the materialised scalar
+    // columns above the object boundary; no Filter anywhere in the
+    // plan may inline the replace()-heavy quality/lang trees
     val filterLines = plan.linesIterator.filter(_.contains("Filter")).toSeq
     assert(filterLines.nonEmpty, plan)
     assert(!filterLines.exists(_.contains("replace(")), plan)
+    // the object boundary is present, and the analysis Project below it
+    // is the only place the wide trees occur
+    assert(plan.contains("MapPartitions"), plan)
+    assert(plan.linesIterator.count(_.contains(" the ")) <= 1, plan)
   }
 
   test("spacetime kNN broadcasts raw events only; as-of join is unit-keyed") {
