@@ -49,6 +49,8 @@ object GeoCache {
     scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
   private val rings =
     scala.collection.concurrent.TrieMap.empty[(Key, Int, Int), DataFrame]
+  private val pairSets =
+    scala.collection.concurrent.TrieMap.empty[Key, Seq[(Long, Long)]]
 
   /** Quadtree cell embedding of `gridPanel` (must carry lon/lat cell
     * columns) — one distinct+collect per unit universe, shared across
@@ -72,15 +74,21 @@ object GeoCache {
     cents.getOrElseUpdate(keyOf(panel), CountryLag.gridCentroids(panel))
 
   /** BFS ring set for a (inner, width) kernel shape, persisted with a
-    * retained handle. `persist = false` inside the derivation: the
-    * twice-read inner order set is recomputed during the single
-    * materialisation of the (persisted) ring instead of leaving an
-    * unreleasable block behind.
+    * retained handle. The cached geometry is the derived GRID adjacency
+    * — month-invariant by construction — so the BFS runs on the driver
+    * over the static (a_id, b_id) pair list and the finished ring is
+    * replicated per month (`ringSetStatic`), instead of expanding a
+    * months-replicated frontier through `months ×` the join work. A
+    * truly month-varying adjacency must go through
+    * `CountryLag.ringSet` instead.
     */
   def ring(panel: DataFrame, inner: Int, width: Int): DataFrame =
-    rings.getOrElseUpdate((keyOf(panel), inner, width),
-      CountryLag.ringSet(panel, adjacency(panel), inner, width, persist = false)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    rings.getOrElseUpdate((keyOf(panel), inner, width), {
+      val pairs = pairSets.getOrElseUpdate(keyOf(panel),
+        CountryLag.gridAdjacencyPairsLocal(panel))
+      CountryLag.ringSetStatic(panel, pairs, inner, width)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Release every cached block owned by `session` and drop the
     * entries (other sessions' caches are untouched).
@@ -94,5 +102,6 @@ object GeoCache {
     owned(rings)(_._1.session)
     cents.keys.filter(_.session == session).foreach(cents.remove)
     embs.keys.filter(_.session == session).foreach(embs.remove)
+    pairSets.keys.filter(_.session == session).foreach(pairSets.remove)
   }
 }

@@ -190,16 +190,20 @@ object Dedup {
     * smallest doc id reachable from it — the canonical representative
     * a dedup pipeline keeps.
     *
-    * Executes as iterative min-label propagation: each pass, every
-    * node adopts the minimum label in its closed neighbourhood (one
-    * shuffled join + hash aggregation per pass), with
-    * `localCheckpoint` truncating the growing lineage the way the
-    * MICE chain does. Passes needed = the largest component's
-    * diameter — small by construction for near-duplicate graphs
-    * (clusters are dense blobs of mutual near-matches, not long
-    * chains), so the loop converges in a handful of O(edges) passes
-    * with no driver-side graph state. The 64-pass bound is a
-    * pathological-chain backstop, not a tuning knob.
+    * Executes as iterative min-label propagation with pointer
+    * jumping: each pass, every node adopts the minimum label in its
+    * closed neighbourhood (one shuffled join + hash aggregation), then
+    * chases one level of indirection — labels are themselves node ids,
+    * so `label(v) := label(label(v))` halves every label chain. The
+    * jump makes convergence O(log diameter) passes instead of
+    * O(diameter), which is what lets the same loop survive a
+    * pathological near-duplicate CHAIN (a->b->c->...) at corpus scale,
+    * not just the dense blobs dedup graphs usually form.
+    * `localCheckpoint` truncates the growing lineage per pass (as the
+    * MICE chain does), and convergence detection rides on the
+    * checkpointed result (old label carried through — a column filter,
+    * not an extra join job). The 64-pass bound is a backstop: 2^64
+    * exceeds any component diameter.
     *
     * @param nodes one row per document (isolated docs become their own
     *   singleton cluster)
@@ -219,16 +223,27 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
-        .select(col("node"),
+      val propagated = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(col("node"), col("cluster_id").as("__old"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
+      // pointer jump: a label IS a node id, so re-keying through the
+      // (checkpointed) PREVIOUS label table halves every chain —
+      // label'(v) := min(prop(v), label(prop(v))). Jumping through the
+      // old table instead of `propagated` itself keeps the pass a
+      // single materialisation (a self-join of the unmaterialised
+      // propagated plan would recompute its whole lineage twice) at
+      // the cost of the jump lagging one pass — still O(log diameter).
+      // Labels only ever hold node ids, so the inner join is total.
+      val jumped = propagated.alias("a")
+        .join(labels.select(col("node").as("__ln"),
+          col("cluster_id").as("__lc")), col("a.cluster_id") === col("__ln"))
+        .select(col("a.node").as("node"), col("__old"),
+          least(col("a.cluster_id"), col("__lc")).as("cluster_id"))
         .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+      val changed = jumped.filter(col("cluster_id") =!= col("__old"))
         .limit(1).count()
-      labels = next
+      labels = jumped.drop("__old")
       converged = changed == 0
       pass += 1
     }

@@ -166,22 +166,83 @@ object CountryLag {
     * Real deployments supply adjacency as an input table instead.
     */
   def gridAdjacency(panel: DataFrame, persist: Boolean = true): DataFrame = {
-    val spark = panel.sparkSession
-    import spark.implicits._
+    val months = panel.select(col(Panel.TimeCol)).distinct()
+    val adj = broadcast(months).crossJoin(broadcast(gridAdjacencyPairs(panel)))
+    if (persist) adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else adj
+  }
+
+  /** The month-invariant (a_id, b_id) queen-adjacency pairs of the unit
+    * grid — the factor `gridAdjacency` replicates per month — as
+    * driver-local data (the unit universe is driver-collectable by the
+    * same design bound as the quadtree embedding; SURVEY §2.8).
+    */
+  def gridAdjacencyPairsLocal(panel: DataFrame): Seq[(Long, Long)] = {
     val units = panel.select(col(Panel.UnitCol)).distinct()
       .collect().map(_.getLong(0))
     val cellToUnit = units.map(u => ((u % Grid.UnitCols, u / Grid.UnitCols), u)).toMap
-    val pairs = for {
+    for {
       u <- units.toSeq
       dx <- -1 to 1
       dy <- -1 to 1
       if !(dx == 0 && dy == 0)
       v <- cellToUnit.get((u % Grid.UnitCols + dx, u / Grid.UnitCols + dy))
     } yield (u, v)
-    val months = panel.select(col(Panel.TimeCol)).distinct()
-    val adj = broadcast(months).crossJoin(broadcast(pairs.toDF("a_id", "b_id")))
-    if (persist) adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else adj
+  }
+
+  /** `gridAdjacencyPairsLocal` as a (a_id, b_id) LocalRelation. */
+  def gridAdjacencyPairs(panel: DataFrame): DataFrame = {
+    val spark = panel.sparkSession
+    import spark.implicits._
+    gridAdjacencyPairsLocal(panel).toDF("a_id", "b_id")
+  }
+
+  /** `ringSet` for a MONTH-INVARIANT adjacency: BFS on the DRIVER over
+    * the static (a_id, b_id) pair list, then replicate the finished
+    * ring per month as a LocalRelation × months cross join.
+    *
+    * The general `ringSet` expands a months-replicated frontier through
+    * `months ×` the join work — 6+ shuffle stages of cluster time for a
+    * graph that is a pure function of the (already driver-collected)
+    * unit universe. Semantics match `ringSet` exactly (BFS closure,
+    * empty (0,0) ring, identity (0,1)); valid only while the unit graph
+    * is driver-sized, the same design bound as the quadtree embedding
+    * and the adjacency derivation themselves. A truly month-varying or
+    * executor-sized adjacency must use `ringSet`.
+    */
+  def ringSetStatic(panel: DataFrame, pairs: Seq[(Long, Long)],
+                    inner: Int, width: Int): DataFrame = {
+    val spark = panel.sparkSession
+    import spark.implicits._
+    val T = Panel.TimeCol
+    val U = Panel.UnitCol
+    val ninner = inner - 1
+    val nouter = ninner + width
+    val months = broadcast(panel.select(col(T)).distinct())
+    val seeds = panel.select(col(U)).distinct().collect().map(_.getLong(0))
+
+    val nbrs: Map[Long, Array[Long]] =
+      pairs.groupBy(_._1).map { case (a, bs) => a -> bs.map(_._2).toArray }
+    def closure(seed: Long, k: Int): collection.mutable.LinkedHashSet[Long] = {
+      val reach = collection.mutable.LinkedHashSet(seed)
+      var frontier = Array(seed)
+      var i = 0
+      while (i < k && frontier.nonEmpty) {
+        frontier = frontier.flatMap(nbrs.getOrElse(_, Array.empty[Long]))
+          .filter(reach.add)
+        i += 1
+      }
+      reach
+    }
+    val ringStatic: Seq[(Long, Long)] =
+      if (nouter < 0) Seq.empty
+      else seeds.toSeq.flatMap { s =>
+        val outer = closure(s, nouter)
+        if (ninner >= 0) outer --= closure(s, ninner)
+        outer.iterator.map(m => (s, m))
+      }
+    months.crossJoin(broadcast(ringStatic.toDF("seed", "member")))
+      .select(col(T), col("seed"), col("member"))
   }
 
   /** Derived centroids: half-degree cell centres of the unit grid. */
