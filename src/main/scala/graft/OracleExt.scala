@@ -196,6 +196,105 @@ object OracleExt {
        |FROM documents""".stripMargin
   }
 
+  /** Gaps-and-islands reformulation of Spark's session_window
+    * semantics (Sessions.sessionize, gap 3600 s): an event extends the
+    * session when its gap to the previous event is <= the gap
+    * (boundary-inclusive merge — verified against Spark 4.1's
+    * session_window); a new session starts strictly beyond it. The
+    * session end is last event + gap. Timestamps as epoch
+    * microseconds, truncated from nanos the same way Panel.readEvents
+    * does.
+    */
+  val qSessionize: String = {
+    val gapUs = 3600L * 1000000L
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t,
+       |         value, event_id
+       |  FROM events),
+       |m AS (
+       |  SELECT user_id, t, value, event_id,
+       |    CASE WHEN LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > $gapUs
+       |         THEN 1 ELSE 0 END AS ns
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       |s AS (
+       |  SELECT user_id, t, value,
+       |    SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM m)
+       |SELECT user_id, MIN(t) AS t_start_us, MAX(t) + $gapUs AS t_end_us,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sum_value
+       |FROM s GROUP BY user_id, sid""".stripMargin
+  }
+
+  /** Two-level token-budget packing (mirrors Packing.packShards:
+    * budget 4000, 8 buckets, salt "pack0"): bucket = first-4-hex-digit
+    * value of the salted md5 draw mod 8 (per-digit strpos arithmetic —
+    * the identical computation on both engines), shard = budget
+    * quotient of the per-bucket prefix token sum in hash order.
+    */
+  val qPackShards: String = {
+    val band = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR) || ':pack0') AS h
+       |  FROM documents),
+       |b AS (SELECT doc_id, n_tokens, h,
+       |        CAST(($band) % 8 AS BIGINT) AS bucket FROM d),
+       |p AS (SELECT doc_id, n_tokens, bucket,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+       |  FROM b)
+       |SELECT doc_id, n_tokens, bucket,
+       |  CAST(FLOOR(prefix / 4000.0) AS BIGINT) AS shard
+       |FROM p""".stripMargin
+  }
+
+  /** Stratified deterministic sampling (mirrors
+    * Sampling.hashSampleStratified: en 0.5, de 0.3, default 0.05,
+    * salt "strat0"); thresholds come from the same Scala code so the
+    * hex literals match exactly.
+    */
+  val qSampleStratified: String = {
+    val langs = text.TextOps.LangMarkers
+    val scoreExprs = langs.map { case (lang, ws) =>
+      s"(${stopHits("pd", ws)}) AS s_$lang"
+    }.mkString(", ")
+    val best = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
+    val langCase = langs.map { case (lang, _) =>
+      s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
+    }.mkString(" ")
+    val tEn = graft.sampling.Sampling.thresholdHex(0.5)
+    val tDe = graft.sampling.Sampling.thresholdHex(0.3)
+    val tDef = graft.sampling.Sampling.thresholdHex(0.05)
+    s"""$norm, pad AS (SELECT doc_id, nt,
+       |  ' ' || replace(nt, ' ', '  ') || ' ' AS pd FROM norm),
+       |sc AS (SELECT doc_id, $scoreExprs FROM pad),
+       |lp AS (SELECT doc_id, CASE $langCase ELSE 'unknown' END AS lang_pred
+       |       FROM sc)
+       |SELECT doc_id, lang_pred FROM lp
+       |WHERE md5(CAST(doc_id AS VARCHAR) || ':strat0') <
+       |  CASE WHEN lang_pred = 'en' THEN '$tEn'
+       |       WHEN lang_pred = 'de' THEN '$tDe'
+       |       ELSE '$tDef' END""".stripMargin
+  }
+
+  /** Inverted char-5-gram index with capped posting lists (mirrors
+    * Index.invertedIndex n=5, maxPostings=10, doc_id < 150).
+    */
+  val qNgramIndex: String =
+    s"""$norm, ni AS (
+       |  SELECT doc_id, nt,
+       |         unnest(generate_series(1, greatest(length(nt) - 4, 1))) AS i
+       |  FROM norm WHERE doc_id < 150),
+       |grams AS (SELECT DISTINCT doc_id, substr(nt, i, 5) AS shingle FROM ni)
+       |SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df_count,
+       |  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 10), ',')
+       |    AS postings
+       |FROM grams GROUP BY shingle""".stripMargin
+
   val qNgramJaccard: String =
     s"""$norm, ni AS (
        |  SELECT doc_id, nt,

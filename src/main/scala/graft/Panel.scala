@@ -57,7 +57,10 @@ object Panel {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")
     if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      ev.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed a double's
+      // 53-bit mantissa, so float division is off by ±hundreds of ns —
+      // visible as off-by-one microseconds after truncation
+      ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else ev
   }
 

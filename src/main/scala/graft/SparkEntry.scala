@@ -344,6 +344,25 @@ object SparkEntry {
         "value", 2000.0, emb)
         .select(col(T), col("level"), col("nx"), col("ny"), col("v"), col("s"))
     },
+    // event sessionization (native session_window; the same expression
+    // runs under readStream + watermark with merged, bounded state)
+    "q_sessionize" -> ((s, dir) =>
+      streaming.Sessions.sessionize(Panel.readEvents(s, dir), gapSeconds = 3600)),
+    // token-budget shard packing (two-level: hash bucket, then greedy
+    // cumsum per bucket — parallelism independent of corpus size)
+    "q_pack_shards" -> ((s, dir) =>
+      text.Packing.packShards(docs(s, dir), tokensPerShard = 4000,
+        nBuckets = 8, salt = "pack0")),
+    // per-language stratified sampling (scan-side deterministic filter)
+    "q_sample_stratified" -> ((s, dir) =>
+      sampling.Sampling.hashSampleStratified(
+        docs(s, dir).withColumn("lang_pred", text.TextOps.langId(col("text"))),
+        "doc_id", "lang_pred", Seq("en" -> 0.5, "de" -> 0.3), 0.05, "strat0")
+        .select(col("doc_id"), col("lang_pred"))),
+    // inverted char-5-gram index with bounded posting lists
+    "q_ngram_index" -> ((s, dir) =>
+      text.Index.invertedIndex(docs(s, dir).filter(col("doc_id") < 150),
+        n = 5, maxPostings = 10)),
     // streaming panel build, run through the same plan in batch mode
     // (withWatermark is a no-op in batch; the windowed agg is shared)
     "q_panel_stream" -> ((s, dir) =>
@@ -467,6 +486,10 @@ object SparkEntry {
     "q_dedup_clusters" -> OracleExt.qDedupClusters,
     "q_sample_hash" -> OracleExt.qSampleHash,
     "q_sample_split" -> OracleExt.qSampleSplit,
+    "q_sessionize" -> OracleExt.qSessionize,
+    "q_pack_shards" -> OracleExt.qPackShards,
+    "q_sample_stratified" -> OracleExt.qSampleStratified,
+    "q_ngram_index" -> OracleExt.qNgramIndex,
     "q_ngram_jaccard" -> OracleExt.qNgramJaccard,
     "q_embed_topk" -> OracleExt.qEmbedTopK,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,

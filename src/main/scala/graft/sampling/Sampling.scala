@@ -58,6 +58,26 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Stratified deterministic sampling: keep a different fraction per
+    * stratum (e.g. per language — upsample scarce languages, trim the
+    * dominant one), with the same reproducible md5 draw as
+    * `hashSample`. Strata absent from `fractions` keep
+    * `defaultFraction`. Still a pure scan-side filter: no shuffle, no
+    * per-stratum pass — one scan whatever the stratum count.
+    */
+  def hashSampleStratified(df: DataFrame, keyCol: String,
+                           stratumCol: String,
+                           fractions: Seq[(String, Double)],
+                           defaultFraction: Double,
+                           salt: String): DataFrame = {
+    val key = hashKey(col(keyCol), salt)
+    val bound = fractions.foldRight(lit(thresholdHex(defaultFraction)): Column) {
+      case ((stratum, f), acc) =>
+        when(col(stratumCol) === stratum, lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.filter(key < bound)
+  }
+
   /** The n−1 upper-bound hex thresholds of `hashSplit`'s bands,
     * exposed so an external checker can reproduce the exact same
     * literals (the cumulative float sums must match bit-for-bit).

@@ -1,0 +1,66 @@
+package graft.text
+
+import graft.sampling.Sampling
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget shard packing — assign every document to a bounded
+  * training shard so that each shard holds at most ~`tokensPerShard`
+  * tokens (the unit a pretraining loader streams). Deterministic:
+  * the same corpus always packs into the same shards.
+  *
+  * Scale shape: a single GLOBAL greedy cumsum would serialise the
+  * whole corpus through one partition, so packing is two-level —
+  * documents hash into `nBuckets` independent buckets (a salted md5
+  * band, reproducible anywhere), and the greedy token cumsum runs
+  * per bucket under `Window.partitionBy(bucket)`. Parallelism is
+  * `nBuckets` regardless of corpus size; each shard is
+  * budget-bounded by construction because cumsums never cross
+  * buckets. The cost vs a global pack is at most one underfull
+  * trailing shard per bucket.
+  */
+object Packing {
+
+  /** Numeric value of the first four hex digits of the row's salted
+    * md5 draw — a uniform 16-bit bucket key computable with identical
+    * arithmetic in any SQL dialect (per-digit strpos over the hex
+    * alphabet; no engine-specific hex-parse builtin).
+    */
+  def hexBand(key: Column, salt: String): Column = {
+    val h = Sampling.hashKey(key, salt)
+    (1 to 4).map { i =>
+      (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1) *
+        math.pow(16, 4 - i).toLong
+    }.reduce(_ + _)
+  }
+
+  /** Pack `docs` into (bucket, shard) cells of ≤ ~tokensPerShard
+    * whitespace tokens (documents larger than the budget get a shard
+    * of their own — a document is never split).
+    *
+    * @return (doc_id, n_tokens, bucket, shard) — `shard` is the
+    *   bucket-local ordinal; (bucket, shard) is the global shard key.
+    */
+  def packShards(docs: DataFrame, tokensPerShard: Long, nBuckets: Int,
+                 salt: String, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0 && tokensPerShard > 0,
+      "nBuckets and tokensPerShard must be positive")
+    val h = Sampling.hashKey(col(idCol), salt)
+    val withKey = docs.select(col(idCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      pmod(hexBand(col(idCol), salt), lit(nBuckets)).cast("long").as("bucket"),
+      h.as("__h"))
+    // greedy pack in hash order: a doc's shard is the budget-quotient
+    // of the tokens BEFORE it (so the first doc of every bucket lands
+    // in shard 0 and an over-budget doc still joins the shard its
+    // prefix opened — never split, possibly overflowing by one doc)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withKey
+      .withColumn("shard",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / tokensPerShard))
+      .drop("__h")
+  }
+}

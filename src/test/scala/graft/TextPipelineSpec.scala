@@ -1,0 +1,103 @@
+package graft
+
+import graft.sampling.Sampling
+import graft.text.{Index, Packing, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Specs for the corpus-assembly operators: sessionization, shard
+  * packing, stratified sampling, inverted index.
+  */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize splits on gaps > gap and aggregates within") {
+    // user 1: events at 0s, 10s, 3711s -> two sessions (gap 3600,
+    // 3701 > 3600); user 2: single event -> one session
+    val ev = Seq(
+      (1L, 0L, 1.0), (1L, 10L, 2.0), (1L, 3711L, 4.0),
+      (2L, 50L, 8.0))
+      .toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = streaming.Sessions.sessionize(ev, gapSeconds = 3600)
+      .orderBy("user_id", "t_start_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 3610L * 1000000L, 2L, 3.0),
+      (1L, 3711L * 1000000L, 7311L * 1000000L, 1L, 4.0),
+      (2L, 50L * 1000000L, 3650L * 1000000L, 1L, 8.0)))
+  }
+
+  test("sessionize boundary: a gap of exactly `gap` CONTINUES the session") {
+    // session_window's merge is boundary-inclusive — pinned here so an
+    // engine upgrade changing it breaks loudly (the oracle encodes it)
+    val ev = Seq((1L, 0L, 1.0), (1L, 3600L, 1.0))
+      .toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val n = streaming.Sessions.sessionize(ev, gapSeconds = 3600).count()
+    assert(n == 1L)
+  }
+
+  test("packShards: budget-quotient invariant and determinism") {
+    val docs = (1L to 200L)
+      .map(i => (i, ("w " * (i % 37 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val packed = Packing.packShards(docs, tokensPerShard = 100,
+      nBuckets = 4, salt = "s")
+    val rows = packed.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 200)
+    // every doc packed exactly once; shards within a bucket are
+    // contiguous ordinals starting at 0
+    val byBucket = rows.groupBy(_._3)
+    byBucket.foreach { case (_, rs) =>
+      val shards = rs.map(_._4).distinct.sorted.toSeq
+      assert(shards == (0L until shards.length.toLong).toSeq,
+        s"non-contiguous shards: $shards")
+    }
+    // budget-quotient bound: a shard's token sum is < budget + its
+    // largest document (a doc is never split, so the shard that was
+    // open when the boundary passed may overflow by at most one doc)
+    byBucket.values.flatMap(_.groupBy(_._4).values).foreach { shard =>
+      val toks = shard.map(_._2)
+      assert(toks.sum < 100 + toks.max,
+        s"shard exceeds budget+maxdoc: ${toks.sum}")
+    }
+    // deterministic: identical output on re-run
+    val again = Packing.packShards(docs, 100, 4, "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("stratified sample is the per-stratum subset of the global draw") {
+    val docs = (1L to 500L).map(i =>
+      (i, if (i % 3 == 0) "en" else "de")).toDF("doc_id", "stratum")
+    val strat = Sampling.hashSampleStratified(docs, "doc_id", "stratum",
+      Seq("en" -> 0.6, "de" -> 0.2), 0.0, "x")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // each stratum's rows are exactly the plain hashSample of that
+    // stratum at its own fraction (same key, same salt)
+    val en = Sampling.hashSample(docs.filter(col("stratum") === "en"),
+      "doc_id", 0.6, "x").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val de = Sampling.hashSample(docs.filter(col("stratum") === "de"),
+      "doc_id", 0.2, "x").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(strat == (en ++ de))
+  }
+
+  test("invertedIndex: bounded sorted postings, full df_count") {
+    val docs = Seq(
+      (1L, "abcde"), (2L, "abcdx"), (3L, "abcde"), (4L, "zzzzz"))
+      .toDF("doc_id", "text")
+    val idx = Index.invertedIndex(docs, n = 5, maxPostings = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(idx("abcde") == ((2L, "1,3")))
+    assert(idx("abcdx") == ((1L, "2")))
+    assert(idx("zzzzz") == ((1L, "4")))
+    // cap: a 3-doc shingle keeps only the 2 smallest ids but counts 3
+    val hot = Index.invertedIndex(
+      Seq((9L, "qqqqq"), (5L, "qqqqq"), (7L, "qqqqq")).toDF("doc_id", "text"),
+      n = 5, maxPostings = 2).collect().head
+    assert(hot.getLong(1) == 3L && hot.getString(2) == "5,7")
+  }
+}
