@@ -63,4 +63,24 @@ object Packing {
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / tokensPerShard))
       .drop("__h")
   }
+
+  /** Materialise the packed corpus as one parquet directory per
+    * (bucket, shard): `path/bucket=B/shard=S/…`. A training loader
+    * streams one shard directory at a time (each ≤ ~tokensPerShard
+    * tokens); directory-level pruning makes "read shard (b, s)" a
+    * planning-time partition filter, no scan of the rest. The write
+    * re-joins the assignment to the FULL document rows (packShards
+    * returns only the packing key columns), keyed by `idCol` — one
+    * shuffle, broadcastable when the assignment side is small.
+    */
+  def writeShards(docs: DataFrame, path: String, tokensPerShard: Long,
+                  nBuckets: Int, salt: String, idCol: String = "doc_id",
+                  textCol: String = "text"): Unit = {
+    val assignment = packShards(docs, tokensPerShard, nBuckets, salt,
+      idCol, textCol).select(col(idCol), col("bucket"), col("shard"))
+    docs.join(assignment, idCol)
+      .write.mode("overwrite")
+      .partitionBy("bucket", "shard")
+      .parquet(path)
+  }
 }

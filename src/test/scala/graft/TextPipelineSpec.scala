@@ -69,6 +69,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("writeShards lays out bucket=/shard= directories and round-trips") {
+    val docs = (1L to 60L).map(i => (i, ("tok " * (i % 11 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    try {
+      Packing.writeShards(docs, dir, tokensPerShard = 40, nBuckets = 2, salt = "s")
+      val buckets = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("bucket=")).map(_.getName).sorted
+      assert(buckets.sameElements(Array("bucket=0", "bucket=1")), buckets.toSeq)
+      // pruning surface: one shard directory reads back exactly its docs
+      val all = spark.read.parquet(dir)
+      assert(all.count() == 60)
+      val one = spark.read.parquet(s"$dir/bucket=0/shard=0")
+      val assigned = Packing.packShards(docs, 40, 2, "s")
+        .filter(col("bucket") === 0 && col("shard") === 0)
+      assert(one.count() == assigned.count() && one.count() > 0)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("stratified sample is the per-stratum subset of the global draw") {
     val docs = (1L to 500L).map(i =>
       (i, if (i % 3 == 0) "en" else "de")).toDF("doc_id", "stratum")
