@@ -71,6 +71,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize runs under readStream: sessions merge, close on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val src = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val q = graft.streaming.Sessions.sessionize(
+        src.toDS().toDF("ts", "user_id", "value")
+          .withWatermark("ts", "1 hour"), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two events 5 min apart — one open session; nothing emits while
+      // the watermark is behind the session close
+      src.addData(
+        (ts("2024-01-01T00:00:00Z"), 1L, 1.0),
+        (ts("2024-01-01T00:05:00Z"), 1L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_stream").count() == 0)
+      // a much later event closes the session past the watermark AND
+      // must land in a NEW session (gap >> 600s); the merged first
+      // session emits exactly once with both events aggregated
+      src.addData((ts("2024-01-01T06:00:00Z"), 1L, 4.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+      val startUs = ts("2024-01-01T00:00:00Z").getTime * 1000L
+      assert(out.toSeq == Seq((1L, startUs, 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("stateless registry transforms apply to a stream unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, Long, Double)]
