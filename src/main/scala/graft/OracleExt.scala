@@ -295,6 +295,52 @@ object OracleExt {
        |    AS postings
        |FROM grams GROUP BY shingle""".stripMargin
 
+  /** Word-n-gram CTE fragment shared by the contamination oracles:
+    * distinct word `n`-grams per doc with concat_ws null-skipping tail
+    * semantics (mirrors Dedup.shingles / try_element_at).
+    */
+  private def wordShingles(n: Int): String = {
+    val terms = (0 until n).map(o => s"ws[i+$o]").mkString(", ")
+    s"""words AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM norm),
+       |wi AS (SELECT doc_id, ws,
+       |         unnest(generate_series(1, greatest(len(ws) - ${n - 1}, 1))) AS i
+       |       FROM words),
+       |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', $terms) AS shingle
+       |       FROM wi)""".stripMargin
+  }
+
+  /** n-gram decontamination (mirrors Contamination.decontaminate:
+    * eval = doc_id % 10 == 0, word 4-grams).
+    */
+  val qDecontaminate: String =
+    s"""$norm, ${wordShingles(4)},
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+       |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+       |cnt AS (SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |        FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(c.n_shared, 0) AS BIGINT) AS n_shared,
+       |  CAST(CASE WHEN COALESCE(c.n_shared, 0) > 0 THEN 1 ELSE 0 END
+       |       AS INTEGER) AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+       |LEFT JOIN cnt c USING (doc_id)""".stripMargin
+
+  /** Corpus-common boilerplate ratio (mirrors
+    * Contamination.boilerplateRatio: word 3-grams, minDocs = 5).
+    */
+  val qBoilerplate: String =
+    s"""$norm, ${wordShingles(3)},
+       |common AS (SELECT shingle FROM sh GROUP BY shingle
+       |           HAVING COUNT(*) >= 5),
+       |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+       |        FROM sh GROUP BY doc_id),
+       |com AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_common
+       |        FROM sh JOIN common USING (shingle) GROUP BY sh.doc_id)
+       |SELECT t.doc_id, t.n_shingles,
+       |  CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       |  CAST(COALESCE(c.n_common, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+       |    AS boilerplate_ratio
+       |FROM tot t LEFT JOIN com c USING (doc_id)""".stripMargin
+
   val qNgramJaccard: String =
     s"""$norm, ni AS (
        |  SELECT doc_id, nt,

@@ -363,6 +363,16 @@ object SparkEntry {
     "q_ngram_index" -> ((s, dir) =>
       text.Index.invertedIndex(docs(s, dir).filter(col("doc_id") < 150),
         n = 5, maxPostings = 10)),
+    // benchmark decontamination: eval = doc_id % 10 == 0, word 4-grams
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      text.Contamination.decontaminate(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        n = 4)
+    }),
+    // corpus-common word-3-gram boilerplate ratio per document
+    "q_boilerplate" -> ((s, dir) =>
+      text.Contamination.boilerplateRatio(docs(s, dir), n = 3, minDocs = 5)),
     // streaming panel build, run through the same plan in batch mode
     // (withWatermark is a no-op in batch; the windowed agg is shared)
     "q_panel_stream" -> ((s, dir) =>
@@ -490,6 +500,8 @@ object SparkEntry {
     "q_pack_shards" -> OracleExt.qPackShards,
     "q_sample_stratified" -> OracleExt.qSampleStratified,
     "q_ngram_index" -> OracleExt.qNgramIndex,
+    "q_decontaminate" -> OracleExt.qDecontaminate,
+    "q_boilerplate" -> OracleExt.qBoilerplate,
     "q_ngram_jaccard" -> OracleExt.qNgramJaccard,
     "q_embed_topk" -> OracleExt.qEmbedTopK,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,

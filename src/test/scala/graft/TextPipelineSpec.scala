@@ -106,6 +106,33 @@ class TextPipelineSpec extends SparkSpec {
     assert(strat == (en ++ de))
   }
 
+  test("decontaminate flags exactly the eval-overlapping docs") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),      // shares 'alpha beta' with eval
+      (2L, "epsilon zeta eta theta"),      // no overlap
+      (3L, "x alpha beta y"))              // shares 'alpha beta'
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta something")).toDF("doc_id", "text")
+    val out = text.Contamination.decontaminate(train, eval, n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out == Map(1L -> ((1L, 1)), 2L -> ((0L, 0)), 3L -> ((1L, 1))))
+  }
+
+  test("boilerplateRatio counts corpus-common shingles per doc") {
+    // 'a b' appears in 3 docs (>= minDocs 3) -> common; 'c d' in 1
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b"), (3L, "z a b"))
+      .toDF("doc_id", "text")
+    val out = text.Contamination.boilerplateRatio(docs, n = 2, minDocs = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // doc 1: shingles {a b, b c, c d} -> 1 of 3 common
+    assert(out(1L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(2L) == ((1L, 1L, 1.0)))
+    assert(out(3L) == ((2L, 1L, 0.5)))
+  }
+
   test("invertedIndex: bounded sorted postings, full df_count") {
     val docs = Seq(
       (1L, "abcde"), (2L, "abcdx"), (3L, "abcde"), (4L, "zzzzz"))
