@@ -281,6 +281,31 @@ object OracleExt {
        |       ELSE '$tDef' END""".stripMargin
   }
 
+  /** Exact-size balanced subset (mirrors Sampling.hashTopKPerStratum:
+    * 20 docs per predicted language by salted md5 rank, salt "bal0").
+    */
+  val qSampleTopKStratum: String = {
+    val langs = text.TextOps.LangMarkers
+    val scoreExprs = langs.map { case (lang, ws) =>
+      s"(${stopHits("pd", ws)}) AS s_$lang"
+    }.mkString(", ")
+    val best = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
+    val langCase = langs.map { case (lang, _) =>
+      s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""$norm, pad AS (SELECT doc_id, nt,
+       |  ' ' || replace(nt, ' ', '  ') || ' ' AS pd FROM norm),
+       |sc AS (SELECT doc_id, $scoreExprs FROM pad),
+       |lp AS (SELECT doc_id, CASE $langCase ELSE 'unknown' END AS lang_pred
+       |       FROM sc),
+       |rk AS (SELECT doc_id, lang_pred,
+       |         ROW_NUMBER() OVER (PARTITION BY lang_pred
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':bal0'), doc_id)
+       |           AS r
+       |       FROM lp)
+       |SELECT doc_id, lang_pred FROM rk WHERE r <= 20""".stripMargin
+  }
+
   /** Inverted char-5-gram index with capped posting lists (mirrors
     * Index.invertedIndex n=5, maxPostings=10, doc_id < 150).
     */

@@ -359,6 +359,12 @@ object SparkEntry {
         docs(s, dir).withColumn("lang_pred", text.TextOps.langId(col("text"))),
         "doc_id", "lang_pred", Seq("en" -> 0.5, "de" -> 0.3), 0.05, "strat0")
         .select(col("doc_id"), col("lang_pred"))),
+    // exact-size balanced subset: 20 docs per predicted language
+    "q_sample_topk_stratum" -> ((s, dir) =>
+      sampling.Sampling.hashTopKPerStratum(
+        docs(s, dir).withColumn("lang_pred", text.TextOps.langId(col("text"))),
+        "doc_id", "lang_pred", k = 20, salt = "bal0")
+        .select(col("doc_id"), col("lang_pred"))),
     // inverted char-5-gram index with bounded posting lists
     "q_ngram_index" -> ((s, dir) =>
       text.Index.invertedIndex(docs(s, dir).filter(col("doc_id") < 150),
@@ -502,6 +508,7 @@ object SparkEntry {
     "q_ngram_index" -> OracleExt.qNgramIndex,
     "q_decontaminate" -> OracleExt.qDecontaminate,
     "q_boilerplate" -> OracleExt.qBoilerplate,
+    "q_sample_topk_stratum" -> OracleExt.qSampleTopKStratum,
     "q_ngram_jaccard" -> OracleExt.qNgramJaccard,
     "q_embed_topk" -> OracleExt.qEmbedTopK,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,

@@ -78,6 +78,29 @@ object Sampling {
     df.filter(key < bound)
   }
 
+  /** Balanced subset selection: the `k` rows of each stratum with the
+    * smallest salted md5 draws — a deterministic per-stratum "random"
+    * top-k (equal-size per-language corpora, eval-slice carving).
+    * Unlike fraction-based sampling, the output size per stratum is
+    * EXACT (min(k, stratum size)).
+    *
+    * Scale shape: one shuffle on the stratum key into a rank window.
+    * The hash order is uniform, so window partitions are balanced
+    * across strata of equal size; a dominant stratum is one partition —
+    * for corpus-scale strata prefer `hashSample` (scan-side, no
+    * shuffle) and accept approximate sizes.
+    */
+  def hashTopKPerStratum(df: DataFrame, keyCol: String, stratumCol: String,
+                         k: Int, salt: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashKey(col(keyCol), salt), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** The n−1 upper-bound hex thresholds of `hashSplit`'s bands,
     * exposed so an external checker can reproduce the exact same
     * literals (the cumulative float sums must match bit-for-bit).

@@ -106,6 +106,21 @@ class TextPipelineSpec extends SparkSpec {
     assert(strat == (en ++ de))
   }
 
+  test("hashTopKPerStratum: exact per-stratum sizes, deterministic") {
+    val docs = (1L to 100L).map(i =>
+      (i, if (i <= 70) "big" else "small")).toDF("doc_id", "stratum")
+    val out = Sampling.hashTopKPerStratum(docs, "doc_id", "stratum", 10, "z")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.count(_._2 == "big") == 10 && out.count(_._2 == "small") == 10)
+    // a stratum smaller than k returns all of it
+    val tiny = Sampling.hashTopKPerStratum(
+      docs.filter(col("doc_id") > 95), "doc_id", "stratum", 10, "z").count()
+    assert(tiny == 5)
+    val again = Sampling.hashTopKPerStratum(docs, "doc_id", "stratum", 10, "z")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("decontaminate flags exactly the eval-overlapping docs") {
     val train = Seq(
       (1L, "alpha beta gamma delta"),      // shares 'alpha beta' with eval
