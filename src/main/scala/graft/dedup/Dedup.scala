@@ -47,19 +47,37 @@ object Dedup {
   }
 
   /** Word n-gram shingles of the normalised text, one row per distinct
-    * shingle: (id, shingle). Positional n-grams via element_at — no
-    * engine-specific slicing.
+    * shingle: (id, shingle).
+    *
+    * Shape: the SCAN stage does only the cheap native work (normalise,
+    * split, posexplode); the n-gram assembly is `lead` windows over
+    * (doc, position) AFTER the first shuffle, followed by a distinct.
+    * An earlier in-row formulation (transform over a position sequence
+    * with try_element_at + concat_ws + array_distinct) ran the whole
+    * explosion as interpreted lambda trees INSIDE the scan stage —
+    * ~2 ms/doc fused into however few tasks the file layout gives
+    * (measured 10 s single-threaded on a one-row-group file at sf0.1,
+    * 31 cores idle). Here the scan stage is codegen'd string ops and
+    * the heavy assembly runs at shuffle parallelism; word rows shuffle
+    * once (shorter than the shingle rows the old shape shuffled).
+    *
+    * Tail semantics match the old form: positions 1..max(len−n+1, 1) —
+    * a doc shorter than n words yields its single shorter shingle
+    * (concat_ws skips the null leads).
     */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
-    val words = split(TextOps.normalize(col(textCol)), " ")
-    val idx = sequence(lit(1), greatest(size(words) - (n - 1), lit(1)))
-    // try_element_at: out-of-range -> null (SQL list semantics; plain
-    // element_at throws under Spark 4's default ANSI mode for texts
-    // shorter than the shingle width)
-    val sh = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(o => try_element_at(words, i + o)): _*))
-    docs.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+    val wordsArr = split(TextOps.normalize(col(textCol)), " ")
+    val exploded = docs.select(col(idCol), size(wordsArr).as("__len"),
+        posexplode(wordsArr).as(Seq("__pos", "__w")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val parts = col("__w") +: (1 until n).map(o => lead(col("__w"), o).over(w))
+    exploded
+      .withColumn("shingle", concat_ws(" ", parts: _*))
+      .filter(col("__pos") <= greatest(col("__len") - n, lit(0)))
+      .select(col(idCol), col("shingle"))
+      .distinct()
   }
 
   /** MinHash signatures: for each seed, the lexicographic minimum of
