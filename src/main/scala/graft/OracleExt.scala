@@ -306,6 +306,27 @@ object OracleExt {
        |SELECT doc_id, lang_pred FROM rk WHERE r <= 20""".stripMargin
   }
 
+  /** Typed JSON extraction rollup (mirrors SemiStructured.propsRollup). */
+  val qJsonRollup: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k,
+      |  SUM(value) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Long→wide event-type pivot (mirrors
+    * SemiStructured.pivotEventCounts with the explicit type list).
+    */
+  val qPivotEvents: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cols = types.map(t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+      .mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY user_id""".stripMargin
+  }
+
   /** Inverted char-5-gram index with capped posting lists (mirrors
     * Index.invertedIndex n=5, maxPostings=10, doc_id < 150).
     */

@@ -348,6 +348,14 @@ object SparkEntry {
     // runs under readStream + watermark with merged, bounded state)
     "q_sessionize" -> ((s, dir) =>
       streaming.Sessions.sessionize(Panel.readEvents(s, dir), gapSeconds = 3600)),
+    // typed JSON extraction (one codegen'd parse per row) + rollup
+    "q_json_rollup" -> ((s, dir) =>
+      sources.SemiStructured.propsRollup(Panel.readEvents(s, dir))),
+    // long-to-wide pivot with an explicit type list (no extra
+    // distinct-values job; stable schema)
+    "q_pivot_events" -> ((s, dir) =>
+      sources.SemiStructured.pivotEventCounts(Panel.readEvents(s, dir),
+        Seq("click", "error", "purchase", "signup", "view"))),
     // token-budget shard packing (two-level: hash bucket, then greedy
     // cumsum per bucket — parallelism independent of corpus size)
     "q_pack_shards" -> ((s, dir) =>
@@ -509,6 +517,8 @@ object SparkEntry {
     "q_decontaminate" -> OracleExt.qDecontaminate,
     "q_boilerplate" -> OracleExt.qBoilerplate,
     "q_sample_topk_stratum" -> OracleExt.qSampleTopKStratum,
+    "q_json_rollup" -> OracleExt.qJsonRollup,
+    "q_pivot_events" -> OracleExt.qPivotEvents,
     "q_ngram_jaccard" -> OracleExt.qNgramJaccard,
     "q_embed_topk" -> OracleExt.qEmbedTopK,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,

@@ -106,6 +106,27 @@ class TextPipelineSpec extends SparkSpec {
     assert(strat == (en ++ de))
   }
 
+  test("extractJson: typed fields, malformed rows become NULL not failures") {
+    val df = Seq(
+      (1L, """{"k": 7}"""), (2L, """not json"""), (3L, """{"k": null}"""))
+      .toDF("id", "props")
+    val out = graft.sources.SemiStructured.extractJson(df, "props", "k BIGINT")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(out == Map(1L -> Some(7L), 2L -> None, 3L -> None))
+  }
+
+  test("pivotEventCounts: stable schema, absent cells are zero") {
+    val ev = Seq((1L, "click"), (1L, "click"), (2L, "view"))
+      .toDF("user_id", "event_type")
+    val out = graft.sources.SemiStructured
+      .pivotEventCounts(ev, Seq("click", "view", "error"))
+    assert(out.columns.toSeq == Seq("user_id", "click", "view", "error"))
+    val m = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m == Map(1L -> ((2L, 0L, 0L)), 2L -> ((0L, 1L, 0L))))
+  }
+
   test("hashTopKPerStratum: exact per-stratum sizes, deterministic") {
     val docs = (1L to 100L).map(i =>
       (i, if (i <= 70) "big" else "small")).toDF("doc_id", "stratum")
