@@ -22,11 +22,11 @@ object Bench {
   val Headline: Set[String] = Set(
     "q_identity", "q_tlag", "q_tlags3d", "q_entropy", "q_cweq",
     "q_time_since", "q_tick",
-    "q_ffill", "q_interpolate", "q_group_global_means", "q_time_means",
-    "q_splag4d", "q_splag4d_norm", "q_splag4d_multi",
+    "q_interpolate", "q_group_global_means", "q_time_means",
+    "q_splag4d", "q_splag4d_multi",
     "q_splag_country", "q_splag_country_ring2", "q_splag_country_norm",
     "q_spacetime_dist_k1", "q_spacetime_dist_k5",
-    "q_spacetime_weights_k1", "q_spacetime_weights_k5",
+    "q_spacetime_weights_k5",
     "q_tree_lag", "q_tree_lag_d2", "q_grid_lag", "q_keep_grids",
     "q_fourier_lag", "q_fourier_lag_3d", "q_fourier_lag_multi",
     "q_temporal_tree_uniform", "q_temporal_tree_sigmoid",
@@ -41,10 +41,10 @@ object Bench {
     "q_embed_neardup", "q_embed_neardup_lsh", "q_sample_hash",
     "q_sessionize", "q_pack_shards", "q_sample_stratified", "q_ngram_index",
     "q_decontaminate", "q_boilerplate", "q_sample_topk_stratum",
-    "q_json_rollup", "q_pivot_events",
+    "q_json_rollup", "q_pivot_events", "q_vocab", "q_length_quantiles",
     "q_multimodal_features", "q_multimodal_frames",
     "q_pricing_summary", "q_top_orders", "q_region_revenue",
-    "q_panel_stream", "q_tick_stream")
+    "q_panel_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

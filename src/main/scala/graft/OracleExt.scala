@@ -306,6 +306,50 @@ object OracleExt {
        |SELECT doc_id, lang_pred FROM rk WHERE r <= 20""".stripMargin
   }
 
+  /** Shared CTE chain ending in `lp(doc_id, text, nt, lang_pred)` —
+    * the language-prediction preamble used by several oracles.
+    */
+  private def langPredCtes: String = {
+    val langs = text.TextOps.LangMarkers
+    val scoreExprs = langs.map { case (lang, ws) =>
+      s"(${stopHits("pd", ws)}) AS s_$lang"
+    }.mkString(", ")
+    val best = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
+    val langCase = langs.map { case (lang, _) =>
+      s"WHEN s_$lang = $best AND $best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""$norm, pad AS (SELECT doc_id, text, nt,
+       |  ' ' || replace(nt, ' ', '  ') || ' ' AS pd FROM norm),
+       |sc AS (SELECT doc_id, text, nt, $scoreExprs FROM pad),
+       |lp AS (SELECT doc_id, text, nt,
+       |         CASE $langCase ELSE 'unknown' END AS lang_pred
+       |       FROM sc)""".stripMargin
+  }
+
+  /** Exact per-language vocabulary stats (mirrors TextOps.vocabStats). */
+  val qVocab: String =
+    s"""$langPredCtes,
+       |toks AS (SELECT doc_id, lang_pred,
+       |           unnest(string_split(nt, ' ')) AS tok FROM lp)
+       |SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+       |FROM toks GROUP BY lang_pred""".stripMargin
+
+  /** Per-language token-count quantiles (mirrors q_length_quantiles:
+    * exact linear-interpolation percentiles — Spark `percentile` and
+    * DuckDB `quantile_cont` use the same definition).
+    */
+  val qLengthQuantiles: String =
+    s"""$langPredCtes,
+       |nt2 AS (SELECT lang_pred,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n
+       |  FROM lp)
+       |SELECT lang_pred,
+       |  quantile_cont(n, 0.25) AS p25,
+       |  quantile_cont(n, 0.5) AS p50,
+       |  quantile_cont(n, 0.75) AS p75
+       |FROM nt2 GROUP BY lang_pred""".stripMargin
+
   /** Typed JSON extraction rollup (mirrors SemiStructured.propsRollup). */
   val qJsonRollup: String =
     """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,

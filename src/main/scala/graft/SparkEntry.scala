@@ -264,6 +264,16 @@ object SparkEntry {
     "q_corpus_filter" -> ((s, dir) =>
       text.TextOps.corpusFilter(docs(s, dir), minQuality = 0.5, lang = "en")),
     "q_corpus_stats" -> ((s, dir) => text.TextOps.corpusStats(docs(s, dir))),
+    // exact per-language vocabulary cardinality (HLL scale path is
+    // vocabStatsApprox, spec-bounded within 5%)
+    "q_vocab" -> ((s, dir) => text.TextOps.vocabStats(docs(s, dir))),
+    // per-language token-count quantiles (exact linear interpolation)
+    "q_length_quantiles" -> ((s, dir) =>
+      text.TextOps.analyze(docs(s, dir))
+        .groupBy(col("lang_pred"))
+        .agg(expr("percentile(CAST(n_tokens AS DOUBLE), 0.25)").as("p25"),
+          expr("percentile(CAST(n_tokens AS DOUBLE), 0.5)").as("p50"),
+          expr("percentile(CAST(n_tokens AS DOUBLE), 0.75)").as("p75"))),
     "q_minhash_lsh" -> ((s, dir) =>
       dedup.Dedup.minhashLsh(docs(s, dir).filter(col("doc_id") < 200),
         shingleSize = 2, numHashes = OracleExt.MinhashHashes,
@@ -519,6 +529,8 @@ object SparkEntry {
     "q_sample_topk_stratum" -> OracleExt.qSampleTopKStratum,
     "q_json_rollup" -> OracleExt.qJsonRollup,
     "q_pivot_events" -> OracleExt.qPivotEvents,
+    "q_vocab" -> OracleExt.qVocab,
+    "q_length_quantiles" -> OracleExt.qLengthQuantiles,
     "q_ngram_jaccard" -> OracleExt.qNgramJaccard,
     "q_embed_topk" -> OracleExt.qEmbedTopK,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,

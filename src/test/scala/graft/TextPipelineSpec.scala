@@ -106,6 +106,20 @@ class TextPipelineSpec extends SparkSpec {
     assert(strat == (en ++ de))
   }
 
+  test("vocabStatsApprox: HLL estimate within 5% of the exact count") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextOps.vocabStats(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = TextOps.vocabStatsApprox(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (lang, n) =>
+      val est = approx(lang)
+      assert(math.abs(est - n).toDouble / n <= 0.05,
+        s"$lang: exact=$n est=$est")
+    }
+  }
+
   test("extractJson: typed fields, malformed rows become NULL not failures") {
     val df = Seq(
       (1L, """{"k": 7}"""), (2L, """not json"""), (3L, """{"k": null}"""))
