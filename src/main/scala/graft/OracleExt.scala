@@ -350,6 +350,22 @@ object OracleExt {
        |  quantile_cont(n, 0.75) AS p75
        |FROM nt2 GROUP BY lang_pred""".stripMargin
 
+  /** As-of join via DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    * engine implementation of the same inclusive backward-join
+    * semantics as AsofJoin.asofJoin (right unique per (key, time) by
+    * pre-aggregation).
+    */
+  val qAsofPurchase: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t,
+      |         event_id, value, event_type
+      |  FROM events),
+      |r AS (SELECT user_id, t, MAX(value) AS purchase_value
+      |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, t)
+      |SELECT l.user_id, l.t, l.event_id, r.purchase_value
+      |FROM e l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.t >= r.t""".stripMargin
+
   /** Typed JSON extraction rollup (mirrors SemiStructured.propsRollup). */
   val qJsonRollup: String =
     """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -358,6 +358,20 @@ object SparkEntry {
     // runs under readStream + watermark with merged, bounded state)
     "q_sessionize" -> ((s, dir) =>
       streaming.Sessions.sessionize(Panel.readEvents(s, dir), gapSeconds = 3600)),
+    // as-of join: latest prior (or simultaneous) purchase per event —
+    // union + last-ignoreNulls window, one key shuffle, no range
+    // product; DuckDB's native ASOF JOIN is the oracle
+    "q_asof_purchase" -> ((s, dir) => {
+      val ev = Panel.readEvents(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_id"), col("value"), col("event_type"))
+      val left = ev.select(col("user_id"), col("t"), col("event_id"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("t"))
+        .agg(max(col("value")).as("purchase_value"))
+      relational.AsofJoin.asofJoin(left, right, "user_id", "t",
+        Seq("purchase_value"))
+    }),
     // typed JSON extraction (one codegen'd parse per row) + rollup
     "q_json_rollup" -> ((s, dir) =>
       sources.SemiStructured.propsRollup(Panel.readEvents(s, dir))),
@@ -531,6 +545,7 @@ object SparkEntry {
     "q_pivot_events" -> OracleExt.qPivotEvents,
     "q_vocab" -> OracleExt.qVocab,
     "q_length_quantiles" -> OracleExt.qLengthQuantiles,
+    "q_asof_purchase" -> OracleExt.qAsofPurchase,
     "q_ngram_jaccard" -> OracleExt.qNgramJaccard,
     "q_embed_topk" -> OracleExt.qEmbedTopK,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,

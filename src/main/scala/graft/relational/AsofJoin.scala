@@ -1,0 +1,61 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — attach to every left row the latest right row with
+  * `rightTime <= leftTime` within the same key (backward inexact
+  * join: trade ticks, feature snapshots, latest-config lookup).
+  *
+  * Spark has no native as-of join; the classic scalable formulation is
+  * UNION + ordered window rather than an inequality join: tag right
+  * rows, union with the left rows, sort each key partition once by
+  * (time, rightness), and carry the right values forward with
+  * `last(ignoreNulls)`. One shuffle on the key, one sort — the same
+  * cost envelope as any window op, with NO range-join product and no
+  * per-key state that grows with time span. An inequality join would
+  * plan as BroadcastNestedLoopJoin (O(L×R) per key) or demand custom
+  * binning.
+  *
+  * Semantics (matches the SQL-standard ASOF JOIN, e.g. DuckDB's):
+  * inclusive at equality — a right row AT the left timestamp is
+  * visible (right rows sort before left rows on ties); left rows with
+  * no prior right row keep NULL. `right` must be unique per
+  * (key, time) — pre-aggregate it otherwise (the join is then
+  * deterministic; with duplicates "the" latest right row is undefined
+  * in any engine).
+  */
+object AsofJoin {
+
+  def asofJoin(left: DataFrame, right: DataFrame,
+               keyCol: String, timeCol: String,
+               valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!valueCols.exists(leftCols.contains),
+      s"value columns $valueCols collide with left columns")
+    // one unified schema: left rows carry null right-values, right
+    // rows carry null left-payloads
+    val rightTagged = right.select(
+      Seq(col(keyCol), col(timeCol), lit(1).as("__r")) ++
+        valueCols.map(col) ++
+        leftCols.filterNot(Seq(keyCol, timeCol).contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftTagged = left.select(
+      Seq(col(keyCol), col(timeCol), lit(0).as("__r")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftCols.filterNot(Seq(keyCol, timeCol).contains).map(col): _*)
+    // right rows sort BEFORE left rows at equal time (desc on the tag)
+    // so equality is inclusive
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).asc, col("__r").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val attached = valueCols.foldLeft(rightTagged.unionByName(leftTagged)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    attached.filter(col("__r") === 0).drop("__r")
+      .select((Seq(keyCol, timeCol) ++
+        leftCols.filterNot(Seq(keyCol, timeCol).contains) ++
+        valueCols).map(col): _*)
+  }
+}

@@ -106,6 +106,20 @@ class TextPipelineSpec extends SparkSpec {
     assert(strat == (en ++ de))
   }
 
+  test("asofJoin: inclusive at equality, NULL with no prior right row") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"),
+      (2L, 50L, "d")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 1.5), (1L, 15L, 2.5)).toDF("k", "t", "v")
+    val out = graft.relational.AsofJoin.asofJoin(left, right, "k", "t", Seq("v"))
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out == Map(
+      "a" -> Some(1.5),   // right row AT t=10 is visible (inclusive)
+      "b" -> Some(2.5),   // latest prior (t=15)
+      "c" -> None,        // nothing at or before t=5
+      "d" -> None))       // key 2 has no right rows
+  }
+
   test("vocabStatsApprox: HLL estimate within 5% of the exact count") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = TextOps.vocabStats(docs).collect()
