@@ -366,6 +366,47 @@ object OracleExt {
       |FROM e l ASOF LEFT JOIN r
       |  ON l.user_id = r.user_id AND l.t >= r.t""".stripMargin
 
+  /** Keyless interval join over the 20 longest sessions (mirrors
+    * q_range_join): sessions via the same gaps-and-islands chain as
+    * qSessionize, top-20 by duration with a deterministic tie-break,
+    * then a plain BETWEEN range join — the semantics the bucketized
+    * Spark implementation must reproduce.
+    */
+  val qRangeJoin: String = {
+    val gapUs = 3600L * 1000000L
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t,
+       |         value, event_id
+       |  FROM events),
+       |m AS (
+       |  SELECT user_id, t, value, event_id,
+       |    CASE WHEN LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > $gapUs
+       |         THEN 1 ELSE 0 END AS ns
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       |s AS (
+       |  SELECT user_id, t, value,
+       |    SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS sid
+       |  FROM m),
+       |agg AS (
+       |  SELECT user_id, MIN(t) AS t_start_us, MAX(t) + $gapUs AS t_end_us
+       |  FROM s GROUP BY user_id, sid),
+       |top AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY t_end_us - t_start_us DESC,
+       |           user_id, t_start_us) AS BIGINT) AS rk,
+       |         user_id AS s_user, t_start_us, t_end_us
+       |  FROM agg
+       |  ORDER BY t_end_us - t_start_us DESC, user_id, t_start_us
+       |  LIMIT 20)
+       |SELECT top.rk, top.s_user, top.t_start_us, top.t_end_us,
+       |  CAST(COUNT(e2.t) AS BIGINT) AS n_in,
+       |  COALESCE(SUM(e2.value), 0.0) AS v_in
+       |FROM top LEFT JOIN e e2
+       |  ON e2.t >= top.t_start_us AND e2.t < top.t_end_us
+       |GROUP BY top.rk, top.s_user, top.t_start_us, top.t_end_us""".stripMargin
+  }
+
   /** Typed JSON extraction rollup (mirrors SemiStructured.propsRollup). */
   val qJsonRollup: String =
     """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,

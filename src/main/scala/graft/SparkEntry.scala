@@ -372,6 +372,32 @@ object SparkEntry {
       relational.AsofJoin.asofJoin(left, right, "user_id", "t",
         Seq("purchase_value"))
     }),
+    // keyless interval join: ALL events falling inside the 20 longest
+    // sessions — bucketized equi-join on time bins, no inequality
+    // product; oracle is a plain SQL BETWEEN join
+    "q_range_join" -> ((s, dir) => {
+      val ev = Panel.readEvents(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
+      val sessions = streaming.Sessions.sessionize(
+        Panel.readEvents(s, dir), gapSeconds = 3600)
+      val top = sessions
+        .withColumn("dur", col("t_end_us") - col("t_start_us"))
+        .orderBy(col("dur").desc, col("user_id"), col("t_start_us"))
+        .limit(20)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("dur").desc, col("user_id"), col("t_start_us"))))
+        .select(col("rk").cast("long").as("rk"),
+          col("user_id").as("s_user"), col("t_start_us"), col("t_end_us"))
+      val matched = relational.RangeJoin.intervalJoin(ev, top,
+        "t", "t_start_us", "t_end_us", binWidth = 21600000000L)
+        .groupBy(col("rk"))
+        .agg(count(lit(1)).cast("long").as("n_in"), sum(col("value")).as("v_in"))
+      top.join(matched, Seq("rk"), "left")
+        .select(col("rk"), col("s_user"), col("t_start_us"), col("t_end_us"),
+          coalesce(col("n_in"), lit(0L)).as("n_in"),
+          coalesce(col("v_in"), lit(0.0)).as("v_in"))
+    }),
     // typed JSON extraction (one codegen'd parse per row) + rollup
     "q_json_rollup" -> ((s, dir) =>
       sources.SemiStructured.propsRollup(Panel.readEvents(s, dir))),
@@ -546,6 +572,7 @@ object SparkEntry {
     "q_vocab" -> OracleExt.qVocab,
     "q_length_quantiles" -> OracleExt.qLengthQuantiles,
     "q_asof_purchase" -> OracleExt.qAsofPurchase,
+    "q_range_join" -> OracleExt.qRangeJoin,
     "q_ngram_jaccard" -> OracleExt.qNgramJaccard,
     "q_embed_topk" -> OracleExt.qEmbedTopK,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,

