@@ -41,6 +41,18 @@ object PanelStream {
       .select(to_date(col("w.start")).as("day"),
         col(Panel.UnitCol), col("value"), col("value2"))
 
+  /** Streaming ingest dedup: drop re-delivered events by id while the
+    * watermark can still see them — at-least-once transport (Kafka
+    * retries, file re-lists) becomes effectively-once ingest. State is
+    * one id per event inside the watermark horizon and is evicted as
+    * the watermark advances, so memory is bounded by event rate ×
+    * delay, not stream length. Chain BEFORE `panelAggregate` (it
+    * reuses the same watermark).
+    */
+  def dedupEvents(events: DataFrame, delay: String = "1 day"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Batch fold of the streamed day cells into the panel convention
     * (month_id = day-of-month, summing across months like
     * Panel.fromEvents does): run over the parquet sink — or, for

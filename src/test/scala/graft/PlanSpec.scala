@@ -69,6 +69,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
   }
 
+  test("asofJoin plans one key shuffle and no join node at all") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
+    val plan = graft.relational.AsofJoin.asofJoin(left, right, "k", "t", Seq("v"))
+      .queryExecution.executedPlan.toString()
+    // the union+window formulation must not degrade into a range join
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("intervalJoin is an equi join on bins, never a nested-loop product") {
+    val points = (0L until 100L).map(t => (t, t)).toDF("t", "pid")
+    val intervals = Seq((1L, 10L, 30L)).toDF("iid", "s", "e")
+    val plan = graft.relational.RangeJoin
+      .intervalJoin(points, intervals, "t", "s", "e", 16L)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("corpus filter's barrier keeps the wide text trees out of the filter") {
     // exercise the PARQUET path: the round-2 guard used a 3-row
     // LocalRelation, whose optimized plan differed from the real scan —

@@ -100,6 +100,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupEvents drops cross-batch redeliveries within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val src = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = PanelStream.dedupEvents(
+        src.toDS().toDF("event_id", "ts", "value"), delay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData((1L, ts("2024-01-01T00:00:00Z"), 1.0),
+        (2L, ts("2024-01-01T00:01:00Z"), 2.0))
+      q.processAllAvailable()
+      // batch 2 redelivers event 1 (same id, same watermark horizon)
+      src.addData((1L, ts("2024-01-01T00:00:00Z"), 1.0),
+        (3L, ts("2024-01-01T00:02:00Z"), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stateless registry transforms apply to a stream unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, Long, Double)]
