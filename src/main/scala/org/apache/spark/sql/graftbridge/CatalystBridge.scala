@@ -14,4 +14,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object CatalystBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER conversion of a Column tree to a catalyst Expression.
+    * `expression` returns a lazy `ColumnNodeExpression` wrapper that
+    * only the DataFrame API's analysis path unwraps — injected into a
+    * SQL FunctionRegistry builder it survives to codegen unresolved
+    * (Unevaluable). This runs the classic converter up front, yielding
+    * a plain (still analyzable) catalyst tree that the SQL analyzer
+    * resolves like any parsed expression.
+    */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -137,6 +137,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == 32.0)
   }
 
+  test("text operators register as SQL functions and match the Column API") {
+    graft.functions.GraftExtensions.register(spark)
+    Seq((1L, "the quick fox and the dog is of note here"),
+      (2L, "der schnelle fuchs und der hund"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sqldocs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_quality(text) AS q, graft_lang(text) AS l,
+        |       graft_fingerprint(text) AS f, graft_tokens(text) AS n,
+        |       graft_decay(CAST(doc_id AS DOUBLE), 2.0) AS d
+        |FROM sqldocs""".stripMargin).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2),
+        r.getString(3), r.getInt(4), r.getDouble(5)))).toMap
+    val viaApi = spark.table("sqldocs").select(col("doc_id"),
+        graft.text.TextOps.qualityScore(col("text")).as("q"),
+        graft.text.TextOps.langId(col("text")).as("l"),
+        graft.text.TextOps.fingerprint(col("text")).as("f"),
+        graft.text.TextOps.tokenCount(col("text")).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2),
+        r.getString(3), r.getInt(4)))).toMap
+    viaApi.foreach { case (id, (q, l, f, n)) =>
+      val (sq, sl, sf, sn, sd) = viaSql(id)
+      assert(sq == q && sl == l && sf == f && sn == n)
+      assert(math.abs(sd - math.pow(2.0, -id / 2.0)) < 1e-12)
+    }
+    assert(viaSql(2L)._2 == "de")
+  }
+
   test("cosine near-dup pairs: identical vectors always pair") {
     val vecs = Seq(
       (0L, Array(1f, 2f, 0f, 1f)),
