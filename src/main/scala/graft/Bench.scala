@@ -99,7 +99,20 @@ object Bench {
     // stay heavy on the second pass.
     val results = firstPass.map { case (name, t) =>
       if (t <= 3.0 || failures.contains(name)) name -> t
-      else name -> math.min(t, timed(name, SparkEntry.queries(name)))
+      else {
+        // the re-time is advisory: a transient second-run failure must
+        // neither mark a query that produced a valid result as failed
+        // nor record its time-to-crash as the measurement
+        val t2 = try {
+          val t0 = System.nanoTime()
+          force(SparkEntry.queries(name)(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name re-time failed (first-pass kept): ${e.getMessage}")
+          t
+        }
+        name -> math.min(t, t2)
+      }
     }
     def sec(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def toJson(rs: Seq[(String, Double)]): String =
@@ -122,9 +135,11 @@ object Bench {
     // — and truncated defensively if it would ever outgrow the tail.
     val headlineLine = {
       val hs = results.filter { case (n, _) => Headline(n) }
-      val l = line(hs)
-      if (l.length <= 1800) l
-      else line(hs.sortBy(-_._2).take(40).sortBy(_._1))
+      // overflow fallback drops trailing ALPHABETICAL entries — a
+      // stable subset, so round-over-round diffs never see queries
+      // appear/disappear with run speed (a slowest-N subset would)
+      Iterator.iterate(hs)(_.dropRight(8)).map(line)
+        .find(_.length <= 1800).getOrElse(line(Seq.empty))
     }
     println(headlineLine)
     spark.stop()

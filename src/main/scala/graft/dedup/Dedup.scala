@@ -67,11 +67,19 @@ object Dedup {
     */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
+    // the assembly window partitions by a PER-ROW id, not idCol: with
+    // duplicate ids two documents' words would interleave in one
+    // partition (ties on __pos) and lead() would stitch shingles
+    // across texts nondeterministically. The row id is assigned
+    // before the shuffle, so it is a stable column value; per-row
+    // partitions are also the best-balanced shuffle possible.
     val wordsArr = split(TextOps.normalize(col(textCol)), " ")
-    val exploded = docs.select(col(idCol), size(wordsArr).as("__len"),
+    val exploded = docs
+      .withColumn("__row", monotonically_increasing_id())
+      .select(col(idCol), col("__row"), size(wordsArr).as("__len"),
         posexplode(wordsArr).as(Seq("__pos", "__w")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("__pos"))
+      .partitionBy(col("__row")).orderBy(col("__pos"))
     val parts = col("__w") +: (1 until n).map(o => lead(col("__w"), o).over(w))
     exploded
       .withColumn("shingle", concat_ws(" ", parts: _*))

@@ -36,26 +36,34 @@ object AsofJoin {
       s"value columns $valueCols collide with left columns")
     // one unified schema: left rows carry null right-values, right
     // rows carry null left-payloads
+    // the right payload travels as ONE struct per right row: the
+    // carry-forward then picks the latest right ROW atomically — a
+    // per-column last(ignoreNulls) would skip right rows whose value
+    // is genuinely NULL (diverging from ASOF semantics, which attach
+    // the latest row, NULLs included) and could stitch the columns of
+    // DIFFERENT right rows into a tuple that never existed
     val rightTagged = right.select(
-      Seq(col(keyCol), col(timeCol), lit(1).as("__r")) ++
-        valueCols.map(col) ++
+      Seq(col(keyCol), col(timeCol), lit(1).as("__r"),
+        struct(valueCols.map(col): _*).as("__v")) ++
         leftCols.filterNot(Seq(keyCol, timeCol).contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val vStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
     val leftTagged = left.select(
-      Seq(col(keyCol), col(timeCol), lit(0).as("__r")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+      Seq(col(keyCol), col(timeCol), lit(0).as("__r"),
+        lit(null).cast(vStructType).as("__v")) ++
         leftCols.filterNot(Seq(keyCol, timeCol).contains).map(col): _*)
     // right rows sort BEFORE left rows at equal time (desc on the tag)
     // so equality is inclusive
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol).asc, col("__r").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val attached = valueCols.foldLeft(rightTagged.unionByName(leftTagged)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    attached.filter(col("__r") === 0).drop("__r")
+    rightTagged.unionByName(leftTagged)
+      .withColumn("__v", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__r") === 0)
       .select((Seq(keyCol, timeCol) ++
-        leftCols.filterNot(Seq(keyCol, timeCol).contains) ++
-        valueCols).map(col): _*)
+        leftCols.filterNot(Seq(keyCol, timeCol).contains)).map(col) ++
+        valueCols.map(c => col(s"__v.$c").as(c)): _*)
   }
 }

@@ -29,10 +29,20 @@ object RangeJoin {
                    timeCol: String, startCol: String, endCol: String,
                    binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!points.columns.exists(intervals.columns.contains),
+      "points and intervals must have disjoint column names — the join " +
+        "key is synthetic, so a shared name would survive as an " +
+        "ambiguous duplicate column")
     val p = points.withColumn("__bin", expr(s"$timeCol div ${binWidth}L"))
-    val i = intervals.withColumn("__bin",
-      explode(sequence(expr(s"$startCol div ${binWidth}L"),
-        expr(s"$endCol div ${binWidth}L"))))
+    // inverted intervals (end < start from a data-quality bug) must be
+    // a cheap empty match, not an explosion: Spark's sequence(a, b)
+    // counts DOWN when a > b, so a single swapped epoch-scale row
+    // would otherwise generate millions of bin rows that the residual
+    // filter then discards one by one
+    val i = intervals.filter(col(endCol) >= col(startCol))
+      .withColumn("__bin",
+        explode(sequence(expr(s"$startCol div ${binWidth}L"),
+          expr(s"$endCol div ${binWidth}L"))))
     p.join(i, Seq("__bin"))
       .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
       .drop("__bin")

@@ -71,11 +71,16 @@ object Sampling {
                            defaultFraction: Double,
                            salt: String): DataFrame = {
     val key = hashKey(col(keyCol), salt)
-    val bound = fractions.foldRight(lit(thresholdHex(defaultFraction)): Column) {
+    // fraction 1.0 must keep EVERYTHING: thresholdHex(1.0) wraps to
+    // the all-zeros string (16^32 has 33 hex digits), which would
+    // silently drop the whole stratum. 'g' sorts above every hex
+    // digit, so it is an always-true bound.
+    def bound(f: Double): String = if (f >= 1.0) "g" else thresholdHex(f)
+    val b = fractions.foldRight(lit(bound(defaultFraction)): Column) {
       case ((stratum, f), acc) =>
-        when(col(stratumCol) === stratum, lit(thresholdHex(f))).otherwise(acc)
+        when(col(stratumCol) === stratum, lit(bound(f))).otherwise(acc)
     }
-    df.filter(key < bound)
+    df.filter(key < b)
   }
 
   /** Balanced subset selection: the `k` rows of each stratum with the

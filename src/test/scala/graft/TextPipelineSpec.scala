@@ -106,6 +106,40 @@ class TextPipelineSpec extends SparkSpec {
     assert(strat == (en ++ de))
   }
 
+  test("stratified fraction 1.0 keeps the whole stratum") {
+    val docs = (1L to 100L).map(i =>
+      (i, if (i % 2 == 0) "keep" else "thin")).toDF("doc_id", "stratum")
+    val out = Sampling.hashSampleStratified(docs, "doc_id", "stratum",
+      Seq("keep" -> 1.0), 0.0, "w").collect().map(_.getString(1))
+    assert(out.length == 50 && out.forall(_ == "keep"))
+  }
+
+  test("asofJoin attaches the latest right ROW even when its value is NULL") {
+    val left = Seq((1L, 12L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, Some(1.5)), (1L, 10L, None))
+      .toDF("k", "t", "v")
+    val row = graft.relational.AsofJoin.asofJoin(left, right, "k", "t", Seq("v"))
+      .collect().head
+    // ASOF semantics: the t=10 row is the match; its NULL value must
+    // NOT be skipped in favour of the stale t=5 value
+    assert(row.isNullAt(3), row.toString)
+  }
+
+  test("shingles are row-local even under duplicate ids") {
+    val docs = Seq((1L, "a b c"), (1L, "x y z")).toDF("doc_id", "text")
+    val sh = graft.dedup.Dedup.shingles(docs, 2).collect()
+      .map(_.getString(1)).toSet
+    assert(sh == Set("a b", "b c", "x y", "y z"), sh)
+  }
+
+  test("intervalJoin: inverted interval matches nothing, cheaply") {
+    val points = Seq((5L, 1L)).toDF("t", "pid")
+    val intervals = Seq((1L, 100L, 0L)).toDF("iid", "s", "e") // end < start
+    val n = graft.relational.RangeJoin
+      .intervalJoin(points, intervals, "t", "s", "e", 16L).count()
+    assert(n == 0L)
+  }
+
   test("asofJoin: inclusive at equality, NULL with no prior right row") {
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"),
       (2L, 50L, "d")).toDF("k", "t", "tag")
