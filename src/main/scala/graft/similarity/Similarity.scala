@@ -114,11 +114,24 @@ object Similarity {
     * tie-breaks are all fixed, so results are reproducible across runs
     * and engines.
     */
+  /** A built IVF index: the trained coarse quantizer plus the
+    * list-assigned corpus. `assigned` is (list, neighbor_id, c_vec) —
+    * persist it (or [[writeIvfIndex]] it, partitioned by list) to
+    * train once and search many times.
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlists: Int, nprobe: Int, iters: Int = 3,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfSearch(buildIvfIndex(corpus, nlists, iters, idCol, vecCol),
+      queries, k, nprobe, idCol, vecCol)
+
+  /** Train the quantizer and assign every corpus vector to its list —
+    * the expensive phase, done once per corpus version.
+    */
+  def buildIvfIndex(corpus: DataFrame, nlists: Int, iters: Int = 3,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
 
     // deterministic seeding: the nlists smallest-id corpus vectors via
@@ -166,7 +179,21 @@ object Similarity {
       centroids = next
     }
 
-    val assigned = c.withColumn("list", nearestCentroid(centroids))
+    IvfIndex(centroids, c.withColumn("list", nearestCentroid(centroids)))
+  }
+
+  /** Probe phase: score each query against the `nprobe` nearest
+    * centroid lists only. Over an index read back from
+    * [[writeIvfIndex]]'s list-partitioned layout, the probe-list join
+    * keys are partition keys — "read these nprobe lists" becomes a
+    * planning-time partition filter.
+    */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val centroids = index.centroids
+    val assigned = index.assigned
 
     // queries probe the nprobe nearest centroid lists
     val centDf = centroids.zipWithIndex
@@ -183,6 +210,30 @@ object Similarity {
     rankTopK(assigned.join(broadcast(qLists), "list")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec"))), k)
+  }
+
+  /** Persist an index: assignments as parquet PARTITIONED BY list (a
+    * probe of nprobe lists prunes to those directories at planning
+    * time) plus the centroid table.
+    */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite")
+      .partitionBy("list").parquet(s"$path/lists")
+    index.centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("list", "cent").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    IvfIndex(cents,
+      spark.read.parquet(s"$path/lists")
+        .select(col("list").cast("int").as("list"),
+          col("neighbor_id"), col("c_vec")))
   }
 
   /** Sign-LSH bucket key: one bit per hyperplane — here the sign of the

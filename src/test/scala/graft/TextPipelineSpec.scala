@@ -169,6 +169,29 @@ class TextPipelineSpec extends SparkSpec {
     // interval starts (inclusive) and ends (exclusive) among the 500
   }
 
+  test("IVF index: build/write/read/search equals the one-shot path") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val oneShot = graft.similarity.Similarity
+      .ivfTopK(emb, queries, k = 5, nlists = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    try {
+      val idx = graft.similarity.Similarity.buildIvfIndex(emb, nlists = 8)
+      graft.similarity.Similarity.writeIvfIndex(idx, dir)
+      val loaded = graft.similarity.Similarity.readIvfIndex(spark, dir)
+      assert(loaded.centroids.length == 8 &&
+        loaded.centroids.zip(idx.centroids).forall { case (a, b) => a.sameElements(b) })
+      val viaIndex = graft.similarity.Similarity
+        .ivfSearch(loaded, queries, k = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+      assert(viaIndex == oneShot)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("vocabStatsApprox: HLL estimate within 5% of the exact count") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = TextOps.vocabStats(docs).collect()
