@@ -93,6 +93,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin equals the reference backward-scan on random event sets") {
+    val caseGen = gen2(
+      Gen.listOfN(30, gen2(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 40L))),
+      Gen.listOfN(12, gen3(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 40L),
+        Gen.chooseNum(-9.0, 9.0))))
+    forAll(caseGen, count = 6) { case (leftRaw, rightRaw) =>
+      // right unique per (key, time) — the operator's contract
+      val right = rightRaw.groupBy(r => (r._1, r._2))
+        .map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toSeq
+      val left = leftRaw.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val got = graft.relational.AsofJoin.asofJoin(
+          left.toDF("k", "t", "lid"), right.toDF("k", "t", "v"),
+          "k", "t", Seq("v"))
+        .collect().map(r => r.getLong(2) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      val want = left.map { case (k, t, lid) =>
+        val prior = right.filter(r => r._1 == k && r._2 <= t)
+        lid -> (if (prior.isEmpty) None
+                else Some(prior.maxBy(_._2)._3))
+      }.toMap
+      assert(got == want)
+    }
+  }
+
   test("spacetime: k=1 distance equals the minimum of the k=5 candidates") {
     // the bounded top-k path and the codegen'd min path must agree on
     // the nearest event for every (month, cell)
