@@ -31,15 +31,20 @@ object PanelStream {
     * merge the 15th of January and February). `toPanel` folds the sink
     * into the harness's panel convention batch-side.
     */
-  def panelAggregate(events: DataFrame, delay: String = "1 day"): DataFrame =
-    events
-      .withWatermark("ts", delay)
+  def panelAggregate(events: DataFrame, delay: String = "1 day"): DataFrame = {
+    // reuse an upstream watermark (e.g. set by dedupEvents) — Spark
+    // disallows redefining one mid-stream once set
+    val hasWatermark = events.queryExecution.analyzed.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark])
+    val wm = if (hasWatermark) events else events.withWatermark("ts", delay)
+    wm
       .groupBy(window(col("ts"), "1 day").as("w"),
         col("user_id").cast("long").as(Panel.UnitCol))
       .agg(sum(col("value")).as("value"),
         count(lit(1)).cast("double").as("value2"))
       .select(to_date(col("w.start")).as("day"),
         col(Panel.UnitCol), col("value"), col("value2"))
+  }
 
   /** Streaming ingest dedup: drop re-delivered events by id while the
     * watermark can still see them — at-least-once transport (Kafka
@@ -68,13 +73,29 @@ object PanelStream {
 
   /** File-stream source over the events parquet layout (same
     * TIMESTAMP(NANOS) handling as the batch Panel.readEvents).
+    *
+    * The file-stream source monitors directories only; a production
+    * deployment points it at a directory of arriving part files, while
+    * the test layout ships `events.parquet` as a single file — in that
+    * case we monitor the parent directory with a glob filter so both
+    * layouts stream.
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val ev = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader = spark.readStream.schema(schema)
+    val ev =
+      if (fs.getFileStatus(fsPath).isDirectory) reader.parquet(path)
+      else reader.option("pathGlobFilter", fsPath.getName).parquet(dir)
     if (schema("ts").dataType == LongType)
-      ev.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed a double's
+      // 53-bit mantissa, so float division is off by ±hundreds of ns —
+      // visible as off-by-one microseconds after truncation (same fix
+      // and rationale as the batch reader, Panel.readEvents)
+      ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else ev
   }
 

@@ -121,6 +121,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readEventsStream converts TIMESTAMP(NANOS) identically to Panel.readEvents") {
+    val dir = "/root/testdata/sf0.001"
+    implicit val sqlCtx = spark.sqlContext
+    val q = PanelStream.readEventsStream(spark, dir)
+      .select("event_id", "ts")
+      .writeStream.format("memory").queryName("ev_ts_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamTs = spark.table("ev_ts_stream").collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+      val batchTs = Panel.readEvents(spark, dir).select("event_id", "ts").collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+      assert(streamTs.size == batchTs.size && streamTs.nonEmpty)
+      // the float-division form loses up to ±hundreds of ns on ~1.7e18
+      // epoch-nano longs — off-by-one µs after truncation; integer div
+      // must agree with the batch reader on every single row
+      val diffs = streamTs.collect { case (id, t) if batchTs(id) != t => id }
+      assert(diffs.isEmpty, s"stream/batch ts mismatch for event_ids: ${diffs.take(5)}")
+    } finally q.stop()
+  }
+
+  test("end-to-end: readEventsStream → dedup → aggregate → parquet sink folds to the batch panel") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-e2e").toString
+    val q = PanelStream.writeParquet(
+        PanelStream.panelAggregate(
+          PanelStream.dedupEvents(
+            PanelStream.readEventsStream(spark, dir), delay = "0 seconds"),
+          delay = "0 seconds"),
+        path = s"$tmp/sink", checkpoint = s"$tmp/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // append mode emits exactly the closed (day, unit) windows: every day
+    // strictly before the max event day (watermark = max ts with 0s delay)
+    val ev = Panel.readEvents(spark, dir).dropDuplicates("event_id")
+    val maxDay = ev.agg(max(to_date(col("ts")))).head.getDate(0)
+    val expected = PanelStream.toPanel(
+        ev.filter(to_date(col("ts")) < lit(maxDay))
+          .groupBy(to_date(col("ts")).as("day"),
+            col("user_id").cast("long").as(Panel.UnitCol))
+          .agg(sum(col("value")).as("value"),
+            count(lit(1)).cast("double").as("value2")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val got = PanelStream.toPanel(spark.read.parquet(s"$tmp/sink"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    assert(got.keySet == expected.keySet)
+    val bad = got.collect { case (k, (v1, v2))
+      if math.abs(v1 - expected(k)._1) > 1e-9 || v2 != expected(k)._2 => k }
+    assert(bad.isEmpty, s"panel cell mismatch at keys: ${bad.take(5)}")
+  }
+
   test("stateless registry transforms apply to a stream unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, Long, Double)]
