@@ -37,6 +37,7 @@ object Bench {
     "q_text_analyze", "q_corpus_filter", "q_corpus_stats",
     "q_dedup_exact", "q_dedup_clusters", "q_minhash_lsh",
     "q_simhash", "q_simhash_pairs", "q_ngram_jaccard",
+    "q_simhash64", "q_simhash64_pairs",
     "q_embed_topk", "q_embed_lsh_topk", "q_embed_ivf_topk",
     "q_embed_neardup", "q_embed_neardup_lsh", "q_sample_hash",
     "q_sessionize", "q_pack_shards", "q_sample_stratified", "q_ngram_index",

@@ -149,6 +149,42 @@ object OracleExt {
        |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
        |FROM h WHERE hamming <= 3""".stripMargin
 
+  /** 64-bit simhash signature CTE — mirrors Dedup.simhash64: bits
+    * 1..32 from the hex-MSB projection of md5(tok), 33..64 from
+    * md5(tok || '#2').
+    */
+  private def simhash64Cte(filter: String): String = {
+    def bitsOf(c: String) = (1 to 32).map(j =>
+      s"""CASE WHEN SUM(CASE WHEN substr($c, $j, 1) IN ($highHex)
+         | THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END""".stripMargin)
+    val bits = (bitsOf("h1") ++ bitsOf("h2")).mkString(" || ")
+    s"""toks0 AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok
+       |          FROM norm $filter),
+       |toks AS (SELECT doc_id, md5(tok) AS h1, md5(tok || '#2') AS h2
+       |         FROM toks0),
+       |sig64 AS (SELECT doc_id, $bits AS simhash64 FROM toks GROUP BY doc_id)""".stripMargin
+  }
+
+  val qSimhash64: String =
+    s"$norm, ${simhash64Cte("")} SELECT doc_id, simhash64 FROM sig64"
+
+  /** 64-bit near-dup pair oracle: brute-force ALL-PAIRS hamming ≤ 3
+    * over the bounded subset. Deliberately NOT a mirror of the band
+    * blocking — matching this oracle proves the pigeonhole exactness
+    * claim (maxDist ≤ 3 over 4 × 16-bit bands loses no pair), not just
+    * that both engines run the same plan.
+    */
+  val qSimhash64Pairs: String = {
+    val ham = (1 to 64).map(j =>
+      s"CASE WHEN substr(a.simhash64, $j, 1) <> substr(b.simhash64, $j, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$norm, ${simhash64Cte("WHERE doc_id < 500")},
+       |h AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $ham AS hamming
+       |      FROM sig64 a JOIN sig64 b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+       |FROM h WHERE hamming <= 3""".stripMargin
+  }
+
   /** Duplicate-cluster oracle: transitive closure of the simhash pair
     * graph via a recursive CTE — cluster_id(x) = min id reachable from
     * x (mirrors Dedup.connectedComponents over simhashPairs ≤ 3).

@@ -281,6 +281,11 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) => dedup.Dedup.simhash(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) =>
       dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200), maxDist = 3)),
+    // 64-bit scale-path signature; the pairs oracle is brute-force
+    // all-pairs hamming, so a green row proves the band blocking exact
+    "q_simhash64" -> ((s, dir) => dedup.Dedup.simhash64(docs(s, dir))),
+    "q_simhash64_pairs" -> ((s, dir) =>
+      dedup.Dedup.simhash64Pairs(docs(s, dir).filter(col("doc_id") < 500), maxDist = 3)),
     // duplicate-cluster resolution over the simhash pair graph
     "q_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("doc_id") < 200)
@@ -557,6 +562,8 @@ object SparkEntry {
     "q_minhash_lsh" -> OracleExt.qMinhashLsh,
     "q_simhash" -> OracleExt.qSimhash,
     "q_simhash_pairs" -> OracleExt.qSimhashPairs,
+    "q_simhash64" -> OracleExt.qSimhash64,
+    "q_simhash64_pairs" -> OracleExt.qSimhash64Pairs,
     "q_dedup_clusters" -> OracleExt.qDedupClusters,
     "q_sample_hash" -> OracleExt.qSampleHash,
     "q_sample_split" -> OracleExt.qSampleSplit,

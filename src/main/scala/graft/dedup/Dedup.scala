@@ -166,6 +166,12 @@ object Dedup {
     * bit j is 1 iff the frequency-weighted sum of (±1 per token) is
     * positive. Returned as a 16-char '0'/'1' string (portable across
     * engines — no 64-bit arithmetic required).
+    *
+    * NOT the corpus-scale path: 2¹⁶ signature values collide constantly
+    * past ~10⁴ docs and the 8-bit blocking halves of [[simhashPairs]]
+    * cap at 256 buckets. Use [[simhash64]]/[[simhash64Pairs]] for real
+    * corpora; this form stays as the compact-signature variant and
+    * oracle fixture.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
@@ -206,6 +212,61 @@ object Dedup {
     a.join(b, "block").filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b"), 16))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** 64-bit SimHash — the corpus-scale signature. Bits 1..32 are the
+    * hex-MSB projection of md5(tok); bits 33..64 the same projection of
+    * md5(tok || '#2') — two independent hash families, same
+    * portable-string trick as the 16-bit form (no 64-bit integer
+    * arithmetic, so the identical computation runs in any SQL engine).
+    *
+    * Why 64: at 10⁹ docs a 16-bit signature collides constantly (2¹⁶
+    * values) and its 8-bit blocking halves give ≤256 buckets — the
+    * blocked self-join degenerates toward all-pairs inside hot buckets.
+    * 64 bits push random-pair collision to ~2⁻⁶⁴ and the 16-bit bands
+    * of [[simhash64Pairs]] give 65 536 buckets per band.
+    */
+  def simhash64(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(TextOps.normalize(col(textCol)), " ")).as("tok"))
+      .withColumn("h1", md5(col("tok")))
+      .withColumn("h2", md5(concat(col("tok"), lit("#2"))))
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    def bitsOf(c: String) = (1 to 32).map(j =>
+      sum(when(substring(col(c), j, 1).isin(highHex: _*), 1).otherwise(-1)))
+    val bits = bitsOf("h1") ++ bitsOf("h2")
+    toks.groupBy(col(idCol))
+      .agg(concat(bits.map(b => when(b > 0, "1").otherwise("0")): _*)
+        .as("simhash64"))
+  }
+
+  /** Near-dup pairs over the 64-bit signature, band-blocked: the
+    * signature splits into 4 bands of 16 bits and a pair becomes a
+    * candidate iff it agrees EXACTLY on at least one band. By
+    * pigeonhole, `maxDist <= 3` makes the blocking exact — 3 differing
+    * bits cannot touch all 4 bands, so every qualifying pair shares an
+    * identical band; `maxDist >= 4` has the usual LSH recall loss.
+    *
+    * Scale shape: the self-join shuffles on (band, 16-bit bucket) keys
+    * only — 4×65 536 buckets, never an all-pairs product; band rows per
+    * doc are constant (4), so the blocked table is 4× the corpus, not
+    * quadratic.
+    */
+  def simhash64Pairs(docs: DataFrame, maxDist: Int = 3,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = simhash64(docs, idCol, textCol)
+    val bandCols = (0 until 4).map(bnd =>
+      concat(lit(s"$bnd:"), substring(col("simhash64"), 1 + 16 * bnd, 16)))
+    val blocks = sig.select(col(idCol), col("simhash64"),
+      explode(array(bandCols: _*)).as("block"))
+    val a = blocks.select(col(idCol).as("id_a"), col("simhash64").as("sh_a"), col("block"))
+    val b = blocks.select(col(idCol).as("id_b"), col("simhash64").as("sh_b"), col("block"))
+    a.join(b, "block").filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b"), 64))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }

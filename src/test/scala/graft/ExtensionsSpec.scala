@@ -43,6 +43,46 @@ class ExtensionsSpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("simhash64: 64-char signature; identical docs collide, disjoint docs differ") {
+    val sig = Dedup.simhash64(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L).length == 64 && sig(1L).forall(c => c == '0' || c == '1'))
+    // token-disjoint docs must land far apart — a near-zero hamming here
+    // would mean the two md5 bit families are degenerate
+    val ham34 = sig(3L).zip(sig(4L)).count { case (a, b) => a != b }
+    assert(ham34 > 10, s"disjoint docs only $ham34 bits apart")
+  }
+
+  test("simhash64Pairs band blocking is exact at maxDist 3 (property)") {
+    // seeded random corpus over a small vocab + deliberate near-dups
+    // (one-word perturbations), so qualifying pairs actually occur
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val base = (1L to 30L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val perturbed = base.take(10).map { case (id, ws) =>
+      val i = rnd.nextInt(ws.size)
+      (id + 100L) -> ws.updated(i, vocab(rnd.nextInt(vocab.size)))
+    }
+    val corpus = (base ++ perturbed).map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash64(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sortBy(_._1)
+    // brute-force ground truth over collected signatures
+    val expected = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = sa.zip(sb).count { case (x, y) => x != y } if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(expected.nonEmpty, "generator produced no qualifying pairs")
+    val got = Dedup.simhash64Pairs(corpus, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"banding missed ${(expected -- got).take(3)} / extra ${(got -- expected).take(3)}")
+  }
+
   test("connected components: chains collapse to min id; isolated docs are singletons") {
     // pair graph: 1-2, 2-5 (a chain — transitivity must close it),
     // 3-4; 6 isolated
