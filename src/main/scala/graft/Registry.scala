@@ -107,8 +107,28 @@ object Registry {
         a.numOpt(1).map(_.toInt), out = "__ts")
         .withColumn("value", col("__ts").cast("double")).drop("__ts")
     }),
+    // multi-lag family (tlag3d.py:6): appends a 0-filled `tlag_<k>`
+    // column per requested lag; `value` rides through unchanged, so
+    // later steps still compose on the series
+    "tlags3d" -> ((df, a) => {
+      require(a.nonEmpty, "tlags3d needs at least one lag")
+      TemporalOps.tlags(df, "value", a.indices.map(i => a.num(i).toInt))
+    }),
     "replace_na" -> ((df, a) =>
       MissingOps.replaceNa(df, Seq("value"), a.numOpt(0).getOrElse(0.0))),
+    "fill_with_group_and_global_means" -> ((df, _) =>
+      MissingOps.fillWithGroupAndGlobalMeans(df, "value", out = "__f")
+        .withColumn("value", col("__f")).drop("__f")),
+    "fill_groups_with_time_means" -> ((df, _) =>
+      MissingOps.fillGroupsWithTimeMeans(df, "value", out = "__f")
+        .withColumn("value", col("__f")).drop("__f")),
+    // terminal diagnostic (missing.py:30-38): emits (col_name,
+    // totally_missing) for every non-key column. The reference returns
+    // a list, not a frame — like there, nothing composes after it, so
+    // it must be a pipeline's LAST step.
+    "list_totally_missing" -> ((df, _) =>
+      MissingOps.listTotallyMissing(df,
+        df.columns.filterNot(Set(Panel.TimeCol, Panel.UnitCol)).toSeq)),
     "fill" -> ((df, a) =>
       MissingOps.fill(df, "value", a.strOpt(0).getOrElse("both"),
         a.strOpt(1), out = "__f")
@@ -167,6 +187,13 @@ object Registry {
         a.strOpt(0).getOrElse("distances"), a.numOpt(1).getOrElse(1.0).toInt,
         a.numOpt(2).getOrElse(1.0), a.numOpt(3).getOrElse(0.0),
         a.numOpt(4).getOrElse(0.0))),
+    // weights-mode shorthand: get_spacetime_distances with
+    // return_values='weights' (spacetime_distance.py:7) without the
+    // caller spelling the mode string; args are (k, nu, power, thresh)
+    "spacetime_weights" -> spatialT("stdist")((gp, a) =>
+      SpacetimeDist.spacetimeDistances(gp, "value", "weights",
+        a.numOpt(0).getOrElse(1.0).toInt, a.numOpt(1).getOrElse(1.0),
+        a.numOpt(2).getOrElse(0.0), a.numOpt(3).getOrElse(0.0))),
     "temporal_tree_lag" -> outT("treelag")((df, a) =>
       temporal.TreeLag.treeLag(df, "value", a.numOpt(0).getOrElse(0.8),
         a.strOpt(1).getOrElse("uniform"), a.numOpt(2).getOrElse(1.0))),

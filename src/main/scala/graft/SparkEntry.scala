@@ -216,6 +216,29 @@ object SparkEntry {
       Registry.run(p.select(col(T), col(U), col("value")),
         """[{"type":"splag4d","args":[1,1,1,false]},{"type":"tlag","args":[2]}]""")
         .select(col(T), col(U), col("value").as("lagged"))),
+    "q_pipeline_tlags3d" -> onPanel(p =>
+      Registry.run(p.select(col(T), col(U), col("value")),
+        """[{"type":"tlags3d","args":[1,3,6]}]""")
+        .select(col(T), col(U), col("tlag_1"), col("tlag_3"), col("tlag_6"))),
+    "q_pipeline_group_global_means" -> onMissing(p =>
+      Registry.run(p.select(col(T), col(U), col("value")),
+        """[{"type":"fill_with_group_and_global_means"}]""")
+        .select(col(T), col(U), col("value").as("filled"))),
+    "q_pipeline_time_means" -> onPanel { p =>
+      val tm = p.withColumn("value",
+        when(col(U) % 17 === 0, lit(null).cast("double")).otherwise(col("value")))
+      Registry.run(tm.select(col(T), col(U), col("value")),
+        """[{"type":"fill_groups_with_time_means"}]""")
+        .select(col(T), col(U), col("value").as("filled"))
+    },
+    "q_pipeline_list_totally_missing" -> onMissing(p =>
+      Registry.run(p.select(col(T), col(U), col("value"))
+          .withColumn("value3", lit(null).cast("double")),
+        """[{"type":"list_totally_missing"}]""")),
+    "q_pipeline_spacetime_weights" -> onPanel(p =>
+      Registry.run(p.select(col(T), col(U), col("value")),
+        """[{"type":"spacetime_weights","args":[1,1,2,400]}]""")
+        .select(col(T), col(U), col("value").as("stdist"))),
 
     // §2.8 Barnes-Hut spatial tree lag / §2.9 temporal tree lag / fourier
     "q_tree_lag" -> onGridE((gp, emb) =>
@@ -544,6 +567,11 @@ object SparkEntry {
     "q_pipeline_spacetime" -> Oracle.qSpacetimeDistK1,
     "q_pipeline_temporal_tree" -> Oracle.qTemporalTreeUniform,
     "q_pipeline_chain" -> Oracle.qPipelineChain,
+    "q_pipeline_tlags3d" -> Oracle.qTlags3d,
+    "q_pipeline_group_global_means" -> Oracle.qGroupGlobalMeans,
+    "q_pipeline_time_means" -> Oracle.qTimeMeans,
+    "q_pipeline_list_totally_missing" -> Oracle.qListTotallyMissing,
+    "q_pipeline_spacetime_weights" -> Oracle.qSpacetimeWeightsK1,
     "q_tree_lag" -> Oracle.qTreeLag,
     "q_tree_lag_d2" -> Oracle.qTreeLagD2,
     "q_grid_lag" -> Oracle.qGridLag,

@@ -65,6 +65,54 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("tlags3d appends one 0-filled lag column per arg, value untouched") {
+    val out = Registry.run(p, """[{"type":"tlags3d","args":[1,2]}]""")
+      .orderBy(T).collect()
+    assert(out.head.schema.fieldNames.toSeq ==
+      Seq(T, U, "value", "tlag_1", "tlag_2"))
+    val v = Seq(0.0, 0.0, 5.0, 0.0, 0.0, 0.0)
+    assert(out.map(_.getDouble(2)).toSeq == v)                 // value rides through
+    assert(out.map(_.getDouble(3)).toSeq == 0.0 +: v.init)     // lag 1, 0-filled
+    assert(out.map(_.getDouble(4)).toSeq == Seq(0.0, 0.0) ++ v.dropRight(2))
+  }
+
+  test("mean-fill transforms and the terminal missing diagnostic dispatch") {
+    val withNulls = Seq[(Long, Long, Option[Double])](
+      (1L, 1L, Some(2.0)), (2L, 1L, None),
+      (1L, 2L, None), (2L, 2L, None)
+    ).toDF(T, U, "value")
+    // unit 1 mean = 2.0 fills its gap; unit 2 (all-null) falls back to
+    // the global mean
+    val gg = Registry.run(withNulls,
+        """[{"type":"fill_with_group_and_global_means"}]""")
+      .orderBy(U, T).collect().map(_.getDouble(2)).toSeq
+    assert(gg == Seq(2.0, 2.0, 2.0, 2.0))
+    // all-null unit 2 takes the per-time mean of the others
+    val tm = Registry.run(withNulls,
+        """[{"type":"fill_groups_with_time_means"}]""")
+      .orderBy(U, T).collect()
+      .map(r => if (r.isNullAt(2)) null else r.getDouble(2)).toSeq
+    assert(tm == Seq(2.0, null, 2.0, null))
+    // terminal diagnostic: one row per non-key column
+    val diag = Registry.run(
+        withNulls.withColumn("value3", lit(null).cast("double")),
+        """[{"type":"list_totally_missing"}]""")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(diag == Map("value" -> false, "value3" -> true))
+  }
+
+  test("spacetime_weights shorthand matches the explicit weights mode") {
+    val mp = Seq((1L, 0L, 500.0), (1L, 1L, 0.0),
+      (2L, 0L, 0.0), (2L, 1L, 700.0)).toDF(T, U, "value")
+    val short = Registry.run(mp,
+        """[{"type":"spacetime_weights","args":[1,1,2,400]}]""")
+      .orderBy(T, U).collect().map(_.getDouble(2)).toSeq
+    val long = Registry.run(mp,
+        """[{"type":"spacetime_dist","args":["weights",1,1,2,400]}]""")
+      .orderBy(T, U).collect().map(_.getDouble(2)).toSeq
+    assert(short == long)
+  }
+
   test("a chained window pipeline stays a single-shuffle plan") {
     val out = Registry.run(p, """[{"type":"tlag","args":[1]},
       {"type":"moving_average","args":[3]},{"type":"demean","args":[]}]""")
