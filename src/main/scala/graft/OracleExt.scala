@@ -371,6 +371,20 @@ object OracleExt {
        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
        |FROM toks GROUP BY lang_pred""".stripMargin
 
+  /** Bounded-error assertion for the HLL vocab estimate: the oracle
+    * computes the exact side and expects `within_5pct = TRUE` per
+    * language — the Spark side joins its HLL estimate against its own
+    * exact count, so a sketch drifting outside the 5% envelope
+    * hash-mismatches this row.
+    */
+  val qVocabApprox: String =
+    s"""$langPredCtes,
+       |toks AS (SELECT doc_id, lang_pred,
+       |           unnest(string_split(nt, ' ')) AS tok FROM lp)
+       |SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  TRUE AS within_5pct
+       |FROM toks GROUP BY lang_pred""".stripMargin
+
   /** Per-language token-count quantiles (mirrors q_length_quantiles:
     * exact linear-interpolation percentiles — Spark `percentile` and
     * DuckDB `quantile_cont` use the same definition).

@@ -290,6 +290,20 @@ object SparkEntry {
     // exact per-language vocabulary cardinality (HLL scale path is
     // vocabStatsApprox, spec-bounded within 5%)
     "q_vocab" -> ((s, dir) => text.TextOps.vocabStats(docs(s, dir))),
+    // HLL scale path as a CORRECTNESS row: the raw sketch estimate is
+    // engine-specific, so the checked value is the bounded-error
+    // ASSERTION (|est − exact| ≤ 5% of exact, deterministic on fixed
+    // data) — the oracle returns TRUE, and an estimate drifting out of
+    // the envelope hash-mismatches
+    "q_vocab_approx" -> ((s, dir) => {
+      val exact = text.TextOps.vocabStats(docs(s, dir))
+      val est = text.TextOps.vocabStatsApprox(docs(s, dir))
+        .select(col("lang_pred"), col("n_distinct_est"))
+      exact.join(est, "lang_pred")
+        .select(col("lang_pred"), col("n_tokens"),
+          (abs(col("n_distinct_est") - col("n_distinct")) <=
+            col("n_distinct").cast("double") * 0.05).as("within_5pct"))
+    }),
     // per-language token-count quantiles (exact linear interpolation)
     "q_length_quantiles" -> ((s, dir) =>
       text.TextOps.analyze(docs(s, dir))
@@ -605,6 +619,7 @@ object SparkEntry {
     "q_json_rollup" -> OracleExt.qJsonRollup,
     "q_pivot_events" -> OracleExt.qPivotEvents,
     "q_vocab" -> OracleExt.qVocab,
+    "q_vocab_approx" -> OracleExt.qVocabApprox,
     "q_length_quantiles" -> OracleExt.qLengthQuantiles,
     "q_asof_purchase" -> OracleExt.qAsofPurchase,
     "q_range_join" -> OracleExt.qRangeJoin,

@@ -64,6 +64,15 @@ object Dedup {
     * Tail semantics match the old form: positions 1..max(len−n+1, 1) —
     * a doc shorter than n words yields its single shorter shingle
     * (concat_ws skips the null leads).
+    *
+    * DETERMINISTIC-INPUT CONTRACT (like AsofJoin's right-uniqueness
+    * contract): the per-row tag is `monotonically_increasing_id`, which
+    * is only retry-stable when the input plan enumerates rows
+    * deterministically per partition. File scans do; a sampled or
+    * freshly-shuffled unsorted input does NOT — there a stage retry
+    * could re-tag rows and stitch shingles across documents. Callers
+    * passing such a DataFrame must materialise (persist/write) it
+    * first.
     */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
@@ -146,17 +155,17 @@ object Dedup {
   /** MinHash+LSH near-duplicate detection end-to-end: shingle → sign →
     * band → candidates → exact-Jaccard verify ≥ threshold.
     *
-    * @param cacheShingles cache the thrice-read shingle table for the
-    *   session (default). A long-lived service calling this repeatedly
-    *   should pass false (no handle survives the call to unpersist) and
-    *   manage its own shingle materialisation.
+    * @param cacheShingles cache the thrice-read shingle table (default).
+    *   The handle is registered with [[graft.OpCache]], so a long-lived
+    *   service can `OpCache.release(session)` between requests;
+    *   alternatively pass false and manage your own materialisation.
     */
   def minhashLsh(docs: DataFrame, shingleSize: Int, numHashes: Int,
                  bandRows: Int, threshold: Double,
                  idCol: String = "doc_id", textCol: String = "text",
                  cacheShingles: Boolean = true): DataFrame = {
     val sh0 = shingles(docs, shingleSize, idCol, textCol)
-    val sh = if (cacheShingles) sh0.cache() else sh0
+    val sh = if (cacheShingles) graft.OpCache.persist(sh0) else sh0
     val sig = minhash(sh, numHashes, idCol)
     val cand = lshCandidates(sig, numHashes, bandRows, idCol)
     jaccard(cand, sh, idCol).filter(col("jaccard") >= threshold)

@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   *
   * Times must be non-negative (epoch micros): bin = t div binWidth
   * in INTEGER arithmetic — float division of epoch-scale longs loses
-  * microseconds (53-bit mantissa).
+  * microseconds (53-bit mantissa). `div` truncates toward zero, so a
+  * negative time would bin WITH its positive mirror (−1 and 1 both →
+  * bin 0) and break the one-bin-per-point argument; the contract is
+  * asserted below.
   */
 object RangeJoin {
 
@@ -33,16 +36,30 @@ object RangeJoin {
       "points and intervals must have disjoint column names — the join " +
         "key is synthetic, so a shared name would survive as an " +
         "ambiguous duplicate column")
-    val p = points.withColumn("__bin", expr(s"$timeCol div ${binWidth}L"))
+    // backtick-quote interpolated caller names so columns like
+    // `event time` survive the SQL round-trip; literal backticks in a
+    // name are escaped by doubling, per SQL identifier rules
+    def q(name: String) = "`" + name.replace("`", "``") + "`"
+    def binOf(c: String) = expr(s"${q(c)} div ${binWidth}L")
+    // non-negative-time contract, enforced: assert_true returns NULL on
+    // success, so the filter passes every valid row while a violating
+    // row fails the query loudly instead of silently mis-binning. As a
+    // filter predicate it rides the existing scan pass (no extra job)
+    // and cannot be pruned the way an unused projected column would be.
+    val p = points
+      .filter(assert_true(col(timeCol) >= 0,
+        lit(s"intervalJoin: negative $timeCol")).isNull)
+      .withColumn("__bin", binOf(timeCol))
     // inverted intervals (end < start from a data-quality bug) must be
     // a cheap empty match, not an explosion: Spark's sequence(a, b)
     // counts DOWN when a > b, so a single swapped epoch-scale row
     // would otherwise generate millions of bin rows that the residual
     // filter then discards one by one
     val i = intervals.filter(col(endCol) >= col(startCol))
+      .filter(assert_true(col(startCol) >= 0,
+        lit(s"intervalJoin: negative $startCol")).isNull)
       .withColumn("__bin",
-        explode(sequence(expr(s"$startCol div ${binWidth}L"),
-          expr(s"$endCol div ${binWidth}L"))))
+        explode(sequence(binOf(startCol), binOf(endCol))))
     p.join(i, Seq("__bin"))
       .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
       .drop("__bin")

@@ -54,17 +54,18 @@ object Contamination {
     * @return (idCol, n_shingles BIGINT, n_common BIGINT,
     *   boilerplate_ratio DOUBLE)
     */
-  /** @param cacheShingles cache the thrice-read shingle table for the
-    *   session (default; same tradeoff as Dedup.minhashLsh — a
-    *   long-lived service should pass false and manage its own
-    *   materialisation).
+  /** @param cacheShingles cache the thrice-read shingle table (default).
+    *   The handle is registered with [[graft.OpCache]], so a long-lived
+    *   service can `OpCache.release(session)` between requests instead
+    *   of accumulating cached blocks until teardown; alternatively pass
+    *   false and manage your own materialisation.
     */
   def boilerplateRatio(docs: DataFrame, n: Int, minDocs: Long,
                        idCol: String = "doc_id",
                        textCol: String = "text",
                        cacheShingles: Boolean = true): DataFrame = {
     val sh0 = Dedup.shingles(docs, n, idCol, textCol)
-    val sh = if (cacheShingles) sh0.cache() else sh0
+    val sh = if (cacheShingles) graft.OpCache.persist(sh0) else sh0
     val common = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("dfc"))
       .filter(col("dfc") >= minDocs)

@@ -165,8 +165,11 @@ object TextOps {
   /** The scale path: HyperLogLog++ distinct-token estimates
     * (`approx_count_distinct`) — one pass, fixed-size sketch per
     * group, no distinct shuffle; mergeable across partitions the way
-    * a 1000-executor aggregation needs. Default rsd 2.3%; the spec
-    * pins the estimate within 5% of the exact count.
+    * a 1000-executor aggregation needs. Default rsd 2.3% — a relative
+    * standard DEVIATION, not a bound: estimates are typically within
+    * 5% of exact (and are on the pinned test data, which the
+    * q_vocab_approx assertion checks), but no hard envelope is
+    * guaranteed in general.
     */
   def vocabStatsApprox(docs: DataFrame, textCol: String = "text",
                        rsd: Double = 0.023): DataFrame =

@@ -77,6 +77,27 @@ class SpatialSpec extends SparkSpec {
     assert(id.toSet == Set((0L, 0L), (1L, 1L)))
   }
 
+  test("distributed ringSet equals driver-BFS ringSetStatic on every kernel shape") {
+    // the scale fallback (ringSet: distributed BFS, for >driver-sized
+    // unit universes) must stay semantically identical to the fast
+    // driver-BFS path (ringSetStatic) the grid queries actually use.
+    // 3x3 grid block over 2 months, all queen adjacencies.
+    val units = Seq(0L, 1L, 2L, 40L, 41L, 42L, 80L, 81L, 82L)
+    val rows = for (m <- Seq(1L, 2L); u <- units) yield (m, u, 1.0)
+    val p = rows.toDF(T, U, "value")
+    val pairsLocal = CountryLag.gridAdjacencyPairsLocal(p)
+    val adj = CountryLag.gridAdjacency(p, persist = false)
+    for ((inner, width) <- Seq((0, 0), (0, 1), (1, 1), (1, 2), (2, 1), (3, 1))) {
+      val dist = CountryLag.ringSet(p, adj, inner, width, persist = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val static = CountryLag.ringSetStatic(p, pairsLocal, inner, width)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(dist == static,
+        s"($inner,$width): only-distributed ${(dist -- static).take(5)}, " +
+          s"only-static ${(static -- dist).take(5)}")
+    }
+  }
+
   test("spacetime pads missing neighbours with inf when 0 < count < k (distances)") {
     // one event total: k=5 distances must be inf once visible, 999 before
     val rows = for (m <- 1L to 3L; u <- 0L until 4L)

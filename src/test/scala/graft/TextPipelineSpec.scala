@@ -140,6 +140,30 @@ class TextPipelineSpec extends SparkSpec {
     assert(n == 0L)
   }
 
+  test("boilerplateRatio's shingle cache is releasable via OpCache") {
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    graft.text.Contamination.boilerplateRatio(docs, n = 2, minDocs = 2).count()
+    val cached = spark.sparkContext.getPersistentRDDs.size
+    assert(cached > 0, "expected the shingle table to be persisted")
+    graft.OpCache.release(spark)
+    // GeoCache blocks from other suites may remain; OpCache's must not
+    assert(spark.sparkContext.getPersistentRDDs.size < cached)
+  }
+
+  test("intervalJoin: quoted column names work; negative times fail loudly") {
+    // a column name with a space must survive the SQL interpolation
+    val points = Seq((5L, 1L)).toDF("event time", "pid")
+    val intervals = Seq((1L, 0L, 10L)).toDF("iid", "s", "e")
+    val ok = graft.relational.RangeJoin
+      .intervalJoin(points, intervals, "event time", "s", "e", 16L).count()
+    assert(ok == 1L)
+    // the documented non-negative contract is enforced, not silent
+    val neg = Seq((-5L, 1L)).toDF("t", "pid")
+    val e = intercept[Exception](graft.relational.RangeJoin
+      .intervalJoin(neg, intervals, "t", "s", "e", 16L).count())
+    assert(e.getMessage.contains("negative t"), e.getMessage)
+  }
+
   test("asofJoin: inclusive at equality, NULL with no prior right row") {
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"),
       (2L, 50L, "d")).toDF("k", "t", "tag")
