@@ -562,6 +562,30 @@ object OracleExt {
        |      JOIN szs zb ON zb.doc_id = p.id_b)
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.35""".stripMargin
 
+  /** Gopher-style repetition signals (mirrors TextOps.repetitionStats):
+    * top-token / top-bigram fractions and the distinct-token ratio over
+    * the normalised token stream.
+    */
+  val qRepetition: String =
+    s"""$norm,
+       |tw AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM norm),
+       |t AS (SELECT doc_id, unnest(ws) AS tok FROM tw),
+       |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+       |ta AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |         MAX(c) AS top_tok, COUNT(*) AS n_distinct
+       |       FROM tc GROUP BY 1),
+       |b AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, len(ws)),
+       |          i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+       |      FROM tw WHERE len(ws) > 1),
+       |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY 1, 2),
+       |ba AS (SELECT doc_id, MAX(c) AS top_bi, SUM(c) AS n_bi FROM bc GROUP BY 1)
+       |SELECT ta.doc_id, ta.n_tokens,
+       |  CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
+       |  COALESCE(CAST(top_bi AS DOUBLE) / n_bi, 0.0) AS top_bigram_frac,
+       |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio
+       |FROM ta LEFT JOIN ba ON ba.doc_id = ta.doc_id""".stripMargin
+
   private val embCte =
     """WITH c AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -583,6 +607,38 @@ object OracleExt {
        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+       |FROM rk WHERE rank <= 10""".stripMargin
+
+  /** Int8 quantization CTE ending in `qz(vec_id, scale, qv)` — the
+    * identical floor(x/scale + 0.5) arithmetic as Similarity.quantize
+    * (floor avoids round()-mode ambiguity across engines).
+    */
+  private val quantCte =
+    s"""$embCte,
+       |mx AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) AS m FROM c),
+       |qz AS (SELECT vec_id, v,
+       |         CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale,
+       |         list_transform(v,
+       |           x -> CAST(floor(x / (CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END) + 0.5)
+       |                AS INTEGER)) AS qv
+       |       FROM mx)""".stripMargin
+
+  val qEmbedQuantize: String =
+    s"""$quantCte
+       |SELECT vec_id, scale, array_to_string(qv, ',') AS q_csv FROM qz""".stripMargin
+
+  val qEmbedTopKQ8: String =
+    s"""$quantCte,
+       |q AS (SELECT vec_id AS query_id, scale AS qs,
+       |        CAST(qv AS DOUBLE[]) AS qq FROM qz WHERE vec_id < 50),
+       |scored AS (
+       |  SELECT q.query_id, z.vec_id AS neighbor_id,
+       |    q.qs * z.scale * list_dot_product(qq, CAST(z.qv AS DOUBLE[])) AS score
+       |  FROM qz z, q WHERE z.vec_id <> q.query_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
        |FROM rk WHERE rank <= 10""".stripMargin
 
   val qEmbedLshTopK: String = {

@@ -283,6 +283,8 @@ object SparkEntry {
       text.TextOps.analyze(docs(s, dir)).select(col("doc_id"),
         col("n_tokens").cast("long"), col("n_tokens_bpe").cast("long"),
         col("fingerprint"), col("quality"), col("lang_pred"))),
+    // Gopher-style repetition quality signals
+    "q_repetition" -> ((s, dir) => text.TextOps.repetitionStats(docs(s, dir))),
     "q_dedup_exact" -> ((s, dir) => dedup.Dedup.exact(docs(s, dir))),
     "q_corpus_filter" -> ((s, dir) =>
       text.TextOps.corpusFilter(docs(s, dir), minQuality = 0.5, lang = "en")),
@@ -343,6 +345,16 @@ object SparkEntry {
     "q_embed_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       similarity.Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 50), k = 10)
+    }),
+    // int8 serving path: quantization round-trip (csv-rendered so the
+    // int arrays hash portably) and quantized max-inner-product top-k
+    "q_embed_quantize" -> ((s, dir) =>
+      similarity.Similarity.quantize(embeddings(s, dir))
+        .select(col("vec_id"), col("scale"),
+          concat_ws(",", col("qvec")).as("q_csv"))),
+    "q_embed_topk_q8" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      similarity.Similarity.quantizedTopK(e, e.filter(col("vec_id") < 50), k = 10)
     }),
     "q_embed_lsh_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -625,6 +637,9 @@ object SparkEntry {
     "q_range_join" -> OracleExt.qRangeJoin,
     "q_ngram_jaccard" -> OracleExt.qNgramJaccard,
     "q_embed_topk" -> OracleExt.qEmbedTopK,
+    "q_embed_quantize" -> OracleExt.qEmbedQuantize,
+    "q_embed_topk_q8" -> OracleExt.qEmbedTopKQ8,
+    "q_repetition" -> OracleExt.qRepetition,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,

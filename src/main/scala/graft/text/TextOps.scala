@@ -178,6 +178,48 @@ object TextOps {
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         approx_count_distinct(col("tok"), rsd).as("n_distinct_est"))
 
+  /** Gopher-style repetition quality signals over the normalised token
+    * stream: per document, the fraction of tokens taken by the single
+    * most frequent token, the fraction of bigrams taken by the most
+    * frequent bigram, and the distinct-token ratio — the standard
+    * filters for pathological repetition (keyboard mashing, boilerplate
+    * loops, degenerate generations) in LLM corpus curation.
+    *
+    * Shape: the token stats are two hash aggregations (map-side
+    * combine, so a million-repeat token never lands on one reducer as
+    * raw rows); bigram assembly is a `lead` window over per-row-id
+    * partitions at shuffle parallelism (same deterministic-input
+    * contract as [[graft.dedup.Dedup.shingles]]). A single-token
+    * document has no bigrams → top_bigram_frac 0.0.
+    *
+    * @return (idCol, n_tokens BIGINT, top_token_frac, top_bigram_frac,
+    *   distinct_ratio — all DOUBLE)
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = split(normalize(col(textCol)), " ")
+    val ex = docs
+      .withColumn("__row", monotonically_increasing_id())
+      .select(col(idCol), col("__row"), posexplode(words).as(Seq("__pos", "tok")))
+    val tokAgg = ex.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").cast("long").as("n_tokens"), max("c").as("top_tok"),
+        count(lit(1)).cast("long").as("n_distinct"))
+    val w = Window.partitionBy(col("__row")).orderBy(col("__pos"))
+    val bi = ex.withColumn("__nxt", lead(col("tok"), 1).over(w))
+      .filter(col("__nxt").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("tok"), col("__nxt")).as("bigram"))
+    val biAgg = bi.groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max("c").as("top_bi"), sum("c").as("n_bi"))
+    tokAgg.join(biAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("top_tok").cast("double") / col("n_tokens")).as("top_token_frac"),
+        coalesce(col("top_bi").cast("double") / col("n_bi"), lit(0.0))
+          .as("top_bigram_frac"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"))
+  }
+
   private def tokensByLang(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("lang_pred", langId(col(textCol)))
       .select(col("lang_pred"),

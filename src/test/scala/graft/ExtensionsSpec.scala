@@ -95,6 +95,56 @@ class ExtensionsSpec extends SparkSpec {
       (4L, 3L, 2L), (5L, 1L, 3L), (6L, 6L, 1L)))
   }
 
+  test("repetitionStats: worked example, single-token doc has bigram frac 0") {
+    val docs = Seq(
+      (1L, "a a a b"),   // top token a: 3/4; bigrams "a a"x2,"a b" → 2/3; distinct 2/4
+      (2L, "solo"),      // 1 token, no bigrams
+      (3L, "x y x y")    // top tok 2/4; bigrams "x y"x2,"y x" → 2/3; distinct 2/4
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(out(0) == ((1L, 4L, 0.75, 2.0 / 3.0, 0.5)))
+    assert(out(1) == ((2L, 1L, 1.0, 0.0, 1.0)))
+    assert(out(2) == ((3L, 4L, 0.5, 2.0 / 3.0, 0.5)))
+  }
+
+  test("quantize: int8 range, zero vector safe, dequantization error bounded") {
+    val emb = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(-2.0f, 2.0f, 1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantize(emb).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    // max element maps to ±127, everything stays in [-127, 127];
+    // half-up rounds toward +inf, so -63.5 quantizes to -63
+    assert(out(1L)._2 == Seq(127, -63, 32, 0))
+    assert(out(2L) == ((1.0, Seq(0, 0, 0, 0))))
+    assert(out(3L)._2 == Seq(-127, 127, 64, -63))
+    out.values.foreach { case (_, q) => assert(q.forall(v => v >= -127 && v <= 127)) }
+    // dequantization error ≤ scale/2 per element
+    val (s1, q1) = out(1L)
+    Seq(1.0, -0.5, 0.25, 0.0).zip(q1).foreach { case (x, q) =>
+      assert(math.abs(x - q * s1) <= s1 / 2 + 1e-12)
+    }
+  }
+
+  test("quantizedTopK ranks by exact integer dot products") {
+    // hand-checkable 2-dim vectors
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // query
+      (1L, Seq(2.0f, 0.0f)),   // same direction, large norm → top inner product
+      (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(0.0f, 1.0f))    // orthogonal → score 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizedTopK(emb, emb.filter(col("vec_id") === 0L), k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(out(0)._2 - 2.0) < 1e-9)  // (1/127)*(2/127)*127*127
+    assert(math.abs(out(1)._2 - 0.5) < 1e-9)
+    assert(out(2)._2 == 0.0)
+  }
+
   test("hash sampling: deterministic, fraction-shaped, splits partition exactly") {
     import graft.sampling.Sampling
     val ids = (0L until 1000L).toDF("doc_id")
