@@ -586,6 +586,27 @@ object OracleExt {
        |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio
        |FROM ta LEFT JOIN ba ON ba.doc_id = ta.doc_id""".stripMargin
 
+  /** Sliding-window chunking (mirrors TextOps.chunkDocuments with
+    * maxTokens=64, overlap=8): same start/stop arithmetic, 1-based
+    * inclusive list slicing.
+    */
+  val qChunk: String = {
+    val (maxTokens, overlap) = (64, 8)
+    val step = maxTokens - overlap
+    s"""$norm,
+       |tw AS (SELECT doc_id, string_split(nt, ' ') AS ws,
+       |         len(string_split(nt, ' ')) AS n FROM norm),
+       |ch AS (SELECT doc_id, ws, n,
+       |         unnest(range(0, GREATEST(
+       |           CAST(ceil(CAST(n - $overlap AS DOUBLE) / $step) AS BIGINT), 1))) AS k
+       |       FROM tw)
+       |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+       |  array_to_string(ws[1 + k * $step : LEAST(k * $step + $maxTokens, n)], ' ')
+       |    AS chunk_text,
+       |  CAST(LEAST($maxTokens, n - k * $step) AS BIGINT) AS n_tokens
+       |FROM ch""".stripMargin
+  }
+
   private val embCte =
     """WITH c AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

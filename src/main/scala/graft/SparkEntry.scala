@@ -285,6 +285,9 @@ object SparkEntry {
         col("fingerprint"), col("quality"), col("lang_pred"))),
     // Gopher-style repetition quality signals
     "q_repetition" -> ((s, dir) => text.TextOps.repetitionStats(docs(s, dir))),
+    // context-length chunking (shuffle-free scan-stage Generate)
+    "q_chunk" -> ((s, dir) =>
+      text.TextOps.chunkDocuments(docs(s, dir), maxTokens = 64, overlap = 8)),
     "q_dedup_exact" -> ((s, dir) => dedup.Dedup.exact(docs(s, dir))),
     "q_corpus_filter" -> ((s, dir) =>
       text.TextOps.corpusFilter(docs(s, dir), minQuality = 0.5, lang = "en")),
@@ -640,6 +643,7 @@ object SparkEntry {
     "q_embed_quantize" -> OracleExt.qEmbedQuantize,
     "q_embed_topk_q8" -> OracleExt.qEmbedTopKQ8,
     "q_repetition" -> OracleExt.qRepetition,
+    "q_chunk" -> OracleExt.qChunk,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,

@@ -220,6 +220,38 @@ object TextOps {
         (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"))
   }
 
+  /** Sliding-window document chunking for context-length-bounded
+    * training examples: the normalised token stream splits into chunks
+    * of `maxTokens` tokens advancing by `maxTokens − overlap`, the last
+    * chunk shorter if the tail runs out. Every token is covered, every
+    * chunk introduces at least one new token
+    * (nChunks = max(⌈(n − overlap)/step⌉, 1)).
+    *
+    * Scale shape: entirely row-local — one Generate in the scan stage,
+    * NO shuffle — so it runs at file-split parallelism on any corpus
+    * size. All array ops (sequence/slice/concat_ws) are native
+    * codegen'd expressions, not interpreted lambdas.
+    *
+    * @return (idCol, chunk_id INT, chunk_text, n_tokens BIGINT)
+    */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int, overlap: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && maxTokens > overlap,
+      "need maxTokens > overlap >= 0 (a step of maxTokens - overlap must advance)")
+    val step = maxTokens - overlap
+    val words = split(normalize(col(textCol)), " ")
+    docs.select(col(idCol), words.as("__ws"), size(words).as("__n"))
+      .withColumn("__chunks", greatest(
+        ceil((col("__n") - lit(overlap)).cast("double") / step).cast("int"),
+        lit(1)))
+      .withColumn("chunk_id", explode(sequence(lit(0), col("__chunks") - 1)))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", slice(col("__ws"), col("chunk_id") * step + 1, lit(maxTokens)))
+          .as("chunk_text"),
+        least(lit(maxTokens), col("__n") - col("chunk_id") * step).cast("long")
+          .as("n_tokens"))
+  }
+
   private def tokensByLang(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("lang_pred", langId(col(textCol)))
       .select(col("lang_pred"),

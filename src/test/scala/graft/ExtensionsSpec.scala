@@ -108,6 +108,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(out(2) == ((3L, 4L, 0.5, 2.0 / 3.0, 0.5)))
   }
 
+  test("chunkDocuments: sliding windows cover every token, each adds new tokens") {
+    // 10 tokens, window 5, overlap 1 → starts 1,5,9: [t1..t5][t5..t9][t9..t10]
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(docs, maxTokens = 5, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, "t1 t2 t3 t4 t5", 5L),
+      (1L, 1, "t5 t6 t7 t8 t9", 5L),
+      (1L, 2, "t9 t10", 2L)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b c", 3L)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, "solo", 1L)))
+    // property: reassembling chunks with the overlap dropped restores the doc
+    val restored = out.filter(_._1 == 1L).zipWithIndex.map { case ((_, _, t, _), i) =>
+      if (i == 0) t else t.split(" ").drop(1).mkString(" ")
+    }.filter(_.nonEmpty).mkString(" ")
+    assert(restored == (1 to 10).map(i => s"t$i").mkString(" "))
+  }
+
   test("quantize: int8 range, zero vector safe, dequantization error bounded") {
     val emb = Seq(
       (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),

@@ -90,6 +90,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("chunkDocuments is shuffle-free: one scan-stage Generate, no Exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.text.TextOps.chunkDocuments(docs, 64, 8)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
   test("corpus filter's barrier keeps the wide text trees out of the filter") {
     // exercise the PARQUET path: the round-2 guard used a 3-row
     // LocalRelation, whose optimized plan differed from the real scan —
