@@ -184,6 +184,10 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
+    // single-level: at 16 bits the aggregate expressions are cheap
+    // enough that simhash64's count-then-weight pre-aggregation costs
+    // more (an extra shuffle) than it saves — measured 1.0 s vs 1.6 s
+    // at sf0.1
     val toks = docs.select(col(idCol),
       explode(split(TextOps.normalize(col(textCol)), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
@@ -240,8 +244,17 @@ object Dedup {
     */
   def simhash64(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(split(TextOps.normalize(col(textCol)), " ")).as("tok"))
+    // two-level shape: count token frequencies first, then evaluate the
+    // 64 bit expressions (and both md5s) once per DISTINCT (doc, token)
+    // with the ±1 weighted by the count — on a Zipf-distributed corpus
+    // the expensive stage runs on a fraction of the token instances,
+    // and the extra (doc, tok) shuffle is count-combined map-side.
+    // Measured 3.2 s → 2.4 s at sf0.1; NOT worth it at 16 bits (see
+    // simhash), where the per-row expressions are too cheap to amortise
+    // the shuffle.
+    val counts = docs.select(col(idCol),
+        explode(split(TextOps.normalize(col(textCol)), " ")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
       .withColumn("h1", md5(col("tok")))
       .withColumn("h2", md5(concat(col("tok"), lit("#2"))))
     // hex-MSB test as one byte comparison: md5 hex digits are 0-9a-f,
@@ -249,9 +262,9 @@ object Dedup {
     // than an 8-way string isin, and these 64 aggregate expressions
     // ARE the operator's hot loop
     def bitsOf(c: String) = (1 to 32).map(j =>
-      sum(when(ascii(substring(col(c), j, 1)) >= 56, 1).otherwise(-1)))
+      sum(when(ascii(substring(col(c), j, 1)) >= 56, col("c")).otherwise(-col("c"))))
     val bits = bitsOf("h1") ++ bitsOf("h2")
-    toks.groupBy(col(idCol))
+    counts.groupBy(col(idCol))
       .agg(concat(bits.map(b => when(b > 0, "1").otherwise("0")): _*)
         .as("simhash64"))
   }
