@@ -177,6 +177,30 @@ class StreamingSpec extends SparkSpec {
     assert(bad.isEmpty, s"panel cell mismatch at keys: ${bad.take(5)}")
   }
 
+  test("streaming corpus dedup drops content duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val src = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.CorpusStream.dedupDocsStream(
+        src.toDS().toDF("ts", "doc_id", "text"), delay = "1 hour")
+      .writeStream.format("memory").queryName("corpus_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(
+        (ts("2024-01-01T00:00:00Z"), 1L, "The cat sat on the mat"),
+        (ts("2024-01-01T00:01:00Z"), 2L, "something else entirely"))
+      q.processAllAvailable()
+      // batch 2: doc 3 is doc 1 modulo case/whitespace (same normalised
+      // fingerprint — must drop); doc 4 is new content
+      src.addData(
+        (ts("2024-01-01T00:02:00Z"), 3L, "the cat  sat on the MAT"),
+        (ts("2024-01-01T00:03:00Z"), 4L, "fresh words here"))
+      q.processAllAvailable()
+      val ids = spark.table("corpus_dedup").collect().map(_.getLong(1)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("stateless registry transforms apply to a stream unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, Long, Double)]
