@@ -607,6 +607,20 @@ object OracleExt {
        |FROM ch""".stripMargin
   }
 
+  /** OOV rate vs the corpus' own top-50 tokens (mirrors
+    * TextOps.oovRate: global counts, ties lexicographic).
+    */
+  val qOov: String =
+    s"""$norm,
+       |t AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm),
+       |vc AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
+       |vocab AS (SELECT tok FROM vc ORDER BY c DESC, tok LIMIT 50)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) FILTER (v.tok IS NULL) AS BIGINT) AS n_oov,
+       |  CAST(COUNT(*) FILTER (v.tok IS NULL) AS DOUBLE) / COUNT(*) AS oov_rate
+       |FROM t LEFT JOIN vocab v ON v.tok = t.tok
+       |GROUP BY doc_id""".stripMargin
+
   private val embCte =
     """WITH c AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

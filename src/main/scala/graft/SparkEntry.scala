@@ -288,6 +288,8 @@ object SparkEntry {
     // context-length chunking (shuffle-free scan-stage Generate)
     "q_chunk" -> ((s, dir) =>
       text.TextOps.chunkDocuments(docs(s, dir), maxTokens = 64, overlap = 8)),
+    // vocabulary-pruning signal: OOV rate vs the corpus' own top-50
+    "q_oov" -> ((s, dir) => text.TextOps.oovRate(docs(s, dir), vocabSize = 50)),
     "q_dedup_exact" -> ((s, dir) => dedup.Dedup.exact(docs(s, dir))),
     "q_corpus_filter" -> ((s, dir) =>
       text.TextOps.corpusFilter(docs(s, dir), minQuality = 0.5, lang = "en")),
@@ -644,6 +646,7 @@ object SparkEntry {
     "q_embed_topk_q8" -> OracleExt.qEmbedTopKQ8,
     "q_repetition" -> OracleExt.qRepetition,
     "q_chunk" -> OracleExt.qChunk,
+    "q_oov" -> OracleExt.qOov,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,

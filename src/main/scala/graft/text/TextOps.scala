@@ -252,6 +252,36 @@ object TextOps {
           .as("n_tokens"))
   }
 
+  /** Out-of-vocabulary rate against the corpus' own top-`vocabSize`
+    * tokens (by global frequency, ties broken lexicographically —
+    * fully deterministic): per document, the fraction of token
+    * instances outside the vocabulary. The standard signal for
+    * vocabulary pruning and tokenizer-fit checks during corpus
+    * curation.
+    *
+    * Scale shape: global token counts are one map-side-combined hash
+    * aggregation; the top-N is `TakeOrderedAndProject` over the counted
+    * VOCABULARY (not the token stream) and broadcasts back — vocabulary
+    * cardinality, not corpus size, bounds the sort.
+    *
+    * @return (idCol, n_tokens BIGINT, n_oov BIGINT, oov_rate DOUBLE)
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(normalize(col(textCol)), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        count(lit(1)).minus(count(col("__in_vocab"))).cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   private def tokensByLang(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("lang_pred", langId(col(textCol)))
       .select(col("lang_pred"),

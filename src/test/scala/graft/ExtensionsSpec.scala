@@ -128,6 +128,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(restored == (1 to 10).map(i => s"t$i").mkString(" "))
   }
 
+  test("oovRate: top-N vocab by frequency then lexicographic; OOV counted per instance") {
+    // counts: a=4, b=2, c=1, d=1 → vocabSize=2 keeps {a, b};
+    // vocabSize=3 tie between c and d resolves lexicographically → c
+    val docs = Seq((1L, "a a b c"), (2L, "a a b d")).toDF("doc_id", "text")
+    val v2 = TextOps.oovRate(docs, vocabSize = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(v2.toSeq == Seq((1L, 4L, 1L, 0.25), (2L, 4L, 1L, 0.25)))
+    val v3 = TextOps.oovRate(docs, vocabSize = 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(v3.toSeq == Seq((1L, 0L), (2L, 1L))) // c in vocab, d out
+  }
+
   test("quantize: int8 range, zero vector safe, dequantization error bounded") {
     val emb = Seq(
       (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),

@@ -175,6 +175,44 @@ class PropertySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("chunkDocuments coverage property: every token appears, order preserved") {
+    val wordGen = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")))
+    forAll(gen3(wordGen, Gen.chooseNum(2, 8), Gen.chooseNum(0, 1)), count = 8) {
+      case (ws0, maxTok, ov) =>
+        // make tokens positionally unique so coverage/order are checkable
+        val ws = ws0.zipWithIndex.map { case (w, i) => s"$w$i" }
+        val docs = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+        val chunks = graft.text.TextOps.chunkDocuments(docs, maxTok, ov)
+          .orderBy("chunk_id").collect().map(_.getString(2))
+        val step = maxTok - ov
+        // dropping each chunk's overlap prefix reassembles the doc exactly
+        val restored = chunks.zipWithIndex.flatMap { case (t, i) =>
+          val toks = t.split(" ").toSeq
+          if (i == 0) toks else toks.drop(ov)
+        }
+        assert(restored.toSeq == ws, s"maxTok=$maxTok ov=$ov: ${restored.toSeq} vs $ws")
+        // every chunk except the last is full-size
+        chunks.init.foreach(c => assert(c.split(" ").length == maxTok))
+    }
+  }
+
+  test("quantize round-trip property: error <= scale/2, extremes hit ±127") {
+    val vecGen = Gen.chooseNum(2, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0)))
+    forAll(vecGen, count = 10) { xs =>
+      val emb = Seq((1L, xs.map(_.toFloat))).toDF("vec_id", "embedding")
+      val row = similarity.Similarity.quantize(emb).head()
+      val (s, q) = (row.getDouble(1), row.getSeq[Int](2))
+      assert(q.forall(v => v >= -127 && v <= 127))
+      xs.map(_.toFloat.toDouble).zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x - qi * s) <= s / 2 + 1e-9, s"x=$x q=$qi scale=$s")
+      }
+      val maxAbs = xs.map(x => math.abs(x.toFloat.toDouble)).max
+      if (maxAbs > 0) assert(q.exists(v => math.abs(v) == 127))
+    }
+  }
+
   test("normalised kernels sum to 1; splag4d is linear in the input") {
     forAll(gen3(Gen.chooseNum(1, 3), Gen.chooseNum(1, 3), Gen.chooseNum(0.0, 3.0))) {
       case (inner, width, power) =>
