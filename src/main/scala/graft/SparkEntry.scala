@@ -302,15 +302,11 @@ object SparkEntry {
     // ASSERTION (|est − exact| ≤ 5% of exact, deterministic on fixed
     // data) — the oracle returns TRUE, and an estimate drifting out of
     // the envelope hash-mismatches
-    "q_vocab_approx" -> ((s, dir) => {
-      val exact = text.TextOps.vocabStats(docs(s, dir))
-      val est = text.TextOps.vocabStatsApprox(docs(s, dir))
-        .select(col("lang_pred"), col("n_distinct_est"))
-      exact.join(est, "lang_pred")
+    "q_vocab_approx" -> ((s, dir) =>
+      text.TextOps.vocabStatsBoth(docs(s, dir))
         .select(col("lang_pred"), col("n_tokens"),
           (abs(col("n_distinct_est") - col("n_distinct")) <=
-            col("n_distinct").cast("double") * 0.05).as("within_5pct"))
-    }),
+            col("n_distinct").cast("double") * 0.05).as("within_5pct"))),
     // per-language token-count quantiles (exact linear interpolation)
     "q_length_quantiles" -> ((s, dir) =>
       text.TextOps.analyze(docs(s, dir))

@@ -42,13 +42,18 @@ object RangeJoin {
     def q(name: String) = "`" + name.replace("`", "``") + "`"
     def binOf(c: String) = expr(s"${q(c)} div ${binWidth}L")
     // non-negative-time contract, enforced: assert_true returns NULL on
-    // success, so the filter passes every valid row while a violating
-    // row fails the query loudly instead of silently mis-binning. As a
-    // filter predicate it rides the existing scan pass (no extra job)
-    // and cannot be pruned the way an unused projected column would be.
+    // success, so the filter passes every valid row while a NEGATIVE
+    // time fails the query loudly instead of silently mis-binning. A
+    // NULL time is ordinary missing data, not a contract violation —
+    // the isNull disjunct lets it through, and its NULL __bin then
+    // drops out of the inner join (the pre-assert behaviour). As a
+    // filter predicate the assert rides the existing scan pass (no
+    // extra job) and cannot be pruned the way an unused projected
+    // column would be.
+    def nonNegOrNull(c: String) = assert_true(
+      col(c).isNull || col(c) >= 0, lit(s"intervalJoin: negative $c")).isNull
     val p = points
-      .filter(assert_true(col(timeCol) >= 0,
-        lit(s"intervalJoin: negative $timeCol")).isNull)
+      .filter(nonNegOrNull(timeCol))
       .withColumn("__bin", binOf(timeCol))
     // inverted intervals (end < start from a data-quality bug) must be
     // a cheap empty match, not an explosion: Spark's sequence(a, b)
@@ -56,8 +61,7 @@ object RangeJoin {
     // would otherwise generate millions of bin rows that the residual
     // filter then discards one by one
     val i = intervals.filter(col(endCol) >= col(startCol))
-      .filter(assert_true(col(startCol) >= 0,
-        lit(s"intervalJoin: negative $startCol")).isNull)
+      .filter(nonNegOrNull(startCol))
       .withColumn("__bin",
         explode(sequence(binOf(startCol), binOf(endCol))))
     p.join(i, Seq("__bin"))

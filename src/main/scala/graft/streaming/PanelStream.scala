@@ -32,11 +32,20 @@ object PanelStream {
     * into the harness's panel convention batch-side.
     */
   def panelAggregate(events: DataFrame, delay: String = "1 day"): DataFrame = {
-    // reuse an upstream watermark (e.g. set by dedupEvents) — Spark
-    // disallows redefining one mid-stream once set
-    val hasWatermark = events.queryExecution.analyzed.exists(
-      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark])
-    val wm = if (hasWatermark) events else events.withWatermark("ts", delay)
+    // reuse an upstream watermark on ts (e.g. set by dedupEvents) —
+    // Spark disallows redefining one mid-stream, so when the caller
+    // already watermarked ts, THAT delay governs lateness and the
+    // `delay` parameter is ignored. A watermark on any OTHER column
+    // would leave the ts windows unbounded (append mode would never
+    // emit), so that is rejected rather than silently accepted.
+    val upstream = events.queryExecution.analyzed.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+        w.eventTime.name
+    }
+    require(upstream.forall(_ == "ts"),
+      s"panelAggregate aggregates on ts, but the input already carries a " +
+        s"watermark on '${upstream.get}' — watermark ts instead")
+    val wm = if (upstream.isDefined) events else events.withWatermark("ts", delay)
     wm
       .groupBy(window(col("ts"), "1 day").as("w"),
         col("user_id").cast("long").as(Panel.UnitCol))

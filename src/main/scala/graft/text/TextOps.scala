@@ -178,6 +178,23 @@ object TextOps {
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         approx_count_distinct(col("tok"), rsd).as("n_distinct_est"))
 
+  /** Exact AND approximate distinct counts from ONE tokenization pass:
+    * the (lang, tok) pre-aggregation makes the exact distinct a group
+    * count, and HLL is duplicate-insensitive so sketching the deduped
+    * token stream yields the identical estimate — one corpus scan
+    * where vocabStats + vocabStatsApprox would take two. This is the
+    * error-check shape (q_vocab_approx) and the one-pass production
+    * variant.
+    */
+  def vocabStatsBoth(docs: DataFrame, textCol: String = "text",
+                     rsd: Double = 0.023): DataFrame =
+    tokensByLang(docs, textCol)
+      .groupBy(col("lang_pred"), col("tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("lang_pred"))
+      .agg(sum("__c").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        approx_count_distinct(col("tok"), rsd).as("n_distinct_est"))
+
   /** Gopher-style repetition quality signals over the normalised token
     * stream: per document, the fraction of tokens taken by the single
     * most frequent token, the fraction of bigrams taken by the most
@@ -187,29 +204,28 @@ object TextOps {
     *
     * Shape: the token stats are two hash aggregations (map-side
     * combine, so a million-repeat token never lands on one reducer as
-    * raw rows); bigram assembly is a `lead` window over per-row-id
-    * partitions at shuffle parallelism (same deterministic-input
-    * contract as [[graft.dedup.Dedup.shingles]]). A single-token
-    * document has no bigrams → top_bigram_frac 0.0.
+    * raw rows); bigram assembly is ROW-LOCAL — `arrays_zip` of the
+    * words array against its own 1-shifted slice (native codegen'd
+    * expressions, no window, no per-row id, none of the
+    * deterministic-input hazard Dedup.shingles documents). A
+    * single-token document has no bigrams → top_bigram_frac 0.0.
     *
     * @return (idCol, n_tokens BIGINT, top_token_frac, top_bigram_frac,
     *   distinct_ratio — all DOUBLE)
     */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val words = split(normalize(col(textCol)), " ")
-    val ex = docs
-      .withColumn("__row", monotonically_increasing_id())
-      .select(col(idCol), col("__row"), posexplode(words).as(Seq("__pos", "tok")))
-    val tokAgg = ex.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    val tokAgg = docs.select(col(idCol), explode(words).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(sum("c").cast("long").as("n_tokens"), max("c").as("top_tok"),
         count(lit(1)).cast("long").as("n_distinct"))
-    val w = Window.partitionBy(col("__row")).orderBy(col("__pos"))
-    val bi = ex.withColumn("__nxt", lead(col("tok"), 1).over(w))
-      .filter(col("__nxt").isNotNull)
-      .select(col(idCol), concat_ws(" ", col("tok"), col("__nxt")).as("bigram"))
+    val nPairs = greatest(size(words) - 1, lit(0))
+    val bi = docs.select(col(idCol),
+        explode(arrays_zip(slice(words, lit(1), nPairs), slice(words, lit(2), nPairs)))
+          .as("__z"))
+      .select(col(idCol), concat_ws(" ", col("__z.0"), col("__z.1")).as("bigram"))
     val biAgg = bi.groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(max("c").as("top_bi"), sum("c").as("n_bi"))
     tokAgg.join(biAgg, Seq(idCol), "left")

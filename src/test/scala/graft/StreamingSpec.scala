@@ -177,6 +177,15 @@ class StreamingSpec extends SparkSpec {
     assert(bad.isEmpty, s"panel cell mismatch at keys: ${bad.take(5)}")
   }
 
+  test("panelAggregate rejects an upstream watermark on the wrong column") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+    val wrongWm = src.toDS().toDF("other_ts", "ts", "user_id", "value")
+      .withWatermark("other_ts", "1 hour")
+    val e = intercept[IllegalArgumentException](PanelStream.panelAggregate(wrongWm))
+    assert(e.getMessage.contains("other_ts"), e.getMessage)
+  }
+
   test("streaming corpus dedup drops content duplicates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))

@@ -150,6 +150,32 @@ class TextPipelineSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size < cached)
   }
 
+  test("intervalJoin: NULL times drop out silently, as before the assert guard") {
+    val points = Seq[(Option[Long], Long)]((Some(5L), 1L), (None, 2L)).toDF("t", "pid")
+    val intervals = Seq((1L, 0L, 10L)).toDF("iid", "s", "e")
+    val out = graft.relational.RangeJoin
+      .intervalJoin(points, intervals, "t", "s", "e", 16L)
+      .collect().map(_.getLong(1))
+    assert(out.toSeq == Seq(1L)) // null-time point neither matches nor throws
+  }
+
+  test("vocabStatsBoth: one pass matches the separate exact and HLL paths") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = graft.text.TextOps.vocabStatsBoth(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = graft.text.TextOps.vocabStats(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = graft.text.TextOps.vocabStatsApprox(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(both.keySet == exact.keySet)
+    both.foreach { case (lang, (nt, nd, est)) =>
+      assert((nt, nd) == exact(lang), lang)
+      // HLL is duplicate-insensitive: sketching the deduped (lang, tok)
+      // stream must give the identical estimate as the raw stream
+      assert(est == approx(lang), lang)
+    }
+  }
+
   test("intervalJoin: quoted column names work; negative times fail loudly") {
     // a column name with a space must survive the SQL interpolation
     val points = Seq((5L, 1L)).toDF("event time", "pid")
