@@ -40,6 +40,7 @@ object Bench {
     "q_simhash64", "q_simhash64_pairs",
     "q_embed_topk", "q_embed_lsh_topk", "q_embed_ivf_topk",
     "q_embed_quantize", "q_embed_topk_q8", "q_repetition", "q_chunk", "q_oov",
+    "q_lm_score",
     "q_embed_neardup", "q_embed_neardup_lsh", "q_sample_hash",
     "q_sessionize", "q_pack_shards", "q_sample_stratified", "q_ngram_index",
     "q_decontaminate", "q_boilerplate", "q_sample_topk_stratum",

@@ -621,6 +621,25 @@ object OracleExt {
        |FROM t LEFT JOIN vocab v ON v.tok = t.tok
        |GROUP BY doc_id""".stripMargin
 
+  /** Self-trained bigram LM score (mirrors TextOps.bigramLmScore):
+    * corpus-global bigram / prefix counts, per-doc mean ln ratio,
+    * rounded to 1e-6 to absorb float-sum ordering noise.
+    */
+  val qLmScore: String =
+    s"""$norm,
+       |tw AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM norm),
+       |bi AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+       |         unnest(list_transform(range(1, len(ws)),
+       |           i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+       |       FROM tw WHERE len(ws) > 1),
+       |cb AS (SELECT bigram, COUNT(*) AS c FROM bi GROUP BY 1),
+       |cp AS (SELECT w1, COUNT(*) AS c FROM bi GROUP BY 1)
+       |SELECT bi.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  round(AVG(ln(CAST(cb.c AS DOUBLE) / cp.c)), 6) AS lm_score
+       |FROM bi JOIN cb ON cb.bigram = bi.bigram JOIN cp ON cp.w1 = bi.w1
+       |GROUP BY bi.doc_id""".stripMargin
+
   private val embCte =
     """WITH c AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -290,6 +290,8 @@ object SparkEntry {
       text.TextOps.chunkDocuments(docs(s, dir), maxTokens = 64, overlap = 8)),
     // vocabulary-pruning signal: OOV rate vs the corpus' own top-50
     "q_oov" -> ((s, dir) => text.TextOps.oovRate(docs(s, dir), vocabSize = 50)),
+    // self-trained bigram LM corpus-fit score
+    "q_lm_score" -> ((s, dir) => text.TextOps.bigramLmScore(docs(s, dir))),
     "q_dedup_exact" -> ((s, dir) => dedup.Dedup.exact(docs(s, dir))),
     "q_corpus_filter" -> ((s, dir) =>
       text.TextOps.corpusFilter(docs(s, dir), minQuality = 0.5, lang = "en")),
@@ -643,6 +645,7 @@ object SparkEntry {
     "q_repetition" -> OracleExt.qRepetition,
     "q_chunk" -> OracleExt.qChunk,
     "q_oov" -> OracleExt.qOov,
+    "q_lm_score" -> OracleExt.qLmScore,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,

@@ -221,11 +221,7 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(sum("c").cast("long").as("n_tokens"), max("c").as("top_tok"),
         count(lit(1)).cast("long").as("n_distinct"))
-    val nPairs = greatest(size(words) - 1, lit(0))
-    val bi = docs.select(col(idCol),
-        explode(arrays_zip(slice(words, lit(1), nPairs), slice(words, lit(2), nPairs)))
-          .as("__z"))
-      .select(col(idCol), concat_ws(" ", col("__z.0"), col("__z.1")).as("bigram"))
+    val bi = bigramsOf(docs, idCol, textCol).select(col(idCol), col("bigram"))
     val biAgg = bi.groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(max("c").as("top_bi"), sum("c").as("n_bi"))
     tokAgg.join(biAgg, Seq(idCol), "left")
@@ -296,6 +292,57 @@ object TextOps {
         count(lit(1)).minus(count(col("__in_vocab"))).cast("long").as("n_oov"))
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens"))
+  }
+
+  /** Row-local adjacent-word pairs: `arrays_zip` of the words array
+    * against its own 1-shifted slice — native codegen'd expressions,
+    * no window, no per-row id (none of Dedup.shingles'
+    * deterministic-input hazard). Docs with < 2 tokens yield no rows.
+    *
+    * @return (idCol, w1, bigram)
+    */
+  private def bigramsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(normalize(col(textCol)), " ")
+    val nPairs = greatest(size(words) - 1, lit(0))
+    docs.select(col(idCol),
+        explode(arrays_zip(slice(words, lit(1), nPairs), slice(words, lit(2), nPairs)))
+          .as("__z"))
+      .select(col(idCol), col("__z.0").as("w1"),
+        concat_ws(" ", col("__z.0"), col("__z.1")).as("bigram"))
+  }
+
+  /** Self-trained bigram language-model score: per document, the mean
+    * log-probability of its word transitions under the CORPUS' own
+    * bigram model — avg over bigram instances of
+    * ln(c(w1 w2) / c(w1 ·)), where both counts are corpus-global and
+    * c(w1 ·) counts bigram instances starting with w1. Documents whose
+    * transitions are common corpus-wide score near 0; keyboard mash
+    * and shuffled-word text scores strongly negative. The KenLM-style
+    * perplexity filter, with the corpus itself as the model — no
+    * external LM artifact needed.
+    *
+    * The score is rounded to 1e-6 inside the query: the avg is a
+    * float sum whose accumulation order differs across engines and
+    * partitionings (~1e-15 relative noise); rounding makes the result
+    * reproducible bit-for-bit without changing its 6 significant
+    * decimals. Docs with < 2 tokens have no transitions and are absent
+    * from the output.
+    *
+    * Scale shape: two map-side-combined global count aggregations and
+    * two keyed equi-joins (bigram, then prefix) — everything shuffles
+    * on content keys; no broadcast of corpus-sized state.
+    *
+    * @return (idCol, n_bigrams BIGINT, lm_score DOUBLE)
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val bi = bigramsOf(docs, idCol, textCol)
+    val cb = bi.groupBy(col("bigram")).agg(count(lit(1)).as("__cb"))
+    val cp = bi.groupBy(col("w1")).agg(count(lit(1)).as("__cp"))
+    bi.join(cb, "bigram").join(cp, "w1")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(log(col("__cb").cast("double") / col("__cp"))), 6).as("lm_score"))
   }
 
   private def tokensByLang(docs: DataFrame, textCol: String): DataFrame =

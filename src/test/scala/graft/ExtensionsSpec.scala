@@ -128,6 +128,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(restored == (1 to 10).map(i => s"t$i").mkString(" "))
   }
 
+  test("bigramLmScore: corpus-fit log-prob, worked example; short docs absent") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    // bigrams: "a b" x2, "a c" x1; prefix 'a' count = 3
+    val out = TextOps.bigramLmScore(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // doc 4 has no transitions
+    val ln23 = BigDecimal(math.log(2.0 / 3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln13 = BigDecimal(math.log(1.0 / 3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0)._3 == ln23 && out(1)._3 == ln23)
+    assert(out(2)._3 == ln13)
+    // common transitions score higher than rare ones
+    assert(out(0)._3 > out(2)._3)
+  }
+
   test("oovRate: top-N vocab by frequency then lexicographic; OOV counted per instance") {
     // counts: a=4, b=2, c=1, d=1 → vocabSize=2 keeps {a, b};
     // vocabSize=3 tie between c and d resolves lexicographically → c
