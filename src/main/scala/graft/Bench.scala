@@ -50,6 +50,16 @@ object Bench {
     "q_pricing_summary", "q_top_orders", "q_region_revenue",
     "q_panel_stream")
 
+  /** 1-minute load average from /proc/loadavg (Linux; -1.0 elsewhere).
+    * Captured before and after the timed section: a value far above the
+    * worker core count marks the whole run as machine-contended.
+    */
+  private def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -104,30 +114,52 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val firstPass = selected.map { case (name, fn) => name -> timed(name, fn) }
-    // Queries landing past ~3 s on the first pass are usually paying a
-    // one-time tax (C2 compilation of their generated code, first touch
-    // of a source file, a shared-cache build) rather than plan cost —
-    // the same query varies several-fold between runs. Re-time those
-    // once and keep the min, so the recorded numbers track the PLANS
-    // across rounds instead of the JIT lottery; genuinely heavy plans
-    // stay heavy on the second pass.
-    val results = firstPass.map { case (name, t) =>
-      if (t <= 3.0 || failures.contains(name)) name -> t
-      else {
-        // the re-time is advisory: a transient second-run failure must
-        // neither mark a query that produced a valid result as failed
-        // nor record its time-to-crash as the measurement
-        val t2 = try {
-          val t0 = System.nanoTime()
-          force(SparkEntry.queries(name)(spark, sfDir))
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name re-time failed (first-pass kept): ${e.getMessage}")
-          t
-        }
-        name -> math.min(t, t2)
+    // Contention-evident protocol (r5 verdict item 1). Machine
+    // contention on a shared host inflated r5 driver timings 4-14× on
+    // code untouched since r4, and the old "re-time only >3 s" rule let
+    // a contended sub-3 s first pass stand as truth. Now EVERY query is
+    // timed at least twice and the min recorded; if the two samples
+    // still diverge by more than 2× (one of them was contended — a
+    // warm, cached plan does not legitimately vary that much), a third
+    // sample arbitrates. All samples are emitted in the full artifact
+    // so a divergent run is diagnosable from the JSON alone, and
+    // /proc/loadavg is captured before and after as the machine-load
+    // indicator.
+    def retime(name: String, prior: Double): Double =
+      try {
+        val t0 = System.nanoTime()
+        force(SparkEntry.queries(name)(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name re-time failed (prior kept): ${e.getMessage}")
+        prior
       }
+    val loadBefore = loadAvg()
+    val firstPass = selected.map { case (name, fn) => name -> timed(name, fn) }
+    val sampled: Seq[(String, Seq[Double])] = firstPass.map { case (name, t1) =>
+      if (failures.contains(name)) name -> Seq(t1)
+      else {
+        val t2 = retime(name, t1)
+        val base = Seq(t1, t2)
+        val diverged = math.max(t1, t2) > 2.0 * math.min(t1, t2) &&
+          math.max(t1, t2) > 0.2 // µs-scale jitter on trivial plans is not contention
+        name -> (if (diverged) base :+ retime(name, math.min(t1, t2)) else base)
+      }
+    }
+    val loadAfter = loadAvg()
+    val results = sampled.map { case (name, ts) => name -> ts.min }
+    // The contention indicator the r5 verdict asked for. A first-run/
+    // re-run spread is expected (per-query codegen + JIT land on the
+    // first sample), so contention is judged on WARM samples only: a
+    // query is contended when its two warm samples (taken only after
+    // the first two diverged) still disagree >2× — a warm, cached plan
+    // does not legitimately vary that much. A clean run has empty
+    // `contended`; a degraded machine fills it.
+    val contended = sampled.collect {
+      case (n, ts) if ts.length >= 3 && {
+        val warm = ts.drop(1)
+        warm.max > 2.0 * warm.min && warm.max > 0.3
+      } => n
     }
     def sec(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def toJson(rs: Seq[(String, Double)]): String =
@@ -137,17 +169,28 @@ object Bench {
     // a thrown query records near-zero wall-clock — surface it so a
     // regression can't masquerade as a fast run
     val fj = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // "timing" documents the protocol: queries past the 3 s threshold
-    // are best-of-two, and the second pass runs against whatever
-    // session caches the first pass built (GeoCache persists, cached
-    // shingle tables, CacheManager plan reuse) — so slow-query numbers
-    // are warm-cache, and "total" is a sum of per-query minima, not any
-    // single run's wall-clock. Round-over-round diffs should read them
-    // as plan-tracking numbers, not cold-start measurements.
+    val cj = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // "timing" documents the protocol: every query is min-of-2 warm
+    // samples (min-of-3 when the first two diverge >2×), the later
+    // passes run against whatever session caches the first built
+    // (GeoCache persists, cached shingle tables, CacheManager plan
+    // reuse) — so the numbers are warm-cache plan-tracking numbers, and
+    // "total" is a sum of per-query minima, not any single run's
+    // wall-clock. `contended` lists queries whose samples still spread
+    // >2× and `load` is 1-min /proc/loadavg before/after — a run with
+    // many contended entries or load far above core count is a degraded
+    // measurement, not a plan regression.
+    val loadJson = s""""load":[${sec(loadBefore)},${sec(loadAfter)}]"""
     def line(qs: Seq[(String, Double)]) =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","timing":"min-of-2-warm>3s","queries":${toJson(qs)},"failures":$fj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","timing":"min-of-2-always","contended":$cj,$loadJson,"queries":${toJson(qs)},"failures":$fj,"sf":"$sfDir"}"""
+    // full artifact additionally carries every raw sample per query, so
+    // a divergent driver run is diagnosable from the JSON alone
+    val samplesJson = sampled.map { case (n, ts) =>
+      "\"" + n + "\":[" + ts.map(sec).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fullLine = line(results).dropRight(1) + s""","samples":$samplesJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
-      (line(results) + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     // The harness captures only the last ~2000 bytes of the run's
     // output (sbt's own epilogue included), and the JSON line must fit
     // inside that tail IN FULL to parse. `total`/`failures` cover every
