@@ -38,6 +38,7 @@ object Bench {
     "q_dedup_exact", "q_dedup_clusters", "q_minhash_lsh",
     "q_simhash", "q_simhash_pairs", "q_ngram_jaccard",
     "q_simhash64", "q_simhash64_pairs",
+    "q_minhash_lsh_full", "q_simhash64_pairs_full",
     "q_embed_topk", "q_embed_lsh_topk", "q_embed_ivf_topk",
     "q_embed_quantize", "q_embed_topk_q8", "q_repetition", "q_chunk", "q_oov",
     "q_lm_score",

@@ -72,13 +72,27 @@ object OracleExt {
 
   val MinhashHashes = 12
 
-  val qMinhashLsh: String = {
+  /** MinHash+LSH pair oracle over `filter`-bounded docs, banded
+    * `bandRows` signature rows per band (bucket = md5 of the
+    * '|'-joined band rows, mirroring Dedup.lshCandidates). The capped
+    * bandRows=1 variant is the round-tripped high-recall correctness
+    * row; the uncapped bandRows=2 variant runs the SAME re-derivation
+    * over the whole corpus, backing the full-corpus bench entry
+    * `q_minhash_lsh_full` with a real oracle rather than a rows-only
+    * check.
+    */
+  def qMinhashLshFiltered(filter: String, bandRows: Int,
+                          threshold: Double): String = {
+    val nBands = MinhashHashes / bandRows
     val mins = (0 until MinhashHashes)
       .map(s => s"min(md5(shingle || ':$s')) AS mh_$s").mkString(", ")
-    val bandVals = (0 until MinhashHashes).map(b => s"($b)").mkString(", ")
-    val bucketCase = (0 until MinhashHashes)
-      .map(b => s"WHEN $b THEN md5(mh_$b)").mkString(" ")
-    s"""$norm, ${shingleCte("WHERE doc_id < 200")},
+    val bandVals = (0 until nBands).map(b => s"($b)").mkString(", ")
+    val bucketCase = (0 until nBands).map { b =>
+      val cat = (0 until bandRows).map(r => s"mh_${b * bandRows + r}")
+        .mkString(" || '|' || ")
+      s"WHEN $b THEN md5($cat)"
+    }.mkString(" ")
+    s"""$norm, ${shingleCte(filter)},
        |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS (SELECT doc_id, band, CASE band $bucketCase END AS bucket
        |          FROM mh, (VALUES $bandVals) b(band)),
@@ -99,8 +113,11 @@ object OracleExt {
        |      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
        |      JOIN szs za ON za.doc_id = c.id_a
        |      JOIN szs zb ON zb.doc_id = c.id_b)
-       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.1""".stripMargin
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold""".stripMargin
   }
+
+  val qMinhashLsh: String = qMinhashLshFiltered("WHERE doc_id < 200", 1, 0.1)
+  val qMinhashLshFull: String = qMinhashLshFiltered("", 2, 0.5)
 
   private val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     .map(h => s"'$h'").mkString(", ")
@@ -174,16 +191,25 @@ object OracleExt {
     * claim (maxDist ≤ 3 over 4 × 16-bit bands loses no pair), not just
     * that both engines run the same plan.
     */
-  val qSimhash64Pairs: String = {
+  def qSimhash64PairsFiltered(filter: String): String = {
     val ham = (1 to 64).map(j =>
       s"CASE WHEN substr(a.simhash64, $j, 1) <> substr(b.simhash64, $j, 1) THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""$norm, ${simhash64Cte("WHERE doc_id < 500")},
+    s"""$norm, ${simhash64Cte(filter)},
        |h AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $ham AS hamming
        |      FROM sig64 a JOIN sig64 b ON a.doc_id < b.doc_id)
        |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
        |FROM h WHERE hamming <= 3""".stripMargin
   }
+
+  val qSimhash64Pairs: String = qSimhash64PairsFiltered("WHERE doc_id < 500")
+  /** Uncapped variant: still the brute-force all-pairs hamming (the
+    * anti-mirror that proves band-blocking exactness), just over the
+    * whole correctness corpus — quadratic in DuckDB but bounded
+    * (~125k pairs at sf0.01); the Spark side runs the banded scale
+    * path on the full table, which is the point of the bench row.
+    */
+  val qSimhash64PairsFull: String = qSimhash64PairsFiltered("")
 
   /** Duplicate-cluster oracle: transitive closure of the simhash pair
     * graph via a recursive CTE — cluster_id(x) = min id reachable from
@@ -937,54 +963,82 @@ object OracleExt {
     */
   private def hexByte(b: String): String = s"lpad(upper(to_hex($b)), 2, '0')"
 
-  /** Multimodal feature extraction (Multimodal.synthesize →
-    * extractFeatures over documents): feature d = mean of the UTF-8
-    * bytes at 0-based positions ≡ d (mod FeatureDim) / 255, rounded
-    * through float32 exactly as the Scala kernel does. Byte sums of
-    * integers are exact in double, so association order is irrelevant
-    * here (unlike the entropy window sums).
+  /** Shared pixel table of `Multimodal.synthesizeImages` PNGs: the
+    * image is w = 8 + id mod 24 by h = 8 + n mod 24 grayscale, and the
+    * gray of row-major pixel p is UTF-8 text byte p mod n (0 when the
+    * text is empty). PNG is lossless, so the REAL ImageIO decode on
+    * the Spark side recovers exactly these values — the oracle
+    * recomputes the pixel function instead of decoding. Yields
+    * `pg(media_id, w, h, p, g)`.
+    */
+  private val pngPixels: String =
+    s"""$utf8Bytes,
+       |dims AS (
+       |  SELECT media_id, n,
+       |    CAST(8 + media_id % 24 AS INT) AS w,
+       |    CAST(8 + n % 24 AS INT) AS h
+       |  FROM d),
+       |px AS (
+       |  SELECT media_id, n, w, h, unnest(generate_series(0, w * h - 1)) AS p
+       |  FROM dims),
+       |pg AS (
+       |  SELECT px.media_id, px.w, px.h, px.p,
+       |    CASE WHEN px.n = 0 THEN 0 ELSE COALESCE(y.b, 0) END AS g
+       |  FROM px LEFT JOIN byt y
+       |    ON y.media_id = px.media_id AND px.n > 0 AND y.j = px.p % px.n)""".stripMargin
+
+  /** Multimodal feature extraction over REAL decoded PNGs
+    * (Multimodal.synthesizeImages → extractFeatures): decoded
+    * dimensions come back as width/height, and feature d = mean gray
+    * of vertical strip d (column x in strip x·FeatureDim/w) / 255,
+    * rounded through float32 exactly as the Scala kernel. Pixel sums
+    * of integers are exact in double, so association order is
+    * irrelevant here (unlike the entropy window sums).
     */
   val qMultimodalFeatures: String = {
     val dim = graft.multimodal.Multimodal.FeatureDim
     val feats = (0 until dim).map { d =>
       s"""COALESCE(CAST(CAST(
-         |  SUM(CASE WHEN j % $dim = $d THEN CAST(b AS DOUBLE) END)
-         |    / COUNT(CASE WHEN j % $dim = $d THEN b END) / 255.0
+         |  SUM(CASE WHEN (p % w) * $dim // w = $d THEN CAST(g AS DOUBLE) END)
+         |    / COUNT(CASE WHEN (p % w) * $dim // w = $d THEN g END) / 255.0
          |  AS REAL) AS DOUBLE), 0.0) AS f$d""".stripMargin
     }.mkString(",\n")
-    s"""WITH $utf8Bytes,
+    s"""WITH $pngPixels,
        |agg AS (
        |  SELECT media_id,
        |$feats
-       |  FROM byt GROUP BY media_id)
-       |SELECT d.media_id, d.n AS n_bytes,
+       |  FROM pg GROUP BY media_id)
+       |SELECT dm.media_id, TRUE AS decoded, dm.w AS width, dm.h AS height,
        |  ${(0 until dim).map(d => s"COALESCE(a.f$d, 0.0) AS f$d").mkString(", ")}
-       |FROM d LEFT JOIN agg a ON a.media_id = d.media_id""".stripMargin
+       |FROM dims dm LEFT JOIN agg a ON a.media_id = dm.media_id""".stripMargin
   }
 
-  /** Resize stub oracle: nearest-neighbour byte subsample to
-    * m = min(outLen, n) bytes, output byte i = input byte (i·n)/m
-    * (0-based) — selected from the UTF-8 byte table and digested as
-    * the hex string, mirroring Multimodal.resizeStub + md5(hex(..))
-    * byte-for-byte for any input.
+  /** Resize oracle over REAL decoded PNGs: nearest-neighbour pixel
+    * resample — output gray at (X, Y) = source pixel (X·w/W, Y·h/H),
+    * W·H bytes always — digested as the hex string, mirroring
+    * Multimodal.imageResizeGray + md5(hex(..)) byte-for-byte.
     */
   def qMultimodalResize(targetW: Int, targetH: Int): String = {
     val outLen = targetW * targetH
-    s"""WITH $utf8Bytes,
-       |m AS (SELECT media_id, n, least($outLen, n) AS m FROM d),
-       |pick AS (
-       |  SELECT media_id, n, m, unnest(generate_series(0, m - 1)) AS i
-       |  FROM m WHERE m > 0),
+    s"""WITH $pngPixels,
+       |og AS (
+       |  SELECT media_id, n, w, h, unnest(generate_series(0, $outLen - 1)) AS q
+       |  FROM dims),
+       |src AS (
+       |  SELECT media_id, n, q,
+       |    ((q // $targetW) * h // $targetH) * w + ((q % $targetW) * w // $targetW) AS p
+       |  FROM og),
        |sel AS (
-       |  SELECT p.media_id, p.i, y.b
-       |  FROM pick p JOIN byt y
-       |    ON y.media_id = p.media_id AND y.j = (p.i * p.n) // p.m),
+       |  SELECT s.media_id, s.q,
+       |    CASE WHEN s.n = 0 THEN 0 ELSE COALESCE(y.b, 0) END AS g
+       |  FROM src s LEFT JOIN byt y
+       |    ON y.media_id = s.media_id AND s.n > 0 AND y.j = s.p % s.n),
        |hx AS (
-       |  SELECT media_id, string_agg(${hexByte("b")}, '' ORDER BY i) AS payload
+       |  SELECT media_id, string_agg(${hexByte("g")}, '' ORDER BY q) AS payload
        |  FROM sel GROUP BY media_id)
        |SELECT d.media_id, $targetW AS out_w, $targetH AS out_h,
-       |  CAST(least($outLen, d.n) AS BIGINT) AS n_bytes,
-       |  md5(COALESCE(h.payload, '')) AS content_md5
+       |  CAST($outLen AS BIGINT) AS n_bytes,
+       |  md5(h.payload) AS content_md5
        |FROM d LEFT JOIN hx h ON h.media_id = d.media_id""".stripMargin
   }
 

@@ -111,19 +111,25 @@ object Dedup {
     * on md5 of the concatenated band, self-join buckets. Emits each
     * candidate pair once (a < b). The join is on band-bucket equality —
     * shuffle on bucket keys, never an all-pairs product.
+    *
+    * The band table is persisted (releasable via [[graft.OpCache]])
+    * before the self-join: without it each join side re-runs the whole
+    * shingle → minhash signature pipeline, doubling the operator's
+    * dominant cost. The cached table is nBands rows per doc — linear
+    * in the corpus and tiny next to the shingle table.
     */
   def lshCandidates(signatures: DataFrame, numHashes: Int, bandRows: Int,
                     idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must divide into bands")
     val nBands = numHashes / bandRows
-    val bands = signatures.select(col(idCol), explode(array(
+    val bands = graft.OpCache.persist(signatures.select(col(idCol), explode(array(
       (0 until nBands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|",
             (0 until bandRows).map(r => col(s"mh_${b * bandRows + r}")): _*))
             .as("bucket"))
       }: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket")))
     val a = bands.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = bands.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -286,8 +292,12 @@ object Dedup {
     val sig = simhash64(docs, idCol, textCol)
     val bandCols = (0 until 4).map(bnd =>
       concat(lit(s"$bnd:"), substring(col("simhash64"), 1 + 16 * bnd, 16)))
-    val blocks = sig.select(col(idCol), col("simhash64"),
-      explode(array(bandCols: _*)).as("block"))
+    // persisted (releasable, OpCache) so the self-join's two sides
+    // don't each re-run the signature aggregation — the 64-expression
+    // fold is the operator's dominant cost and blocks is only 4 rows
+    // per doc
+    val blocks = graft.OpCache.persist(sig.select(col(idCol), col("simhash64"),
+      explode(array(bandCols: _*)).as("block")))
     val a = blocks.select(col(idCol).as("id_a"), col("simhash64").as("sh_a"), col("block"))
     val b = blocks.select(col(idCol).as("id_b"), col("simhash64").as("sh_b"), col("block"))
     a.join(b, "block").filter(col("id_a") < col("id_b"))

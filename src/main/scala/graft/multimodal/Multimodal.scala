@@ -11,14 +11,23 @@ import org.apache.spark.sql.types._
   * same execution shape as a Pandas-UDF `mapInPandas` stage in a
   * PySpark pipeline.
   *
-  * The actual codec call is STUBBED (`decodeStub`) because no media
-  * libraries exist in this environment: it derives deterministic
-  * pseudo-features from the bytes. Everything around it — schema,
-  * batching, partitioning, output shape — is real and tested; swapping
-  * `decodeStub` for a JNI/process-boundary decoder is a one-function
-  * change.
+  * The IMAGE path is real: PNG/JPEG payloads are decoded with the
+  * JDK's `javax.imageio.ImageIO` (no extra dependency), features and
+  * resizes operate on actual decoded pixels, and `synthesizeImages`
+  * emits genuine PNG bytes whose pixel content is a deterministic
+  * function of the source text — PNG is lossless, so the decode
+  * round-trips exactly and a SQL oracle can verify the decoded output
+  * by recomputing the pixel function, without decoding images itself.
+  * Non-image formats (audio/video codecs absent from a bare JVM) fall
+  * back to the deterministic byte-kernel stubs (`decodeStub`,
+  * `resizeStub`); swapping those for a JNI/process-boundary decoder is
+  * a one-function change behind the same dispatch.
   */
 object Multimodal {
+
+  // ImageIO's default scratch-file cache would put a disk write on
+  // every executor-side decode; in-memory streams only.
+  javax.imageio.ImageIO.setUseCache(false)
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -42,6 +51,53 @@ object Multimodal {
         (length(col(textCol)) % 640).cast("int").as("width"),
         (length(col(textCol)) % 480).cast("int").as("height")).as("meta"))
 
+  /** Synthesize a REAL PNG media table from any (id, text) table. The
+    * image is grayscale with deterministic, SQL-recomputable content:
+    * width = 8 + id mod 24, height = 8 + n mod 24 (n = UTF-8 byte
+    * count), and the gray value of the row-major pixel p is text byte
+    * p mod n (0 for empty text). Encoded as PNG per row inside one
+    * mapPartitions pass (encoder init amortised per partition); PNG is
+    * lossless, so downstream decodes recover these exact pixels.
+    */
+  def synthesizeImages(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = docs
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+    ds.mapPartitions { rows =>
+      rows.map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = bytes.length
+        val w = (8 + (((id % 24) + 24) % 24)).toInt
+        val h = 8 + n % 24
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var p = 0
+        while (p < w * h) {
+          val g = if (n == 0) 0 else bytes(p % n) & 0xff
+          img.setRGB(p % w, p / w, (g << 16) | (g << 8) | g)
+          p += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray, "image/png", w, h)
+      }
+    }.toDF("media_id", "content", "format", "width", "height")
+      .select(col("media_id"), col("content"),
+        struct(col("format"), col("width"), col("height")).as("meta"))
+  }
+
+  /** Real image decode (PNG/JPEG/GIF/BMP — whatever the JVM's ImageIO
+    * readers cover). None when the payload is not a decodable image —
+    * callers fall back to the byte-kernel stubs.
+    */
+  def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (content == null || content.length == 0) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+    catch { case _: java.io.IOException => None }
+
   val FeatureDim = 8
 
   /** STUB — stands in for a real image/audio decode + feature extract.
@@ -63,6 +119,61 @@ object Multimodal {
       if (cnt(d) == 0) 0f else (acc(d) / cnt(d) / 255.0).toFloat)
   }
 
+  /** Feature kernel over REAL decoded pixels: the image is split into
+    * `FeatureDim` vertical strips (column x belongs to strip
+    * x·FeatureDim/w) and feature d = mean gray of strip d, scaled to
+    * [0, 1] through float32 exactly like `decodeStub`. Gray = low
+    * byte of the packed RGB (channels are equal for grayscale images;
+    * for color this is the blue plane — still a deterministic,
+    * oracle-checkable projection). Pixel sums are integer-valued in
+    * double, so accumulation order cannot change the result.
+    */
+  def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val acc = new Array[Double](FeatureDim)
+    val cnt = new Array[Int](FeatureDim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = x * FeatureDim / w
+        acc(d) += (img.getRGB(x, y) & 0xff)
+        cnt(d) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(FeatureDim)(d =>
+      if (cnt(d) == 0) 0f else (acc(d) / cnt(d) / 255.0).toFloat)
+  }
+
+  /** REAL nearest-neighbour image resize: output gray byte at (X, Y) =
+    * source pixel (X·w/W, Y·h/H) (integer division — the same mapping
+    * a SQL oracle expresses with `//`), emitted as W·H row-major gray
+    * bytes. Nearest-neighbour rather than an interpolating kernel so
+    * the output is bit-exactly reproducible by any engine; swapping in
+    * `AffineTransformOp` bilinear is a local change if fidelity ever
+    * outranks verifiability.
+    */
+  def imageResizeGray(img: java.awt.image.BufferedImage,
+                      outW: Int, outH: Int): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](outW * outH)
+    var yy = 0
+    while (yy < outH) {
+      var xx = 0
+      val sy = yy * h / outH
+      while (xx < outW) {
+        out(yy * outW + xx) = (img.getRGB(xx * w / outW, sy) & 0xff).toByte
+        xx += 1
+      }
+      yy += 1
+    }
+    out
+  }
+
   /** STUB resize kernel — stands in for an image resize: subsamples the
     * byte stream to m = min(outLen, n) bytes, byte i = input byte
     * (i·n)/m (nearest-neighbour downsample along the stream). Replace
@@ -77,7 +188,9 @@ object Multimodal {
   /** Partition-wise resize: mapPartitions (decoder-amortising shape,
     * like extractFeatures), emitting the resized payload's length and
     * md5 plus the target dimensions — a flat, engine-portable summary
-    * of the binary output.
+    * of the binary output. Decodable images take the REAL pixel path
+    * (`decodeImage` + `imageResizeGray`, always targetW·targetH
+    * bytes); opaque payloads fall back to the byte-subsample stub.
     */
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     require(targetW > 0 && targetH > 0, "target dimensions must be positive")
@@ -89,7 +202,12 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     ds.mapPartitions { rows =>
       // per-partition decoder init would go here
-      rows.map { case (id, bytes) => (id, resizeStub(bytes, outLen)) }
+      rows.map { case (id, bytes) =>
+        decodeImage(bytes) match {
+          case Some(img) => (id, imageResizeGray(img, targetW, targetH))
+          case None      => (id, resizeStub(bytes, outLen))
+        }
+      }
     }.toDF("media_id", "resized")
       .select(col("media_id"), lit(targetW).as("out_w"), lit(targetH).as("out_h"),
         length(col("resized")).cast("long").as("n_bytes"),
@@ -130,8 +248,11 @@ object Multimodal {
   }
 
   /** Partition-wise decode + feature extraction: one `mapPartitions`
-    * pass so a real decoder could initialise once per partition and
-    * process its rows as a batch (the `mapInPandas` execution shape).
+    * pass so the decoder initialises once per partition and processes
+    * its rows as a batch (the `mapInPandas` execution shape).
+    * Decodable images report their REAL decoded dimensions and
+    * pixel-strip features (`imageFeatures`); opaque payloads fall back
+    * to the byte-kernel stub with `decoded = false` and -1 dimensions.
     * The fixed-width feature vector is projected to scalar columns
     * `f0..f{FeatureDim-1}` — a flat, sortable schema that any
     * downstream consumer (or comparison harness) can handle without
@@ -145,10 +266,17 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     val raw = ds.mapPartitions { rows =>
       // per-partition decoder init would go here
-      rows.map { case (id, bytes) => (id, bytes.length.toLong, decodeStub(bytes)) }
-    }.toDF("media_id", "n_bytes", "features")
+      rows.map { case (id, bytes) =>
+        decodeImage(bytes) match {
+          case Some(img) =>
+            (id, true, img.getWidth, img.getHeight, imageFeatures(img))
+          case None =>
+            (id, false, -1, -1, decodeStub(bytes))
+        }
+      }
+    }.toDF("media_id", "decoded", "width", "height", "features")
     raw.select(
-      col("media_id") +: col("n_bytes") +:
+      col("media_id") +: col("decoded") +: col("width") +: col("height") +:
         (0 until FeatureDim).map(d => col("features")(d).cast("double").as(s"f$d")): _*)
   }
 }

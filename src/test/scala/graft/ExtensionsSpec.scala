@@ -336,17 +336,66 @@ class ExtensionsSpec extends SparkSpec {
     assert(ivf == ivf2)
   }
 
-  test("multimodal: stubbed decode preserves schema/batch shape") {
+  test("multimodal: opaque payloads fall back to the stub kernel") {
     val media = Multimodal.synthesize(docsDf)
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "content", "meta"))
     val df = Multimodal.extractFeatures(media)
     assert(df.schema.fieldNames.toSeq ==
-      "media_id" +: "n_bytes" +: (0 until Multimodal.FeatureDim).map(d => s"f$d"))
+      Seq("media_id", "decoded", "width", "height") ++
+        (0 until Multimodal.FeatureDim).map(d => s"f$d"))
     val out = df.orderBy("media_id").collect()
     assert(out.length == 4)
+    // utf-8 text bytes are not a decodable image: stub path, -1 dims
+    assert(out.forall(r => !r.getAs[Boolean]("decoded") &&
+      r.getAs[Int]("width") == -1 && r.getAs[Int]("height") == -1))
     val feats = (0 until Multimodal.FeatureDim).map(d => out(0).getAs[Double](s"f$d"))
     assert(feats.forall(f => f >= 0.0 && f <= 1.0))
-    assert(out(0).getAs[Long]("n_bytes") == docsDf.collect()(0).getString(1).length)
+    // fallback features are exactly the byte-kernel stub's
+    val expected = Multimodal.decodeStub(
+      docsDf.collect()(0).getString(1).getBytes("UTF-8"))
+    (0 until Multimodal.FeatureDim).foreach(d =>
+      assert(out(0).getAs[Double](s"f$d") == expected(d).toDouble))
+  }
+
+  test("multimodal: real PNG round-trip — decoded dims and pixel-exact features") {
+    val media = Multimodal.synthesizeImages(docsDf)
+    val rows = media.orderBy("media_id").collect()
+    // every payload is a genuine PNG whose decoded dimensions equal meta
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("content")
+      assert(bytes.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+      val meta = r.getStruct(2)
+      val img = Multimodal.decodeImage(bytes).get
+      assert(img.getWidth == meta.getInt(1) && img.getHeight == meta.getInt(2))
+    }
+    val out = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(out.forall(_.getAs[Boolean]("decoded")))
+    // recompute feature 0 for the first doc from the pixel function:
+    // gray(p) = byte(p mod n), strip of column x = x*8/w
+    val (id0, text0) = { val d = docsDf.orderBy("doc_id").collect()(0); (d.getLong(0), d.getString(1)) }
+    val b0 = text0.getBytes("UTF-8"); val n0 = b0.length
+    val w0 = (8 + id0 % 24).toInt; val h0 = 8 + n0 % 24
+    assert(out(0).getAs[Int]("width") == w0 && out(0).getAs[Int]("height") == h0)
+    val strip0 = for { y <- 0 until h0; x <- 0 until w0 if x * 8 / w0 == 0 }
+      yield (b0((y * w0 + x) % n0) & 0xff).toDouble
+    val exp0 = (strip0.sum / strip0.size / 255.0).toFloat.toDouble
+    assert(out(0).getAs[Double]("f0") == exp0)
+  }
+
+  test("multimodal: real nearest-neighbour resize is pixel-exact") {
+    val media = Multimodal.synthesizeImages(docsDf)
+    val rz = Multimodal.resize(media, targetW = 4, targetH = 2).orderBy("media_id").collect()
+    // image path always emits exactly targetW*targetH gray bytes
+    rz.foreach(r => assert(r.getAs[Long]("n_bytes") == 8))
+    val (id0, text0) = { val d = docsDf.orderBy("doc_id").collect()(0); (d.getLong(0), d.getString(1)) }
+    val b0 = text0.getBytes("UTF-8"); val n0 = b0.length
+    val w0 = (8 + id0 % 24).toInt; val h0 = 8 + n0 % 24
+    val gray = for { yy <- 0 until 2; xx <- 0 until 4 }
+      yield b0(((yy * h0 / 2) * w0 + (xx * w0 / 4)) % n0)
+    val hexStr = gray.map(b => f"${b & 0xff}%02X").mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(hexStr.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(rz(0).getAs[String]("content_md5") == md)
   }
 
   test("multimodal resize/frame-sample: stub kernels, real row shapes") {
