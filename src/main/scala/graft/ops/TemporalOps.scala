@@ -34,9 +34,14 @@ object TemporalOps {
   def delta(c: Column, t: Int): Column = c - tlag(c, t)
 
   /** Multi-lag in one pass — tlag3d.py:6-134: one output column per
-    * requested lag; out-of-range positions are 0.0, not null (the
-    * reference initialises with np.zeros, tlag3d.py:66). All columns
-    * share the same window spec → still one shuffle.
+    * requested lag. Out-of-range positions are 0.0, not null — a
+    * DELIBERATE DEVIATION from the reference: get_tlags indexes
+    * tensor3d[tindex - lag], and a negative index WRAPS in numpy (the
+    * try/except at tlag3d.py:66 never fires), so the reference
+    * actually fills the first `lag` timesteps with end-of-series
+    * values — almost certainly a reference bug, and zeros are the
+    * semantics its np.zeros initialisation intended. All columns share
+    * the same window spec → still one shuffle.
     */
   def tlags(df: DataFrame, valueCol: String, lags: Seq[Int]): DataFrame =
     lags.foldLeft(df) { (d, l) =>

@@ -35,17 +35,31 @@ object PanelStream {
     // reuse an upstream watermark on ts (e.g. set by dedupEvents) —
     // Spark disallows redefining one mid-stream, so when the caller
     // already watermarked ts, THAT delay governs lateness and the
-    // `delay` parameter is ignored. A watermark on any OTHER column
-    // would leave the ts windows unbounded (append mode would never
-    // emit), so that is rejected rather than silently accepted.
-    val upstream = events.queryExecution.analyzed.collectFirst {
-      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
-        w.eventTime.name
+    // `delay` parameter is superseded (logged below when they differ,
+    // so the supersession is visible rather than silent). EVERY
+    // watermark node in the plan is validated — a union of
+    // differently-watermarked branches must have all of them on ts,
+    // since a watermark on any OTHER column would leave the ts windows
+    // unbounded (append mode would never emit); that is rejected
+    // rather than silently accepted.
+    val upstreams = events.queryExecution.analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => w
     }
-    require(upstream.forall(_ == "ts"),
-      s"panelAggregate aggregates on ts, but the input already carries a " +
-        s"watermark on '${upstream.get}' — watermark ts instead")
-    val wm = if (upstream.isDefined) events else events.withWatermark("ts", delay)
+    upstreams.find(_.eventTime.name != "ts").foreach { w =>
+      throw new IllegalArgumentException(
+        s"panelAggregate aggregates on ts, but the input carries a " +
+          s"watermark on '${w.eventTime.name}' — watermark ts instead")
+    }
+    if (upstreams.nonEmpty) {
+      val want = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+      upstreams.filterNot(_.delay == want).foreach { w =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"panelAggregate(delay=$delay): reusing upstream ts watermark " +
+            s"with delay '${w.delay}' — the delay parameter is superseded")
+      }
+    }
+    val wm = if (upstreams.nonEmpty) events else events.withWatermark("ts", delay)
     wm
       .groupBy(window(col("ts"), "1 day").as("w"),
         col("user_id").cast("long").as(Panel.UnitCol))
