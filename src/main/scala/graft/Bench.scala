@@ -45,6 +45,7 @@ object Bench {
     "q_embed_neardup", "q_embed_neardup_lsh", "q_sample_hash",
     "q_sessionize", "q_pack_shards", "q_sample_stratified", "q_ngram_index",
     "q_decontaminate", "q_boilerplate", "q_sample_topk_stratum",
+    "q_pipeline_corpus",
     "q_json_rollup", "q_pivot_events", "q_vocab", "q_length_quantiles",
     "q_asof_purchase", "q_range_join",
     "q_multimodal_features", "q_multimodal_frames",

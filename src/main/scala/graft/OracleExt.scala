@@ -819,13 +819,11 @@ object OracleExt {
        |FROM rk WHERE rank <= $k""".stripMargin
   }
 
-  /** The composed corpus-preparation pipeline: drop normalised-text
-    * duplicates (keep the canonical id), keep documents above a quality
-    * floor whose predicted language is English, emit the surviving ids
-    * with their stats — the realistic end-to-end shape the individual
-    * text/dedup operators exist for.
+  /** Shared CTE chain ending in `feat(doc_id, nt, fingerprint,
+    * n_tokens, quality, lang_pred)` — the per-document analysis
+    * columns of TextOps.analyze over the normalised corpus.
     */
-  val qCorpusFilter: String = {
+  private lazy val corpusFeatCtes: String = {
     val langs = text.TextOps.LangMarkers
     val scoreExprs = langs.map { case (lang, ws) =>
       s"(${stopHits("pd", ws)}) AS s_$lang"
@@ -840,20 +838,60 @@ object OracleExt {
        |         (${stopHits("pd", Seq("the", "a", "and", "of", "is"))}) AS stop_hits
        |       FROM pad),
        |feat AS (
-       |  SELECT doc_id, md5(nt) AS fingerprint,
+       |  SELECT doc_id, nt, md5(nt) AS fingerprint,
        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
        |    least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 200.0, 1.0) * 0.4
        |      + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
        |          / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3
        |      + least(stop_hits / 10.0, 1.0) * 0.3 AS quality,
        |    CASE $langCase ELSE 'unknown' END AS lang_pred
-       |  FROM sc),
+       |  FROM sc)""".stripMargin
+  }
+
+  /** The composed corpus-preparation pipeline: drop normalised-text
+    * duplicates (keep the canonical id), keep documents above a quality
+    * floor whose predicted language is English, emit the surviving ids
+    * with their stats — the realistic end-to-end shape the individual
+    * text/dedup operators exist for.
+    */
+  val qCorpusFilter: String =
+    s"""$corpusFeatCtes,
        |dedup AS (
        |  SELECT *, MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
        |  FROM feat)
        |SELECT doc_id, n_tokens, quality, lang_pred
        |FROM dedup
        |WHERE doc_id = canonical_id AND quality >= 0.5 AND lang_pred = 'en'""".stripMargin
+
+  /** JSON-wire corpus pipeline (Registry.runCorpus): quality_filter
+    * [0.5, 'en'] → dedup_exact → chunk [64, 8]. Step order matters and
+    * the oracle mirrors it: the quality gate runs FIRST, so canonical
+    * selection happens among the gate's survivors (unlike
+    * qCorpusFilter, which dedups first).
+    */
+  val qPipelineCorpus: String = {
+    val (maxTokens, overlap) = (64, 8)
+    val step = maxTokens - overlap
+    s"""$corpusFeatCtes,
+       |keep AS (
+       |  SELECT doc_id, nt, fingerprint FROM feat
+       |  WHERE quality >= 0.5 AND lang_pred = 'en'),
+       |ded AS (
+       |  SELECT doc_id, nt,
+       |         MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
+       |  FROM keep),
+       |tw AS (SELECT doc_id, string_split(nt, ' ') AS ws,
+       |         len(string_split(nt, ' ')) AS n
+       |       FROM ded WHERE doc_id = canonical_id),
+       |ch AS (SELECT doc_id, ws, n,
+       |         unnest(range(0, GREATEST(
+       |           CAST(ceil(CAST(n - $overlap AS DOUBLE) / $step) AS BIGINT), 1))) AS k
+       |       FROM tw)
+       |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+       |  array_to_string(ws[1 + k * $step : LEAST(k * $step + $maxTokens, n)], ' ')
+       |    AS chunk_text,
+       |  CAST(LEAST($maxTokens, n - k * $step) AS BIGINT) AS n_tokens
+       |FROM ch""".stripMargin
   }
 
   /** Corpus budgeting: token totals per predicted language. */
@@ -1091,31 +1129,60 @@ object OracleExt {
        |obs AS (SELECT * FROM mpanel WHERE value IS NOT NULL),
        |st AS (SELECT AVG(value2) AS mx, AVG(value) AS my,
        |              SUM(value2 * value) AS sxy, SUM(value2 * value2) AS sxx,
+       |              SUM(value * value) AS syy,
        |              CAST(COUNT(*) AS DOUBLE) AS n,
        |              MIN(value) AS vmin, MAX(value) AS vmax
        |       FROM obs),
        |b AS (SELECT CASE WHEN sxx - n * mx * mx = 0.0 THEN 0.0
        |             ELSE (sxy - n * mx * my) / (sxx - n * mx * mx) END AS beta,
-       |             mx, my, vmin, vmax FROM st),
+       |             mx, my, vmin, vmax, n, sxx, syy FROM st),
+       |b2 AS (SELECT *, CASE WHEN n <= 2 THEN 0.0
+       |              ELSE sqrt(greatest(
+       |                (syy - n * my * my - beta * beta * (sxx - n * mx * mx))
+       |                  / (n - 2), 0.0)) END AS sd
+       |       FROM b),
        |fill AS (
-       |  SELECT m.month_id, m.unit_id, m.value, m.value2,
+       |  SELECT m.month_id, m.unit_id, m.value, m.value2, b.sd, b.vmin, b.vmax,
        |    CASE WHEN m.value IS NOT NULL THEN m.value
        |         ELSE least(greatest((b.my - b.beta * b.mx) + b.beta * m.value2,
        |                             b.vmin), b.vmax) END AS value_imp
-       |  FROM mpanel m, b)""".stripMargin
+       |  FROM mpanel m, b2 b)""".stripMargin
 
   val qMice: String =
     s"$miceFill SELECT month_id, unit_id, value_imp, value2 AS value2_imp FROM fill"
 
-  /** impute_mice_generator (missing.py:212-230): n = 3 chains stacked
-    * under imputation_id; chain i perturbs imputed (null-origin) cells
-    * by (1 + i·1e-6), observed cells are identical across chains.
+  /** First 8 hex digits of md5($s) as an exact integer (digit-sum —
+    * this DuckDB build has no hex-to-int cast), mirroring the Spark
+    * side's conv(substring(md5, 1, 8), 16, 10).
     */
-  val qMiceGen: String =
-    s"""$miceFill
-       |SELECT month_id, unit_id, CAST(c.i AS INTEGER) AS imputation_id,
-       |  CASE WHEN value IS NULL THEN value_imp * (1.0 + c.i * 1e-6)
+  private def hexInt8(s: String): String =
+    (1 to 8).map(k =>
+      s"(strpos('0123456789abcdef', substr(md5($s), $k, 1)) - 1) * ${1L << (4 * (8 - k))}")
+      .mkString("(", " + ", ")")
+
+  /** impute_mice_generator (missing.py:212-230): n = 3 chains stacked
+    * under imputation_id. Chain i redraws every null-origin cell as
+    * prediction + sd·z, where sd is the fitted regression's residual
+    * standard deviation and z a Box–Muller normal from md5-seeded
+    * uniforms keyed (month_id, unit_id, column, chain) — mirroring
+    * Imputer.miceGenerator's deterministic posterior-style noise.
+    * Observed cells are identical across chains.
+    */
+  val qMiceGen: String = {
+    val key = s"CAST(month_id AS VARCHAR) || ':' || CAST(unit_id AS VARCHAR) || ':value:' || CAST(c.i AS VARCHAR)"
+    val u1 = s"(${hexInt8(s"$key || ':u1'")} + 0.5) / 4294967296.0"
+    val u2 = s"(${hexInt8(s"$key || ':u2'")} + 0.5) / 4294967296.0"
+    s"""$miceFill,
+       |noisy AS (
+       |  SELECT month_id, unit_id, value, value2, sd, vmin, vmax, value_imp,
+       |    c.i AS i,
+       |    sqrt(-2.0 * ln($u1)) * cos(2.0 * pi() * ($u2)) AS z
+       |  FROM fill, (VALUES (0), (1), (2)) c(i))
+       |SELECT month_id, unit_id, CAST(i AS INTEGER) AS imputation_id,
+       |  CASE WHEN value IS NULL
+       |       THEN least(greatest(value_imp + sd * z, vmin), vmax)
        |       ELSE value_imp END AS value_imp,
        |  value2 AS value2_imp
-       |FROM fill, (VALUES (0), (1), (2)) c(i)""".stripMargin
+       |FROM noisy""".stripMargin
+  }
 }

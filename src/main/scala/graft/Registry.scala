@@ -199,19 +199,93 @@ object Registry {
         a.strOpt(1).getOrElse("uniform"), a.numOpt(2).getOrElse(1.0))),
   )
 
+  /** Corpus-pipeline registry: the SAME JSON wire format dispatched
+    * over a DOCUMENTS frame (`doc_id`, `text`, …) instead of the
+    * panel — the reference's remote-spec idea extended to the
+    * training-data-curation surface, so a corpus pipeline (quality
+    * gate → dedup → chunk → shard) is composable as a spec a service
+    * can receive over the wire, not only as Scala calls.
+    *
+    * Frame contract: every step consumes and produces a frame with
+    * `doc_id` and `text`; steps may append columns. `chunk` re-keys
+    * the frame to (doc_id, chunk_id) granularity with the chunk text
+    * in `text` — id-keyed steps after it (sampling, packing) operate
+    * at document granularity on the original `doc_id`, which is the
+    * conventional "never split a document across splits/shards"
+    * behaviour. `pack_shards` is terminal (it returns the assignment
+    * table, not the text).
+    */
+  val corpusTransforms: Map[String, Transform] = Map(
+    "identity" -> ((df, _) => df),
+    // args: [minQuality, lang?] — quality floor, optional language
+    // equality. The scores are evaluated ONCE per row in a projection
+    // below a mapPartitions(identity) barrier, then the filter tests
+    // the materialised scalars: left to itself Catalyst pushes the
+    // predicate into the scan where FilterExec re-evaluates the whole
+    // normalize/replace chain per conjunct per row (measured ~20x the
+    // single-pass cost — see TextOps.corpusFilter, same machinery).
+    "quality_filter" -> ((df, a) => {
+      val scored = df
+        .withColumn("__q", text.TextOps.qualityScore(col("text")))
+        .withColumn("__l", text.TextOps.langId(col("text")))
+      val barrier = scored.mapPartitions(identity(_))(
+        org.apache.spark.sql.Encoders.row(scored.schema))
+      val keep = a.strOpt(1) match {
+        case Some(lang) => col("__q") >= a.num(0) && col("__l") === lang
+        case None       => col("__q") >= a.num(0)
+      }
+      barrier.filter(keep).drop("__q", "__l")
+    }),
+    // exact dedup, keep-the-canonical: a doc survives iff its id is
+    // the group minimum for its normalised-text fingerprint (hash agg
+    // + semi-join — map-side combined, no per-group sort)
+    "dedup_exact" -> ((df, _) => {
+      val canon = df
+        .select(text.TextOps.fingerprint(col("text")).as("__fp"), col("doc_id"))
+        .groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
+      df.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+    }),
+    // args: [maxTokens, overlap?] — sliding-window chunking; the
+    // chunk text lands back in `text` so row-local steps compose
+    "chunk" -> ((df, a) =>
+      text.TextOps.chunkDocuments(df, a.num(0).toInt,
+        a.numOpt(1).getOrElse(0.0).toInt)
+        .withColumnRenamed("chunk_text", "text")),
+    // args: [fraction, salt?] — deterministic hash sampling by doc_id
+    "sample_hash" -> ((df, a) =>
+      sampling.Sampling.hashSample(df, "doc_id", a.num(0),
+        a.strOpt(1).getOrElse("corpus"))),
+    // args: [tokensPerShard, nBuckets, salt?] — terminal greedy
+    // shard-packing assignment
+    "pack_shards" -> ((df, a) =>
+      text.Packing.packShards(df, a.num(0).toLong, a.num(1).toInt,
+        a.strOpt(2).getOrElse("pack"))),
+    // full analysis columns (n_tokens, n_tokens_bpe, fingerprint,
+    // quality, lang_pred) appended for downstream spec steps
+    "analyze" -> ((df, _) => text.TextOps.analyze(df)),
+  )
+
   /** One step of a pipeline spec. */
   final case class Step(name: String, args: Seq[Any])
 
-  /** Apply a named transform. */
-  def apply(df: DataFrame, step: Step): DataFrame =
-    transforms.getOrElse(step.name,
+  private def applyIn(reg: Map[String, Transform], what: String)(
+      df: DataFrame, step: Step): DataFrame =
+    reg.getOrElse(step.name,
       throw new IllegalArgumentException(
-        s"unknown transform '${step.name}'; known: ${transforms.keys.toSeq.sorted.mkString(", ")}"))
+        s"unknown $what transform '${step.name}'; known: ${reg.keys.toSeq.sorted.mkString(", ")}"))
       .apply(df, step.args)
+
+  /** Apply a named panel transform. */
+  def apply(df: DataFrame, step: Step): DataFrame =
+    applyIn(transforms, "panel")(df, step)
 
   /** Compose a whole pipeline left-to-right into one lazy plan. */
   def pipeline(df: DataFrame, steps: Seq[Step]): DataFrame =
     steps.foldLeft(df)(apply)
+
+  /** Compose a corpus pipeline left-to-right into one lazy plan. */
+  def corpusPipeline(df: DataFrame, steps: Seq[Step]): DataFrame =
+    steps.foldLeft(df)(applyIn(corpusTransforms, "corpus"))
 
   /** Parse a JSON spec like
     * `[{"type":"tlag","args":[2]},{"type":"decay","args":[12]}]`
@@ -247,4 +321,8 @@ object Registry {
   }
 
   def run(df: DataFrame, json: String): DataFrame = pipeline(df, parse(json))
+
+  /** Run a JSON corpus-pipeline spec over a documents frame. */
+  def runCorpus(df: DataFrame, json: String): DataFrame =
+    corpusPipeline(df, parse(json))
 }

@@ -295,6 +295,15 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => dedup.Dedup.exact(docs(s, dir))),
     "q_corpus_filter" -> ((s, dir) =>
       text.TextOps.corpusFilter(docs(s, dir), minQuality = 0.5, lang = "en")),
+    // the corpus-curation surface as a JSON wire spec (r5 verdict
+    // item 4): quality gate → exact dedup → chunk, dispatched by
+    // Registry.runCorpus exactly as a remote service would receive it
+    "q_pipeline_corpus" -> ((s, dir) =>
+      Registry.runCorpus(docs(s, dir).select(col("doc_id"), col("text")),
+        """[{"type":"quality_filter","args":[0.5,"en"]},
+           |{"type":"dedup_exact"},
+           |{"type":"chunk","args":[64,8]}]""".stripMargin)
+        .withColumnRenamed("text", "chunk_text")),
     "q_corpus_stats" -> ((s, dir) => text.TextOps.corpusStats(docs(s, dir))),
     // exact per-language vocabulary cardinality (HLL scale path is
     // vocabStatsApprox, spec-bounded within 5%)
@@ -637,6 +646,7 @@ object SparkEntry {
     "q_text_analyze" -> OracleExt.qTextAnalyze,
     "q_dedup_exact" -> OracleExt.qDedupExact,
     "q_corpus_filter" -> OracleExt.qCorpusFilter,
+    "q_pipeline_corpus" -> OracleExt.qPipelineCorpus,
     "q_corpus_stats" -> OracleExt.qCorpusStats,
     "q_minhash_lsh" -> OracleExt.qMinhashLsh,
     "q_minhash_lsh_full" -> OracleExt.qMinhashLshFull,

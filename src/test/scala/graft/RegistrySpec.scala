@@ -39,8 +39,50 @@ class RegistrySpec extends SparkSpec {
   test("unknown transform raises with the known list") {
     val e = intercept[IllegalArgumentException](
       Registry.run(p, """[{"type":"nope"}]"""))
-    assert(e.getMessage.contains("unknown transform 'nope'"))
+    assert(e.getMessage.contains("unknown panel transform 'nope'"))
     assert(e.getMessage.contains("tlag"))
+    // the corpus registry is a separate namespace with its own error
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val ec = intercept[IllegalArgumentException](
+      Registry.runCorpus(docs, """[{"type":"tlag","args":[1]}]"""))
+    assert(ec.getMessage.contains("unknown corpus transform 'tlag'"))
+    assert(ec.getMessage.contains("quality_filter"))
+  }
+
+  test("corpus wire format: quality gate, dedup, chunk, sample, pack dispatch") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog barked at it all day long"),
+      (2L, "the cat  sat on the mat and the dog barked at it all day long"), // dup of 1 modulo spacing
+      (3L, "zz"), // low quality
+      (4L, "der hund und die katze und der vogel sind gute freunde hier")
+    ).toDF("doc_id", "text")
+    // quality gate drops doc 3; 'en' lang filter also drops doc 4
+    val gated = Registry.runCorpus(docs,
+      """[{"type":"quality_filter","args":[0.3,"en"]}]""")
+    assert(gated.columns.toSeq == Seq("doc_id", "text"))
+    assert(gated.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // dedup keeps the canonical (min id) of the normalised-dup pair
+    val dd = Registry.runCorpus(docs, """[{"type":"dedup_exact"}]""")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dd == Set(1L, 3L, 4L))
+    // chained spec: gate → dedup → chunk re-keys to (doc_id, chunk_id)
+    val chunks = Registry.runCorpus(docs,
+      """[{"type":"quality_filter","args":[0.3,"en"]},
+        |{"type":"dedup_exact"},
+        |{"type":"chunk","args":[8,2]}]""".stripMargin)
+    assert(chunks.columns.toSeq == Seq("doc_id", "chunk_id", "text", "n_tokens"))
+    val ch = chunks.orderBy("doc_id", "chunk_id").collect()
+    assert(ch.map(_.getLong(0)).forall(_ == 1L)) // only doc 1 survives
+    assert(ch.length == 3) // 14 tokens, step 6 -> chunks at 0,6,12
+    assert(ch(0).getString(2).split(" ").length == 8)
+    // sampling + packing dispatch and keep their library semantics
+    val sampled = Registry.runCorpus(docs,
+      """[{"type":"sample_hash","args":[0.5,"s0"]}]""")
+    assert(sampled.count() ==
+      sampling.Sampling.hashSample(docs, "doc_id", 0.5, "s0").count())
+    val packed = Registry.runCorpus(docs,
+      """[{"type":"pack_shards","args":[16,2]}]""")
+    assert(packed.columns.contains("shard") && packed.count() == 4)
   }
 
   test("every operator family dispatches through the wire format") {
