@@ -71,11 +71,41 @@ object Dedup {
     * deterministically per partition. File scans do; a sampled or
     * freshly-shuffled unsorted input does NOT — there a stage retry
     * could re-tag rows and stitch shingles across documents. Callers
-    * passing such a DataFrame must materialise (persist/write) it
-    * first.
+    * passing such a DataFrame must materialise it first
+    * (localCheckpoint() or write + re-read); the common hazard classes
+    * (sample / repartition / nondeterministic expressions) are
+    * rejected up front by [[assertDeterministicEnumeration]].
     */
+  /** Fail-fast complement to the deterministic-input contract above:
+    * reject input plans that demonstrably enumerate rows
+    * nondeterministically — a Sample node, a Repartition (rows arrive
+    * at the post-shuffle stage in fetch-race order), or any
+    * nondeterministic expression — instead of silently corrupting
+    * output on a stage retry. Heuristic, not a proof: a deterministic
+    * plan passes, the common hazards fire. `localCheckpoint()` (or
+    * write + re-read) severs the offending lineage and is the
+    * documented escape hatch for callers who really do hold a stable
+    * materialisation of such a frame.
+    */
+  private def assertDeterministicEnumeration(df: DataFrame, op: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression, Sample}
+    val bad = df.queryExecution.analyzed.collectFirst {
+      case _: Sample => "a Sample node"
+      case _: Repartition => "a Repartition node"
+      case _: RepartitionByExpression => "a repartition node"
+      case p if p.expressions.exists(e => !e.deterministic) =>
+        "a nondeterministic expression"
+    }
+    require(bad.isEmpty,
+      s"$op tags rows with monotonically_increasing_id, which is only " +
+        s"retry-stable over deterministic row enumeration, but the input " +
+        s"plan contains ${bad.getOrElse("")}. Materialise the frame first " +
+        s"(localCheckpoint() or write + re-read) and pass that instead.")
+  }
+
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
+    assertDeterministicEnumeration(docs, "Dedup.shingles")
     // the assembly window partitions by a PER-ROW id, not idCol: with
     // duplicate ids two documents' words would interleave in one
     // partition (ties on __pos) and lead() would stitch shingles

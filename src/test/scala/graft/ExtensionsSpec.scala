@@ -336,6 +336,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(ivf == ivf2)
   }
 
+  test("shingles guard: nondeterministic-enumeration inputs are rejected") {
+    // sampled input: a stage retry could re-enumerate different rows
+    val sampled = docsDf.sample(0.5, seed = 1L)
+    val e1 = intercept[IllegalArgumentException](Dedup.shingles(sampled, 2))
+    assert(e1.getMessage.contains("Sample"))
+    // round-robin repartition: post-shuffle arrival order is a fetch race
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.shingles(docsDf.repartition(4), 2))
+    assert(e2.getMessage.contains("Repartition"))
+    // the documented escape hatch: localCheckpoint severs the lineage
+    // and the materialised rows enumerate stably
+    val out = Dedup.shingles(sampled.localCheckpoint(), 2)
+    assert(out.columns.toSeq == Seq("doc_id", "shingle"))
+    out.collect() // executes fine
+    // plain scans and filters still pass untouched
+    Dedup.shingles(docsDf.filter($"doc_id" < 3), 2).collect()
+  }
+
   test("multimodal: opaque payloads fall back to the stub kernel") {
     val media = Multimodal.synthesize(docsDf)
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "content", "meta"))

@@ -175,6 +175,55 @@ class PropertySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("minhash (b,r) calibration: candidate recall tracks the S-curve at r=2 and r=4") {
+    // Controlled-Jaccard corpus: pair p's two docs (ids 2p, 2p+1) each
+    // hold 100 shingles of which exactly k are shared, so
+    // J = k / (200 - k) by construction. Shingle strings are
+    // namespaced per pair, making pairs independent draws of the
+    // banding experiment. For numHashes=12 banded into b = 12/r bands
+    // of r rows, MinHash theory gives
+    // P(candidate) = 1 - (1 - J^r)^b; with M pairs per level the
+    // observed recall is Binomial(M, p)/M and must land within 3
+    // sigma of p. bandRows=1 is covered by the oracle-checked
+    // q_minhash_lsh; this pins the r=2 and r=4 calibration the r5
+    // review flagged as untested.
+    val numHashes = OracleExt.MinhashHashes // 12
+    val M = 60
+    val levels = Seq(89, 67, 33) // J ~= 0.80, 0.50, 0.20
+    val rows = for {
+      (k, lvl) <- levels.zipWithIndex
+      p <- 0 until M
+      docOffset = (lvl * M + p) * 2L
+      (docId, shingle) <- {
+        val ns = s"L${lvl}p$p"
+        val shared = (0 until k).map(i => s"${ns}_s$i")
+        val aOnly = (0 until 100 - k).map(i => s"${ns}_a$i")
+        val bOnly = (0 until 100 - k).map(i => s"${ns}_b$i")
+        (shared ++ aOnly).map((docOffset, _)) ++
+          (shared ++ bOnly).map((docOffset + 1, _))
+      }
+    } yield (docId, shingle)
+    val sh = rows.toDF("doc_id", "shingle")
+    val sig = dedup.Dedup.minhash(sh, numHashes).cache()
+    for (r <- Seq(2, 4)) {
+      val cand = dedup.Dedup.lshCandidates(sig, numHashes, r)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      for (((k, lvl)) <- levels.zipWithIndex) {
+        val j = k.toDouble / (200 - k)
+        val pTheory = 1.0 - math.pow(1.0 - math.pow(j, r), numHashes / r)
+        val hits = (0 until M).count { p =>
+          val a = (lvl * M + p) * 2L
+          cand.contains((a, a + 1))
+        }
+        val recall = hits.toDouble / M
+        val sigma = math.sqrt(pTheory * (1 - pTheory) / M)
+        assert(math.abs(recall - pTheory) <= 3 * sigma + 0.02,
+          s"r=$r J=$j: recall $recall vs theory $pTheory (3-sigma ${3 * sigma})")
+      }
+    }
+    sig.unpersist()
+  }
+
   test("chunkDocuments coverage property: every token appears, order preserved") {
     val wordGen = Gen.chooseNum(1, 40).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")))
