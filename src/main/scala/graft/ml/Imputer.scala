@@ -73,35 +73,83 @@ object Imputer {
     cur
   }
 
+  /** Deterministic seeded uniform in (0, 1) from the first 8 hex
+    * digits of md5 over the `parts` joined with ':' — the same
+    * hash-as-RNG device as [[graft.sampling.Sampling.hashKey]], made
+    * numeric: conv() of 8 hex digits is an exact integer ≤ 2³², so
+    * (v + 0.5)/2³² is reproducible bit-for-bit on any engine that can
+    * md5 a string.
+    */
+  private def hashUniform(parts: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    (conv(substring(md5(concat_ws(":", parts: _*)), 1, 8), 16, 10)
+      .cast("double") + 0.5) / math.pow(2.0, 32)
+
   /** Multiple-imputation generator — impute_mice_generator
     * (missing.py:212-230): `nImputations` imputations stacked under an
-    * `imputation_id` column. This engine's chain is fully deterministic
-    * (no per-seed randomisation to replicate), so ONE materialised
-    * chain is shared and each imputation applies a deterministic
-    * per-chain perturbation to its null-origin cells — a stand-in for
-    * (not a replication of) sklearn's per-seed variability: the
-    * between-imputation variance here is the marked epsilon, not an
-    * uncertainty estimate (SURVEY §7.3's statistical-parity caveat).
+    * `imputation_id` column. This engine's chain is deterministic, so
+    * ONE materialised chain is shared (already localCheckpoint'ed by
+    * iterativeImpute — the union branches reuse it instead of
+    * recomputing n times) and each imputation adds RESIDUAL-SCALED
+    * noise to its null-origin cells: a Box–Muller normal draw, seeded
+    * per (row key, column, imputation) through md5 — fully
+    * deterministic and engine-reproducible — scaled by the final-pass
+    * regression's residual standard deviation √(SSE/(n−2)) and clipped
+    * to the observed range like the point predictions. Between-
+    * imputation variance therefore approximates the posterior
+    * predictive spread of the fitted regression (what Rubin's rules
+    * pool), not sklearn's exact per-seed variability — the honest
+    * middle of SURVEY §7.3's statistical-parity caveat, replacing the
+    * r4/r5 marked-epsilon stand-in.
+    *
+    * @param keyCols columns forming a stable per-row identity for the
+    *   noise seed (default: the panel key)
     */
   def miceGenerator(df: DataFrame, cols: Seq[String],
-                    nImputations: Int, maxIter: Int = 10): DataFrame = {
-    // the chain itself is deterministic, so every imputation shares ONE
-    // base run (already localCheckpoint'ed by iterativeImpute — the
-    // union branches reuse the materialised result instead of
-    // recomputing the chain n times); chains differ only in the
-    // per-chain perturbation below
+                    nImputations: Int, maxIter: Int = 10,
+                    keyCols: Seq[String] = Seq(graft.Panel.TimeCol, graft.Panel.UnitCol)): DataFrame = {
     val base = iterativeImpute(df, cols, maxIter)
+    // final-pass regression stats per column: the predictor is the
+    // SAME mean-of-others'-imputations the chain's last pass used, so
+    // sd is the residual scale of the model that produced the fills
+    val withPred = cols.foldLeft(base) { (d, c) =>
+      val others = cols.filterNot(_ == c)
+      d.withColumn(s"__pred_$c",
+        others.map(o => col(s"${o}_imp")).reduce(_ + _) / others.size)
+    }
+    val statAggs = cols.flatMap { c =>
+      val t = col(c); val x = col(s"__pred_$c"); val o = t.isNotNull
+      Seq(
+        avg(when(o, x)).as(s"__mx_$c"), avg(when(o, t)).as(s"__my_$c"),
+        sum(when(o, x * t)).as(s"__sxy_$c"), sum(when(o, x * x)).as(s"__sxx_$c"),
+        sum(when(o, t * t)).as(s"__syy_$c"),
+        count(when(o, lit(1))).cast("double").as(s"__n_$c"),
+        min(when(o, t)).as(s"__vmin_$c"), max(when(o, t)).as(s"__vmax_$c"))
+    }
+    val cur = withPred.crossJoin(
+      broadcast(withPred.agg(statAggs.head, statAggs.tail: _*)))
+    def residSd(c: String) = {
+      val (n, mx, my) = (col(s"__n_$c"), col(s"__mx_$c"), col(s"__my_$c"))
+      val varX = col(s"__sxx_$c") - n * mx * mx
+      val beta = when(varX === 0.0, 0.0)
+        .otherwise((col(s"__sxy_$c") - n * mx * my) / varX)
+      val sse = col(s"__syy_$c") - n * my * my - beta * beta * varX
+      when(n <= 2.0, 0.0).otherwise(sqrt(greatest(sse / (n - 2.0), lit(0.0))))
+    }
+    val statCols = cols.flatMap(c => Seq(s"__pred_$c", s"__mx_$c", s"__my_$c",
+      s"__sxy_$c", s"__sxx_$c", s"__syy_$c", s"__n_$c", s"__vmin_$c", s"__vmax_$c"))
     val runs = (0 until nImputations).map { i =>
-      // perturb the chain: shift each imputed value by a tiny
-      // chain-indexed epsilon of its magnitude (keeps chains distinct
-      // and deterministic without a random source)
-      val eps = i * 1e-6
-      cols.foldLeft(base.withColumn("imputation_id", lit(i))) { (d, c) =>
+      cols.foldLeft(cur.withColumn("imputation_id", lit(i))) { (d, c) =>
+        val seed = keyCols.map(col) ++ Seq(lit(c), lit(i.toString))
+        val u1 = hashUniform(seed :+ lit("u1"))
+        val u2 = hashUniform(seed :+ lit("u2"))
+        val z = sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
         d.withColumn(s"${c}_imp",
-          when(col(c).isNull, col(s"${c}_imp") * (1.0 + eps))
+          when(col(c).isNull,
+            least(greatest(col(s"${c}_imp") + residSd(c) * z,
+              col(s"__vmin_$c")), col(s"__vmax_$c")))
             .otherwise(col(s"${c}_imp")))
       }
     }
-    runs.reduce(_ unionByName _)
+    runs.reduce(_ unionByName _).drop(statCols: _*)
   }
 }

@@ -81,4 +81,45 @@ class MissingOpsSpec extends SparkSpec {
     // partial null stays (not an all-null unit)
     assert(out == Seq(4.0, 8.0, 3.0, 8.0, 2.0, null))
   }
+
+  test("miceGenerator: residual-scaled noise gives non-degenerate between-imputation variance") {
+    // y ≈ 2x with genuine residual scatter; two cells missing
+    val df = Seq[(Long, Long, Option[Double], Double)](
+      (1L, 1L, Some(2.2), 1.0), (2L, 1L, Some(3.6), 2.0),
+      (3L, 1L, None, 3.0), (4L, 1L, Some(8.5), 4.0),
+      (5L, 1L, Some(9.7), 5.0), (6L, 1L, None, 6.0),
+      (7L, 1L, Some(14.3), 7.0), (8L, 1L, Some(15.8), 8.0)
+    ).toDF(T, U, "value", "value2")
+    val out = graft.ml.Imputer.miceGenerator(df, Seq("value", "value2"),
+      nImputations = 5, maxIter = 2)
+    val byCell = out.filter(col("value").isNull)
+      .select(T, "imputation_id", "value_imp").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(2)).toSeq)
+    assert(byCell.keySet == Set(3L, 6L))
+    byCell.foreach { case (t, draws) =>
+      assert(draws.length == 5)
+      // non-degenerate: the chains genuinely disagree (not an epsilon)
+      val sd = {
+        val m = draws.sum / draws.size
+        math.sqrt(draws.map(d => (d - m) * (d - m)).sum / (draws.size - 1))
+      }
+      assert(sd > 0.01, s"cell t=$t draws $draws look degenerate (sd=$sd)")
+      // ...but stay within the observed range (clipped like the fills)
+      assert(draws.forall(d => d >= 2.2 && d <= 15.8))
+    }
+    // determinism: the same call reproduces the same draws
+    val again = graft.ml.Imputer.miceGenerator(df, Seq("value", "value2"),
+      nImputations = 5, maxIter = 2)
+      .filter(col("value").isNull)
+      .select(T, "imputation_id", "value_imp").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    out.filter(col("value").isNull)
+      .select(T, "imputation_id", "value_imp").collect()
+      .foreach(r => assert(again((r.getLong(0), r.getInt(1))) == r.getDouble(2)))
+    // observed cells identical across every chain
+    val obs = out.filter(col("value").isNotNull)
+      .groupBy(col(T)).agg(countDistinct(col("value_imp")).as("nv"))
+      .collect().map(_.getLong(1))
+    assert(obs.forall(_ == 1L))
+  }
 }

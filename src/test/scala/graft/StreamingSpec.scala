@@ -210,6 +210,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end: corpus stream qualityGate → dedup → parquet sink equals the batch pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val rows = Seq(
+      (ts("2024-01-01T00:00:00Z"), 1L, "the cat sat on the mat and the dog barked at it all day"),
+      (ts("2024-01-01T00:01:00Z"), 2L, "zz"), // below the quality floor
+      (ts("2024-01-01T00:02:00Z"), 3L, "der hund und die katze und der vogel sind gute freunde"), // not 'en'
+      (ts("2024-01-01T00:03:00Z"), 4L, "the cat  sat on the MAT and the dog barked at it all day"), // dup of 1
+      (ts("2024-01-01T00:04:00Z"), 5L, "a completely different story about the sea and the sky is here"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-corpus-e2e").toString
+    val src = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.CorpusStream.dedupDocsStream(
+        graft.streaming.CorpusStream.qualityGate(
+          src.toDS().toDF("ts", "doc_id", "text"), minQuality = 0.3, lang = "en"),
+        delay = "1 hour")
+      .select("doc_id", "text", "fingerprint")
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/sink").option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches so the dedup state crosses a batch boundary
+      src.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      src.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sunk = spark.read.parquet(s"$tmp/sink")
+    val streamIds = sunk.collect().map(_.getLong(0)).sorted.toSeq
+    // batch equivalent of the SAME composition (gate first, then
+    // dedup), via the corpus wire format
+    val docsDf = rows.map { case (_, id, t) => (id, t) }.toDF("doc_id", "text")
+    val batchIds = Registry.runCorpus(docsDf,
+        """[{"type":"quality_filter","args":[0.3,"en"]},{"type":"dedup_exact"}]""")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamIds == batchIds, s"stream $streamIds vs batch $batchIds")
+    // and both agree with the batch corpusFilter survivors (dedup-first
+    // order — equal here because the duplicates straddle no threshold)
+    val cfIds = text.TextOps.corpusFilter(docsDf, minQuality = 0.3, lang = "en")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamIds == cfIds)
+    assert(streamIds == Seq(1L, 5L))
+  }
+
   test("stateless registry transforms apply to a stream unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, Long, Double)]
