@@ -520,7 +520,7 @@ object OracleExt {
 
   /** Word-n-gram CTE fragment shared by the contamination oracles:
     * distinct word `n`-grams per doc with concat_ws null-skipping tail
-    * semantics (mirrors Dedup.shingles / try_element_at).
+    * semantics (mirrors Dedup.shingles' row-local slice/join form).
     */
   private def wordShingles(n: Int): String = {
     val terms = (0 until n).map(o => s"ws[i+$o]").mkString(", ")

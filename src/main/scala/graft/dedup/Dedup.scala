@@ -49,82 +49,44 @@ object Dedup {
   /** Word n-gram shingles of the normalised text, one row per distinct
     * shingle: (id, shingle).
     *
-    * Shape: the SCAN stage does only the cheap native work (normalise,
-    * split, posexplode); the n-gram assembly is `lead` windows over
-    * (doc, position) AFTER the first shuffle, followed by a distinct.
-    * An earlier in-row formulation (transform over a position sequence
-    * with try_element_at + concat_ws + array_distinct) ran the whole
-    * explosion as interpreted lambda trees INSIDE the scan stage —
-    * ~2 ms/doc fused into however few tasks the file layout gives
-    * (measured 10 s single-threaded on a one-row-group file at sf0.1,
-    * 31 cores idle). Here the scan stage is codegen'd string ops and
-    * the heavy assembly runs at shuffle parallelism; word rows shuffle
-    * once (shorter than the shingle rows the old shape shuffled).
+    * Shape: ENTIRELY ROW-LOCAL — shingle i is
+    * `array_join(slice(words, i+1, n))` over a position `sequence`,
+    * deduplicated per document with `array_distinct` BEFORE the
+    * explode. No window, no per-row id, no shuffle of word or shingle
+    * rows at all; since assembly never leaves the row, input
+    * enumeration order is irrelevant and the formulation is immune to
+    * the stage-retry row-id hazard the earlier window shape had to
+    * document (and r5 reviewed). History: r3 measured an in-row
+    * lambda tree at ~2 ms/doc and rejected it because it fused into
+    * the SCAN stage — a one-row-group file ran it single-threaded
+    * (10 s at sf0.1, 31 cores idle) — and shuffled word rows through
+    * a per-row-id window instead. The real fix is the conditional
+    * doc-level repartition below: one narrow shuffle of the raw text
+    * (strictly less data than the word rows the window shuffled)
+    * restores full parallelism, and the row-local assembly then beats
+    * the window path 6-12x at sf0.1 (0.8 s vs 6.3 s warm at n=2,
+    * 0.4 s vs 4.6 s at n=13, identical output). On a real corpus the
+    * scan already has file-split parallelism and the repartition
+    * skips itself.
     *
-    * Tail semantics match the old form: positions 1..max(len−n+1, 1) —
-    * a doc shorter than n words yields its single shorter shingle
-    * (concat_ws skips the null leads).
-    *
-    * DETERMINISTIC-INPUT CONTRACT (like AsofJoin's right-uniqueness
-    * contract): the per-row tag is `monotonically_increasing_id`, which
-    * is only retry-stable when the input plan enumerates rows
-    * deterministically per partition. File scans do; a sampled or
-    * freshly-shuffled unsorted input does NOT — there a stage retry
-    * could re-tag rows and stitch shingles across documents. Callers
-    * passing such a DataFrame must materialise it first
-    * (localCheckpoint() or write + re-read); the common hazard classes
-    * (sample / repartition / nondeterministic expressions) are
-    * rejected up front by [[assertDeterministicEnumeration]].
+    * Tail semantics as before: positions 1..max(len−n+1, 1) — a doc
+    * shorter than n words yields its single shorter shingle (slice
+    * clamps at the array end).
     */
-  /** Fail-fast complement to the deterministic-input contract above:
-    * reject input plans that demonstrably enumerate rows
-    * nondeterministically — a Sample node, a Repartition (rows arrive
-    * at the post-shuffle stage in fetch-race order), or any
-    * nondeterministic expression — instead of silently corrupting
-    * output on a stage retry. Heuristic, not a proof: a deterministic
-    * plan passes, the common hazards fire. `localCheckpoint()` (or
-    * write + re-read) severs the offending lineage and is the
-    * documented escape hatch for callers who really do hold a stable
-    * materialisation of such a frame.
-    */
-  private def assertDeterministicEnumeration(df: DataFrame, op: String): Unit = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression, Sample}
-    val bad = df.queryExecution.analyzed.collectFirst {
-      case _: Sample => "a Sample node"
-      case _: Repartition => "a Repartition node"
-      case _: RepartitionByExpression => "a repartition node"
-      case p if p.expressions.exists(e => !e.deterministic) =>
-        "a nondeterministic expression"
-    }
-    require(bad.isEmpty,
-      s"$op tags rows with monotonically_increasing_id, which is only " +
-        s"retry-stable over deterministic row enumeration, but the input " +
-        s"plan contains ${bad.getOrElse("")}. Materialise the frame first " +
-        s"(localCheckpoint() or write + re-read) and pass that instead.")
-  }
-
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
-    assertDeterministicEnumeration(docs, "Dedup.shingles")
-    // the assembly window partitions by a PER-ROW id, not idCol: with
-    // duplicate ids two documents' words would interleave in one
-    // partition (ties on __pos) and lead() would stitch shingles
-    // across texts nondeterministically. The row id is assigned
-    // before the shuffle, so it is a stable column value; per-row
-    // partitions are also the best-balanced shuffle possible.
-    val wordsArr = split(TextOps.normalize(col(textCol)), " ")
-    val exploded = docs
-      .withColumn("__row", monotonically_increasing_id())
-      .select(col(idCol), col("__row"), size(wordsArr).as("__len"),
-        posexplode(wordsArr).as(Seq("__pos", "__w")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__row")).orderBy(col("__pos"))
-    val parts = col("__w") +: (1 until n).map(o => lead(col("__w"), o).over(w))
-    exploded
-      .withColumn("shingle", concat_ws(" ", parts: _*))
-      .filter(col("__pos") <= greatest(col("__len") - n, lit(0)))
-      .select(col(idCol), col("shingle"))
-      .distinct()
+    val spark = docs.sparkSession
+    val target = spark.sessionState.conf.numShufflePartitions
+    // only repartition when the input underfills the cluster (the
+    // single-file local layout); a well-split scan stays put
+    val base =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target, col(idCol))
+      else docs
+    val words = split(TextOps.normalize(col(textCol)), " ")
+    base.select(col(idCol),
+      explode(array_distinct(transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => array_join(slice(words, i + 1, lit(n)), " ")))).as("shingle"))
   }
 
   /** MinHash signatures: for each seed, the lexicographic minimum of

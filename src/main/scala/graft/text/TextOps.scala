@@ -206,8 +206,8 @@ object TextOps {
     * combine, so a million-repeat token never lands on one reducer as
     * raw rows); bigram assembly is ROW-LOCAL — `arrays_zip` of the
     * words array against its own 1-shifted slice (native codegen'd
-    * expressions, no window, no per-row id, none of the
-    * deterministic-input hazard Dedup.shingles documents). A
+    * expressions, no window, no per-row id — the same row-local
+    * discipline Dedup.shingles now uses). A
     * single-token document has no bigrams → top_bigram_frac 0.0.
     *
     * @return (idCol, n_tokens BIGINT, top_token_frac, top_bigram_frac,
@@ -296,8 +296,8 @@ object TextOps {
 
   /** Row-local adjacent-word pairs: `arrays_zip` of the words array
     * against its own 1-shifted slice — native codegen'd expressions,
-    * no window, no per-row id (none of Dedup.shingles'
-    * deterministic-input hazard). Docs with < 2 tokens yield no rows.
+    * no window, no per-row id (the same row-local discipline
+    * Dedup.shingles now uses). Docs with < 2 tokens yield no rows.
     *
     * @return (idCol, w1, bigram)
     */

@@ -336,22 +336,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(ivf == ivf2)
   }
 
-  test("shingles guard: nondeterministic-enumeration inputs are rejected") {
-    // sampled input: a stage retry could re-enumerate different rows
-    val sampled = docsDf.sample(0.5, seed = 1L)
-    val e1 = intercept[IllegalArgumentException](Dedup.shingles(sampled, 2))
-    assert(e1.getMessage.contains("Sample"))
-    // round-robin repartition: post-shuffle arrival order is a fetch race
-    val e2 = intercept[IllegalArgumentException](
-      Dedup.shingles(docsDf.repartition(4), 2))
-    assert(e2.getMessage.contains("Repartition"))
-    // the documented escape hatch: localCheckpoint severs the lineage
-    // and the materialised rows enumerate stably
-    val out = Dedup.shingles(sampled.localCheckpoint(), 2)
-    assert(out.columns.toSeq == Seq("doc_id", "shingle"))
-    out.collect() // executes fine
-    // plain scans and filters still pass untouched
-    Dedup.shingles(docsDf.filter($"doc_id" < 3), 2).collect()
+  test("shingles is row-local: no window, no row id, enumeration-order-free") {
+    // the r5-reviewed stage-retry hazard (monotonically_increasing_id
+    // as a window partition key) is GONE by construction: the plan
+    // must contain no Window node and no row-id expression, so input
+    // enumeration order cannot affect output
+    val plan = Dedup.shingles(docsDf, 2).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("monotonically"), plan)
+    // hazard classes that the old formulation had to reject are now
+    // legitimate inputs: sampled and repartitioned frames shingle fine
+    val sampled = Dedup.shingles(docsDf.sample(0.5, seed = 1L), 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val full = Dedup.shingles(docsDf, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sampled.subsetOf(full))
+    val repart = Dedup.shingles(docsDf.repartition(4), 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(repart == full)
+    // tail semantics: a doc shorter than n words yields its single
+    // shorter shingle
+    val short = Seq((9L, "lonely")).toDF("doc_id", "text")
+    assert(Dedup.shingles(short, 3).collect().map(_.getString(1)).toSeq
+      == Seq("lonely"))
   }
 
   test("multimodal: opaque payloads fall back to the stub kernel") {
