@@ -314,6 +314,63 @@ object OracleExt {
        |FROM p""".stripMargin
   }
 
+  /** Context-window packing (mirrors Packing.packSequences: context
+    * 512, 8 buckets, salt "seq0") — qPackShards' cumsum plus the
+    * in-sequence token offset.
+    */
+  val qPackSequences: String = {
+    val band = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR) || ':seq0') AS h
+       |  FROM documents),
+       |b AS (SELECT doc_id, n_tokens, h,
+       |        CAST(($band) % 8 AS BIGINT) AS bucket FROM d),
+       |p AS (SELECT doc_id, n_tokens, bucket,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+       |  FROM b)
+       |SELECT doc_id, n_tokens, bucket,
+       |  CAST(FLOOR(prefix / 512.0) AS BIGINT) AS seq,
+       |  CAST(prefix - CAST(FLOOR(prefix / 512.0) AS BIGINT) * 512 AS BIGINT) AS offset
+       |FROM p""".stripMargin
+  }
+
+  /** Deterministic PII probe appended to every 7th document so the
+    * scrub exercises real matches on the synthetic corpus (the raw
+    * documents carry no contact info). Shared verbatim by the Spark
+    * query and this oracle.
+    */
+  val PiiProbe: String =
+    " contact bob@example.com via https://ex.com/a?b=1 at 10.0.0.1 or +1 (555) 123-4567"
+
+  /** PII scrub oracle (mirrors TextOps.scrubPii): staged
+    * regexp_replace with the SAME patterns — restricted to the
+    * Java-regex ∩ RE2 common subset — counts taken on the stage each
+    * category sees.
+    */
+  val qScrubPii: String = {
+    import text.TextOps.{EmailPattern, IpPattern, PhonePattern, UrlPattern}
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || '$PiiProbe' ELSE text END AS tx
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, tx,
+       |         regexp_replace(tx, '$UrlPattern', '<URL>', 'g') AS a FROM t),
+       |s2 AS (SELECT *, regexp_replace(a, '$EmailPattern', '<EMAIL>', 'g') AS b FROM s1),
+       |s3 AS (SELECT *, regexp_replace(b, '$IpPattern', '<IP>', 'g') AS c FROM s2),
+       |s4 AS (SELECT *, regexp_replace(c, '$PhonePattern', '<PHONE>', 'g') AS e FROM s3)
+       |SELECT doc_id, e AS scrubbed,
+       |  CAST(len(regexp_extract_all(tx, '$UrlPattern')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(a, '$EmailPattern')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(b, '$IpPattern')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(c, '$PhonePattern')) AS BIGINT) AS n_phones
+       |FROM s4""".stripMargin
+  }
+
   /** Stratified deterministic sampling (mirrors
     * Sampling.hashSampleStratified: en 0.5, de 0.3, default 0.05,
     * salt "strat0"); thresholds come from the same Scala code so the

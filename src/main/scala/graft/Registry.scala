@@ -260,6 +260,14 @@ object Registry {
     "pack_shards" -> ((df, a) =>
       text.Packing.packShards(df, a.num(0).toLong, a.num(1).toInt,
         a.strOpt(2).getOrElse("pack"))),
+    // args: [contextTokens, nBuckets, salt?] — terminal
+    // sequence-assembly assignment (seq ordinal + in-sequence offset)
+    "pack_sequences" -> ((df, a) =>
+      text.Packing.packSequences(df, a.num(0).toLong, a.num(1).toInt,
+        a.strOpt(2).getOrElse("seq"))),
+    // PII redaction in place: `text` is replaced by its scrubbed form
+    "scrub_pii" -> ((df, _) =>
+      df.withColumn("text", text.TextOps.scrubText(col("text")))),
     // full analysis columns (n_tokens, n_tokens_bpe, fingerprint,
     // quality, lang_pred) appended for downstream spec steps
     "analyze" -> ((df, _) => text.TextOps.analyze(df)),

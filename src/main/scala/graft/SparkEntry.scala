@@ -293,6 +293,17 @@ object SparkEntry {
     // self-trained bigram LM corpus-fit score
     "q_lm_score" -> ((s, dir) => text.TextOps.bigramLmScore(docs(s, dir))),
     "q_dedup_exact" -> ((s, dir) => dedup.Dedup.exact(docs(s, dir))),
+    // PII redaction: every 7th doc gets the deterministic probe
+    // appended so the scrub has real matches on the synthetic corpus
+    "q_scrub_pii" -> ((s, dir) =>
+      text.TextOps.scrubPii(docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(OracleExt.PiiProbe)))
+          .otherwise(col("text")).as("text")))),
+    // context-window sequence assembly for a pretraining loader
+    "q_pack_sequences" -> ((s, dir) =>
+      text.Packing.packSequences(docs(s, dir), contextTokens = 512,
+        nBuckets = 8, salt = "seq0")),
     "q_corpus_filter" -> ((s, dir) =>
       text.TextOps.corpusFilter(docs(s, dir), minQuality = 0.5, lang = "en")),
     // the corpus-curation surface as a JSON wire spec (r5 verdict
@@ -660,6 +671,8 @@ object SparkEntry {
     "q_sample_split" -> OracleExt.qSampleSplit,
     "q_sessionize" -> OracleExt.qSessionize,
     "q_pack_shards" -> OracleExt.qPackShards,
+    "q_pack_sequences" -> OracleExt.qPackSequences,
+    "q_scrub_pii" -> OracleExt.qScrubPii,
     "q_sample_stratified" -> OracleExt.qSampleStratified,
     "q_ngram_index" -> OracleExt.qNgramIndex,
     "q_decontaminate" -> OracleExt.qDecontaminate,

@@ -64,6 +64,40 @@ object Packing {
       .drop("__h")
   }
 
+  /** Context-window packing — the sequence-assembly twin of
+    * [[packShards]]: greedily pack documents (typically pre-chunked to
+    * ≤ `contextTokens`) into fixed-budget TRAINING SEQUENCES, emitting
+    * for each document its sequence ordinal and its token OFFSET
+    * within that sequence, so a loader can place every document at
+    * token positions [offset, offset + n_tokens) of sequence
+    * (bucket, seq) without re-scanning anything. Same two-level
+    * bucket-cumsum shape (parallelism = nBuckets at any corpus size,
+    * no global sort); a document longer than the budget still joins
+    * the sequence its prefix opened — never split — and overflows it,
+    * which the loader handles by truncation (offset + n_tokens >
+    * contextTokens marks exactly those rows).
+    *
+    * @return (idCol, n_tokens, bucket, seq, offset)
+    */
+  def packSequences(docs: DataFrame, contextTokens: Long, nBuckets: Int,
+                    salt: String, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0 && contextTokens > 0,
+      "nBuckets and contextTokens must be positive")
+    val h = Sampling.hashKey(col(idCol), salt)
+    val withKey = docs.select(col(idCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      pmod(hexBand(col(idCol), salt), lit(nBuckets)).cast("long").as("bucket"),
+      h.as("__h"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withKey
+      .withColumn("__prefix", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq", floor(col("__prefix") / contextTokens))
+      .withColumn("offset", col("__prefix") - col("seq") * contextTokens)
+      .drop("__h", "__prefix")
+  }
+
   /** Materialise the packed corpus as one parquet directory per
     * (bucket, shard): `path/bucket=B/shard=S/…`. A training loader
     * streams one shard directory at a time (each ≤ ~tokensPerShard

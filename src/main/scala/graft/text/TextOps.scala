@@ -18,6 +18,57 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** PII/noise scrub patterns — deliberately restricted to regex
+    * features with identical semantics in Java regex and RE2
+    * (character classes, bounded repetition, \b, \s), so a SQL oracle
+    * running another engine reproduces the scrub byte-for-byte.
+    */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpPattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhonePattern = "\\+?[0-9][0-9 ()-]{5,18}[0-9]"
+
+  /** The scrub as a single Column expression: URLs → `<URL>`, then
+    * emails → `<EMAIL>`, then IPv4 → `<IP>`, then phone-like digit
+    * runs → `<PHONE>`. Order matters (URLs may contain '@'; IPv4
+    * would otherwise be eaten as a phone run) and is part of the
+    * operator contract.
+    */
+  def scrubText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, UrlPattern, "<URL>"),
+          EmailPattern, "<EMAIL>"),
+        IpPattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** PII / contact-info redaction over a documents frame — the
+    * standard pre-release scrub of a training corpus. Pure codegen'd
+    * Column expressions (scan-speed, no shuffle); per-category match
+    * counts are evaluated on the progressively scrubbed text (each
+    * category counted after the previous one is redacted, mirroring
+    * the replacement order), so categories never double-count the
+    * same span.
+    *
+    * @return (idCol, scrubbed, n_urls, n_emails, n_ips, n_phones)
+    */
+  def scrubPii(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val t0 = coalesce(col(textCol), lit(""))
+    val s1 = regexp_replace(t0, UrlPattern, "<URL>")
+    val s2 = regexp_replace(s1, EmailPattern, "<EMAIL>")
+    val s3 = regexp_replace(s2, IpPattern, "<IP>")
+    val s4 = regexp_replace(s3, PhonePattern, "<PHONE>")
+    def n(src: Column, pat: String) =
+      size(regexp_extract_all(src, lit(pat), lit(0))).cast("long")
+    docs.select(col(idCol), s4.as("scrubbed"),
+      n(t0, UrlPattern).as("n_urls"),
+      n(s1, EmailPattern).as("n_emails"),
+      n(s2, IpPattern).as("n_ips"),
+      n(s3, PhonePattern).as("n_phones"))
+  }
+
   /** BPE-ish token count: alphabetic runs, digit runs, and single
     * punctuation marks each count as one token (a cheap proxy for
     * subword tokenizers when budgeting corpus sizes).

@@ -83,6 +83,16 @@ class RegistrySpec extends SparkSpec {
     val packed = Registry.runCorpus(docs,
       """[{"type":"pack_shards","args":[16,2]}]""")
     assert(packed.columns.contains("shard") && packed.count() == 4)
+    val seqs = Registry.runCorpus(docs,
+      """[{"type":"pack_sequences","args":[16,2]}]""")
+    assert(seqs.columns.toSeq == Seq("doc_id", "n_tokens", "bucket", "seq", "offset"))
+    assert(seqs.count() == 4)
+    // scrub_pii replaces text in place and composes with later steps
+    // (chunk normalises, so the redaction tokens come back lowercased)
+    val pii = Seq((1L, "ping alice@test.org or https://x.io/a now")).toDF("doc_id", "text")
+    val scrubbed = Registry.runCorpus(pii,
+      """[{"type":"scrub_pii"},{"type":"chunk","args":[8]}]""")
+    assert(scrubbed.select("text").head.getString(0) == "ping <email> or <url> now")
   }
 
   test("every operator family dispatches through the wire format") {

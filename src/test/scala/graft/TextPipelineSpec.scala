@@ -319,6 +319,51 @@ class TextPipelineSpec extends SparkSpec {
     assert(out(3L) == ((2L, 1L, 0.5)))
   }
 
+  test("scrubPii: staged redaction, per-category counts, no double counting") {
+    val docs = Seq(
+      (1L, "mail me at alice@test.org or see https://site.example/x?q=1 soon"),
+      (2L, "server 192.168.0.1 answered; call +44 20 7946 0958 now"),
+      (3L, "plain text with no contact info at all")
+    ).toDF("doc_id", "text")
+    val out = text.TextOps.scrubPii(docs).orderBy("doc_id").collect()
+    assert(out(0).getString(1) ==
+      "mail me at <EMAIL> or see <URL> soon")
+    assert(out(0).getLong(2) == 1 && out(0).getLong(3) == 1) // 1 url, 1 email
+    // the IP must be redacted as <IP>, not eaten by the phone pattern
+    assert(out(1).getString(1) == "server <IP> answered; call <PHONE> now")
+    assert(out(1).getLong(4) == 1 && out(1).getLong(5) == 1)
+    assert(out(2).getString(1) == "plain text with no contact info at all")
+    assert((2 to 5).forall(i => out(2).getLong(i) == 0))
+  }
+
+  test("packSequences: offsets tile each sequence gaplessly under the budget") {
+    val docs = (1L to 40L).map(i => (i, ("w " * ((i % 7).toInt + 1)).trim)).toDF("doc_id", "text")
+    val out = text.Packing.packSequences(docs, contextTokens = 10,
+      nBuckets = 2, salt = "s").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(1)))
+    // within each (bucket, seq): offsets start where the previous doc
+    // ended; every offset < budget; a doc never starts past the budget
+    out.groupBy(t => (t._1, t._2)).foreach { case ((b, s), rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._3 == 0 || s > 0) // later seqs may open mid-...
+      sorted.foreach { case (_, _, off, _) => assert(off >= 0 && off < 10) }
+      sorted.sliding(2).foreach {
+        case Array((_, _, o1, n1), (_, _, o2, _)) =>
+          assert(o2 == o1 + n1 || o2 == 0 || o1 + n1 >= 10,
+            s"gap in (b=$b,s=$s): $sorted")
+        case _ =>
+      }
+    }
+    // global conservation: every doc packed exactly once
+    assert(out.length == 40)
+    // agreement with packShards on the shared columns (same salt/budget)
+    val sh = text.Packing.packShards(docs, 10, 2, "s").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val sq = text.Packing.packSequences(docs, 10, 2, "s").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(sh == sq) // seq ordinal == shard ordinal for equal budgets
+  }
+
   test("invertedIndex: bounded sorted postings, full df_count") {
     val docs = Seq(
       (1L, "abcde"), (2L, "abcdx"), (3L, "abcde"), (4L, "zzzzz"))
