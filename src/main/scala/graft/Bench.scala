@@ -44,7 +44,7 @@ object Bench {
     "q_lm_score",
     "q_embed_neardup", "q_embed_neardup_lsh", "q_sample_hash",
     "q_sessionize", "q_pack_shards", "q_pack_sequences", "q_scrub_pii",
-    "q_sample_stratified", "q_ngram_index",
+    "q_tfidf", "q_sample_stratified", "q_ngram_index",
     "q_decontaminate", "q_boilerplate", "q_sample_topk_stratum",
     "q_pipeline_corpus",
     "q_json_rollup", "q_pivot_events", "q_vocab", "q_length_quantiles",

@@ -314,6 +314,25 @@ object OracleExt {
        |FROM p""".stripMargin
   }
 
+  /** Top-5 TF-IDF keywords per doc (mirrors TextOps.tfidfKeywords:
+    * smoothed idf, ties by token, 1e-6 output rounding).
+    */
+  val qTfidf: String =
+    s"""$norm,
+       |t AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       |sc AS (SELECT f.doc_id, f.tok, f.tf, d.df,
+       |        CAST(f.tf AS DOUBLE)
+       |          * (ln((nn.n + 1.0) / (CAST(d.df AS DOUBLE) + 1.0)) + 1.0) AS score
+       |       FROM tf f JOIN df d ON d.tok = f.tok, nn),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY score DESC, tok ASC) AS rank FROM sc)
+       |SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok AS token,
+       |  CAST(tf AS BIGINT) AS tf, df, round(score, 6) AS tfidf
+       |FROM r WHERE rank <= 5""".stripMargin
+
   /** Context-window packing (mirrors Packing.packSequences: context
     * 512, 8 buckets, salt "seq0") — qPackShards' cumsum plus the
     * in-sequence token offset.

@@ -304,6 +304,8 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, dir) =>
       text.Packing.packSequences(docs(s, dir), contextTokens = 512,
         nBuckets = 8, salt = "seq0")),
+    // top-5 TF-IDF keywords per document
+    "q_tfidf" -> ((s, dir) => text.TextOps.tfidfKeywords(docs(s, dir), k = 5)),
     "q_corpus_filter" -> ((s, dir) =>
       text.TextOps.corpusFilter(docs(s, dir), minQuality = 0.5, lang = "en")),
     // the corpus-curation surface as a JSON wire spec (r5 verdict
@@ -673,6 +675,7 @@ object SparkEntry {
     "q_pack_shards" -> OracleExt.qPackShards,
     "q_pack_sequences" -> OracleExt.qPackSequences,
     "q_scrub_pii" -> OracleExt.qScrubPii,
+    "q_tfidf" -> OracleExt.qTfidf,
     "q_sample_stratified" -> OracleExt.qSampleStratified,
     "q_ngram_index" -> OracleExt.qNgramIndex,
     "q_decontaminate" -> OracleExt.qDecontaminate,

@@ -194,6 +194,47 @@ object TextOps {
     barrier.filter(col("quality") >= minQuality && col("lang_pred") === lang)
   }
 
+  /** Top-`k` TF-IDF keywords per document — the standard corpus
+    * exploration / topic-tagging signal. idf = ln((N+1)/(df+1)) + 1
+    * (smoothed, always positive), score = tf·idf, ties broken by token
+    * ascending so the ranking is fully deterministic; the score is
+    * rounded to 1e-6 in the output so the transcendental ln is
+    * engine-reproducible (same discipline as bigramLmScore).
+    *
+    * Scale shape: tf is a map-side-combined (doc, token) aggregation;
+    * df a token-keyed aggregation over per-doc distinct tokens; they
+    * meet in a token-keyed equi-join (content-keyed shuffles only, no
+    * corpus-sized broadcast), and the top-k window partitions by
+    * document — bounded by per-doc vocabulary, never a global sort.
+    *
+    * @return (idCol, rank INT, token, tf BIGINT, df BIGINT, tfidf)
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = docs.select(col(idCol),
+      explode(split(normalize(col(textCol)), " ")).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val n = docs.select(count(lit(1)).cast("double").as("__n"))
+    val scored = tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("__score",
+        col("tf").cast("double") *
+          (log((col("__n") + 1.0) / (col("df").cast("double") + 1.0)) + 1.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("tok").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("tok").as("token"),
+        col("tf").cast("long").as("tf"), col("df"),
+        round(col("__score"), 6).as("tfidf"))
+  }
+
   /** Corpus budgeting: token totals per predicted language. */
   def corpusStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     analyze(docs, textCol)

@@ -98,6 +98,40 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan)
   }
 
+  test("scrubPii is shuffle-free: codegen'd regexp chain in the scan stage") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.text.TextOps.scrubPii(docs)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), plan)
+    // "*(n)" prefixes mark whole-stage-codegen'd operators
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("shingles is shuffle-free on a well-split input; one repartition otherwise") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // single-file local layout: exactly the one conditional doc-level
+    // repartition, nothing else (no window, no distinct shuffle)
+    val plan = graft.dedup.Dedup.shingles(docs, 2)
+      .queryExecution.executedPlan.toString()
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1, plan)
+    assert(!plan.contains("Window"), plan)
+    // an input that already fills the cluster skips the repartition
+    val wide = docs.repartition(64, col("doc_id"))
+    val plan2 = graft.dedup.Dedup.shingles(wide, 2)
+      .queryExecution.executedPlan.toString()
+    // only the caller's own repartition exchange may appear
+    assert(plan2.split("Exchange").length - 1 <= 1, plan2)
+  }
+
+  test("packSequences keeps the single bucket exchange of packShards") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.text.Packing.packSequences(docs, 512, 8, "s")
+      .queryExecution.executedPlan.toString()
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("corpus filter's barrier keeps the wide text trees out of the filter") {
     // exercise the PARQUET path: the round-2 guard used a 3-row
     // LocalRelation, whose optimized plan differed from the real scan —

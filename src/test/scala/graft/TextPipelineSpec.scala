@@ -364,6 +364,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(sh == sq) // seq ordinal == shard ordinal for equal budgets
   }
 
+  test("tfidfKeywords: worked example, deterministic ties, rank bound") {
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana cherry cherry date"),
+      (3L, "apple banana banana banana")
+    ).toDF("doc_id", "text")
+    val out = text.TextOps.tfidfKeywords(docs, k = 2).orderBy("doc_id", "rank").collect()
+    def idf(df: Long) = math.log(4.0 / (df + 1.0)) + 1.0
+    // doc 1: apple tf=2 df=2 -> 2*idf(2); banana tf=1 df=3; cherry tf=1 df=2
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1(0).getString(2) == "apple" && d1(0).getInt(1) == 1)
+    assert(math.abs(d1(0).getDouble(5) -
+      BigDecimal(2 * idf(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // cherry (df=2) outscores banana (df=3) at tf=1
+    assert(d1(1).getString(2) == "cherry")
+    // doc 3: banana tf=3 first, then apple (tf=1, df=2)
+    val d3 = out.filter(_.getLong(0) == 3L)
+    assert(d3.map(_.getString(2)).toSeq == Seq("banana", "apple"))
+    // every doc emits exactly min(k, vocab) rows, ranks 1..k
+    assert(out.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(1)).toSeq.sorted == Seq(1, 2)))
+  }
+
   test("invertedIndex: bounded sorted postings, full df_count") {
     val docs = Seq(
       (1L, "abcde"), (2L, "abcdx"), (3L, "abcde"), (4L, "zzzzz"))
