@@ -1127,6 +1127,38 @@ object OracleExt {
        |FROM dims dm LEFT JOIN agg a ON a.media_id = dm.media_id""".stripMargin
   }
 
+  /** Audio-feature oracle over REAL decoded WAVs
+    * (Multimodal.synthesizeAudio → extractAudioFeatures): sample k is
+    * (byte[k mod n] − 128)·256 (−32768 for empty text),
+    * nSamples = 64 + n mod 192 — WAV PCM is lossless, so the Spark
+    * side's real decode recovers exactly these values. Integer sums
+    * are exact in double and division/sqrt are IEEE-exactly rounded,
+    * so mean/RMS need no tolerance.
+    */
+  val qMultimodalAudio: String =
+    s"""WITH $utf8Bytes,
+       |dims AS (SELECT media_id, n, CAST(64 + n % 192 AS BIGINT) AS ns FROM d),
+       |smp AS (SELECT media_id, n, ns, unnest(generate_series(0, ns - 1)) AS k
+       |        FROM dims),
+       |sv AS (SELECT s.media_id, s.k,
+       |         (CASE WHEN s.n = 0 THEN 0 ELSE COALESCE(y.b, 0) END - 128) * 256 AS v
+       |       FROM smp s LEFT JOIN byt y
+       |         ON y.media_id = s.media_id AND s.n > 0 AND y.j = s.k % s.n),
+       |svl AS (SELECT media_id, k, v,
+       |          LAG(v) OVER (PARTITION BY media_id ORDER BY k) AS pv
+       |        FROM sv),
+       |zc AS (SELECT media_id,
+       |         SUM(CASE WHEN (v < 0) <> (pv < 0) THEN 1 ELSE 0 END) AS zcs,
+       |         SUM(CAST(v AS DOUBLE)) AS sv_,
+       |         SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS sq,
+       |         CAST(COUNT(*) AS DOUBLE) AS cnt
+       |       FROM svl GROUP BY media_id)
+       |SELECT dm.media_id, TRUE AS decoded, 8000 AS sample_rate,
+       |  dm.ns AS n_samples,
+       |  z.sv_ / z.cnt AS mean_amp, sqrt(z.sq / z.cnt) AS rms,
+       |  CAST(z.zcs AS BIGINT) AS zero_crossings
+       |FROM dims dm JOIN zc z ON z.media_id = dm.media_id""".stripMargin
+
   /** Resize oracle over REAL decoded PNGs: nearest-neighbour pixel
     * resample — output gray at (X, Y) = source pixel (X·w/W, Y·h/H),
     * W·H bytes always — digested as the hex string, mirroring

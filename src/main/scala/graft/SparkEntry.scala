@@ -441,6 +441,10 @@ object SparkEntry {
     "q_multimodal_frames" -> ((s, dir) =>
       multimodal.Multimodal.frameSample(
         multimodal.Multimodal.synthesize(docs(s, dir)), frameBytes = 64, everyN = 4)),
+    // real WAV decode via javax.sound: features over actual PCM samples
+    "q_multimodal_audio" -> ((s, dir) =>
+      multimodal.Multimodal.extractAudioFeatures(
+        multimodal.Multimodal.synthesizeAudio(docs(s, dir)))),
     "q_mice" -> onMissing(p =>
       ml.Imputer.iterativeImpute(p, Seq("value", "value2"), maxIter = 3)
         .select(col(T), col(U), col("value_imp"), col("value2_imp"))),
@@ -704,6 +708,7 @@ object SparkEntry {
     "q_multimodal_features" -> OracleExt.qMultimodalFeatures,
     "q_multimodal_resize" -> OracleExt.qMultimodalResize(16, 16),
     "q_multimodal_frames" -> OracleExt.qMultimodalFrames(64, 4),
+    "q_multimodal_audio" -> OracleExt.qMultimodalAudio,
     "q_mice" -> OracleExt.qMice,
     "q_mice_gen" -> OracleExt.qMiceGen,
     "q_keep_grids" -> Oracle.qKeepGrids,

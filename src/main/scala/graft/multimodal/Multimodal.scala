@@ -11,17 +11,19 @@ import org.apache.spark.sql.types._
   * same execution shape as a Pandas-UDF `mapInPandas` stage in a
   * PySpark pipeline.
   *
-  * The IMAGE path is real: PNG/JPEG payloads are decoded with the
-  * JDK's `javax.imageio.ImageIO` (no extra dependency), features and
-  * resizes operate on actual decoded pixels, and `synthesizeImages`
-  * emits genuine PNG bytes whose pixel content is a deterministic
-  * function of the source text — PNG is lossless, so the decode
-  * round-trips exactly and a SQL oracle can verify the decoded output
-  * by recomputing the pixel function, without decoding images itself.
-  * Non-image formats (audio/video codecs absent from a bare JVM) fall
-  * back to the deterministic byte-kernel stubs (`decodeStub`,
-  * `resizeStub`); swapping those for a JNI/process-boundary decoder is
-  * a one-function change behind the same dispatch.
+  * The IMAGE and AUDIO paths are real: PNG/JPEG payloads are decoded
+  * with the JDK's `javax.imageio.ImageIO` and WAV/AIFF PCM with
+  * `javax.sound.sampled` (no extra dependencies), so features and
+  * resizes operate on actual decoded pixels/samples.
+  * `synthesizeImages`/`synthesizeAudio` emit genuine PNG/WAV bytes
+  * whose content is a deterministic function of the source text —
+  * both formats are lossless, so decodes round-trip exactly and a SQL
+  * oracle verifies the decoded output by recomputing the pixel/sample
+  * function, without decoding media itself. Formats neither library
+  * covers (video codecs, compressed audio) fall back to the
+  * deterministic byte-kernel stubs (`decodeStub`, `resizeStub`);
+  * swapping those for a JNI/process-boundary decoder is a
+  * one-function change behind the same dispatch.
   */
 object Multimodal {
 
@@ -97,6 +99,120 @@ object Multimodal {
     if (content == null || content.length == 0) None
     else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
     catch { case _: java.io.IOException => None }
+
+  /** Synthesize a REAL WAV media table: 16-bit mono PCM at 8 kHz with
+    * deterministic, SQL-recomputable content — sample k is
+    * ((byte[k mod n] & 0xff) − 128)·256 over the text's UTF-8 bytes
+    * (−32768 for empty text), nSamples = 64 + n mod 192. WAV PCM is
+    * lossless, so `decodeAudio` recovers these exact samples and a SQL
+    * oracle can verify real decoded features by recomputing the sample
+    * function — the same device as `synthesizeImages`/PNG.
+    */
+  def synthesizeAudio(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = docs
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+    ds.mapPartitions { rows =>
+      rows.map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = bytes.length
+        val nSamples = 64 + n % 192
+        val pcm = new Array[Byte](nSamples * 2)
+        var k = 0
+        while (k < nSamples) {
+          val b = if (n == 0) 0 else bytes(k % n) & 0xff
+          val s = (b - 128) * 256
+          pcm(2 * k) = (s & 0xff).toByte          // little-endian
+          pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+          k += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, bos.toByteArray, "audio/wav", nSamples, 1)
+      }
+    }.toDF("media_id", "content", "format", "width", "height")
+      .select(col("media_id"), col("content"),
+        struct(col("format"), col("width"), col("height")).as("meta"))
+  }
+
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * PCM — no codecs beyond the JRE). Returns the sample rate and the
+    * 16-bit samples; None when the payload is not decodable audio.
+    */
+  def decodeAudio(content: Array[Byte]): Option[(Float, Array[Short])] =
+    if (content == null || content.length == 0) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val raw = ais.readAllBytes()
+          val out = new Array[Short](raw.length / 2)
+          var i = 0
+          while (i < out.length) {
+            val (lo, hi) =
+              if (fmt.isBigEndian) (raw(2 * i + 1) & 0xff, raw(2 * i).toInt)
+              else (raw(2 * i) & 0xff, raw(2 * i + 1).toInt)
+            out(i) = ((hi << 8) | lo).toShort
+            i += 1
+          }
+          Some((fmt.getSampleRate, out))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Partition-wise audio decode + feature extraction over REAL
+    * decoded samples: per payload the sample rate, sample count, mean
+    * amplitude, RMS, and zero-crossing count — the standard cheap
+    * audio-quality signals. Sample sums are integer-valued (exact in
+    * double, order-free) and division/sqrt are IEEE-exactly rounded,
+    * so the features are bit-reproducible by a SQL oracle from the
+    * synthesized sample function. Non-audio payloads report
+    * decoded = false with -1/0 features.
+    *
+    * @return (media_id, decoded, sample_rate INT, n_samples BIGINT,
+    *   mean_amp, rms — DOUBLE, zero_crossings BIGINT)
+    */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds = media
+      .select(col("media_id"), coalesce(col("content"), lit(Array.empty[Byte])))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        decodeAudio(bytes) match {
+          case Some((rate, samples)) =>
+            var sum = 0.0; var sq = 0.0; var zc = 0L
+            var i = 0
+            while (i < samples.length) {
+              val v = samples(i).toDouble
+              sum += v; sq += v * v
+              if (i > 0 && (samples(i) < 0) != (samples(i - 1) < 0)) zc += 1
+              i += 1
+            }
+            val n = samples.length.max(1)
+            (id, true, rate.toInt, samples.length.toLong,
+              sum / n, math.sqrt(sq / n), zc)
+          case None =>
+            (id, false, -1, 0L, 0.0, 0.0, 0L)
+        }
+      }
+    }.toDF("media_id", "decoded", "sample_rate", "n_samples",
+      "mean_amp", "rms", "zero_crossings")
+  }
 
   val FeatureDim = 8
 

@@ -407,6 +407,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(out(0).getAs[Double]("f0") == exp0)
   }
 
+  test("multimodal: real WAV round-trip — decoded samples and features are exact") {
+    val media = Multimodal.synthesizeAudio(docsDf)
+    val rows = media.orderBy("media_id").collect()
+    // every payload is a genuine RIFF/WAVE file the JDK decodes back
+    // to the synthesized sample function exactly
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("content")
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+      val (rate, samples) = Multimodal.decodeAudio(bytes).get
+      assert(rate == 8000f)
+      assert(samples.length == r.getStruct(2).getInt(1)) // meta.width = nSamples
+    }
+    val out = Multimodal.extractAudioFeatures(media).orderBy("media_id").collect()
+    assert(out.forall(_.getAs[Boolean]("decoded")))
+    // recompute doc 1's features from the sample function
+    val (id0, text0) = { val d = docsDf.orderBy("doc_id").collect()(0); (d.getLong(0), d.getString(1)) }
+    assert(id0 == 1L)
+    val b0 = text0.getBytes("UTF-8"); val n0 = b0.length
+    val ns = 64 + n0 % 192
+    val s = Array.tabulate(ns)(k => ((b0(k % n0) & 0xff) - 128) * 256)
+    assert(out(0).getAs[Long]("n_samples") == ns)
+    assert(out(0).getAs[Double]("mean_amp") == s.map(_.toDouble).sum / ns)
+    assert(out(0).getAs[Double]("rms") ==
+      math.sqrt(s.map(v => v.toDouble * v).sum / ns))
+    assert(out(0).getAs[Long]("zero_crossings") ==
+      (1 until ns).count(k => (s(k) < 0) != (s(k - 1) < 0)))
+    // non-audio payloads (utf-8 text) report decoded = false
+    val fb = Multimodal.extractAudioFeatures(Multimodal.synthesize(docsDf)).collect()
+    assert(fb.forall(r => !r.getAs[Boolean]("decoded") && r.getAs[Int]("sample_rate") == -1))
+  }
+
   test("multimodal: real nearest-neighbour resize is pixel-exact") {
     val media = Multimodal.synthesizeImages(docsDf)
     val rz = Multimodal.resize(media, targetW = 4, targetH = 2).orderBy("media_id").collect()

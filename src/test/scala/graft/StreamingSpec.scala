@@ -253,6 +253,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamIds == Seq(1L, 5L))
   }
 
+  test("stateless corpus wire steps compose onto a stream unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    // scrub → quality gate → chunk, dispatched from the SAME JSON spec
+    // a batch service would receive — all three steps are stateless
+    // Column/Generate transforms, so the spec streams as-is
+    val q = Registry.runCorpus(src.toDS().toDF("doc_id", "text"),
+        """[{"type":"scrub_pii"},
+          |{"type":"quality_filter","args":[0.35]},
+          |{"type":"chunk","args":[6]}]""".stripMargin)
+      .writeStream.format("memory").queryName("corpus_wire_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(
+        (1L, "write to bob@x.io about the cat and the dog and the mat today"),
+        (2L, "zz")) // fails the quality floor
+      q.processAllAvailable()
+      val rows = spark.table("corpus_wire_stream").collect()
+      assert(rows.map(_.getLong(0)).distinct.toSeq == Seq(1L))
+      // the email was scrubbed before chunking (chunk normalises case)
+      val text = rows.sortBy(_.getInt(1)).map(_.getString(2)).mkString(" ")
+      assert(text.contains("<email>") && !text.contains("bob@x.io"))
+      // batch equivalence on the same data
+      val batch = Registry.runCorpus(
+        Seq((1L, "write to bob@x.io about the cat and the dog and the mat today"),
+          (2L, "zz")).toDF("doc_id", "text"),
+        """[{"type":"scrub_pii"},
+          |{"type":"quality_filter","args":[0.35]},
+          |{"type":"chunk","args":[6]}]""".stripMargin).collect()
+      assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet ==
+        batch.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet)
+    } finally q.stop()
+  }
+
   test("stateless registry transforms apply to a stream unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, Long, Double)]
