@@ -35,7 +35,7 @@ object Bench {
     "q_pipeline_splag_country", "q_pipeline_temporal_tree",
     "q_mice", "q_mice_gen", "q_impute_regression",
     "q_text_analyze", "q_corpus_filter", "q_corpus_stats",
-    "q_dedup_exact", "q_dedup_clusters", "q_minhash_lsh",
+    "q_dedup_exact", "q_dedup_clusters", "q_dedup_spans", "q_minhash_lsh",
     "q_simhash", "q_simhash_pairs", "q_ngram_jaccard",
     "q_simhash64", "q_simhash64_pairs",
     "q_minhash_lsh_full", "q_simhash64_pairs_full",

@@ -314,6 +314,37 @@ object OracleExt {
        |FROM p""".stripMargin
   }
 
+  /** Repeated-span removal oracle (mirrors Dedup.removeRepeatedSpans
+    * with n = 8, minDf = 2): positional word 8-grams keyed by the same
+    * 16-hex-char md5 prefix, df over distinct docs, covered token
+    * positions cut, survivors reassembled in order.
+    */
+  val qDedupSpans: String = {
+    val n = 8
+    s"""$norm,
+       |tw AS (SELECT doc_id, string_split(nt, ' ') AS ws,
+       |         len(string_split(nt, ' ')) AS L FROM norm),
+       |gr AS (SELECT doc_id, ws, unnest(generate_series(0, L - $n)) AS p
+       |       FROM tw WHERE L >= $n),
+       |gt AS (SELECT doc_id, p,
+       |         substr(md5(array_to_string(ws[p + 1 : p + $n], ' ')), 1, 16) AS gram
+       |       FROM gr),
+       |dup AS (SELECT gram FROM (
+       |          SELECT gram, COUNT(DISTINCT doc_id) AS df FROM gt GROUP BY 1) x
+       |        WHERE df >= 2),
+       |cov AS (SELECT DISTINCT g.doc_id, g.p FROM gt g JOIN dup d ON d.gram = g.gram),
+       |tok AS (SELECT doc_id, ws, L, unnest(generate_series(0, L - 1)) AS i FROM tw),
+       |keep AS (SELECT t.doc_id, t.i, t.ws[t.i + 1] AS w
+       |         FROM tok t LEFT JOIN cov c
+       |           ON c.doc_id = t.doc_id AND t.i >= c.p AND t.i < c.p + $n
+       |         WHERE c.p IS NULL),
+       |ag AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS cleaned,
+       |         COUNT(*) AS kept FROM keep GROUP BY 1)
+       |SELECT t.doc_id, COALESCE(a.cleaned, '') AS cleaned,
+       |  CAST(t.L - COALESCE(a.kept, 0) AS BIGINT) AS n_removed
+       |FROM tw t LEFT JOIN ag a ON a.doc_id = t.doc_id""".stripMargin
+  }
+
   /** Top-5 TF-IDF keywords per doc (mirrors TextOps.tfidfKeywords:
     * smoothed idf, ties by token, 1e-6 output rounding).
     */

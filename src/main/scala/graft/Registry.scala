@@ -268,6 +268,12 @@ object Registry {
     // PII redaction in place: `text` is replaced by its scrubbed form
     "scrub_pii" -> ((df, _) =>
       df.withColumn("text", text.TextOps.scrubText(col("text")))),
+    // args: [n, minDf?] — duplicate-span removal in place: `text` is
+    // replaced by its normalised, span-cleaned form
+    "remove_repeated_spans" -> ((df, a) =>
+      dedup.Dedup.removeRepeatedSpans(df, a.num(0).toInt,
+        a.numOpt(1).map(_.toLong).getOrElse(2L))
+        .withColumnRenamed("cleaned", "text").drop("n_removed")),
     // full analysis columns (n_tokens, n_tokens_bpe, fingerprint,
     // quality, lang_pred) appended for downstream spec steps
     "analyze" -> ((df, _) => text.TextOps.analyze(df)),

@@ -306,6 +306,10 @@ object SparkEntry {
         nBuckets = 8, salt = "seq0")),
     // top-5 TF-IDF keywords per document
     "q_tfidf" -> ((s, dir) => text.TextOps.tfidfKeywords(docs(s, dir), k = 5)),
+    // duplicate-SPAN removal: cut every token covered by a word 8-gram
+    // shared by >= 2 documents (sub-document dedup)
+    "q_dedup_spans" -> ((s, dir) =>
+      dedup.Dedup.removeRepeatedSpans(docs(s, dir), n = 8, minDf = 2)),
     "q_corpus_filter" -> ((s, dir) =>
       text.TextOps.corpusFilter(docs(s, dir), minQuality = 0.5, lang = "en")),
     // the corpus-curation surface as a JSON wire spec (r5 verdict
@@ -680,6 +684,7 @@ object SparkEntry {
     "q_pack_sequences" -> OracleExt.qPackSequences,
     "q_scrub_pii" -> OracleExt.qScrubPii,
     "q_tfidf" -> OracleExt.qTfidf,
+    "q_dedup_spans" -> OracleExt.qDedupSpans,
     "q_sample_stratified" -> OracleExt.qSampleStratified,
     "q_ngram_index" -> OracleExt.qNgramIndex,
     "q_decontaminate" -> OracleExt.qDecontaminate,

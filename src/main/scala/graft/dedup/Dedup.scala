@@ -369,6 +369,64 @@ object Dedup {
       .select(col("node").as(idCol), col("cluster_id"), col("cluster_size"))
   }
 
+  /** Repeated-span REMOVAL — duplicate-text dedup below document
+    * granularity (the "dedup the span, not the doc" approach of
+    * exact-substring training-data dedup): every token covered by a
+    * word n-gram that occurs in ≥ `minDf` distinct documents is cut,
+    * and the surviving tokens are reassembled in order. Catches the
+    * boilerplate/template spans that doc-level fingerprints and
+    * near-dup pairs both miss.
+    *
+    * Scale shape: positional n-grams are row-local (same
+    * slice/array_join discipline as [[shingles]], position kept, no
+    * distinct); the duplicate-gram set is one map-side-combined
+    * count-distinct keyed by gram; coverage returns per doc as a
+    * collect_set of start positions (bounded by doc length) and the
+    * reassembly is a row-local filter-with-index — content-keyed
+    * shuffles only, nothing quadratic, no window.
+    *
+    * @return (idCol, cleaned, n_removed BIGINT) — normalised text with
+    *   covered spans removed
+    */
+  def removeRepeatedSpans(docs: DataFrame, n: Int, minDf: Long = 2L,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(n > 0 && minDf >= 2, "need n > 0 and minDf >= 2")
+    val words = split(TextOps.normalize(col(textCol)), " ")
+    val base = docs.select(col(idCol), words.as("__ws"))
+    // (id, pos, gram-key) for every FULL n-gram start; docs shorter
+    // than n contribute none (sequence would count down for a negative
+    // stop, hence the explicit guard). Grams travel as 16-hex-char md5
+    // prefixes, not strings: the df aggregation and dup join shuffle
+    // ~3x less than ~50-char raw grams, and the truncation is part of
+    // the operator definition (the oracle mirrors substring(md5, 16)
+    // exactly, so a freak prefix collision — ~2⁻⁶⁴·|grams|² — cannot
+    // desynchronise engines).
+    val grams = graft.OpCache.persist(base
+      .withColumn("__g",
+        when(size(col("__ws")) >= n,
+          transform(sequence(lit(0), size(col("__ws")) - n),
+            i => substring(md5(array_join(slice(col("__ws"), i + 1, lit(n)), " ")), 1, 16)))
+          .otherwise(array()))
+      .select(col(idCol), posexplode(col("__g")).as(Seq("pos", "gram"))))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("gram"))
+    val covered = grams.join(dup, "gram")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("pos")).as("__starts"))
+    base.join(covered, Seq(idCol), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__kept",
+        filter(col("__ws"), (_, i) =>
+          !exists(col("__starts"), s => s <= i && i < s + n)))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("cleaned"),
+        (size(col("__ws")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** Distinct character n-grams of the normalised text. */
   def charGrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {

@@ -336,6 +336,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(ivf == ivf2)
   }
 
+  test("removeRepeatedSpans cuts exactly the cross-doc repeated spans") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique tail one"),
+      (2L, "prefix two alpha beta gamma delta other end"),
+      (3L, "nothing shared with anybody here at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, n = 4, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // "alpha beta gamma delta" is the one 4-gram shared by docs 1 and 2
+    assert(out(0) == ((1L, "unique tail one", 4L)))
+    assert(out(1) == ((2L, "prefix two other end", 4L)))
+    assert(out(2) == ((3L, "nothing shared with anybody here at all", 0L)))
+    // overlapping repeated grams merge into one covered region: doc 4/5
+    // share a 5-token run -> two overlapping 4-gram starts, 5 cut tokens
+    val docs2 = Seq(
+      (4L, "x a b c d e y"),
+      (5L, "a b c d e tail word here")
+    ).toDF("doc_id", "text")
+    val out2 = Dedup.removeRepeatedSpans(docs2, n = 4, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out2(0) == ((4L, "x y", 5L)))
+    assert(out2(1) == ((5L, "tail word here", 5L)))
+    // docs shorter than n are untouched
+    val short = Dedup.removeRepeatedSpans(
+      Seq((9L, "tiny doc"), (10L, "tiny doc")).toDF("doc_id", "text"), n = 4)
+      .collect().map(_.getLong(2))
+    assert(short.forall(_ == 0L))
+  }
+
   test("shingles is row-local: no window, no row id, enumeration-order-free") {
     // the r5-reviewed stage-retry hazard (monotonically_increasing_id
     // as a window partition key) is GONE by construction: the plan

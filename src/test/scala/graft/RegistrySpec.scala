@@ -87,6 +87,15 @@ class RegistrySpec extends SparkSpec {
       """[{"type":"pack_sequences","args":[16,2]}]""")
     assert(seqs.columns.toSeq == Seq("doc_id", "n_tokens", "bucket", "seq", "offset"))
     assert(seqs.count() == 4)
+    // remove_repeated_spans cleans text in place, preserving the contract
+    val spanDocs = Seq(
+      (1L, "alpha beta gamma delta unique one"),
+      (2L, "two alpha beta gamma delta other")).toDF("doc_id", "text")
+    val cleaned = Registry.runCorpus(spanDocs,
+      """[{"type":"remove_repeated_spans","args":[4]}]""")
+    assert(cleaned.columns.toSeq == Seq("doc_id", "text"))
+    assert(cleaned.orderBy("doc_id").collect().map(_.getString(1)).toSeq ==
+      Seq("unique one", "two other"))
     // scrub_pii replaces text in place and composes with later steps
     // (chunk normalises, so the redaction tokens come back lowercased)
     val pii = Seq((1L, "ping alice@test.org or https://x.io/a now")).toDF("doc_id", "text")
