@@ -224,6 +224,41 @@ class PropertySpec extends AnyFunSuite {
     sig.unpersist()
   }
 
+  test("scrubPii is idempotent; span removal yields a subsequence") {
+    // redaction tokens contain no '@', '://', digits — so a second
+    // scrub pass is the identity (no pattern can re-match its own
+    // replacement)
+    val gen = Gen.listOfN(6, Gen.oneOf(
+      "plain words here", "a@b.co", "https://x.io/p?q=1", "10.0.0.1",
+      "+1 (555) 123-4567", "mixed a@b.co and http://y.z", "42", "."))
+    forAll(gen) { parts =>
+      val docs = Seq((1L, parts.mkString(" "))).toDF("doc_id", "text")
+      val once = text.TextOps.scrubPii(docs).head.getString(1)
+      val twice = text.TextOps.scrubPii(
+        Seq((1L, once)).toDF("doc_id", "text")).head.getString(1)
+      assert(twice == once, s"not idempotent: '$once' -> '$twice'")
+    }
+    // span removal: the cleaned text is always a subsequence of the
+    // normalised original, and n_removed accounts exactly for the gap
+    val wordGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e"))
+    forAll(gen2(wordGen, wordGen), count = 5) { case (w1, w2) =>
+      val docs = Seq((1L, w1.mkString(" ")), (2L, w2.mkString(" "))).toDF("doc_id", "text")
+      val out = dedup.Dedup.removeRepeatedSpans(docs, n = 3, minDf = 2)
+        .orderBy("doc_id").collect()
+      Seq(w1, w2).zip(out).foreach { case (w, r) =>
+        val cleaned = r.getString(1).split(" ").filter(_.nonEmpty).toSeq
+        assert(isSubsequence(cleaned, w), s"$cleaned not subseq of $w")
+        assert(r.getLong(2) == w.length - cleaned.length)
+      }
+    }
+  }
+
+  private def isSubsequence(sub: Seq[String], full: Seq[String]): Boolean = {
+    var i = 0
+    full.foreach { w => if (i < sub.length && sub(i) == w) i += 1 }
+    i == sub.length
+  }
+
   test("chunkDocuments coverage property: every token appears, order preserved") {
     val wordGen = Gen.chooseNum(1, 40).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")))
