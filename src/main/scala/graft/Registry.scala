@@ -277,6 +277,9 @@ object Registry {
     // full analysis columns (n_tokens, n_tokens_bpe, fingerprint,
     // quality, lang_pred) appended for downstream spec steps
     "analyze" -> ((df, _) => text.TextOps.analyze(df)),
+    // args: [k] — terminal per-doc top-k TF-IDF keyword extraction
+    "tfidf" -> ((df, a) =>
+      text.TextOps.tfidfKeywords(df, a.num(0).toInt)),
   )
 
   /** One step of a pipeline spec. */

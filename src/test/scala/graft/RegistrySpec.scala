@@ -87,6 +87,10 @@ class RegistrySpec extends SparkSpec {
       """[{"type":"pack_sequences","args":[16,2]}]""")
     assert(seqs.columns.toSeq == Seq("doc_id", "n_tokens", "bucket", "seq", "offset"))
     assert(seqs.count() == 4)
+    // tfidf is a terminal analysis step: (doc_id, rank, token, …) rows
+    val kw = Registry.runCorpus(docs, """[{"type":"tfidf","args":[2]}]""")
+    assert(kw.columns.toSeq == Seq("doc_id", "rank", "token", "tf", "df", "tfidf"))
+    assert(kw.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
     // remove_repeated_spans cleans text in place, preserving the contract
     val spanDocs = Seq(
       (1L, "alpha beta gamma delta unique one"),
