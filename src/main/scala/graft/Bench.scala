@@ -128,25 +128,35 @@ object Bench {
     // so a divergent run is diagnosable from the JSON alone, and
     // /proc/loadavg is captured before and after as the machine-load
     // indicator.
-    def retime(name: String, prior: Double): Double =
+    // A failed re-time is MARKED, never papered over: fabricating a
+    // second sample equal to the first would defeat the divergence
+    // check and let a contended first sample stand as the recorded
+    // minimum with no flag (the exact failure mode this protocol
+    // exists to surface). Queries in `retry_failed` have fewer
+    // samples than the protocol demands — treat their numbers as
+    // single-sample, unarbitrated.
+    val retryFailed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def retime(name: String): Option[Double] =
       try {
         val t0 = System.nanoTime()
         force(SparkEntry.queries(name)(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
+        Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name re-time failed (prior kept): ${e.getMessage}")
-        prior
+        retryFailed += name
+        System.err.println(s"[bench] $name re-time failed: ${e.getMessage}")
+        None
       }
     val loadBefore = loadAvg()
     val firstPass = selected.map { case (name, fn) => name -> timed(name, fn) }
     val sampled: Seq[(String, Seq[Double])] = firstPass.map { case (name, t1) =>
       if (failures.contains(name)) name -> Seq(t1)
-      else {
-        val t2 = retime(name, t1)
-        val base = Seq(t1, t2)
-        val diverged = math.max(t1, t2) > 2.0 * math.min(t1, t2) &&
-          math.max(t1, t2) > 0.2 // µs-scale jitter on trivial plans is not contention
-        name -> (if (diverged) base :+ retime(name, math.min(t1, t2)) else base)
+      else retime(name) match {
+        case None => name -> Seq(t1)
+        case Some(t2) =>
+          val base = Seq(t1, t2)
+          val diverged = math.max(t1, t2) > 2.0 * math.min(t1, t2) &&
+            math.max(t1, t2) > 0.2 // µs-scale jitter on trivial plans is not contention
+          name -> (if (diverged) base ++ retime(name) else base)
       }
     }
     val loadAfter = loadAvg()
@@ -165,6 +175,11 @@ object Bench {
       } => n
     }
     def sec(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // millisecond precision for the full artifact: %.2f flattens
+    // sub-10ms samples to 0.00/0.01, hiding exactly the spread the
+    // samples exist to show (the compact headline keeps %.2f for the
+    // output-tail byte budget)
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
     // every per-query number, for local iteration / round-over-round diffs
@@ -173,6 +188,7 @@ object Bench {
     // regression can't masquerade as a fast run
     val fj = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val cj = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rj = retryFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // "timing" documents the protocol: every query is min-of-2 warm
     // samples (min-of-3 when the first two diverge >2×), the later
     // passes run against whatever session caches the first built
@@ -185,13 +201,17 @@ object Bench {
     // measurement, not a plan regression.
     val loadJson = s""""load":[${sec(loadBefore)},${sec(loadAfter)}]"""
     def line(qs: Seq[(String, Double)]) =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","timing":"min-of-2-always","contended":$cj,$loadJson,"queries":${toJson(qs)},"failures":$fj,"sf":"$sfDir"}"""
-    // full artifact additionally carries every raw sample per query, so
-    // a divergent driver run is diagnosable from the JSON alone
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","timing":"min-of-2-always","contended":$cj,"retry_failed":$rj,$loadJson,"queries":${toJson(qs)},"failures":$fj,"sf":"$sfDir"}"""
+    // full artifact additionally carries every raw sample per query
+    // (ms precision), so a divergent driver run is diagnosable from
+    // the JSON alone
     val samplesJson = sampled.map { case (n, ts) =>
-      "\"" + n + "\":[" + ts.map(sec).mkString(",") + "]"
+      "\"" + n + "\":[" + ts.map(ms).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val fullLine = line(results).dropRight(1) + s""","samples":$samplesJson}"""
+    val fullQueries = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","timing":"min-of-2-always","contended":$cj,"retry_failed":$rj,$loadJson,"queries":$fullQueries,"failures":$fj,"sf":"$sfDir","samples":$samplesJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     // The harness captures only the last ~2000 bytes of the run's
@@ -206,8 +226,12 @@ object Bench {
       // overflow fallback drops trailing ALPHABETICAL entries — a
       // stable subset, so round-over-round diffs never see queries
       // appear/disappear with run speed (a slowest-N subset would)
+      // 1500-byte cap (was 1800): the r6 driver artifact came back
+      // `parsed: null` with a truncated tail — the sbt epilogue plus a
+      // near-limit line overflowed the ~2000-byte capture. Leave real
+      // headroom; the complete map lives in target/bench_full.json.
       Iterator.iterate(hs)(_.dropRight(8)).map(line)
-        .find(_.length <= 1800).getOrElse(line(Seq.empty))
+        .find(_.length <= 1500).getOrElse(line(Seq.empty))
     }
     println(headlineLine)
     spark.stop()

@@ -1319,7 +1319,7 @@ object OracleExt {
        |  FROM fill, (VALUES (0), (1), (2)) c(i))
        |SELECT month_id, unit_id, CAST(i AS INTEGER) AS imputation_id,
        |  CASE WHEN value IS NULL
-       |       THEN least(greatest(value_imp + sd * z, vmin), vmax)
+       |       THEN round(least(greatest(value_imp + sd * z, vmin), vmax), 6)
        |       ELSE value_imp END AS value_imp,
        |  value2 AS value2_imp
        |FROM noisy""".stripMargin

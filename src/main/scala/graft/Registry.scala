@@ -269,11 +269,18 @@ object Registry {
     "scrub_pii" -> ((df, _) =>
       df.withColumn("text", text.TextOps.scrubText(col("text")))),
     // args: [n, minDf?] — duplicate-span removal in place: `text` is
-    // replaced by its normalised, span-cleaned form
-    "remove_repeated_spans" -> ((df, a) =>
-      dedup.Dedup.removeRepeatedSpans(df, a.num(0).toInt,
-        a.numOpt(1).map(_.toLong).getOrElse(2L))
-        .withColumnRenamed("cleaned", "text").drop("n_removed")),
+    // replaced by its normalised, span-cleaned form. Columns appended
+    // by earlier steps ride through (the cleaned text joins back onto
+    // the incoming frame by doc_id — the step honours the "steps may
+    // append columns" contract). Doc-id granularity: place it BEFORE
+    // `chunk`, like the other whole-document dedup steps.
+    "remove_repeated_spans" -> ((df, a) => {
+      val cleaned = dedup.Dedup.removeRepeatedSpans(df, a.num(0).toInt,
+          a.numOpt(1).map(_.toLong).getOrElse(2L))
+        .select(col("doc_id"), col("cleaned").as("__cleaned"))
+      df.join(cleaned, Seq("doc_id"))
+        .withColumn("text", col("__cleaned")).drop("__cleaned")
+    }),
     // full analysis columns (n_tokens, n_tokens_bpe, fingerprint,
     // quality, lang_pred) appended for downstream spec steps
     "analyze" -> ((df, _) => text.TextOps.analyze(df)),

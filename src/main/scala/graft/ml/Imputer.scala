@@ -143,10 +143,14 @@ object Imputer {
         val u1 = hashUniform(seed :+ lit("u1"))
         val u2 = hashUniform(seed :+ lit("u2"))
         val z = sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+        // round the noisy draw to 1e-6: z is a function of log()/cos(),
+        // which are NOT bit-identical across libm implementations — the
+        // same discipline as tfidfKeywords/bigramLmScore (observed cells
+        // carry no transcendentals and stay unrounded)
         d.withColumn(s"${c}_imp",
           when(col(c).isNull,
-            least(greatest(col(s"${c}_imp") + residSd(c) * z,
-              col(s"__vmin_$c")), col(s"__vmax_$c")))
+            round(least(greatest(col(s"${c}_imp") + residSd(c) * z,
+              col(s"__vmin_$c")), col(s"__vmax_$c")), 6))
             .otherwise(col(s"${c}_imp")))
       }
     }
