@@ -81,8 +81,11 @@ object OracleExt {
     * `q_minhash_lsh_full` with a real oracle rather than a rows-only
     * check.
     */
-  def qMinhashLshFiltered(filter: String, bandRows: Int,
-                          threshold: Double): String = {
+  /** CTE chain ending in `j(id_a, id_b, jaccard)` — the banded
+    * candidate pairs with exact-Jaccard scores; shared by the pair
+    * queries and the near-dup-filter pipeline oracle.
+    */
+  private def minhashPairCtes(filter: String, bandRows: Int): String = {
     val nBands = MinhashHashes / bandRows
     val mins = (0 until MinhashHashes)
       .map(s => s"min(md5(shingle || ':$s')) AS mh_$s").mkString(", ")
@@ -92,7 +95,7 @@ object OracleExt {
         .mkString(" || '|' || ")
       s"WHEN $b THEN md5($cat)"
     }.mkString(" ")
-    s"""$norm, ${shingleCte(filter)},
+    s"""${shingleCte(filter)},
        |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS (SELECT doc_id, band, CASE band $bucketCase END AS bucket
        |          FROM mh, (VALUES $bandVals) b(band)),
@@ -112,9 +115,13 @@ object OracleExt {
        |      FROM cand c
        |      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
        |      JOIN szs za ON za.doc_id = c.id_a
-       |      JOIN szs zb ON zb.doc_id = c.id_b)
-       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold""".stripMargin
+       |      JOIN szs zb ON zb.doc_id = c.id_b)""".stripMargin
   }
+
+  def qMinhashLshFiltered(filter: String, bandRows: Int,
+                          threshold: Double): String =
+    s"""$norm, ${minhashPairCtes(filter, bandRows)}
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold""".stripMargin
 
   val qMinhashLsh: String = qMinhashLshFiltered("WHERE doc_id < 200", 1, 0.1)
   val qMinhashLshFull: String = qMinhashLshFiltered("", 2, 0.5)
@@ -999,6 +1006,230 @@ object OracleExt {
        |    AS chunk_text,
        |  CAST(LEAST($maxTokens, n - k * $step) AS BIGINT) AS n_tokens
        |FROM ch""".stripMargin
+  }
+
+  /** Full-curation wire pipeline oracle (mirrors
+    * q_pipeline_corpus_full: scrub_pii → remove_repeated_spans [8,2]
+    * → quality_filter [0.3] → dedup_exact → chunk [64,8] →
+    * pack_sequences [512,8,'seqf']). Each stage re-derives the
+    * corresponding operator's established SQL on the PREVIOUS stage's
+    * text: scrub on the probe-augmented documents, span removal on the
+    * scrubbed text, quality/fingerprint/chunk on the span-cleaned
+    * (normalised) text, and the packing hash on the composite
+    * doc:chunk key (the frame is chunk-granular by then).
+    */
+  val qPipelineCorpusFull: String = {
+    import text.TextOps.{EmailPattern, IpPattern, PhonePattern, UrlPattern}
+    val n = 8                          // span n-gram
+    val (maxTokens, overlap) = (64, 8) // chunk
+    val step = maxTokens - overlap
+    val (context, nBuckets) = (512, 8) // pack
+    val stop = stopHits("pd", Seq("the", "a", "and", "of", "is"))
+    val band = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || '$PiiProbe' ELSE text END AS tx
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, regexp_replace(tx, '$UrlPattern', '<URL>', 'g') AS a FROM t),
+       |s2 AS (SELECT doc_id, regexp_replace(a, '$EmailPattern', '<EMAIL>', 'g') AS b FROM s1),
+       |s3 AS (SELECT doc_id, regexp_replace(b, '$IpPattern', '<IP>', 'g') AS c FROM s2),
+       |s4 AS (SELECT doc_id, regexp_replace(c, '$PhonePattern', '<PHONE>', 'g') AS sc FROM s3),
+       |nrm AS (SELECT doc_id,
+       |          trim(regexp_replace(lower(sc), '\\s+', ' ', 'g')) AS nt FROM s4),
+       |tw AS (SELECT doc_id, string_split(nt, ' ') AS ws,
+       |         len(string_split(nt, ' ')) AS L FROM nrm),
+       |gr AS (SELECT doc_id, ws, unnest(generate_series(0, L - $n)) AS p
+       |       FROM tw WHERE L >= $n),
+       |gt AS (SELECT doc_id, p,
+       |         substr(md5(array_to_string(ws[p + 1 : p + $n], ' ')), 1, 16) AS gram
+       |       FROM gr),
+       |dup AS (SELECT gram FROM (
+       |          SELECT gram, COUNT(DISTINCT doc_id) AS df FROM gt GROUP BY 1) x
+       |        WHERE df >= 2),
+       |cov AS (SELECT DISTINCT g.doc_id, g.p FROM gt g JOIN dup d ON d.gram = g.gram),
+       |tok AS (SELECT doc_id, ws, L, unnest(generate_series(0, L - 1)) AS i FROM tw),
+       |keep0 AS (SELECT t.doc_id, t.i, t.ws[t.i + 1] AS w
+       |          FROM tok t LEFT JOIN cov c
+       |            ON c.doc_id = t.doc_id AND t.i >= c.p AND t.i < c.p + $n
+       |          WHERE c.p IS NULL),
+       |ag AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS cleaned
+       |       FROM keep0 GROUP BY 1),
+       |cl AS (SELECT t.doc_id, COALESCE(a.cleaned, '') AS ct
+       |       FROM tw t LEFT JOIN ag a ON a.doc_id = t.doc_id),
+       |pad AS (SELECT doc_id, ct,
+       |          ' ' || replace(ct, ' ', '  ') || ' ' AS pd FROM cl),
+       |qs AS (SELECT doc_id, ct,
+       |  least(CAST(len(string_split_regex(trim(ct), '\\s+')) AS DOUBLE) / 200.0, 1.0) * 0.4
+       |    + (1.0 - (length(ct) - length(regexp_replace(ct, '[.,!?;:]', '', 'g')))
+       |        / CAST(greatest(length(ct), 1) AS DOUBLE)) * 0.3
+       |    + least(($stop) / 10.0, 1.0) * 0.3 AS q
+       |  FROM pad),
+       |keep AS (SELECT doc_id, ct FROM qs WHERE q >= 0.3),
+       |ded AS (SELECT doc_id, ct,
+       |          MIN(doc_id) OVER (PARTITION BY md5(ct)) AS canonical_id
+       |        FROM keep),
+       |tw2 AS (SELECT doc_id, string_split(ct, ' ') AS ws,
+       |          len(string_split(ct, ' ')) AS nn
+       |        FROM ded WHERE doc_id = canonical_id),
+       |ch AS (SELECT doc_id, ws, nn,
+       |         unnest(range(0, GREATEST(
+       |           CAST(ceil(CAST(nn - $overlap AS DOUBLE) / $step) AS BIGINT), 1))) AS k
+       |       FROM tw2),
+       |chunks AS (SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+       |    array_to_string(ws[1 + k * $step : LEAST(k * $step + $maxTokens, nn)], ' ')
+       |      AS ctext
+       |  FROM ch),
+       |pk AS (SELECT doc_id, chunk_id,
+       |    CAST(len(string_split_regex(trim(ctext), '\\s+')) AS BIGINT) AS n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR)
+       |        || ':seqf') AS h,
+       |    CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR) AS pid
+       |  FROM chunks),
+       |bk AS (SELECT *, CAST(($band) % $nBuckets AS BIGINT) AS bucket FROM pk),
+       |pr AS (SELECT doc_id, chunk_id, n_tokens, bucket,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY h, pid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+       |  FROM bk)
+       |SELECT doc_id, chunk_id, n_tokens, bucket,
+       |  CAST(FLOOR(prefix / $context.0) AS BIGINT) AS seq,
+       |  CAST(prefix - CAST(FLOOR(prefix / $context.0) AS BIGINT) * $context
+       |       AS BIGINT) AS offset
+       |FROM pr""".stripMargin
+  }
+
+  /** Signal-append wire pipeline oracle (mirrors
+    * q_pipeline_corpus_signals: decontaminate [4,10] → repetition →
+    * oov [50] → lm_score → boilerplate [3,5]). Decontamination keys
+    * off the FULL corpus (train vs eval split on doc_id % 10); every
+    * later stat is computed over the narrowed train frame, exactly as
+    * the left-to-right step composition implies.
+    */
+  val qPipelineCorpusSignals: String =
+    s"""$norm,
+       |w4 AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM norm),
+       |i4 AS (SELECT doc_id, ws,
+       |         unnest(generate_series(1, greatest(len(ws) - 3, 1))) AS i
+       |       FROM w4),
+       |sh4 AS (SELECT DISTINCT doc_id,
+       |          concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3]) AS shingle
+       |        FROM i4),
+       |ev AS (SELECT DISTINCT shingle FROM sh4 WHERE doc_id % 10 = 0),
+       |trn AS (SELECT doc_id, shingle FROM sh4 WHERE doc_id % 10 <> 0),
+       |cnt AS (SELECT trn.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |        FROM trn JOIN ev USING (shingle) GROUP BY trn.doc_id),
+       |tw AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM norm
+       |       WHERE doc_id % 10 <> 0),
+       |tk AS (SELECT doc_id, unnest(ws) AS tok FROM tw),
+       |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+       |ta AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |         MAX(c) AS top_tok, COUNT(*) AS n_distinct
+       |       FROM tc GROUP BY 1),
+       |bi AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+       |         unnest(list_transform(range(1, len(ws)),
+       |           i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+       |       FROM tw WHERE len(ws) > 1),
+       |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+       |ba AS (SELECT doc_id, MAX(c) AS top_bi, SUM(c) AS n_bi FROM bc GROUP BY 1),
+       |vc AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY 1),
+       |vocab AS (SELECT tok FROM vc ORDER BY c DESC, tok LIMIT 50),
+       |ov AS (SELECT doc_id,
+       |         CAST(COUNT(*) FILTER (v.tok IS NULL) AS BIGINT) AS n_oov,
+       |         CAST(COUNT(*) FILTER (v.tok IS NULL) AS DOUBLE) / COUNT(*) AS oov_rate
+       |       FROM tk LEFT JOIN vocab v ON v.tok = tk.tok
+       |       GROUP BY doc_id),
+       |cb AS (SELECT bigram, COUNT(*) AS c FROM bi GROUP BY 1),
+       |cp AS (SELECT w1, COUNT(*) AS c FROM bi GROUP BY 1),
+       |lm AS (SELECT bi.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |         round(AVG(ln(CAST(cb.c AS DOUBLE) / cp.c)), 6) AS lm_score
+       |       FROM bi JOIN cb ON cb.bigram = bi.bigram JOIN cp ON cp.w1 = bi.w1
+       |       GROUP BY bi.doc_id),
+       |i3 AS (SELECT doc_id, ws,
+       |         unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+       |       FROM tw),
+       |sh3 AS (SELECT DISTINCT doc_id,
+       |          concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS shingle
+       |        FROM i3),
+       |common AS (SELECT shingle FROM sh3 GROUP BY shingle
+       |           HAVING COUNT(*) >= 5),
+       |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+       |        FROM sh3 GROUP BY doc_id),
+       |com AS (SELECT sh3.doc_id, CAST(COUNT(*) AS BIGINT) AS n_common
+       |        FROM sh3 JOIN common USING (shingle) GROUP BY sh3.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(cnt.n_shared, 0) AS BIGINT) AS n_shared,
+       |  CAST(CASE WHEN COALESCE(cnt.n_shared, 0) > 0 THEN 1 ELSE 0 END
+       |       AS INTEGER) AS contaminated,
+       |  CAST(ta.top_tok AS DOUBLE) / ta.n_tokens AS top_token_frac,
+       |  COALESCE(CAST(ba.top_bi AS DOUBLE) / ba.n_bi, 0.0) AS top_bigram_frac,
+       |  CAST(ta.n_distinct AS DOUBLE) / ta.n_tokens AS distinct_ratio,
+       |  ov.n_oov, ov.oov_rate,
+       |  lm.n_bigrams, lm.lm_score,
+       |  tot.n_shingles,
+       |  CAST(COALESCE(com.n_common, 0) AS BIGINT) AS n_common,
+       |  CAST(COALESCE(com.n_common, 0) AS DOUBLE)
+       |    / CAST(tot.n_shingles AS DOUBLE) AS boilerplate_ratio
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+       |LEFT JOIN cnt USING (doc_id)
+       |JOIN ta USING (doc_id)
+       |LEFT JOIN ba USING (doc_id)
+       |JOIN ov USING (doc_id)
+       |LEFT JOIN lm USING (doc_id)
+       |JOIN tot USING (doc_id)
+       |LEFT JOIN com USING (doc_id)""".stripMargin
+
+  /** MinHash near-dup FILTER oracle (mirrors q_pipeline_neardup:
+    * banded candidates at bandRows=1 over docs < 200, exact Jaccard
+    * >= 0.1, recursive transitive closure, keep each cluster's
+    * minimum id).
+    */
+  val qPipelineNeardup: String =
+    s"""${norm.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |${minhashPairCtes("WHERE doc_id < 200", 1)},
+       |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.1),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+       |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+       |       FROM reach GROUP BY node)
+       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+       |FROM documents d JOIN cl c
+       |  ON c.doc_id = d.doc_id AND c.cluster_id = d.doc_id""".stripMargin
+
+  /** Wire-dispatched duplicate clusters oracle (mirrors
+    * q_pipeline_clusters: docs < 500, simhash64 near-dup graph at
+    * hamming <= 3). The pair base is the brute-force all-pairs
+    * hamming — the anti-mirror that re-proves the band blocking exact
+    * — and the closure is a recursive CTE.
+    */
+  val qPipelineClusters: String = {
+    val ham = (1 to 64).map(j =>
+      s"CASE WHEN substr(a.simhash64, $j, 1) <> substr(b.simhash64, $j, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""${norm.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |${simhash64Cte("WHERE doc_id < 500")},
+       |h AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $ham AS hamming
+       |      FROM sig64 a JOIN sig64 b ON a.doc_id < b.doc_id),
+       |pairs AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+       |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+       |       FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |       FROM cl GROUP BY 1)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size
+       |FROM cl c JOIN sz s ON s.cluster_id = c.cluster_id""".stripMargin
   }
 
   /** Corpus budgeting: token totals per predicted language. */

@@ -215,6 +215,28 @@ object Registry {
     * behaviour. `pack_shards` is terminal (it returns the assignment
     * table, not the text).
     */
+  /** Packing granularity: after `chunk` the frame's unit of work is a
+    * (doc_id, chunk_id) CHUNK, and packing must key on it — hashing by
+    * doc_id alone would give every chunk of a document the same bucket
+    * draw and tie the greedy cumsum's ordering (nondeterministic).
+    * When `chunk_id` is present the pack runs on the composite
+    * "doc:chunk" key and the key splits back into its parts afterwards
+    * (row-local string ops, no join); at document granularity it packs
+    * by doc_id as before.
+    */
+  private def packAt(df: DataFrame)(
+      pack: (DataFrame, String) => DataFrame): DataFrame =
+    if (!df.columns.contains("chunk_id")) pack(df, "doc_id")
+    else {
+      val keyed = df.withColumn("__pack_id",
+        concat_ws(":", col("doc_id"), col("chunk_id")))
+      val parts = split(col("__pack_id"), ":")
+      pack(keyed, "__pack_id")
+        .withColumn("doc_id", parts.getItem(0).cast("long"))
+        .withColumn("chunk_id", parts.getItem(1).cast("int"))
+        .drop("__pack_id")
+    }
+
   val corpusTransforms: Map[String, Transform] = Map(
     "identity" -> ((df, _) => df),
     // args: [minQuality, lang?] — quality floor, optional language
@@ -258,13 +280,13 @@ object Registry {
     // args: [tokensPerShard, nBuckets, salt?] — terminal greedy
     // shard-packing assignment
     "pack_shards" -> ((df, a) =>
-      text.Packing.packShards(df, a.num(0).toLong, a.num(1).toInt,
-        a.strOpt(2).getOrElse("pack"))),
+      packAt(df)((d, id) => text.Packing.packShards(d, a.num(0).toLong,
+        a.num(1).toInt, a.strOpt(2).getOrElse("pack"), idCol = id))),
     // args: [contextTokens, nBuckets, salt?] — terminal
     // sequence-assembly assignment (seq ordinal + in-sequence offset)
     "pack_sequences" -> ((df, a) =>
-      text.Packing.packSequences(df, a.num(0).toLong, a.num(1).toInt,
-        a.strOpt(2).getOrElse("seq"))),
+      packAt(df)((d, id) => text.Packing.packSequences(d, a.num(0).toLong,
+        a.num(1).toInt, a.strOpt(2).getOrElse("seq"), idCol = id))),
     // PII redaction in place: `text` is replaced by its scrubbed form
     "scrub_pii" -> ((df, _) =>
       df.withColumn("text", text.TextOps.scrubText(col("text")))),
@@ -287,6 +309,76 @@ object Registry {
     // args: [k] — terminal per-doc top-k TF-IDF keyword extraction
     "tfidf" -> ((df, a) =>
       text.TextOps.tfidfKeywords(df, a.num(0).toInt)),
+
+    // ---- r7: the rest of the curation surface, wire-dispatchable ----
+    // (r6 verdict item 1: a service speaking the JSON format could
+    // only reach half the corpus ops; these close the gap)
+
+    // args: [n, evalSource?] — benchmark decontamination. evalSource
+    // is either a parquet path (an external eval/benchmark table with
+    // doc_id+text) or a numeric modulus m: eval = doc_id % m == 0 and
+    // the frame narrows to the remaining TRAIN docs (the harness
+    // convention of q_decontaminate). Appends (n_shared,
+    // contaminated); a later quality_filter-style step can drop on it.
+    "decontaminate" -> ((df, a) => {
+      val n = a.num(0).toInt
+      val (train, eval) = a.lift(1) match {
+        case Some(path: String) =>
+          (df, df.sparkSession.read.parquet(path)
+            .select(col("doc_id"), col("text")))
+        case _ =>
+          val m = a.numOpt(1).getOrElse(10.0).toLong
+          (df.filter(col("doc_id") % m =!= 0),
+            df.filter(col("doc_id") % m === 0))
+      }
+      train.join(
+        text.Contamination.decontaminate(train, eval, n), Seq("doc_id"))
+    }),
+    // args: [n, minDocs] — appends (n_shingles, n_common,
+    // boilerplate_ratio): the corpus-common n-gram share per doc
+    "boilerplate" -> ((df, a) =>
+      df.join(text.Contamination.boilerplateRatio(df, a.num(0).toInt,
+        a.num(1).toLong), Seq("doc_id"))),
+    // appends the Gopher-style repetition signals (top_token_frac,
+    // top_bigram_frac, distinct_ratio); its n_tokens duplicate of
+    // analyze's is dropped so the two steps compose either way round
+    "repetition" -> ((df, _) =>
+      df.join(text.TextOps.repetitionStats(df).drop("n_tokens"),
+        Seq("doc_id"))),
+    // appends (n_bigrams, lm_score) — the corpus-self-trained bigram
+    // LM fit; docs with < 2 tokens have no transitions → nulls (left
+    // join, mirroring bigramLmScore's absent rows)
+    "lm_score" -> ((df, _) =>
+      df.join(text.TextOps.bigramLmScore(df), Seq("doc_id"), "left")),
+    // args: [vocabSize] — appends (n_oov, oov_rate) vs the FRAME's
+    // own top-N vocabulary (so a quality gate earlier in the spec
+    // changes the vocabulary, as it should)
+    "oov" -> ((df, a) =>
+      df.join(text.TextOps.oovRate(df, a.num(0).toInt).drop("n_tokens"),
+        Seq("doc_id"))),
+    // args: [shingleSize, numHashes, bandRows, threshold] — MinHash
+    // near-duplicate FILTER, keep-the-canonical: LSH candidate pairs
+    // at the given banding, exact-Jaccard verified >= threshold,
+    // clusters resolved by connected components, and only each
+    // cluster's minimum doc_id survives. The step materialises the
+    // cluster labels (the CC loop is iterative by nature); everything
+    // around it stays lazy.
+    "minhash_neardup" -> ((df, a) => {
+      val pairs = dedup.Dedup.minhashLsh(df, a.num(0).toInt,
+        a.num(1).toInt, a.num(2).toInt, a.num(3))
+      val canon = dedup.Dedup
+        .connectedComponents(df.select(col("doc_id")), pairs)
+        .filter(col("doc_id") === col("cluster_id"))
+        .select("doc_id")
+      df.join(canon, Seq("doc_id"), "left_semi")
+    }),
+    // args: [maxDist?] — terminal duplicate-cluster table
+    // (doc_id, cluster_id, cluster_size) over the 64-bit simhash
+    // near-dup graph at hamming <= maxDist (default 3, the
+    // pigeonhole-exact banding regime)
+    "dedup_clusters" -> ((df, a) =>
+      dedup.Dedup.connectedComponents(df.select(col("doc_id")),
+        dedup.Dedup.simhash64Pairs(df, a.numOpt(0).getOrElse(3.0).toInt))),
   )
 
   /** One step of a pipeline spec. */

@@ -321,6 +321,53 @@ object SparkEntry {
            |{"type":"dedup_exact"},
            |{"type":"chunk","args":[64,8]}]""".stripMargin)
         .withColumnRenamed("text", "chunk_text")),
+    // r7: the FULL curation story as one wire spec (r6 verdict item
+    // 1) — scrub → sub-document span dedup → quality gate → exact
+    // dedup → context chunking → sequence packing, dispatched from
+    // JSON exactly as a remote service would receive it. Every 7th
+    // doc carries the PII probe so the scrub stage has real matches;
+    // packing keys on (doc_id, chunk_id) because the frame is at
+    // chunk granularity by then.
+    "q_pipeline_corpus_full" -> ((s, dir) =>
+      Registry.runCorpus(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(OracleExt.PiiProbe)))
+            .otherwise(col("text")).as("text")),
+        """[{"type":"scrub_pii"},
+           |{"type":"remove_repeated_spans","args":[8,2]},
+           |{"type":"quality_filter","args":[0.3]},
+           |{"type":"dedup_exact"},
+           |{"type":"chunk","args":[64,8]},
+           |{"type":"pack_sequences","args":[512,8,"seqf"]}]""".stripMargin)),
+    // r7: the signal-append steps as one spec — decontaminate narrows
+    // the frame to train docs, then repetition / OOV / LM-fit /
+    // boilerplate each append their quality signals computed over the
+    // narrowed frame (order matters and the oracle mirrors it)
+    "q_pipeline_corpus_signals" -> ((s, dir) =>
+      Registry.runCorpus(docs(s, dir).select(col("doc_id"), col("text")),
+        """[{"type":"decontaminate","args":[4,10]},
+           |{"type":"repetition"},
+           |{"type":"oov","args":[50]},
+           |{"type":"lm_score"},
+           |{"type":"boilerplate","args":[3,5]}]""".stripMargin)
+        .drop("text")),
+    // r7: MinHash near-dup removal as a wire step (keep-the-canonical
+    // cluster minimum; same capped banding as q_minhash_lsh)
+    "q_pipeline_neardup" -> ((s, dir) =>
+      Registry.runCorpus(
+        docs(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text")),
+        """[{"type":"minhash_neardup","args":[2,12,1,0.1]}]""")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))),
+    // r7: duplicate-cluster resolution as a terminal wire step over
+    // the 64-bit simhash graph (oracle = brute-force pairs + recursive
+    // closure, so the row re-proves band exactness AND the CC labels)
+    "q_pipeline_clusters" -> ((s, dir) =>
+      Registry.runCorpus(
+        docs(s, dir).filter(col("doc_id") < 500)
+          .select(col("doc_id"), col("text")),
+        """[{"type":"dedup_clusters","args":[3]}]""")),
     "q_corpus_stats" -> ((s, dir) => text.TextOps.corpusStats(docs(s, dir))),
     // exact per-language vocabulary cardinality (HLL scale path is
     // vocabStatsApprox, spec-bounded within 5%)
@@ -668,6 +715,10 @@ object SparkEntry {
     "q_dedup_exact" -> OracleExt.qDedupExact,
     "q_corpus_filter" -> OracleExt.qCorpusFilter,
     "q_pipeline_corpus" -> OracleExt.qPipelineCorpus,
+    "q_pipeline_corpus_full" -> OracleExt.qPipelineCorpusFull,
+    "q_pipeline_corpus_signals" -> OracleExt.qPipelineCorpusSignals,
+    "q_pipeline_neardup" -> OracleExt.qPipelineNeardup,
+    "q_pipeline_clusters" -> OracleExt.qPipelineClusters,
     "q_corpus_stats" -> OracleExt.qCorpusStats,
     "q_minhash_lsh" -> OracleExt.qMinhashLsh,
     "q_minhash_lsh_full" -> OracleExt.qMinhashLshFull,

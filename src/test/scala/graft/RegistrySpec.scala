@@ -108,6 +108,71 @@ class RegistrySpec extends SparkSpec {
     assert(scrubbed.select("text").head.getString(0) == "ping <email> or <url> now")
   }
 
+  test("r7 corpus steps: signal appenders, near-dup filter, clusters, chunked packing") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog barked at it all day long"),
+      // normalised-identical twin of 1 (J=1, simhash hamming=0): the
+      // short-fixture-safe near-dup — a one-word edit over 15 tokens
+      // flips far more than 3 of 64 simhash bits (each bit's ±1 sum is
+      // tiny), so true near-dup geometry needs corpus-sized docs, which
+      // the q_pipeline_clusters oracle covers
+      (2L, "the cat  sat on the mat and the dog barked at it all day long"),
+      (10L, "completely different text about weather patterns and rain clouds today"),
+      (11L, "the cat sat on the mat today")) // shares 4-grams with eval doc 10? no — with 1/2
+      .toDF("doc_id", "text")
+    // decontaminate: eval = doc_id % 10 == 0 (doc 10); frame narrows to
+    // train docs and appends flags — none of 1/2/11 share a 4-gram
+    // with doc 10, so all are clean
+    val dec = Registry.runCorpus(docs,
+      """[{"type":"decontaminate","args":[4,10]}]""")
+    assert(dec.columns.toSeq == Seq("doc_id", "text", "n_shared", "contaminated"))
+    assert(dec.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 11L))
+    assert(dec.filter(col("contaminated") === 1).count() == 0)
+    // a doc sharing an eval 4-gram IS flagged
+    val dirty = Seq((10L, "alpha beta gamma delta"), (3L, "x alpha beta gamma delta y"))
+      .toDF("doc_id", "text")
+    val flagged = Registry.runCorpus(dirty,
+      """[{"type":"decontaminate","args":[4,10]}]""")
+    assert(flagged.filter(col("contaminated") === 1)
+      .select("doc_id").head.getLong(0) == 3L)
+    // signal appenders match their library ops and compose in one spec
+    val sig = Registry.runCorpus(docs,
+      """[{"type":"repetition"},{"type":"oov","args":[5]},
+        |{"type":"lm_score"},{"type":"boilerplate","args":[3,2]}]""".stripMargin)
+    assert(Seq("top_token_frac", "distinct_ratio", "n_oov", "oov_rate",
+      "n_bigrams", "lm_score", "n_shingles", "boilerplate_ratio")
+      .forall(sig.columns.contains))
+    assert(sig.count() == 4)
+    val direct = text.TextOps.repetitionStats(docs)
+      .select("doc_id", "top_token_frac").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    sig.select("doc_id", "top_token_frac").collect().foreach { r =>
+      assert(r.getDouble(1) == direct(r.getLong(0)))
+    }
+    // minhash_neardup keeps the cluster minimum: docs 1/2 are J-near
+    // at 2-shingles, so 2 drops; singletons survive
+    val nd = Registry.runCorpus(docs,
+      """[{"type":"minhash_neardup","args":[2,12,1,0.5]}]""")
+    assert(nd.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 10L, 11L))
+    // dedup_clusters is terminal: every doc labelled, near-dups share
+    // a cluster
+    val cl = Registry.runCorpus(docs, """[{"type":"dedup_clusters","args":[3]}]""")
+    assert(cl.columns.toSeq == Seq("doc_id", "cluster_id", "cluster_size"))
+    val byDoc = cl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc(1L) == byDoc(2L) && byDoc(1L) == 1L)
+    assert(cl.count() == 4)
+    // packing after chunk keys on (doc_id, chunk_id) — every chunk
+    // packs independently, and the key columns come back typed
+    val packed = Registry.runCorpus(docs,
+      """[{"type":"chunk","args":[8]},
+        |{"type":"pack_sequences","args":[16,2,"s7"]}]""".stripMargin)
+    assert(packed.columns.toSet ==
+      Set("doc_id", "chunk_id", "n_tokens", "bucket", "seq", "offset"))
+    val nChunks = text.TextOps.chunkDocuments(docs, 8, 0).count()
+    assert(packed.count() == nChunks)
+    assert(packed.select(countDistinct(col("doc_id"), col("chunk_id"))).head.getLong(0) == nChunks)
+  }
+
   test("every operator family dispatches through the wire format") {
     // tiny 2-unit panel with value2 so every family can execute
     val mp = Seq((1L, 0L, 1.0, 2.0), (1L, 1L, 3.0, 4.0),
