@@ -803,20 +803,22 @@ object OracleExt {
        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
        |FROM rk WHERE rank <= 10""".stripMargin
 
-  /** Int8 quantization CTE ending in `qz(vec_id, scale, qv)` — the
-    * identical floor(x/scale + 0.5) arithmetic as Similarity.quantize
-    * (floor avoids round()-mode ambiguity across engines).
+  /** Int8 quantization CTEs `mx, qz(vec_id, scale, qv)` over a prior
+    * `c(vec_id, v)` — the identical floor(x/scale + 0.5) arithmetic as
+    * Similarity.quantize (floor avoids round()-mode ambiguity across
+    * engines).
     */
-  private val quantCte =
-    s"""$embCte,
-       |mx AS (SELECT vec_id, v,
-       |         list_max(list_transform(v, x -> abs(x))) AS m FROM c),
-       |qz AS (SELECT vec_id, v,
-       |         CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale,
-       |         list_transform(v,
-       |           x -> CAST(floor(x / (CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END) + 0.5)
-       |                AS INTEGER)) AS qv
-       |       FROM mx)""".stripMargin
+  private val quantTail =
+    """mx AS (SELECT vec_id, v,
+      |         list_max(list_transform(v, x -> abs(x))) AS m FROM c),
+      |qz AS (SELECT vec_id, v,
+      |         CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale,
+      |         list_transform(v,
+      |           x -> CAST(floor(x / (CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END) + 0.5)
+      |                AS INTEGER)) AS qv
+      |       FROM mx)""".stripMargin
+
+  private val quantCte = s"$embCte,\n$quantTail"
 
   val qEmbedQuantize: String =
     s"""$quantCte
@@ -862,6 +864,44 @@ object OracleExt {
        |    ${cosSql("a.v", "b.v")} AS cosine
        |  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3""".stripMargin
+  }
+
+  /** Embeddings wire-pipeline oracles (mirror Registry.runEmbeddings):
+    * a deterministic half-corpus hash sample (salt 'e7') feeds the
+    * sign-LSH near-dup pairs / the quantize + int8 MIPS top-k — the
+    * same operator SQL over the sampled `c`.
+    */
+  val qPipelineEmbed: String = {
+    val t = graft.sampling.Sampling.thresholdHex(0.5)
+    val bucket = (1 to 8).map(d =>
+      s"CASE WHEN v[$d] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE md5(CAST(vec_id AS VARCHAR) || ':e7') < '$t'),
+       |cb AS (SELECT vec_id, v, $bucket AS bucket FROM c),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${cosSql("a.v", "b.v")} AS cosine
+       |  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3""".stripMargin
+  }
+
+  val qPipelineEmbedQ8: String = {
+    val t = graft.sampling.Sampling.thresholdHex(0.5)
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE md5(CAST(vec_id AS VARCHAR) || ':e7') < '$t'),
+       |$quantTail,
+       |q AS (SELECT vec_id AS query_id, scale AS qs,
+       |        CAST(qv AS DOUBLE[]) AS qq FROM qz WHERE vec_id < 50),
+       |scored AS (
+       |  SELECT q.query_id, z.vec_id AS neighbor_id,
+       |    q.qs * z.scale * list_dot_product(qq, CAST(z.qv AS DOUBLE[])) AS score
+       |  FROM qz z, q WHERE z.vec_id <> q.query_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+       |FROM rk WHERE rank <= 5""".stripMargin
   }
 
   val qEmbedNearDup: String =

@@ -381,6 +381,61 @@ object Registry {
         dedup.Dedup.simhash64Pairs(df, a.numOpt(0).getOrElse(3.0).toInt))),
   )
 
+  /** Embeddings-frame registry: the same JSON wire format dispatched
+    * over an EMBEDDINGS frame (`vec_id`, `embedding`) — the similarity
+    * family's mirror of [[corpusTransforms]], so quantization, near-dup
+    * blocking and ANN retrieval compose as a spec a service can receive
+    * over the wire (r6 verdict item 6).
+    *
+    * Frame contract: steps consume and produce a frame keyed by
+    * `vec_id` with `embedding` intact; `quantize` APPENDS its columns.
+    * Retrieval / pair steps are TERMINAL — they return result tables
+    * (query_id/neighbor_id/rank, id_a/id_b/cosine), not an embeddings
+    * frame. Queries for the retrieval steps are selected from the frame
+    * itself by an id bound (`vec_id < queryMax`) — the deterministic
+    * in-corpus convention of the q_embed_* harness queries; an external
+    * query set is a parquet-path string instead.
+    */
+  val embeddingTransforms: Map[String, Transform] = Map(
+    "identity" -> ((df, _) => df),
+    // args: [fraction, salt?] — deterministic hash sampling by vec_id
+    "sample_hash" -> ((df, a) =>
+      sampling.Sampling.hashSample(df, "vec_id", a.num(0),
+        a.strOpt(1).getOrElse("emb"))),
+    // appends (scale, qvec): int8 symmetric quantization, joined back
+    // by vec_id so downstream steps see both precisions
+    "quantize" -> ((df, _) =>
+      df.join(similarity.Similarity.quantize(df), Seq("vec_id"))),
+    // args: [threshold, nBits?] — terminal sign-LSH near-dup pairs
+    // (bucketed self-join + exact cosine verify; never all-pairs)
+    "lsh_neardup" -> ((df, a) =>
+      similarity.Similarity.lshNearDupPairs(df, a.num(0),
+        0 until a.numOpt(1).getOrElse(8.0).toInt)),
+    // args: [k, queryMax | queryPath] — terminal exact cosine top-k
+    "topk" -> ((df, a) =>
+      similarity.Similarity.bruteForceTopK(df, embedQueries(df, a, 1),
+        a.num(0).toInt)),
+    // args: [k, queryMax | queryPath] — terminal int8 MIPS top-k
+    "topk_q8" -> ((df, a) =>
+      similarity.Similarity.quantizedTopK(df, embedQueries(df, a, 1),
+        a.num(0).toInt)),
+    // args: [k, nlists, nprobe, queryMax | queryPath] — terminal IVF
+    // ANN top-k (build + probe in one dispatch; a serving deployment
+    // would buildIvfIndex once instead)
+    "ivf_topk" -> ((df, a) =>
+      similarity.Similarity.ivfTopK(df, embedQueries(df, a, 3),
+        a.num(0).toInt, a.num(1).toInt, a.num(2).toInt)),
+  )
+
+  /** Query set for a retrieval step: arg `i` is either an id bound
+    * (queries = frame rows with vec_id < bound) or a parquet path.
+    */
+  private def embedQueries(df: DataFrame, a: Seq[Any], i: Int): DataFrame =
+    a.lift(i) match {
+      case Some(path: String) => df.sparkSession.read.parquet(path)
+      case _ => df.filter(col("vec_id") < a.num(i).toLong)
+    }
+
   /** One step of a pipeline spec. */
   final case class Step(name: String, args: Seq[Any])
 
@@ -441,4 +496,8 @@ object Registry {
   /** Run a JSON corpus-pipeline spec over a documents frame. */
   def runCorpus(df: DataFrame, json: String): DataFrame =
     corpusPipeline(df, parse(json))
+
+  /** Run a JSON spec over an embeddings frame. */
+  def runEmbeddings(df: DataFrame, json: String): DataFrame =
+    parse(json).foldLeft(df)(applyIn(embeddingTransforms, "embedding"))
 }

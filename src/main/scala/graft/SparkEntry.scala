@@ -471,6 +471,18 @@ object SparkEntry {
       similarity.Similarity.ivfTopK(e, e.filter(col("vec_id") < 50),
         k = 10, nlists = 16, nprobe = 4)
     }),
+    // r7: the similarity family over the wire format — deterministic
+    // half-corpus sample, then sign-LSH near-dup pairs / int8 MIPS
+    // top-k, dispatched from JSON (mirror of runCorpus for embeddings)
+    "q_pipeline_embed" -> ((s, dir) =>
+      Registry.runEmbeddings(embeddings(s, dir),
+        """[{"type":"sample_hash","args":[0.5,"e7"]},
+           |{"type":"lsh_neardup","args":[0.3,8]}]""".stripMargin)),
+    "q_pipeline_embed_q8" -> ((s, dir) =>
+      Registry.runEmbeddings(embeddings(s, dir),
+        """[{"type":"sample_hash","args":[0.5,"e7"]},
+           |{"type":"quantize"},
+           |{"type":"topk_q8","args":[5,50]}]""".stripMargin)),
     "q_impute_regression" -> onMissing(p =>
       ml.Imputer.regressionImpute(p, "value", "value2")
         .select(col(T), col(U), col("imputed"))),
@@ -760,6 +772,8 @@ object SparkEntry {
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,
     "q_embed_ivf_topk" -> OracleExt.qEmbedIvfTopK(),
+    "q_pipeline_embed" -> OracleExt.qPipelineEmbed,
+    "q_pipeline_embed_q8" -> OracleExt.qPipelineEmbedQ8,
     "q_impute_regression" -> OracleExt.qImputeRegression,
     "q_multimodal_features" -> OracleExt.qMultimodalFeatures,
     "q_multimodal_resize" -> OracleExt.qMultimodalResize(16, 16),

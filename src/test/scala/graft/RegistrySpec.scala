@@ -173,6 +173,33 @@ class RegistrySpec extends SparkSpec {
     assert(packed.select(countDistinct(col("doc_id"), col("chunk_id"))).head.getLong(0) == nChunks)
   }
 
+  test("embeddings wire format: sample, quantize append, retrieval dispatch") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(-1.0f, 0.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    // quantize APPENDS — frame contract holds, raw embedding intact
+    val qd = Registry.runEmbeddings(emb, """[{"type":"quantize"}]""")
+    assert(qd.columns.toSeq == Seq("vec_id", "embedding", "scale", "qvec"))
+    assert(qd.count() == 4)
+    // terminal retrieval matches the direct call
+    val viaWire = Registry.runEmbeddings(emb,
+      """[{"type":"topk","args":[2,2]}]""").orderBy("query_id", "rank").collect()
+    val direct = similarity.Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < 2), 2).orderBy("query_id", "rank").collect()
+    assert(viaWire.toSeq == direct.toSeq)
+    // near-dup pairs through the wire: 0 and 1 share the sign bucket
+    // and cosine ≈ 0.994
+    val nd = Registry.runEmbeddings(emb,
+      """[{"type":"lsh_neardup","args":[0.9,3]}]""").collect()
+    assert(nd.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+    // its own namespace in errors
+    val e = intercept[IllegalArgumentException](
+      Registry.runEmbeddings(emb, """[{"type":"chunk","args":[8]}]"""))
+    assert(e.getMessage.contains("unknown embedding transform 'chunk'"))
+    assert(e.getMessage.contains("ivf_topk"))
+  }
+
   test("every operator family dispatches through the wire format") {
     // tiny 2-unit panel with value2 so every family can execute
     val mp = Seq((1L, 0L, 1.0, 2.0), (1L, 1L, 3.0, 4.0),
