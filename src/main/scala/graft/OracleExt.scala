@@ -321,6 +321,34 @@ object OracleExt {
        |FROM p""".stripMargin
   }
 
+  /** Scale-adaptive packing oracle (mirrors Packing.packShardsAuto:
+    * budget 4000, shardsPerBucket 4, salt 'packa'): the bucket count
+    * itself is derived in SQL — ceil(Σ tokens / (4000·4)), min 1 — so
+    * the derivation arithmetic is part of the checked value.
+    */
+  val qPackShardsAuto: String = {
+    val band = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR) || ':packa') AS h
+       |  FROM documents),
+       |nb AS (SELECT GREATEST(
+       |         CAST(ceil(SUM(n_tokens) / (4000.0 * 4)) AS BIGINT), 1) AS nbuckets
+       |       FROM d),
+       |b AS (SELECT doc_id, n_tokens, h,
+       |        CAST(($band) % nb.nbuckets AS BIGINT) AS bucket FROM d, nb),
+       |p AS (SELECT doc_id, n_tokens, bucket,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+       |  FROM b)
+       |SELECT doc_id, n_tokens, bucket,
+       |  CAST(FLOOR(prefix / 4000.0) AS BIGINT) AS shard
+       |FROM p""".stripMargin
+  }
+
   /** Repeated-span removal oracle (mirrors Dedup.removeRepeatedSpans
     * with n = 8, minDf = 2): positional word 8-grams keyed by the same
     * 16-hex-char md5 prefix, df over distinct docs, covered token

@@ -278,15 +278,30 @@ object Registry {
       sampling.Sampling.hashSample(df, "doc_id", a.num(0),
         a.strOpt(1).getOrElse("corpus"))),
     // args: [tokensPerShard, nBuckets, salt?] — terminal greedy
-    // shard-packing assignment
-    "pack_shards" -> ((df, a) =>
-      packAt(df)((d, id) => text.Packing.packShards(d, a.num(0).toLong,
-        a.num(1).toInt, a.strOpt(2).getOrElse("pack"), idCol = id))),
+    // shard-packing assignment. nBuckets 0 (or omitted) derives the
+    // bucket count from the frame's own token mass
+    // (Packing.deriveBuckets) — the scale-safe default
+    "pack_shards" -> ((df, a) => packAt(df) { (d, id) =>
+      val nb = a.numOpt(1).getOrElse(0.0).toInt
+      if (nb > 0)
+        text.Packing.packShards(d, a.num(0).toLong, nb,
+          a.strOpt(2).getOrElse("pack"), idCol = id)
+      else
+        text.Packing.packShardsAuto(d, a.num(0).toLong,
+          a.strOpt(2).getOrElse("pack"), idCol = id)
+    }),
     // args: [contextTokens, nBuckets, salt?] — terminal
-    // sequence-assembly assignment (seq ordinal + in-sequence offset)
-    "pack_sequences" -> ((df, a) =>
-      packAt(df)((d, id) => text.Packing.packSequences(d, a.num(0).toLong,
-        a.num(1).toInt, a.strOpt(2).getOrElse("seq"), idCol = id))),
+    // sequence-assembly assignment (seq ordinal + in-sequence offset);
+    // nBuckets 0/omitted derives as above
+    "pack_sequences" -> ((df, a) => packAt(df) { (d, id) =>
+      val nb = a.numOpt(1).getOrElse(0.0).toInt
+      if (nb > 0)
+        text.Packing.packSequences(d, a.num(0).toLong, nb,
+          a.strOpt(2).getOrElse("seq"), idCol = id)
+      else
+        text.Packing.packSequencesAuto(d, a.num(0).toLong,
+          a.strOpt(2).getOrElse("seq"), idCol = id)
+    }),
     // PII redaction in place: `text` is replaced by its scrubbed form
     "scrub_pii" -> ((df, _) =>
       df.withColumn("text", text.TextOps.scrubText(col("text")))),

@@ -579,6 +579,13 @@ object SparkEntry {
     "q_pack_shards" -> ((s, dir) =>
       text.Packing.packShards(docs(s, dir), tokensPerShard = 4000,
         nBuckets = 8, salt = "pack0")),
+    // scale-adaptive bucket derivation (r6 verdict item 5): the oracle
+    // re-derives ceil(total_tokens / (budget × unitsPerBucket)) in SQL,
+    // so the no-footgun default's arithmetic is pinned cross-engine
+    // (shardsPerBucket=4 so sf0.01 still derives multiple buckets)
+    "q_pack_shards_auto" -> ((s, dir) =>
+      text.Packing.packShardsAuto(docs(s, dir), tokensPerShard = 4000,
+        salt = "packa", shardsPerBucket = 4)),
     // per-language stratified sampling (scan-side deterministic filter)
     "q_sample_stratified" -> ((s, dir) =>
       sampling.Sampling.hashSampleStratified(
@@ -744,6 +751,7 @@ object SparkEntry {
     "q_sample_split" -> OracleExt.qSampleSplit,
     "q_sessionize" -> OracleExt.qSessionize,
     "q_pack_shards" -> OracleExt.qPackShards,
+    "q_pack_shards_auto" -> OracleExt.qPackShardsAuto,
     "q_pack_sequences" -> OracleExt.qPackSequences,
     "q_scrub_pii" -> OracleExt.qScrubPii,
     "q_tfidf" -> OracleExt.qTfidf,

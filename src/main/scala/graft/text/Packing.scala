@@ -98,6 +98,64 @@ object Packing {
       .drop("__h", "__prefix")
   }
 
+  /** Scale-adaptive bucket count (r6 verdict item 5): a caller-fixed
+    * `nBuckets` is a footgun at 100 TB — 8 buckets serialise a
+    * petascale pack through 8 cumsum partitions, while 4096 buckets on
+    * a laptop corpus yield one underfull trailing shard each. The
+    * derived default targets ~`unitsPerBucket` budget units (shards or
+    * sequences) of token mass per bucket:
+    * `ceil(totalTokens / (unitTokens × unitsPerBucket))`, min 1 —
+    * bucket count grows linearly with the corpus, per-bucket work
+    * stays ~constant (`unitsPerBucket × unitTokens` tokens), and the
+    * underfull-trailing-shard waste stays bounded at 1/unitsPerBucket
+    * of the budget per bucket.
+    */
+  /** Backstop on the derived bucket count: 2²⁰ buckets is ~3 orders
+    * beyond a 100 TB corpus at sane budgets (25 T tokens / (4096-token
+    * contexts × 4096 per bucket) ≈ 1.5 k buckets) — the cap exists so
+    * degenerate inputs (unit budget 1) can't overflow Int or request
+    * more partitions than any cluster schedules.
+    */
+  val MaxDerivedBuckets: Int = 1 << 20
+
+  def deriveBuckets(totalTokens: Long, unitTokens: Long,
+                    unitsPerBucket: Int = 64): Int = {
+    require(unitTokens > 0 && unitsPerBucket > 0,
+      "unitTokens and unitsPerBucket must be positive")
+    val ideal = math.ceil(
+      totalTokens.toDouble / (unitTokens.toDouble * unitsPerBucket))
+    math.min(math.max(ideal, 1.0), MaxDerivedBuckets.toDouble).toInt
+  }
+
+  /** Whitespace-token mass of the corpus — one map-side-combined
+    * aggregate scan. A production deployment with table statistics can
+    * pass its known total to [[deriveBuckets]] instead of paying the
+    * scan.
+    */
+  def totalTokens(docs: DataFrame, textCol: String = "text"): Long =
+    docs.agg(sum(TextOps.tokenCount(col(textCol)).cast("long")))
+      .head.getLong(0)
+
+  /** [[packShards]] with the bucket count derived from the corpus'
+    * own token mass — the no-footgun default entry point.
+    */
+  def packShardsAuto(docs: DataFrame, tokensPerShard: Long, salt: String,
+                     shardsPerBucket: Int = 64, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    packShards(docs, tokensPerShard,
+      deriveBuckets(totalTokens(docs, textCol), tokensPerShard, shardsPerBucket),
+      salt, idCol, textCol)
+
+  /** [[packSequences]] with the bucket count derived from the corpus'
+    * own token mass.
+    */
+  def packSequencesAuto(docs: DataFrame, contextTokens: Long, salt: String,
+                        seqsPerBucket: Int = 4096, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    packSequences(docs, contextTokens,
+      deriveBuckets(totalTokens(docs, textCol), contextTokens, seqsPerBucket),
+      salt, idCol, textCol)
+
   /** Materialise the packed corpus as one parquet directory per
     * (bucket, shard): `path/bucket=B/shard=S/…`. A training loader
     * streams one shard directory at a time (each ≤ ~tokensPerShard

@@ -281,6 +281,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("derived packing buckets: bounded per-bucket mass, monotone, >= 1") {
+    import text.Packing
+    // arithmetic properties over random (total, unit, upb) draws
+    val gen = for {
+      total <- Gen.chooseNum(0L, 1L << 50)
+      unit <- Gen.chooseNum(1L, 1L << 20)
+      upb <- Gen.chooseNum(1, 4096)
+    } yield (total, unit, upb)
+    Gen.listOfN(200, gen).apply(Gen.Parameters.default, Seed(77L)).get
+      .foreach { case (total, unit, upb) =>
+        val b = Packing.deriveBuckets(total, unit, upb)
+        assert(b >= 1 && b <= Packing.MaxDerivedBuckets)
+        // ceil property: expected per-bucket token mass never exceeds
+        // the unitsPerBucket × unitTokens target — unless the backstop
+        // cap engaged (degenerate unit budgets), where mass is instead
+        // bounded by total/cap
+        if (total > 0 && b < Packing.MaxDerivedBuckets)
+          assert(total.toDouble / b <= unit.toDouble * upb + 1e-6,
+            s"total=$total unit=$unit upb=$upb b=$b")
+        // monotone in corpus size: more tokens never fewer buckets
+        assert(Packing.deriveBuckets(total * 2 max total, unit, upb) >= b)
+      }
+    // end-to-end on a corpus: the derived pack keeps actual per-bucket
+    // mass near the target (hash uniformity; seeded fixture)
+    val docs = (0L until 400L).map { i =>
+      val words = 20 + (i * 37 % 160)
+      (i, Seq.fill(words.toInt)("w" + (i % 13)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val total = Packing.totalTokens(docs)
+    val packed = Packing.packShardsAuto(docs, tokensPerShard = 500,
+      shardsPerBucket = 8, salt = "auto0")
+    val expectedB = Packing.deriveBuckets(total, 500, 8)
+    val mass = packed.groupBy("bucket").agg(sum("n_tokens").as("m"))
+      .collect().map(_.getLong(1))
+    assert(mass.length <= expectedB)
+    // each bucket's mass stays within ~2.5x of the even share — the
+    // md5 band is uniform, and the derivation keeps shares ~constant
+    // regardless of corpus size
+    val even = total.toDouble / expectedB
+    assert(mass.forall(_ <= even * 2.5),
+      s"bucket mass ${mass.toSeq} vs even share $even")
+  }
+
   test("quantize round-trip property: error <= scale/2, extremes hit ±127") {
     val vecGen = Gen.chooseNum(2, 16).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0)))
