@@ -47,6 +47,10 @@ object Bench {
     "q_tfidf", "q_sample_stratified", "q_ngram_index",
     "q_decontaminate", "q_boilerplate", "q_sample_topk_stratum",
     "q_pipeline_corpus",
+    "q_pipeline_corpus_full", "q_pipeline_corpus_signals",
+    "q_pipeline_neardup", "q_pipeline_clusters",
+    "q_pipeline_embed", "q_pipeline_embed_q8",
+    "q_pack_shards_auto", "q_chunk_bpe", "q_pack_sequences_bpe",
     "q_json_rollup", "q_pivot_events", "q_vocab", "q_length_quantiles",
     "q_asof_purchase", "q_range_join",
     "q_multimodal_features", "q_multimodal_frames", "q_multimodal_audio",

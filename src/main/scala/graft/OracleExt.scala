@@ -775,6 +775,83 @@ object OracleExt {
        |FROM ch""".stripMargin
   }
 
+  /** Shared CTEs ending in `wcost(w, cost)` — the greedy
+    * longest-match BPE cost of every DISTINCT corpus word against the
+    * corpus' own top-50 vocab (mirrors Bpe.corpusVocab +
+    * Bpe.wordCost). The matching rule is a recursive CTE whose step
+    * advances the cursor by the longest vocab entry prefixing the
+    * remaining word (correlated MAX-length subquery), else 1 — the
+    * identical rule the Spark expression folds.
+    */
+  private val bpeWcostCtes: String =
+    s"""tl AS (SELECT unnest(string_split(nt, ' ')) AS tok FROM norm),
+       |vcb AS (SELECT tok, COUNT(*) AS c FROM tl GROUP BY 1),
+       |vocab AS (SELECT tok FROM vcb ORDER BY c DESC, tok LIMIT 50),
+       |dw AS (SELECT DISTINCT unnest(string_split(nt, ' ')) AS w FROM norm),
+       |rec(w, pos, cnt) AS (
+       |  SELECT w, 1, 0 FROM dw
+       |  UNION ALL
+       |  SELECT w,
+       |    pos + COALESCE((SELECT MAX(length(tok)) FROM vocab
+       |                    WHERE length(tok) <= length(w) - pos + 1
+       |                      AND substr(w, pos, length(tok)) = tok), 1),
+       |    cnt + 1
+       |  FROM rec WHERE pos <= length(w)),
+       |wcost AS (SELECT w, MAX(cnt) AS cost FROM rec GROUP BY w)""".stripMargin
+
+  /** BPE-budget chunking oracle (mirrors Bpe.chunkByBudget with
+    * budget 48 over the corpus-vocab tokenizer): a second recursion
+    * folds each document's word sequence through the greedy
+    * chunk-fill rule, then chunks reassemble by (doc, chunk).
+    */
+  val qChunkBpe: String =
+    s"""${norm.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$bpeWcostCtes,
+       |dw2 AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM norm),
+       |wrd AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws FROM dw2),
+       |wc2 AS (SELECT wrd.doc_id, wrd.i, wrd.ws[wrd.i] AS w, wcost.cost
+       |        FROM wrd JOIN wcost ON wcost.w = wrd.ws[wrd.i]),
+       |crec(doc_id, i, cid, filled) AS (
+       |  SELECT doc_id, i, 0, cost FROM wc2 WHERE i = 1
+       |  UNION ALL
+       |  SELECT c.doc_id, n.i,
+       |    CASE WHEN c.filled + n.cost <= 48 THEN c.cid ELSE c.cid + 1 END,
+       |    CASE WHEN c.filled + n.cost <= 48 THEN c.filled + n.cost ELSE n.cost END
+       |  FROM crec c JOIN wc2 n ON n.doc_id = c.doc_id AND n.i = c.i + 1)
+       |SELECT w2.doc_id, CAST(cr.cid AS INTEGER) AS chunk_id,
+       |  string_agg(w2.w, ' ' ORDER BY w2.i) AS chunk_text,
+       |  CAST(SUM(w2.cost) AS BIGINT) AS n_tokens_bpe
+       |FROM wc2 w2 JOIN crec cr ON cr.doc_id = w2.doc_id AND cr.i = w2.i
+       |GROUP BY w2.doc_id, cr.cid""".stripMargin
+
+  /** BPE-denominated sequence packing oracle (mirrors
+    * Packing.packSequences with tokenCounter = Bpe.tokenCount, context
+    * 512, 8 buckets, salt 'seqb'): per-doc BPE totals feed the same
+    * two-level bucket cumsum as qPackSequences.
+    */
+  val qPackSequencesBpe: String = {
+    val band = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ")
+    s"""${norm.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$bpeWcostCtes,
+       |dwords AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS w FROM norm),
+       |d AS (SELECT dw.doc_id, CAST(SUM(wc.cost) AS BIGINT) AS n_tokens,
+       |        md5(CAST(dw.doc_id AS VARCHAR) || ':seqb') AS h
+       |      FROM dwords dw JOIN wcost wc ON wc.w = dw.w
+       |      GROUP BY dw.doc_id),
+       |b AS (SELECT doc_id, n_tokens, h,
+       |        CAST(($band) % 8 AS BIGINT) AS bucket FROM d),
+       |p AS (SELECT doc_id, n_tokens, bucket,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+       |  FROM b)
+       |SELECT doc_id, n_tokens, bucket,
+       |  CAST(FLOOR(prefix / 512.0) AS BIGINT) AS seq,
+       |  CAST(prefix - CAST(FLOOR(prefix / 512.0) AS BIGINT) * 512 AS BIGINT) AS offset
+       |FROM p""".stripMargin
+  }
+
   /** OOV rate vs the corpus' own top-50 tokens (mirrors
     * TextOps.oovRate: global counts, ties lexicographic).
     */

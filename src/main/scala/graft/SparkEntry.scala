@@ -290,6 +290,21 @@ object SparkEntry {
       text.TextOps.chunkDocuments(docs(s, dir), maxTokens = 64, overlap = 8)),
     // vocabulary-pruning signal: OOV rate vs the corpus' own top-50
     "q_oov" -> ((s, dir) => text.TextOps.oovRate(docs(s, dir), vocabSize = 50)),
+    // r7: tokenizer-REAL budgets (r6 verdict item 2) — greedy
+    // longest-match subword tokenization against the corpus' own
+    // top-50 vocab; chunk boundaries and packing budgets denominated
+    // in BPE tokens, oracle-mirrored via recursive-CTE longest-match
+    "q_chunk_bpe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      text.Bpe.chunkByBudget(d, budget = 48,
+        vocab = text.Bpe.corpusVocab(d, 50))
+    }),
+    "q_pack_sequences_bpe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = text.Bpe.corpusVocab(d, 50)
+      text.Packing.packSequences(d, contextTokens = 512, nBuckets = 8,
+        salt = "seqb", tokenCounter = text.Bpe.tokenCount(_, vocab))
+    }),
     // self-trained bigram LM corpus-fit score
     "q_lm_score" -> ((s, dir) => text.TextOps.bigramLmScore(docs(s, dir))),
     "q_dedup_exact" -> ((s, dir) => dedup.Dedup.exact(docs(s, dir))),
@@ -774,6 +789,8 @@ object SparkEntry {
     "q_embed_topk_q8" -> OracleExt.qEmbedTopKQ8,
     "q_repetition" -> OracleExt.qRepetition,
     "q_chunk" -> OracleExt.qChunk,
+    "q_chunk_bpe" -> OracleExt.qChunkBpe,
+    "q_pack_sequences_bpe" -> OracleExt.qPackSequencesBpe,
     "q_oov" -> OracleExt.qOov,
     "q_lm_score" -> OracleExt.qLmScore,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,

@@ -42,14 +42,19 @@ object Packing {
     * @return (doc_id, n_tokens, bucket, shard) — `shard` is the
     *   bucket-local ordinal; (bucket, shard) is the global shard key.
     */
+  /** @param tokenCounter the budget denominator — whitespace tokens by
+    *   default; pass `Bpe.tokenCount(_, vocab)` for tokenizer-real
+    *   budgets a pretraining loader can trust.
+    */
   def packShards(docs: DataFrame, tokensPerShard: Long, nBuckets: Int,
                  salt: String, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text",
+                 tokenCounter: Column => Column = TextOps.tokenCount): DataFrame = {
     require(nBuckets > 0 && tokensPerShard > 0,
       "nBuckets and tokensPerShard must be positive")
     val h = Sampling.hashKey(col(idCol), salt)
     val withKey = docs.select(col(idCol),
-      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      tokenCounter(col(textCol)).cast("long").as("n_tokens"),
       pmod(hexBand(col(idCol), salt), lit(nBuckets)).cast("long").as("bucket"),
       h.as("__h"))
     // greedy pack in hash order: a doc's shard is the budget-quotient
@@ -81,12 +86,13 @@ object Packing {
     */
   def packSequences(docs: DataFrame, contextTokens: Long, nBuckets: Int,
                     salt: String, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    tokenCounter: Column => Column = TextOps.tokenCount): DataFrame = {
     require(nBuckets > 0 && contextTokens > 0,
       "nBuckets and contextTokens must be positive")
     val h = Sampling.hashKey(col(idCol), salt)
     val withKey = docs.select(col(idCol),
-      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      tokenCounter(col(textCol)).cast("long").as("n_tokens"),
       pmod(hexBand(col(idCol), salt), lit(nBuckets)).cast("long").as("bucket"),
       h.as("__h"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("__h"), col(idCol))

@@ -402,4 +402,60 @@ class TextPipelineSpec extends SparkSpec {
       n = 5, maxPostings = 2).collect().head
     assert(hot.getLong(1) == 3L && hot.getString(2) == "5,7")
   }
+
+  test("BPE greedy longest-match: worked examples, lossless round-trip") {
+    import graft.text.Bpe
+    val vocab = Seq("the", "cat", "at", "her", "ing")
+    val words = Seq("thecatther", "xyz", "scattering", "the", "")
+      .toDF("w")
+    val toks = words.select(col("w"),
+        Bpe.tokenizeWord(col("w"), vocab).as("t"),
+        Bpe.wordCost(col("w"), vocab).as("c"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[String](1), r.getLong(2))).toMap
+    // the|cat|the|r — at pos 7 'the' (len 3) beats 'at' via longest-match
+    assert(toks("thecatther")._1 == Seq("the", "cat", "the", "r"))
+    // no matches: one unk char each
+    assert(toks("xyz")._1 == Seq("x", "y", "z"))
+    // s|cat|t|e|r|ing — 'ing' matched at the tail
+    assert(toks("scattering")._1 == Seq("s", "cat", "t", "e", "r", "ing"))
+    assert(toks("the")._1 == Seq("the") && toks("the")._2 == 1L)
+    assert(toks("")._1.isEmpty && toks("")._2 == 0L)
+    // lossless: concat(tokens) == word, always
+    toks.foreach { case (w, (t, c)) =>
+      assert(t.mkString("") == w); assert(c == t.length)
+    }
+    // whole-text count sums the words; tokenize flattens in order
+    val txt = Seq("The cat  scattering").toDF("text")
+    assert(txt.select(Bpe.tokenCount(col("text"), vocab)).head.getLong(0) == 1 + 1 + 6)
+    assert(txt.select(Bpe.tokenize(col("text"), vocab)).head.getSeq[String](0) ==
+      Seq("the", "cat", "s", "cat", "t", "e", "r", "ing"))
+  }
+
+  test("chunkByBudget: BPE budget respected, words never split, text reassembles") {
+    import graft.text.Bpe
+    val vocab = Seq("aa", "bb")
+    // word costs: 'aaaa'=2, 'bb'=1, 'c'=1, 'aabb'=2, 'ccccc'=5
+    val docs = Seq((1L, "aaaa bb c aabb ccccc"), (2L, ""), (3L, "ccccc"))
+      .toDF("doc_id", "text")
+    val ch = Bpe.chunkByBudget(docs, budget = 3, vocab = vocab)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = ch.filter(_.getLong(0) == 1L)
+      .map(r => (r.getString(2), r.getLong(3))).toSeq
+    // greedy: aaaa(2)+bb(1)=3 | c(1)+aabb(2)=3 | ccccc(5) overflows alone
+    assert(d1 == Seq(("aaaa bb", 3L), ("c aabb", 3L), ("ccccc", 5L)))
+    // empty doc -> one empty chunk of cost 0; oversized single word
+    // gets its own chunk even as the doc's first
+    assert(ch.filter(_.getLong(0) == 2L).map(r =>
+      (r.getString(2), r.getLong(3))).toSeq == Seq(("", 0L)))
+    assert(ch.filter(_.getLong(0) == 3L).map(r =>
+      (r.getString(2), r.getLong(3))).toSeq == Seq(("ccccc", 5L)))
+    // reassembly: joining chunk texts restores the normalised doc
+    val re = Bpe.chunkByBudget(docs, 3, vocab)
+      .groupBy("doc_id")
+      .agg(array_join(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text"))))
+        .getField("chunk_text"), " ").as("re"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re(1L) == "aaaa bb c aabb ccccc" && re(3L) == "ccccc")
+  }
 }
