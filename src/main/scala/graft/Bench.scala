@@ -54,6 +54,7 @@ object Bench {
     "q_json_rollup", "q_pivot_events", "q_vocab", "q_length_quantiles",
     "q_asof_purchase", "q_range_join",
     "q_multimodal_features", "q_multimodal_frames", "q_multimodal_audio",
+    "q_multimodal_gif_frames",
     "q_pricing_summary", "q_top_orders", "q_region_revenue",
     "q_panel_stream")
 

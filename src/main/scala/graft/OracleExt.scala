@@ -1596,8 +1596,9 @@ object OracleExt {
   }
 
   /** Frame-sample stub oracle: frame i = bytes [i·fb, (i+1)·fb), every
-    * `everyN`-th frame emitted with its length and hex-string md5 —
-    * mirrors Multimodal.frameSample over the UTF-8 byte table.
+    * `everyN`-th frame emitted with its length, byte mean, and
+    * hex-string md5 — mirrors Multimodal.frameSample's opaque-payload
+    * fallback over the UTF-8 byte table (decoded = FALSE).
     */
   def qMultimodalFrames(frameBytes: Int, everyN: Int): String =
     s"""WITH $utf8Bytes,
@@ -1605,10 +1606,46 @@ object OracleExt {
        |  SELECT media_id, CAST(j // $frameBytes AS INTEGER) AS frame_idx, j, b
        |  FROM byt
        |  WHERE (j // $frameBytes) % $everyN = 0)
-       |SELECT media_id, frame_idx,
+       |SELECT media_id, frame_idx, FALSE AS decoded,
        |  CAST(COUNT(*) AS BIGINT) AS frame_len,
+       |  CAST(SUM(b) AS DOUBLE) / COUNT(*) AS mean_gray,
        |  md5(string_agg(${hexByte("b")}, '' ORDER BY j)) AS frame_md5
        |FROM fr GROUP BY media_id, frame_idx""".stripMargin
+
+  /** REAL video-frame oracle (Multimodal.synthesizeGifs → frameSample,
+    * everyN = 2): the animated GIF is lossless over its 256-gray
+    * palette, so the Spark side's actual multi-frame ImageIO decode
+    * recovers exactly the synthesized pixels — the oracle recomputes
+    * the frame function (gray of frame f, pixel p = text byte
+    * (p + 7·f) mod n; w = 6 + id mod 10, h = 6 + n mod 10,
+    * frames = 2 + id mod 3) instead of decoding.
+    */
+  def qMultimodalGifFrames(everyN: Int): String =
+    s"""WITH $utf8Bytes,
+       |dims AS (
+       |  SELECT media_id, n,
+       |    CAST(6 + media_id % 10 AS INT) AS w,
+       |    CAST(6 + n % 10 AS INT) AS h,
+       |    CAST(2 + media_id % 3 AS INT) AS nf
+       |  FROM d),
+       |frm AS (
+       |  SELECT media_id, n, w, h, unnest(generate_series(0, nf - 1)) AS f
+       |  FROM dims),
+       |sel AS (SELECT * FROM frm WHERE f % $everyN = 0),
+       |px AS (
+       |  SELECT media_id, n, w, h, f, unnest(generate_series(0, w * h - 1)) AS p
+       |  FROM sel),
+       |pg AS (
+       |  SELECT px.media_id, px.f, px.w, px.h, px.p,
+       |    CASE WHEN px.n = 0 THEN 0 ELSE COALESCE(y.b, 0) END AS g
+       |  FROM px LEFT JOIN byt y
+       |    ON y.media_id = px.media_id AND px.n > 0
+       |       AND y.j = (px.p + 7 * px.f) % px.n)
+       |SELECT media_id, CAST(f AS INTEGER) AS frame_idx, TRUE AS decoded,
+       |  CAST(w * h AS BIGINT) AS frame_len,
+       |  CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_gray,
+       |  md5(string_agg(${hexByte("g")}, '' ORDER BY p)) AS frame_md5
+       |FROM pg GROUP BY media_id, f, w, h""".stripMargin
 
   /** Regression imputation (the 2-column analogue of the reference's
     * IterativeImputer, missing.py:165-209): OLS of value on value2 over

@@ -519,6 +519,13 @@ object SparkEntry {
     "q_multimodal_frames" -> ((s, dir) =>
       multimodal.Multimodal.frameSample(
         multimodal.Multimodal.synthesize(docs(s, dir)), frameBytes = 64, everyN = 4)),
+    // r7: REAL video frames (r6 verdict item 3) — multi-frame animated
+    // GIFs decoded frame-by-frame via ImageIO; the oracle recomputes
+    // the lossless synthesized pixels per frame
+    "q_multimodal_gif_frames" -> ((s, dir) =>
+      multimodal.Multimodal.frameSample(
+        multimodal.Multimodal.synthesizeGifs(docs(s, dir)),
+        frameBytes = 64, everyN = 2)),
     // real WAV decode via javax.sound: features over actual PCM samples
     "q_multimodal_audio" -> ((s, dir) =>
       multimodal.Multimodal.extractAudioFeatures(
@@ -803,6 +810,7 @@ object SparkEntry {
     "q_multimodal_features" -> OracleExt.qMultimodalFeatures,
     "q_multimodal_resize" -> OracleExt.qMultimodalResize(16, 16),
     "q_multimodal_frames" -> OracleExt.qMultimodalFrames(64, 4),
+    "q_multimodal_gif_frames" -> OracleExt.qMultimodalGifFrames(2),
     "q_multimodal_audio" -> OracleExt.qMultimodalAudio,
     "q_mice" -> OracleExt.qMice,
     "q_mice_gen" -> OracleExt.qMiceGen,

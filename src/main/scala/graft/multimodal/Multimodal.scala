@@ -142,6 +142,92 @@ object Multimodal {
         struct(col("format"), col("width"), col("height")).as("meta"))
   }
 
+  /** Synthesize a REAL multi-frame animated GIF per document — the
+    * zero-dependency route to real decoded VIDEO frames: `ImageIO`'s
+    * GIF plugin reads every frame of an animated GIF, so the frame
+    * sampler can operate on actual decoded pixels while true video
+    * codecs (which the JDK lacks) keep the byte stub behind the same
+    * dispatch.
+    *
+    * Deterministic, SQL-recomputable content: w = 6 + id mod 10,
+    * h = 6 + n mod 10 (n = UTF-8 byte count), nFrames = 2 + id mod 3,
+    * and the gray of frame f's row-major pixel p is text byte
+    * (p + 7·f) mod n (0 for empty text) — the 7·f phase shift makes
+    * every frame distinct. Images are indexed over an explicit
+    * 256-gray palette, so the GIF encoding is LOSSLESS and the real
+    * decode round-trips exactly (the PNG/WAV device, one format over).
+    */
+  def synthesizeGifs(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = docs
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+    ds.mapPartitions { rows =>
+      // 256-gray palette: index i IS gray i, so sample values survive
+      // the palette round-trip bit-for-bit
+      val grays = Array.tabulate(256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      rows.map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = bytes.length
+        val w = (6 + (((id % 10) + 10) % 10)).toInt
+        val h = 6 + n % 10
+        val nFrames = (2 + (((id % 3) + 3) % 3)).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var p = 0
+          while (p < w * h) {
+            val g = if (n == 0) 0 else bytes((p + 7 * f) % n) & 0xff
+            raster.setSample(p % w, p / w, 0, g)
+            p += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        (id, bos.toByteArray, "image/gif", w, h)
+      }
+    }.toDF("media_id", "content", "format", "width", "height")
+      .select(col("media_id"), col("content"),
+        struct(col("format"), col("width"), col("height")).as("meta"))
+  }
+
+  /** Real multi-frame image decode: every frame of an animated GIF (or
+    * the single frame of any other ImageIO-readable format). None when
+    * no installed reader claims the payload — callers fall back to the
+    * byte-frame stub.
+    */
+  def decodeImageFrames(content: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] =
+    if (content == null || content.length == 0) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val k = reader.getNumImages(true)
+          Some((0 until k).map(reader.read))
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case _: java.io.IOException => None }
+
   /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
     * PCM — no codecs beyond the JRE). Returns the sample rate and the
     * 16-bit samples; None when the payload is not decodable audio.
@@ -334,11 +420,21 @@ object Multimodal {
         md5(hex(col("resized"))).as("content_md5"))
   }
 
-  /** Partition-wise frame sampling — the video path: the payload is
-    * treated as consecutive `frameBytes`-sized frames and every
-    * `everyN`-th frame becomes its own row (media_id, frame_idx,
-    * frame_len, frame_md5) — the explode shape a real decoder's
-    * keyframe sampler would produce.
+  /** Partition-wise frame sampling — the video path. Payloads any
+    * installed `ImageIO` reader decodes (multi-frame animated GIFs in
+    * particular — see [[synthesizeGifs]]) take the REAL path: every
+    * `everyN`-th decoded frame becomes a row carrying its pixel count,
+    * mean gray, and a digest of the actual row-major gray bytes.
+    * Opaque payloads (true video codecs, which the JDK cannot decode)
+    * fall back to the byte-frame stub — consecutive `frameBytes`-sized
+    * slices, the same per-frame stats over raw bytes — behind the same
+    * dispatch, flagged `decoded = false`.
+    *
+    * Mean over integer-valued sums and the hex-string digest keep both
+    * paths bit-reproducible by a SQL oracle.
+    *
+    * @return (media_id, frame_idx INT, decoded BOOLEAN,
+    *   frame_len BIGINT, mean_gray DOUBLE, frame_md5)
     */
   def frameSample(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
     require(frameBytes > 0 && everyN > 0, "frameBytes and everyN must be positive")
@@ -347,18 +443,43 @@ object Multimodal {
     val ds = media
       .select(col("media_id"), coalesce(col("content"), lit(Array.empty[Byte])))
       .as[(Long, Array[Byte])]
+    // mean over integer-valued byte sums: exact in double, order-free
+    def meanOf(a: Array[Byte]): Double =
+      if (a.isEmpty) 0.0
+      else a.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble / a.length
     ds.mapPartitions { rows =>
       rows.flatMap { case (id, bytes) =>
-        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
-        Iterator.range(0, nFrames)
-          .filter(_ % everyN == 0)
-          .map(i => (id, i,
-            java.util.Arrays.copyOfRange(bytes, i * frameBytes,
-              math.min((i + 1) * frameBytes, bytes.length))))
+        decodeImageFrames(bytes) match {
+          case Some(frames) =>
+            Iterator.range(0, frames.length)
+              .filter(_ % everyN == 0)
+              .map { i =>
+                val img = frames(i)
+                val w = img.getWidth
+                val h = img.getHeight
+                val gray = new Array[Byte](w * h)
+                var p = 0
+                while (p < w * h) {
+                  gray(p) = (img.getRGB(p % w, p / w) & 0xff).toByte
+                  p += 1
+                }
+                (id, i, true, meanOf(gray), gray)
+              }
+          case None =>
+            val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+            Iterator.range(0, nFrames)
+              .filter(_ % everyN == 0)
+              .map { i =>
+                val fr = java.util.Arrays.copyOfRange(bytes, i * frameBytes,
+                  math.min((i + 1) * frameBytes, bytes.length))
+                (id, i, false, meanOf(fr), fr)
+              }
+        }
       }
-    }.toDF("media_id", "frame_idx", "frame")
-      .select(col("media_id"), col("frame_idx"),
+    }.toDF("media_id", "frame_idx", "decoded", "mean_gray", "frame")
+      .select(col("media_id"), col("frame_idx"), col("decoded"),
         length(col("frame")).cast("long").as("frame_len"),
+        col("mean_gray"),
         // hex-string digest — see resize
         md5(hex(col("frame"))).as("frame_md5"))
   }
