@@ -312,6 +312,29 @@ object Dedup {
         .as("simhash64"))
   }
 
+  /** ROW-LOCAL 64-bit SimHash — the same signature as [[simhash64]]
+    * computed as one Column expression (an `aggregate` fold over the
+    * row's own token array instead of an explode + groupBy), for
+    * STREAMING frames where a per-doc aggregation would be a stateful
+    * operator. Weighting by token count over distinct tokens equals
+    * summing ±1 over token instances, so the fold is bit-identical to
+    * the batch aggregation (SimhashSpec pins it).
+    */
+  def simhash64Expr(text: Column): Column = {
+    val toks = split(TextOps.normalize(text), " ")
+    val hs = transform(toks, t =>
+      struct(md5(t).as("h1"), md5(concat(t, lit("#2"))).as("h2")))
+    val acc = aggregate(hs, array_repeat(lit(0), 64), (a, h) => {
+      // hex-MSB as one byte comparison, as in simhash64
+      def bitsOf(c: Column) = transform(sequence(lit(1), lit(32)), j =>
+        when(ascii(c.substr(j, lit(1))) >= 56, 1).otherwise(-1))
+      zip_with(a,
+        concat(bitsOf(h.getField("h1")), bitsOf(h.getField("h2"))),
+        (x, y) => x + y)
+    })
+    array_join(transform(acc, v => when(v > 0, "1").otherwise("0")), "")
+  }
+
   /** Near-dup pairs over the 64-bit signature, band-blocked: the
     * signature splits into 4 bands of 16 bits and a pair becomes a
     * candidate iff it agrees EXACTLY on at least one band. By
