@@ -46,6 +46,7 @@ object Bench {
     "q_sessionize", "q_pack_shards", "q_pack_sequences", "q_scrub_pii",
     "q_tfidf", "q_sample_stratified", "q_ngram_index",
     "q_decontaminate", "q_boilerplate", "q_sample_topk_stratum",
+    "q_dedup_spans_keepfirst", "q_mix_sources",
     "q_pipeline_corpus",
     "q_pipeline_corpus_full", "q_pipeline_corpus_signals",
     "q_pipeline_neardup", "q_pipeline_clusters",

@@ -424,6 +424,78 @@ object OracleExt {
        |FROM p""".stripMargin
   }
 
+  /** Keep-first repeated-span removal (mirrors
+    * Dedup.removeRepeatedSpansKeepFirst, n=8, minDf=2): identical to
+    * qDedupSpans except the canonical occurrence of each duplicated
+    * gram — ROW_NUMBER() = 1 under ORDER BY (doc_id, p), exactly
+    * Spark's min(struct(id, pos)) — is excluded from coverage, so the
+    * first copy of every duplicated span survives.
+    */
+  val qDedupSpansKeepFirst: String = {
+    val n = 8
+    s"""$norm,
+       |tw AS (SELECT doc_id, string_split(nt, ' ') AS ws,
+       |         len(string_split(nt, ' ')) AS L FROM norm),
+       |gr AS (SELECT doc_id, ws, unnest(generate_series(0, L - $n)) AS p
+       |       FROM tw WHERE L >= $n),
+       |gt AS (SELECT doc_id, p,
+       |         substr(md5(array_to_string(ws[p + 1 : p + $n], ' ')), 1, 16) AS gram
+       |       FROM gr),
+       |df AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM gt GROUP BY 1),
+       |rn AS (SELECT doc_id, p, gram,
+       |         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+       |       FROM gt),
+       |cov AS (SELECT DISTINCT r.doc_id, r.p FROM rn r
+       |        JOIN df d ON d.gram = r.gram
+       |        WHERE d.df >= 2 AND r.rn > 1),
+       |tok AS (SELECT doc_id, ws, L, unnest(generate_series(0, L - 1)) AS i FROM tw),
+       |keep AS (SELECT t.doc_id, t.i, t.ws[t.i + 1] AS w
+       |         FROM tok t LEFT JOIN cov c
+       |           ON c.doc_id = t.doc_id AND t.i >= c.p AND t.i < c.p + $n
+       |         WHERE c.p IS NULL),
+       |ag AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS cleaned,
+       |         COUNT(*) AS kept FROM keep GROUP BY 1)
+       |SELECT t.doc_id, COALESCE(a.cleaned, '') AS cleaned,
+       |  CAST(t.L - COALESCE(a.kept, 0) AS BIGINT) AS n_removed
+       |FROM tw t LEFT JOIN ag a ON a.doc_id = t.doc_id""".stripMargin
+  }
+
+  /** Target mixture for q_mix_sources — shared by the Spark query and
+    * this oracle so both derive identical normalised shares.
+    */
+  val MixShares: Seq[(String, Double)] = Seq(
+    "src0" -> 0.30, "src1" -> 0.25, "src2" -> 0.20,
+    "src3" -> 0.15, "src4" -> 0.07, "src5" -> 0.03)
+
+  /** Token-mass domain mixing (mirrors Sampling.mixByTokenMass over
+    * MixShares, salt "mix0"): per-source mass → T = min(mass/w) →
+    * rate = w·T/mass → keep iff the first 8 md5 hex digits sort below
+    * floor(rate·16⁸) as zero-padded lowercase hex. Normalised share
+    * literals are injected via Double.toString (round-trip exact), so
+    * every arithmetic step is IEEE-identical in both engines.
+    */
+  val qMixSources: String = {
+    val total = MixShares.map(_._2).sum
+    val values = MixShares
+      .map { case (s, w) => s"('$s', ${(w / total).toString})" }
+      .mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |w(source, w) AS (VALUES $values),
+       |m AS (SELECT tk.source, CAST(SUM(tk.n_tokens) AS DOUBLE) AS mass
+       |      FROM tk JOIN w ON w.source = tk.source GROUP BY 1),
+       |mt AS (SELECT MIN(m.mass / w.w) AS t FROM m JOIN w USING (source)),
+       |r AS (SELECT m.source, w.w * mt.t / m.mass AS rate
+       |      FROM m JOIN w USING (source), mt)
+       |SELECT tk.doc_id, tk.source, tk.n_tokens, r.rate
+       |FROM tk JOIN r ON r.source = tk.source
+       |WHERE substr(md5(CAST(tk.doc_id AS VARCHAR) || ':mix0'), 1, 8) <
+       |  CASE WHEN r.rate >= 1.0 THEN 'g'
+       |       ELSE lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+       |       END""".stripMargin
+  }
+
   /** Deterministic PII probe appended to every 7th document so the
     * scrub exercises real matches on the synthetic corpus (the raw
     * documents carry no contact info). Shared verbatim by the Spark

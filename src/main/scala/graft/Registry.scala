@@ -318,6 +318,36 @@ object Registry {
       df.join(cleaned, Seq("doc_id"))
         .withColumn("text", col("__cleaned")).drop("__cleaned")
     }),
+    // args: [n, minDf?] — C4-style keep-first span dedup: the
+    // canonical (smallest (doc_id, pos)) occurrence of each
+    // duplicated n-gram survives; all other occurrences are cut.
+    // Same in-place text contract as remove_repeated_spans.
+    "remove_repeated_spans_keep_first" -> ((df, a) => {
+      val cleaned = dedup.Dedup.removeRepeatedSpansKeepFirst(df, a.num(0).toInt,
+          a.numOpt(1).map(_.toLong).getOrElse(2L))
+        .select(col("doc_id"), col("cleaned").as("__cleaned"))
+      df.join(cleaned, Seq("doc_id"))
+        .withColumn("text", col("__cleaned")).drop("__cleaned")
+    }),
+    // args: [stratumCol, salt, stratum1, w1, stratum2, w2, ...] —
+    // static domain mixing: per-stratum keep rates derived from token
+    // mass so the sample's token shares follow the target mixture
+    // (downscale-only; strata outside the list are dropped). A
+    // row-filtering step: appended columns ride through via the
+    // doc_id semi-join.
+    "mix_sources" -> ((df, a) => {
+      val stratum = a.str(0)
+      val salt = a.str(1)
+      require(a.length > 2 && (a.length - 2) % 2 == 0,
+        "mix_sources needs (stratum, weight) pairs after [stratumCol, salt]")
+      val shares = (2 until a.length by 2).map(i => a.str(i) -> a.num(i + 1))
+      val proj = df.select(col("doc_id"), col(stratum),
+        text.TextOps.tokenCount(col("text")).cast("long").as("__nt"))
+      val kept = sampling.Sampling
+        .mixByTokenMass(proj, "doc_id", stratum, "__nt", shares, salt)
+        .select("doc_id")
+      df.join(kept, Seq("doc_id"), "left_semi")
+    }),
     // full analysis columns (n_tokens, n_tokens_bpe, fingerprint,
     // quality, lang_pred) appended for downstream spec steps
     "analyze" -> ((df, _) => text.TextOps.analyze(df)),

@@ -325,6 +325,11 @@ object SparkEntry {
     // shared by >= 2 documents (sub-document dedup)
     "q_dedup_spans" -> ((s, dir) =>
       dedup.Dedup.removeRepeatedSpans(docs(s, dir), n = 8, minDf = 2)),
+    // r7: C4-style keep-first span dedup — the canonical (smallest
+    // (doc_id, pos)) occurrence of each duplicated 8-gram survives;
+    // every other occurrence is cut
+    "q_dedup_spans_keepfirst" -> ((s, dir) =>
+      dedup.Dedup.removeRepeatedSpansKeepFirst(docs(s, dir), n = 8, minDf = 2)),
     "q_corpus_filter" -> ((s, dir) =>
       text.TextOps.corpusFilter(docs(s, dir), minQuality = 0.5, lang = "en")),
     // the corpus-curation surface as a JSON wire spec (r5 verdict
@@ -620,6 +625,14 @@ object SparkEntry {
         docs(s, dir).withColumn("lang_pred", text.TextOps.langId(col("text"))),
         "doc_id", "lang_pred", k = 20, salt = "bal0")
         .select(col("doc_id"), col("lang_pred"))),
+    // r7: static domain mixing — per-source keep rates derived from
+    // token mass so the sample's token shares hit the target mixture
+    // (downscale-only; sources outside the target list are dropped)
+    "q_mix_sources" -> ((s, dir) =>
+      sampling.Sampling.mixByTokenMass(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          text.TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "source", "n_tokens", OracleExt.MixShares, "mix0")),
     // inverted char-5-gram index with bounded posting lists
     "q_ngram_index" -> ((s, dir) =>
       text.Index.invertedIndex(docs(s, dir).filter(col("doc_id") < 150),
@@ -778,7 +791,9 @@ object SparkEntry {
     "q_scrub_pii" -> OracleExt.qScrubPii,
     "q_tfidf" -> OracleExt.qTfidf,
     "q_dedup_spans" -> OracleExt.qDedupSpans,
+    "q_dedup_spans_keepfirst" -> OracleExt.qDedupSpansKeepFirst,
     "q_sample_stratified" -> OracleExt.qSampleStratified,
+    "q_mix_sources" -> OracleExt.qMixSources,
     "q_ngram_index" -> OracleExt.qNgramIndex,
     "q_decontaminate" -> OracleExt.qDecontaminate,
     "q_boilerplate" -> OracleExt.qBoilerplate,

@@ -495,6 +495,66 @@ object Dedup {
         (size(col("__ws")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
+  /** Keep-FIRST repeated-span removal — the C4-style variant of
+    * [[removeRepeatedSpans]]: of all occurrences of a duplicated word
+    * n-gram across the corpus, the canonical one (smallest
+    * `(doc_id, position)` lexicographically) SURVIVES and every other
+    * occurrence is cut. Where [[removeRepeatedSpans]] deletes a
+    * boilerplate span from every document (right for navigation chrome
+    * / license headers), keep-first retains exactly one copy of the
+    * span in the corpus — the convention of C4's three-sentence-span
+    * dedup, which preserves the information while killing the
+    * repetition bias.
+    *
+    * A token is removed iff it is covered by at least one
+    * NON-canonical occurrence of a duplicated gram; tokens covered
+    * only by canonical occurrences stay. (Overlapping grams make
+    * per-token attribution ambiguous in general; "any non-canonical
+    * coverage removes" is the deterministic, order-free resolution,
+    * and both engine and oracle state it identically.)
+    *
+    * Scale shape: identical to [[removeRepeatedSpans]] — row-local
+    * positional grams, one map-side-combined aggregation per gram key
+    * (now also carrying `min(struct(id, pos))`, a single extra
+    * combinable aggregate), content-keyed joins, row-local reassembly.
+    * Nothing quadratic, no window function anywhere.
+    */
+  def removeRepeatedSpansKeepFirst(docs: DataFrame, n: Int, minDf: Long = 2L,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text"): DataFrame = {
+    require(n > 0 && minDf >= 2, "need n > 0 and minDf >= 2")
+    val words = split(TextOps.normalize(col(textCol)), " ")
+    val base = docs.select(col(idCol), words.as("__ws"))
+    val grams = graft.OpCache.persist(base
+      .withColumn("__g",
+        when(size(col("__ws")) >= n,
+          transform(sequence(lit(0), size(col("__ws")) - n),
+            i => substring(md5(array_join(slice(col("__ws"), i + 1, lit(n)), " ")), 1, 16)))
+          .otherwise(array()))
+      .select(col(idCol), posexplode(col("__g")).as(Seq("pos", "gram"))))
+    // one aggregation yields both the document frequency and the
+    // canonical occurrence: min over struct is lexicographic, so
+    // __canon is exactly ROW_NUMBER() = 1 under ORDER BY (doc_id, pos)
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("__df"),
+        min(struct(col(idCol).as("id"), col("pos").as("p"))).as("__canon"))
+      .filter(col("__df") >= minDf)
+      .select(col("gram"), col("__canon"))
+    val covered = grams.join(dup, "gram")
+      .filter(!(col(idCol) === col("__canon.id") && col("pos") === col("__canon.p")))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("pos")).as("__starts"))
+    base.join(covered, Seq(idCol), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__kept",
+        filter(col("__ws"), (_, i) =>
+          !exists(col("__starts"), s => s <= i && i < s + n)))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("cleaned"),
+        (size(col("__ws")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** Distinct character n-grams of the normalised text. */
   def charGrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {

@@ -106,6 +106,58 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Static domain mixing by token mass (the data-mixture step of a
+    * training-data pipeline): choose per-stratum keep rates so the
+    * SAMPLED corpus' token mass follows `targetShares`, downscaling
+    * only — no stratum is upsampled. With `mass_s` the stratum's total
+    * token count and `w_s` the normalised target share, the largest
+    * feasible output mass is `T = min_s(mass_s / w_s)`; the keep rate
+    * is `rate_s = w_s · T / mass_s` (1.0 for a binding stratum, modulo
+    * float round-trip). Strata absent from `targetShares` are dropped.
+    *
+    * Rows are kept by the same salted-md5 draw as [[hashSample]], but
+    * compared on the FIRST 8 hex digits against
+    * `floor(rate · 16⁸)` rendered as zero-padded lowercase hex — the
+    * rate is data-dependent, so the threshold must be computable
+    * inside the engine; 32 bits of the draw keep the selection exact
+    * to ~2⁻³² while staying inside BIGINT in any SQL dialect. Every
+    * arithmetic step (integer sums, IEEE division/multiplication,
+    * min, floor) is bit-reproducible across engines — no
+    * transcendentals, so no rounding fence needed.
+    *
+    * Scale shape: one map-side-combined aggregation over the stratum
+    * column (output rows = #strata), two broadcast joins of that tiny
+    * rate table, then a pure scan-side filter. No wide shuffle at any
+    * corpus size; the draw/threshold compare is codegen'd Column
+    * arithmetic.
+    */
+  def mixByTokenMass(df: DataFrame, keyCol: String, stratumCol: String,
+                     tokensCol: String, targetShares: Seq[(String, Double)],
+                     salt: String): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.forall(_._2 > 0.0),
+      "target shares must be non-empty and strictly positive")
+    require(targetShares.map(_._1).distinct.length == targetShares.length,
+      "target shares must name each stratum once")
+    val spark = df.sparkSession
+    val total = targetShares.map(_._2).sum
+    val shares = targetShares.map { case (s, w) => (s, w / total) }
+    val sharesDf = spark.createDataFrame(shares).toDF(stratumCol, "__w")
+    val mass = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).cast("double").as("__mass"))
+      .join(broadcast(sharesDf), stratumCol)
+    val t = mass.agg(min(col("__mass") / col("__w")).as("__t"))
+    val rates = mass.crossJoin(broadcast(t))
+      .select(col(stratumCol), (col("__w") * col("__t") / col("__mass")).as("rate"))
+    // rate ≥ 1 must keep everything: 'g' sorts above every hex digit
+    // (same device as hashSampleStratified's bound)
+    val thr = when(col("rate") >= 1.0, lit("g"))
+      .otherwise(lpad(lower(hex(floor(col("rate") * lit(4294967296.0))
+        .cast("long"))), 8, "0"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(substring(hashKey(col(keyCol), salt), 1, 8) < thr)
+      .select(col(keyCol), col(stratumCol), col(tokensCol), col("rate"))
+  }
+
   /** The n−1 upper-bound hex thresholds of `hashSplit`'s bands,
     * exposed so an external checker can reproduce the exact same
     * literals (the cumulative float sums must match bit-for-bit).

@@ -120,12 +120,32 @@ object TextOps {
     size(filter(split(normalize(text), " "), t => array_contains(set, t)))
   }
 
-  /** Language-ID scores: hits of per-language stopword lists. */
+  /** Language-ID marker inventories: ~25 high-frequency function words
+    * per language (ASCII-only — `stopwordHits` counts exact
+    * whitespace-delimited tokens, so accented forms are deliberately
+    * excluded rather than mangled). Larger inventories sharply reduce
+    * `unknown` on short texts versus the original 3-word lists (see
+    * ExtensionsSpec "expanded language inventories"), which directly
+    * improves every downstream consumer of `lang_pred`: corpusFilter's
+    * language gate, per-language vocab/corpus stats, and stratified
+    * sampling. Some forms are shared across languages ("des" de/fr,
+    * "es" de/es as a word) — the argmax over whole inventories absorbs
+    * the overlap, and both engine and oracle derive from this single
+    * constant so the heuristic stays bit-reproducible.
+    */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of"),
-    "de" -> Seq("der", "die", "und"),
-    "fr" -> Seq("le", "la", "et"),
-    "es" -> Seq("el", "los", "y"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "was", "that",
+      "for", "it", "with", "as", "on", "be", "at", "by", "not", "are",
+      "but", "from", "have", "they", "which", "you", "this"),
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit",
+      "sich", "des", "auf", "ist", "im", "dem", "nicht", "ein", "eine",
+      "als", "auch", "werden", "aus", "hat", "dass", "nach", "wird"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "du", "une",
+      "que", "est", "pour", "qui", "dans", "par", "plus", "pas", "au",
+      "sur", "ne", "se", "ce", "il", "sont", "avec", "ont"),
+    "es" -> Seq("el", "los", "y", "las", "una", "por", "con", "no",
+      "su", "para", "es", "al", "lo", "como", "mas", "pero", "sus",
+      "ha", "este", "si", "entre", "cuando", "muy", "sin", "sobre"),
   )
 
   /** Predicted language: argmax of marker-stopword hits with a fixed

@@ -226,6 +226,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(q > 0.0 && q <= 1.0)
   }
 
+  test("expanded language inventories resolve texts the 3-word lists left unknown") {
+    // Each text deliberately avoids the ORIGINAL 3-word markers
+    // (en: the/and/of, de: der/die/und, fr: le/la/et, es: el/los/y) so
+    // the legacy inventories scored it `unknown`; the expanded ~25-word
+    // inventories must classify all four correctly.
+    val multi = Seq(
+      (1L, "you should not be at home by noon but it was fine", "en"),
+      (2L, "ein kind wird nach dem essen nicht mit dem auto fahren", "de"),
+      (3L, "il est dans une situation difficile pour ce pays sans pareil", "fr"),
+      (4L, "cuando no hay nada para comer sin miedo pero con hambre", "es")
+    ).toDF("doc_id", "text", "expected")
+    val got = multi.select(col("doc_id"), col("expected"),
+      TextOps.langId(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getAs[String]("got") == r.getAs[String]("expected"),
+      s"doc ${r.getLong(0)}: got ${r.getAs[String]("got")}"))
+    // and mechanically: under the legacy 3-word inventories every one
+    // of these texts really was unknown (zero marker hits per language)
+    val legacy = Seq("the", "and", "of", "der", "die", "und",
+      "le", "la", "et", "el", "los", "y")
+    val legacyHits = multi.select(
+      TextOps.stopwordHits(col("text"), legacy).as("h")).collect()
+    legacyHits.foreach(r => assert(r.getAs[Int]("h") == 0))
+  }
+
   test("cosine top-k: orthogonal vs identical vectors rank correctly") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
@@ -365,6 +389,72 @@ class ExtensionsSpec extends SparkSpec {
       Seq((9L, "tiny doc"), (10L, "tiny doc")).toDF("doc_id", "text"), n = 4)
       .collect().map(_.getLong(2))
     assert(short.forall(_ == 0L))
+  }
+
+  test("removeRepeatedSpansKeepFirst keeps exactly the canonical occurrence") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique tail one"),
+      (2L, "prefix two alpha beta gamma delta other end"),
+      (3L, "nothing shared with anybody here at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpansKeepFirst(docs, n = 4, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the shared 4-gram's canonical occurrence is (doc 1, pos 0):
+    // doc 1 keeps it, doc 2 loses its copy
+    assert(out(0) == ((1L, "alpha beta gamma delta unique tail one", 0L)))
+    assert(out(1) == ((2L, "prefix two other end", 4L)))
+    assert(out(2) == ((3L, "nothing shared with anybody here at all", 0L)))
+    // overlapping shared grams: both canonicals live in doc 4, so doc 4
+    // is untouched and doc 5 loses the whole 5-token covered run
+    val docs2 = Seq(
+      (4L, "x a b c d e y"),
+      (5L, "a b c d e tail word here")
+    ).toDF("doc_id", "text")
+    val out2 = Dedup.removeRepeatedSpansKeepFirst(docs2, n = 4, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out2(0) == ((4L, "x a b c d e y", 0L)))
+    assert(out2(1) == ((5L, "tail word here", 5L)))
+    // exact duplicate docs: the earlier doc survives verbatim, the
+    // later one empties — the C4 keep-one convention
+    val twins = Dedup.removeRepeatedSpansKeepFirst(
+      Seq((9L, "one two three four"), (10L, "one two three four"))
+        .toDF("doc_id", "text"), n = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(twins(0) == ((9L, "one two three four", 0L)))
+    assert(twins(1) == ((10L, "", 4L)))
+  }
+
+  test("mixByTokenMass downscales to the target token mixture") {
+    import graft.sampling.Sampling
+    val rows = (0 until 100).map(i => (i.toLong, "A", 1L)) ++
+      (0 until 80).map(i => ((1000 + i).toLong, "B", 1L)) ++
+      (0 until 90).map(i => ((2000 + i).toLong, "C", 1L)) ++
+      (0 until 10).map(i => ((3000 + i).toLong, "D", 1L))
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    val shares = Seq("A" -> 0.5, "B" -> 0.2, "C" -> 0.3)
+    val out = Sampling.mixByTokenMass(df, "doc_id", "source", "n_tokens",
+      shares, "m0").collect()
+    val bySrc = out.groupBy(_.getString(1))
+    // T = min(100/0.5, 80/0.2, 90/0.3) = 200: A binds (rate 1, all
+    // kept), B halves, C keeps 2/3; D is not in the mixture at all
+    assert(!bySrc.contains("D"))
+    assert(bySrc("A").length == 100)
+    assert(bySrc("A").head.getDouble(3) >= 1.0 - 1e-9)
+    assert(math.abs(bySrc("B").head.getDouble(3) - 0.5) < 1e-9)
+    assert(math.abs(bySrc("C").head.getDouble(3) - 2.0 / 3.0) < 1e-9)
+    // kept counts concentrate around rate × stratum size (md5-uniform)
+    assert(bySrc("B").length > 20 && bySrc("B").length < 60,
+      s"B kept ${bySrc("B").length}")
+    assert(bySrc("C").length > 40 && bySrc("C").length < 80,
+      s"C kept ${bySrc("C").length}")
+    // same salt → identical sample; the draw is the pure function of
+    // (key, salt) the 100 TB reproducibility story requires
+    val again = Sampling.mixByTokenMass(df, "doc_id", "source", "n_tokens",
+      shares, "m0").collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
   test("shingles is row-local: no window, no row id, enumeration-order-free") {
@@ -533,7 +623,8 @@ class ExtensionsSpec extends SparkSpec {
       assert(r.getAs[String]("content_md5").length == 32)
     }
     val frames = Multimodal.frameSample(media, frameBytes = 10, everyN = 2)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .collect().map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx"),
+        r.getAs[Long]("frame_len")))
     // every sampled index is even; frames are at most frameBytes long
     assert(frames.nonEmpty)
     assert(frames.forall { case (_, idx, len) => idx % 2 == 0 && len <= 10 && len > 0 })

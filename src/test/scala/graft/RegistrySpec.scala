@@ -108,6 +108,35 @@ class RegistrySpec extends SparkSpec {
     assert(scrubbed.select("text").head.getString(0) == "ping <email> or <url> now")
   }
 
+  test("r7 corpus steps: keep-first span dedup and mix_sources dispatch") {
+    val spanDocs = Seq(
+      (1L, "alpha beta gamma delta unique one"),
+      (2L, "two alpha beta gamma delta other")).toDF("doc_id", "text")
+    // keep-first: the canonical occurrence (doc 1, pos 0) survives the
+    // in-place rewrite; only doc 2's copy is cut
+    val kf = Registry.runCorpus(spanDocs,
+      """[{"type":"remove_repeated_spans_keep_first","args":[4]}]""")
+    assert(kf.columns.toSeq == Seq("doc_id", "text"))
+    assert(kf.orderBy("doc_id").collect().map(_.getString(1)).toSeq ==
+      Seq("alpha beta gamma delta unique one", "two other"))
+    // mix_sources: filtering step keyed on an extra stratum column;
+    // the binding stratum keeps everything, unlisted strata drop out,
+    // and appended columns ride through the semi-join
+    val mixDocs = (0 until 40).map(i =>
+        (i.toLong, if (i < 20) "sA" else if (i < 30) "sB" else "sX",
+          "tok " * 5 + i.toString))
+      .toDF("doc_id", "source", "text")
+    val mixed = Registry.runCorpus(mixDocs,
+      """[{"type":"mix_sources","args":["source","m1","sA",0.8,"sB",0.2]}]""")
+    assert(mixed.columns.toSeq == Seq("doc_id", "source", "text"))
+    val bySrc = mixed.collect().groupBy(_.getString(1))
+    assert(!bySrc.contains("sX"))
+    // masses: sA=120, sB=60 tokens; T = min(120/0.8, 60/0.2) = 150 →
+    // sA binds (rate 1, all 20 kept), sB keeps half in expectation
+    assert(bySrc("sA").length == 20)
+    assert(bySrc.get("sB").forall(_.length <= 10 + 8)) // loose upper band
+  }
+
   test("r7 corpus steps: signal appenders, near-dup filter, clusters, chunked packing") {
     val docs = Seq(
       (1L, "the cat sat on the mat and the dog barked at it all day long"),
