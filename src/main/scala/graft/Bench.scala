@@ -47,6 +47,7 @@ object Bench {
     "q_tfidf", "q_sample_stratified", "q_ngram_index",
     "q_decontaminate", "q_boilerplate", "q_sample_topk_stratum",
     "q_dedup_spans_keepfirst", "q_mix_sources",
+    "q_pipeline_spans_keepfirst", "q_pipeline_mix", "q_bm25",
     "q_pipeline_corpus",
     "q_pipeline_corpus_full", "q_pipeline_corpus_signals",
     "q_pipeline_neardup", "q_pipeline_clusters",

@@ -431,8 +431,7 @@ object OracleExt {
     * Spark's min(struct(id, pos)) — is excluded from coverage, so the
     * first copy of every duplicated span survives.
     */
-  val qDedupSpansKeepFirst: String = {
-    val n = 8
+  private def spansKeepFirstCtes(n: Int): String =
     s"""$norm,
        |tw AS (SELECT doc_id, string_split(nt, ' ') AS ws,
        |         len(string_split(nt, ' ')) AS L FROM norm),
@@ -454,11 +453,19 @@ object OracleExt {
        |           ON c.doc_id = t.doc_id AND t.i >= c.p AND t.i < c.p + $n
        |         WHERE c.p IS NULL),
        |ag AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS cleaned,
-       |         COUNT(*) AS kept FROM keep GROUP BY 1)
+       |         COUNT(*) AS kept FROM keep GROUP BY 1)""".stripMargin
+
+  val qDedupSpansKeepFirst: String =
+    s"""${spansKeepFirstCtes(8)}
        |SELECT t.doc_id, COALESCE(a.cleaned, '') AS cleaned,
        |  CAST(t.L - COALESCE(a.kept, 0) AS BIGINT) AS n_removed
        |FROM tw t LEFT JOIN ag a ON a.doc_id = t.doc_id""".stripMargin
-  }
+
+  /** The wire-format step's frame contract: text replaced in place. */
+  val qPipelineSpansKeepFirst: String =
+    s"""${spansKeepFirstCtes(8)}
+       |SELECT t.doc_id, COALESCE(a.cleaned, '') AS text
+       |FROM tw t LEFT JOIN ag a ON a.doc_id = t.doc_id""".stripMargin
 
   /** Target mixture for q_mix_sources — shared by the Spark query and
     * this oracle so both derive identical normalised shares.
@@ -474,7 +481,7 @@ object OracleExt {
     * literals are injected via Double.toString (round-trip exact), so
     * every arithmetic step is IEEE-identical in both engines.
     */
-  val qMixSources: String = {
+  private def mixSourcesCtes: String = {
     val total = MixShares.map(_._2).sum
     val values = MixShares
       .map { case (s, w) => s"('$s', ${(w / total).toString})" }
@@ -487,13 +494,72 @@ object OracleExt {
        |      FROM tk JOIN w ON w.source = tk.source GROUP BY 1),
        |mt AS (SELECT MIN(m.mass / w.w) AS t FROM m JOIN w USING (source)),
        |r AS (SELECT m.source, w.w * mt.t / m.mass AS rate
-       |      FROM m JOIN w USING (source), mt)
+       |      FROM m JOIN w USING (source), mt)""".stripMargin
+  }
+
+  private val mixKeepPredicate: String =
+    """substr(md5(CAST(tk.doc_id AS VARCHAR) || ':mix0'), 1, 8) <
+      |  CASE WHEN r.rate >= 1.0 THEN 'g'
+      |       ELSE lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+      |       END""".stripMargin
+
+  val qMixSources: String =
+    s"""$mixSourcesCtes
        |SELECT tk.doc_id, tk.source, tk.n_tokens, r.rate
        |FROM tk JOIN r ON r.source = tk.source
-       |WHERE substr(md5(CAST(tk.doc_id AS VARCHAR) || ':mix0'), 1, 8) <
-       |  CASE WHEN r.rate >= 1.0 THEN 'g'
-       |       ELSE lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
-       |       END""".stripMargin
+       |WHERE $mixKeepPredicate""".stripMargin
+
+  /** The wire-format step's frame contract: a pure row filter. */
+  val qPipelineMix: String =
+    s"""$mixSourcesCtes
+       |SELECT tk.doc_id, tk.source
+       |FROM tk JOIN r ON r.source = tk.source
+       |WHERE $mixKeepPredicate""".stripMargin
+
+  /** BM25 top-10 retrieval (mirrors Index.bm25Search: k1=1.2, b=0.75,
+    * maxDfRatio=0.773; queries = the first 12 normalised tokens of
+    * every 37th document). All floating literals are injected from the
+    * SAME Scala doubles via toString (round-trip exact) and every
+    * arithmetic step associates identically to the Column expression;
+    * the 1e-6 rounding inside the aggregation absorbs ln/sum-order
+    * noise, and ranking orders by the ROUNDED score so the top-k cut
+    * agrees across engines.
+    */
+  val qBm25: String = {
+    val k1 = 1.2; val b = 0.75; val kTop = 10; val maxDfRatio = 0.773
+    s"""$norm,
+       |ql AS (SELECT doc_id AS query_id,
+       |         array_to_string((string_split(nt, ' '))[1:12], ' ') AS qtext
+       |       FROM norm WHERE doc_id % 37 = 0),
+       |qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS tok
+       |       FROM ql),
+       |dt AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm),
+       |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+       |       FROM dt GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(len(string_split(nt, ' ')) AS DOUBLE) AS dlen
+       |       FROM norm),
+       |dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df
+       |          FROM tf GROUP BY 1
+       |          HAVING CAST(COUNT(*) AS DOUBLE) <=
+       |            $maxDfRatio * (SELECT CAST(COUNT(*) AS DOUBLE) FROM norm)),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |         CAST(SUM(len(string_split(nt, ' '))) AS DOUBLE) AS sl FROM norm),
+       |sc AS (SELECT q.query_id, f.doc_id,
+       |         round(SUM(
+       |           ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) *
+       |           (f.tf * ${k1 + 1.0}) /
+       |           (f.tf + $k1 * (${1.0 - b} + $b * l.dlen / (st.sl / st.n)))
+       |         ), 6) AS score
+       |       FROM qt q JOIN dfreq d ON d.tok = q.tok
+       |       JOIN tf f ON f.tok = q.tok
+       |       JOIN dl l ON l.doc_id = f.doc_id, st
+       |       GROUP BY 1, 2),
+       |rk AS (SELECT query_id, doc_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY score DESC, doc_id) AS rank
+       |       FROM sc)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+       |FROM rk WHERE rank <= $kTop""".stripMargin
   }
 
   /** Deterministic PII probe appended to every 7th document so the

@@ -330,6 +330,11 @@ object SparkEntry {
     // every other occurrence is cut
     "q_dedup_spans_keepfirst" -> ((s, dir) =>
       dedup.Dedup.removeRepeatedSpansKeepFirst(docs(s, dir), n = 8, minDf = 2)),
+    // same operator dispatched through the JSON wire format (in-place
+    // text rewrite honouring the frame contract)
+    "q_pipeline_spans_keepfirst" -> ((s, dir) =>
+      Registry.runCorpus(docs(s, dir).select(col("doc_id"), col("text")),
+        """[{"type":"remove_repeated_spans_keep_first","args":[8,2]}]""")),
     "q_corpus_filter" -> ((s, dir) =>
       text.TextOps.corpusFilter(docs(s, dir), minQuality = 0.5, lang = "en")),
     // the corpus-curation surface as a JSON wire spec (r5 verdict
@@ -633,10 +638,37 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id"), col("source"),
           text.TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
         "doc_id", "source", "n_tokens", OracleExt.MixShares, "mix0")),
+    // the same mixing dispatched as a wire step (a pure row filter on
+    // the corpus frame; the raw weights ride the JSON and normalise
+    // identically on both sides)
+    "q_pipeline_mix" -> ((s, dir) => {
+      val mixArgs = OracleExt.MixShares
+        .map { case (src, w) => s""""$src",$w""" }.mkString(",")
+      Registry.runCorpus(
+        docs(s, dir).select(col("doc_id"), col("source"), col("text")),
+        s"""[{"type":"mix_sources","args":["source","mix0",$mixArgs]}]""")
+        .select(col("doc_id"), col("source"))
+    }),
     // inverted char-5-gram index with bounded posting lists
     "q_ngram_index" -> ((s, dir) =>
       text.Index.invertedIndex(docs(s, dir).filter(col("doc_id") < 150),
         n = 5, maxPostings = 10)),
+    // r7: BM25 top-10 sparse retrieval — queries are the first 12
+    // normalised tokens of every 37th doc. The stop-term prune is
+    // RATIO-based (df ≤ 0.773·N, resolved in-plan) because the
+    // synthetic corpus' 31-token vocabulary has df/N ≈ 0.77 for most
+    // tokens at every scale factor: the ratio splits the vocabulary
+    // non-trivially at sf0.01 AND sf0.1 where any absolute maxDf
+    // cannot, and exercises the candidate-bounding guard with real
+    // survivors and real rows
+    "q_bm25" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val queries = d.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(text.TextOps.normalize(col("text")), " "),
+            1, 12), " ").as("text"))
+      text.Index.bm25Search(d, queries, k = 10, maxDfRatio = 0.773)
+    }),
     // benchmark decontamination: eval = doc_id % 10 == 0, word 4-grams
     "q_decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -792,9 +824,12 @@ object SparkEntry {
     "q_tfidf" -> OracleExt.qTfidf,
     "q_dedup_spans" -> OracleExt.qDedupSpans,
     "q_dedup_spans_keepfirst" -> OracleExt.qDedupSpansKeepFirst,
+    "q_pipeline_spans_keepfirst" -> OracleExt.qPipelineSpansKeepFirst,
     "q_sample_stratified" -> OracleExt.qSampleStratified,
     "q_mix_sources" -> OracleExt.qMixSources,
+    "q_pipeline_mix" -> OracleExt.qPipelineMix,
     "q_ngram_index" -> OracleExt.qNgramIndex,
+    "q_bm25" -> OracleExt.qBm25,
     "q_decontaminate" -> OracleExt.qDecontaminate,
     "q_boilerplate" -> OracleExt.qBoilerplate,
     "q_sample_topk_stratum" -> OracleExt.qSampleTopKStratum,

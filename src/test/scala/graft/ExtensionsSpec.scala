@@ -457,6 +457,45 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("bm25 ranks tf-heavy and rare-term docs correctly; maxDf prunes stop terms") {
+    import graft.text.Index
+    val corpus = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple banana"),
+      (3L, "durian elderberry fig")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple banana")).toDF("query_id", "text")
+    val out = Index.bm25Search(corpus, queries, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // doc 3 shares no term; doc 2's apple tf=2 saturates above doc 1
+    assert(out.map(_._3).toSeq == Seq(2L, 1L))
+    assert(out.map(_._2).toSeq == Seq(1, 2))
+    assert(out(0)._4 > out(1)._4 && out(1)._4 > 0.0)
+    // worked value for doc 1 (equal dlen = avgdl): both terms have
+    // df=2, tf=1 → score = 2 · ln(1 + 1.5/2.5) · 2.2/(1+1.2)
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / 2.5)
+    val expected = BigDecimal(2.0 * idf * 2.2 / 2.2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(1)._4 - expected) < 1e-9, s"${out(1)._4} vs $expected")
+    // a rare-term query ranks its unique doc first
+    val rare = Index.bm25Search(corpus,
+      Seq((200L, "durian apple")).toDF("query_id", "text"), k = 1)
+      .collect().map(r => (r.getLong(2)))
+    assert(rare.toSeq == Seq(3L))
+    // maxDf = 1 prunes terms with df >= 2: the "apple banana" query
+    // then matches nothing
+    val pruned = Index.bm25Search(corpus, queries, k = 10, maxDf = 1L)
+    assert(pruned.count() == 0)
+    // ratio prune resolves against N in-plan: 0.5·3 = 1.5 keeps only
+    // df=1 terms, so "durian apple" reaches doc 3 through durian alone
+    assert(Index.bm25Search(corpus, queries, k = 10, maxDfRatio = 0.5).count() == 0)
+    val rare2 = Index.bm25Search(corpus,
+      Seq((201L, "durian apple")).toDF("query_id", "text"), k = 10,
+      maxDfRatio = 0.5).collect()
+    assert(rare2.map(_.getLong(2)).toSeq == Seq(3L))
+  }
+
   test("shingles is row-local: no window, no row id, enumeration-order-free") {
     // the r5-reviewed stage-retry hazard (monotonically_increasing_id
     // as a window partition key) is GONE by construction: the plan

@@ -124,6 +124,31 @@ class PlanSpec extends SparkSpec {
     assert(plan2.split("Exchange").length - 1 <= 1, plan2)
   }
 
+  test("keep-first span dedup plans no window; canonical rides the gram agg") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.dedup.Dedup.removeRepeatedSpansKeepFirst(docs, n = 8)
+      .queryExecution.executedPlan.toString()
+    // canonical selection must be the combinable min(struct) inside
+    // the existing gram aggregation — a Window(row_number) here would
+    // mean a per-gram sort that cannot map-side combine at corpus scale
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("mixByTokenMass keeps the rate table broadcast and the filter scan-side") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        graft.text.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val plan = graft.sampling.Sampling.mixByTokenMass(docs, "doc_id", "source",
+        "n_tokens", graft.OracleExt.MixShares, "mix0")
+      .queryExecution.executedPlan.toString()
+    // the corpus-sized side must never shuffle for the rate join: the
+    // only allowed exchanges feed the tiny stratum aggregations
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("packSequences keeps the single bucket exchange of packShards") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = graft.text.Packing.packSequences(docs, 512, 8, "s")
