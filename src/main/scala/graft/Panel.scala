@@ -52,17 +52,31 @@ object Panel {
 
   /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
     * default; read nanos as long and rebuild a (UTC) timestamp column.
+    * Microsecond-precision files instead surface ts as TIMESTAMP_NTZ,
+    * which `unix_micros`/`session_window`/watermarks reject — cast to
+    * TimestampType (session tz is pinned UTC in every entrypoint, so
+    * the instant is preserved).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")
-    if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed a double's
-      // 53-bit mantissa, so float division is off by ±hundreds of ns —
-      // visible as off-by-one microseconds after truncation
-      ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else ev
+    normalizeTs(ev)
   }
+
+  /** Normalize the `ts` column to session-tz TimestampType whatever the
+    * parquet surfaced (nanos-as-long, TIMESTAMP_NTZ, or already LTZ).
+    */
+  def normalizeTs(ev: DataFrame): DataFrame =
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed a double's
+        // 53-bit mantissa, so float division is off by ±hundreds of ns —
+        // visible as off-by-one microseconds after truncation
+        ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        ev.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => ev
+    }
 
   /** Dense cross-product reindex: every (month, unit) pair present,
     * missing feature cells filled with `fill` (reference transforms

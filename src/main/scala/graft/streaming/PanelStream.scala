@@ -113,13 +113,10 @@ object PanelStream {
     val ev =
       if (fs.getFileStatus(fsPath).isDirectory) reader.parquet(path)
       else reader.option("pathGlobFilter", fsPath.getName).parquet(dir)
-    if (schema("ts").dataType == LongType)
-      // integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed a double's
-      // 53-bit mantissa, so float division is off by ±hundreds of ns —
-      // visible as off-by-one microseconds after truncation (same fix
-      // and rationale as the batch reader, Panel.readEvents)
-      ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else ev
+    // same nanos-as-long / TIMESTAMP_NTZ normalization as the batch
+    // reader (Panel.normalizeTs) — NTZ would break event-time
+    // watermarks (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
+    Panel.normalizeTs(ev)
   }
 
   /** Append sink: day-partitioned parquet + checkpoint — the stream
