@@ -12,54 +12,6 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline queries reported per-query in the one-line JSON: every
-    * scale-relevant operator family, plus q_identity/q_tlag as the
-    * fixed-overhead markers. The cheap pointwise/missing variants that
-    * share a plan shape with a listed representative (q_add…q_div,
-    * q_tlead, q_mavg…, q_bfill…) ride under `total` only — the line
-    * must stay inside the harness's ~2 KB output-tail capture.
-    */
-  val Headline: Set[String] = Set(
-    "q_identity", "q_tlag", "q_tlags3d", "q_entropy", "q_cweq",
-    "q_time_since", "q_tick",
-    "q_interpolate", "q_group_global_means", "q_time_means",
-    "q_splag4d", "q_splag4d_multi",
-    "q_splag_country", "q_splag_country_ring2", "q_splag_country_norm",
-    "q_spacetime_dist_k1", "q_spacetime_dist_k5",
-    "q_spacetime_weights_k5",
-    "q_tree_lag", "q_tree_lag_d2", "q_grid_lag", "q_keep_grids",
-    "q_fourier_lag", "q_fourier_lag_3d", "q_fourier_lag_multi",
-    "q_temporal_tree_uniform", "q_temporal_tree_sigmoid",
-    "q_pipeline_chain", "q_pipeline_tree_lag", "q_pipeline_grid_lag",
-    "q_pipeline_fourier", "q_pipeline_spacetime", "q_pipeline_splag4d",
-    "q_pipeline_splag_country", "q_pipeline_temporal_tree",
-    "q_mice", "q_mice_gen", "q_impute_regression",
-    "q_text_analyze", "q_corpus_filter", "q_corpus_stats",
-    "q_dedup_exact", "q_dedup_clusters", "q_dedup_spans", "q_minhash_lsh",
-    "q_simhash", "q_simhash_pairs", "q_ngram_jaccard",
-    "q_simhash64", "q_simhash64_pairs",
-    "q_minhash_lsh_full", "q_simhash64_pairs_full",
-    "q_embed_topk", "q_embed_lsh_topk", "q_embed_ivf_topk",
-    "q_embed_quantize", "q_embed_topk_q8", "q_repetition", "q_chunk", "q_oov",
-    "q_lm_score",
-    "q_embed_neardup", "q_embed_neardup_lsh", "q_sample_hash",
-    "q_sessionize", "q_pack_shards", "q_pack_sequences", "q_scrub_pii",
-    "q_tfidf", "q_sample_stratified", "q_ngram_index",
-    "q_decontaminate", "q_boilerplate", "q_sample_topk_stratum",
-    "q_dedup_spans_keepfirst", "q_mix_sources",
-    "q_pipeline_spans_keepfirst", "q_pipeline_mix", "q_bm25",
-    "q_pipeline_corpus",
-    "q_pipeline_corpus_full", "q_pipeline_corpus_signals",
-    "q_pipeline_neardup", "q_pipeline_clusters",
-    "q_pipeline_embed", "q_pipeline_embed_q8",
-    "q_pack_shards_auto", "q_chunk_bpe", "q_pack_sequences_bpe",
-    "q_json_rollup", "q_pivot_events", "q_vocab", "q_length_quantiles",
-    "q_asof_purchase", "q_range_join",
-    "q_multimodal_features", "q_multimodal_frames", "q_multimodal_audio",
-    "q_multimodal_gif_frames",
-    "q_pricing_summary", "q_top_orders", "q_region_revenue",
-    "q_panel_stream")
-
   /** 1-minute load average from /proc/loadavg (Linux; -1.0 elsewhere).
     * Captured before and after the timed section: a value far above the
     * worker core count marks the whole run as machine-contended.
@@ -224,20 +176,16 @@ object Bench {
     // The harness captures only the last ~2000 bytes of the run's
     // output (sbt's own epilogue included), and the JSON line must fit
     // inside that tail IN FULL to parse. `total`/`failures` cover every
-    // query; the per-query map is restricted to the headline set — the
-    // scale-relevant operators (all spatial/pipeline/dedup/similarity/
-    // ML/star queries, representatives of the cheap pointwise families)
-    // — and truncated defensively if it would ever outgrow the tail.
+    // query; the per-query map carries the SLOWEST queries that fit
+    // under the byte cap (r7 lesson: a fixed alphabetical prefix
+    // truncated at q_pack_*, losing the spatial/temporal families from
+    // round-over-round diffs — the expensive queries are the ones a
+    // diff must see, whatever their names). The complete map lives in
+    // target/bench_full.json; 1500-byte cap leaves real headroom under
+    // the ~2000-byte capture (sbt epilogue included).
     val headlineLine = {
-      val hs = results.filter { case (n, _) => Headline(n) }
-      // overflow fallback drops trailing ALPHABETICAL entries — a
-      // stable subset, so round-over-round diffs never see queries
-      // appear/disappear with run speed (a slowest-N subset would)
-      // 1500-byte cap (was 1800): the r6 driver artifact came back
-      // `parsed: null` with a truncated tail — the sbt epilogue plus a
-      // near-limit line overflowed the ~2000-byte capture. Leave real
-      // headroom; the complete map lives in target/bench_full.json.
-      Iterator.iterate(hs)(_.dropRight(8)).map(line)
+      val byCost = results.sortBy { case (n, t) => (-t, n) }
+      Iterator.iterate(byCost)(_.dropRight(8)).map(line)
         .find(_.length <= 1500).getOrElse(line(Seq.empty))
     }
     println(headlineLine)
