@@ -401,6 +401,17 @@ object Registry {
     "oov" -> ((df, a) =>
       df.join(text.TextOps.oovRate(df, a.num(0).toInt).drop("n_tokens"),
         Seq("doc_id"))),
+    // args: [vocabSize, shingleN, minDocs] — the FUSED signal stage:
+    // appends exactly what the chain repetition → oov → lm_score →
+    // boilerplate appends, but off one shared (doc, token) and one
+    // (doc, bigram) aggregation instead of four independent corpus
+    // re-tokenizations (the chain's cost is dominated by repeating
+    // the tokenize+shuffle per step)
+    // left join ≡ inner here (signalStats yields one row per doc) but
+    // keeps isnotnull pushdown from desyncing the shared subtrees
+    "signals" -> ((df, a) =>
+      df.join(text.TextOps.signalStats(df, a.num(0).toInt, a.num(1).toInt,
+        a.num(2).toLong), Seq("doc_id"), "left")),
     // args: [shingleSize, numHashes, bandRows, threshold] — MinHash
     // near-duplicate FILTER, keep-the-canonical: LSH candidate pairs
     // at the given banding, exact-Jaccard verified >= threshold,

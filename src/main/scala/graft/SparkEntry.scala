@@ -365,17 +365,16 @@ object SparkEntry {
            |{"type":"dedup_exact"},
            |{"type":"chunk","args":[64,8]},
            |{"type":"pack_sequences","args":[512,8,"seqf"]}]""".stripMargin)),
-    // r7: the signal-append steps as one spec — decontaminate narrows
-    // the frame to train docs, then repetition / OOV / LM-fit /
-    // boilerplate each append their quality signals computed over the
-    // narrowed frame (order matters and the oracle mirrors it)
+    // r7: the signal-append surface as one spec — decontaminate
+    // narrows the frame to train docs, then the FUSED `signals` step
+    // (r8) appends the repetition / OOV / LM-fit / boilerplate columns
+    // off one shared (doc, token) + one (doc, bigram) aggregation. The
+    // oracle is unchanged from the r7 step chain — the fusion is a
+    // pure plan optimisation, pinned equivalent by the same SQL
     "q_pipeline_corpus_signals" -> ((s, dir) =>
       Registry.runCorpus(docs(s, dir).select(col("doc_id"), col("text")),
         """[{"type":"decontaminate","args":[4,10]},
-           |{"type":"repetition"},
-           |{"type":"oov","args":[50]},
-           |{"type":"lm_score"},
-           |{"type":"boilerplate","args":[3,5]}]""".stripMargin)
+           |{"type":"signals","args":[50,3,5]}]""".stripMargin)
         .drop("text")),
     // r7: MinHash near-dup removal as a wire step (keep-the-canonical
     // cluster minimum; same capped banding as q_minhash_lsh)

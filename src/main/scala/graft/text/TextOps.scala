@@ -419,7 +419,12 @@ object TextOps {
     docs.select(col(idCol),
         explode(arrays_zip(slice(words, lit(1), nPairs), slice(words, lit(2), nPairs)))
           .as("__z"))
-      .select(col(idCol), col("__z.0").as("w1"),
+      // coalesce makes w1 provably NON-NULL (arrays_zip marks struct
+      // fields nullable even though the equal-length slices never pad
+      // here), so joins keyed on w1 fold their isnotnull pushdown away
+      // instead of injecting a Filter that desyncs otherwise-identical
+      // aggregation subtrees from Reuse(d)Exchange sharing
+      .select(col(idCol), coalesce(col("__z.0"), lit("")).as("w1"),
         concat_ws(" ", col("__z.0"), col("__z.1")).as("bigram"))
   }
 
@@ -455,6 +460,96 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(avg(log(col("__cb").cast("double") / col("__cp"))), 6).as("lm_score"))
+  }
+
+  /** The FUSED per-document signal stage: repetition (top_token_frac,
+    * top_bigram_frac, distinct_ratio), OOV rate against the frame's own
+    * top-`vocabSize` vocabulary, the corpus-self-trained bigram LM
+    * score, and the word-`shingleN`-gram boilerplate ratio — the exact
+    * column set the step chain `repetition → oov → lm_score →
+    * boilerplate` appends, from ONE shared (doc, token) aggregation and
+    * ONE shared (doc, bigram) aggregation instead of four independent
+    * re-tokenizations of the corpus.
+    *
+    * Scale shape: the token stream is tokenized and aggregated once
+    * (map-side combine); the vocabulary is a TakeOrdered over the
+    * counted VOCABULARY and broadcasts back, so the per-doc aggregation
+    * computes n_tokens / top-token / distinct / OOV in a single pass.
+    * Likewise one (doc, bigram) aggregation feeds the repetition
+    * bigram stats AND both global LM count tables. Exactly two
+    * token-keyed shuffles exist in the whole plan (the (doc, token)
+    * aggregation and the global vocabulary count) — PlanSpec pins this.
+    *
+    * Equivalence note: lm_score is the instance-weighted mean
+    * Σ c·ln(cb/cp) / Σ c over per-(doc, bigram) counts, which equals
+    * bigramLmScore's per-instance avg exactly in real arithmetic; both
+    * round to 1e-6, absorbing the ~1e-15 float-order noise.
+    *
+    * @return (idCol, top_token_frac, top_bigram_frac, distinct_ratio,
+    *   n_oov, oov_rate, n_bigrams, lm_score, n_shingles, n_common,
+    *   boilerplate_ratio) — n_bigrams/lm_score NULL for docs with < 2
+    *   tokens (mirroring the chain's left join), top_bigram_frac 0.0.
+    */
+  def signalStats(docs: DataFrame, vocabSize: Int, shingleN: Int,
+                  minDocs: Long, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = docs.select(col(idCol),
+      explode(split(normalize(col(textCol)), " ")).as("tok"))
+    // the shared (doc, token) table — its aggregation subtree appears
+    // under both consumers (vocabulary + per-doc stats) IDENTICALLY,
+    // so ReuseExchange computes the tokenize+shuffle once and the
+    // second consumer reads the shuffle files (no cache-manager churn)
+    val tokCounts =
+      toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = tokCounts.groupBy(col("tok")).agg(sum("c").as("__gc"))
+      .orderBy(col("__gc").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in_vocab"))
+    val perTok = tokCounts.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(sum("c").cast("long").as("__n_tokens"),
+        max("c").as("__top_tok"),
+        count(lit(1)).cast("long").as("__n_distinct"),
+        coalesce(sum(when(col("__in_vocab").isNull, col("c"))), lit(0L))
+          .cast("long").as("n_oov"))
+    // the shared (doc, bigram) table — three identical consumers
+    // (per-doc stats + both global LM count tables), same
+    // ReuseExchange sharing; w1 in the grouping key is free (it is
+    // the bigram's first word) and lets cp aggregate without
+    // re-splitting the bigram string
+    val biCounts =
+      bigramsOf(docs, idCol, textCol)
+        .groupBy(col(idCol), col("w1"), col("bigram")).agg(count(lit(1)).as("c"))
+    val cb = biCounts.groupBy(col("bigram")).agg(sum("c").as("__cb"))
+    val cp = biCounts.groupBy(col("w1")).agg(sum("c").as("__cp"))
+    // LEFT joins throughout the assembly, deliberately: every key
+    // matches by construction (cb/cp/bp all derive from the same
+    // frame), so left ≡ inner — but an inner join would push an
+    // isnotnull(key) filter into SOME duplicate aggregation subtrees
+    // and not others, breaking the canonical-plan equality that
+    // Reuse(d)Exchange needs to compute each shared table once
+    val perBi = biCounts
+      .join(cb, Seq("bigram"), "left").join(cp, Seq("w1"), "left")
+      .groupBy(col(idCol))
+      .agg(max("c").as("__top_bi"),
+        sum("c").cast("long").as("n_bigrams"),
+        round(sum(col("c").cast("double") *
+            log(col("__cb").cast("double") / col("__cp"))) /
+          sum("c").cast("double"), 6).as("lm_score"))
+    val bp = Contamination.boilerplateRatio(docs, shingleN, minDocs, idCol, textCol)
+    perTok
+      .join(perBi, Seq(idCol), "left")
+      .join(bp, Seq(idCol), "left")
+      .select(col(idCol),
+        (col("__top_tok").cast("double") / col("__n_tokens")).as("top_token_frac"),
+        coalesce(col("__top_bi").cast("double") / col("n_bigrams"), lit(0.0))
+          .as("top_bigram_frac"),
+        (col("__n_distinct").cast("double") / col("__n_tokens")).as("distinct_ratio"),
+        col("n_oov"),
+        (col("n_oov").cast("double") / col("__n_tokens")).as("oov_rate"),
+        col("n_bigrams"), col("lm_score"),
+        col("n_shingles"), col("n_common"), col("boilerplate_ratio"))
   }
 
   private def tokensByLang(docs: DataFrame, textCol: String): DataFrame =

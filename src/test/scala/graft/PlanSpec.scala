@@ -177,6 +177,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains(" the ")) <= 1, plan)
   }
 
+  test("signalStats shares one (doc, token) and one (doc, bigram) aggregation") {
+    val docs = Seq((1L, "a b a c"), (2L, "b b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    // AQE reuses duplicate exchange subtrees at runtime via its stage
+    // cache; turn it off so the STATIC ReuseExchange rule makes the
+    // sharing visible (and assertable) in the compiled plan
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.text.TextOps.signalStats(docs, 10, 2, 2)
+        .queryExecution.executedPlan.toString()
+      // the duplicated (doc, token) / (doc, bigram) aggregations must
+      // collapse to reused exchanges — re-tokenizing per signal is the
+      // failure mode this fused stage exists to remove
+      assert(plan.contains("ReusedExchange"), plan)
+      // at most 2 live token-keyed shuffles: the (doc, token)
+      // aggregation and the global vocabulary count
+      val tokKeyed = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") &&
+          !l.contains("ReusedExchange") && l.contains("tok#"))
+      assert(tokKeyed <= 2, plan)
+      // likewise the bigram table: its aggregation + the two global LM
+      // count tables — 3 live bigram/w1-keyed shuffles at most
+      val biKeyed = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") &&
+          !l.contains("ReusedExchange") &&
+          (l.contains("bigram#") || l.contains("w1#")))
+      assert(biKeyed <= 3, plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("spacetime kNN broadcasts raw events only; as-of join is unit-keyed") {
     val plan = spatial.SpacetimeDist.spacetimeDistances(
         gridPanel, "value", "distances", k = 1, nu = 1.0, power = 0.0)
