@@ -307,6 +307,138 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join replays closed events in order with carry state") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    def us(s: String) = ts(s).getTime * 1000L
+    val src = MemoryStream[(java.sql.Timestamp, Long, Long, Double, String)]
+    val q = graft.streaming.AsofStream.asofPurchases(
+        src.toDS().toDF("ts", "user_id", "event_id", "value", "event_type"),
+        delay = "10 minutes")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 views then purchases; user 2 views. Initial
+      // watermark (epoch 0) closes nothing — everything buffers.
+      src.addData(
+        (ts("2024-01-01T00:00:00Z"), 1L, 1L, 0.0, "view"),
+        (ts("2024-01-01T00:10:00Z"), 1L, 2L, 5.0, "purchase"),
+        (ts("2024-01-01T00:05:00Z"), 2L, 3L, 0.0, "view"))
+      q.processAllAvailable()
+      assert(spark.table("asof_stream").count() == 0)
+      // batch 2 advances the watermark to 00:00 (max 00:10 − 10 min),
+      // closing event 1; the event-time timeout then fires an extra
+      // flush batch at the post-batch watermark 01:50 (02:00 − 10 min)
+      // which closes 2 — the purchase itself, inclusive-at-equality,
+      // sees its own value — and 3 (user 2, no purchase ever → null)
+      src.addData((ts("2024-01-01T02:00:00Z"), 1L, 4L, 0.0, "view"))
+      q.processAllAvailable()
+      val afterB2 = spark.table("asof_stream").collect()
+        .map(r => (r.getLong(2), r.getAs[Any]("purchase_value"))).toMap
+      assert(afterB2 == Map(1L -> null, 2L -> 5.0, 3L -> null))
+      // batch 3 → watermark 09:50 via timeout flush: closes event 4
+      // (carry 5.0 across micro-batches and across the 02:00 gap)
+      src.addData(
+        (ts("2024-01-01T10:00:00Z"), 1L, 5L, 0.0, "view"),
+        (ts("2024-01-01T10:00:00Z"), 2L, 6L, 0.0, "view"))
+      q.processAllAvailable()
+      // batch 4 → watermark 22:50: closes events 5 (carry persists
+      // to a key whose traffic resumed hours later) and 6; event 7
+      // itself stays pending
+      src.addData((ts("2024-01-01T23:00:00Z"), 9L, 7L, 0.0, "view"))
+      q.processAllAvailable()
+      val out = spark.table("asof_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.getAs[java.lang.Double]("purchase_value")).map(_.toDouble)))
+        .sortBy(_._3).toSeq
+      assert(out == Seq(
+        (1L, us("2024-01-01T00:00:00Z"), 1L, None),
+        (1L, us("2024-01-01T00:10:00Z"), 2L, Some(5.0)),
+        (2L, us("2024-01-01T00:05:00Z"), 3L, None),
+        (1L, us("2024-01-01T02:00:00Z"), 4L, Some(5.0)),
+        (1L, us("2024-01-01T10:00:00Z"), 5L, Some(5.0)),
+        (2L, us("2024-01-01T10:00:00Z"), 6L, None)))
+      // parity: the batch as-of join on the same closed prefix agrees
+      import org.apache.spark.sql.functions._
+      val closed = Seq(
+        (ts("2024-01-01T00:00:00Z"), 1L, 1L, 0.0, "view"),
+        (ts("2024-01-01T00:10:00Z"), 1L, 2L, 5.0, "purchase"),
+        (ts("2024-01-01T00:05:00Z"), 2L, 3L, 0.0, "view"),
+        (ts("2024-01-01T02:00:00Z"), 1L, 4L, 0.0, "view"),
+        (ts("2024-01-01T10:00:00Z"), 1L, 5L, 0.0, "view"),
+        (ts("2024-01-01T10:00:00Z"), 2L, 6L, 0.0, "view"))
+        .toDF("ts", "user_id", "event_id", "value", "event_type")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_id"), col("value"), col("event_type"))
+      val left = closed.select(col("user_id"), col("t"), col("event_id"))
+      val right = closed.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("t"))
+        .agg(max(col("value")).as("purchase_value"))
+      val batch = relational.AsofJoin
+        .asofJoin(left, right, "user_id", "t", Seq("purchase_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.getAs[java.lang.Double]("purchase_value")).map(_.toDouble)))
+        .sortBy(_._3).toSeq
+      assert(out == batch)
+    } finally q.stop()
+  }
+
+  test("streaming interval join matches points to intervals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val pSrc = MemoryStream[(java.sql.Timestamp, Long)]          // (p_ts, point_id)
+    val iSrc = MemoryStream[(java.sql.Timestamp, java.sql.Timestamp, Long)] // (s_start, s_end, span_id)
+    val joined = graft.streaming.IntervalStream.pointsInIntervals(
+      pSrc.toDS().toDF("p_ts", "point_id"),
+      iSrc.toDS().toDF("s_start", "s_end", "span_id"),
+      timeCol = "p_ts", startCol = "s_start", endCol = "s_end",
+      binWidth = 3600L * 1000000L,           // 1-hour bins
+      delay = "10 minutes", maxIntervalLen = "6 HOURS")
+    val q = joined.select("span_id", "point_id")
+      .writeStream.format("memory").queryName("interval_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two intervals arrive, plus one point inside span 10
+      iSrc.addData(
+        (ts("2024-01-01T00:00:00Z"), ts("2024-01-01T02:00:00Z"), 10L),
+        (ts("2024-01-01T05:00:00Z"), ts("2024-01-01T05:30:00Z"), 20L))
+      pSrc.addData((ts("2024-01-01T00:30:00Z"), 1L))
+      q.processAllAvailable()
+      // batch 2: points arrive AFTER their intervals (cross-batch join
+      // state): one in span 10 (bin 1 ≠ interval start bin — covered
+      // because the interval exploded to both bins), one in span 20,
+      // one in no span, one at span 10's half-open end (excluded)
+      pSrc.addData(
+        (ts("2024-01-01T01:30:00Z"), 2L),
+        (ts("2024-01-01T05:10:00Z"), 3L),
+        (ts("2024-01-01T03:00:00Z"), 4L),
+        (ts("2024-01-01T02:00:00Z"), 5L))
+      q.processAllAvailable()
+      val got = spark.table("interval_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq((10L, 1L), (10L, 2L), (20L, 3L)))
+      // parity: the batch bucketized interval join on the same data
+      import org.apache.spark.sql.functions._
+      val pts = Seq((ts("2024-01-01T00:30:00Z"), 1L),
+        (ts("2024-01-01T01:30:00Z"), 2L), (ts("2024-01-01T05:10:00Z"), 3L),
+        (ts("2024-01-01T03:00:00Z"), 4L), (ts("2024-01-01T02:00:00Z"), 5L))
+        .toDF("p_ts", "point_id")
+        .select(unix_micros(col("p_ts")).as("t"), col("point_id"))
+      val spans = Seq(
+        (ts("2024-01-01T00:00:00Z"), ts("2024-01-01T02:00:00Z"), 10L),
+        (ts("2024-01-01T05:00:00Z"), ts("2024-01-01T05:30:00Z"), 20L))
+        .toDF("s_start", "s_end", "span_id")
+        .select(unix_micros(col("s_start")).as("t_start_us"),
+          unix_micros(col("s_end")).as("t_end_us"), col("span_id"))
+      val batch = relational.RangeJoin.intervalJoin(pts, spans,
+          "t", "t_start_us", "t_end_us", binWidth = 3600L * 1000000L)
+        .select("span_id", "point_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming near-dedup: simhash64 hamming <= 3 across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
