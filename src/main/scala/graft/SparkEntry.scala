@@ -714,6 +714,46 @@ object SparkEntry {
         .as[streaming.TickStream.PanelRow]
       streaming.TickStream.tickTimeSince(ds).toDF()
     }),
+    // r8: the STREAMING as-of operator executed in batch mode (no
+    // watermark → everything closes → the full as-of join), pinned by
+    // the same DuckDB ASOF JOIN oracle as the batch operator — the
+    // replay-with-carry logic is engine-checked, not just spec-checked
+    "q_asof_stream" -> ((s, dir) =>
+      streaming.AsofStream.asofPurchases(Panel.readEvents(s, dir)).toDF()),
+    // r8: the STREAMING interval join (bin-keyed stream-stream shape)
+    // in batch mode over the q_range_join fixture: events into the 20
+    // longest sessions — same oracle as the batch bucketized join
+    "q_interval_stream" -> ((s, dir) => {
+      val pts = Panel.readEvents(s, dir)
+        .select(col("ts").as("p_ts"), col("value").as("p_value"))
+      val sessions = streaming.Sessions.sessionize(
+        Panel.readEvents(s, dir), gapSeconds = 3600)
+      val top = sessions
+        .withColumn("dur", col("t_end_us") - col("t_start_us"))
+        .orderBy(col("dur").desc, col("user_id"), col("t_start_us"))
+        .limit(20)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(col("user_id"), lit(1)))
+            .orderBy(col("dur").desc, col("user_id"), col("t_start_us"))))
+        .select(col("rk").cast("long").as("rk"),
+          col("user_id").as("s_user"), col("t_start_us"), col("t_end_us"),
+          timestamp_micros(col("t_start_us")).as("s_start"),
+          timestamp_micros(col("t_end_us")).as("s_end"))
+      val matched = streaming.IntervalStream.pointsInIntervals(
+          pts, top, timeCol = "p_ts", startCol = "s_start", endCol = "s_end",
+          binWidth = 21600000000L, delay = "1 hour",
+          // must dominate the longest true session (hours here); the
+          // events table spans one month, so 30 days always does
+          maxIntervalLen = "30 DAYS")
+        .groupBy(col("rk"))
+        .agg(count(lit(1)).cast("long").as("n_in"),
+          sum(col("p_value")).as("v_in"))
+      top.join(matched, Seq("rk"), "left")
+        .select(col("rk"), col("s_user"), col("t_start_us"), col("t_end_us"),
+          coalesce(col("n_in"), lit(0L)).as("n_in"),
+          coalesce(col("v_in"), lit(0.0)).as("v_in"))
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -863,6 +903,10 @@ object SparkEntry {
     "q_length_quantiles" -> OracleExt.qLengthQuantiles,
     "q_asof_purchase" -> OracleExt.qAsofPurchase,
     "q_range_join" -> OracleExt.qRangeJoin,
+    // the streaming twins run in batch mode compute the identical
+    // relations, so the same independent-engine SQL pins them
+    "q_asof_stream" -> OracleExt.qAsofPurchase,
+    "q_interval_stream" -> OracleExt.qRangeJoin,
     "q_ngram_jaccard" -> OracleExt.qNgramJaccard,
     "q_embed_topk" -> OracleExt.qEmbedTopK,
     "q_embed_quantize" -> OracleExt.qEmbedQuantize,

@@ -75,8 +75,12 @@ object AsofStream {
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, rows: Iterator[AsofEvent], st: GroupState[AsofState]) => {
-          val wm = try st.getCurrentWatermarkMs()
-          catch { case _: UnsupportedOperationException => Long.MinValue }
+          // batch execution (getCurrentWatermarkMs throws: the
+          // optimizer eliminated the watermark node) closes EVERYTHING
+          // — the operator then computes the full as-of join, which is
+          // what lets the oracle pin the streaming operator's logic
+          val (wm, streaming) = try (st.getCurrentWatermarkMs(), true)
+          catch { case _: UnsupportedOperationException => (Long.MaxValue, false) }
           // epoch micros, matching the batch query's unix_micros(ts)
           // (Timestamp.getTime is ms; the sub-ms part lives in nanos)
           def micros(t: java.sql.Timestamp): Long =
@@ -109,8 +113,9 @@ object AsofStream {
             // buffered event (all pending are > wm by construction,
             // satisfying the must-be-after-watermark contract); a key
             // holding only a carry needs no wake-up — the carry is
-            // read when its next event arrives
-            if (pending.nonEmpty)
+            // read when its next event arrives. Batch mode has no
+            // timeouts to register (and nothing pending anyway).
+            if (streaming && pending.nonEmpty)
               st.setTimeoutTimestamp(pending.map(_.ts.getTime).min)
           }
           out.iterator
