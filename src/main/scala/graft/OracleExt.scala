@@ -1166,18 +1166,23 @@ object OracleExt {
     * summation order inside the 64-dim means, which can only change
     * the output if an ulp flips an argmin.
     */
-  def qEmbedIvfTopK(k: Int = 10, nlists: Int = 16, nprobe: Int = 4,
-                    iters: Int = 3, dim: Int = 64): String = {
-    // nearest-list score: ||v−c||² minus the per-row constant ||v||²,
-    // exactly the rank-equivalent form the Scala assignment codegens
-    def score(v: String, cent: String) =
-      s"-2 * list_dot_product($v, $cent) + list_dot_product($cent, $cent)"
+  // nearest-list score: ||v−c||² minus the per-row constant ||v||²,
+  // exactly the rank-equivalent form the Scala assignment codegens
+  private def ivfScore(v: String, cent: String) =
+    s"-2 * list_dot_product($v, $cent) + list_dot_product($cent, $cent)"
+
+  /** Shared unrolled-Lloyd CTE chain: seeds, `iters` assignment+mean
+    * steps, and the final assignment `asgnF(vec_id, v, list)` (with
+    * `cent$iters` in scope for probe ranking) — the oracle twin of
+    * Similarity.buildIvfIndex, reused by every IVF-derived oracle.
+    */
+  private def ivfAssignCtes(nlists: Int, iters: Int, dim: Int): String = {
     def assign(cent: String, out: String) =
       s"""$out AS (
          |  SELECT vec_id, v, list FROM (
          |    SELECT c.vec_id, c.v, ct.list,
          |      row_number() OVER (PARTITION BY c.vec_id
-         |        ORDER BY ${score("c.v", "ct.cent")}, ct.list) AS rn
+         |        ORDER BY ${ivfScore("c.v", "ct.cent")}, ct.list) AS rn
          |    FROM c, $cent ct)
          |  WHERE rn = 1)""".stripMargin
     val means = (1 to dim).map(j => s"avg(v[$j])").mkString(", ")
@@ -1194,12 +1199,17 @@ object OracleExt {
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list, v AS cent
        |  FROM c ORDER BY vec_id LIMIT $nlists),
        |$steps,
-       |${assign(s"cent$iters", "asgnF")},
+       |${assign(s"cent$iters", "asgnF")}""".stripMargin
+  }
+
+  def qEmbedIvfTopK(k: Int = 10, nlists: Int = 16, nprobe: Int = 4,
+                    iters: Int = 3, dim: Int = 64): String =
+    s"""${ivfAssignCtes(nlists, iters, dim)},
        |ql AS (
        |  SELECT query_id, list FROM (
        |    SELECT q.vec_id AS query_id, ct.list,
        |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${score("q.v", "ct.cent")}, ct.list) AS rn
+       |        ORDER BY ${ivfScore("q.v", "ct.cent")}, ct.list) AS rn
        |    FROM c q, cent$iters ct WHERE q.vec_id < 50)
        |  WHERE rn <= $nprobe),
        |qv AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 50),
@@ -1214,7 +1224,22 @@ object OracleExt {
        |         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
        |FROM rk WHERE rank <= $k""".stripMargin
-  }
+
+  /** SemDeDup oracle: the same Lloyd assignment, then within-cluster
+    * near-dup pruning — a vector is dropped when a lower-id clustermate
+    * has cosine ≥ threshold (mirrors Similarity.semanticDedup).
+    */
+  def qSemanticDedup(threshold: Double, nlists: Int = 16,
+                     iters: Int = 3, dim: Int = 64): String =
+    s"""${ivfAssignCtes(nlists, iters, dim)},
+       |drp AS (
+       |  SELECT DISTINCT b.vec_id AS id_b
+       |  FROM asgnF a JOIN asgnF b
+       |    ON a.list = b.list AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.v", "b.v")} >= $threshold)
+       |SELECT a.vec_id, CAST(a.list AS INTEGER) AS list
+       |FROM asgnF a LEFT JOIN drp ON drp.id_b = a.vec_id
+       |WHERE drp.id_b IS NULL""".stripMargin
 
   /** Shared CTE chain ending in `feat(doc_id, nt, fingerprint,
     * n_tokens, quality, lang_pred)` — the per-document analysis

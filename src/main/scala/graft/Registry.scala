@@ -467,6 +467,15 @@ object Registry {
     "lsh_neardup" -> ((df, a) =>
       similarity.Similarity.lshNearDupPairs(df, a.num(0),
         0 until a.numOpt(1).getOrElse(8.0).toInt)),
+    // args: [threshold, nlists?, iters?] — SemDeDup semantic dedup
+    // FILTER: the frame narrows to cluster-local near-dup survivors
+    // (embedding intact, so downstream similarity steps compose)
+    "semdedup" -> ((df, a) =>
+      df.join(similarity.Similarity.semanticDedup(df, a.num(0),
+          a.numOpt(1).getOrElse(16.0).toInt,
+          a.numOpt(2).getOrElse(3.0).toInt)
+          .select(col("vec_id")),
+        Seq("vec_id"), "left_semi")),
     // args: [k, queryMax | queryPath] — terminal exact cosine top-k
     "topk" -> ((df, a) =>
       similarity.Similarity.bruteForceTopK(df, embedQueries(df, a, 1),

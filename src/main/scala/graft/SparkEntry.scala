@@ -495,6 +495,11 @@ object SparkEntry {
       similarity.Similarity.ivfTopK(e, e.filter(col("vec_id") < 50),
         k = 10, nlists = 16, nprobe = 4)
     }),
+    // r8: SemDeDup-style semantic dedup — IVF clusters bound the
+    // near-dup candidate set; within-cluster lower-id-wins pruning
+    "q_embed_semdedup" -> ((s, dir) =>
+      similarity.Similarity.semanticDedup(embeddings(s, dir),
+        threshold = 0.3, nlists = 16)),
     // r8: the amortized serving shape — train + write the
     // list-partitioned index ONCE per corpus (the one-off build phase),
     // then read + probe only. Same parameters and same deterministic
@@ -925,6 +930,7 @@ object SparkEntry {
     // index returns exactly what build+search returns (deterministic
     // quantizer, exact double round-trip through parquet)
     "q_embed_ivf_search" -> OracleExt.qEmbedIvfTopK(),
+    "q_embed_semdedup" -> OracleExt.qSemanticDedup(threshold = 0.3),
     "q_pipeline_embed" -> OracleExt.qPipelineEmbed,
     "q_pipeline_embed_q8" -> OracleExt.qPipelineEmbedQ8,
     "q_impute_regression" -> OracleExt.qImputeRegression,

@@ -236,6 +236,38 @@ object Similarity {
           col("neighbor_id"), col("c_vec")))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the IVF coarse
+    * quantizer, then prune near-duplicates WITHIN each cluster only —
+    * a vector is dropped when some lower-id vector in its cluster has
+    * cosine ≥ `threshold` (the deterministic keep-the-lowest-id
+    * convention every dedup operator here shares). Clustering bounds
+    * the candidate set: the quadratic verification runs per cluster
+    * (corpus/nlists sized), never corpus-wide — scale nlists with the
+    * corpus to keep clusters bounded. Cross-cluster near-dups are
+    * missed by design, exactly the SemDeDup trade.
+    *
+    * @return survivors as (idCol, list INT) — cluster id retained for
+    *   downstream diversity sampling
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double, nlists: Int,
+                    iters: Int = 3, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val a = buildIvfIndex(corpus, nlists, iters, idCol, vecCol).assigned
+    val left = a.select(col("list"), col("neighbor_id").as("id_a"),
+      col("c_vec").as("va"))
+    val right = a.select(col("list"), col("neighbor_id").as("id_b"),
+      col("c_vec").as("vb"))
+    // within-cluster pairs only: the join shuffles on the cluster key,
+    // so corpus size scales out horizontally across clusters
+    val dropped = left.join(right, Seq("list"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b")).distinct()
+    a.join(dropped, a("neighbor_id") === dropped("id_b"), "left_anti")
+      .select(col("neighbor_id").as(idCol), col("list"))
+  }
+
   /** Sign-LSH bucket key: one bit per hyperplane — here the sign of the
     * coordinate at each given dimension index (axis-aligned hyperplanes;
     * any fixed projection family works the same way).

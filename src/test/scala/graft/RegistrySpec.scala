@@ -222,6 +222,16 @@ class RegistrySpec extends SparkSpec {
     val nd = Registry.runEmbeddings(emb,
       """[{"type":"lsh_neardup","args":[0.9,3]}]""").collect()
     assert(nd.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+    // semdedup FILTERS the frame (embedding intact, composable) and
+    // keeps exactly the direct operator's survivors: with one cluster,
+    // 1 is pruned by 0 (cosine ≈ 0.994 ≥ 0.9), 2 and 3 survive
+    val sd = Registry.runEmbeddings(emb,
+      """[{"type":"semdedup","args":[0.9,1]}]""")
+    assert(sd.columns.toSeq == Seq("vec_id", "embedding"))
+    val directSd = similarity.Similarity.semanticDedup(emb, 0.9, nlists = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(sd.collect().map(_.getLong(0)).toSet == directSd)
+    assert(directSd == Set(0L, 2L, 3L))
     // its own namespace in errors
     val e = intercept[IllegalArgumentException](
       Registry.runEmbeddings(emb, """[{"type":"chunk","args":[8]}]"""))
