@@ -1225,6 +1225,20 @@ object OracleExt {
        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
        |FROM rk WHERE rank <= $k""".stripMargin
 
+  /** Cluster-diverse sampling oracle: the same Lloyd assignment, then
+    * a per-cluster deterministic hash rank capped at `perCluster`
+    * (mirrors Similarity.diverseSample / Sampling.hashTopKPerStratum).
+    */
+  def qEmbedDiverse(perCluster: Int, salt: String, nlists: Int = 16,
+                    iters: Int = 3, dim: Int = 64): String =
+    s"""${ivfAssignCtes(nlists, iters, dim)},
+       |rk AS (SELECT vec_id, list,
+       |  ROW_NUMBER() OVER (PARTITION BY list
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':$salt'), vec_id) AS r
+       |  FROM asgnF)
+       |SELECT vec_id, CAST(list AS INTEGER) AS list
+       |FROM rk WHERE r <= $perCluster""".stripMargin
+
   /** SemDeDup oracle: the same Lloyd assignment, then within-cluster
     * near-dup pruning — a vector is dropped when a lower-id clustermate
     * has cosine ≥ threshold (mirrors Similarity.semanticDedup).

@@ -500,6 +500,11 @@ object SparkEntry {
     "q_embed_semdedup" -> ((s, dir) =>
       similarity.Similarity.semanticDedup(embeddings(s, dir),
         threshold = 0.3, nlists = 16)),
+    // r8: diversity-preserving downsampling — at most 10 vectors per
+    // semantic cluster, deterministic hash rank within cluster
+    "q_embed_diverse" -> ((s, dir) =>
+      similarity.Similarity.diverseSample(embeddings(s, dir),
+        perCluster = 10, nlists = 16, salt = "div0")),
     // r8: the amortized serving shape — train + write the
     // list-partitioned index ONCE per corpus (the one-off build phase),
     // then read + probe only. Same parameters and same deterministic
@@ -931,6 +936,7 @@ object SparkEntry {
     // quantizer, exact double round-trip through parquet)
     "q_embed_ivf_search" -> OracleExt.qEmbedIvfTopK(),
     "q_embed_semdedup" -> OracleExt.qSemanticDedup(threshold = 0.3),
+    "q_embed_diverse" -> OracleExt.qEmbedDiverse(perCluster = 10, salt = "div0"),
     "q_pipeline_embed" -> OracleExt.qPipelineEmbed,
     "q_pipeline_embed_q8" -> OracleExt.qPipelineEmbedQ8,
     "q_impute_regression" -> OracleExt.qImputeRegression,

@@ -268,6 +268,24 @@ object Similarity {
       .select(col("neighbor_id").as(idCol), col("list"))
   }
 
+  /** Cluster-diverse subset selection: at most `perCluster` vectors
+    * per IVF cluster, chosen by deterministic hash rank within the
+    * cluster — the diversity-preserving downsampling step of a
+    * training-data pipeline (cap any semantic neighbourhood's share of
+    * the corpus instead of sampling blind). Composes the IVF coarse
+    * quantizer with the stratified top-k sampler, so the only wide
+    * operation is a per-cluster bounded rank window.
+    *
+    * @return (idCol, list INT) — the kept vectors with their cluster
+    */
+  def diverseSample(corpus: DataFrame, perCluster: Int, nlists: Int,
+                    salt: String, iters: Int = 3, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val a = buildIvfIndex(corpus, nlists, iters, idCol, vecCol).assigned
+      .select(col("neighbor_id").as(idCol), col("list"))
+    graft.sampling.Sampling.hashTopKPerStratum(a, idCol, "list", perCluster, salt)
+  }
+
   /** Sign-LSH bucket key: one bit per hyperplane — here the sign of the
     * coordinate at each given dimension index (axis-aligned hyperplanes;
     * any fixed projection family works the same way).
