@@ -340,6 +340,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming as-of (batch mode) equals the batch as-of join on random event logs") {
+    // random event logs: few users, colliding timestamps, purchase
+    // density varied — the two formulations (buffer+replay+carry vs
+    // union+window) must agree row-for-row including ties and nulls
+    val eventGen: Gen[List[(Long, Long, Double, String)]] =
+      Gen.chooseNum(5, 30).flatMap(n => Gen.listOfN(n,
+        gen3(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 9L),
+          Gen.chooseNum(0.0, 9.0)).flatMap { case (u, t, v) =>
+          Gen.oneOf("view", "purchase", "view").map(et => (u, t, v, et))
+        }))
+    forAll(eventGen, count = 8) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, t, v, et), i) =>
+        (new java.sql.Timestamp(86400000L + t * 1000L), u, i.toLong, v, et)
+      }
+      val df = rows.toDF("ts", "user_id", "event_id", "value", "event_type")
+      val stream = graft.streaming.AsofStream.asofPurchases(df).toDF()
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.getAs[java.lang.Double]("purchase_value")))).toSet
+      val ev = df.select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("value"), col("event_type"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("t"))
+        .agg(max(col("value")).as("purchase_value"))
+      val batch = relational.AsofJoin.asofJoin(
+          ev.select(col("user_id"), col("t"), col("event_id")),
+          right, "user_id", "t", Seq("purchase_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.getAs[java.lang.Double]("purchase_value")))).toSet
+      assert(stream == batch, s"events: $rows")
+    }
+  }
+
   test("normalised kernels sum to 1; splag4d is linear in the input") {
     forAll(gen3(Gen.chooseNum(1, 3), Gen.chooseNum(1, 3), Gen.chooseNum(0.0, 3.0))) {
       case (inner, width, power) =>
