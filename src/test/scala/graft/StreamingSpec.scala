@@ -439,6 +439,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dedup drops cosine dups within sign buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val dims = 0 until 3
+    // arrival order = id order; 2/4 are scalar multiples of 1 (cosine
+    // 1, same sign bucket), 6 of 3 — near-dups straddling the batch
+    // boundary; 3 and 5 open their own buckets
+    val vecs = Seq(
+      1L -> Array(1.0f, 0.2f, 0.1f),
+      2L -> Array(0.9f, 0.18f, 0.09f),
+      3L -> Array(-1.0f, 0.3f, 0.2f),
+      4L -> Array(0.5f, 0.1f, 0.05f),
+      5L -> Array(0.1f, -0.9f, 0.1f),
+      6L -> Array(-0.75f, 0.225f, 0.15f))
+    val rows = vecs.zipWithIndex.map { case ((id, v), i) =>
+      (ts(f"2024-01-01T00:0$i%d:00Z"), id, v)
+    }
+    // expected: the batch blocked-pair operator's prefix rule — b is
+    // dropped iff some earlier a shares its bucket at cosine >= th
+    val batchDf = vecs.toDF("vec_id", "embedding")
+    val dropped = similarity.Similarity
+      .lshNearDupPairs(batchDf, threshold = 0.999, dims = dims)
+      .collect().map(_.getLong(1)).toSet
+    assert(dropped == Set(2L, 4L, 6L)) // fixture exercises drops + keeps
+    val src = MemoryStream[(java.sql.Timestamp, Long, Array[Float])]
+    val q = graft.streaming.EmbedStream.nearDedupStream(
+        src.toDS().toDF("ts", "vec_id", "embedding"),
+        threshold = 0.999, dims = dims, delayMs = 3600000L)
+      .writeStream.format("memory").queryName("embed_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      src.addData(rows.drop(3): _*)   // dups of 1 and 3 arrive LATER
+      q.processAllAvailable()
+      val kept = spark.table("embed_dedup").collect()
+        .map(_.getAs[Long]("vec_id")).sorted.toSeq
+      assert(kept == vecs.map(_._1).filterNot(dropped), s"kept $kept")
+    } finally q.stop()
+  }
+
   test("streaming near-dedup: simhash64 hamming <= 3 across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
