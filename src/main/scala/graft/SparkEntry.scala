@@ -513,9 +513,12 @@ object SparkEntry {
     // cost, with the build amortized into the first sample.
     "q_embed_ivf_search" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      // v1: bump when build parameters/layout change so a stale
-      // on-disk index can never serve a new code version
-      val path = s"target/ivf_index_v1_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // cache key: build version (bump when build parameters/layout
+      // change) + source file size/mtime — a regenerated corpus or a
+      // new code version can never be served by a stale index
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val path = s"target/ivf_index_v1_${src.length}_${src.lastModified}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
       if (!new java.io.File(s"$path/centroids").exists())
         similarity.Similarity.writeIvfIndex(
           similarity.Similarity.buildIvfIndex(e, nlists = 16), path)
