@@ -706,6 +706,16 @@ object OracleExt {
        |  quantile_cont(n, 0.75) AS p75
        |FROM nt2 GROUP BY lang_pred""".stripMargin
 
+  /** Envelope oracle for the quantile sketch (same shape as
+    * qVocabApprox): per-language doc counts are exact; within_5pct is
+    * TRUE — a drifting sketch estimate hash-mismatches the row.
+    */
+  val qLengthQuantilesApprox: String =
+    s"""$langPredCtes
+       |SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  TRUE AS within_5pct
+       |FROM lp GROUP BY lang_pred""".stripMargin
+
   /** As-of join via DuckDB's NATIVE ASOF LEFT JOIN — an independent
     * engine implementation of the same inclusive backward-join
     * semantics as AsofJoin.asofJoin (right unique per (key, time) by

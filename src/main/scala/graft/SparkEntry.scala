@@ -413,6 +413,23 @@ object SparkEntry {
         .agg(expr("percentile(CAST(n_tokens AS DOUBLE), 0.25)").as("p25"),
           expr("percentile(CAST(n_tokens AS DOUBLE), 0.5)").as("p50"),
           expr("percentile(CAST(n_tokens AS DOUBLE), 0.75)").as("p75"))),
+    // the sketch scale path for quantiles: approx_percentile is a
+    // one-pass mergeable GK sketch (fixed memory per group — exact
+    // percentile materialises every value per group, which a 100 TB
+    // corpus cannot). Same error-check shape as q_vocab_approx: the
+    // Spark side emits the envelope verdict computed against the exact
+    // value in the SAME aggregation pass, the oracle returns TRUE, and
+    // a sketch drifting out of 5% (or ±1 token) hash-mismatches.
+    "q_length_quantiles_approx" -> ((s, dir) =>
+      text.TextOps.analyze(docs(s, dir))
+        .groupBy(col("lang_pred"))
+        .agg(expr("percentile(CAST(n_tokens AS DOUBLE), 0.5)").as("__exact"),
+          expr("approx_percentile(CAST(n_tokens AS DOUBLE), 0.5, 1000)")
+            .as("__approx"),
+          count(lit(1)).cast("long").as("n_docs"))
+        .select(col("lang_pred"), col("n_docs"),
+          (abs(col("__approx") - col("__exact")) <=
+            greatest(col("__exact") * 0.05, lit(1.0))).as("within_5pct"))),
     "q_minhash_lsh" -> ((s, dir) =>
       dedup.Dedup.minhashLsh(docs(s, dir).filter(col("doc_id") < 200),
         shingleSize = 2, numHashes = OracleExt.MinhashHashes,
@@ -914,6 +931,7 @@ object SparkEntry {
     "q_vocab" -> OracleExt.qVocab,
     "q_vocab_approx" -> OracleExt.qVocabApprox,
     "q_length_quantiles" -> OracleExt.qLengthQuantiles,
+    "q_length_quantiles_approx" -> OracleExt.qLengthQuantilesApprox,
     "q_asof_purchase" -> OracleExt.qAsofPurchase,
     "q_range_join" -> OracleExt.qRangeJoin,
     // the streaming twins run in batch mode compute the identical
