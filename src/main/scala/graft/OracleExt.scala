@@ -706,6 +706,30 @@ object OracleExt {
        |  quantile_cont(n, 0.75) AS p75
        |FROM nt2 GROUP BY lang_pred""".stripMargin
 
+  /** Epoch-style upsampling oracle: same per-stratum factor table,
+    * generate_series replication, and md5-vs-hex fractional draw as
+    * Sampling.upsampleByFactor (hex literals from the same builder).
+    */
+  def qMixUpsample(factors: Seq[(String, Double)], salt: String): String = {
+    val facCase = factors.map { case (s, f) => s"WHEN '$s' THEN $f" }
+      .mkString("CASE source ", " ", " ELSE 1.0 END")
+    val thrCase = factors.map { case (s, f) =>
+      s"WHEN '$s' THEN '${graft.sampling.Sampling.thresholdHex(f - math.floor(f))}'"
+    }.mkString("CASE source ", " ",
+      s" ELSE '${graft.sampling.Sampling.thresholdHex(0.0)}' END")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $facCase AS fac FROM documents),
+       |e AS (
+       |  SELECT doc_id, source, fac,
+       |    unnest(generate_series(1, CAST(ceil(fac) AS BIGINT))) AS copy_id
+       |  FROM d WHERE fac > 0)
+       |SELECT doc_id, source, CAST(copy_id AS BIGINT) AS copy_id
+       |FROM e
+       |WHERE copy_id <= CAST(floor(fac) AS BIGINT)
+       |   OR md5(CAST(doc_id AS VARCHAR) || '#' || CAST(copy_id AS VARCHAR)
+       |          || ':$salt') < $thrCase""".stripMargin
+  }
+
   /** Envelope oracle for the quantile sketch (same shape as
     * qVocabApprox): per-language doc counts are exact; within_5pct is
     * TRUE — a drifting sketch estimate hash-mismatches the row.

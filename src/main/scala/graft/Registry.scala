@@ -348,6 +348,17 @@ object Registry {
         .select("doc_id")
       df.join(kept, Seq("doc_id"), "left_semi")
     }),
+    // args: [stratumCol, salt, s1, f1, s2, f2, ...] — the REPLICATION
+    // half of mixture weighting: epoch-style per-stratum factors
+    // (floor(f) full copies + fractional md5 draw; factor 0 drops the
+    // stratum, unlisted keep 1.0). APPENDS copy_id — downstream steps
+    // see replicated rows as distinct (doc_id, copy_id) examples.
+    "upsample" -> ((df, a) => {
+      require(a.length > 2 && (a.length - 2) % 2 == 0,
+        "upsample needs (stratum, factor) pairs after [stratumCol, salt]")
+      val factors = (2 until a.length by 2).map(i => a.str(i) -> a.num(i + 1))
+      sampling.Sampling.upsampleByFactor(df, "doc_id", a.str(0), factors, a.str(1))
+    }),
     // full analysis columns (n_tokens, n_tokens_bpe, fingerprint,
     // quality, lang_pred) appended for downstream spec steps
     "analyze" -> ((df, _) => text.TextOps.analyze(df)),

@@ -659,6 +659,15 @@ object SparkEntry {
     "q_pivot_events" -> ((s, dir) =>
       sources.SemiStructured.pivotEventCounts(Panel.readEvents(s, dir),
         Seq("click", "error", "purchase", "signup", "view"))),
+    // r8: the replication half of mixture weighting — epoch-style
+    // per-source factors (2.5 epochs of src0, 0.4 of src1, drop src2)
+    "q_mix_upsample" -> ((s, dir) =>
+      sampling.Sampling.upsampleByFactor(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Seq("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0), salt = "up0")
+        .select(col("doc_id"), col("source"),
+          col("copy_id").cast("long").as("copy_id"))),
     // token-budget shard packing (two-level: hash bucket, then greedy
     // cumsum per bucket — parallelism independent of corpus size)
     "q_pack_shards" -> ((s, dir) =>
@@ -932,6 +941,8 @@ object SparkEntry {
     "q_vocab_approx" -> OracleExt.qVocabApprox,
     "q_length_quantiles" -> OracleExt.qLengthQuantiles,
     "q_length_quantiles_approx" -> OracleExt.qLengthQuantilesApprox,
+    "q_mix_upsample" -> OracleExt.qMixUpsample(
+      Seq("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0), salt = "up0"),
     "q_asof_purchase" -> OracleExt.qAsofPurchase,
     "q_range_join" -> OracleExt.qRangeJoin,
     // the streaming twins run in batch mode compute the identical

@@ -158,6 +158,44 @@ object Sampling {
       .select(col(keyCol), col(stratumCol), col(tokensCol), col("rate"))
   }
 
+  /** Deterministic epoch-style mixture weighting by stratum: every
+    * row of a stratum with factor `f` is replicated ⌊f⌋ times, plus
+    * one more copy kept with probability f − ⌊f⌋ via the md5 draw on
+    * (key, copy) — the REPLICATION half of data-mixture weighting
+    * ("Wikipedia ×2.5 epochs"), complementing the downscale-only
+    * `mixByTokenMass`/`hashSampleStratified`. Fractional factors < 1
+    * degenerate to plain hash sampling, so one factor table expresses
+    * a whole mixture. Unlisted strata keep factor 1; factor 0 drops
+    * the stratum.
+    *
+    * Scan-side only — `explode(sequence)` + a codegen'd hash filter,
+    * no shuffle: at 100 TB the cost is the output volume itself. The
+    * emitted `copy_id` (1-based) keeps replicated keys distinct for
+    * downstream packing/sharding.
+    */
+  def upsampleByFactor(df: DataFrame, keyCol: String, stratumCol: String,
+                       factors: Seq[(String, Double)], salt: String): DataFrame = {
+    factors.foreach { case (s, f) =>
+      require(f >= 0.0, s"factor for '$s' must be non-negative, got $f") }
+    def perStratum(fn: Double => Column, default: Column): Column =
+      factors.foldLeft(default) { case (acc, (s, f)) =>
+        when(col(stratumCol) === s, fn(f)).otherwise(acc) }
+    val fCol = perStratum(f => lit(f), lit(1.0))
+    val floorCol = perStratum(f => lit(math.floor(f).toLong), lit(1L))
+    // per-stratum constant threshold for the fractional copy (driver-
+    // side hex, same literal the oracle reproduces)
+    val fracThr = perStratum(f => lit(thresholdHex(f - math.floor(f))),
+      lit(thresholdHex(0.0)))
+    // factor-0 strata are dropped BEFORE sequence(): Spark's
+    // sequence(1, 0) counts DOWN, which would resurrect one copy
+    df.filter(fCol > 0.0)
+      .withColumn("copy_id",
+        explode(sequence(lit(1), ceil(fCol).cast("int"))))
+      .filter(col("copy_id") <= floorCol ||
+        hashKey(concat(col(keyCol).cast("string"), lit("#"),
+          col("copy_id").cast("string")), salt) < fracThr)
+  }
+
   /** The n−1 upper-bound hex thresholds of `hashSplit`'s bands,
     * exposed so an external checker can reproduce the exact same
     * literals (the cumulative float sums must match bit-for-bit).

@@ -239,6 +239,23 @@ class RegistrySpec extends SparkSpec {
     assert(e.getMessage.contains("ivf_topk"))
   }
 
+  test("upsample wire step replicates by factor and matches the direct call") {
+    val docs = (0L until 12L).map(i => (i, s"src${i % 3}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val viaWire = Registry.runCorpus(docs,
+      """[{"type":"upsample","args":["source","up0","src0",2.0,"src1",0.0]}]""")
+    val direct = sampling.Sampling.upsampleByFactor(docs, "doc_id", "source",
+      Seq("src0" -> 2.0, "src1" -> 0.0), "up0")
+    assert(viaWire.collect().map(r => (r.getLong(0), r.getInt(3))).sorted.toSeq ==
+      direct.collect().map(r => (r.getLong(0), r.getInt(3))).sorted.toSeq)
+    // integral factors are exact: src0 doubled, src1 dropped, src2 kept
+    val bySrc = viaWire.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("src0" -> 8L, "src2" -> 4L))
+    // replicated keys stay distinct through (doc_id, copy_id)
+    assert(viaWire.select("doc_id", "copy_id").distinct().count() == viaWire.count())
+  }
+
   test("every operator family dispatches through the wire format") {
     // tiny 2-unit panel with value2 so every family can execute
     val mp = Seq((1L, 0L, 1.0, 2.0), (1L, 1L, 3.0, 4.0),
