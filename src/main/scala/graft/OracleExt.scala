@@ -239,6 +239,34 @@ object OracleExt {
        |SELECT c.doc_id, c.cluster_id, s.cluster_size
        |FROM cl c JOIN sz s ON s.cluster_id = c.cluster_id""".stripMargin
 
+  /** Leakage-safe split oracle: the qDedupClusters recursive closure
+    * (same 16-bit simhash pair graph, doc_id < 200) with the split
+    * CASE drawn from md5 of the CLUSTER id — threshold literals from
+    * the same cumulative-sum builder as Sampling.hashSplit.
+    */
+  val qSplitNoLeakage: String = {
+    val Seq(t1, t2) = graft.sampling.Sampling.splitThresholds(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).toSeq
+    s"""${norm.replaceFirst("WITH ", "WITH RECURSIVE ")}, $simhashPairCtes,
+       |pairs AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+       |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+       |       FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN md5(CAST(cluster_id AS VARCHAR) || ':split2') < '$t1'
+       |         THEN 'train'
+       |       WHEN md5(CAST(cluster_id AS VARCHAR) || ':split2') < '$t2'
+       |         THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM cl""".stripMargin
+  }
+
   /** Deterministic hash sample (mirrors Sampling.hashSample over
     * documents, fraction 0.25, salt "split0" — identical md5 input
     * string and threshold literal on both engines).

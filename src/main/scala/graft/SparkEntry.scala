@@ -467,6 +467,15 @@ object SparkEntry {
       dedup.Dedup.connectedComponents(d,
         dedup.Dedup.simhashPairs(d, maxDist = 3))
     }),
+    // r8: near-dup-aware splitting — split drawn from the CLUSTER id,
+    // so near-duplicates never straddle train/test (leakage control);
+    // same pair graph and node set as q_dedup_clusters
+    "q_split_no_leakage" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 200)
+      sampling.Sampling.leakageSafeSplit(d,
+        dedup.Dedup.simhashPairs(d, maxDist = 3), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split2")
+    }),
     // deterministic hash sampling / split assignment
     "q_sample_hash" -> ((s, dir) =>
       sampling.Sampling.hashSample(docs(s, dir), "doc_id", 0.25, "split0")
@@ -943,6 +952,7 @@ object SparkEntry {
     "q_length_quantiles_approx" -> OracleExt.qLengthQuantilesApprox,
     "q_mix_upsample" -> OracleExt.qMixUpsample(
       Seq("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0), salt = "up0"),
+    "q_split_no_leakage" -> OracleExt.qSplitNoLeakage,
     "q_asof_purchase" -> OracleExt.qAsofPurchase,
     "q_range_join" -> OracleExt.qRangeJoin,
     // the streaming twins run in batch mode compute the identical

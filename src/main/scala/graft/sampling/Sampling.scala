@@ -158,6 +158,27 @@ object Sampling {
       .select(col(keyCol), col(stratumCol), col(tokensCol), col("rate"))
   }
 
+  /** Near-duplicate-aware train/val/test assignment: resolve the
+    * near-dup graph into clusters first (pointer-jumping connected
+    * components), then draw the split from the CLUSTER id — two
+    * near-duplicate documents can never straddle a split boundary.
+    * The standard leakage control for held-out evaluation: a plain
+    * per-document hash split leaks train content into test through
+    * near-copies that dedup didn't (or deliberately doesn't) remove.
+    *
+    * `pairs` is any (id_a, id_b) near-dup edge table (simhash bands,
+    * MinHash LSH, embedding near-dup…) — the blocking strategy stays
+    * the caller's choice.
+    *
+    * @return (keyCol, cluster_id, split)
+    */
+  def leakageSafeSplit(nodes: DataFrame, pairs: DataFrame, keyCol: String,
+                       splits: Seq[(String, Double)], salt: String): DataFrame =
+    hashSplit(
+      graft.dedup.Dedup.connectedComponents(nodes, pairs, keyCol)
+        .select(col(keyCol), col("cluster_id")),
+      "cluster_id", splits, salt)
+
   /** Deterministic epoch-style mixture weighting by stratum: every
     * row of a stratum with factor `f` is replicated ⌊f⌋ times, plus
     * one more copy kept with probability f − ⌊f⌋ via the md5 draw on
