@@ -177,6 +177,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains(" the ")) <= 1, plan)
   }
 
+  test("upsampleByFactor is shuffle-free: explode + hash filter in the scan stage") {
+    val docs = Seq((1L, "src0"), (2L, "src1"), (3L, "src2"))
+      .toDF("doc_id", "source")
+    val plan = sampling.Sampling.upsampleByFactor(docs, "doc_id", "source",
+        Seq("src0" -> 2.5, "src1" -> 0.0), "up0")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
   test("signalStats shares one (doc, token) and one (doc, bigram) aggregation") {
     val docs = Seq((1L, "a b a c"), (2L, "b b c d"), (3L, "x y z w"))
       .toDF("doc_id", "text")
