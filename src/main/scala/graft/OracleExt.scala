@@ -239,6 +239,22 @@ object OracleExt {
        |SELECT c.doc_id, c.cluster_id, s.cluster_size
        |FROM cl c JOIN sz s ON s.cluster_id = c.cluster_id""".stripMargin
 
+  /** NFC normalization oracle: DuckDB's independent nfc_normalize over
+    * the same ASCII prefix + decomposed suffix (combining acute 0x301,
+    * combining diaeresis 0x308); n_composed counts the code points the
+    * canonical composition removed.
+    */
+  val qNfcNormalize: String =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    substr(text, 1, 16) || ' cafe' || chr(769) || ' u' || chr(776)
+       |      || 'ber' AS probed
+       |  FROM documents)
+       |SELECT doc_id, nfc_normalize(probed) AS nfc_text,
+       |  CAST(length(probed) - length(nfc_normalize(probed)) AS BIGINT)
+       |    AS n_composed
+       |FROM p""".stripMargin
+
   /** Leakage-safe split oracle: the qDedupClusters recursive closure
     * (same 16-bit simhash pair graph, doc_id < 200) with the split
     * CASE drawn from md5 of the CLUSTER id — threshold literals from

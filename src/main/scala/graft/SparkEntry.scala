@@ -467,6 +467,20 @@ object SparkEntry {
       dedup.Dedup.connectedComponents(d,
         dedup.Dedup.simhashPairs(d, maxDist = 3))
     }),
+    // r8: unicode NFC normalization as a native codegen'd Expression.
+    // The synthetic corpus is ASCII (where NFC is the fast-path no-op),
+    // so the query appends a deterministic DECOMPOSED suffix
+    // (e + combining acute, u + combining diaeresis) per doc — the
+    // composed output and shrunken char count prove real normalization,
+    // pinned against DuckDB's independent nfc_normalize
+    "q_nfc_normalize" -> ((s, dir) => {
+      val probed = concat(substring(col("text"), 1, 16),
+        lit(" cafe\u0301 u\u0308ber")) // decomposed: e+COMBINING ACUTE, u+COMBINING DIAERESIS
+      docs(s, dir).select(col("doc_id"),
+        functions.NfcNormalize.nfc(probed).as("nfc_text"),
+        (length(probed) - length(functions.NfcNormalize.nfc(probed)))
+          .cast("long").as("n_composed"))
+    }),
     // r8: near-dup-aware splitting — split drawn from the CLUSTER id,
     // so near-duplicates never straddle train/test (leakage control);
     // same pair graph and node set as q_dedup_clusters
@@ -953,6 +967,7 @@ object SparkEntry {
     "q_mix_upsample" -> OracleExt.qMixUpsample(
       Seq("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0), salt = "up0"),
     "q_split_no_leakage" -> OracleExt.qSplitNoLeakage,
+    "q_nfc_normalize" -> OracleExt.qNfcNormalize,
     "q_asof_purchase" -> OracleExt.qAsofPurchase,
     "q_range_join" -> OracleExt.qRangeJoin,
     // the streaming twins run in batch mode compute the identical

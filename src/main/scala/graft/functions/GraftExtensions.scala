@@ -67,6 +67,13 @@ object GraftExtensions {
     unary("graft_tokens",
       "_FUNC_(text) - whitespace token count")(
       graft.text.TextOps.tokenCount),
+    ("nfc_normalize",
+      info(classOf[NfcNormalize].getName, "nfc_normalize",
+        "_FUNC_(text) - canonical-composition (NFC) unicode normalization"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(args.head)
+      }),
   )
 
   /** Register on an already-built session (tests, REPL). */

@@ -289,6 +289,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(nativeOnly.filter(col("n") <= 0).count() == 0)
   }
 
+  test("NfcNormalize composes decomposed sequences, stays in codegen, registers in SQL") {
+    val decomposed = "cafe\u0301 u\u0308ber"   // e+U+0301, u+U+0308
+    val composed = "caf\u00e9 \u00fcber"         // é, ü precomposed
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("id", "t")
+      .select(col("id"), graft.functions.NfcNormalize.nfc(col("t")).as("n"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == composed)       // composition happened
+    assert(out(2L) == composed)       // already-NFC fast path identical
+    assert(out(3L) == "plain ascii")
+    // parquet-backed projection stays inside whole-stage codegen
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.functions.NfcNormalize.nfc(col("text")).as("n"))
+    val plan = docs.queryExecution.executedPlan.toString()
+    assert(plan.contains("*(1) Project [nfc_normalize"), plan)
+    // SQL registration
+    graft.functions.GraftExtensions.register(spark)
+    val viaSql = spark.sql(s"SELECT nfc_normalize('$decomposed')").first().getString(0)
+    assert(viaSql == composed)
+  }
+
   test("dot_product registers as a SQL function via extensions") {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql(
