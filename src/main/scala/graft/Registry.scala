@@ -305,6 +305,12 @@ object Registry {
     // PII redaction in place: `text` is replaced by its scrubbed form
     "scrub_pii" -> ((df, _) =>
       df.withColumn("text", text.TextOps.scrubText(col("text")))),
+    // canonical-composition (NFC) unicode normalization in place —
+    // run FIRST in a spec so decomposed accent variants fingerprint
+    // identically in every downstream dedup/analysis step (codegen'd
+    // native expression; stateless, so it streams unchanged)
+    "normalize_unicode" -> ((df, _) =>
+      df.withColumn("text", functions.NfcNormalize.nfc(col("text")))),
     // args: [n, minDf?] — duplicate-span removal in place: `text` is
     // replaced by its normalised, span-cleaned form. Columns appended
     // by earlier steps ride through (the cleaned text joins back onto

@@ -239,6 +239,18 @@ class RegistrySpec extends SparkSpec {
     assert(e.getMessage.contains("ivf_topk"))
   }
 
+  test("normalize_unicode wire step makes decomposed variants dedup together") {
+    // doc 2 is doc 1 with a DECOMPOSED accent — byte-different, so
+    // exact dedup alone keeps both; normalization first collapses them
+    val docs = Seq((1L, "le caf\u00e9 du coin"), (2L, "le cafe\u0301 du coin"))
+      .toDF("doc_id", "text")
+    val without = Registry.runCorpus(docs, """[{"type":"dedup_exact"}]""")
+    assert(without.count() == 2)
+    val withNfc = Registry.runCorpus(docs,
+      """[{"type":"normalize_unicode"},{"type":"dedup_exact"}]""")
+    assert(withNfc.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("upsample wire step replicates by factor and matches the direct call") {
     val docs = (0L until 12L).map(i => (i, s"src${i % 3}", s"text $i"))
       .toDF("doc_id", "source", "text")
