@@ -493,6 +493,14 @@ object Registry {
           a.numOpt(2).getOrElse(3.0).toInt)
           .select(col("vec_id")),
         Seq("vec_id"), "left_semi")),
+    // args: [perCluster, salt, nlists?] — cluster-diverse downsampling
+    // FILTER: at most perCluster vectors per IVF cluster survive
+    // (embedding intact; hash-ranked within cluster, deterministic)
+    "diverse" -> ((df, a) =>
+      df.join(similarity.Similarity.diverseSample(df, a.num(0).toInt,
+          a.numOpt(2).getOrElse(16.0).toInt, a.str(1))
+          .select(col("vec_id")),
+        Seq("vec_id"), "left_semi")),
     // args: [k, queryMax | queryPath] — terminal exact cosine top-k
     "topk" -> ((df, a) =>
       similarity.Similarity.bruteForceTopK(df, embedQueries(df, a, 1),

@@ -232,6 +232,15 @@ class RegistrySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(sd.collect().map(_.getLong(0)).toSet == directSd)
     assert(directSd == Set(0L, 2L, 3L))
+    // diverse caps each cluster's share (one cluster, k=2 → the two
+    // lowest hash ranks survive) and matches the direct call
+    val dv = Registry.runEmbeddings(emb,
+      """[{"type":"diverse","args":[2,"div1",1]}]""")
+    assert(dv.columns.toSeq == Seq("vec_id", "embedding"))
+    assert(dv.count() == 2)
+    assert(dv.collect().map(_.getLong(0)).toSet ==
+      similarity.Similarity.diverseSample(emb, 2, nlists = 1, salt = "div1")
+        .collect().map(_.getLong(0)).toSet)
     // its own namespace in errors
     val e = intercept[IllegalArgumentException](
       Registry.runEmbeddings(emb, """[{"type":"chunk","args":[8]}]"""))
