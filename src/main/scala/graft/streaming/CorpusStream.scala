@@ -39,6 +39,33 @@ object CorpusStream {
     docs.filter(TextOps.qualityScore(col(textCol)) >= minQuality &&
       TextOps.langId(col(textCol)) === lang)
 
+  /** Ingest observability: per event-time window and predicted
+    * language, the document count, token mass, and mean quality score
+    * of arriving documents — the monitoring feed a streaming curation
+    * pipeline alarms on (a quality-mean collapse or a language-mix
+    * shift in a window means an upstream crawler broke). Watermarked
+    * windowed aggregation: each (window, lang) row emits exactly once
+    * when the watermark passes the window end, state is dropped after
+    * — bounded by horizon × languages, independent of stream length.
+    * All measures are the batch operators' own Column expressions, so
+    * the stream monitor and batch corpusStats cannot drift apart.
+    */
+  def qualityWindowed(docs: DataFrame, window: String = "1 hour",
+                      delay: String = "1 hour",
+                      textCol: String = "text", tsCol: String = "ts"): DataFrame =
+    docs
+      .withColumn("__lang", TextOps.langId(col(textCol)))
+      .withColumn("__q", TextOps.qualityScore(col(textCol)))
+      .withColumn("__nt", TextOps.tokenCount(col(textCol)).cast("long"))
+      .withWatermark(tsCol, delay)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window).as("w"),
+        col("__lang").as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("total_tokens"),
+        avg(col("__q")).as("avg_quality"))
+      .select(col("w.start").as("window_start"), col("lang_pred"),
+        col("n_docs"), col("total_tokens"), col("avg_quality"))
+
   /** One document travelling the near-dedup stages: `dropped` is the
     * sticky any-band verdict. (Public: Catalyst's generated encoder
     * code must reach the accessors — a private case class fails Janino

@@ -439,6 +439,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed corpus quality monitor emits closed windows once, matches batch stats") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val rows = Seq(
+      (ts("2024-01-01T00:10:00Z"), 1L, "the cat sat on the mat and the dog barked"),
+      (ts("2024-01-01T00:20:00Z"), 2L, "der hund und die katze und der vogel"),
+      (ts("2024-01-01T00:40:00Z"), 3L, "a completely different story about the sea"),
+      (ts("2024-01-01T01:30:00Z"), 4L, "the late arrival lands in the second window"))
+    val src = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.CorpusStream.qualityWindowed(
+        src.toDS().toDF("ts", "doc_id", "text"),
+        window = "1 hour", delay = "10 minutes")
+      .writeStream.format("memory").queryName("quality_mon")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      assert(spark.table("quality_mon").count() == 0) // window still open
+      src.addData(rows(3)) // watermark passes the first window end
+      q.processAllAvailable()
+      val got = spark.table("quality_mon").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      // batch equivalence on the same first-window docs, same exprs
+      import org.apache.spark.sql.functions.{avg => favg, _}
+      val batch = rows.take(3).map { case (_, id, t) => (id, t) }
+        .toDF("doc_id", "text")
+        .withColumn("lang_pred", text.TextOps.langId(col("text")))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n"),
+          sum(text.TextOps.tokenCount(col("text")).cast("long")).as("tt"),
+          favg(text.TextOps.qualityScore(col("text"))).as("aq"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(got.keySet.map(_._2) == batch.keySet)
+      batch.foreach { case (lang, (n, tt, aq)) =>
+        val (gn, gtt, gaq) = got(ts("2024-01-01T00:00:00Z") -> lang)
+        assert(gn == n && gtt == tt && math.abs(gaq - aq) < 1e-12)
+      }
+    } finally q.stop()
+  }
+
   test("streaming embedding near-dedup drops cosine dups within sign buckets") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
