@@ -61,6 +61,23 @@ object OracleExt {
        |       THEN 1 ELSE 0 END AS INTEGER) AS is_duplicate
        |FROM fp""".stripMargin
 
+  /** Incremental dedup (Dedup.incrementalDedup): batch rows whose
+    * fingerprint is absent from the corpus. The bloom + broadcast
+    * verify on the Spark side is exactly an anti-join, so the oracle
+    * is the plain NOT EXISTS.
+    */
+  val qDedupIncremental: String =
+    s"""$norm, batch AS (
+       |  SELECT doc_id + 10000 AS doc_id,
+       |         CASE WHEN doc_id % 2 = 0 THEN text
+       |              ELSE text || ' fresh-batch-suffix' END AS text
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |bfp AS (SELECT doc_id,
+       |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       |  FROM batch)
+       |SELECT b.doc_id, b.fingerprint FROM bfp b
+       |WHERE NOT EXISTS (SELECT 1 FROM norm c WHERE md5(c.nt) = b.fingerprint)""".stripMargin
+
   /** Word-bigram shingle CTE over a bounded doc set. */
   private def shingleCte(filter: String): String =
     s"""words AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM norm $filter),

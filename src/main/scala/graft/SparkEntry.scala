@@ -308,6 +308,20 @@ object SparkEntry {
     // self-trained bigram LM corpus-fit score
     "q_lm_score" -> ((s, dir) => text.TextOps.bigramLmScore(docs(s, dir))),
     "q_dedup_exact" -> ((s, dir) => dedup.Dedup.exact(docs(s, dir))),
+    // incremental ingest dedup: a synthetic "fresh crawl" batch (every
+    // 3rd doc re-keyed; even ones byte-identical to corpus text, odd
+    // ones suffixed fresh) filtered against the full corpus via the
+    // bloom-prune + broadcast-verify path — exact anti-join semantics,
+    // zero shuffle of either side
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") % 3 === 0).select(
+        (col("doc_id") + 10000).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" fresh-batch-suffix")))
+          .as("text"))
+      dedup.Dedup.incrementalDedup(batch, d)
+    }),
     // PII redaction: every 7th doc gets the deterministic probe
     // appended so the scrub has real matches on the synthetic corpus
     "q_scrub_pii" -> ((s, dir) =>
@@ -924,6 +938,7 @@ object SparkEntry {
     "q_fourier_lag_multi" -> Oracle.qFourierLagMulti,
     "q_text_analyze" -> OracleExt.qTextAnalyze,
     "q_dedup_exact" -> OracleExt.qDedupExact,
+    "q_dedup_incremental" -> OracleExt.qDedupIncremental,
     "q_corpus_filter" -> OracleExt.qCorpusFilter,
     "q_pipeline_corpus" -> OracleExt.qPipelineCorpus,
     "q_pipeline_corpus_full" -> OracleExt.qPipelineCorpusFull,

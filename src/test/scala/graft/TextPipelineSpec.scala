@@ -458,4 +458,40 @@ class TextPipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(re(1L) == "aaaa bb c aabb ccccc" && re(3L) == "ccccc")
   }
+
+  test("incrementalDedup == exact anti-join, incl. bloom false positives") {
+    import graft.dedup.Dedup
+    val corpus = (1L to 200L).map(i => (i, s"corpus doc number $i body"))
+      .toDF("doc_id", "text")
+    // batch: 50 exact dups of corpus texts (re-keyed), 50 fresh
+    val batch = ((1001L to 1050L).map(i => (i, s"corpus doc number ${i - 1000} body")) ++
+      (2001L to 2050L).map(i => (i, s"fresh doc $i payload")))
+      .toDF("doc_id", "text")
+    // fpp forced high so the verify path must fire on false positives
+    val kept = Dedup.incrementalDedup(batch, corpus, fpp = 0.4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == (2001L to 2050L))
+    // null-free determinism: repeat with a tight filter, same answer
+    val kept2 = Dedup.incrementalDedup(batch, corpus, fpp = 0.001)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept2.toSeq == (2001L to 2050L))
+  }
+
+  test("incrementalDedup plan is shuffle-free: broadcast verify only") {
+    import graft.dedup.Dedup
+    // parquet-backed inputs: a LocalRelation would be constant-folded
+    // away by ConvertToLocalRelation and show no join at all
+    val dir = java.nio.file.Files.createTempDirectory("incdedup").toString
+    (1L to 50L).map(i => (i, s"c $i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    ((26L to 60L)).map(i => (i + 1000, s"c $i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/batch")
+    val plan = Dedup.incrementalDedup(
+      spark.read.parquet(s"$dir/batch"), spark.read.parquet(s"$dir/corpus"))
+      .queryExecution.executedPlan.toString()
+    // the two verification joins broadcast candidate fingerprints; no
+    // Exchange hashpartitioning of batch or corpus may appear
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
