@@ -78,6 +78,19 @@ object OracleExt {
        |SELECT b.doc_id, b.fingerprint FROM bfp b
        |WHERE NOT EXISTS (SELECT 1 FROM norm c WHERE md5(c.nt) = b.fingerprint)""".stripMargin
 
+  /** Curriculum ranking (Ranking.globalNtile): the two-phase
+    * range-partitioned rank equals the textbook single-window
+    * row_number/ntile, which IS the oracle formulation.
+    */
+  val qCurriculum: String =
+    """WITH t AS (SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT doc_id, n_tokens,
+      |  CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rank,
+      |  CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS INTEGER) AS stage
+      |FROM t""".stripMargin
+
   /** Word-bigram shingle CTE over a bounded doc set. */
   private def shingleCte(filter: String): String =
     s"""words AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM norm $filter),

