@@ -78,6 +78,17 @@ object OracleExt {
        |SELECT b.doc_id, b.fingerprint FROM bfp b
        |WHERE NOT EXISTS (SELECT 1 FROM norm c WHERE md5(c.nt) = b.fingerprint)""".stripMargin
 
+  /** Heavy hitters (TextOps.heavyHittersChecked): exact top-20 token
+    * frequencies; the Spark side's CMS envelope verdict must come back
+    * TRUE per row.
+    */
+  val qHeavyHitters: String =
+    s"""$norm,
+       |toks AS (SELECT unnest(string_split(nt, ' ')) AS token FROM norm)
+       |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS within_bound
+       |FROM toks GROUP BY token
+       |ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
   /** Curriculum ranking (Ranking.globalNtile): the two-phase
     * range-partitioned rank equals the textbook single-window
     * row_number/ntile, which IS the oracle formulation.
@@ -393,6 +404,42 @@ object OracleExt {
        |SELECT doc_id, n_tokens, bucket,
        |  CAST(FLOOR(prefix / 4000.0) AS BIGINT) AS shard
        |FROM p""".stripMargin
+  }
+
+  /** Shard manifest (Packing.shardManifest over the qPackShards
+    * packing): grouped totals plus the salted-band checksum —
+    * `SUM(band(md5(doc_id || '_' || n_tokens || ':pack0:mf')))`.
+    */
+  val qShardManifest: String = {
+    val band = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ")
+    val cband = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substr(ch, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR) || ':pack0') AS h
+       |  FROM documents),
+       |b AS (SELECT doc_id, n_tokens, h,
+       |        CAST(($band) % 8 AS BIGINT) AS bucket FROM d),
+       |p AS (SELECT doc_id, n_tokens, bucket,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+       |  FROM b),
+       |m AS (SELECT doc_id, n_tokens, bucket,
+       |    CAST(FLOOR(prefix / 4000.0) AS BIGINT) AS shard,
+       |    md5(CAST(doc_id AS VARCHAR) || '_' || CAST(n_tokens AS VARCHAR)
+       |        || ':pack0:mf') AS ch
+       |  FROM p)
+       |SELECT bucket, shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS min_doc_id,
+       |  MAX(doc_id) AS max_doc_id,
+       |  CAST(SUM($cband) AS BIGINT) AS checksum
+       |FROM m GROUP BY bucket, shard""".stripMargin
   }
 
   /** Scale-adaptive packing oracle (mirrors Packing.packShardsAuto:

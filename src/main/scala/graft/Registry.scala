@@ -429,6 +429,17 @@ object Registry {
     "signals" -> ((df, a) =>
       df.join(text.TextOps.signalStats(df, a.num(0).toInt, a.num(1).toInt,
         a.num(2).toLong), Seq("doc_id"), "left")),
+    // args: [buckets] — appends (rank, stage): exact global curriculum
+    // rank/ntile by (token count, doc_id) via the two-phase
+    // range-partitioned ranking (Ranking.globalNtile) — no
+    // single-task window even when the frame is the whole corpus
+    "curriculum" -> ((df, a) => {
+      val withLen = df.withColumn("__len",
+        text.TextOps.tokenCount(col("text")).cast("long"))
+      ops.Ranking.globalNtile(withLen, Seq(col("__len"), col("doc_id")),
+        a.num(0).toInt, binCol = "stage", keepRankAs = Some("rank"))
+        .drop("__len")
+    }),
     // args: [shingleSize, numHashes, bandRows, threshold] — MinHash
     // near-duplicate FILTER, keep-the-canonical: LSH candidate pairs
     // at the given banding, exact-Jaccard verified >= threshold,

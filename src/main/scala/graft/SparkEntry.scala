@@ -424,6 +424,10 @@ object SparkEntry {
     // ASSERTION (|est − exact| ≤ 5% of exact, deterministic on fixed
     // data) — the oracle returns TRUE, and an estimate drifting out of
     // the envelope hash-mismatches
+    // frequency-sketch error check: exact top-20 tokens + the CMS
+    // envelope verdict (never undercounts; over by <= eps*N)
+    "q_heavy_hitters" -> ((s, dir) =>
+      text.TextOps.heavyHittersChecked(docs(s, dir), k = 20)),
     "q_vocab_approx" -> ((s, dir) =>
       text.TextOps.vocabStatsBoth(docs(s, dir))
         .select(col("lang_pred"), col("n_tokens"),
@@ -719,6 +723,12 @@ object SparkEntry {
     "q_pack_shards" -> ((s, dir) =>
       text.Packing.packShards(docs(s, dir), tokensPerShard = 4000,
         nBuckets = 8, salt = "pack0")),
+    // shard manifests for the same packing: per-(bucket, shard) doc and
+    // token totals, id range, and the order-insensitive checksum a
+    // loader verifies before streaming a shard
+    "q_shard_manifest" -> ((s, dir) =>
+      text.Packing.shardManifest(docs(s, dir), tokensPerShard = 4000,
+        nBuckets = 8, salt = "pack0")),
     // scale-adaptive bucket derivation (r6 verdict item 5): the oracle
     // re-derives ceil(total_tokens / (budget × unitsPerBucket)) in SQL,
     // so the no-footgun default's arithmetic is pinned cross-engine
@@ -968,6 +978,7 @@ object SparkEntry {
     "q_sample_split" -> OracleExt.qSampleSplit,
     "q_sessionize" -> OracleExt.qSessionize,
     "q_pack_shards" -> OracleExt.qPackShards,
+    "q_shard_manifest" -> OracleExt.qShardManifest,
     "q_pack_shards_auto" -> OracleExt.qPackShardsAuto,
     "q_pack_sequences" -> OracleExt.qPackSequences,
     "q_scrub_pii" -> OracleExt.qScrubPii,
@@ -987,6 +998,7 @@ object SparkEntry {
     "q_pivot_events" -> OracleExt.qPivotEvents,
     "q_vocab" -> OracleExt.qVocab,
     "q_vocab_approx" -> OracleExt.qVocabApprox,
+    "q_heavy_hitters" -> OracleExt.qHeavyHitters,
     "q_length_quantiles" -> OracleExt.qLengthQuantiles,
     "q_length_quantiles_approx" -> OracleExt.qLengthQuantilesApprox,
     "q_mix_upsample" -> OracleExt.qMixUpsample(

@@ -171,6 +171,30 @@ object Packing {
     * returns only the packing key columns), keyed by `idCol` — one
     * shuffle, broadcastable when the assignment side is small.
     */
+  /** Per-shard manifest of a [[packShards]] assignment: document and
+    * token totals, the doc-id range, and an order-insensitive content
+    * checksum (sum of a salted 16-bit md5 band over
+    * `doc_id_n_tokens`) — what a loader checks before trusting a
+    * shard, and what an incremental re-pack diffes against the
+    * previous manifest to find changed shards.
+    *
+    * One map-side-combined hash aggregation over the packing output;
+    * parallelism and skew follow packShards' bucket design.
+    */
+  def shardManifest(docs: DataFrame, tokensPerShard: Long, nBuckets: Int,
+                    salt: String, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    tokenCounter: Column => Column = TextOps.tokenCount): DataFrame =
+    packShards(docs, tokensPerShard, nBuckets, salt, idCol, textCol, tokenCounter)
+      .groupBy(col("bucket"), col("shard"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col(idCol)).as("min_doc_id"),
+        max(col(idCol)).as("max_doc_id"),
+        sum(hexBand(concat_ws("_", col(idCol), col("n_tokens")), s"$salt:mf"))
+          .as("checksum"))
+
   def writeShards(docs: DataFrame, path: String, tokensPerShard: Long,
                   nBuckets: Int, salt: String, idCol: String = "doc_id",
                   textCol: String = "text"): Unit = {

@@ -556,4 +556,41 @@ object TextOps {
     docs.withColumn("lang_pred", langId(col(textCol)))
       .select(col("lang_pred"),
         explode(split(normalize(col(textCol)), " ")).as("tok"))
+
+  /** Exact top-k frequent tokens cross-checked against a
+    * Count-Min sketch — the q_vocab_approx error-check shape for the
+    * frequency sketch family.
+    *
+    * The production 100 TB path is the sketch alone: CMS is a one-pass
+    * fixed-size mergeable aggregate (eps=1e-4, conf=0.99 → ~55 KB per
+    * partition, merged associatively the way a 1000-executor
+    * treeAggregate needs), probed for any candidate set without a
+    * token-keyed shuffle. Here the exact top-k (a groupBy the pinned
+    * test scale affords) supplies both the oracle values and the
+    * per-token envelope check: CMS never undercounts, and overshoots
+    * by at most eps·N with probability ≥ conf — `within_bound` going
+    * false on the pinned data hash-mismatches the row.
+    *
+    * The k-row collect is bounded by construction; `seed` pins the
+    * sketch's hash family so runs are deterministic.
+    */
+  def heavyHittersChecked(docs: DataFrame, k: Int, eps: Double = 1e-4,
+                          confidence: Double = 0.99, seed: Int = 42,
+                          textCol: String = "text"): DataFrame = {
+    val toks = docs.select(
+      explode(split(normalize(col(textCol)), " ")).as("tok"))
+    val exact = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(k)
+    val cms = toks.stat.countMinSketch("tok", eps, confidence, seed)
+    val total = toks.count()
+    val slack = math.ceil(eps * total).toLong
+    val spark = docs.sparkSession
+    val rows = exact.collect().map { r =>
+      val t = r.getString(0); val c = r.getLong(1)
+      val est = cms.estimateCount(t)
+      (t, c, est >= c && est <= c + slack)
+    }.toSeq
+    spark.createDataFrame(rows).toDF("token", "cnt", "within_bound")
+  }
 }

@@ -347,6 +347,22 @@ class RegistrySpec extends SparkSpec {
     assert(short == long)
   }
 
+  test("curriculum wire step equals the direct globalNtile call") {
+    val docs = (1L to 40L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val wired = Registry.runCorpus(docs,
+        """[{"type":"curriculum","args":[4]}]""")
+      .select("doc_id", "rank", "stage")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = ops.Ranking.globalNtile(
+        docs.withColumn("__len", text.TextOps.tokenCount(col("text")).cast("long")),
+        Seq(col("__len"), col("doc_id")), 4,
+        binCol = "stage", keepRankAs = Some("rank"))
+      .select("doc_id", "rank", "stage")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(wired == direct && wired.size == 40)
+  }
+
   test("a chained window pipeline stays a single-shuffle plan") {
     val out = Registry.run(p, """[{"type":"tlag","args":[1]},
       {"type":"moving_average","args":[3]},{"type":"demean","args":[]}]""")
