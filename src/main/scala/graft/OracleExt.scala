@@ -78,6 +78,13 @@ object OracleExt {
        |SELECT b.doc_id, b.fingerprint FROM bfp b
        |WHERE NOT EXISTS (SELECT 1 FROM norm c WHERE md5(c.nt) = b.fingerprint)""".stripMargin
 
+  /** Salted join (SkewJoin.saltedJoin): the salt only routes rows, so
+    * the oracle is the plain equi-join.
+    */
+  val qSaltedJoin: String =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin
+
   /** Heavy hitters (TextOps.heavyHittersChecked): exact top-20 token
     * frequencies; the Spark side's CMS envelope verdict must come back
     * TRUE per row.

@@ -610,6 +610,16 @@ object SparkEntry {
         .select(col(T), col(U), col("imputed"))),
 
     // relational star-schema surface (broadcast dims, pushdown, top-k)
+    // salted fact-dim join: identical rows to the plain equi-join (the
+    // oracle), routed over 8 salt reducers — the static skew hedge for
+    // keys AQE can't rescue
+    "q_salted_join" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      relational.SkewJoin.saltedJoin(ord, cust, Seq("o_custkey"), saltFactor = 8)
+    }),
     "q_pricing_summary" -> ((s, dir) => relational.StarQueries.pricingSummary(s, dir)),
     "q_top_orders" -> ((s, dir) => relational.StarQueries.topUnshippedOrders(s, dir)),
     "q_region_revenue" -> ((s, dir) => relational.StarQueries.regionRevenue(s, dir)),
@@ -1042,6 +1052,7 @@ object SparkEntry {
     "q_mice" -> OracleExt.qMice,
     "q_mice_gen" -> OracleExt.qMiceGen,
     "q_keep_grids" -> Oracle.qKeepGrids,
+    "q_salted_join" -> OracleExt.qSaltedJoin,
     "q_pricing_summary" -> OracleExt.qPricingSummary,
     "q_top_orders" -> OracleExt.qTopOrders,
     "q_region_revenue" -> OracleExt.qRegionRevenue,
