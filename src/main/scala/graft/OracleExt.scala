@@ -78,6 +78,22 @@ object OracleExt {
        |SELECT b.doc_id, b.fingerprint FROM bfp b
        |WHERE NOT EXISTS (SELECT 1 FROM norm c WHERE md5(c.nt) = b.fingerprint)""".stripMargin
 
+  /** BPE pair stats (Bpe.pairStats): frequency-weighted adjacent char
+    * pair counts over the deduplicated word table — training
+    * iteration 1, top 20 with the trainer's deterministic tie-break.
+    */
+  val qBpePairStats: String =
+    s"""$norm,
+       |wds AS (SELECT unnest(string_split(nt, ' ')) AS w FROM norm),
+       |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |       FROM wds WHERE len(w) > 0 GROUP BY w),
+       |ps AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+       |              substr(w, CAST(i AS INTEGER) + 1, 1) AS b, freq
+       |       FROM wf, unnest(generate_series(1, len(w) - 1)) AS t(i)
+       |       WHERE len(w) >= 2)
+       |SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+       |FROM ps GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
+
   /** Salted join (SkewJoin.saltedJoin): the salt only routes rows, so
     * the oracle is the plain equi-join.
     */

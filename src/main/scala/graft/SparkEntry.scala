@@ -307,6 +307,12 @@ object SparkEntry {
     }),
     // self-trained bigram LM corpus-fit score
     "q_lm_score" -> ((s, dir) => text.TextOps.bigramLmScore(docs(s, dir))),
+    // BPE training, iteration 1 (oracle-expressible): top-20 adjacent
+    // char pairs weighted by word frequency
+    "q_bpe_pair_stats" -> ((s, dir) => text.Bpe.pairStats(docs(s, dir), 20)),
+    // full BPE merge learning (8 rules; argmax→re-merge recursion has
+    // no SQL oracle — golden-tested in BpeTrainSpec, rows-only here)
+    "q_bpe_train" -> ((s, dir) => text.Bpe.trainMergesDF(docs(s, dir), 8)),
     // curriculum binning: exact global rank + ntile(4) by document
     // length (short-to-long curriculum) computed via the two-phase
     // range-partitioned ranking — no single-task window anywhere
@@ -1009,6 +1015,7 @@ object SparkEntry {
     "q_vocab" -> OracleExt.qVocab,
     "q_vocab_approx" -> OracleExt.qVocabApprox,
     "q_heavy_hitters" -> OracleExt.qHeavyHitters,
+    "q_bpe_pair_stats" -> OracleExt.qBpePairStats,
     "q_length_quantiles" -> OracleExt.qLengthQuantiles,
     "q_length_quantiles_approx" -> OracleExt.qLengthQuantilesApprox,
     "q_mix_upsample" -> OracleExt.qMixUpsample(

@@ -155,4 +155,113 @@ object Bpe {
         col("col").as("chunk_text"),
         element_at(col("__costs"), col("pos") + 1).as("n_tokens_bpe"))
   }
+
+  // ----- BPE TRAINING (merge learning), Sennrich et al. 2016 ---------
+
+  /** The deduplicated word-frequency table the trainer iterates on:
+    * (syms: array<string> — one char per element, freq). At 100 TB the
+    * corpus aggregates ONCE down to its word vocabulary (millions of
+    * rows, not billions) and every merge iteration runs on that small
+    * table — the standard trick that makes BPE training tractable at
+    * corpus scale.
+    */
+  def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(TextOps.normalize(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+
+  /** Adjacent symbol pairs of one word, each tagged with the word's
+    * frequency (overlapping positions both count, as in the reference
+    * algorithm's get_stats).
+    */
+  private def adjacentPairs(syms: Column): Column =
+    when(size(syms) < 2, array().cast("array<struct<a:string,b:string>>"))
+      .otherwise(zip_with(
+        slice(syms, lit(1), size(syms) - 1),
+        slice(syms, lit(2), size(syms) - 1),
+        (a, b) => struct(a.as("a"), b.as("b"))))
+
+  /** Merge every left-to-right non-overlapping occurrence of the
+    * adjacent pair (a, b) into one symbol a+b — a pure codegen'd fold,
+    * no UDF.
+    */
+  def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Top-`k` adjacent character pairs by frequency-weighted count —
+    * the first iteration of BPE training, exposed separately because
+    * it IS oracle-expressible in plain SQL (the full loop's argmax →
+    * re-merge recursion is not).
+    */
+  def pairStats(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    wordFreqs(docs, textCol)
+      .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(k)
+
+  /** Learn `nMerges` BPE merge rules from the corpus (the public
+    * algorithm of Sennrich, Haddow & Birch 2016): start from
+    * characters, repeatedly merge the globally most frequent adjacent
+    * symbol pair (ties broken lexicographically, so training is
+    * deterministic).
+    *
+    * Scale shape: one corpus-wide aggregation builds [[wordFreqs]];
+    * each of the nMerges iterations is then a pair-count aggregation
+    * over that word table plus ONE collected row (the argmax pair —
+    * a bounded, single-row collect by construction) and a codegen'd
+    * re-merge projection. `localCheckpoint` keeps the iterated plan
+    * flat instead of nMerges folds deep.
+    *
+    * @return (rank, left, right, merged, pair_freq) per learned rule,
+    *   in training order.
+    */
+  def trainMerges(docs: DataFrame, nMerges: Int,
+                  textCol: String = "text"): Seq[(Int, String, String, String, Long)] = {
+    require(nMerges > 0, "nMerges must be positive")
+    var words = wordFreqs(docs, textCol).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val top = words
+        .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((merges.size + 1, a, b, a + b, cnt))
+        words = words
+          .select(mergePair(col("syms"), a, b).as("syms"), col("freq"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** [[trainMerges]] as a DataFrame, for the query surface. */
+  def trainMergesDF(docs: DataFrame, nMerges: Int,
+                    textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    spark.createDataFrame(trainMerges(docs, nMerges, textCol))
+      .toDF("rank", "left", "right", "merged", "pair_freq")
+  }
+
+  /** Segment one word by applying learned merges in training order —
+    * the BPE-inference counterpart of [[trainMerges]] (rule-order
+    * application, distinct from the longest-match [[tokenizeWord]]).
+    */
+  def applyMerges(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(split(word, "")) { case (syms, (a, b)) =>
+      mergePair(syms, a, b)
+    }
 }
