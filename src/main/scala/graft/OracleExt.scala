@@ -2067,6 +2067,57 @@ object OracleExt {
       s"(strpos('0123456789abcdef', substr(md5($s), $k, 1)) - 1) * ${1L << (4 * (8 - k))}")
       .mkString("(", " + ", ")")
 
+  /** First 4 hex digits of md5($s) as an exact integer — the Dsir
+    * feature-cell hash, mirroring conv(substring(md5, 1, 4), 16, 10).
+    */
+  private def hexInt4(s: String): String =
+    (1 to 4).map(k =>
+      s"(strpos('0123456789abcdef', substr(md5($s), $k, 1)) - 1) * ${1L << (4 * (4 - k))}")
+      .mkString("(", " + ", ")")
+
+  /** Shared DSIR weight CTE chain (mirrors Dsir.importanceWeights:
+    * target = lang-'en' rows, `b` hashed cells, Laplace α): ends in
+    * `dw(doc_id, n_tokens, dsir_weight)`.
+    */
+  private def dsirCtes(b: Int, alpha: Double): String =
+    s"""WITH dnorm AS (
+       |  SELECT doc_id, lang,
+       |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+       |  FROM documents),
+       |dtoks AS (SELECT doc_id, (lang = 'en') AS it,
+       |            unnest(string_split(nt, ' ')) AS tok FROM dnorm),
+       |dtb AS (SELECT doc_id, it, ${hexInt4("tok")} % $b AS bucket FROM dtoks),
+       |dcells AS (SELECT bucket, COUNT(*) AS rc,
+       |             COUNT(*) FILTER (WHERE it) AS tc
+       |           FROM dtb GROUP BY 1),
+       |dtot AS (SELECT CAST(SUM(rc) AS DOUBLE) AS r,
+       |           CAST(SUM(tc) AS DOUBLE) AS t FROM dcells),
+       |dlr AS (SELECT bucket,
+       |          ln((tc + $alpha) / (t + $alpha * $b))
+       |            - ln((rc + $alpha) / (r + $alpha * $b)) AS lr
+       |        FROM dcells, dtot),
+       |dw AS (SELECT dtb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         round(SUM(dlr.lr), 6) AS dsir_weight
+       |       FROM dtb JOIN dlr USING (bucket) GROUP BY 1)""".stripMargin
+
+  def qDsirWeights(b: Int = 256, alpha: Double = 1.0): String =
+    s"""${dsirCtes(b, alpha)}
+       |SELECT doc_id, n_tokens, dsir_weight FROM dw""".stripMargin
+
+  def qDsirSample(k: Int = 100, b: Int = 256, alpha: Double = 1.0,
+                  temperature: Double = 1.0, salt: String = "dsir"): String = {
+    val u = s"(${hexInt8(s"CAST(doc_id AS VARCHAR) || ':$salt'")} + 0.5) / 4294967296.0"
+    s"""${dsirCtes(b, alpha)},
+       |sc AS (SELECT doc_id, n_tokens, dsir_weight,
+       |         round(dsir_weight / $temperature - ln(-ln($u)), 6) AS gumbel_score
+       |       FROM dw),
+       |rk AS (SELECT *, row_number() OVER
+       |         (ORDER BY gumbel_score DESC, doc_id) AS rank FROM sc)
+       |SELECT doc_id, n_tokens, dsir_weight, gumbel_score,
+       |  CAST(rank AS INTEGER) AS rank
+       |FROM rk WHERE rank <= $k""".stripMargin
+  }
+
   /** impute_mice_generator (missing.py:212-230): n = 3 chains stacked
     * under imputation_id. Chain i redraws every null-origin cell as
     * prediction + sd·z, where sd is the fitted regression's residual

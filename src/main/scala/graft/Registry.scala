@@ -440,6 +440,17 @@ object Registry {
         a.num(0).toInt, binCol = "stage", keepRankAs = Some("rank"))
         .drop("__len")
     }),
+    // args: [targetLang, k, buckets] — DSIR importance resampling:
+    // keep the k docs drawn by Gumbel-top-k on hashed-unigram
+    // importance weights against the frame's own targetLang slice
+    // (the weight/score/rank columns ride along for downstream
+    // mixing/curriculum steps)
+    "dsir_sample" -> ((df, a) => {
+      val scored = sampling.Dsir.resample(df, col("lang") === a.str(0),
+        k = a.num(1).toInt, buckets = a.num(2).toInt)
+      df.join(scored.select("doc_id", "dsir_weight", "gumbel_score", "rank"),
+        Seq("doc_id"))
+    }),
     // args: [shingleSize, numHashes, bandRows, threshold] — MinHash
     // near-duplicate FILTER, keep-the-canonical: LSH candidate pairs
     // at the given banding, exact-Jaccard verified >= threshold,

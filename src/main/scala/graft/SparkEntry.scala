@@ -531,6 +531,15 @@ object SparkEntry {
       sampling.Sampling.hashSplit(docs(s, dir), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "split1")
         .select(col("doc_id"), col("split"))),
+    // r8: DSIR importance resampling (Xie et al. 2023) — hashed-unigram
+    // Laplace multinomials fit in one bounded-cell pass; target = the
+    // corpus' own English slice, so the weights tilt toward en-like text
+    "q_dsir_weights" -> ((s, dir) =>
+      sampling.Dsir.importanceWeights(docs(s, dir),
+        col("lang") === "en", buckets = 256)),
+    "q_dsir_sample" -> ((s, dir) =>
+      sampling.Dsir.resample(docs(s, dir), col("lang") === "en",
+        k = 100, buckets = 256)),
     "q_ngram_jaccard" -> ((s, dir) =>
       dedup.Dedup.ngramJaccard(docs(s, dir).filter(col("doc_id") < 60),
         n = 4, minJaccard = 0.35)),
@@ -992,6 +1001,8 @@ object SparkEntry {
     "q_dedup_clusters" -> OracleExt.qDedupClusters,
     "q_sample_hash" -> OracleExt.qSampleHash,
     "q_sample_split" -> OracleExt.qSampleSplit,
+    "q_dsir_weights" -> OracleExt.qDsirWeights(),
+    "q_dsir_sample" -> OracleExt.qDsirSample(),
     "q_sessionize" -> OracleExt.qSessionize,
     "q_pack_shards" -> OracleExt.qPackShards,
     "q_shard_manifest" -> OracleExt.qShardManifest,

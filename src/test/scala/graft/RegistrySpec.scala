@@ -347,6 +347,24 @@ class RegistrySpec extends SparkSpec {
     assert(short == long)
   }
 
+  test("dsir_sample wire step keeps the resample's k docs with columns") {
+    val docs = Seq(
+      (0L, "alpha beta alpha beta alpha", "en"),
+      (1L, "beta alpha beta alpha beta", "en"),
+      (2L, "zulu yankee zulu yankee zulu", "de"),
+      (3L, "yankee zulu yankee zulu yankee", "de")
+    ).toDF("doc_id", "text", "lang")
+    val wired = Registry.runCorpus(docs,
+        """[{"type":"dsir_sample","args":["en",2,64]}]""")
+      .select("doc_id", "dsir_weight", "rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val direct = sampling.Dsir.resample(docs, col("lang") === "en",
+        k = 2, buckets = 64)
+      .select("doc_id", "dsir_weight", "rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(wired == direct && wired.size == 2)
+  }
+
   test("curriculum wire step equals the direct globalNtile call") {
     val docs = (1L to 40L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
       .toDF("doc_id", "text")
