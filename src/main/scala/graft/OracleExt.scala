@@ -1380,6 +1380,72 @@ object OracleExt {
        |${assign(s"cent$iters", "asgnF")}""".stripMargin
   }
 
+  /** Product-quantization ADC top-k oracle (mirrors Pq.pqTopK): per
+    * subspace an unrolled-Lloyd codebook (seeded from the ksub
+    * smallest-id vectors' subvectors, smallest-j tie-break), codes by
+    * final assignment, then per-query partial-distance tables joined
+    * on the codes and summed in fixed subspace order.
+    */
+  def qEmbedPqTopK(k: Int = 10, m: Int = 4, ksub: Int = 8,
+                   iters: Int = 2, dim: Int = 64): String = {
+    val dsub = dim / m
+    def lo(s: Int) = s * dsub + 1
+    def hi(s: Int) = (s + 1) * dsub
+    def score(v: String, cent: String) =
+      s"-2 * list_dot_product($v, $cent) + list_dot_product($cent, $cent)"
+    val subCtes = (0 until m).map { s =>
+      def assign(cent: String, out: String) =
+        s"""$out AS (
+           |  SELECT vec_id, sv, j FROM (
+           |    SELECT c.vec_id, c.v[${lo(s)}:${hi(s)}] AS sv, ct.j,
+           |      row_number() OVER (PARTITION BY c.vec_id
+           |        ORDER BY ${score(s"c.v[${lo(s)}:${hi(s)}]", "ct.cent")}, ct.j) AS rn
+           |    FROM c, $cent ct)
+           |  WHERE rn = 1)""".stripMargin
+      val means = (1 to dsub).map(d => s"avg(sv[$d])").mkString(", ")
+      val steps = (0 until iters).map { i =>
+        s"""${assign(s"ps${s}c$i", s"ps${s}a$i")},
+           |ps${s}m$i AS (SELECT j, [$means] AS cent FROM ps${s}a$i GROUP BY j),
+           |ps${s}c${i + 1} AS (
+           |  SELECT p.j, COALESCE(mm.cent, p.cent) AS cent
+           |  FROM ps${s}c$i p LEFT JOIN ps${s}m$i mm ON mm.j = p.j)""".stripMargin
+      }.mkString(",\n")
+      s"""ps${s}c0 AS (SELECT j, v[${lo(s)}:${hi(s)}] AS cent FROM pqseed),
+         |$steps,
+         |${assign(s"ps${s}c$iters", s"ps${s}F")}""".stripMargin
+    }.mkString(",\n")
+    val codeJoin = (0 until m).map(s =>
+      s"JOIN ps${s}F f$s ON f$s.vec_id = c.vec_id").mkString(" ")
+    val codeCols = (0 until m).map(s => s"f$s.j AS code$s").mkString(", ")
+    val qdCtes = (0 until m).map { s =>
+      s"""qd$s AS (
+         |  SELECT q.vec_id AS query_id, ct.j,
+         |    ${score(s"q.v[${lo(s)}:${hi(s)}]", "ct.cent")} AS d
+         |  FROM c q, ps${s}c$iters ct WHERE q.vec_id < 50)""".stripMargin
+    }.mkString(",\n")
+    val dSum = (0 until m).map(s => s"d$s.d").mkString(" + ")
+    val dJoins = (0 until m).map { s =>
+      val qcond = if (s == 0) "" else s" AND d$s.query_id = d0.query_id"
+      s"JOIN qd$s d$s ON d$s.j = cd.code$s$qcond"
+    }.mkString(" ")
+    s"""$embCte,
+       |pqseed AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+       |  FROM c ORDER BY vec_id LIMIT $ksub),
+       |$subCtes,
+       |codes AS (SELECT c.vec_id, $codeCols FROM c $codeJoin),
+       |$qdCtes,
+       |scored AS (
+       |  SELECT d0.query_id, cd.vec_id AS neighbor_id,
+       |    round($dSum, 6) AS adc_dist
+       |  FROM codes cd $dJoins
+       |  WHERE cd.vec_id <> d0.query_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc_dist, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank
+       |FROM rk WHERE rank <= $k""".stripMargin
+  }
+
   def qEmbedIvfTopK(k: Int = 10, nlists: Int = 16, nprobe: Int = 4,
                     iters: Int = 3, dim: Int = 64): String =
     s"""${ivfAssignCtes(nlists, iters, dim)},

@@ -527,6 +527,13 @@ object Registry {
     "topk" -> ((df, a) =>
       similarity.Similarity.bruteForceTopK(df, embedQueries(df, a, 1),
         a.num(0).toInt)),
+    // args: [k, queryMax | queryPath, m?, ksub?, iters?] — terminal
+    // product-quantization ADC top-k (codes-only candidate scan)
+    "pq_topk" -> ((df, a) =>
+      similarity.Pq.pqTopK(df, embedQueries(df, a, 1), a.num(0).toInt,
+        m = a.numOpt(2).getOrElse(4.0).toInt,
+        ksub = a.numOpt(3).getOrElse(8.0).toInt,
+        iters = a.numOpt(4).getOrElse(2.0).toInt)),
     // args: [k, queryMax | queryPath] — terminal int8 MIPS top-k
     "topk_q8" -> ((df, a) =>
       similarity.Similarity.quantizedTopK(df, embedQueries(df, a, 1),

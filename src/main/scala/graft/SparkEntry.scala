@@ -577,6 +577,13 @@ object SparkEntry {
       similarity.Similarity.ivfTopK(e, e.filter(col("vec_id") < 50),
         k = 10, nlists = 16, nprobe = 4)
     }),
+    // r8: product-quantization ADC search — per-subspace codebooks,
+    // corpus stored as m codes, per-query LUT + m lookups per candidate
+    "q_embed_pq_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      similarity.Pq.pqTopK(e, e.filter(col("vec_id") < 50),
+        k = 10, m = 4, ksub = 8, iters = 2)
+    }),
     // r8: SemDeDup-style semantic dedup — IVF clusters bound the
     // near-dup candidate set; within-cluster lower-id-wins pruning
     "q_embed_semdedup" -> ((s, dir) =>
@@ -1053,6 +1060,7 @@ object SparkEntry {
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,
     "q_embed_ivf_topk" -> OracleExt.qEmbedIvfTopK(),
+    "q_embed_pq_topk" -> OracleExt.qEmbedPqTopK(),
     // identical result by construction: search over the written-out
     // index returns exactly what build+search returns (deterministic
     // quantizer, exact double round-trip through parquet)

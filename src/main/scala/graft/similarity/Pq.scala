@@ -1,0 +1,144 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Similarity.dot
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search"): the embedding space splits into `m`
+  * orthogonal subspaces, each with its own tiny k-means codebook; a
+  * vector is stored as `m` small codes instead of `dim` floats —
+  * 64-dim float32 → 4 bytes at (m=4, ksub≤256), a 64× memory cut.
+  *
+  * Search is ADC (asymmetric distance computation): the query stays
+  * exact; per query a lookup table of `m × ksub` partial distances to
+  * every codebook centroid is computed ONCE, and each candidate's
+  * approximate squared L2 distance is just `m` table lookups + adds
+  * over its codes.
+  *
+  * Scale shape: codebook training is Lloyd over each subspace — the
+  * same bounded-centroid distributed passes as the IVF coarse
+  * quantizer (centroids driver-side, ksub·m ≤ a few thousand doubles;
+  * assignment is a codegen'd least-of-structs, no UDF). Encoding is a
+  * pure scan-side map. At serving time the corpus-side state is ONLY
+  * (id, m codes) — the memory-bandwidth term that dominates
+  * billion-vector scans shrinks by the compression factor — and the
+  * query-side LUT broadcast is k-bounded. PQ composes with the IVF
+  * index (probe lists first, ADC-score within them); this operator is
+  * the full-scan variant that exercises the codec itself.
+  *
+  * Determinism: seeding, Lloyd order and tie-breaks follow the IVF
+  * conventions (smallest-id seeds, smallest-index tie-break), and the
+  * ADC sum adds subspace partials in fixed 0..m−1 order, so the same
+  * arithmetic reproduces in DuckDB; the distance is rounded 1e-6
+  * in-query so rank ties resolve identically across engines.
+  */
+object Pq {
+
+  /** Trained product codebooks: `codebooks(s)(j)` is centroid `j` of
+    * subspace `s`; `codes` is (neighbor_id, code0..code{m-1}).
+    */
+  final case class PqIndex(codebooks: Array[Array[Array[Double]]], codes: DataFrame)
+
+  private def subvec(v: Column, s: Int, dsub: Int): Column =
+    slice(v, s * dsub + 1, dsub)
+
+  /** argmin over `cents` of ||sv − c||² as a codegen'd least-of-structs
+    * (−2·sv·c + ||c||² is rank-equivalent; ties → smallest index).
+    */
+  private def nearestCode(sv: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (cent, j) =>
+      struct(
+        (dot(sv, typedlit(cent.toSeq)) * -2.0 + lit(cent.map(x => x * x).sum)).as("s"),
+        lit(j).as("j"))
+    }
+    if (scored.length == 1) lit(0) else least(scored: _*).getField("j")
+  }
+
+  /** Train per-subspace codebooks and encode the corpus. */
+  def buildPqIndex(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 2,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): PqIndex = {
+    require(m > 0 && ksub > 0 && iters >= 0)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+
+    // deterministic seeds: the ksub smallest-id vectors' subvectors
+    // (TakeOrderedAndProject — a k-bounded collect, not a corpus scan)
+    val seedRows = c.orderBy(col("neighbor_id")).limit(ksub)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(seedRows.nonEmpty, "empty corpus")
+
+    val codebooks = Array.tabulate(m) { s =>
+      var cents: Array[Array[Double]] = Array.tabulate(ksub) { j =>
+        seedRows(math.min(j, seedRows.length - 1))
+          .slice(s * dsub, (s + 1) * dsub)
+      }
+      // Lloyd: each iteration is ONE distributed pass over the
+      // subspace (assignment fused into the mean aggregation)
+      for (_ <- 1 to iters) {
+        val means = c
+          .withColumn("j", nearestCode(subvec(col("v"), s, dsub), cents))
+          .groupBy("j")
+          .agg(array((0 until dsub).map(d =>
+            avg(element_at(col("v"), s * dsub + d + 1))): _*).as("mean_sv"))
+          .collect()
+        val next = cents.clone()
+        means.foreach(r => next(r.getInt(0)) = r.getSeq[Double](1).toArray)
+        cents = next
+      }
+      cents
+    }
+
+    val codeCols = (0 until m).map(s =>
+      nearestCode(subvec(col("v"), s, dsub), codebooks(s)).as(s"code$s"))
+    PqIndex(codebooks, c.select(col("neighbor_id") +: codeCols: _*))
+  }
+
+  /** ADC search over an encoded corpus: per query one `m × ksub`
+    * partial-distance LUT (||q_s − c_{s,j}||² minus the constant
+    * ||q_s||², which cancels in ranking), then every candidate costs m
+    * array lookups. Returns per-query ascending-distance top-k.
+    *
+    * @return (query_id, neighbor_id, adc_dist DOUBLE — rounded 1e-6,
+    *   rank INT)
+    */
+  def pqSearch(index: PqIndex, queries: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = index.codebooks.length
+    val ksub = index.codebooks(0).length
+    val dsub = index.codebooks(0)(0).length
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    // the per-query LUT: lut_s[j] = −2·q_s·c_{s,j} + ||c_{s,j}||²
+    val lutCols = (0 until m).map { s =>
+      array((0 until ksub).map { j =>
+        val cent = index.codebooks(s)(j)
+        dot(subvec(col("q_vec"), s, dsub), typedlit(cent.toSeq)) * -2.0 +
+          lit(cent.map(x => x * x).sum)
+      }: _*).as(s"lut$s")
+    }
+    val qlut = q.select(col("query_id") +: lutCols: _*)
+    val adc = (0 until m).map(s =>
+      element_at(col(s"lut$s"), col(s"code$s") + 1)).reduce(_ + _)
+    index.codes.crossJoin(broadcast(qlut))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", round(adc, 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int,
+             ksub: Int, iters: Int = 2, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame =
+    pqSearch(buildPqIndex(corpus, m, ksub, iters, idCol, vecCol),
+      queries, k, idCol, vecCol)
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.{Pq, Similarity}
+
+/** Product quantization: codec contract, ADC ranking behavior, and
+  * recall against the exact brute-force baseline.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 well-separated clusters in 8-dim space, 8 vectors each
+  private def corpus = {
+    val base = Seq(
+      Array(10.0, 10, 10, 10, 0, 0, 0, 0),
+      Array(0.0, 0, 0, 0, 10, 10, 10, 10),
+      Array(10.0, 0, 10, 0, 10, 0, 10, 0))
+    (0 until 24).map { i =>
+      val c = base(i % 3)
+      val jitter = (i / 3).toDouble * 0.1
+      (i.toLong, c.map(x => (x + jitter).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("codes are within [0, ksub) and every vector is encoded") {
+    val idx = Pq.buildPqIndex(corpus, m = 2, ksub = 4, iters = 2)
+    val codes = idx.codes.collect()
+    assert(codes.length == 24)
+    codes.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 4)
+      assert(r.getInt(2) >= 0 && r.getInt(2) < 4)
+    }
+    assert(idx.codebooks.length == 2)
+    assert(idx.codebooks.forall(_.length == 4))
+    assert(idx.codebooks.forall(_.forall(_.length == 4))) // dsub = 8/2
+  }
+
+  test("same-cluster vectors share codes after Lloyd refinement") {
+    val idx = Pq.buildPqIndex(corpus, m = 2, ksub = 4, iters = 3)
+    val byCluster = idx.codes.collect()
+      .groupBy(r => r.getLong(0) % 3)
+      .view.mapValues(_.map(r => (r.getInt(1), r.getInt(2))).toSet).toMap
+    // separated clusters never share a quantization cell (a cluster MAY
+    // legitimately split across two cells when k-means keeps two
+    // centroids inside it — that costs nothing; cross-cluster merging
+    // would, and must not happen here)
+    for (a <- byCluster.keys; b <- byCluster.keys if a < b)
+      assert((byCluster(a) intersect byCluster(b)).isEmpty,
+        s"clusters $a and $b share cells")
+  }
+
+  test("ADC top-k retrieves the query's own cluster first") {
+    val q = corpus.filter(col("vec_id") < 3)
+    val res = Pq.pqTopK(corpus, q, k = 7, m = 2, ksub = 4, iters = 3)
+      .collect()
+    assert(res.length == 21)
+    res.foreach { r =>
+      val query = r.getAs[Long]("query_id")
+      val neighbor = r.getAs[Long]("neighbor_id")
+      assert(neighbor % 3 == query % 3,
+        s"query $query retrieved out-of-cluster neighbor $neighbor")
+    }
+  }
+
+  test("recall@5 vs brute force is perfect on separated clusters") {
+    val q = corpus.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(corpus, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Pq.pqTopK(corpus, q, k = 5, m = 2, ksub = 4, iters = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // same cluster structure → the candidate sets agree (order within
+    // a quantization cell may differ; membership must not)
+    assert((exact intersect pq).size >= 12, // ≥ 80% recall
+      s"recall too low: ${(exact intersect pq).size}/15")
+  }
+
+  test("search is deterministic across runs") {
+    val q = corpus.filter(col("vec_id") === 0)
+    val a = Pq.pqTopK(corpus, q, k = 10, m = 2, ksub = 4)
+      .orderBy("rank").collect().toSeq
+    val b = Pq.pqTopK(corpus, q, k = 10, m = 2, ksub = 4)
+      .orderBy("rank").collect().toSeq
+    assert(a == b)
+  }
+}
