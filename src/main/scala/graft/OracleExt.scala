@@ -1380,26 +1380,26 @@ object OracleExt {
        |${assign(s"cent$iters", "asgnF")}""".stripMargin
   }
 
-  /** Product-quantization ADC top-k oracle (mirrors Pq.pqTopK): per
-    * subspace an unrolled-Lloyd codebook (seeded from the ksub
-    * smallest-id vectors' subvectors, smallest-j tie-break), codes by
-    * final assignment, then per-query partial-distance tables joined
-    * on the codes and summed in fixed subspace order.
+  private def pqScore(v: String, cent: String) =
+    s"-2 * list_dot_product($v, $cent) + list_dot_product($cent, $cent)"
+
+  /** Per-subspace unrolled-Lloyd codebooks + final code assignment
+    * (mirrors Pq.buildPqIndex: seeds from the ksub smallest-id
+    * vectors' subvectors, smallest-j tie-break). Assumes `c(vec_id,
+    * v)` in scope; ends with `codes(vec_id, code0..code{m-1})` and
+    * leaves each `ps{s}c{iters}` codebook in scope for LUTs.
     */
-  def qEmbedPqTopK(k: Int = 10, m: Int = 4, ksub: Int = 8,
-                   iters: Int = 2, dim: Int = 64): String = {
+  private def pqCodeCtes(m: Int, ksub: Int, iters: Int, dim: Int): String = {
     val dsub = dim / m
     def lo(s: Int) = s * dsub + 1
     def hi(s: Int) = (s + 1) * dsub
-    def score(v: String, cent: String) =
-      s"-2 * list_dot_product($v, $cent) + list_dot_product($cent, $cent)"
     val subCtes = (0 until m).map { s =>
       def assign(cent: String, out: String) =
         s"""$out AS (
            |  SELECT vec_id, sv, j FROM (
            |    SELECT c.vec_id, c.v[${lo(s)}:${hi(s)}] AS sv, ct.j,
            |      row_number() OVER (PARTITION BY c.vec_id
-           |        ORDER BY ${score(s"c.v[${lo(s)}:${hi(s)}]", "ct.cent")}, ct.j) AS rn
+           |        ORDER BY ${pqScore(s"c.v[${lo(s)}:${hi(s)}]", "ct.cent")}, ct.j) AS rn
            |    FROM c, $cent ct)
            |  WHERE rn = 1)""".stripMargin
       val means = (1 to dsub).map(d => s"avg(sv[$d])").mkString(", ")
@@ -1417,34 +1417,83 @@ object OracleExt {
     val codeJoin = (0 until m).map(s =>
       s"JOIN ps${s}F f$s ON f$s.vec_id = c.vec_id").mkString(" ")
     val codeCols = (0 until m).map(s => s"f$s.j AS code$s").mkString(", ")
-    val qdCtes = (0 until m).map { s =>
-      s"""qd$s AS (
-         |  SELECT q.vec_id AS query_id, ct.j,
-         |    ${score(s"q.v[${lo(s)}:${hi(s)}]", "ct.cent")} AS d
-         |  FROM c q, ps${s}c$iters ct WHERE q.vec_id < 50)""".stripMargin
-    }.mkString(",\n")
-    val dSum = (0 until m).map(s => s"d$s.d").mkString(" + ")
-    val dJoins = (0 until m).map { s =>
-      val qcond = if (s == 0) "" else s" AND d$s.query_id = d0.query_id"
-      s"JOIN qd$s d$s ON d$s.j = cd.code$s$qcond"
-    }.mkString(" ")
-    s"""$embCte,
-       |pqseed AS (
+    s"""pqseed AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
        |  FROM c ORDER BY vec_id LIMIT $ksub),
        |$subCtes,
-       |codes AS (SELECT c.vec_id, $codeCols FROM c $codeJoin),
-       |$qdCtes,
-       |scored AS (
+       |codes AS (SELECT c.vec_id, $codeCols FROM c $codeJoin)""".stripMargin
+  }
+
+  /** Per-query partial-distance tables `qd{s}(query_id, j, d)` against
+    * the trained codebooks, for queries vec_id < queryMax.
+    */
+  private def pqQdCtes(m: Int, iters: Int, dim: Int, queryMax: Int): String = {
+    val dsub = dim / m
+    (0 until m).map { s =>
+      s"""qd$s AS (
+         |  SELECT q.vec_id AS query_id, ct.j,
+         |    ${pqScore(s"q.v[${s * dsub + 1}:${(s + 1) * dsub}]", "ct.cent")} AS d
+         |  FROM c q, ps${s}c$iters ct WHERE q.vec_id < $queryMax)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** ADC scoring + top-k tail over a candidate relation `cd` that
+    * carries (vec_id, code0..): distances summed in fixed subspace
+    * order, ranked ascending with id tie-break.
+    */
+  private def pqRankTail(m: Int, k: Int, candidates: String,
+                         candQueryCol: Option[String] = None): String = {
+    val dSum = (0 until m).map(s => s"d$s.d").mkString(" + ")
+    val dJoins = (0 until m).map { s =>
+      val qcond =
+        if (s == 0) candQueryCol.fold("")(qc => s" AND d0.query_id = cd.$qc")
+        else s" AND d$s.query_id = d0.query_id"
+      s"JOIN qd$s d$s ON d$s.j = cd.code$s$qcond"
+    }.mkString(" ")
+    s"""scored AS (
        |  SELECT d0.query_id, cd.vec_id AS neighbor_id,
        |    round($dSum, 6) AS adc_dist
-       |  FROM codes cd $dJoins
+       |  FROM $candidates $dJoins
        |  WHERE cd.vec_id <> d0.query_id),
        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |         ORDER BY adc_dist, neighbor_id) AS rank FROM scored)
        |SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank
        |FROM rk WHERE rank <= $k""".stripMargin
   }
+
+  /** Product-quantization ADC top-k oracle (mirrors Pq.pqTopK):
+    * full-corpus candidate scan over the codes.
+    */
+  def qEmbedPqTopK(k: Int = 10, m: Int = 4, ksub: Int = 8,
+                   iters: Int = 2, dim: Int = 64): String =
+    s"""$embCte,
+       |${pqCodeCtes(m, ksub, iters, dim)},
+       |${pqQdCtes(m, iters, dim, 50)},
+       |${pqRankTail(m, k, "codes cd")}""".stripMargin
+
+  /** IVF-PQ oracle (mirrors Pq.ivfPqTopK): the IVF unrolled-Lloyd
+    * coarse assignment prunes candidates to each query's nprobe
+    * nearest lists; ADC scores only those entries. Non-residual codes,
+    * so the PQ chain is byte-identical to qEmbedPqTopK's.
+    */
+  def qEmbedIvfPqTopK(k: Int = 10, nlists: Int = 8, nprobe: Int = 2,
+                      m: Int = 4, ksub: Int = 8, itersIvf: Int = 2,
+                      itersPq: Int = 2, dim: Int = 64): String =
+    s"""${ivfAssignCtes(nlists, itersIvf, dim)},
+       |${pqCodeCtes(m, ksub, itersPq, dim)},
+       |${pqQdCtes(m, itersPq, dim, 50)},
+       |ql AS (
+       |  SELECT query_id, list FROM (
+       |    SELECT q.vec_id AS query_id, ct.list,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${ivfScore("q.v", "ct.cent")}, ct.list) AS rn
+       |    FROM c q, cent$itersIvf ct WHERE q.vec_id < 50)
+       |  WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT ql.query_id AS pq_query_id, cd.*
+       |  FROM ql JOIN asgnF a ON a.list = ql.list
+       |  JOIN codes cd ON cd.vec_id = a.vec_id),
+       |${pqRankTail(m, k, "cand cd", candQueryCol = Some("pq_query_id"))}""".stripMargin
 
   def qEmbedIvfTopK(k: Int = 10, nlists: Int = 16, nprobe: Int = 4,
                     iters: Int = 3, dim: Int = 64): String =

@@ -584,6 +584,13 @@ object SparkEntry {
       similarity.Pq.pqTopK(e, e.filter(col("vec_id") < 50),
         k = 10, m = 4, ksub = 8, iters = 2)
     }),
+    // r8: the serving composition — IVF probe-list pruning over
+    // PQ-coded entries (codes-only candidate scan within nprobe lists)
+    "q_embed_ivfpq_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      similarity.Pq.ivfPqTopK(e, e.filter(col("vec_id") < 50),
+        k = 10, nlists = 8, nprobe = 2, m = 4, ksub = 8)
+    }),
     // r8: SemDeDup-style semantic dedup — IVF clusters bound the
     // near-dup candidate set; within-cluster lower-id-wins pruning
     "q_embed_semdedup" -> ((s, dir) =>
@@ -1061,6 +1068,7 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,
     "q_embed_ivf_topk" -> OracleExt.qEmbedIvfTopK(),
     "q_embed_pq_topk" -> OracleExt.qEmbedPqTopK(),
+    "q_embed_ivfpq_topk" -> OracleExt.qEmbedIvfPqTopK(),
     // identical result by construction: search over the written-out
     // index returns exactly what build+search returns (deterministic
     // quantizer, exact double round-trip through parquet)

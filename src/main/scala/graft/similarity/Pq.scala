@@ -141,4 +141,84 @@ object Pq {
              vecCol: String = "embedding"): DataFrame =
     pqSearch(buildPqIndex(corpus, m, ksub, iters, idCol, vecCol),
       queries, k, idCol, vecCol)
+
+  /** The serving composition: IVF coarse lists for pruning + PQ codes
+    * for compression. `entries` is (list, neighbor_id, code0..) — the
+    * actual on-disk layout of a billion-vector index: per-list
+    * partitions whose rows are a few bytes each.
+    *
+    * This is the non-residual variant (codes quantize the raw vectors,
+    * not v − centroid): the codebooks stay list-independent, so one
+    * LUT per query serves every probed list. FAISS's residual
+    * encoding buys accuracy at the cost of per-list LUTs; at the
+    * corpus sizes where that matters, swap `buildPqIndex`'s input for
+    * the residuals and key the LUT by (list, code).
+    */
+  final case class IvfPqIndex(centroids: Array[Array[Double]],
+                              codebooks: Array[Array[Array[Double]]],
+                              entries: DataFrame)
+
+  def buildIvfPqIndex(corpus: DataFrame, nlists: Int, m: Int, ksub: Int,
+                      itersIvf: Int = 2, itersPq: Int = 2,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): IvfPqIndex = {
+    val ivf = Similarity.buildIvfIndex(corpus, nlists, itersIvf, idCol, vecCol)
+    val pq = buildPqIndex(corpus, m, ksub, itersPq, idCol, vecCol)
+    IvfPqIndex(ivf.centroids, pq.codebooks,
+      ivf.assigned.select(col("list"), col("neighbor_id"))
+        .join(pq.codes, "neighbor_id"))
+  }
+
+  /** Probe + ADC: rank the `nprobe` nearest coarse lists per query,
+    * then ADC-score ONLY their entries. Candidate cost per query is
+    * (corpus/nlists)·nprobe rows × m byte-lookups — the scan never
+    * touches a float vector.
+    */
+  def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, k: Int, nprobe: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = index.entries.sparkSession
+    import spark.implicits._
+    val m = index.codebooks.length
+    val ksub = index.codebooks(0).length
+    val dsub = index.codebooks(0)(0).length
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    // probe-list ranking against the coarse centroids (IVF convention)
+    val centDf = index.centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("list", "cent")
+    val qLists = q.crossJoin(broadcast(centDf))
+      .withColumn("cd", dot(col("q_vec"), col("cent")) * -2.0
+        + dot(col("cent"), col("cent")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cd"), col("list"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("list"))
+    val lutCols = (0 until m).map { s =>
+      array((0 until ksub).map { j =>
+        val cent = index.codebooks(s)(j)
+        dot(subvec(col("q_vec"), s, dsub), typedlit(cent.toSeq)) * -2.0 +
+          lit(cent.map(x => x * x).sum)
+      }: _*).as(s"lut$s")
+    }
+    val qlut = q.select(col("query_id") +: lutCols: _*)
+    val adc = (0 until m).map(s =>
+      element_at(col(s"lut$s"), col(s"code$s") + 1)).reduce(_ + _)
+    index.entries.join(broadcast(qLists), "list")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(qlut), "query_id")
+      .withColumn("adc_dist", round(adc, 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlists: Int,
+                nprobe: Int, m: Int, ksub: Int, itersIvf: Int = 2,
+                itersPq: Int = 2, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    ivfPqSearch(buildIvfPqIndex(corpus, nlists, m, ksub, itersIvf, itersPq,
+      idCol, vecCol), queries, k, nprobe, idCol, vecCol)
 }

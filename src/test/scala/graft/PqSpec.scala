@@ -74,6 +74,23 @@ class PqSpec extends SparkSpec {
       s"recall too low: ${(exact intersect pq).size}/15")
   }
 
+  test("IVF-PQ search stays within probed lists and ranks like PQ there") {
+    val q = corpus.filter(col("vec_id") < 3)
+    // nlists = 3 on 3 separated clusters → coarse lists ≈ clusters;
+    // nprobe = 1 must confine every result to the query's own cluster
+    val res = Pq.ivfPqTopK(corpus, q, k = 7, nlists = 3, nprobe = 1,
+      m = 2, ksub = 4, itersIvf = 3, itersPq = 3).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") % 3 == r.getAs[Long]("query_id") % 3)
+    }
+    // entries layout carries (list, neighbor_id, codes) for every vector
+    val idx = Pq.buildIvfPqIndex(corpus, nlists = 3, m = 2, ksub = 4)
+    assert(idx.entries.count() == 24)
+    assert(idx.entries.columns.toSeq ==
+      Seq("neighbor_id", "list", "code0", "code1"))
+  }
+
   test("search is deterministic across runs") {
     val q = corpus.filter(col("vec_id") === 0)
     val a = Pq.pqTopK(corpus, q, k = 10, m = 2, ksub = 4)
