@@ -1380,6 +1380,27 @@ object OracleExt {
        |${assign(s"cent$iters", "asgnF")}""".stripMargin
   }
 
+  /** Z-order key oracle (mirrors spatial.ZOrder.zkey over the panel's
+    * unit grid): the identical shift/mask bit-spread ladder, staged
+    * through CTE columns.
+    */
+  val qZorder: String =
+    """WITH u AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS unit_id FROM events),
+      |g AS (SELECT unit_id, unit_id % 40 AS lon, unit_id // 40 AS lat FROM u),
+      |s1 AS (SELECT unit_id, lon, lat,
+      |         ((lon & 65535) | ((lon & 65535) << 8)) & 16711935 AS lx,
+      |         ((lat & 65535) | ((lat & 65535) << 8)) & 16711935 AS ly FROM g),
+      |s2 AS (SELECT unit_id, lon, lat,
+      |         (lx | (lx << 4)) & 252645135 AS lx,
+      |         (ly | (ly << 4)) & 252645135 AS ly FROM s1),
+      |s3 AS (SELECT unit_id, lon, lat,
+      |         (lx | (lx << 2)) & 858993459 AS lx,
+      |         (ly | (ly << 2)) & 858993459 AS ly FROM s2),
+      |s4 AS (SELECT unit_id, lon, lat,
+      |         (lx | (lx << 1)) & 1431655765 AS lx,
+      |         (ly | (ly << 1)) & 1431655765 AS ly FROM s3)
+      |SELECT unit_id, lon, lat, lx | (ly << 1) AS zkey FROM s4""".stripMargin
+
   private def pqScore(v: String, cent: String) =
     s"-2 * list_dot_product($v, $cent) + list_dot_product($cent, $cent)"
 

@@ -127,6 +127,16 @@ object SparkEntry {
       MissingOps.listTotallyMissing(withNullCol, Seq("value", "value3"))
     },
 
+    // r8: Z-order (Morton) layout key over the unit grid — the
+    // data-skipping clustering key ZOrder.writeClustered sorts by
+    "q_zorder" -> ((s, dir) =>
+      Panel.fromEvents(s, dir).select(col(U)).distinct()
+        .select(col(U),
+          Grid.unitLon(col(U)).as("lon"),
+          Grid.unitLat(col(U)).as("lat"),
+          spatial.ZOrder.zkey(Grid.unitLon(col(U)), Grid.unitLat(col(U)))
+            .as("zkey"))),
+
     // §2.8 spatial
     "q_splag4d" -> onGrid(gp =>
       KernelLag.splag4d(gp, "value", 1, 1, 1.0, norm = false)
@@ -957,6 +967,7 @@ object SparkEntry {
     "q_group_global_means" -> Oracle.qGroupGlobalMeans,
     "q_time_means" -> Oracle.qTimeMeans,
     "q_list_totally_missing" -> Oracle.qListTotallyMissing,
+    "q_zorder" -> OracleExt.qZorder,
     "q_splag4d" -> Oracle.qSplag4d,
     "q_splag4d_norm" -> Oracle.qSplag4dNorm,
     "q_splag4d_multi" -> Oracle.qSplag4dMulti,
