@@ -73,11 +73,19 @@ object Dsir {
       .groupBy("bucket")
       .agg(count(lit(1)).as("__rc"),
         count(when(col("__is_target"), 1)).as("__tc"))
-    // Totals are a second-level agg over ≤ B rows — trivially small;
-    // crossJoin of two broadcast singletons keeps everything in-plan.
-    val totals = cells.agg(sum("__rc").as("__R"), sum("__tc").as("__T"))
+    // Totals as a window over the ≤ B cell rows keeps the plan LINEAR —
+    // a separate .agg() branch would re-derive the cell aggregation
+    // (and its corpus tokenization pass) on a second subtree. The
+    // window's single partition is B-bounded by construction
+    // (constant-but-unfoldable key, the StarQueries pattern).
+    val totW = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("bucket"), lit(1)))
     val b = buckets.toDouble
-    val logRatio = cells.crossJoin(broadcast(totals))
+    val logRatio = cells
+      // both totals in ONE select → a single Window node (chained
+      // withColumns planned as two windows with an exchange between)
+      .select(col("bucket"), col("__rc"), col("__tc"),
+        sum("__rc").over(totW).as("__R"), sum("__tc").over(totW).as("__T"))
       .select(col("bucket"),
         (log((col("__tc") + alpha) / (col("__T") + alpha * b)) -
           log((col("__rc") + alpha) / (col("__R") + alpha * b))).as("__lr"))
