@@ -221,4 +221,42 @@ object Pq {
                 vecCol: String = "embedding"): DataFrame =
     ivfPqSearch(buildIvfPqIndex(corpus, nlists, m, ksub, itersIvf, itersPq,
       idCol, vecCol), queries, k, nprobe, idCol, vecCol)
+
+  /** Persist an IVF-PQ index: entries partitioned by coarse list (a
+    * probe of nprobe lists prunes to those directories at planning
+    * time), coarse centroids and codebooks as tiny side tables —
+    * train once, serve from the compressed layout forever.
+    */
+  def writeIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.entries.sparkSession
+    import spark.implicits._
+    index.entries.write.mode("overwrite")
+      .partitionBy("list").parquet(s"$path/entries")
+    index.centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("list", "cent").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    (for {
+      s <- index.codebooks.indices
+      j <- index.codebooks(s).indices
+    } yield (s, j, index.codebooks(s)(j).toSeq)).toDF("s", "j", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val codebooks = Array.tabulate(m) { s =>
+      cbRows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    val entries = spark.read.parquet(s"$path/entries")
+    val codeCols = entries.columns.filter(_.startsWith("code")).sorted
+    IvfPqIndex(cents, codebooks,
+      entries.select(col("neighbor_id") +: col("list").cast("int").as("list") +:
+        codeCols.map(c => col(c).cast("int").as(c)): _*))
+  }
 }

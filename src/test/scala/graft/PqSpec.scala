@@ -91,6 +91,24 @@ class PqSpec extends SparkSpec {
       Seq("neighbor_id", "list", "code0", "code1"))
   }
 
+  test("IVF-PQ index round-trips through disk with identical results") {
+    val q = corpus.filter(col("vec_id") < 3)
+    val idx = Pq.buildIvfPqIndex(corpus, nlists = 3, m = 2, ksub = 4)
+    val direct = Pq.ivfPqSearch(idx, q, k = 5, nprobe = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc_dist"), r.getAs[Int]("rank"))).toSet
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    Pq.writeIvfPqIndex(idx, path)
+    val reread = Pq.readIvfPqIndex(spark, path)
+    assert(reread.centroids.map(_.toSeq).toSeq == idx.centroids.map(_.toSeq).toSeq)
+    assert(reread.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val served = Pq.ivfPqSearch(reread, q, k = 5, nprobe = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc_dist"), r.getAs[Int]("rank"))).toSet
+    assert(served == direct)
+  }
+
   test("search is deterministic across runs") {
     val q = corpus.filter(col("vec_id") === 0)
     val a = Pq.pqTopK(corpus, q, k = 10, m = 2, ksub = 4)
