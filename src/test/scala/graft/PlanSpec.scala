@@ -232,4 +232,48 @@ class PlanSpec extends SparkSpec {
       (l.contains("HashJoin") || l.contains("SortMergeJoin")) && l.contains("unit_id"))
     assert(unitJoin, plan)
   }
+
+  test("DSIR weights: linear fit (no product joins), score joins broadcast lr") {
+    val docs = Seq((1L, "a b a", "en"), (2L, "c d e", "de"), (3L, "a c a", "en"))
+      .toDF("doc_id", "text", "lang")
+    val plan = sampling.Dsir.importanceWeights(docs, col("lang") === "en",
+        buckets = 64)
+      .queryExecution.executedPlan.toString()
+    // the fit must stay linear: no cross/nested-loop anywhere (the
+    // totals ride a bounded window over the cell table, not a
+    // re-aggregated branch), and the B-row log-ratio table broadcasts
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // one Window node only (two chained withColumns would plan two)
+    assert(plan.linesIterator.count(_.trim.startsWith("Window")) <= 1, plan)
+  }
+
+  test("PQ ADC scan carries codes only — no float vectors past encoding") {
+    val emb = (0 until 12).map(i =>
+      (i.toLong, Seq.fill(8)(i.toFloat))).toDF("vec_id", "embedding")
+    val idx = similarity.Pq.buildPqIndex(emb, m = 2, ksub = 2, iters = 1)
+    val plan = similarity.Pq.pqSearch(idx, emb.filter(col("vec_id") < 2), k = 3)
+      .queryExecution.executedPlan.toString()
+    // the candidate-side scan projects the code columns, never the
+    // embedding — the compression is real, not cosmetic
+    val candLines = plan.linesIterator.filter(_.contains("code0")).toSeq
+    assert(candLines.nonEmpty, plan)
+    assert(plan.contains("WindowGroupLimit") || plan.contains("Window"), plan)
+  }
+
+  test("zorder clustered write plans a range exchange, not a global sort") {
+    val df = Seq((1, 2, 0.5), (3, 4, 0.25)).toDF("lon", "lat", "v")
+    val plan = df.withColumn("__z",
+        spatial.ZOrder.zkey(col("lon"), col("lat")))
+      .repartitionByRange(4, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("Exchange rangepartitioning"), plan)
+    // the sort is local (global=false in the Sort node's args) — the
+    // write never funnels all data through a single global ordering
+    val sortLines = plan.linesIterator.filter(_.trim.startsWith("+- Sort")).toSeq ++
+      plan.linesIterator.filter(_.trim.startsWith("Sort")).toSeq
+    assert(sortLines.nonEmpty && sortLines.forall(_.contains("false")), plan)
+  }
 }
