@@ -73,6 +73,31 @@ object Oracle {
   val qDecay: String =
     s"$panel SELECT month_id, unit_id, POWER(2.0, (value * -1.0) / 12.0) AS decay_12 FROM panel"
 
+  /** Winsorize / robust-scale (TemporalOps.winsorize/robustScale):
+    * per-unit quantile_cont ≡ Spark's linear-interpolating
+    * `percentile`; the 1e-6 in-query rounding (both engines) absorbs
+    * any interpolation-formula float noise in the last bits.
+    */
+  val qWinsorize: String =
+    s"""$panel, q AS (
+       |  SELECT month_id, unit_id, value,
+       |    quantile_cont(value, 0.05) OVER (PARTITION BY unit_id) AS lo,
+       |    quantile_cont(value, 0.95) OVER (PARTITION BY unit_id) AS hi
+       |  FROM panel)
+       |SELECT month_id, unit_id,
+       |  round(least(greatest(value, lo), hi), 6) AS winsorized FROM q""".stripMargin
+
+  val qRobustScale: String =
+    s"""$panel, q AS (
+       |  SELECT month_id, unit_id, value,
+       |    quantile_cont(value, 0.5) OVER (PARTITION BY unit_id) AS med,
+       |    quantile_cont(value, 0.75) OVER (PARTITION BY unit_id)
+       |      - quantile_cont(value, 0.25) OVER (PARTITION BY unit_id) AS iqr
+       |  FROM panel)
+       |SELECT month_id, unit_id,
+       |  CASE WHEN iqr = 0.0 THEN 0.0
+       |       ELSE round((value - med) / iqr, 6) END AS scaled FROM q""".stripMargin
+
   val qAdd: String =
     s"$panel SELECT month_id, unit_id, value + value2 AS added FROM panel"
   val qSub: String =

@@ -95,6 +95,10 @@ object Registry {
     "rollmax" -> colT((c, a) => TemporalOps.rollmax(c, a.num(0).toInt)),
     "mean" -> colT((c, _) => TemporalOps.meanOverTime(c)),
     "demean" -> colT((c, _) => TemporalOps.demean(c)),
+    // extensions: quantile clip + robust standardisation (same unit
+    // partitioning as mean/demean — chains at one shuffle)
+    "winsorize" -> colT((c, a) => TemporalOps.winsorize(c, a.num(0), a.num(1))),
+    "robust_scale" -> colT((c, _) => TemporalOps.robustScale(c)),
     "onset_possible" -> colT((c, a) => TemporalOps.onsetPossible(c, a.num(0).toInt).cast("double")),
     "onset" -> colT((c, a) => TemporalOps.onset(c, a.num(0).toInt).cast("double")),
     "temporal_entropy" -> colT((c, a) => TemporalOps.temporalEntropy(c, a.num(0).toInt, a.num(1))),

@@ -81,6 +81,14 @@ object SparkEntry {
     "q_rollmax" -> colQ("rollmax_4", TemporalOps.rollmax(col("value"), 4)),
     "q_mean" -> colQ("mean_val", TemporalOps.meanOverTime(col("value"))),
     "q_demean" -> colQ("demeaned", TemporalOps.demean(col("value"))),
+    // r8 extensions: quantile clip + outlier-insensitive scaling, both
+    // on the same per-unit partitioning as mean/demean
+    // (rounded 1e-6 in-query on both sides: quantile interpolation may
+    // differ in the last float bits across engines)
+    "q_winsorize" -> colQ("winsorized",
+      round(TemporalOps.winsorize(col("value"), 0.05, 0.95), 6)),
+    "q_robust_scale" -> colQ("scaled",
+      round(TemporalOps.robustScale(col("value")), 6)),
     "q_cweq" -> onPanel(p =>
       TemporalOps.cweq(p, "value", 0.0, out = "cweq")
         .select(col(T), col(U), col("cweq"))),
@@ -948,6 +956,8 @@ object SparkEntry {
     "q_rollmax" -> Oracle.qRollmax,
     "q_mean" -> Oracle.qMean,
     "q_demean" -> Oracle.qDemean,
+    "q_winsorize" -> Oracle.qWinsorize,
+    "q_robust_scale" -> Oracle.qRobustScale,
     "q_cweq" -> Oracle.qCweq,
     "q_cweq_seed" -> Oracle.qCweqSeed,
     "q_time_since" -> Oracle.qTimeSince,

@@ -69,6 +69,35 @@ object TemporalOps {
   /** s − per-unit mean — views_2.py:321-335. */
   def demean(c: Column): Column = c - meanOverTime(c)
 
+  /** Winsorize: clip to the unit's own [pLow, pHigh] quantiles
+    * (linear-interpolated, the SQL `percentile` ≡ DuckDB
+    * `quantile_cont` definition). The standard outlier guard before
+    * scaling/standardising panel features; extension — no reference
+    * counterpart.
+    *
+    * Shares the per-unit partitioning of the mean/demean family (an
+    * unbounded window, no join back), so chains with them at one
+    * shuffle total.
+    */
+  def winsorize(c: Column, pLow: Double, pHigh: Double): Column = {
+    require(pLow >= 0.0 && pHigh <= 1.0 && pLow <= pHigh,
+      s"need 0 <= pLow <= pHigh <= 1, got ($pLow, $pHigh)")
+    val w = Window.partitionBy(Panel.UnitCol)
+    least(greatest(c, percentile(c, lit(pLow)).over(w)),
+      percentile(c, lit(pHigh)).over(w))
+  }
+
+  /** Robust per-unit scaling: (s − median) / IQR, with constant-series
+    * units (IQR 0) mapped to 0.0 — the outlier-insensitive
+    * standardisation for mixing heterogeneous panel features.
+    */
+  def robustScale(c: Column): Column = {
+    val w = Window.partitionBy(Panel.UnitCol)
+    val med = percentile(c, lit(0.5)).over(w)
+    val iqr = percentile(c, lit(0.75)).over(w) - percentile(c, lit(0.25)).over(w)
+    when(iqr === 0.0, 0.0).otherwise((c - med) / iqr)
+  }
+
   /** Run-length counter — count consecutive timesteps while `valueCol ==
     * v`, resetting to 0 whenever the condition breaks; NaN rows are
     * dropped before counting (views_2.py:172-242).

@@ -119,6 +119,28 @@ class TemporalOpsSpec extends SparkSpec {
     assert(tick == Seq(null, 2.0, 0.0, 0.0, 1.0))
   }
 
+  test("winsorize clips to the unit's own quantiles; robustScale centres on the median") {
+    // unit 0: 1..9 plus an outlier 100 at month 10
+    val rows = (1L to 9L).map(m => (m, 0L, m.toDouble)) :+ (10L, 0L, 100.0)
+    val p = rows.toDF(T, U, "value")
+    val w = p.select(col(T), col(U),
+        TemporalOps.winsorize(col("value"), 0.0, 0.9).as("w"))
+      .orderBy(T).collect().map(_.getDouble(2))
+    // p90 of (1..9,100) at index 0.9*(10-1)=8.1 → 9 + 0.1*(100-9) = 18.1
+    assert(math.abs(w.last - 18.1) < 1e-9, w.last)
+    assert(w.init.zip(1 to 9).forall { case (v, e) => v == e.toDouble })
+    val rs = p.select(col(T), col(U),
+        TemporalOps.robustScale(col("value")).as("s"))
+      .orderBy(T).collect().map(_.getDouble(2))
+    // median 5.5, IQR = 7.75 − 3.25 = 4.5
+    assert(math.abs(rs.head - (1.0 - 5.5) / 4.5) < 1e-9)
+    // constant unit → IQR 0 → all zeros, no division error
+    val const = Seq((1L, 7L, 3.0), (2L, 7L, 3.0)).toDF(T, U, "value")
+    val cs = const.select(TemporalOps.robustScale(col("value")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(cs.forall(_ == 0.0))
+  }
+
   test("decay halves per halflife; ln is log1p (views_2.py:279-319)") {
     val p = panel1(0, 12, 24)
     val d = outDoubles(p.select(col(T), col(U),
