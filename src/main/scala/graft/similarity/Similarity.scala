@@ -132,7 +132,10 @@ object Similarity {
     */
   def buildIvfIndex(corpus: DataFrame, nlists: Int, iters: Int = 3,
                     idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
+    // persisted (releasable, OpCache) — each Lloyd pass and the final
+    // assignment would otherwise re-scan and re-cast the source
+    val c = graft.OpCache.persist(corpus.select(
+      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec")))
 
     // deterministic seeding: the nlists smallest-id corpus vectors via
     // a distributed TakeOrderedAndProject (per-partition top-k + merge —
