@@ -1241,6 +1241,29 @@ object OracleExt {
 
   private val quantCte = s"$embCte,\n$quantTail"
 
+  /** L2-normalize / MRL-truncate oracles (mirror Similarity.l2Normalize
+    * / truncateDims): exploded to (vec_id, dim, nval) doubles; the norm
+    * is the same left-to-right list_dot_product fold as cosine's.
+    */
+  val qEmbedNormalize: String =
+    s"""$embCte,
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c),
+       |i AS (SELECT vec_id, v, nrm,
+       |        unnest(generate_series(1, len(v))) AS i FROM n)
+       |SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+       |  CASE WHEN nrm = 0 THEN v[i] ELSE v[i] / nrm END AS nval
+       |FROM i""".stripMargin
+
+  def qEmbedMrl(d: Int = 16): String =
+    s"""$embCte,
+       |t AS (SELECT vec_id, v[1:$d] AS tv FROM c),
+       |n AS (SELECT vec_id, tv, sqrt(list_dot_product(tv, tv)) AS nrm FROM t),
+       |i AS (SELECT vec_id, tv, nrm,
+       |        unnest(generate_series(1, len(tv))) AS i FROM n)
+       |SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+       |  CASE WHEN nrm = 0 THEN tv[i] ELSE tv[i] / nrm END AS nval
+       |FROM i""".stripMargin
+
   val qEmbedQuantize: String =
     s"""$quantCte
        |SELECT vec_id, scale, array_to_string(qv, ',') AS q_csv FROM qz""".stripMargin

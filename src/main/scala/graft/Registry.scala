@@ -505,6 +505,11 @@ object Registry {
     // by vec_id so downstream steps see both precisions
     "quantize" -> ((df, _) =>
       df.join(similarity.Similarity.quantize(df), Seq("vec_id"))),
+    // scan-side embedding hygiene: L2 normalization / MRL truncation
+    // (args: [d]) of the embedding column in place
+    "normalize" -> ((df, _) => similarity.Similarity.l2Normalize(df)),
+    "truncate" -> ((df, a) =>
+      similarity.Similarity.truncateDims(df, a.num(0).toInt)),
     // args: [threshold, nBits?] — terminal sign-LSH near-dup pairs
     // (bucketed self-join + exact cosine verify; never all-pairs)
     "lsh_neardup" -> ((df, a) =>

@@ -602,6 +602,18 @@ object SparkEntry {
       similarity.Pq.pqTopK(e, e.filter(col("vec_id") < 50),
         k = 10, m = 4, ksub = 8, iters = 2)
     }),
+    // r8: embedding hygiene transforms, exploded to (vec_id, dim, nval)
+    // rows so the gate compares doubles, not stringified arrays
+    "q_embed_normalize" -> ((s, dir) =>
+      similarity.Similarity.l2Normalize(embeddings(s, dir))
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("int").as("dim"),
+          col("col").as("nval"))),
+    "q_embed_mrl" -> ((s, dir) =>
+      similarity.Similarity.truncateDims(embeddings(s, dir), 16)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("int").as("dim"),
+          col("col").as("nval"))),
     // r8: the serving composition — IVF probe-list pruning over
     // PQ-coded entries (codes-only candidate scan within nprobe lists)
     "q_embed_ivfpq_topk" -> ((s, dir) => {
@@ -1089,6 +1101,8 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,
     "q_embed_ivf_topk" -> OracleExt.qEmbedIvfTopK(),
     "q_embed_pq_topk" -> OracleExt.qEmbedPqTopK(),
+    "q_embed_normalize" -> OracleExt.qEmbedNormalize,
+    "q_embed_mrl" -> OracleExt.qEmbedMrl(),
     "q_embed_ivfpq_topk" -> OracleExt.qEmbedIvfPqTopK(),
     // identical result by construction: search over the written-out
     // index returns exactly what build+search returns (deterministic

@@ -121,6 +121,27 @@ object Similarity {
     */
   final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
 
+  /** Argmin over centroids of squared euclidean distance to `c_vec`,
+    * as a codegen'd least-of-structs over the native DotProduct:
+    * ||v−c||² = ||v||² − 2·v·c + ||c||² and ||v||² is constant per
+    * row, so −2·v·c + ||c||² (with ||c||² a driver-side constant) is
+    * rank-equivalent; the struct's second field breaks ties on the
+    * smallest list index. No UDF — the whole ANN path stays inside
+    * whole-stage codegen.
+    */
+  private def nearestCentroidOf(cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (cent, i) =>
+      struct(
+        (dot(col("c_vec"), typedlit(cent.toSeq)) * -2.0 +
+          lit(cent.map(x => x * x).sum)).as("s"),
+        lit(i).as("i"))
+    }
+    // least() needs >= 2 args; a single-list quantizer is the
+    // degenerate everything-in-list-0 case
+    if (scored.length == 1) lit(0)
+    else least(scored: _*).getField("i")
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlists: Int, nprobe: Int, iters: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
@@ -148,29 +169,9 @@ object Similarity {
       (0 until nlists).map(i =>
         seedRows(math.min(i, seedRows.length - 1)).getSeq[Double](0).toArray).toArray
 
-    // argmin over centroids of squared euclidean distance as a
-    // codegen'd least-of-structs over the native DotProduct:
-    // ||v−c||² = ||v||² − 2·v·c + ||c||² and ||v||² is constant per
-    // row, so −2·v·c + ||c||² (with ||c||² a driver-side constant) is
-    // rank-equivalent; the struct's second field breaks ties on the
-    // smallest list index. No UDF — the whole ANN path stays inside
-    // whole-stage codegen.
-    def nearestCentroid(cents: Array[Array[Double]]): Column = {
-      val scored = cents.zipWithIndex.map { case (cent, i) =>
-        struct(
-          (dot(col("c_vec"), typedlit(cent.toSeq)) * -2.0 +
-            lit(cent.map(x => x * x).sum)).as("s"),
-          lit(i).as("i"))
-      }
-      // least() needs >= 2 args; a single-list quantizer is the
-      // degenerate everything-in-list-0 case
-      if (scored.length == 1) lit(0)
-      else least(scored: _*).getField("i")
-    }
-
     // Lloyd iterations: assignment + mean, each one distributed pass
     for (_ <- 1 to iters) {
-      val means = c.withColumn("list", nearestCentroid(centroids))
+      val means = c.withColumn("list", nearestCentroidOf(centroids))
         .groupBy("list")
         .agg(array((0 until centroids(0).length).map(j =>
           avg(element_at(col("c_vec"), j + 1))): _*).as("mean_vec"))
@@ -182,7 +183,7 @@ object Similarity {
       centroids = next
     }
 
-    IvfIndex(centroids, c.withColumn("list", nearestCentroid(centroids)))
+    IvfIndex(centroids, c.withColumn("list", nearestCentroidOf(centroids)))
   }
 
   /** Probe phase: score each query against the `nprobe` nearest
@@ -237,6 +238,67 @@ object Similarity {
       spark.read.parquet(s"$path/lists")
         .select(col("list").cast("int").as("list"),
           col("neighbor_id"), col("c_vec")))
+  }
+
+  /** Incremental index maintenance: assign a NEW batch of vectors to
+    * the existing trained quantizer and extend the index — no
+    * retraining, no touch of the already-indexed corpus. The
+    * steady-state ingest path: train once on a representative sample,
+    * then append shard after shard; centroids drift only when you
+    * choose to rebuild.
+    */
+  def ivfAppend(index: IvfIndex, batch: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val b = batch.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("c_vec"))
+    IvfIndex(index.centroids,
+      index.assigned.unionByName(
+        b.withColumn("list", nearestCentroidOf(index.centroids))))
+  }
+
+  /** Append a batch to an ON-DISK index written by [[writeIvfIndex]]:
+    * assignments land as new files inside the existing list=...
+    * partition directories (dynamic partition append — only the
+    * touched lists gain files; nothing is rewritten).
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    batch.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
+      .withColumn("list", nearestCentroidOf(cents))
+      .write.mode("append").partitionBy("list").parquet(s"$path/lists")
+  }
+
+  /** L2-normalize the embedding column in place (zero vectors pass
+    * through): after this, inner product ≡ cosine, so the quantized /
+    * PQ MIPS paths rank by cosine directly. Pure scan-side transform.
+    */
+  def l2Normalize(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    // the norm lands in a projected column first — referencing it
+    // inside the lambda would re-fold the dot product per ELEMENT
+    df.withColumn("__n", norm(v))
+      .withColumn(vecCol,
+        when(col("__n") === 0.0, v).otherwise(transform(v, x => x / col("__n"))))
+      .drop("__n")
+  }
+
+  /** Matryoshka-style truncation (Kusupati et al. 2022): keep the
+    * first `d` dimensions and re-normalize — the standard
+    * cost/quality dial for MRL-trained embedding models (a 4× dim cut
+    * is a 4× scan-bandwidth cut at serving). Scan-side only.
+    */
+  def truncateDims(df: DataFrame, d: Int, vecCol: String = "embedding"): DataFrame = {
+    require(d > 0, s"d must be positive, got $d")
+    val t = slice(col(vecCol).cast("array<double>"), 1, d)
+    df.withColumn("__t", t).withColumn("__n", norm(col("__t")))
+      .withColumn(vecCol,
+        when(col("__n") === 0.0, col("__t"))
+          .otherwise(transform(col("__t"), x => x / col("__n"))))
+      .drop("__t", "__n")
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

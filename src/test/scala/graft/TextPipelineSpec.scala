@@ -242,6 +242,48 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("ivfAppend extends an index in place and on disk without retraining") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 80)
+    val batch = emb.filter(col("vec_id") >= 80)
+    val full = graft.similarity.Similarity.buildIvfIndex(base, nlists = 4)
+    val appended = graft.similarity.Similarity.ivfAppend(full, batch)
+    // same quantizer, every vector present exactly once
+    assert(appended.centroids eq full.centroids)
+    assert(appended.assigned.count() == emb.count())
+    // batch rows landed in their true nearest list: searching with the
+    // batch rows as queries must retrieve each row itself at rank 1 is
+    // not possible (self excluded) — instead check assignment equality
+    // with a from-scratch assignment under the SAME centroids
+    val reassigned = graft.similarity.Similarity.ivfAppend(
+      graft.similarity.Similarity.IvfIndex(full.centroids,
+        full.assigned.limit(0)), emb)
+    val a = appended.assigned.select("neighbor_id", "list")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = reassigned.assigned.select("neighbor_id", "list")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b)
+    // on-disk append: only new files, search sees the union
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    try {
+      graft.similarity.Similarity.writeIvfIndex(full, dir)
+      graft.similarity.Similarity.appendIvfIndex(spark, dir, batch)
+      val loaded = graft.similarity.Similarity.readIvfIndex(spark, dir)
+      assert(loaded.assigned.count() == emb.count())
+      val queries = emb.filter(col("vec_id") < 5)
+      val viaDisk = graft.similarity.Similarity
+        .ivfSearch(loaded, queries, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+      val viaMem = graft.similarity.Similarity
+        .ivfSearch(appended, queries, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+      assert(viaDisk == viaMem)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("vocabStatsApprox: HLL estimate within 5% of the exact count") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = TextOps.vocabStats(docs).collect()
