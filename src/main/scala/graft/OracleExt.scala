@@ -2238,11 +2238,14 @@ object OracleExt {
     * target = lang-'en' rows, `b` hashed cells, Laplace α): ends in
     * `dw(doc_id, n_tokens, dsir_weight)`.
     */
-  private def dsirCtes(b: Int, alpha: Double): String =
-    s"""WITH dnorm AS (
+  private def dsirCtes(b: Int, alpha: Double,
+                       from: String = "documents",
+                       prelude: String = ""): String =
+    s"""WITH ${if (prelude.nonEmpty) prelude + "," else ""}
+       |dnorm AS (
        |  SELECT doc_id, lang,
        |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
-       |  FROM documents),
+       |  FROM $from),
        |dtoks AS (SELECT doc_id, (lang = 'en') AS it,
        |            unnest(string_split(nt, ' ')) AS tok FROM dnorm),
        |dtb AS (SELECT doc_id, it, ${hexInt4("tok")} % $b AS bucket FROM dtoks),
@@ -2263,18 +2266,49 @@ object OracleExt {
     s"""${dsirCtes(b, alpha)}
        |SELECT doc_id, n_tokens, dsir_weight FROM dw""".stripMargin
 
-  def qDsirSample(k: Int = 100, b: Int = 256, alpha: Double = 1.0,
-                  temperature: Double = 1.0, salt: String = "dsir"): String = {
+  /** Gumbel scoring + top-k tail over a prior `dw` — shared by the
+    * standalone sample oracle and the pretrain pipeline chain.
+    */
+  private def dsirSampleTail(k: Int, temperature: Double, salt: String): String = {
     val u = s"(${hexInt8(s"CAST(doc_id AS VARCHAR) || ':$salt'")} + 0.5) / 4294967296.0"
-    s"""${dsirCtes(b, alpha)},
-       |sc AS (SELECT doc_id, n_tokens, dsir_weight,
+    s"""sc AS (SELECT doc_id, n_tokens, dsir_weight,
        |         round(dsir_weight / $temperature - ln(-ln($u)), 6) AS gumbel_score
        |       FROM dw),
-       |rk AS (SELECT *, row_number() OVER
-       |         (ORDER BY gumbel_score DESC, doc_id) AS rank FROM sc)
+       |srk AS (SELECT *, row_number() OVER
+       |         (ORDER BY gumbel_score DESC, doc_id) AS rank FROM sc),
+       |keep AS (SELECT * FROM srk WHERE rank <= $k)""".stripMargin
+  }
+
+  def qDsirSample(k: Int = 100, b: Int = 256, alpha: Double = 1.0,
+                  temperature: Double = 1.0, salt: String = "dsir"): String =
+    s"""${dsirCtes(b, alpha)},
+       |${dsirSampleTail(k, temperature, salt)}
        |SELECT doc_id, n_tokens, dsir_weight, gumbel_score,
        |  CAST(rank AS INTEGER) AS rank
-       |FROM rk WHERE rank <= $k""".stripMargin
+       |FROM keep""".stripMargin
+
+  /** End-to-end pretraining curation chain (mirrors the wire spec
+    * dedup_exact → dsir_sample → curriculum): exact dedup keeps the
+    * smallest-id canonical per normalized fingerprint, DSIR fits its
+    * multinomials on the SURVIVORS (not the raw corpus — step order
+    * matters and the oracle preserves it), Gumbel-top-k keeps k docs,
+    * and curriculum re-ranks/bins the kept set by token count.
+    */
+  def qPipelinePretrain(k: Int = 100, b: Int = 256, alpha: Double = 1.0,
+                        temperature: Double = 1.0, salt: String = "dsir",
+                        stages: Int = 4): String = {
+    val prelude =
+      """pfp AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+        |  FROM documents),
+        |pcanon AS (SELECT f, MIN(doc_id) AS doc_id FROM pfp GROUP BY 1),
+        |surv AS (SELECT d.* FROM documents d JOIN pcanon c ON c.doc_id = d.doc_id)""".stripMargin
+    s"""${dsirCtes(b, alpha, from = "surv", prelude = prelude)},
+       |${dsirSampleTail(k, temperature, salt)}
+       |SELECT doc_id, dsir_weight, gumbel_score,
+       |  CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rank,
+       |  CAST(ntile($stages) OVER (ORDER BY n_tokens, doc_id) AS INTEGER) AS stage
+       |FROM keep""".stripMargin
   }
 
   /** impute_mice_generator (missing.py:212-230): n = 3 chains stacked

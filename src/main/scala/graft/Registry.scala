@@ -452,7 +452,10 @@ object Registry {
     "dsir_sample" -> ((df, a) => {
       val scored = sampling.Dsir.resample(df, col("lang") === a.str(0),
         k = a.num(1).toInt, buckets = a.num(2).toInt)
-      df.join(scored.select("doc_id", "dsir_weight", "gumbel_score", "rank"),
+      // the draw rank rides as dsir_rank so a later ranking step (e.g.
+      // curriculum) can own the bare `rank` column
+      df.join(scored.select(col("doc_id"), col("dsir_weight"),
+          col("gumbel_score"), col("rank").as("dsir_rank")),
         Seq("doc_id"))
     }),
     // args: [shingleSize, numHashes, bandRows, threshold] — MinHash

@@ -558,6 +558,16 @@ object SparkEntry {
     "q_dsir_sample" -> ((s, dir) =>
       sampling.Dsir.resample(docs(s, dir), col("lang") === "en",
         k = 100, buckets = 256)),
+    // r8: the end-to-end curation chain as ONE wire spec — dedup
+    // narrows the frame, DSIR fits on the survivors, curriculum
+    // re-ranks the kept sample by length
+    "q_pipeline_pretrain" -> ((s, dir) =>
+      Registry.runCorpus(docs(s, dir),
+        """[{"type":"dedup_exact"},
+           |{"type":"dsir_sample","args":["en",100,256]},
+           |{"type":"curriculum","args":[4]}]""".stripMargin)
+        .select(col("doc_id"), col("dsir_weight"), col("gumbel_score"),
+          col("rank"), col("stage"))),
     "q_ngram_jaccard" -> ((s, dir) =>
       dedup.Dedup.ngramJaccard(docs(s, dir).filter(col("doc_id") < 60),
         n = 4, minJaccard = 0.35)),
@@ -1050,6 +1060,7 @@ object SparkEntry {
     "q_sample_split" -> OracleExt.qSampleSplit,
     "q_dsir_weights" -> OracleExt.qDsirWeights(),
     "q_dsir_sample" -> OracleExt.qDsirSample(),
+    "q_pipeline_pretrain" -> OracleExt.qPipelinePretrain(),
     "q_sessionize" -> OracleExt.qSessionize,
     "q_pack_shards" -> OracleExt.qPackShards,
     "q_shard_manifest" -> OracleExt.qShardManifest,

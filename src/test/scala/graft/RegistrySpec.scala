@@ -356,7 +356,7 @@ class RegistrySpec extends SparkSpec {
     ).toDF("doc_id", "text", "lang")
     val wired = Registry.runCorpus(docs,
         """[{"type":"dsir_sample","args":["en",2,64]}]""")
-      .select("doc_id", "dsir_weight", "rank")
+      .select("doc_id", "dsir_weight", "dsir_rank")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
     val direct = sampling.Dsir.resample(docs, col("lang") === "en",
         k = 2, buckets = 64)
