@@ -39,6 +39,38 @@ object CorpusStream {
     docs.filter(TextOps.qualityScore(col(textCol)) >= minQuality &&
       TextOps.langId(col(textCol)) === lang)
 
+  /** Streaming benchmark decontamination: drop arriving documents that
+    * share any word-`n`-gram with the (static, bounded) eval corpus.
+    * The eval shingle set folds into a Bloom filter carried INSIDE the
+    * filter expression (`functions.BloomContains`) and the document's
+    * shingle array is built row-locally — the whole gate is a
+    * STATELESS scan-side filter: no stream-static join, no state
+    * store, works in any output mode.
+    *
+    * Bloom false positives (rate `fpp`) drop clean documents — the
+    * conservative failure direction for decontamination, but still a
+    * loss, so the default is 1e-6: a doc of s shingles survives with
+    * probability ≈ 1 − s·fpp, and at 1e-6 even thousand-shingle docs
+    * lose < 0.1% — while a million-shingle eval set still blooms to a
+    * few MB. The batch [[graft.text.Contamination.decontaminate]]
+    * remains the exact audit path.
+    */
+  def decontaminateStream(docs: DataFrame, eval: DataFrame, n: Int,
+                          fpp: Double = 1e-6,
+                          textCol: String = "text"): DataFrame = {
+    val evalSh = graft.dedup.Dedup
+      .shingles(eval, n, idCol = "doc_id", textCol = textCol)
+      .select("shingle").distinct()
+    val bloom = evalSh.stat.bloomFilter("shingle",
+      math.max(evalSh.count(), 1L), fpp)
+    val words = split(TextOps.normalize(col(textCol)), " ")
+    val shArr = array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => array_join(slice(words, i + 1, lit(n)), " ")))
+    docs.filter(!exists(shArr,
+      s => graft.functions.BloomContains.contains(s, bloom)))
+  }
+
   /** Ingest observability: per event-time window and predicted
     * language, the document count, token mass, and mean quality score
     * of arriving documents — the monitoring feed a streaming curation

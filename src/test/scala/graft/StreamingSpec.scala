@@ -287,6 +287,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops eval-overlapping docs statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val src = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStream
+      .decontaminateStream(src.toDS().toDF("doc_id", "text"), eval, n = 4)
+      .writeStream.format("memory").queryName("decontam_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(
+        (1L, "totally clean text about spark plans and shuffles here"),
+        (2L, "he saw the quick brown fox jumps over a fence"), // 4-gram overlap
+        (3L, "another clean one with no benchmark overlap at all"))
+      q.processAllAvailable()
+      src.addData((4L, "later batch pack my box with five dozen bottles")) // overlap
+      q.processAllAvailable()
+      val kept = spark.table("decontam_stream").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L))
+      // agreement with the exact batch operator on the same data
+      val all = Seq(
+        (1L, "totally clean text about spark plans and shuffles here"),
+        (2L, "he saw the quick brown fox jumps over a fence"),
+        (3L, "another clean one with no benchmark overlap at all"),
+        (4L, "later batch pack my box with five dozen bottles")).toDF("doc_id", "text")
+      val batchClean = graft.text.Contamination.decontaminate(all, eval, 4)
+        .filter(org.apache.spark.sql.functions.col("contaminated") === 0)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == batchClean)
+    } finally q.stop()
+  }
+
   test("stateless registry transforms apply to a stream unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, Long, Double)]
