@@ -662,6 +662,20 @@ object SparkEntry {
         similarity.Similarity.readIvfIndex(s, path),
         e.filter(col("vec_id") < 50), k = 10, nprobe = 4)
     }),
+    // r8: amortized IVF-PQ serving — build-once-to-disk (same staleness
+    // key discipline as q_embed_ivf_search), probe + ADC only per query
+    "q_embed_ivfpq_search" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val path = s"target/ivfpq_index_v1_${src.length}_${src.lastModified}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!new java.io.File(s"$path/centroids").exists())
+        similarity.Pq.writeIvfPqIndex(
+          similarity.Pq.buildIvfPqIndex(e, nlists = 8, m = 4, ksub = 8), path)
+      similarity.Pq.ivfPqSearch(
+        similarity.Pq.readIvfPqIndex(s, path),
+        e.filter(col("vec_id") < 50), k = 10, nprobe = 2)
+    }),
     // r7: the similarity family over the wire format — deterministic
     // half-corpus sample, then sign-LSH near-dup pairs / int8 MIPS
     // top-k, dispatched from JSON (mirror of runCorpus for embeddings)
@@ -1119,6 +1133,7 @@ object SparkEntry {
     // index returns exactly what build+search returns (deterministic
     // quantizer, exact double round-trip through parquet)
     "q_embed_ivf_search" -> OracleExt.qEmbedIvfTopK(),
+    "q_embed_ivfpq_search" -> OracleExt.qEmbedIvfPqTopK(),
     "q_embed_semdedup" -> OracleExt.qSemanticDedup(threshold = 0.3),
     "q_embed_diverse" -> OracleExt.qEmbedDiverse(perCluster = 10, salt = "div0"),
     "q_pipeline_embed" -> OracleExt.qPipelineEmbed,
