@@ -1433,7 +1433,8 @@ object OracleExt {
     * v)` in scope; ends with `codes(vec_id, code0..code{m-1})` and
     * leaves each `ps{s}c{iters}` codebook in scope for LUTs.
     */
-  private def pqCodeCtes(m: Int, ksub: Int, iters: Int, dim: Int): String = {
+  private def pqCodeCtes(m: Int, ksub: Int, iters: Int, dim: Int,
+                         src: String = "c"): String = {
     val dsub = dim / m
     def lo(s: Int) = s * dsub + 1
     def hi(s: Int) = (s + 1) * dsub
@@ -1444,7 +1445,7 @@ object OracleExt {
            |    SELECT c.vec_id, c.v[${lo(s)}:${hi(s)}] AS sv, ct.j,
            |      row_number() OVER (PARTITION BY c.vec_id
            |        ORDER BY ${pqScore(s"c.v[${lo(s)}:${hi(s)}]", "ct.cent")}, ct.j) AS rn
-           |    FROM c, $cent ct)
+           |    FROM $src c, $cent ct)
            |  WHERE rn = 1)""".stripMargin
       val means = (1 to dsub).map(d => s"avg(sv[$d])").mkString(", ")
       val steps = (0 until iters).map { i =>
@@ -1463,9 +1464,9 @@ object OracleExt {
     val codeCols = (0 until m).map(s => s"f$s.j AS code$s").mkString(", ")
     s"""pqseed AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
-       |  FROM c ORDER BY vec_id LIMIT $ksub),
+       |  FROM $src ORDER BY vec_id LIMIT $ksub),
        |$subCtes,
-       |codes AS (SELECT c.vec_id, $codeCols FROM c $codeJoin)""".stripMargin
+       |codes AS (SELECT c.vec_id, $codeCols FROM $src c $codeJoin)""".stripMargin
   }
 
   /** Per-query partial-distance tables `qd{s}(query_id, j, d)` against
@@ -1486,12 +1487,15 @@ object OracleExt {
     * order, ranked ascending with id tie-break.
     */
   private def pqRankTail(m: Int, k: Int, candidates: String,
-                         candQueryCol: Option[String] = None): String = {
+                         candQueryCol: Option[String] = None,
+                         perList: Boolean = false): String = {
     val dSum = (0 until m).map(s => s"d$s.d").mkString(" + ")
     val dJoins = (0 until m).map { s =>
       val qcond =
-        if (s == 0) candQueryCol.fold("")(qc => s" AND d0.query_id = cd.$qc")
-        else s" AND d$s.query_id = d0.query_id"
+        if (s == 0) candQueryCol.fold("")(qc => s" AND d0.query_id = cd.$qc") +
+          (if (perList) " AND d0.list = cd.list" else "")
+        else s" AND d$s.query_id = d0.query_id" +
+          (if (perList) s" AND d$s.list = d0.list" else "")
       s"JOIN qd$s d$s ON d$s.j = cd.code$s$qcond"
     }.mkString(" ")
     s"""scored AS (
@@ -1538,6 +1542,51 @@ object OracleExt {
        |  FROM ql JOIN asgnF a ON a.list = ql.list
        |  JOIN codes cd ON cd.vec_id = a.vec_id),
        |${pqRankTail(m, k, "cand cd", candQueryCol = Some("pq_query_id"))}""".stripMargin
+
+  /** Residual IVF-PQ oracle (mirrors Pq.ivfPqTopK(residual = true)):
+    * codes quantize v − centroid(list); LUTs are per (query, probed
+    * list) against the residual query q − centroid(list).
+    */
+  def qEmbedIvfPqResTopK(k: Int = 10, nlists: Int = 8, nprobe: Int = 2,
+                         m: Int = 4, ksub: Int = 8, itersIvf: Int = 2,
+                         itersPq: Int = 2, dim: Int = 64): String = {
+    val dsub = dim / m
+    val qdCtes = (0 until m).map { s =>
+      val lo = s * dsub + 1; val hi = (s + 1) * dsub
+      s"""qd$s AS (
+         |  SELECT qr.query_id, qr.list, ct.j,
+         |    ${pqScore(s"qr.v[$lo:$hi]", "ct.cent")} AS d
+         |  FROM qres qr, ps${s}c$itersPq ct)""".stripMargin
+    }.mkString(",\n")
+    s"""${ivfAssignCtes(nlists, itersIvf, dim)},
+       |resid AS (
+       |  SELECT a.vec_id, a.list,
+       |    list_transform(generate_series(1, len(a.v)),
+       |      i -> a.v[i] - ct.cent[i]) AS v
+       |  FROM asgnF a JOIN cent$itersIvf ct ON ct.list = a.list),
+       |${pqCodeCtes(m, ksub, itersPq, dim, src = "resid")},
+       |ql AS (
+       |  SELECT query_id, list FROM (
+       |    SELECT q.vec_id AS query_id, ct.list,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${ivfScore("q.v", "ct.cent")}, ct.list) AS rn
+       |    FROM c q, cent$itersIvf ct WHERE q.vec_id < 50)
+       |  WHERE rn <= $nprobe),
+       |qres AS (
+       |  SELECT ql.query_id, ql.list,
+       |    list_transform(generate_series(1, len(q.v)),
+       |      i -> q.v[i] - ct.cent[i]) AS v
+       |  FROM ql JOIN c q ON q.vec_id = ql.query_id
+       |  JOIN cent$itersIvf ct ON ct.list = ql.list),
+       |$qdCtes,
+       |cand AS (
+       |  SELECT ql.query_id AS pq_query_id, a.list, cd.vec_id,
+       |    ${(0 until m).map(s => s"cd.code$s").mkString(", ")}
+       |  FROM ql JOIN asgnF a ON a.list = ql.list
+       |  JOIN codes cd ON cd.vec_id = a.vec_id),
+       |${pqRankTail(m, k, "cand cd", candQueryCol = Some("pq_query_id"),
+          perList = true)}""".stripMargin
+  }
 
   def qEmbedIvfTopK(k: Int = 10, nlists: Int = 16, nprobe: Int = 4,
                     iters: Int = 3, dim: Int = 64): String =

@@ -631,6 +631,13 @@ object SparkEntry {
       similarity.Pq.ivfPqTopK(e, e.filter(col("vec_id") < 50),
         k = 10, nlists = 8, nprobe = 2, m = 4, ksub = 8)
     }),
+    // r8: the residual-encoding variant — codes quantize v − centroid,
+    // per-(query, list) LUTs on the residual query
+    "q_embed_ivfpq_res_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      similarity.Pq.ivfPqTopK(e, e.filter(col("vec_id") < 50),
+        k = 10, nlists = 8, nprobe = 2, m = 4, ksub = 8, residual = true)
+    }),
     // r8: SemDeDup-style semantic dedup — IVF clusters bound the
     // near-dup candidate set; within-cluster lower-id-wins pruning
     "q_embed_semdedup" -> ((s, dir) =>
@@ -1129,6 +1136,7 @@ object SparkEntry {
     "q_embed_normalize" -> OracleExt.qEmbedNormalize,
     "q_embed_mrl" -> OracleExt.qEmbedMrl(),
     "q_embed_ivfpq_topk" -> OracleExt.qEmbedIvfPqTopK(),
+    "q_embed_ivfpq_res_topk" -> OracleExt.qEmbedIvfPqResTopK(),
     // identical result by construction: search over the written-out
     // index returns exactly what build+search returns (deterministic
     // quantizer, exact double round-trip through parquet)

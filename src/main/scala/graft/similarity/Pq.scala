@@ -178,17 +178,36 @@ object Pq {
     */
   final case class IvfPqIndex(centroids: Array[Array[Double]],
                               codebooks: Array[Array[Array[Double]]],
-                              entries: DataFrame)
+                              entries: DataFrame,
+                              residual: Boolean = false)
 
+  /** @param residual encode `v − centroid(list)` instead of `v` (the
+    *   FAISS-accurate variant): residual magnitudes are a fraction of
+    *   vector magnitudes, so the same codebook budget quantizes much
+    *   finer. Costs per-(query, probed-list) LUTs at search instead of
+    *   one LUT per query — still Q·nprobe tiny rows.
+    */
   def buildIvfPqIndex(corpus: DataFrame, nlists: Int, m: Int, ksub: Int,
                       itersIvf: Int = 2, itersPq: Int = 2,
+                      residual: Boolean = false,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): IvfPqIndex = {
     val ivf = Similarity.buildIvfIndex(corpus, nlists, itersIvf, idCol, vecCol)
-    val pq = buildPqIndex(corpus, m, ksub, itersPq, idCol, vecCol)
-    IvfPqIndex(ivf.centroids, pq.codebooks,
-      ivf.assigned.select(col("list"), col("neighbor_id"))
-        .join(pq.codes, "neighbor_id"))
+    if (!residual) {
+      val pq = buildPqIndex(corpus, m, ksub, itersPq, idCol, vecCol)
+      IvfPqIndex(ivf.centroids, pq.codebooks,
+        ivf.assigned.select(col("list"), col("neighbor_id"))
+          .join(pq.codes, "neighbor_id"))
+    } else {
+      val centArr = typedlit(ivf.centroids.map(_.toSeq).toSeq)
+      val resid = ivf.assigned.select(col("list"), col("neighbor_id"),
+        zip_with(col("c_vec"), element_at(centArr, col("list") + 1),
+          (a, b) => a - b).as("embedding"))
+      val pq = buildPqIndex(resid, m, ksub, itersPq, "neighbor_id", "embedding")
+      IvfPqIndex(ivf.centroids, pq.codebooks,
+        resid.select(col("list"), col("neighbor_id"))
+          .join(pq.codes, "neighbor_id"), residual = true)
+    }
   }
 
   /** Probe + ADC: rank the `nprobe` nearest coarse lists per query,
@@ -222,13 +241,30 @@ object Pq {
           lit(cent.map(x => x * x).sum)
       }: _*).as(s"lut$s")
     }
-    // same ProjectCollapse cost boundary as pqSearch's qlut
-    val qlut = graft.OpCache.persist(q.select(col("query_id") +: lutCols: _*))
     val adc = (0 until m).map(s =>
       element_at(col(s"lut$s"), col(s"code$s") + 1)).reduce(_ + _)
-    index.entries.join(broadcast(qLists), "list")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .join(broadcast(qlut), "query_id")
+    val candidates = if (!index.residual) {
+      // one LUT per query serves every probed list (same ProjectCollapse
+      // cost boundary as pqSearch's qlut)
+      val qlut = graft.OpCache.persist(q.select(col("query_id") +: lutCols: _*))
+      index.entries.join(broadcast(qLists), "list")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .join(broadcast(qlut), "query_id")
+    } else {
+      // residual codes: the LUT is per (query, probed list) — built on
+      // the RESIDUAL query q − centroid(list), Q·nprobe tiny rows.
+      // ADC then approximates ||(q − cent) − c_code||², whose ranking
+      // equals ||q − (cent + c_code)||² — the true reconstruction.
+      val qr = qLists.join(q, "query_id")
+        .join(broadcast(centDf), "list")
+        .select(col("query_id"), col("list"),
+          zip_with(col("q_vec"), col("cent"), (a, b) => a - b).as("q_vec"))
+      val qrlut = graft.OpCache.persist(
+        qr.select(col("query_id") +: col("list") +: lutCols: _*))
+      index.entries.join(broadcast(qrlut), Seq("list"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+    }
+    candidates
       .withColumn("adc_dist", round(adc, 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -240,10 +276,11 @@ object Pq {
 
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlists: Int,
                 nprobe: Int, m: Int, ksub: Int, itersIvf: Int = 2,
-                itersPq: Int = 2, idCol: String = "vec_id",
+                itersPq: Int = 2, residual: Boolean = false,
+                idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame =
     ivfPqSearch(buildIvfPqIndex(corpus, nlists, m, ksub, itersIvf, itersPq,
-      idCol, vecCol), queries, k, nprobe, idCol, vecCol)
+      residual, idCol, vecCol), queries, k, nprobe, idCol, vecCol)
 
   /** Persist an IVF-PQ index: entries partitioned by coarse list (a
     * probe of nprobe lists prunes to those directories at planning
@@ -263,6 +300,8 @@ object Pq {
       j <- index.codebooks(s).indices
     } yield (s, j, index.codebooks(s)(j).toSeq)).toDF("s", "j", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq(Tuple1(index.residual)).toDF("residual").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
@@ -278,8 +317,13 @@ object Pq {
     }
     val entries = spark.read.parquet(s"$path/entries")
     val codeCols = entries.columns.filter(_.startsWith("code")).sorted
+    // absent meta (pre-residual layout) means non-residual codes
+    val residual =
+      if (new java.io.File(s"$path/meta").exists())
+        spark.read.parquet(s"$path/meta").head().getBoolean(0)
+      else false
     IvfPqIndex(cents, codebooks,
       entries.select(col("neighbor_id") +: col("list").cast("int").as("list") +:
-        codeCols.map(c => col(c).cast("int").as(c)): _*))
+        codeCols.map(c => col(c).cast("int").as(c)): _*), residual)
   }
 }

@@ -109,6 +109,40 @@ class PqSpec extends SparkSpec {
     assert(served == direct)
   }
 
+  test("residual codes reconstruct clustered data with lower error than raw codes") {
+    // on clustered data the coarse centroid absorbs most of each
+    // vector's magnitude, so residual codebooks spend their budget on
+    // the (small) within-cluster spread — reconstruction MSE must drop.
+    // (On near-structureless data — e.g. the driver's uniform unit
+    // vectors, within-label var ≈ global var — the two codecs tie; the
+    // clustered corpus is where the residual variant earns its cost.)
+    def mse(idx: Pq.IvfPqIndex): Double = {
+      val vecs = corpus.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val m = idx.codebooks.length
+      val dsub = idx.codebooks(0)(0).length
+      val errs = idx.entries.collect().map { r =>
+        val id = r.getAs[Long]("neighbor_id")
+        val list = r.getAs[Int]("list")
+        val recon = (0 until m).flatMap { s =>
+          val code = r.getAs[Int](s"code$s")
+          val base = if (idx.residual) idx.centroids(list)
+            .slice(s * dsub, (s + 1) * dsub) else Array.fill(dsub)(0.0)
+          idx.codebooks(s)(code).zip(base).map { case (a, b) => a + b }
+        }.toArray
+        vecs(id).zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      errs.sum / errs.length
+    }
+    val plain = mse(Pq.buildIvfPqIndex(corpus, nlists = 3, m = 2, ksub = 4,
+      itersIvf = 3, itersPq = 3))
+    val res = mse(Pq.buildIvfPqIndex(corpus, nlists = 3, m = 2, ksub = 4,
+      itersIvf = 3, itersPq = 3, residual = true))
+    info(s"reconstruction MSE: plain=$plain residual=$res")
+    assert(res < plain, s"residual MSE $res not below plain $plain")
+  }
+
   test("search is deterministic across runs") {
     val q = corpus.filter(col("vec_id") === 0)
     val a = Pq.pqTopK(corpus, q, k = 10, m = 2, ksub = 4)
