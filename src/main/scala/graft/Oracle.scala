@@ -98,6 +98,60 @@ object Oracle {
        |  CASE WHEN iqr = 0.0 THEN 0.0
        |       ELSE round((value - med) / iqr, 6) END AS scaled FROM q""".stripMargin
 
+  /** EWMA (TemporalOps.ewma, α=0.5 span=6): the lag-stack formulation
+    * verbatim — αʲ weights are exact binary fractions at α=0.5, so the
+    * only float noise is summation (absorbed by the 1e-6 rounding the
+    * Spark side applies too).
+    */
+  def qEwma(alpha: Double = 0.5, span: Int = 6): String = {
+    val over = "OVER (PARTITION BY unit_id ORDER BY month_id)"
+    def x(j: Int) = if (j == 0) "value" else s"lag(value, $j) $over"
+    val num = (0 until span).map(j =>
+      s"CASE WHEN ${x(j)} IS NOT NULL THEN ${x(j)} * ${math.pow(alpha, j)} ELSE 0.0 END")
+      .mkString("(", " + ", ")")
+    val den = (0 until span).map(j =>
+      s"CASE WHEN ${x(j)} IS NOT NULL THEN ${math.pow(alpha, j)} ELSE 0.0 END")
+      .mkString("(", " + ", ")")
+    s"""$panel
+       |SELECT month_id, unit_id,
+       |  round($num / $den, 6) AS ewma
+       |FROM panel""".stripMargin
+  }
+
+  /** CUSUM (TemporalOps.cusum, h=3): running deviation sum + breach at
+    * h unit-σ, margin rounded 1e-6 before the comparison (both sides).
+    */
+  def qCusum(h: Double = 3.0): String =
+    s"""$panel, st AS (
+       |  SELECT month_id, unit_id, value,
+       |    avg(value) OVER (PARTITION BY unit_id) AS mu,
+       |    stddev_pop(value) OVER (PARTITION BY unit_id) AS sd
+       |  FROM panel),
+       |cs AS (
+       |  SELECT month_id, unit_id, sd,
+       |    SUM(value - mu) OVER (PARTITION BY unit_id ORDER BY month_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+       |  FROM st)
+       |SELECT month_id, unit_id, round(c, 6) AS cusum,
+       |  CAST(round(abs(c) - $h * sd, 6) > 0.0 AS INTEGER) AS breach
+       |FROM cs""".stripMargin
+
+  /** Additive seasonal decomposition (TemporalOps.decompose). */
+  def qDecompose(period: Int = 7, half: Int = 2): String =
+    s"""$panel, t AS (
+       |  SELECT month_id, unit_id, value,
+       |    avg(value) OVER (PARTITION BY unit_id ORDER BY month_id
+       |      ROWS BETWEEN $half PRECEDING AND $half FOLLOWING) AS trend
+       |  FROM panel),
+       |s AS (
+       |  SELECT *, avg(value - trend)
+       |    OVER (PARTITION BY unit_id, month_id % $period) AS seasonal
+       |  FROM t)
+       |SELECT month_id, unit_id, round(trend, 6) AS trend,
+       |  round(seasonal, 6) AS seasonal,
+       |  round(value - trend - seasonal, 6) AS residual
+       |FROM s""".stripMargin
+
   val qAdd: String =
     s"$panel SELECT month_id, unit_id, value + value2 AS added FROM panel"
   val qSub: String =

@@ -99,6 +99,21 @@ object Registry {
     // partitioning as mean/demean — chains at one shuffle)
     "winsorize" -> colT((c, a) => TemporalOps.winsorize(c, a.num(0), a.num(1))),
     "robust_scale" -> colT((c, _) => TemporalOps.robustScale(c)),
+    // args: [alpha, span] — truncated exponentially weighted mean
+    "ewma" -> colT((c, a) => TemporalOps.ewma(c, a.num(0), a.num(1).toInt)),
+    // args: [h?] — appends (cusum, breach): sequential drift statistic
+    "cusum" -> ((df, a) => {
+      val cs = TemporalOps.cusum(col("value"), a.numOpt(0).getOrElse(3.0))
+      df.withColumn("cusum", cs.getField("cusum"))
+        .withColumn("breach", cs.getField("breach"))
+    }),
+    // args: [period, half] — appends (trend, seasonal, residual)
+    "decompose" -> ((df, a) => {
+      val d = TemporalOps.decompose(col("value"), a.num(0).toInt, a.num(1).toInt)
+      df.withColumn("trend", d.getField("trend"))
+        .withColumn("seasonal", d.getField("seasonal"))
+        .withColumn("residual", d.getField("residual"))
+    }),
     "onset_possible" -> colT((c, a) => TemporalOps.onsetPossible(c, a.num(0).toInt).cast("double")),
     "onset" -> colT((c, a) => TemporalOps.onset(c, a.num(0).toInt).cast("double")),
     "temporal_entropy" -> colT((c, a) => TemporalOps.temporalEntropy(c, a.num(0).toInt, a.num(1))),

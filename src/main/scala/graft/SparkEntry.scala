@@ -89,6 +89,22 @@ object SparkEntry {
       round(TemporalOps.winsorize(col("value"), 0.05, 0.95), 6)),
     "q_robust_scale" -> colQ("scaled",
       round(TemporalOps.robustScale(col("value")), 6)),
+    // r8: classical time-series family (EWMA / CUSUM drift / additive
+    // seasonal decomposition), all on the shared unit partitioning
+    "q_ewma" -> colQ("ewma",
+      round(TemporalOps.ewma(col("value"), alpha = 0.5, span = 6), 6)),
+    "q_cusum" -> onPanel { p =>
+      val cs = TemporalOps.cusum(col("value"), 3.0)
+      p.select(col(T), col(U), round(cs.getField("cusum"), 6).as("cusum"),
+        cs.getField("breach").as("breach"))
+    },
+    "q_decompose" -> onPanel { p =>
+      val d = TemporalOps.decompose(col("value"), period = 7, half = 2)
+      p.select(col(T), col(U),
+        round(d.getField("trend"), 6).as("trend"),
+        round(d.getField("seasonal"), 6).as("seasonal"),
+        round(d.getField("residual"), 6).as("residual"))
+    },
     "q_cweq" -> onPanel(p =>
       TemporalOps.cweq(p, "value", 0.0, out = "cweq")
         .select(col(T), col(U), col("cweq"))),
@@ -1001,6 +1017,9 @@ object SparkEntry {
     "q_demean" -> Oracle.qDemean,
     "q_winsorize" -> Oracle.qWinsorize,
     "q_robust_scale" -> Oracle.qRobustScale,
+    "q_ewma" -> Oracle.qEwma(),
+    "q_cusum" -> Oracle.qCusum(),
+    "q_decompose" -> Oracle.qDecompose(),
     "q_cweq" -> Oracle.qCweq,
     "q_cweq_seed" -> Oracle.qCweqSeed,
     "q_time_since" -> Oracle.qTimeSince,

@@ -98,6 +98,72 @@ object TemporalOps {
     when(iqr === 0.0, 0.0).otherwise((c - med) / iqr)
   }
 
+  /** Exponentially weighted moving average, truncated at `span` lags:
+    *
+    *   ewma_t = Σ_{j=0..span−1} αʲ·x_{t−j} / Σ_{j: x_{t−j} exists} αʲ
+    *
+    * — pandas' `ewm(alpha=1−α).mean()` shape with a finite horizon
+    * (the αʲ tail beyond `span` is negligible for any α < 1 worth
+    * using, and a finite horizon is what keeps this a pure stack of
+    * lag expressions over the panel family's ONE shared unit-window
+    * shuffle; the exact infinite recursion would need a sequential
+    * scan per unit). Leading-edge rows renormalise over the lags that
+    * exist, matching pandas' `adjust=True`.
+    */
+  def ewma(c: Column, alpha: Double, span: Int): Column = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1), got $alpha")
+    require(span > 0, s"span must be positive, got $span")
+    val terms = (0 until span).map { j =>
+      val x = if (j == 0) c else lag(c, j).over(w)
+      (when(x.isNotNull, x * math.pow(alpha, j)).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(math.pow(alpha, j))).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    when(den === 0.0, lit(null).cast("double")).otherwise(num / den)
+  }
+
+  /** CUSUM drift statistic: the running sum of deviations from the
+    * unit's own mean, plus a breach flag at `h` unit standard
+    * deviations — the classic sequential change-point signal (a level
+    * shift makes the cusum ramp; |cusum| crossing h·σ marks the
+    * drift). Two stacked windows on the shared unit partitioning.
+    *
+    * @return (cusum DOUBLE, breach INT) as a struct column
+    */
+  def cusum(c: Column, h: Double = 3.0): Column = {
+    val wAll = Window.partitionBy(Panel.UnitCol)
+    val mean = avg(c).over(wAll)
+    val sd = stddev_pop(c).over(wAll)
+    val cs = sum(c - mean).over(cum)
+    // the breach decision rounds its margin to 1e-6 so a borderline
+    // |cusum| ≈ h·σ resolves identically across engines/partitionings
+    struct(cs.as("cusum"),
+      (round(abs(cs) - lit(h) * sd, 6) > 0.0).cast("int").as("breach"))
+  }
+
+  /** Classical seasonal decomposition (additive):
+    *   trend_t    = centered moving average, window ±half
+    *   seasonal_t = mean of (x − trend) over the unit's same phase
+    *                (month_id mod period)
+    *   residual_t = x − trend − seasonal
+    * Edges use the partial centered window (avg over available rows).
+    * All three components come from the unit partitioning the temporal
+    * family already shuffles on, plus one (unit, phase) window — no
+    * joins, no extra passes.
+    *
+    * @return struct (trend, seasonal, residual)
+    */
+  def decompose(c: Column, period: Int, half: Int): Column = {
+    require(period > 1 && half > 0)
+    val trend = avg(c).over(w.rowsBetween(-half, half))
+    val phase = pmod(col(Panel.TimeCol), lit(period))
+    val seasonal = avg(c - trend)
+      .over(Window.partitionBy(col(Panel.UnitCol), phase))
+    struct(trend.as("trend"), seasonal.as("seasonal"),
+      (c - trend - seasonal).as("residual"))
+  }
+
   /** Run-length counter — count consecutive timesteps while `valueCol ==
     * v`, resetting to 0 whenever the condition breaks; NaN rows are
     * dropped before counting (views_2.py:172-242).

@@ -141,6 +141,53 @@ class TemporalOpsSpec extends SparkSpec {
     assert(cs.forall(_ == 0.0))
   }
 
+  test("ewma matches the hand-computed adjusted weighted mean") {
+    val p = Seq((1L, 0L, 2.0), (2L, 0L, 4.0), (3L, 0L, 8.0)).toDF(T, U, "value")
+    val got = p.select(col(T), TemporalOps.ewma(col("value"), 0.5, 4).as("e"))
+      .orderBy(T).collect().map(_.getDouble(1))
+    // t1: 2/1; t2: (4 + 2·0.5)/1.5; t3: (8 + 4·0.5 + 2·0.25)/1.75
+    assert(math.abs(got(0) - 2.0) < 1e-12)
+    assert(math.abs(got(1) - 5.0 / 1.5) < 1e-12)
+    assert(math.abs(got(2) - 10.5 / 1.75) < 1e-12)
+  }
+
+  test("cusum ramps on a level shift and flags the breach") {
+    // flat at 0 for 10 steps, then a +10 shift for 10 steps
+    val rows = (1L to 10L).map(m => (m, 0L, 0.0)) ++
+      (11L to 20L).map(m => (m, 0L, 10.0))
+    val p = rows.toDF(T, U, "value")
+    val out = p.select(col(T),
+        TemporalOps.cusum(col("value"), 1.0).as("c"))
+      .orderBy(T).collect()
+      .map(r => (r.getStruct(1).getDouble(0), r.getStruct(1).getInt(1)))
+    // mean 5, sd 5: cusum walks to −25 then back; |−25| > 1·5 → breaches
+    assert(math.abs(out.head._1 - (-5.0)) < 1e-9)
+    assert(math.abs(out(9)._1 - (-50.0 + 0.0)) < 1e-9 || out(9)._1 == -50.0)
+    assert(out.map(_._2).sum > 0, "no breach flagged on an obvious shift")
+    // the minimum (largest drift) sits at the change point
+    val minIdx = out.map(_._1).zipWithIndex.minBy(_._1)._2
+    assert(minIdx == 9, s"drift extreme at $minIdx, expected 9")
+  }
+
+  test("decompose recovers a planted period-3 seasonal pattern") {
+    val season = Array(3.0, -1.0, -2.0)
+    val rows = (0L until 30L).map(m => (m, 0L, 10.0 + season((m % 3).toInt)))
+    val p = rows.toDF(T, U, "value")
+    val out = p.select(col(T),
+        TemporalOps.decompose(col("value"), period = 3, half = 3).as("d"))
+      .orderBy(T).collect()
+      .map(r => (r.getLong(0), r.getStruct(1)))
+    // away from the edges, trend ≈ level and seasonal ≈ planted values
+    // (half=3 spans 7 rows ≈ 2⅓ periods; the seasonal means then absorb
+    // the residual trend wobble, so check the MIDDLE rows loosely)
+    out.filter(t => t._1 >= 5 && t._1 < 25).foreach { case (m, s) =>
+      val expSeason = season((m % 3).toInt)
+      assert(math.abs(s.getDouble(1) - expSeason) < 0.8,
+        s"month $m seasonal ${s.getDouble(1)} vs $expSeason")
+      assert(math.abs(s.getDouble(2)) < 0.8, s"month $m residual ${s.getDouble(2)}")
+    }
+  }
+
   test("decay halves per halflife; ln is log1p (views_2.py:279-319)") {
     val p = panel1(0, 12, 24)
     val d = outDoubles(p.select(col(T), col(U),
