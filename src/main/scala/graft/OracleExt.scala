@@ -1241,6 +1241,38 @@ object OracleExt {
 
   private val quantCte = s"$embCte,\n$quantTail"
 
+  /** Hard-negative mining oracle (mirrors Similarity.hardNegatives):
+    * top-k by cosine among DIFFERENT-label corpus vectors.
+    */
+  def qHardNegatives(k: Int = 5, queryMax: Int = 20): String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+       |),
+       |q AS (SELECT vec_id AS query_id, v AS qv, label AS ql
+       |      FROM c WHERE vec_id < $queryMax),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("qv", "v")} AS cosine
+       |  FROM c, q WHERE c.vec_id <> q.query_id AND c.label <> q.ql),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+       |FROM rk WHERE rank <= $k""".stripMargin
+
+  /** Source-interleave oracle (mirrors Sampling.interleaveSources). */
+  def qInterleave(weights: Seq[(String, Double)], salt: String): String = {
+    val wCase = weights.map { case (s, x) => s"WHEN '$s' THEN $x" }
+      .mkString("CASE source ", " ", " ELSE 1.0 END")
+    s"""WITH s AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':$salt'), doc_id) AS idx
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(idx AS BIGINT) AS source_idx,
+       |  idx / ($wCase) AS serve_key
+       |FROM s""".stripMargin
+  }
+
   /** L2-normalize / MRL-truncate oracles (mirror Similarity.l2Normalize
     * / truncateDims): exploded to (vec_id, dim, nval) doubles; the norm
     * is the same left-to-right list_dot_product fold as cosine's.

@@ -628,6 +628,18 @@ object SparkEntry {
       similarity.Pq.pqTopK(e, e.filter(col("vec_id") < 50),
         k = 10, m = 4, ksub = 8, iters = 2)
     }),
+    // r8: hard-negative mining — near-miss different-label neighbors
+    // for contrastive retriever training
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      similarity.Similarity.hardNegatives(e, e.filter(col("vec_id") < 20), k = 5)
+    }),
+    // r8: deterministic proportional source interleave (loader order)
+    "q_interleave" -> ((s, dir) =>
+      sampling.Sampling.interleaveSources(docs(s, dir), "doc_id", "source",
+          Seq("src0" -> 3.0, "src1" -> 1.5), "il0")
+        .select(col("doc_id"), col("source"), col("source_idx"),
+          col("serve_key"))),
     // r8: embedding hygiene transforms, exploded to (vec_id, dim, nval)
     // rows so the gate compares doubles, not stringified arrays
     "q_embed_normalize" -> ((s, dir) =>
@@ -1154,6 +1166,9 @@ object SparkEntry {
     "q_embed_pq_topk" -> OracleExt.qEmbedPqTopK(),
     "q_embed_normalize" -> OracleExt.qEmbedNormalize,
     "q_embed_mrl" -> OracleExt.qEmbedMrl(),
+    "q_hard_negatives" -> OracleExt.qHardNegatives(),
+    "q_interleave" -> OracleExt.qInterleave(
+      Seq("src0" -> 3.0, "src1" -> 1.5), "il0"),
     "q_embed_ivfpq_topk" -> OracleExt.qEmbedIvfPqTopK(),
     "q_embed_ivfpq_res_topk" -> OracleExt.qEmbedIvfPqResTopK(),
     // identical result by construction: search over the written-out

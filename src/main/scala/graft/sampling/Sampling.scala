@@ -217,6 +217,36 @@ object Sampling {
           col("copy_id").cast("string")), salt) < fracThr)
   }
 
+  /** Deterministic proportional source interleaving — the serve-order
+    * schedule a training loader consumes: rows are hash-shuffled
+    * WITHIN each source (salted md5 rank — reproducible "random"
+    * order), then every row gets a virtual timestamp i/weight (i = its
+    * 1-based within-source index); ordering by it alternates sources
+    * in proportion to their weights with no run-length clumps, the
+    * standard alternative to shuffling the concatenated mixture and
+    * hoping. The global order is (serve_key, stratum, idx) — total and
+    * reproducible.
+    *
+    * Scale shape: one rank window per source partition (hash order, so
+    * partitions balance) — the serve key itself is a projection; the
+    * caller range-partitions/sorts by it at write time, exactly like
+    * [[graft.spatial.ZOrder.writeClustered]] does for its key.
+    *
+    * @return input + (source_idx BIGINT, serve_key DOUBLE)
+    */
+  def interleaveSources(df: DataFrame, keyCol: String, stratumCol: String,
+                        weights: Seq[(String, Double)], salt: String): DataFrame = {
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    val wCol = weights.foldLeft(lit(1.0)) { case (acc, (s, x)) =>
+      when(col(stratumCol) === s, lit(x)).otherwise(acc) }
+    val idx = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+        .orderBy(hashKey(col(keyCol), salt), col(keyCol)))
+      .cast("long")
+    df.withColumn("source_idx", idx)
+      .withColumn("serve_key", col("source_idx").cast("double") / wCol)
+  }
+
   /** The n−1 upper-bound hex thresholds of `hashSplit`'s bands,
     * exposed so an external checker can reproduce the exact same
     * literals (the cumulative float sums must match bit-for-bit).

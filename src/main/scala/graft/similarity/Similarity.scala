@@ -272,6 +272,30 @@ object Similarity {
       .write.mode("append").partitionBy("list").parquet(s"$path/lists")
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/Contriever
+    * recipe): for each query vector, the k most-similar corpus vectors
+    * whose `labelCol` DIFFERS from the query's — near-misses that teach
+    * a retriever the decision boundary, where random negatives teach
+    * nothing. Same plan shape as bruteForceTopK (corpus streams against
+    * the broadcast query set; for unbounded corpora compose with the
+    * IVF/PQ probe path first), the label inequality rides the join
+    * filter.
+    *
+    * @return (query_id, neighbor_id, cosine, rank)
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    labelCol: String = "label", idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("q_vec"), col(labelCol).as("__ql")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("c_vec"), col(labelCol).as("__cl"))
+    rankTopK(c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("__cl") =!= col("__ql"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec"))), k)
+  }
+
   /** L2-normalize the embedding column in place (zero vectors pass
     * through): after this, inner product ≡ cosine, so the quantized /
     * PQ MIPS paths rank by cosine directly. Pure scan-side transform.

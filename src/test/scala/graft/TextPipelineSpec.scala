@@ -284,6 +284,42 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("interleaveSources alternates sources proportionally with no clumps") {
+    val docs = ((0 until 90).map(i => (i.toLong, "a")) ++
+      (100 until 130).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val ordered = graft.sampling.Sampling
+      .interleaveSources(docs, "doc_id", "source", Seq("a" -> 3.0, "b" -> 1.0), "t0")
+      .orderBy(col("serve_key"), col("source"), col("source_idx"))
+      .collect().map(_.getString(1))
+    assert(ordered.length == 120)
+    // 3:1 weights on 90:30 rows → every window of 8 served rows holds
+    // ~6 a's and ~2 b's; no window may be single-source
+    ordered.sliding(8, 8).foreach { wdw =>
+      val b = wdw.count(_ == "b")
+      assert(b >= 1 && b <= 3, s"clumped window: ${wdw.mkString}")
+    }
+    // determinism
+    val again = graft.sampling.Sampling
+      .interleaveSources(docs, "doc_id", "source", Seq("a" -> 3.0, "b" -> 1.0), "t0")
+      .orderBy(col("serve_key"), col("source"), col("source_idx"))
+      .collect().map(_.getString(1))
+    assert(ordered.toSeq == again.toSeq)
+  }
+
+  test("hardNegatives excludes self and same-label neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val res = graft.similarity.Similarity
+      .hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .collect()
+    assert(res.length == 50)
+    res.foreach { r =>
+      val q = r.getLong(0); val n = r.getLong(1)
+      assert(n != q, "self returned")
+      assert(labels(n) != labels(q), s"same-label negative: $q -> $n")
+    }
+  }
+
   test("vocabStatsApprox: HLL estimate within 5% of the exact count") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = TextOps.vocabStats(docs).collect()
