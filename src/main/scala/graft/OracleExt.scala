@@ -190,6 +190,26 @@ object OracleExt {
   val qMinhashLsh: String = qMinhashLshFiltered("WHERE doc_id < 200", 1, 0.1)
   val qMinhashLshFull: String = qMinhashLshFiltered("", 2, 0.5)
 
+  /** Edit-distance-verified pairs oracle (mirrors
+    * Dedup.editVerifiedPairs): the same banded candidate CTEs, then
+    * exact Levenshtein on the normalised texts — integer distances, so
+    * the similarity ratio is the identical rational in both engines.
+    */
+  def qEditVerifiedPairs(filter: String, bandRows: Int,
+                         minSim: Double): String =
+    s"""$norm, ${minhashPairCtes(filter, bandRows)},
+       |ev AS (
+       |  SELECT c.id_a, c.id_b,
+       |    levenshtein(na.nt, nb.nt) AS edit_dist,
+       |    greatest(length(na.nt), length(nb.nt), 1) AS mx
+       |  FROM cand c
+       |  JOIN norm na ON na.doc_id = c.id_a
+       |  JOIN norm nb ON nb.doc_id = c.id_b)
+       |SELECT id_a, id_b, CAST(edit_dist AS INTEGER) AS edit_dist,
+       |  round(1.0 - CAST(edit_dist AS DOUBLE) / mx, 6) AS edit_sim
+       |FROM ev
+       |WHERE 1.0 - CAST(edit_dist AS DOUBLE) / mx >= $minSim""".stripMargin
+
   private val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     .map(h => s"'$h'").mkString(", ")
 

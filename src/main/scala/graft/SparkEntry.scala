@@ -501,6 +501,12 @@ object SparkEntry {
       dedup.Dedup.minhashLsh(docs(s, dir).filter(col("doc_id") < 200),
         shingleSize = 2, numHashes = OracleExt.MinhashHashes,
         bandRows = 1, threshold = 0.1)),
+    // r8: character-level verify of the same banded candidates —
+    // catches in-place edits Jaccard over- or under-counts
+    "q_dedup_edit" -> ((s, dir) =>
+      dedup.Dedup.editVerifiedPairs(docs(s, dir).filter(col("doc_id") < 200),
+        shingleSize = 2, numHashes = OracleExt.MinhashHashes,
+        bandRows = 1, minSim = 0.35)),
     // UNCAPPED scale-path evidence (r5 verdict missing #3): the banded
     // LSH join runs over the whole documents table, so the bench
     // artifact records the full-corpus wall-time; the oracle is the
@@ -1101,6 +1107,7 @@ object SparkEntry {
     "q_pipeline_clusters" -> OracleExt.qPipelineClusters,
     "q_corpus_stats" -> OracleExt.qCorpusStats,
     "q_minhash_lsh" -> OracleExt.qMinhashLsh,
+    "q_dedup_edit" -> OracleExt.qEditVerifiedPairs("WHERE doc_id < 200", 1, 0.35),
     "q_minhash_lsh_full" -> OracleExt.qMinhashLshFull,
     "q_simhash" -> OracleExt.qSimhash,
     "q_simhash_pairs" -> OracleExt.qSimhashPairs,

@@ -633,4 +633,37 @@ object Dedup {
     definitelyNew.unionByName(survivingCandidates)
       .select(col(idCol), col("fingerprint"))
   }
+
+  /** Edit-distance-verified near-duplicate pairs: MinHash-LSH proposes
+    * candidates (banded, never all-pairs), then each pair is verified
+    * by normalised Levenshtein similarity over the NORMALISED texts —
+    * 1 − dist/max(len), ≥ `minSim` keeps the pair. The character-level
+    * complement to the Jaccard verify: catches small in-place edits
+    * (typo farms, template fills) that shingle sets over- or
+    * under-count, and the distance is an exact integer in any engine.
+    *
+    * Scale shape: candidates shuffle on band buckets; the O(len²)
+    * verify runs per CANDIDATE pair only. Keep shingleSize/bandRows
+    * tuned so candidates ≈ true near-dups (the usual LSH discipline);
+    * texts join back by id — two id-keyed hash joins.
+    */
+  def editVerifiedPairs(docs: DataFrame, shingleSize: Int, numHashes: Int,
+                        bandRows: Int, minSim: Double,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val sh = graft.OpCache.persist(shingles(docs, shingleSize, idCol, textCol))
+    val cand = lshCandidates(minhash(sh, numHashes, idCol), numHashes,
+      bandRows, idCol)
+    val nt = docs.select(col(idCol), TextOps.normalize(col(textCol)).as("__nt"))
+    cand
+      .join(nt.select(col(idCol).as("id_a"), col("__nt").as("__ta")), "id_a")
+      .join(nt.select(col(idCol).as("id_b"), col("__nt").as("__tb")), "id_b")
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
+      .withColumn("edit_sim",
+        lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("__ta")), length(col("__tb")), lit(1)).cast("double"))
+      .filter(col("edit_sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("edit_dist"),
+        round(col("edit_sim"), 6).as("edit_sim"))
+  }
 }
