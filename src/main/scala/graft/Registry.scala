@@ -473,6 +473,18 @@ object Registry {
           col("gumbel_score"), col("rank").as("dsir_rank")),
         Seq("doc_id"))
     }),
+    // args: [salt, src1, w1, src2, w2, ...] — proportional source
+    // interleaving: appends (source_idx, serve_key); write ordered by
+    // serve_key for a reproducible loader schedule
+    "interleave" -> ((df, a) => {
+      val pairs = a.drop(1).grouped(2).map {
+        case scala.collection.Seq(s, x) =>
+          s.toString -> (x match { case n: Number => n.doubleValue
+                                   case o => o.toString.toDouble })
+      }.toSeq
+      sampling.Sampling.interleaveSources(df, "doc_id", "source",
+        pairs, a.str(0))
+    }),
     // args: [shingleSize, numHashes, bandRows, threshold] — MinHash
     // near-duplicate FILTER, keep-the-canonical: LSH candidate pairs
     // at the given banding, exact-Jaccard verified >= threshold,
@@ -553,6 +565,11 @@ object Registry {
     // args: [k, queryMax | queryPath] — terminal exact cosine top-k
     "topk" -> ((df, a) =>
       similarity.Similarity.bruteForceTopK(df, embedQueries(df, a, 1),
+        a.num(0).toInt)),
+    // args: [k, queryMax | queryPath] — terminal hard-negative mining:
+    // per query the k nearest DIFFERENT-label vectors
+    "hard_negatives" -> ((df, a) =>
+      similarity.Similarity.hardNegatives(df, embedQueries(df, a, 1),
         a.num(0).toInt)),
     // args: [k, queryMax | queryPath, m?, ksub?, iters?] — terminal
     // product-quantization ADC top-k (codes-only candidate scan)

@@ -365,6 +365,29 @@ class RegistrySpec extends SparkSpec {
     assert(wired == direct && wired.size == 2)
   }
 
+  test("interleave and hard_negatives wire steps equal the direct calls") {
+    val docs = (0L until 20L).map(i => (i, if (i < 15) "a" else "b"))
+      .toDF("doc_id", "source")
+    val wired = Registry.runCorpus(docs,
+        """[{"type":"interleave","args":["t1","a",3,"b",1]}]""")
+      .select("doc_id", "source_idx", "serve_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = sampling.Sampling.interleaveSources(docs, "doc_id", "source",
+        Seq("a" -> 3.0, "b" -> 1.0), "t1")
+      .select("doc_id", "source_idx", "serve_key")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(wired == direct && wired.size == 20)
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val hnWired = Registry.runEmbeddings(emb,
+        """[{"type":"hard_negatives","args":[3,5]}]""")
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val hnDirect = similarity.Similarity.hardNegatives(emb,
+        emb.filter(col("vec_id") < 5), 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(hnWired == hnDirect && hnWired.size == 15)
+  }
+
   test("curriculum wire step equals the direct globalNtile call") {
     val docs = (1L to 40L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
       .toDF("doc_id", "text")
