@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.plans.PlanLint
+
+/** The plan linter must flag each scale-breaking shape and stay quiet
+  * on the engine's own audited plans.
+  */
+class PlanLintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(n: Int) = (1 to n).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+
+  test("flags an unkeyed cartesian product as fatal") {
+    val a = df(10); val b = df(10).withColumnRenamed("k", "k2")
+    // inequality-only join condition forces a cartesian/BNL plan
+    val cross = a.join(b, a("v") < b("v"))
+    val f = PlanLint.lint(cross)
+    assert(f.exists(x => x.severity == "fatal" || x.node == "BroadcastNestedLoopJoin"),
+      f.mkString("; "))
+  }
+
+  test("flags an unpartitioned window as fatal") {
+    val w = df(10).withColumn("r", row_number().over(Window.orderBy("k")))
+    val f = PlanLint.fatal(w)
+    assert(f.exists(_.node == "Window"), PlanLint.lint(w).mkString("; "))
+  }
+
+  test("a constant-keyed bounded window passes (the engine convention)") {
+    val w = df(10).withColumn("r", row_number().over(
+      Window.partitionBy(pmod(col("k"), lit(1))).orderBy("k")))
+    assert(PlanLint.fatal(w).isEmpty, PlanLint.lint(w).mkString("; "))
+  }
+
+  test("a global sort is advisory, a keyed aggregation is clean") {
+    val sorted = df(100).orderBy("v")
+    assert(PlanLint.lint(sorted).exists(x =>
+      x.node == "Sort" && x.severity == "advisory"))
+    val agg = df(100).groupBy("k").agg(sum("v"))
+    assert(PlanLint.fatal(agg).isEmpty, PlanLint.lint(agg).mkString("; "))
+  }
+
+  test("the engine's own scale-audited operators lint clean of fatals") {
+    val docs = Seq((1L, "a b c d e"), (2L, "b c d e f"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    assert(PlanLint.fatal(graft.dedup.Dedup.exact(docs)).isEmpty)
+    assert(PlanLint.fatal(
+      graft.text.TextOps.chunkDocuments(docs, 3, 1)).isEmpty)
+    val panel = (1L to 3L).flatMap(m => (0L to 5L).map(u =>
+      (m, u, (m + u).toDouble))).toDF(Panel.TimeCol, Panel.UnitCol, "value")
+    assert(PlanLint.fatal(panel.select(col(Panel.TimeCol), col(Panel.UnitCol),
+      graft.ops.TemporalOps.ewma(col("value"), 0.5, 3).as("e"))).isEmpty)
+  }
+}
