@@ -75,4 +75,30 @@ object EmbedStream {
       .select(col("ts").as(tsCol), col("vec_id").as(idCol),
         col("vec").as(vecCol), col("bucket"))
   }
+
+  /** Streaming index ingestion: append every micro-batch of vectors to
+    * an ON-DISK IVF index written by
+    * [[graft.similarity.Similarity.writeIvfIndex]] — each batch is
+    * assigned against the FIXED trained quantizer
+    * ([[graft.similarity.Similarity.appendIvfIndex]]) and lands as new
+    * files inside the touched list= partition directories only. The
+    * steady-state ANN serving loop: train once on a bootstrap corpus,
+    * let the stream keep the index current, `ivfSearch` reads pick up
+    * each appended batch on their next planning.
+    *
+    * foreachBatch is the right altitude: assignment is a stateless
+    * per-batch scan (no cross-batch state to manage), and the sink is
+    * an idempotent-per-epoch partition append. Start the returned
+    * writer with `.start()` (checkpointing governs exactly-once).
+    */
+  def indexIngest(vectors: DataFrame, indexPath: String,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.similarity.Similarity.appendIvfIndex(
+            batch.sparkSession, indexPath, batch, idCol, vecCol)
+      }
 }

@@ -320,6 +320,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming index ingest appends micro-batches to the on-disk IVF index") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 60)
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    graft.similarity.Similarity.writeIvfIndex(
+      graft.similarity.Similarity.buildIvfIndex(base, nlists = 4), dir)
+    val tail = emb.filter(col("vec_id") >= 60)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.EmbedStream.indexIngest(
+        src.toDS().toDF("vec_id", "embedding"), dir)
+      .start()
+    try {
+      val (b1, b2) = tail.splitAt(tail.length / 2)
+      src.addData(b1.toSeq); q.processAllAvailable()
+      src.addData(b2.toSeq); q.processAllAvailable()
+      val loaded = graft.similarity.Similarity.readIvfIndex(spark, dir)
+      assert(loaded.assigned.count() == emb.count())
+      // every streamed vector landed in the list the fixed quantizer
+      // assigns it to: re-derive assignments from scratch and compare
+      val expect = graft.similarity.Similarity.ivfAppend(
+          graft.similarity.Similarity.IvfIndex(loaded.centroids,
+            loaded.assigned.limit(0)), emb)
+        .assigned.select("neighbor_id", "list")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val got = loaded.assigned.select("neighbor_id", "list")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == expect)
+    } finally {
+      q.stop()
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("stateless registry transforms apply to a stream unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, Long, Double)]
