@@ -388,6 +388,23 @@ class RegistrySpec extends SparkSpec {
     assert(hnWired == hnDirect && hnWired.size == 15)
   }
 
+  test("""the reference README's spec string runs verbatim (README.md:27-29)""") {
+    // the one wire-format example the reference publishes:
+    //   transforms:[{"type":"tlag","args":[10]}]
+    // must dispatch unmodified and equal the direct operator call
+    val p = (1L to 15L).map(m => (m, 0L, m.toDouble)).toDF(T, U, "value")
+    val viaWire = Registry.run(p, """[{"type":"tlag","args":[10]}]""")
+      .orderBy(T).collect().map(r => Option(r.get(2)))
+    val direct = p.select(col(T), col(U),
+        graft.ops.TemporalOps.tlag(col("value"), 10).as("value"))
+      .orderBy(T).collect().map(r => Option(r.get(2)))
+    assert(viaWire.toSeq == direct.toSeq)
+    // months 1..10 have no lag-10 predecessor; 11..15 carry 1..5
+    assert(viaWire.take(10).forall(_.isEmpty))
+    assert(viaWire.drop(10).flatten.map(_.asInstanceOf[Double]).toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+  }
+
   test("curriculum wire step equals the direct globalNtile call") {
     val docs = (1L to 40L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
       .toDF("doc_id", "text")
