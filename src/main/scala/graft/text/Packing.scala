@@ -205,4 +205,39 @@ object Packing {
       .partitionBy("bucket", "shard")
       .parquet(path)
   }
+
+  /** Compact a partitioned dataset's small files: rewrite so each
+    * partition directory holds ONE file (its rows were written by many
+    * tasks; after compaction a training loader opens one file per
+    * shard). Small files are the chronic failure mode of incremental
+    * ingest at scale — footer/open overhead per file and NameNode/
+    * listing pressure grow with file COUNT, not data size.
+    *
+    * The rewrite lands beside the original and swaps in with two
+    * renames (atomic on HDFS/local; on object stores run it from a
+    * driver that owns the path). One shuffle keyed by the partition
+    * columns; values inside each rewritten file keep a deterministic
+    * `orderCol` order so compaction is byte-stable.
+    */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
+                        partitionCols: Seq[String], orderCol: String): Unit = {
+    val df = spark.read.parquet(path)
+    val tmp = path + ".compact-tmp"
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols :+ orderCol).map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .option("maxRecordsPerFile", 0) // unlimited — one writer per dir
+      .parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".compact-bak")
+    require(fs.rename(p, bak), s"could not stage $path aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p)) {
+      fs.rename(bak, p) // roll back — the original stays authoritative
+      throw new IllegalStateException(s"swap failed for $path; restored original")
+    }
+    fs.delete(bak, true)
+  }
 }

@@ -284,6 +284,29 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("compactPartitions collapses each partition dir to one file, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = (0L until 200L).map(i => (i, i % 4, s"doc $i")).toDF("doc_id", "bucket", "text")
+    df.repartition(6).write.partitionBy("bucket").parquet(dir)
+    def filesPerDir: Map[String, Int] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().count(f => f.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    assert(filesPerDir.values.exists(_ > 1), "precondition: small files present")
+    val before = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    graft.text.Packing.compactPartitions(spark, dir, Seq("bucket"), "doc_id")
+    val after = filesPerDir
+    assert(after.values.forall(_ == 1), s"still fragmented: $after")
+    val data = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(data == before)
+    assert(!new java.io.File(dir + ".compact-bak").exists())
+    assert(!new java.io.File(dir + ".compact-tmp").exists())
+  }
+
   test("interleaveSources alternates sources proportionally with no clumps") {
     val docs = ((0 until 90).map(i => (i.toLong, "a")) ++
       (100 until 130).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
