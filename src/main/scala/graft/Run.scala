@@ -47,6 +47,19 @@ object Run {
         case other => throw new IllegalArgumentException(
           s"unknown frame kind '$other' (want panel|corpus|embeddings)")
       }
+      // pre-submit plan lint: surface scale-breaking shapes BEFORE the
+      // job burns cluster hours. Findings go to stderr; fatals abort
+      // unless the caller opts out (SPARK_GRAFT_LINT=warn) — a spec
+      // that plans a cartesian on a notebook sample will plan one on
+      // the full corpus too.
+      val findings = plans.PlanLint.lint(result)
+      findings.foreach(f =>
+        System.err.println(s"[lint:${f.severity}] ${f.node}: ${f.detail}"))
+      val fatals = findings.filter(_.severity == "fatal")
+      if (fatals.nonEmpty && !sys.env.get("SPARK_GRAFT_LINT").contains("warn"))
+        throw new IllegalStateException(
+          s"plan lint found ${fatals.size} fatal shape(s); " +
+            "set SPARK_GRAFT_LINT=warn to run anyway")
       result.write.mode("overwrite").parquet(out)
     } finally spark.stop()
   }
