@@ -393,4 +393,34 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
     units.foreach(u => assert(math.abs(scaled(u) - 3.0 * base(u)) < 1e-9))
   }
+
+  test("partitioning invariance: dsir weights, curriculum ranks, PQ codes") {
+    // a distributed operator's RESULT must not depend on how input rows
+    // happen to be split across tasks — re-partitioned inputs are the
+    // cheapest proxy for "different cluster, different file layout"
+    val docs = (0L until 120L).map { i =>
+      val lang = if (i % 3 == 0) "en" else "de"
+      (i, s"tok${i % 7} tok${i % 11} tok${i % 13} filler${i % 5}", lang)
+    }.toDF("doc_id", "text", "lang")
+    def dsirOf(parts: Int) = graft.sampling.Dsir
+      .importanceWeights(docs.repartition(parts), col("lang") === "en", 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(dsirOf(2) == dsirOf(9))
+
+    def rankOf(parts: Int) = graft.ops.Ranking
+      .globalRank(docs.repartition(parts),
+        Seq(length(col("text")), col("doc_id")))
+      .select("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rankOf(2) == rankOf(9))
+
+    val emb = (0 until 24).map { i =>
+      val c = i % 3
+      (i.toLong, Seq.tabulate(8)(d => (if (d / 3 == c) 10f else 0f) + i * 0.01f))
+    }.toDF("vec_id", "embedding")
+    def codesOf(parts: Int) = graft.similarity.Pq
+      .buildPqIndex(emb.repartition(parts), m = 2, ksub = 3, iters = 2)
+      .codes.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(codesOf(2) == codesOf(7))
+  }
 }
