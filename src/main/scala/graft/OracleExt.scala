@@ -1722,6 +1722,19 @@ object OracleExt {
        |  FROM sc)""".stripMargin
   }
 
+  /** Token-budget curation oracle (mirrors Sampling.budgetByTokens over
+    * qualityScore/tokenCount): ordered cumulative token mass capped at
+    * the budget.
+    */
+  def qBudgetSample(budget: Long = 5000L): String =
+    s"""$corpusFeatCtes,
+       |cum AS (
+       |  SELECT doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum_tokens
+       |  FROM feat)
+       |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM cum WHERE cum_tokens <= $budget""".stripMargin
+
   /** The composed corpus-preparation pipeline: drop normalised-text
     * duplicates (keep the canonical id), keep documents above a quality
     * floor whose predicted language is English, emit the surviving ids

@@ -473,6 +473,15 @@ object Registry {
           col("gumbel_score"), col("rank").as("dsir_rank")),
         Seq("doc_id"))
     }),
+    // args: [budgetTokens] — token-budget curation FILTER: the
+    // highest-quality docs until the budget fills (appends cum_tokens)
+    "budget" -> ((df, a) => {
+      val scored = df
+        .withColumn("__q", text.TextOps.qualityScore(col("text")))
+        .withColumn("__nt", text.TextOps.tokenCount(col("text")).cast("long"))
+      sampling.Sampling.budgetByTokens(scored, "__q", "__nt",
+        a.num(0).toLong).drop("__q", "__nt")
+    }),
     // args: [salt, src1, w1, src2, w2, ...] — proportional source
     // interleaving: appends (source_idx, serve_key); write ordered by
     // serve_key for a reproducible loader schedule

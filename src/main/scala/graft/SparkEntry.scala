@@ -640,6 +640,14 @@ object SparkEntry {
       val e = embeddings(s, dir)
       similarity.Similarity.hardNegatives(e, e.filter(col("vec_id") < 20), k = 5)
     }),
+    // r8: token-budget curation — the best docs until the budget fills
+    "q_budget_sample" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        text.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        text.TextOps.qualityScore(col("text")).as("__q"))
+      sampling.Sampling.budgetByTokens(d, "__q", "n_tokens", 5000L)
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+    }),
     // r8: deterministic proportional source interleave (loader order)
     "q_interleave" -> ((s, dir) =>
       sampling.Sampling.interleaveSources(docs(s, dir), "doc_id", "source",
@@ -1174,6 +1182,7 @@ object SparkEntry {
     "q_embed_normalize" -> OracleExt.qEmbedNormalize,
     "q_embed_mrl" -> OracleExt.qEmbedMrl(),
     "q_hard_negatives" -> OracleExt.qHardNegatives(),
+    "q_budget_sample" -> OracleExt.qBudgetSample(),
     "q_interleave" -> OracleExt.qInterleave(
       Seq("src0" -> 3.0, "src1" -> 1.5), "il0"),
     "q_embed_ivfpq_topk" -> OracleExt.qEmbedIvfPqTopK(),

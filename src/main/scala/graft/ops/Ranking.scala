@@ -103,4 +103,35 @@ object Ranking {
   def rank(df: DataFrame, order: Seq[Column], rankCol: String = "rank",
            numPartitions: Int = 0): DataFrame =
     globalRank(df, order, rankCol, numPartitions).drop("__total")
+
+  /** Exact global running sum of `valueCol` in `order` (which must be
+    * a TOTAL order — add an id tiebreak), with no single-task window:
+    * range-partition on the order, per-partition totals cumulate into
+    * offsets (a bounded nPartitions-row window), and each row's cumsum
+    * is its within-partition running sum plus its partition's offset.
+    * Two shuffles (range exchange + the per-partition window's pid
+    * exchange) at any data size.
+    */
+  def globalCumsum(df: DataFrame, order: Seq[Column], valueCol: String,
+                   cumCol: String = "cumsum",
+                   numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(n, order: _*)
+    val sums = parted.groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col(valueCol)).as("__psum"))
+    val w = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+    val offsets = sums
+      .withColumn("__offset", coalesce(
+        sum(col("__psum")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("__psum")
+    parted
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lcum", sum(col(valueCol)).over(
+        Window.partitionBy(col("__pid")).orderBy(order: _*)))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(cumCol, col("__offset") + col("__lcum"))
+      .drop("__pid", "__lcum", "__offset")
+  }
 }

@@ -217,6 +217,25 @@ object Sampling {
           col("copy_id").cast("string")), salt) < fracThr)
   }
 
+  /** Token-budget curation: keep the highest-`scoreCol` documents until
+    * their cumulative `tokensCol` mass reaches `budgetTokens` — "give
+    * me the best N-billion-token subset", the budget-first phrasing of
+    * every pretraining data ask. Exact and deterministic (score ties
+    * break on `idCol`); the global ordered cumsum uses the two-phase
+    * range-partitioned machinery ([[graft.ops.Ranking.globalCumsum]]),
+    * so there is NO single-task ordering at any corpus size.
+    *
+    * @return the kept rows + `cum_tokens` (each row's running total,
+    *   ≤ budgetTokens)
+    */
+  def budgetByTokens(df: DataFrame, scoreCol: String, tokensCol: String,
+                     budgetTokens: Long, idCol: String = "doc_id"): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    graft.ops.Ranking.globalCumsum(df,
+        Seq(col(scoreCol).desc, col(idCol)), tokensCol, "cum_tokens")
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
   /** Deterministic proportional source interleaving — the serve-order
     * schedule a training loader consumes: rows are hash-shuffled
     * WITHIN each source (salted md5 rank — reproducible "random"

@@ -60,4 +60,28 @@ class RankingSpec extends SparkSpec {
     // the full data must never pass through SinglePartition
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
+
+  test("globalCumsum equals the single-window cumsum; budget keeps a prefix") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 100L).map(i => (i, (i * 7 % 13) + 1.0, i % 5 + 1L))
+      .toDF("id", "score", "toks")
+    val got = graft.ops.Ranking.globalCumsum(df,
+        Seq(col("score").desc, col("id")), "toks", "cum", numPartitions = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val exp = df.withColumn("cum", sum(col("toks")).over(
+        Window.partitionBy(pmod(col("id"), lit(1)))
+          .orderBy(col("score").desc, col("id"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == exp)
+    // budget selection is the exact prefix of the quality ordering
+    val kept = graft.sampling.Sampling
+      .budgetByTokens(df, "score", "toks", 60L, idCol = "id")
+      .collect().map(_.getLong(0)).toSet
+    val expectKept = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, s, _) => (-s, id) }
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, _, t)) => (id, acc + t) }
+      .tail.takeWhile(_._2 <= 60L).map(_._1).toSet
+    assert(kept == expectKept && kept.nonEmpty)
+  }
 }
