@@ -152,6 +152,15 @@ object Oracle {
        |  round(value - trend - seasonal, 6) AS residual
        |FROM s""".stripMargin
 
+  /** Panel completeness diagnostic (MissingOps.panelGaps): grid cells
+    * absent from the sparse aggregated panel.
+    */
+  val qPanelGaps: String =
+    s"""$panel SELECT m.month_id, u.unit_id
+       |FROM months m CROSS JOIN units u
+       |WHERE NOT EXISTS (SELECT 1 FROM raw r
+       |  WHERE r.month_id = m.month_id AND r.unit_id = u.unit_id)""".stripMargin
+
   val qAdd: String =
     s"$panel SELECT month_id, unit_id, value + value2 AS added FROM panel"
   val qSub: String =

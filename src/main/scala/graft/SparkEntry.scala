@@ -146,6 +146,10 @@ object SparkEntry {
         when(col(U) % 17 === 0, lit(null).cast("double")).otherwise(col("value")))
       MissingOps.fillGroupsWithTimeMeans(tm, "value").select(col(T), col(U), col("filled"))
     },
+    // r8: completeness diagnostic on the SPARSE aggregated panel —
+    // the grid cells Panel.dense would have to fill
+    "q_panel_gaps" -> ((s, dir) =>
+      MissingOps.panelGaps(Panel.fromEvents(s, dir))),
     "q_list_totally_missing" -> onMissing { p =>
       val withNullCol = p.withColumn("value3", lit(null).cast("double"))
       MissingOps.listTotallyMissing(withNullCol, Seq("value", "value3"))
@@ -1065,6 +1069,7 @@ object SparkEntry {
     "q_group_global_means" -> Oracle.qGroupGlobalMeans,
     "q_time_means" -> Oracle.qTimeMeans,
     "q_list_totally_missing" -> Oracle.qListTotallyMissing,
+    "q_panel_gaps" -> Oracle.qPanelGaps,
     "q_zorder" -> OracleExt.qZorder,
     "q_splag4d" -> Oracle.qSplag4d,
     "q_splag4d_norm" -> Oracle.qSplag4dNorm,

@@ -132,4 +132,20 @@ object MissingOps {
     cols.zipWithIndex.map { case (c, i) => (c, flags.getBoolean(i)) }
       .toDF("col_name", "totally_missing")
   }
+
+  /** Panel completeness diagnostic: the (month, unit) cells ABSENT from
+    * a sparse panel, against the full time × unit grid its own keys
+    * span — the check a reference user runs before trusting any
+    * tensor-shaped transform (the reference reindexes implicitly;
+    * silently-absent cells become silent zeros). Anti-join against the
+    * same months × units cross [[graft.Panel.dense]] builds, so the
+    * diagnostic and the fix share one definition of "complete".
+    */
+  def panelGaps(panel: DataFrame): DataFrame = {
+    val t = graft.Panel.TimeCol; val u = graft.Panel.UnitCol
+    val months = panel.select(t).distinct()
+    val units = panel.select(u).distinct()
+    broadcast(months).crossJoin(units)
+      .join(panel.select(t, u), Seq(t, u), "left_anti")
+  }
 }
