@@ -1429,7 +1429,8 @@ object OracleExt {
     * `cent$iters` in scope for probe ranking) — the oracle twin of
     * Similarity.buildIvfIndex, reused by every IVF-derived oracle.
     */
-  private def ivfAssignCtes(nlists: Int, iters: Int, dim: Int): String = {
+  private def ivfAssignCtes(nlists: Int, iters: Int, dim: Int,
+                            cDef: String = ""): String = {
     def assign(cent: String, out: String) =
       s"""$out AS (
          |  SELECT vec_id, v, list FROM (
@@ -1447,7 +1448,8 @@ object OracleExt {
          |  SELECT p.list, COALESCE(m.cent, p.cent) AS cent
          |  FROM cent$i p LEFT JOIN mean$i m ON m.list = p.list)""".stripMargin
     }.mkString(",\n")
-    s"""$embCte,
+    val lead = if (cDef.isEmpty) embCte else cDef
+    s"""$lead,
        |cent0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list, v AS cent
        |  FROM c ORDER BY vec_id LIMIT $nlists),
@@ -1720,6 +1722,46 @@ object OracleExt {
        |      + least(stop_hits / 10.0, 1.0) * 0.3 AS quality,
        |    CASE $langCase ELSE 'unknown' END AS lang_pred
        |  FROM sc)""".stripMargin
+  }
+
+  /** Embedding curation chain oracle (mirrors the wire spec
+    * normalize → semdedup → topk): L2 normalization feeds the Lloyd
+    * clustering and the within-cluster pruning; the final exact top-k
+    * runs over the SURVIVORS with surviving sub-`queryMax` vectors as
+    * queries — step order is part of the checked contract.
+    */
+  def qPipelineEmbedCurated(threshold: Double = 0.3, k: Int = 5,
+                            queryMax: Int = 20, nlists: Int = 16,
+                            iters: Int = 3, dim: Int = 64): String = {
+    val normDef =
+      """WITH c0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |),
+        |c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+        |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+        |    END AS v
+        |  FROM c0)""".stripMargin
+    s"""${ivfAssignCtes(nlists, iters, dim, cDef = normDef)},
+       |drp AS (
+       |  SELECT DISTINCT b.vec_id AS id_b
+       |  FROM asgnF a JOIN asgnF b
+       |    ON a.list = b.list AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.v", "b.v")} >= $threshold),
+       |surv AS (
+       |  SELECT a.vec_id, a.v FROM asgnF a
+       |  LEFT JOIN drp ON drp.id_b = a.vec_id WHERE drp.id_b IS NULL),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM surv
+       |      WHERE vec_id < $queryMax),
+       |scored AS (
+       |  SELECT q.query_id, s.vec_id AS neighbor_id,
+       |    ${cosSql("qv", "s.v")} AS cosine
+       |  FROM surv s, q WHERE s.vec_id <> q.query_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+       |FROM rk WHERE rank <= $k""".stripMargin
   }
 
   /** Token-budget curation oracle (mirrors Sampling.budgetByTokens over

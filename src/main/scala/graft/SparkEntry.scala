@@ -732,6 +732,14 @@ object SparkEntry {
     // r7: the similarity family over the wire format — deterministic
     // half-corpus sample, then sign-LSH near-dup pairs / int8 MIPS
     // top-k, dispatched from JSON (mirror of runCorpus for embeddings)
+    // r8: the embedding-side curation chain as ONE wire spec —
+    // normalization feeds clustering, dedup narrows the frame, the
+    // final top-k serves from the survivors (chained oracle)
+    "q_pipeline_embed_curated" -> ((s, dir) =>
+      Registry.runEmbeddings(embeddings(s, dir),
+        """[{"type":"normalize"},
+           |{"type":"semdedup","args":[0.3,16,3]},
+           |{"type":"topk","args":[5,20]}]""".stripMargin)),
     "q_pipeline_embed" -> ((s, dir) =>
       Registry.runEmbeddings(embeddings(s, dir),
         """[{"type":"sample_hash","args":[0.5,"e7"]},
@@ -1200,6 +1208,7 @@ object SparkEntry {
     "q_embed_semdedup" -> OracleExt.qSemanticDedup(threshold = 0.3),
     "q_embed_diverse" -> OracleExt.qEmbedDiverse(perCluster = 10, salt = "div0"),
     "q_pipeline_embed" -> OracleExt.qPipelineEmbed,
+    "q_pipeline_embed_curated" -> OracleExt.qPipelineEmbedCurated(),
     "q_pipeline_embed_q8" -> OracleExt.qPipelineEmbedQ8,
     "q_impute_regression" -> OracleExt.qImputeRegression,
     "q_multimodal_features" -> OracleExt.qMultimodalFeatures,
