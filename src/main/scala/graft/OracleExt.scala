@@ -2396,14 +2396,25 @@ object OracleExt {
     */
   private def dsirCtes(b: Int, alpha: Double,
                        from: String = "documents",
-                       prelude: String = ""): String =
+                       prelude: String = "",
+                       ngram: Int = 1): String = {
+    val features =
+      if (ngram == 1)
+        """dtoks AS (SELECT doc_id, (lang = 'en') AS it,
+          |            unnest(string_split(nt, ' ')) AS tok FROM dnorm),""".stripMargin
+      else
+        """dws AS (SELECT doc_id, (lang = 'en') AS it,
+          |          string_split(nt, ' ') AS ws FROM dnorm),
+          |dtoks AS (SELECT doc_id, it,
+          |            unnest(list_transform(range(1, len(ws)),
+          |              i -> ws[i] || ' ' || ws[i + 1])) AS tok
+          |          FROM dws WHERE len(ws) > 1),""".stripMargin
     s"""WITH ${if (prelude.nonEmpty) prelude + "," else ""}
        |dnorm AS (
        |  SELECT doc_id, lang,
        |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
        |  FROM $from),
-       |dtoks AS (SELECT doc_id, (lang = 'en') AS it,
-       |            unnest(string_split(nt, ' ')) AS tok FROM dnorm),
+       |$features
        |dtb AS (SELECT doc_id, it, ${hexInt4("tok")} % $b AS bucket FROM dtoks),
        |dcells AS (SELECT bucket, COUNT(*) AS rc,
        |             COUNT(*) FILTER (WHERE it) AS tc
@@ -2417,9 +2428,11 @@ object OracleExt {
        |dw AS (SELECT dtb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |         round(SUM(dlr.lr), 6) AS dsir_weight
        |       FROM dtb JOIN dlr USING (bucket) GROUP BY 1)""".stripMargin
+  }
 
-  def qDsirWeights(b: Int = 256, alpha: Double = 1.0): String =
-    s"""${dsirCtes(b, alpha)}
+  def qDsirWeights(b: Int = 256, alpha: Double = 1.0,
+                   ngram: Int = 1): String =
+    s"""${dsirCtes(b, alpha, ngram = ngram)}
        |SELECT doc_id, n_tokens, dsir_weight FROM dw""".stripMargin
 
   /** Gumbel scoring + top-k tail over a prior `dw` — shared by the

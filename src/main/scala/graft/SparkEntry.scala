@@ -581,6 +581,9 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, dir) =>
       sampling.Dsir.importanceWeights(docs(s, dir),
         col("lang") === "en", buckets = 256)),
+    "q_dsir_weights_bigram" -> ((s, dir) =>
+      sampling.Dsir.importanceWeights(docs(s, dir),
+        col("lang") === "en", buckets = 256, ngram = 2)),
     "q_dsir_sample" -> ((s, dir) =>
       sampling.Dsir.resample(docs(s, dir), col("lang") === "en",
         k = 100, buckets = 256)),
@@ -1139,6 +1142,7 @@ object SparkEntry {
     "q_sample_hash" -> OracleExt.qSampleHash,
     "q_sample_split" -> OracleExt.qSampleSplit,
     "q_dsir_weights" -> OracleExt.qDsirWeights(),
+    "q_dsir_weights_bigram" -> OracleExt.qDsirWeights(ngram = 2),
     "q_dsir_sample" -> OracleExt.qDsirSample(),
     "q_pipeline_pretrain" -> OracleExt.qPipelinePretrain(),
     "q_sessionize" -> OracleExt.qSessionize,

@@ -55,17 +55,32 @@ object Dsir {
     * `raw`, with the target corpus defined in-plan as the rows
     * matching `targetPred` (e.g. a language or quality gate).
     *
+    * @param ngram feature order: 1 = hashed unigrams; 2 = hashed word
+    *   BIGRAMS — the paper's actual feature space (bigrams see phrase
+    *   structure unigram bags cannot). Features stay row-local either
+    *   way (adjacent-pair zip, no window).
     * @return (idCol, n_tokens BIGINT, dsir_weight DOUBLE — rounded 1e-6)
     */
   def importanceWeights(raw: DataFrame, targetPred: Column, buckets: Int,
                         alpha: Double = 1.0, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text", ngram: Int = 1): DataFrame = {
     require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    require(ngram == 1 || ngram == 2, s"ngram must be 1 or 2, got $ngram")
+    val words = split(TextOps.normalize(col(textCol)), " ")
+    val features =
+      if (ngram == 1) words
+      else {
+        // row-local adjacent pairs (the bigramsOf discipline): zip the
+        // words array against its own 1-shifted slice
+        val nPairs = greatest(size(words) - 1, lit(0))
+        zip_with(slice(words, lit(1), nPairs), slice(words, lit(2), nPairs),
+          (a, b) => concat_ws(" ", a, b))
+      }
     // the predicate is evaluated scan-side BEFORE the explode — the
     // target flag rides along with each token instead of re-joining
     // the corpus-sized token stream back onto the documents
     val toks = raw.select(col(idCol), targetPred.as("__is_target"),
-        explode(split(TextOps.normalize(col(textCol)), " ")).as("tok"))
+        explode(features).as("tok"))
       .withColumn("bucket", bucketOf(col("tok"), buckets))
     // ONE pass fits both multinomials: raw counts every token, target
     // counts the subset passing the predicate. Output ≤ B cells.
