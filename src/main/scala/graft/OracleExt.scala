@@ -2204,6 +2204,38 @@ object OracleExt {
        |FROM dims dm LEFT JOIN agg a ON a.media_id = dm.media_id""".stripMargin
   }
 
+  /** Perceptual-hash image dedup oracle (mirrors
+    * Multimodal.imageDHash/dedupByDHash over synthesizeImages): the
+    * 9×8 nearest-neighbour grid re-derives from the synthesized pixel
+    * function, bits compare adjacent grays, groups key on the hash.
+    */
+  val qMultimodalPhash: String = {
+    val cells = for (y <- 0 until 8; x <- 0 until 9) yield (x, y)
+    val pivot = cells.map { case (x, y) =>
+      s"MAX(CASE WHEN xx = $x AND yy = $y THEN g END) AS g_${x}_$y"
+    }.mkString(",\n")
+    val bits = (for (y <- 0 until 8; x <- 0 until 8) yield
+      s"CASE WHEN g_${x}_$y > g_${x + 1}_$y THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""WITH $pngPixels,
+       |grid AS (
+       |  SELECT d2.media_id, gx.xx, gy.yy,
+       |    (gy.yy * d2.h // 8) * d2.w + (gx.xx * d2.w // 9) AS p
+       |  FROM dims d2,
+       |    generate_series(0, 8) gx(xx), generate_series(0, 7) gy(yy)),
+       |gs AS (SELECT gr.media_id, gr.xx, gr.yy, pg.g
+       |       FROM grid gr JOIN pg
+       |         ON pg.media_id = gr.media_id AND pg.p = gr.p),
+       |pv AS (SELECT media_id, $pivot FROM gs GROUP BY media_id),
+       |hs AS (SELECT media_id, $bits AS dhash FROM pv),
+       |canon AS (SELECT dhash, MIN(media_id) AS canonical_id,
+       |            CAST(COUNT(*) AS BIGINT) AS group_size
+       |          FROM hs GROUP BY 1)
+       |SELECT h.media_id, h.dhash, c.canonical_id, c.group_size,
+       |  CAST(h.media_id <> c.canonical_id AS INTEGER) AS is_duplicate
+       |FROM hs h JOIN canon c ON c.dhash = h.dhash""".stripMargin
+  }
+
   /** Audio-feature oracle over REAL decoded WAVs
     * (Multimodal.synthesizeAudio → extractAudioFeatures): sample k is
     * (byte[k mod n] − 128)·256 (−32768 for empty text),

@@ -791,6 +791,11 @@ object SparkEntry {
         multimodal.Multimodal.synthesizeGifs(docs(s, dir)),
         frameBytes = 64, everyN = 2)),
     // real WAV decode via javax.sound: features over actual PCM samples
+    // r8: perceptual-hash image dedup — dHash over the real decoded
+    // pixels, exact-hash groups with the smallest-id canonical
+    "q_multimodal_phash" -> ((s, dir) =>
+      multimodal.Multimodal.dedupByDHash(
+        multimodal.Multimodal.synthesizeImages(docs(s, dir)))),
     "q_multimodal_audio" -> ((s, dir) =>
       multimodal.Multimodal.extractAudioFeatures(
         multimodal.Multimodal.synthesizeAudio(docs(s, dir)))),
@@ -1220,6 +1225,7 @@ object SparkEntry {
     "q_multimodal_frames" -> OracleExt.qMultimodalFrames(64, 4),
     "q_multimodal_gif_frames" -> OracleExt.qMultimodalGifFrames(2),
     "q_multimodal_audio" -> OracleExt.qMultimodalAudio,
+    "q_multimodal_phash" -> OracleExt.qMultimodalPhash,
     "q_mice" -> OracleExt.qMice,
     "q_mice_gen" -> OracleExt.qMiceGen,
     "q_keep_grids" -> Oracle.qKeepGrids,

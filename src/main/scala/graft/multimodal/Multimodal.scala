@@ -516,4 +516,61 @@ object Multimodal {
       col("media_id") +: col("decoded") +: col("width") +: col("height") +:
         (0 until FeatureDim).map(d => col("features")(d).cast("double").as(s"f$d")): _*)
   }
+
+  /** Perceptual image hash (dHash): nearest-neighbour-resample the
+    * decoded image to a 9×8 gray grid and emit 64 bits, bit (x, y) = 1
+    * iff gray(x, y) > gray(x+1, y) — the standard gradient fingerprint
+    * that survives re-encoding, mild rescaling and brightness shifts,
+    * where an exact byte hash sees a different file. Returned as a
+    * 64-char '0'/'1' string (the simhash64 portability convention).
+    *
+    * Scale shape: mapPartitions decode (codec init amortised per
+    * partition), zero shuffle — hashing is scan-side whatever the
+    * corpus size. Undecodable payloads hash their byte-subsample stub
+    * (zero-padded), flagged by the decoded column.
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds = media
+      .select(col("media_id"), coalesce(col("content"), lit(Array.empty[Byte])))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val (gray0, decoded) = decodeImage(bytes) match {
+          case Some(img) => (imageResizeGray(img, 9, 8).map(_ & 0xff), true)
+          case None      => (resizeStub(bytes, 72).map(_ & 0xff), false)
+        }
+        val gray = if (gray0.length >= 72) gray0
+                   else gray0 ++ Array.fill(72 - gray0.length)(0)
+        val sb = new java.lang.StringBuilder(64)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            sb.append(if (gray(y * 9 + x) > gray(y * 9 + x + 1)) '1' else '0')
+            x += 1
+          }
+          y += 1
+        }
+        (id, sb.toString, decoded)
+      }
+    }.toDF("media_id", "dhash", "decoded")
+  }
+
+  /** Image dedup by perceptual hash: exact dHash groups with the
+    * smallest-id canonical — the keep-one convention every dedup
+    * operator here shares. One hash aggregation on the 64-bit key +
+    * a key-equi join back; no window, no pairwise products.
+    */
+  def dedupByDHash(media: DataFrame): DataFrame = {
+    val h = imageDHash(media)
+    val canon = h.groupBy("dhash")
+      .agg(min("media_id").as("canonical_id"),
+        count(lit(1)).cast("long").as("group_size"))
+    h.join(canon, "dhash")
+      .select(col("media_id"), col("dhash"), col("canonical_id"),
+        col("group_size"),
+        (col("media_id") =!= col("canonical_id")).cast("int").as("is_duplicate"))
+  }
 }
