@@ -2236,6 +2236,42 @@ object OracleExt {
        |FROM hs h JOIN canon c ON c.dhash = h.dhash""".stripMargin
   }
 
+  /** Audio fingerprint oracle (mirrors Multimodal.audioFingerprint
+    * over synthesizeAudio): frame energies are exact integer sums of
+    * squares over the re-derived PCM samples.
+    */
+  val qMultimodalAfp: String = {
+    val pivot = (0 to 64).map(f =>
+      s"MAX(CASE WHEN f = $f THEN e END) AS e_$f").mkString(",\n")
+    val bits = (0 until 64).map(f =>
+      s"CASE WHEN e_$f > e_${f + 1} THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH $utf8Bytes,
+       |adims AS (SELECT media_id, n, CAST(64 + n % 192 AS BIGINT) AS ns FROM d),
+       |asmp AS (SELECT media_id, n, ns, unnest(generate_series(0, ns - 1)) AS k
+       |         FROM adims),
+       |asv AS (SELECT s.media_id, s.ns, s.k,
+       |          CAST((CASE WHEN s.n = 0 THEN 0 ELSE COALESCE(y.b, 0) END - 128)
+       |            * 256 AS BIGINT) AS v
+       |        FROM asmp s LEFT JOIN byt y
+       |          ON y.media_id = s.media_id AND s.n > 0 AND y.j = s.k % s.n),
+       |fr AS (SELECT a.media_id, gf.f,
+       |         COALESCE(SUM(s.v * s.v), 0) AS e
+       |       FROM adims a
+       |       CROSS JOIN generate_series(0, 64) gf(f)
+       |       LEFT JOIN asv s ON s.media_id = a.media_id
+       |         AND s.k >= gf.f * a.ns // 65
+       |         AND s.k < (gf.f + 1) * a.ns // 65
+       |       GROUP BY 1, 2),
+       |pv AS (SELECT media_id, $pivot FROM fr GROUP BY media_id),
+       |hs AS (SELECT media_id, $bits AS afp FROM pv),
+       |canon AS (SELECT afp, MIN(media_id) AS canonical_id,
+       |            CAST(COUNT(*) AS BIGINT) AS group_size
+       |          FROM hs GROUP BY 1)
+       |SELECT h.media_id, h.afp, c.canonical_id, c.group_size,
+       |  CAST(h.media_id <> c.canonical_id AS INTEGER) AS is_duplicate
+       |FROM hs h JOIN canon c ON c.afp = h.afp""".stripMargin
+  }
+
   /** Audio-feature oracle over REAL decoded WAVs
     * (Multimodal.synthesizeAudio → extractAudioFeatures): sample k is
     * (byte[k mod n] − 128)·256 (−32768 for empty text),

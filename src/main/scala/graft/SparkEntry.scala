@@ -796,6 +796,17 @@ object SparkEntry {
     "q_multimodal_phash" -> ((s, dir) =>
       multimodal.Multimodal.dedupByDHash(
         multimodal.Multimodal.synthesizeImages(docs(s, dir)))),
+    // r8: audio fingerprint dedup — energy-gradient 64-bit signature
+    // over the real decoded PCM, exact-hash groups
+    "q_multimodal_afp" -> ((s, dir) => {
+      val h = multimodal.Multimodal.audioFingerprint(
+        multimodal.Multimodal.synthesizeAudio(docs(s, dir))).drop("decoded")
+      val canon = h.groupBy("afp").agg(min(col("media_id")).as("canonical_id"),
+        count(lit(1)).cast("long").as("group_size"))
+      h.join(canon, "afp").select(col("media_id"), col("afp"),
+        col("canonical_id"), col("group_size"),
+        (col("media_id") =!= col("canonical_id")).cast("int").as("is_duplicate"))
+    }),
     "q_multimodal_audio" -> ((s, dir) =>
       multimodal.Multimodal.extractAudioFeatures(
         multimodal.Multimodal.synthesizeAudio(docs(s, dir)))),
@@ -1226,6 +1237,7 @@ object SparkEntry {
     "q_multimodal_gif_frames" -> OracleExt.qMultimodalGifFrames(2),
     "q_multimodal_audio" -> OracleExt.qMultimodalAudio,
     "q_multimodal_phash" -> OracleExt.qMultimodalPhash,
+    "q_multimodal_afp" -> OracleExt.qMultimodalAfp,
     "q_mice" -> OracleExt.qMice,
     "q_mice_gen" -> OracleExt.qMiceGen,
     "q_keep_grids" -> Oracle.qKeepGrids,

@@ -558,6 +558,46 @@ object Multimodal {
     }.toDF("media_id", "dhash", "decoded")
   }
 
+  /** Audio fingerprint — dHash's audio twin: the decoded sample stream
+    * splits into 65 nearest-neighbour frames and bit f = 1 iff
+    * energy(frame f) > energy(frame f+1) — a 64-bit energy-gradient
+    * signature robust to gain changes in shape (energies are exact
+    * integer sums of squares, so the fingerprint is engine-exact, no
+    * float tolerance). Undecodable payloads fingerprint their byte
+    * stub, flagged by `decoded`.
+    */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds = media
+      .select(col("media_id"), coalesce(col("content"), lit(Array.empty[Byte])))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val (samples, decoded) = decodeAudio(bytes) match {
+          case Some((_, s)) => (s.map(_.toLong), true)
+          case None => (resizeStub(bytes, 130).map(b => (b & 0xff).toLong), false)
+        }
+        val ns = math.max(samples.length, 1)
+        val e = Array.tabulate(65) { f =>
+          var acc = 0L
+          var k = f * ns / 65
+          val end = (f + 1) * ns / 65
+          while (k < end && k < samples.length) {
+            acc += samples(k) * samples(k); k += 1
+          }
+          acc
+        }
+        val sb = new java.lang.StringBuilder(64)
+        var f = 0
+        while (f < 64) {
+          sb.append(if (e(f) > e(f + 1)) '1' else '0'); f += 1
+        }
+        (id, sb.toString, decoded)
+      }
+    }.toDF("media_id", "afp", "decoded")
+  }
+
   /** Image dedup by perceptual hash: exact dHash groups with the
     * smallest-id canonical — the keep-one convention every dedup
     * operator here shares. One hash aggregation on the 64-bit key +
