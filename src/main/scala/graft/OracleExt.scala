@@ -2236,6 +2236,39 @@ object OracleExt {
        |FROM hs h JOIN canon c ON c.dhash = h.dhash""".stripMargin
   }
 
+  /** Per-frame video fingerprint oracle (mirrors
+    * Multimodal.videoFrameDHash over synthesizeGifs): the 9×8 grid
+    * re-derives per frame from the GIF pixel function.
+    */
+  val qMultimodalVideoPhash: String = {
+    val pivot = (for (y <- 0 until 8; x <- 0 until 9) yield
+      s"MAX(CASE WHEN xx = $x AND yy = $y THEN g END) AS g_${x}_$y")
+      .mkString(",\n")
+    val bits = (for (y <- 0 until 8; x <- 0 until 8) yield
+      s"CASE WHEN g_${x}_$y > g_${x + 1}_$y THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""WITH $utf8Bytes,
+       |dims AS (SELECT media_id, n,
+       |    CAST(6 + media_id % 10 AS INT) AS w,
+       |    CAST(6 + n % 10 AS INT) AS h,
+       |    CAST(2 + media_id % 3 AS INT) AS nf FROM d),
+       |frm AS (SELECT media_id, n, w, h,
+       |          unnest(generate_series(0, nf - 1)) AS f FROM dims),
+       |grid AS (SELECT fr.media_id, fr.n, fr.w, fr.h, fr.f, gx.xx, gy.yy,
+       |    (gy.yy * fr.h // 8) * fr.w + (gx.xx * fr.w // 9) AS p
+       |  FROM frm fr,
+       |    generate_series(0, 8) gx(xx), generate_series(0, 7) gy(yy)),
+       |gs AS (SELECT g2.media_id, g2.f, g2.xx, g2.yy,
+       |    CASE WHEN g2.n = 0 THEN 0 ELSE COALESCE(yb.b, 0) END AS g
+       |  FROM grid g2 LEFT JOIN byt yb
+       |    ON yb.media_id = g2.media_id AND g2.n > 0
+       |       AND yb.j = (g2.p + 7 * g2.f) % g2.n),
+       |pv AS (SELECT media_id, f, $pivot FROM gs GROUP BY media_id, f)
+       |SELECT media_id, CAST(f AS INTEGER) AS frame_idx, $bits AS dhash,
+       |  TRUE AS decoded
+       |FROM pv""".stripMargin
+  }
+
   /** Audio fingerprint oracle (mirrors Multimodal.audioFingerprint
     * over synthesizeAudio): frame energies are exact integer sums of
     * squares over the re-derived PCM samples.

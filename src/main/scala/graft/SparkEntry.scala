@@ -798,6 +798,10 @@ object SparkEntry {
         multimodal.Multimodal.synthesizeImages(docs(s, dir)))),
     // r8: audio fingerprint dedup — energy-gradient 64-bit signature
     // over the real decoded PCM, exact-hash groups
+    // r8: per-frame video fingerprinting over the real GIF decode
+    "q_multimodal_video_phash" -> ((s, dir) =>
+      multimodal.Multimodal.videoFrameDHash(
+        multimodal.Multimodal.synthesizeGifs(docs(s, dir)))),
     "q_multimodal_afp" -> ((s, dir) => {
       val h = multimodal.Multimodal.audioFingerprint(
         multimodal.Multimodal.synthesizeAudio(docs(s, dir))).drop("decoded")
@@ -1238,6 +1242,7 @@ object SparkEntry {
     "q_multimodal_audio" -> OracleExt.qMultimodalAudio,
     "q_multimodal_phash" -> OracleExt.qMultimodalPhash,
     "q_multimodal_afp" -> OracleExt.qMultimodalAfp,
+    "q_multimodal_video_phash" -> OracleExt.qMultimodalVideoPhash,
     "q_mice" -> OracleExt.qMice,
     "q_mice_gen" -> OracleExt.qMiceGen,
     "q_keep_grids" -> Oracle.qKeepGrids,

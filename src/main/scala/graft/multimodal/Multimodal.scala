@@ -598,6 +598,46 @@ object Multimodal {
     }.toDF("media_id", "afp", "decoded")
   }
 
+  /** Per-frame video fingerprint: dHash every decoded frame of an
+    * animated payload — near-duplicate video detection keys on the
+    * SEQUENCE of frame hashes (re-encoded copies keep the gradient
+    * signature frame by frame). One output row per (media, frame);
+    * undecodable payloads yield frame −1 over the byte stub.
+    */
+  def videoFrameDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    def hashGray(gray0: Array[Int]): String = {
+      val gray = if (gray0.length >= 72) gray0
+                 else gray0 ++ Array.fill(72 - gray0.length)(0)
+      val sb = new java.lang.StringBuilder(64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          sb.append(if (gray(y * 9 + x) > gray(y * 9 + x + 1)) '1' else '0')
+          x += 1
+        }
+        y += 1
+      }
+      sb.toString
+    }
+    val ds = media
+      .select(col("media_id"), coalesce(col("content"), lit(Array.empty[Byte])))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      rows.flatMap { case (id, bytes) =>
+        decodeImageFrames(bytes) match {
+          case Some(frames) => frames.zipWithIndex.map { case (img, f) =>
+            (id, f, hashGray(imageResizeGray(img, 9, 8).map(_ & 0xff)), true)
+          }
+          case None =>
+            Seq((id, -1, hashGray(resizeStub(bytes, 72).map(_ & 0xff)), false))
+        }
+      }
+    }.toDF("media_id", "frame_idx", "dhash", "decoded")
+  }
+
   /** Image dedup by perceptual hash: exact dHash groups with the
     * smallest-id canonical — the keep-one convention every dedup
     * operator here shares. One hash aggregation on the 64-bit key +
