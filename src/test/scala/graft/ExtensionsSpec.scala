@@ -703,4 +703,30 @@ class ExtensionsSpec extends SparkSpec {
     // reference: tick = 0 if prev event else prev_tick + 1; first = NaN
     assert(out.toSeq == Seq(None, Some(1.0), Some(2.0), Some(0.0), Some(0.0), Some(1.0)))
   }
+
+  test("dHash is brightness-invariant and content-sensitive") {
+    // gradient hashing's whole point: adding a constant to every pixel
+    // leaves every adjacent-pixel comparison (and so the hash) intact,
+    // while changing the content changes the hash
+    def pngOf(shift: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        20, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 20) {
+        val g0 = (x * 7 + y * 13 + seed) % 200
+        val g = math.min(g0 + shift, 255)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (0L, pngOf(0, 0)), (1L, pngOf(40, 0)), (2L, pngOf(0, 57)))
+      .toDF("media_id", "content")
+    val h = Multimodal.imageDHash(media)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h(0L) == h(1L), "brightness shift changed the hash")
+    assert(h(0L) != h(2L), "different content hashed identically")
+    assert(h.values.forall(v => v.length == 64 && v.forall(c => c == '0' || c == '1')))
+  }
 }
