@@ -120,17 +120,23 @@ object Oracle {
 
   /** CUSUM (TemporalOps.cusum, h=3): running deviation sum + breach at
     * h unit-σ, margin rounded 1e-6 before the comparison (both sides).
+    * Mirrors the impl's order-deterministic derivation exactly: the
+    * ordered running sum of value minus n·round(μ,9) — never
+    * `SUM(value − μ)`, whose float-order noise the accumulation
+    * amplifies by t past the output rounding.
     */
   def qCusum(h: Double = 3.0): String =
     s"""$panel, st AS (
        |  SELECT month_id, unit_id, value,
-       |    avg(value) OVER (PARTITION BY unit_id) AS mu,
-       |    stddev_pop(value) OVER (PARTITION BY unit_id) AS sd
+       |    round(avg(value) OVER (PARTITION BY unit_id), 9) AS mu,
+       |    round(stddev_pop(value) OVER (PARTITION BY unit_id), 9) AS sd
        |  FROM panel),
        |cs AS (
        |  SELECT month_id, unit_id, sd,
-       |    SUM(value - mu) OVER (PARTITION BY unit_id ORDER BY month_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+       |    SUM(value) OVER (PARTITION BY unit_id ORDER BY month_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    - COUNT(value) OVER (PARTITION BY unit_id ORDER BY month_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * mu AS c
        |  FROM st)
        |SELECT month_id, unit_id, round(c, 6) AS cusum,
        |  CAST(round(abs(c) - $h * sd, 6) > 0.0 AS INTEGER) AS breach

@@ -94,6 +94,58 @@ object OracleExt {
        |SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
        |FROM ps GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
 
+  /** BPE merge training (Bpe.trainMerges, 8 rounds) — the greedy
+    * argmax → re-merge recursion unrolled as chained CTEs, one
+    * (pair-count, argmax, re-merge) triple per round, the
+    * qEmbedIvfTopK Lloyd-unroll discipline.
+    *
+    * The re-merge step is the subtle part: Spark's `mergePair` is a
+    * left-to-right NON-OVERLAPPING fold over the symbol array. SQL has
+    * no list fold, but literal `replace()` has exactly those scan
+    * semantics — so each word travels as a separator-encoded string
+    * (symbols joined by a DOUBLED chr(31), boundaries included:
+    * `··a··b··`) and merging pair (a,b) is
+    * `replace(enc, '·a··b·', '·ab·')`: each match consumes one
+    * separator from each neighbouring boundary, so back-to-back
+    * occurrences (`··a··b··a··b··`) still both match in one pass —
+    * the single-separator encoding would miss every second one.
+    * chr(31) cannot appear in a symbol (it survives neither the
+    * corpus alphabet nor `normalize`'s space-split).
+    */
+  def qBpeTrain(rounds: Int = 8): String = {
+    val S = "chr(31)"
+    val SS = "(chr(31)||chr(31))"
+    val sb = new StringBuilder(
+      s"""$norm,
+         |wds AS (SELECT unnest(string_split(nt, ' ')) AS w FROM norm),
+         |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+         |       FROM wds WHERE len(w) > 0 GROUP BY w),
+         |w0 AS (SELECT $SS || array_to_string(string_split(w, ''), $SS)
+         |         || $SS AS enc, freq FROM wf)""".stripMargin)
+    (0 until rounds).foreach { r =>
+      sb.append(
+        s""",
+           |p$r AS (
+           |  SELECT sy[CAST(i AS INTEGER)] AS a,
+           |         sy[CAST(i AS INTEGER) + 1] AS b, freq
+           |  FROM (SELECT string_split(trim(enc, chr(31)), $SS) AS sy, freq
+           |        FROM w$r) t,
+           |       unnest(generate_series(1, len(sy) - 1)) AS u(i)),
+           |m$r AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+           |        FROM p$r GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
+           |w${r + 1} AS (
+           |  SELECT replace(enc, $S || m.a || $SS || m.b || $S,
+           |                      $S || m.a || m.b || $S) AS enc, freq
+           |  FROM w$r, m$r m)""".stripMargin)
+    }
+    val union = (0 until rounds).map { r =>
+      s"""SELECT CAST(${r + 1} AS INTEGER) AS rank, a AS "left",
+         |  b AS "right", a || b AS merged, cnt AS pair_freq FROM m$r"""
+        .stripMargin
+    }.mkString(" UNION ALL ")
+    sb.append(s"\nSELECT * FROM ($union) ORDER BY rank").toString
+  }
+
   /** Salted join (SkewJoin.saltedJoin): the salt only routes rows, so
     * the oracle is the plain equi-join.
     */

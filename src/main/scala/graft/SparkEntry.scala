@@ -1189,6 +1189,7 @@ object SparkEntry {
     "q_vocab_approx" -> OracleExt.qVocabApprox,
     "q_heavy_hitters" -> OracleExt.qHeavyHitters,
     "q_bpe_pair_stats" -> OracleExt.qBpePairStats,
+    "q_bpe_train" -> OracleExt.qBpeTrain(8),
     "q_length_quantiles" -> OracleExt.qLengthQuantiles,
     "q_length_quantiles_approx" -> OracleExt.qLengthQuantilesApprox,
     "q_mix_upsample" -> OracleExt.qMixUpsample(

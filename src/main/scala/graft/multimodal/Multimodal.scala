@@ -578,11 +578,13 @@ object Multimodal {
           case Some((_, s)) => (s.map(_.toLong), true)
           case None => (resizeStub(bytes, 130).map(b => (b & 0xff).toLong), false)
         }
-        val ns = math.max(samples.length, 1)
+        val ns = math.max(samples.length, 1).toLong
         val e = Array.tabulate(65) { f =>
           var acc = 0L
-          var k = f * ns / 65
-          val end = (f + 1) * ns / 65
+          // Long boundary arithmetic: f*ns overflows Int past ~33M
+          // samples (~12 min at 44.1 kHz), garbling the frame ranges
+          var k = (f.toLong * ns / 65).toInt
+          val end = ((f + 1).toLong * ns / 65).toInt
           while (k < end && k < samples.length) {
             acc += samples(k) * samples(k); k += 1
           }

@@ -129,13 +129,25 @@ object TemporalOps {
     * shift makes the cusum ramp; |cusum| crossing h·σ marks the
     * drift). Two stacked windows on the shared unit partitioning.
     *
+    * Determinism: the statistic is NOT accumulated as `Σ(x − μ)` —
+    * μ is an unordered window average whose last-ULP value depends on
+    * the partition layout's intra-partition summation order, and the
+    * running sum amplifies that noise by t, enough to flip the 1e-6
+    * output rounding between runs. Instead it is derived from
+    * order-deterministic parts: the ordered running sum of x (a fixed
+    * left-to-right accumulation under the total (unit, month) sort)
+    * minus `n_t · round(μ, 9)` — the 1e-9 rounding collapses μ's ULP
+    * noise to a partitioning-invariant constant before the
+    * t-amplifying multiply. σ gets the same 1e-9 rounding for the
+    * breach margin. PropertySpec pins partitioning-invariance.
+    *
     * @return (cusum DOUBLE, breach INT) as a struct column
     */
   def cusum(c: Column, h: Double = 3.0): Column = {
     val wAll = Window.partitionBy(Panel.UnitCol)
-    val mean = avg(c).over(wAll)
-    val sd = stddev_pop(c).over(wAll)
-    val cs = sum(c - mean).over(cum)
+    val mean = round(avg(c).over(wAll), 9)
+    val sd = round(stddev_pop(c).over(wAll), 9)
+    val cs = sum(c).over(cum) - count(c).over(cum) * mean
     // the breach decision rounds its margin to 1e-6 so a borderline
     // |cusum| ≈ h·σ resolves identically across engines/partitionings
     struct(cs.as("cusum"),

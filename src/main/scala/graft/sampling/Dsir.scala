@@ -134,10 +134,13 @@ object Dsir {
       round(col("dsir_weight") / temperature - log(-log(u)), 6))
     // TakeOrderedAndProject (per-partition k-heaps), then a k-bounded
     // rank window over a constant-but-unfoldable partition key (the
-    // StarQueries pattern — no data-dependent single-partition window)
+    // StarQueries pattern — no data-dependent single-partition window).
+    // The key hashes the id first: pmod on the raw column would cast a
+    // string id to double (null for non-numeric ids), splitting mixed
+    // id formats into two window partitions with duplicate ranks.
     scored.orderBy(col("gumbel_score").desc, col(idCol)).limit(k)
       .withColumn("rank", row_number().over(
-        Window.partitionBy(pmod(col(idCol), lit(1)))
+        Window.partitionBy(pmod(xxhash64(col(idCol)), lit(1)))
           .orderBy(col("gumbel_score").desc, col(idCol))).cast("int"))
   }
 }

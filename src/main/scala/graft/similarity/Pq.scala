@@ -317,9 +317,15 @@ object Pq {
     }
     val entries = spark.read.parquet(s"$path/entries")
     val codeCols = entries.columns.filter(_.startsWith("code")).sorted
-    // absent meta (pre-residual layout) means non-residual codes
+    // absent meta (pre-residual layout) means non-residual codes.
+    // Resolve existence through the Hadoop FileSystem of the path —
+    // java.io.File would report false on HDFS/S3 even when meta exists,
+    // silently reading a residual index as raw (the Packing
+    // compactPartitions pattern).
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val residual =
-      if (new java.io.File(s"$path/meta").exists())
+      if (fs.exists(metaPath))
         spark.read.parquet(s"$path/meta").head().getBoolean(0)
       else false
     IvfPqIndex(cents, codebooks,

@@ -87,18 +87,31 @@ object EmbedStream {
     * each appended batch on their next planning.
     *
     * foreachBatch is the right altitude: assignment is a stateless
-    * per-batch scan (no cross-batch state to manage), and the sink is
-    * an idempotent-per-epoch partition append. Start the returned
-    * writer with `.start()` (checkpointing governs exactly-once).
+    * per-batch scan (no cross-batch state to manage). A plain parquet
+    * append is only at-least-once under replay, so each epoch commits
+    * a `epochs/<batchId>` marker after its append and a replayed epoch
+    * whose marker exists is skipped — replays of fully-committed
+    * epochs (the failure mode foreachBatch actually produces: crash
+    * between sink write and checkpoint commit) are idempotent. The one
+    * residual window is a crash BETWEEN the data commit and the marker
+    * write; if serving must be exact under that too, dedup the read
+    * path (`readIvfIndex(...).assigned.dropDuplicates("neighbor_id")`).
+    * Start the returned writer with `.start()`.
     */
   def indexIngest(vectors: DataFrame, indexPath: String,
                   idCol: String = "vec_id", vecCol: String = "embedding")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker =
+          new org.apache.hadoop.fs.Path(s"$indexPath/epochs/$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
           graft.similarity.Similarity.appendIvfIndex(
-            batch.sparkSession, indexPath, batch, idCol, vecCol)
+            spark, indexPath, batch, idCol, vecCol)
+          fs.create(marker, true).close()
+        }
       }
 }

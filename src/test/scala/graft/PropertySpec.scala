@@ -423,4 +423,47 @@ class PropertySpec extends AnyFunSuite {
       .codes.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(codesOf(2) == codesOf(7))
   }
+
+  test("partitioning invariance: cusum, ewma, decompose") {
+    // the r8 gate failure mode: an unordered window mean's last-ULP value
+    // shifts with partition layout, and a running sum amplifies it by t
+    // past the 1e-6 output rounding. Large-magnitude values + long series
+    // maximise that amplification; the rounded outputs must be identical
+    // across partitionings anyway.
+    val panel = (0 until 8).flatMap { u =>
+      (0 until 150).map { t =>
+        (t.toLong, u.toLong,
+          1.0e6 + math.sin(t * 0.7 + u) * 1.0e3 + t * 0.1234567)
+      }
+    }.toDF(T, U, "value")
+
+    def cusumOf(parts: Int) = {
+      val cs = TemporalOps.cusum(col("value"), 3.0)
+      panel.repartition(parts)
+        .select(col(T), col(U), round(cs.getField("cusum"), 6).as("c"),
+          cs.getField("breach").as("b"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    }
+    assert(cusumOf(2) == cusumOf(13))
+
+    def ewmaOf(parts: Int) = panel.repartition(parts)
+      .select(col(T), col(U),
+        round(TemporalOps.ewma(col("value"), alpha = 0.5, span = 6), 6)
+          .as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ewmaOf(2) == ewmaOf(13))
+
+    def decomposeOf(parts: Int) = {
+      val d = TemporalOps.decompose(col("value"), period = 7, half = 2)
+      panel.repartition(parts)
+        .select(col(T), col(U), round(d.getField("trend"), 6).as("t"),
+          round(d.getField("seasonal"), 6).as("s"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+    }
+    assert(decomposeOf(2) == decomposeOf(13))
+  }
 }

@@ -4,16 +4,28 @@ parquet written by graft.Verify, run the corresponding oracle SQL in
 DuckDB over the same testdata tables and compare (sorted columns, sorted
 rows, doubles rounded to 1e-9).
 
-Usage: verify_local.py <sfDir> <outDir> [query ...]
+Usage: verify_local.py [--strict] <sfDir> <outDir> [query ...]
+
+--strict mimics the driver's hash compare: EXACT value equality after
+rounding floats to 1e-6 (the repo's output-rounding convention — the
+r8 evidence: queries with ~1e-9 cross-engine drift passed the driver
+hash, while q_cusum's 1e-6 flip failed it) instead of the default
+round-1e-9 + 2e-9 tolerance. The r8 q_cusum lesson: run `graft.Verify` with
+SPARK_GRAFT_ONLY **unset** (full suite, ONE Spark session — the shared
+persisted panel's partition layout differs from isolated runs) and then
+this script with --strict; that combination reproduces the driver's
+gate locally. Isolated-query runs are for iteration speed only.
 """
 import json, sys, glob, os
 import duckdb
 import pandas as pd
 import numpy as np
 
-sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-only = set(sys.argv[3:])
+argv = [a for a in sys.argv[1:] if a != "--strict"]
+strict = "--strict" in sys.argv[1:]
+sfdir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+outdir = argv[1] if len(argv) > 1 else "/tmp/verify_out"
+only = set(argv[2:])
 
 if "sf0.01" not in sfdir:
     print(f"WARNING: the fourier/temporal-tree oracles hardcode the sf0.01 "
@@ -33,7 +45,7 @@ def canon(df):
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].astype(float).round(9)
+            df[c] = df[c].astype(float).round(6 if strict else 9)
         elif str(df[c].dtype) == 'bool':
             df[c] = df[c].astype(int)
         else:
@@ -73,8 +85,9 @@ for name, sql in sorted(oracle.items()):
     for c in a.columns:
         av, bv = a[c], b[c]
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            atol = 0.0 if strict else 2e-9
             same = ((av.isna() & bv.isna()) | np.isclose(av.astype(float), bv.astype(float),
-                    rtol=0, atol=2e-9, equal_nan=True)).all()
+                    rtol=0, atol=atol, equal_nan=True)).all()
         else:
             same = (av.fillna('__null__') == bv.fillna('__null__')).all() if av.dtype == object \
                 else ((av.isna() & bv.isna()) | (av == bv)).all()
