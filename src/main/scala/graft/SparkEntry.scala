@@ -198,6 +198,13 @@ object SparkEntry {
       SpacetimeDist.spacetimeDistances(gp, "value", "distances",
         k = 5, nu = 2.0, power = 0.0, eventThreshold = 400.0)
         .select(col(T), col(U), col("stdist"))),
+    // the ring-bounded candidate generator must reproduce the broadcast
+    // path bit-for-bit — same oracle as q_spacetime_dist_k5
+    "q_spacetime_dist_banded" -> onGrid(gp =>
+      SpacetimeDist.spacetimeDistances(gp, "value", "distances",
+        k = 5, nu = 2.0, power = 0.0, eventThreshold = 400.0,
+        banded = Some(SpacetimeDist.Band(4.0, 1)))
+        .select(col(T), col(U), col("stdist"))),
     "q_spacetime_weights_k1" -> onGrid(gp =>
       SpacetimeDist.spacetimeDistances(gp, "value", "weights",
         k = 1, nu = 1.0, power = 2.0, eventThreshold = 400.0)
@@ -1110,6 +1117,7 @@ object SparkEntry {
     "q_splag_country_norm" -> Oracle.qSplagCountryNorm,
     "q_spacetime_dist_k1" -> Oracle.qSpacetimeDistK1,
     "q_spacetime_dist_k5" -> Oracle.qSpacetimeDistK5,
+    "q_spacetime_dist_banded" -> Oracle.qSpacetimeDistK5,
     "q_spacetime_weights_k1" -> Oracle.qSpacetimeWeightsK1,
     "q_spacetime_weights_k5" -> Oracle.qSpacetimeWeightsK5,
     "q_pipeline_decay" -> Oracle.qPipelineDecay,

@@ -54,17 +54,42 @@ object SpacetimeDist {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** Banded candidate generation spec: events bucket into coarse
+    * `bandCells`-wide grid cells; each unit joins only the events of
+    * the (2·ring+1)² band cells around its own (an equi-join on the
+    * cell key — candidate volume is ring-bounded, never O(units×E)).
+    * Exactness is preserved by a distance-bound check: a (unit,
+    * event-month) group is provably complete when it found ≥ k
+    * candidates whose kth spatial distance² is strictly below
+    * (0.5·ring·bandCells)² — the minimum any outside-ring event can
+    * attain — or when the ring already holds ALL of that month's
+    * events; every other group recomputes against the month's full
+    * event set (an equi-join on event month, volume = unsafe pairs ×
+    * month density). The 100 TB path for dense event sets, where the
+    * O(E) broadcast of the default path stops fitting.
+    */
+  final case class Band(bandCells: Double, ring: Int) {
+    require(bandCells > 0.0, "bandCells must be positive")
+    require(ring >= 1, "ring must be >= 1")
+  }
+
   /** @param monthCap compat quirk: the reference processes only the
     * first 600 months (`times[0:600]`, spacetime_distance.py:127);
     * pass Some(600) to replicate (months beyond the cap keep their
     * rows but are never computed — they get the 999.0 sentinel).
+    * @param banded Some(Band(...)) swaps the stage-1 O(E)-broadcast
+    * candidate generator for the ring-bounded banded one (identical
+    * results by construction; see [[Band]]). Keep None for sparse
+    * event sets — the broadcast product is cheaper until event
+    * density makes O(units×E) the bottleneck.
     */
   def spacetimeDistances(panel: DataFrame, valueCol: String,
                          returnValues: String, k: Int, nu: Double, power: Double,
                          eventThreshold: Double = 0.0,
                          lonCol: String = "lon", latCol: String = "lat",
                          out: String = "stdist",
-                         monthCap: Option[Int] = None): DataFrame = {
+                         monthCap: Option[Int] = None,
+                         banded: Option[Band] = None): DataFrame = {
     val spark = panel.sparkSession
     val T = Panel.TimeCol
     val U = Panel.UnitCol
@@ -118,10 +143,58 @@ object SpacetimeDist {
     val sdx = (col(lonCol) - col("e_lon")) * 0.5
     val sdy = (col(latCol) - col("e_lat")) * 0.5
     val topk = udaf(new TopK(k))
-    val cand = unitGeo.crossJoin(broadcast(events))
-      .withColumn("sd2", sdx * sdx + sdy * sdy)
-      .groupBy(col(U), col("e_t"))
-      .agg(topk(col("sd2"), col("e_t"), col("e_u"), col("e_size")).as("cs"))
+    val perMonthTop: DataFrame = banded match {
+      case None =>
+        unitGeo.crossJoin(broadcast(events))
+          .withColumn("sd2", sdx * sdx + sdy * sdy)
+          .groupBy(col(U), col("e_t"))
+          .agg(topk(col("sd2"), col("e_t"), col("e_u"), col("e_size")).as("cs"))
+          .select(col(U), col("cs"))
+      case Some(Band(b, r)) =>
+        // ring-bounded candidates: equi-join unit ring cells × event
+        // band cells, then prove each (unit, event-month) group
+        // complete or recompute it against that month's full event set
+        val eb = events
+          .withColumn("ebx", floor(col("e_lon") / b).cast("long"))
+          .withColumn("eby", floor(col("e_lat") / b).cast("long"))
+        val offsets = for { dx <- -r to r; dy <- -r to r } yield (dx, dy)
+        val offArr = array(offsets.map { case (dx, dy) =>
+          struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")) }: _*)
+        val unitCells = unitGeo
+          .select(col(U), col(lonCol), col(latCol), explode(offArr).as("o"))
+          .withColumn("cbx", floor(col(lonCol) / b).cast("long") + col("o.dx"))
+          .withColumn("cby", floor(col(latCol) / b).cast("long") + col("o.dy"))
+        val ringTop = unitCells
+          .join(eb, col("cbx") === col("ebx") && col("cby") === col("eby"))
+          .withColumn("sd2", sdx * sdx + sdy * sdy)
+          .groupBy(col(U), col("e_t"))
+          .agg(topk(col("sd2"), col("e_t"), col("e_u"), col("e_size")).as("cs"),
+            count(lit(1)).as("__cnt"))
+        val monthTotals = events.groupBy(col("e_t"))
+          .agg(count(lit(1)).as("__mtotal"))
+        // outside-ring events sit ≥ ring band cells away in some
+        // coordinate, so their scaled distance² is ≥ (0.5·ring·b)²;
+        // strict < keeps distance TIES at the bound exact too
+        val minOut2 = { val g = 0.5 * r * b; g * g }
+        val checked = unitGeo
+          .crossJoin(broadcast(events.select(col("e_t")).distinct()))
+          .join(ringTop, Seq(U, "e_t"), "left")
+          .join(broadcast(monthTotals), Seq("e_t"))
+          .withColumn("__kth2", element_at(col("cs"), -1).getField("_1"))
+          .withColumn("__safe", col("__cnt").isNotNull &&
+            ((col("__cnt") >= k && col("__kth2") < minOut2) ||
+              col("__cnt") === col("__mtotal")))
+        val safe = checked.filter(col("__safe")).select(col(U), col("cs"))
+        val unsafeTop = checked.filter(!col("__safe"))
+          .select(col("e_t"), col(U), col(lonCol), col(latCol))
+          .join(events, Seq("e_t"))
+          .withColumn("sd2", sdx * sdx + sdy * sdy)
+          .groupBy(col(U), col("e_t"))
+          .agg(topk(col("sd2"), col("e_t"), col("e_u"), col("e_size")).as("cs"))
+          .select(col(U), col("cs"))
+        safe.unionByName(unsafeTop)
+    }
+    val cand = perMonthTop
       .select(col(U), explode(col("cs")).as("c"))
       .select(col(U), col("c._1").as("sd2"), col("c._2").as("e_t"),
         col("c._3").as("e_u"), col("c._4").as("e_size"))

@@ -50,6 +50,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.split("\n").count(_.trim.startsWith("+- Exchange")) <= 2, plan)
   }
 
+  test("banded spacetime never nested-loops the event set — ring-bounded candidates") {
+    val df = spatial.SpacetimeDist.spacetimeDistances(
+      gridPanel, "value", "distances", k = 5, nu = 2.0, power = 0.0,
+      eventThreshold = 30.0, banded = Some(spatial.SpacetimeDist.Band(2.0, 1)))
+    val exec = df.queryExecution.executedPlan
+    // the only nested-loop products allowed are month-keyed (the
+    // unit × distinct-event-months candidate frame, O(U·M) — the
+    // OUTPUT size); the event set itself (e_lon/e_size columns) must
+    // only ever ride equi-joins, keeping candidate volume ring-bounded
+    val bnlj = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    bnlj.foreach { j =>
+      val broadcastCols = (j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case _ => j.left
+      }).output.map(_.name).toSet
+      assert(!broadcastCols.exists(c => c == "e_lon" || c == "e_size"),
+        s"event columns crossed a nested-loop join: $broadcastCols")
+    }
+    assert(exec.toString().contains("cbx"), exec.toString().take(4000))
+  }
+
   test("minhash LSH candidates join on band buckets, never all-pairs") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z w q"))
       .toDF("doc_id", "text")

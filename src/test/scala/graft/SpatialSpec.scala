@@ -147,4 +147,35 @@ class SpatialSpec extends SparkSpec {
     assert(math.abs(w((101L, 42L)) - 1.0 / 0.25) < 1e-9)
     assert(math.abs(w((102L, 41L)) - 1.0) < 1e-9)
   }
+
+  test("banded spacetime candidates reproduce the broadcast path exactly") {
+    // dense 10x10 block, events scattered so a tight band (b=2, r=1)
+    // exercises BOTH branches: clustered units resolve in-ring (safe:
+    // kth distance under the ring bound), sparse corners trip the
+    // distance-bound check and recompute via the month fallback
+    val units = for (y <- 0L until 10L; x <- 0L until 10L) yield y * 40L + x
+    val rows = for (m <- 1L to 6L; u <- units) yield {
+      val v = if ((u * 7L + m * 13L) % 11L == 0L) 500.0 + (u % 9L) else 1.0
+      (m, u, v)
+    }
+    val p = rows.toDF(T, U, "value")
+      .withColumn("lon", Grid.unitLon(col(U)))
+      .withColumn("lat", Grid.unitLat(col(U)))
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for ((rv, k, nu, power) <- Seq(("distances", 5, 2.0, 0.0),
+                                   ("distances", 1, 1.0, 0.0),
+                                   ("weights", 3, 1.0, 2.0))) {
+      val base = keyed(SpacetimeDist.spacetimeDistances(
+        p, "value", rv, k, nu, power, eventThreshold = 400.0))
+      val band = keyed(SpacetimeDist.spacetimeDistances(
+        p, "value", rv, k, nu, power, eventThreshold = 400.0,
+        banded = Some(SpacetimeDist.Band(2.0, 1))))
+      assert(base.keySet == band.keySet)
+      base.foreach { case (key, v) =>
+        val bv = band(key)
+        assert(v == bv || math.abs(v - bv) < 1e-9, s"$rv k=$k at $key: $v vs $bv")
+      }
+    }
+  }
 }
