@@ -1296,6 +1296,24 @@ object OracleExt {
        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
        |FROM rk WHERE rank <= 10""".stripMargin
 
+  /** IVF recall gate (Similarity.ivfRecall): the exact per-query brute
+    * top-10 mean cosine, plus TRUE for the recall verdict the Spark
+    * side computes in-plan against its own brute pass — IVF quality
+    * drift hash-mismatches the row (the qVocabApprox envelope
+    * discipline).
+    */
+  val qEmbedIvfRecall: String =
+    s"""$embCte, q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 50),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("qv", "v")} AS cosine
+       |  FROM c, q WHERE c.vec_id <> q.query_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, round(avg(cosine), 6) AS brute_mean_cosine,
+       |  TRUE AS recall_ok
+       |FROM rk WHERE rank <= 10 GROUP BY query_id""".stripMargin
+
   /** Int8 quantization CTEs `mx, qz(vec_id, scale, qv)` over a prior
     * `c(vec_id, v)` — the identical floor(x/scale + 0.5) arithmetic as
     * Similarity.quantize (floor avoids round()-mode ambiguity across

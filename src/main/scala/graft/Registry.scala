@@ -597,6 +597,31 @@ object Registry {
     "ivf_topk" -> ((df, a) =>
       similarity.Similarity.ivfTopK(df, embedQueries(df, a, 3),
         a.num(0).toInt, a.num(1).toInt, a.num(2).toInt)),
+    // args: [k, nlists, nprobe, m, ksub, queryMax | queryPath,
+    // residual?] — terminal IVF-PQ serving top-k (probe-list pruning
+    // over a codes-only ADC scan; residual=true quantizes v − centroid)
+    "ivfpq_topk" -> ((df, a) =>
+      similarity.Pq.ivfPqTopK(df, embedQueries(df, a, 5),
+        a.num(0).toInt, a.num(1).toInt, a.num(2).toInt,
+        a.num(3).toInt, a.num(4).toInt,
+        residual = a.lift(6).contains(true))),
+    // args: [k, nlists, nprobe, m, ksub, queryMax | queryPath, path]
+    // — terminal amortized IVF-PQ serving: build + persist the
+    // list-partitioned index at `path` ONCE (skipped when present),
+    // then probe + ADC only — the steady-state wire-dispatchable
+    // search step
+    "ivfpq_search" -> ((df, a) => {
+      val spark = df.sparkSession
+      val path = a.str(6)
+      val cents = new org.apache.hadoop.fs.Path(s"$path/centroids")
+      val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(cents))
+        similarity.Pq.writeIvfPqIndex(
+          similarity.Pq.buildIvfPqIndex(df, a.num(1).toInt,
+            a.num(3).toInt, a.num(4).toInt), path)
+      similarity.Pq.ivfPqSearch(similarity.Pq.readIvfPqIndex(spark, path),
+        embedQueries(df, a, 5), a.num(0).toInt, a.num(2).toInt)
+    }),
   )
 
   /** Query set for a retrieval step: arg `i` is either an id bound

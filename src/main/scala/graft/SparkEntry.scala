@@ -98,6 +98,17 @@ object SparkEntry {
       p.select(col(T), col(U), round(cs.getField("cusum"), 6).as("cusum"),
         cs.getField("breach").as("breach"))
     },
+    // r9: the STREAMING drift monitor in batch mode — per-unit (n, Σx)
+    // state scored against the batch-fitted baseline; same oracle as
+    // q_cusum pins the replay-with-carry arithmetic engine-side
+    "q_cusum_stream" -> onPanel { p =>
+      streaming.CusumStream.scoreAgainst(
+          p.select(col(U), col(T), col("value")),
+          streaming.CusumStream.fitBaseline(p), h = 3.0)
+        .toDF()
+        .select(col(T), col(U), round(col("cusum"), 6).as("cusum"),
+          col("breach"))
+    },
     "q_decompose" -> onPanel { p =>
       val d = TemporalOps.decompose(col("value"), period = 7, half = 2)
       p.select(col(T), col(U),
@@ -641,6 +652,15 @@ object SparkEntry {
       similarity.Similarity.ivfTopK(e, e.filter(col("vec_id") < 50),
         k = 10, nlists = 16, nprobe = 4)
     }),
+    // r9: recall audit as a gate row — exact brute mean cosine per
+    // query (oracle-checked value) + IVF recall@10 >= 0.25 verdict at
+    // the q_embed_ivf_topk serving config (deterministic min observed
+    // 0.30 on sf0.01 — the bound flags corruption, not k-means luck)
+    "q_embed_ivf_recall" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      similarity.Similarity.ivfRecall(e, e.filter(col("vec_id") < 50),
+        k = 10, nlists = 16, nprobe = 4, bound = 0.25)
+    }),
     // r8: product-quantization ADC search — per-subspace codebooks,
     // corpus stored as m codes, per-query LUT + m lookups per candidate
     "q_embed_pq_topk" -> ((s, dir) => {
@@ -750,6 +770,12 @@ object SparkEntry {
         """[{"type":"normalize"},
            |{"type":"semdedup","args":[0.3,16,3]},
            |{"type":"topk","args":[5,20]}]""".stripMargin)),
+    // r9: the full IVF-PQ serving composition as a wire spec — must
+    // reproduce q_embed_ivfpq_topk bit-for-bit (one oracle pins both)
+    "q_pipeline_embed_ivfpq" -> ((s, dir) =>
+      Registry.runEmbeddings(embeddings(s, dir),
+        """[{"type":"identity"},
+           |{"type":"ivfpq_topk","args":[10,8,2,4,8,50]}]""".stripMargin)),
     "q_pipeline_embed" -> ((s, dir) =>
       Registry.runEmbeddings(embeddings(s, dir),
         """[{"type":"sample_hash","args":[0.5,"e7"]},
@@ -1087,6 +1113,7 @@ object SparkEntry {
     "q_robust_scale" -> Oracle.qRobustScale,
     "q_ewma" -> Oracle.qEwma(),
     "q_cusum" -> Oracle.qCusum(),
+    "q_cusum_stream" -> Oracle.qCusum(),
     "q_decompose" -> Oracle.qDecompose(),
     "q_cweq" -> Oracle.qCweq,
     "q_cweq_seed" -> Oracle.qCweqSeed,
@@ -1224,6 +1251,7 @@ object SparkEntry {
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,
     "q_embed_ivf_topk" -> OracleExt.qEmbedIvfTopK(),
+    "q_embed_ivf_recall" -> OracleExt.qEmbedIvfRecall,
     "q_embed_pq_topk" -> OracleExt.qEmbedPqTopK(),
     "q_embed_normalize" -> OracleExt.qEmbedNormalize,
     "q_embed_mrl" -> OracleExt.qEmbedMrl(),
@@ -1242,6 +1270,7 @@ object SparkEntry {
     "q_embed_diverse" -> OracleExt.qEmbedDiverse(perCluster = 10, salt = "div0"),
     "q_pipeline_embed" -> OracleExt.qPipelineEmbed,
     "q_pipeline_embed_curated" -> OracleExt.qPipelineEmbedCurated(),
+    "q_pipeline_embed_ivfpq" -> OracleExt.qEmbedIvfPqTopK(),
     "q_pipeline_embed_q8" -> OracleExt.qPipelineEmbedQ8,
     "q_impute_regression" -> OracleExt.qImputeRegression,
     "q_multimodal_features" -> OracleExt.qMultimodalFeatures,

@@ -148,6 +148,36 @@ object Similarity {
     ivfSearch(buildIvfIndex(corpus, nlists, iters, idCol, vecCol),
       queries, k, nprobe, idCol, vecCol)
 
+  /** ANN quality as a GATE ROW (the vocab-sketch envelope discipline):
+    * per query, the exact brute-force top-k mean cosine plus a verdict
+    * that IVF recall@k against that same in-plan brute result clears
+    * `bound`. The oracle reproduces the exact columns and answers TRUE
+    * for the verdict — so an IVF quality regression (quantizer drift,
+    * probe bug, list corruption) hash-mismatches the correctness gate
+    * instead of living only in specs. Cost is one bounded brute pass
+    * over the query set — a recall AUDIT you run on a query sample, not
+    * the serving path.
+    *
+    * @return (query_id, brute_mean_cosine, recall_ok)
+    */
+  def ivfRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlists: Int, nprobe: Int, bound: Double, iters: Int = 3,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val brute = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val approx = ivfTopK(corpus, queries, k, nlists, nprobe, iters,
+        idCol, vecCol)
+      .select(col("query_id").as("__q"), col("neighbor_id").as("__n"),
+        lit(1L).as("__hit"))
+    brute
+      .join(approx, col("query_id") === col("__q") &&
+        col("neighbor_id") === col("__n"), "left")
+      .groupBy(col("query_id"))
+      .agg(round(avg(col("cosine")), 6).as("brute_mean_cosine"),
+        (sum(coalesce(col("__hit"), lit(0L))) >=
+          count(lit(1)) * bound).as("recall_ok"))
+  }
+
   /** Train the quantizer and assign every corpus vector to its list —
     * the expensive phase, done once per corpus version.
     */

@@ -38,6 +38,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cusum state carries across micro-batches and matches the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.CusumStream
+    // two units, a level shift in unit 1's tail — the stream sees the
+    // series split across micro-batches; (n, Σx) state must carry so the
+    // running statistic equals the batch window formulation exactly
+    val series = Map(
+      1L -> Seq(1.0, 2.0, 1.0, 2.0, 9.0, 10.0, 11.0, 12.0),
+      2L -> Seq(5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0))
+    val rows = series.toSeq.flatMap { case (u, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (i.toLong + 1L, u, v) }
+    }
+    val p = rows.toDF(Panel.TimeCol, Panel.UnitCol, "value")
+    val batchOut = p.select(col(Panel.TimeCol), col(Panel.UnitCol),
+        graft.ops.TemporalOps.cusum(col("value"), 2.0).as("cs"))
+      .select(col(Panel.TimeCol), col(Panel.UnitCol),
+        round(col("cs.cusum"), 6).as("cusum"), col("cs.breach").as("breach"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    val baseline = CusumStream.fitBaseline(p)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val src = MemoryStream[CusumStream.ScoredRow]
+    val q = CusumStream.cusum(src.toDS(), h = 2.0)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def feed(months: Range): Unit = {
+        src.addData(rows.filter(r => months.contains(r._1.toInt)).map {
+          case (m, u, v) =>
+            val (mu, sd) = baseline(u)
+            CusumStream.ScoredRow(u, m, v, mu, sd)
+        })
+        q.processAllAvailable()
+      }
+      feed(1 to 3); feed(4 to 6); feed(7 to 8)
+      val got = spark.table("cusum_stream").as[CusumStream.CusumOut]
+        .collect()
+        .map(o => (o.month_id, o.unit_id) ->
+          (BigDecimal(o.cusum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            o.breach))
+        .toMap
+      assert(got == batchOut)
+      // the shift actually breaches for unit 1 and never for flat unit 2
+      assert(got.exists { case ((_, u), (_, b)) => u == 1L && b == 1 })
+      assert(!got.exists { case ((_, u), (_, b)) => u == 2L && b == 1 })
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation builds the panel incrementally") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
