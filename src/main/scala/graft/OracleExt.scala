@@ -1094,6 +1094,86 @@ object OracleExt {
        |    AS boilerplate_ratio
        |FROM tot t LEFT JOIN com c USING (doc_id)""".stripMargin
 
+  /** Per-source cap (Sampling.capPerSource, cap 10, salt cap0): the
+    * bounded min-k aggregation equals a per-source rank over the same
+    * salted md5 order, which IS the oracle formulation.
+    */
+  val qSourceCap: String =
+    """SELECT doc_id, text, lang, source, n_chars FROM (
+      |  SELECT d.*, row_number() OVER (PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap0'), doc_id) AS rn
+      |  FROM documents d) WHERE rn <= 10""".stripMargin
+
+  /** Gopher quality rules (TextOps.gopherRules, default thresholds).
+    * Mean word length uses the same separator identity both sides:
+    * Σ len(w) = len(nt) − (n−1).
+    */
+  val qGopherRules: String = {
+    val stop = stopHits("pd", Seq("the", "a", "and", "of", "is"))
+    s"""$norm, pad AS (SELECT doc_id, nt,
+       |  ' ' || replace(nt, ' ', '  ') || ' ' AS pd FROM norm),
+       |m AS (SELECT doc_id,
+       |        CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_words,
+       |        length(nt) AS nc, CAST(($stop) AS BIGINT) AS stop_hits
+       |      FROM pad),
+       |r AS (SELECT doc_id, n_words,
+       |        round(CAST(nc - n_words + 1 AS DOUBLE)
+       |          / greatest(CAST(n_words AS DOUBLE), 1.0), 6) AS mean_word_len,
+       |        CAST(nc - n_words + 1 AS DOUBLE)
+       |          / greatest(CAST(n_words AS DOUBLE), 1.0) AS mwl,
+       |        stop_hits FROM m)
+       |SELECT doc_id, n_words, mean_word_len, stop_hits,
+       |  (n_words >= 30 AND n_words <= 100000) AS ok_words,
+       |  (mwl >= 3.0 AND mwl <= 10.0) AS ok_mwl,
+       |  (stop_hits >= 2) AS ok_stop,
+       |  ((n_words >= 30 AND n_words <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+       |    AND stop_hits >= 2) AS keep
+       |FROM r""".stripMargin
+  }
+
+  /** Cross-source shingle overlap (Contamination.sourceOverlap, n=5):
+    * per-source distinct word 5-grams (the shingles tail semantics —
+    * a doc shorter than n yields its one shorter shingle), then the
+    * pair counts via a plain self-join, which the bounded
+    * collect_set formulation must reproduce.
+    */
+  val qSourceOverlap: String = {
+    val terms = (0 until 5).map(o => s"ws[i+$o]").mkString(", ")
+    s"""WITH snorm AS (
+       |  SELECT source,
+       |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+       |  FROM documents),
+       |words AS (SELECT source, string_split(nt, ' ') AS ws FROM snorm),
+       |wi AS (SELECT source, ws,
+       |         unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i
+       |       FROM words),
+       |sh AS (SELECT DISTINCT source, concat_ws(' ', $terms) AS shingle
+       |       FROM wi)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+       |GROUP BY src_a, src_b""".stripMargin
+  }
+
+  /** Ordered funnel (Funnel.funnel, view → click → purchase): chained
+    * strictly-after min-joins per stage, stage counts unioned.
+    */
+  val qFunnel: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |  CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t FROM events),
+      |s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT s1.user_id, MIN(e.t) AS t2 FROM s1 JOIN e
+      |       ON e.user_id = s1.user_id AND e.event_type = 'click'
+      |          AND e.t > s1.t1 GROUP BY s1.user_id),
+      |s3 AS (SELECT s2.user_id, MIN(e.t) AS t3 FROM s2 JOIN e
+      |       ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+      |          AND e.t > s2.t2 GROUP BY s2.user_id)
+      |SELECT CAST(1 AS INTEGER) AS stage, 'view' AS step,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+      |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+      |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)""".stripMargin
+
   val qNgramJaccard: String =
     s"""$norm, ni AS (
        |  SELECT doc_id, nt,

@@ -296,6 +296,16 @@ object Registry {
     "sample_hash" -> ((df, a) =>
       sampling.Sampling.hashSample(df, "doc_id", a.num(0),
         a.strOpt(1).getOrElse("corpus"))),
+    // args: [cap, salt?] — anti-dominance source cap (bounded min-k
+    // agg per source, deterministic salted-hash order)
+    "cap_source" -> ((df, a) =>
+      sampling.Sampling.capPerSource(df, a.num(0).toInt,
+        a.strOpt(1).getOrElse("cap0"))),
+    // Gopher-rule quality FILTER: only docs passing all rule verdicts
+    // survive (flags recomputed scan-side; schema unchanged)
+    "gopher_filter" -> ((df, _) =>
+      df.join(text.TextOps.gopherRules(df).filter(col("keep"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")),
     // args: [tokensPerShard, nBuckets, salt?] — terminal greedy
     // shard-packing assignment. nBuckets 0 (or omitted) derives the
     // bucket count from the frame's own token mass

@@ -98,6 +98,18 @@ object SparkEntry {
       p.select(col(T), col(U), round(cs.getField("cusum"), 6).as("cusum"),
         cs.getField("breach").as("breach"))
     },
+    // r9: the STREAMING EWMA in batch mode — per-unit trailing-window
+    // state (last span−1 values); same oracle as q_ewma
+    "q_ewma_stream" -> onPanel { p =>
+      val s = p.sparkSession
+      import s.implicits._
+      streaming.EwmaStream.ewma(
+          p.select(col(U), col(T), col("value"))
+            .as[streaming.EwmaStream.PanelRow],
+          alpha = 0.5, span = 6)
+        .toDF()
+        .select(col(T), col(U), round(col("ewma"), 6).as("ewma"))
+    },
     // r9: the STREAMING drift monitor in batch mode — per-unit (n, Σx)
     // state scored against the batch-fitted baseline; same oracle as
     // q_cusum pins the replay-with-carry arithmetic engine-side
@@ -379,6 +391,19 @@ object SparkEntry {
         buckets = 4, binCol = "stage", keepRankAs = Some("rank"))
     }),
     "q_dedup_exact" -> ((s, dir) => dedup.Dedup.exact(docs(s, dir))),
+    // r9: anti-dominance source cap — at most 10 docs per source by
+    // deterministic salted-hash order (bounded min-k agg, no window)
+    "q_source_cap" -> ((s, dir) =>
+      sampling.Sampling.capPerSource(docs(s, dir), cap = 10, salt = "cap0")),
+    // r9: Gopher-style quality rule flags — one scan-stage projection
+    "q_gopher_rules" -> ((s, dir) => text.TextOps.gopherRules(docs(s, dir))),
+    // r9: cross-source 5-gram contamination matrix
+    "q_source_overlap" -> ((s, dir) =>
+      text.Contamination.sourceOverlap(docs(s, dir), n = 5)),
+    // r9: ordered conversion funnel over the event stream
+    "q_funnel" -> ((s, dir) =>
+      relational.Funnel.funnel(Panel.readEvents(s, dir),
+        Seq("view", "click", "purchase"))),
     // incremental ingest dedup: a synthetic "fresh crawl" batch (every
     // 3rd doc re-keyed; even ones byte-identical to corpus text, odd
     // ones suffixed fresh) filtered against the full corpus via the
@@ -1114,6 +1139,7 @@ object SparkEntry {
     "q_ewma" -> Oracle.qEwma(),
     "q_cusum" -> Oracle.qCusum(),
     "q_cusum_stream" -> Oracle.qCusum(),
+    "q_ewma_stream" -> Oracle.qEwma(),
     "q_decompose" -> Oracle.qDecompose(),
     "q_cweq" -> Oracle.qCweq,
     "q_cweq_seed" -> Oracle.qCweqSeed,
@@ -1176,6 +1202,10 @@ object SparkEntry {
     "q_fourier_lag_multi" -> Oracle.qFourierLagMulti,
     "q_text_analyze" -> OracleExt.qTextAnalyze,
     "q_dedup_exact" -> OracleExt.qDedupExact,
+    "q_source_cap" -> OracleExt.qSourceCap,
+    "q_gopher_rules" -> OracleExt.qGopherRules,
+    "q_source_overlap" -> OracleExt.qSourceOverlap,
+    "q_funnel" -> OracleExt.qFunnel,
     "q_dedup_incremental" -> OracleExt.qDedupIncremental,
     "q_curriculum" -> OracleExt.qCurriculum,
     "q_corpus_filter" -> OracleExt.qCorpusFilter,

@@ -1,0 +1,62 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered conversion funnel over an event stream: step i counts only
+  * when it happens STRICTLY after the user's first completion of step
+  * i−1 (the standard product-analytics funnel — a purchase logged
+  * before the first view does not convert that view).
+  *
+  * Plan shape, chosen for event-stream scale: ONE filtered
+  * min-aggregation per step over the raw events (map-side combined,
+  * user-keyed — k bounded small), each stage's per-user gate table is
+  * ≤ |users| rows and joins user-keyed into the next stage's
+  * aggregation. No window over the raw stream, no event self-join, no
+  * ordering pass — the stream is touched k times as a filter+agg scan
+  * that AQE can overlap, and everything after is |users|-sized.
+  */
+object Funnel {
+
+  /** Per-user funnel stage times: (user, t_1 .. t_k) in epoch micros,
+    * t_i null once the funnel stalls (strictly-after gate unmet).
+    */
+  def funnelTimes(events: DataFrame, steps: Seq[String],
+                  userCol: String = "user_id",
+                  typeCol: String = "event_type",
+                  tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = events.select(col(userCol), col(typeCol),
+      unix_micros(col(tsCol)).as("__t"))
+    val first = base.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col("__t")).as("t_1"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (s, i)) =>
+      val prior = (1 to i).map(j => col(s"t_$j"))
+      acc.join(base.filter(col(typeCol) === s).drop(typeCol),
+          Seq(userCol), "left")
+        .groupBy((col(userCol) +: prior): _*)
+        .agg(min(when(col("__t") > col(s"t_$i"), col("__t")))
+          .as(s"t_${i + 1}"))
+    }
+  }
+
+  /** The funnel report: one row per step — (stage, step, n_users) with
+    * n_users the count of users whose funnel reached that step.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id",
+             typeCol: String = "event_type",
+             tsCol: String = "ts"): DataFrame = {
+    val t = funnelTimes(events, steps, userCol, typeCol, tsCol)
+    val counts = t.agg(
+      count(col("t_1")).as("c_1"),
+      steps.indices.drop(1).map(i =>
+        count(col(s"t_${i + 1}")).as(s"c_${i + 1}")): _*)
+    counts.select(explode(array(steps.zipWithIndex.map { case (s, i) =>
+        struct(lit(i + 1).as("stage"), lit(s).as("step"),
+          col(s"c_${i + 1}").as("n_users"))
+      }: _*)).as("f"))
+      .select(col("f.stage").as("stage"), col("f.step").as("step"),
+        col("f.n_users").as("n_users"))
+  }
+}

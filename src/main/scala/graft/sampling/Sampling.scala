@@ -266,6 +266,58 @@ object Sampling {
       .withColumn("serve_key", col("source_idx").cast("double") / wCol)
   }
 
+  /** Bounded smallest-k (hash, id) pairs through partial/merge
+    * aggregation — every buffer in the plan caps at k, however hot the
+    * group key (the Index.MinK discipline, keyed pairs instead of bare
+    * longs). Lexicographic on the hex hash = numeric order; id breaks
+    * the (practically impossible) md5 tie deterministically.
+    */
+  class MinKByKey(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
+    private val ord = Ordering.Tuple2[String, Long]
+    override def zero: Seq[(String, Long)] = Seq.empty
+    override def reduce(b: Seq[(String, Long)],
+                        a: (String, Long)): Seq[(String, Long)] =
+      if (b.length >= k && ord.compare(a, b.last) >= 0) b
+      else (b :+ a).sorted(ord).take(k)
+    override def merge(a: Seq[(String, Long)],
+                       b: Seq[(String, Long)]): Seq[(String, Long)] =
+      (a ++ b).sorted(ord).take(k)
+    override def finish(r: Seq[(String, Long)]): Seq[(String, Long)] = r
+    override def bufferEncoder
+        : org.apache.spark.sql.Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder
+        : org.apache.spark.sql.Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Anti-dominance curation: keep at most `cap` documents per source,
+    * chosen by the deterministic salted md5 order (a reproducible
+    * uniform sample of each source, stable across partitionings and
+    * engines). NOT a per-source rank window — one giant source would
+    * make that a single task at corpus scale; instead the cap smallest
+    * (hash, id) pairs per source survive a BOUNDED aggregation
+    * (map-side combine keeps every buffer ≤ cap) and the winners
+    * semi-join back. The keep-set is sources × cap rows — broadcast
+    * territory by construction.
+    */
+  def capPerSource(docs: DataFrame, cap: Int, salt: String,
+                   srcCol: String = "source",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val mink = udaf(new MinKByKey(cap))
+    val keep = docs
+      .select(col(srcCol), hashKey(col(idCol), salt).as("__h"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col(srcCol))
+      .agg(mink(col("__h"), col("__id")).as("__keep"))
+      .select(explode(col("__keep")).as("kp"))
+      .select(col("kp._2").as(idCol))
+    docs.join(broadcast(keep), Seq(idCol), "left_semi")
+  }
+
   /** The n−1 upper-bound hex thresholds of `hashSplit`'s bands,
     * exposed so an external checker can reproduce the exact same
     * literals (the cumulative float sums must match bit-for-bit).

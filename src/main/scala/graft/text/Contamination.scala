@@ -80,4 +80,33 @@ object Contamination {
       .withColumn("boilerplate_ratio",
         col("n_common").cast("double") / col("n_shingles").cast("double"))
   }
+
+  /** Cross-source contamination matrix: for every source pair, the
+    * number of distinct word-`n`-grams present in BOTH — the audit a
+    * corpus assembled from many crawls/providers runs before mixing,
+    * where exact doc-level dedup sees nothing (shared passages hide in
+    * otherwise-distinct documents). `shingles` keyed by SOURCE gives
+    * each source's distinct gram set in one aggregation; the pair
+    * counts then come from one gram-keyed `collect_set` whose buffers
+    * are bounded by the SOURCE COUNT (never corpus-sized), with pairs
+    * assembled in-plan from each ≤|sources| array — no shingle
+    * self-join, no product anywhere. Output is ≤ sources² rows.
+    *
+    * @return (src_a, src_b, n_shared) with src_a < src_b
+    */
+  def sourceOverlap(docs: DataFrame, n: Int,
+                    srcCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val sh = Dedup.shingles(docs.select(col(srcCol), col(textCol)),
+      n, srcCol, textCol)
+    val sets = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col(srcCol))).as("__ss"))
+      .filter(size(col("__ss")) >= 2)
+    sets.select(explode(flatten(transform(col("__ss"),
+        (a, i) => transform(
+          slice(col("__ss"), i + lit(2), size(col("__ss"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -120,6 +120,42 @@ object TextOps {
     size(filter(split(normalize(text), " "), t => array_contains(set, t)))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, Table A1 —
+    * the published heuristics, thresholds scaled to this corpus): per
+    * document the rule inputs (word count, mean word length, stopword
+    * hits) and one boolean verdict per rule, plus the conjunctive
+    * `keep`. Everything derives from ONE normalise+split (runtime CSE
+    * shares it), so the whole rule block is a scan-stage projection —
+    * the filter runs at parquet-read parallelism on any corpus size.
+    * Mean word length avoids a per-word fold entirely:
+    * Σ len(wᵢ) = len(nt) − (n−1) separators, an identity both engines
+    * compute from the same two integers.
+    */
+  def gopherRules(docs: DataFrame,
+                  minWords: Long = 30L, maxWords: Long = 100000L,
+                  minMwl: Double = 3.0, maxMwl: Double = 10.0,
+                  minStopHits: Long = 2L,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val nt = normalize(col(textCol))
+    val nWords = size(split(nt, " ")).cast("long")
+    val mwl = (length(nt) - nWords + 1L).cast("double") /
+      greatest(nWords.cast("double"), lit(1.0))
+    val stops = stopwordHits(col(textCol), Seq("the", "a", "and", "of", "is"))
+      .cast("long")
+    val okWords = nWords >= minWords && nWords <= maxWords
+    val okMwl = mwl >= minMwl && mwl <= maxMwl
+    val okStop = stops >= minStopHits
+    docs.select(col(idCol),
+      nWords.as("n_words"),
+      round(mwl, 6).as("mean_word_len"),
+      stops.as("stop_hits"),
+      okWords.as("ok_words"),
+      okMwl.as("ok_mwl"),
+      okStop.as("ok_stop"),
+      (okWords && okMwl && okStop).as("keep"))
+  }
+
   /** Language-ID marker inventories: ~25 high-frequency function words
     * per language (ASCII-only — `stopwordHits` counts exact
     * whitespace-delimited tokens, so accented forms are deliberately

@@ -108,6 +108,27 @@ class RegistrySpec extends SparkSpec {
     assert(scrubbed.select("text").head.getString(0) == "ping <email> or <url> now")
   }
 
+  test("r9 corpus steps: cap_source and gopher_filter dispatch equal direct calls") {
+    val docs = (0L until 60L).map { i =>
+      val body = (1 to 35).map(j => s"tok${(i + j) % 9}").mkString(" ")
+      (i, s"the a of $body", s"src${i % 4}")
+    }.toDF("doc_id", "text", "source")
+    val viaWire = Registry.runCorpus(docs,
+      """[{"type":"cap_source","args":[5,"t"]}]""")
+      .collect().map(_.getLong(0)).toSet
+    val direct = graft.sampling.Sampling.capPerSource(docs, 5, "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaWire == direct && viaWire.size == 20)
+    val gw = Registry.runCorpus(docs,
+      """[{"type":"gopher_filter"}]""")
+    assert(gw.columns.toSeq == docs.columns.toSeq)
+    // every fixture doc passes the rules (38 words, stops present)
+    assert(gw.count() == 60L)
+    val failing = docs.withColumn("text", lit("too short"))
+    assert(Registry.runCorpus(failing,
+      """[{"type":"gopher_filter"}]""").count() == 0L)
+  }
+
   test("r7 corpus steps: keep-first span dedup and mix_sources dispatch") {
     val spanDocs = Seq(
       (1L, "alpha beta gamma delta unique one"),

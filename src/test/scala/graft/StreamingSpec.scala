@@ -88,6 +88,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ewma trailing-window state matches the batch window operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EwmaStream
+    val rows = (1L to 10L).map(m => (m, 1L, m * 1.7 % 5.0)) ++
+      (1L to 4L).map(m => (m, 2L, 10.0 - m))
+    val p = rows.toDF(Panel.TimeCol, Panel.UnitCol, "value")
+    val batchOut = p.select(col(Panel.TimeCol), col(Panel.UnitCol),
+        round(graft.ops.TemporalOps.ewma(col("value"), 0.5, 3), 6).as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val src = MemoryStream[EwmaStream.PanelRow]
+    val q = EwmaStream.ewma(src.toDS(), alpha = 0.5, span = 3)
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split mid-window: month 4's EWMA needs months 2-3 from state
+      def feed(months: Range): Unit = {
+        src.addData(rows.filter(r => months.contains(r._1.toInt))
+          .map { case (m, u, v) => EwmaStream.PanelRow(u, m, v) })
+        q.processAllAvailable()
+      }
+      feed(1 to 3); feed(4 to 7); feed(8 to 10)
+      val got = spark.table("ewma_stream").as[EwmaStream.EwmaOut]
+        .collect()
+        .map(o => (o.month_id, o.unit_id) ->
+          BigDecimal(o.ewma).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .toMap
+      assert(got == batchOut)
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation builds the panel incrementally") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))

@@ -595,4 +595,73 @@ class TextPipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("capPerSource keeps exactly cap docs per source, stable across partitionings") {
+    val docs = (0L until 90L)
+      .map(i => (i, s"doc number $i text", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    def capped(parts: Int) = graft.sampling.Sampling
+      .capPerSource(docs.repartition(parts), cap = 7, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val a = capped(2)
+    assert(a == capped(11)) // partitioning-invariant winners
+    assert(a.groupBy(_._2).forall(_._2.size == 7))
+    // the bounded min-k agg equals the per-source rank-window formulation
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(graft.sampling.Sampling.hashKey(col("doc_id"), "t"), col("doc_id"))
+    val viaWindow = docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 7)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(a == viaWindow)
+  }
+
+  test("gopherRules verdicts: short, long-word, and stopword-free docs fail their rules") {
+    val many = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"the a of $many"),                      // passes all
+      (2L, "the a short doc"),                      // fails ok_words
+      (3L, ("supercalifragilistic " * 35).trim),    // fails mwl + stop
+      (4L, ((many + " ") * 2).trim)                 // fails ok_stop only
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.gopherRules(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+      .toMap
+    assert(out(1L) == ((true, true, true, true)))
+    assert(out(2L)._1 == false && out(2L)._4 == false)
+    assert(out(3L)._2 == false && out(3L)._3 == false)
+    assert(out(4L) == ((true, true, false, false)))
+  }
+
+  test("sourceOverlap counts shared distinct n-grams per source pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "alpha beta gamma other", "s2"),  // shares 'alpha beta gamma'
+      (3L, "alpha beta gamma delta", "s2"),  // s2 dup of s1's full gram set
+      (4L, "nothing in common here", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.text.Contamination.sourceOverlap(docs, n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // s1 grams: {abg, bgd}; s2 grams: {abg, bgo, bgd} -> 2 shared
+    assert(out == Map(("s1", "s2") -> 2L))
+  }
+
+  test("funnel gates each step strictly after the previous step's first time") {
+    val rows = Seq(
+      // u1 converts fully: view@10, click@20, purchase@30
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2: click BEFORE first view never counts; no click after -> stalls
+      (2L, 10L, "click"), (2L, 20L, "view"), (2L, 30L, "purchase"),
+      // u3: view only
+      (3L, 5L, "view"),
+      // u4: purchase at the SAME ts as click — strictly-after drops it
+      (4L, 1L, "view"), (4L, 2L, "click"), (4L, 2L, "purchase"))
+    val ev = rows.toDF("user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = graft.relational.Funnel
+      .funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("view" -> 4L, "click" -> 2L, "purchase" -> 1L))
+  }
 }
