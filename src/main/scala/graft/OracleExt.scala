@@ -2271,11 +2271,12 @@ object OracleExt {
     * no blob slicing or blob hashing, so the byte stream is
     * reconstructed from codepoints instead.
     */
-  private val utf8Bytes: String =
-    """d AS (
+  private def utf8BytesFrom(src: String): String =
+    s"""d AS (
       |  SELECT CAST(doc_id AS BIGINT) AS media_id, text,
       |         CAST(octet_length(encode(text)) AS BIGINT) AS n
-      |  FROM documents),
+      |  FROM $src),""".stripMargin +
+    """
       |cp AS (
       |  SELECT media_id, text, unnest(generate_series(1, length(text))) AS ci
       |  FROM d WHERE length(text) > 0),
@@ -2299,6 +2300,8 @@ object OracleExt {
       |  SELECT media_id, off + generate_subscripts(bl, 1) - 1 AS j, unnest(bl) AS b
       |  FROM ob)""".stripMargin
 
+  private val utf8Bytes: String = utf8BytesFrom("documents")
+
   /** One payload byte as the two-hex-digit token Spark's `hex()`
     * emits — string_agg of these IS the hex string both engines md5.
     */
@@ -2312,8 +2315,8 @@ object OracleExt {
     * recomputes the pixel function instead of decoding. Yields
     * `pg(media_id, w, h, p, g)`.
     */
-  private val pngPixels: String =
-    s"""$utf8Bytes,
+  private def pngPixelsFrom(src: String): String =
+    s"""${utf8BytesFrom(src)},
        |dims AS (
        |  SELECT media_id, n,
        |    CAST(8 + media_id % 24 AS INT) AS w,
@@ -2327,6 +2330,8 @@ object OracleExt {
        |    CASE WHEN px.n = 0 THEN 0 ELSE COALESCE(y.b, 0) END AS g
        |  FROM px LEFT JOIN byt y
        |    ON y.media_id = px.media_id AND px.n > 0 AND y.j = px.p % px.n)""".stripMargin
+
+  private val pngPixels: String = pngPixelsFrom("documents")
 
   /** Multimodal feature extraction over REAL decoded PNGs
     * (Multimodal.synthesizeImages → extractFeatures): decoded
@@ -2359,7 +2364,11 @@ object OracleExt {
     * 9×8 nearest-neighbour grid re-derives from the synthesized pixel
     * function, bits compare adjacent grays, groups key on the hash.
     */
-  val qMultimodalPhash: String = {
+  /** CTE chain ending in `hs(media_id, dhash)` — the 9×8
+    * nearest-neighbour dHash re-derived from the synthesized pixel
+    * function; shared by the group-dedup and near-pair oracles.
+    */
+  private def phashHsFrom(src: String): String = {
     val cells = for (y <- 0 until 8; x <- 0 until 9) yield (x, y)
     val pivot = cells.map { case (x, y) =>
       s"MAX(CASE WHEN xx = $x AND yy = $y THEN g END) AS g_${x}_$y"
@@ -2367,7 +2376,7 @@ object OracleExt {
     val bits = (for (y <- 0 until 8; x <- 0 until 8) yield
       s"CASE WHEN g_${x}_$y > g_${x + 1}_$y THEN '1' ELSE '0' END")
       .mkString(" || ")
-    s"""WITH $pngPixels,
+    s"""${pngPixelsFrom(src)},
        |grid AS (
        |  SELECT d2.media_id, gx.xx, gy.yy,
        |    (gy.yy * d2.h // 8) * d2.w + (gx.xx * d2.w // 9) AS p
@@ -2377,14 +2386,56 @@ object OracleExt {
        |       FROM grid gr JOIN pg
        |         ON pg.media_id = gr.media_id AND pg.p = gr.p),
        |pv AS (SELECT media_id, $pivot FROM gs GROUP BY media_id),
-       |hs AS (SELECT media_id, $bits AS dhash FROM pv),
+       |hs AS (SELECT media_id, $bits AS dhash FROM pv)""".stripMargin
+  }
+
+  private val phashHs: String = phashHsFrom("documents")
+
+  val qMultimodalPhash: String =
+    s"""WITH $phashHs,
        |canon AS (SELECT dhash, MIN(media_id) AS canonical_id,
        |            CAST(COUNT(*) AS BIGINT) AS group_size
        |          FROM hs GROUP BY 1)
        |SELECT h.media_id, h.dhash, c.canonical_id, c.group_size,
        |  CAST(h.media_id <> c.canonical_id AS INTEGER) AS is_duplicate
        |FROM hs h JOIN canon c ON c.dhash = h.dhash""".stripMargin
+
+  /** Near-dup image pairs (Multimodal.dhashPairs, maxDist 3) over the
+    * AUGMENTED corpus (docs + id-shifted exact copies of doc_id < 60;
+    * +10008 is 0 mod 24 so the synthesized dimensions — hence pixels —
+    * are identical): the banded blocking is EXACT at hamming ≤ 3, so
+    * brute-force all-pairs hamming over the re-derived hashes is the
+    * oracle.
+    */
+  val qMultimodalPhashPairs: String = {
+    val ham = (1 to 64).map(j =>
+      s"CASE WHEN substr(a.dhash, $j, 1) <> substr(b.dhash, $j, 1) THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    val aug = """(SELECT doc_id, text FROM documents
+                | UNION ALL
+                | SELECT doc_id + 10008, text FROM documents
+                | WHERE doc_id < 60) aug""".stripMargin
+    s"""WITH ${phashHsFrom(aug)},
+       |h AS (SELECT a.media_id AS id_a, b.media_id AS id_b, $ham AS hamming
+       |      FROM hs a JOIN hs b ON a.media_id < b.media_id)
+       |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+       |FROM h WHERE hamming <= 3""".stripMargin
   }
+
+  /** Cohort retention (Funnel.retention, weekly periods): integer-div
+    * epoch-micros weeks, first week per user = cohort, distinct
+    * active offsets counted per cell.
+    */
+  val qRetention: String =
+    """WITH e AS (SELECT user_id,
+      |  CAST(epoch_ns(ts) // 1000 AS BIGINT) // 604800000000 AS wk
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS cw FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT e.user_id, f.cw, e.wk - f.cw AS off
+      |      FROM e JOIN f USING (user_id))
+      |SELECT cw AS cohort_period, CAST(off AS BIGINT) AS period_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM a GROUP BY 1, 2""".stripMargin
 
   /** Per-frame video fingerprint oracle (mirrors
     * Multimodal.videoFrameDHash over synthesizeGifs): the 9×8 grid

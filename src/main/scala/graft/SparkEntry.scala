@@ -854,6 +854,23 @@ object SparkEntry {
     "q_multimodal_phash" -> ((s, dir) =>
       multimodal.Multimodal.dedupByDHash(
         multimodal.Multimodal.synthesizeImages(docs(s, dir)))),
+    // r9: perceptual NEAR-dup pairs — banded hamming self-join over
+    // the dHash signatures, exact at <= 3 bits by pigeonhole. The base
+    // corpus has no perceptual near-dups at sf0.01, so the query
+    // augments it with id-shifted exact copies (+10008 ≡ 0 mod 24
+    // keeps the synthesized geometry, hence the pixels, identical) —
+    // a 0-row gate would prove nothing
+    "q_multimodal_phash_pairs" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val dup = base.filter(col("doc_id") < 60)
+        .withColumn("doc_id", col("doc_id") + 10008)
+      multimodal.Multimodal.dhashPairs(
+        multimodal.Multimodal.synthesizeImages(base.unionByName(dup)),
+        maxDist = 3)
+    }),
+    // r9: weekly cohort retention matrix over the event stream
+    "q_retention" -> ((s, dir) =>
+      relational.Funnel.retention(Panel.readEvents(s, dir))),
     // r8: audio fingerprint dedup — energy-gradient 64-bit signature
     // over the real decoded PCM, exact-hash groups
     // r8: per-frame video fingerprinting over the real GIF decode
@@ -1309,6 +1326,8 @@ object SparkEntry {
     "q_multimodal_gif_frames" -> OracleExt.qMultimodalGifFrames(2),
     "q_multimodal_audio" -> OracleExt.qMultimodalAudio,
     "q_multimodal_phash" -> OracleExt.qMultimodalPhash,
+    "q_multimodal_phash_pairs" -> OracleExt.qMultimodalPhashPairs,
+    "q_retention" -> OracleExt.qRetention,
     "q_multimodal_afp" -> OracleExt.qMultimodalAfp,
     "q_multimodal_video_phash" -> OracleExt.qMultimodalVideoPhash,
     "q_mice" -> OracleExt.qMice,

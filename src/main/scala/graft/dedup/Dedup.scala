@@ -348,21 +348,35 @@ object Dedup {
     * quadratic.
     */
   def simhash64Pairs(docs: DataFrame, maxDist: Int = 3,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sig = simhash64(docs, idCol, textCol)
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bandedHammingPairs(simhash64(docs, idCol, textCol),
+      "simhash64", idCol, maxDist)
+
+  /** Banded hamming near-dup pairs over ANY fixed-width '0'/'1' bit
+    * signature column (simhash64, image dHash, audio fingerprints …):
+    * 4 equal bands bucket the self-join, so candidates share at least
+    * one identical quarter — EXACT for maxDist ≤ 3 by pigeonhole
+    * (3 differing bits cannot touch all 4 bands), the standard
+    * approximate blocking beyond that. The signature frame is
+    * persisted (releasable, OpCache) so the self-join's two sides
+    * don't each recompute it — upstream signature derivation is
+    * usually the dominant cost and blocks are only 4 rows per id.
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b
+    */
+  def bandedHammingPairs(sig: DataFrame, sigCol: String, idCol: String,
+                         maxDist: Int, nBits: Int = 64): DataFrame = {
+    require(nBits % 4 == 0, s"nBits must be divisible by 4, got $nBits")
+    val w = nBits / 4
     val bandCols = (0 until 4).map(bnd =>
-      concat(lit(s"$bnd:"), substring(col("simhash64"), 1 + 16 * bnd, 16)))
-    // persisted (releasable, OpCache) so the self-join's two sides
-    // don't each re-run the signature aggregation — the 64-expression
-    // fold is the operator's dominant cost and blocks is only 4 rows
-    // per doc
-    val blocks = graft.OpCache.persist(sig.select(col(idCol), col("simhash64"),
+      concat(lit(s"$bnd:"), substring(col(sigCol), 1 + w * bnd, w)))
+    val blocks = graft.OpCache.persist(sig.select(col(idCol), col(sigCol),
       explode(array(bandCols: _*)).as("block")))
-    val a = blocks.select(col(idCol).as("id_a"), col("simhash64").as("sh_a"), col("block"))
-    val b = blocks.select(col(idCol).as("id_b"), col("simhash64").as("sh_b"), col("block"))
+    val a = blocks.select(col(idCol).as("id_a"), col(sigCol).as("sh_a"), col("block"))
+    val b = blocks.select(col(idCol).as("id_b"), col(sigCol).as("sh_b"), col("block"))
     a.join(b, "block").filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-      .withColumn("hamming", hamming(col("sh_a"), col("sh_b"), 64))
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b"), nBits))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }

@@ -655,4 +655,19 @@ object Multimodal {
         col("group_size"),
         (col("media_id") =!= col("canonical_id")).cast("int").as("is_duplicate"))
   }
+
+  /** Perceptual NEAR-dup image pairs: banded hamming self-join over the
+    * dHash signatures (the simhash64 blocking, reused bit-for-bit via
+    * [[graft.dedup.Dedup.bandedHammingPairs]]) — catches re-encoded /
+    * mildly-edited copies whose hashes differ in ≤ `maxDist` bits,
+    * where the exact-group [[dedupByDHash]] only sees identical
+    * hashes. Exact at maxDist ≤ 3 by the 4×16 pigeonhole; never
+    * all-pairs.
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b
+    */
+  def dhashPairs(media: DataFrame, maxDist: Int = 3): DataFrame =
+    graft.dedup.Dedup.bandedHammingPairs(
+      imageDHash(media).select(col("media_id"), col("dhash")),
+      "dhash", "media_id", maxDist)
 }

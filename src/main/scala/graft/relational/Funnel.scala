@@ -59,4 +59,36 @@ object Funnel {
       .select(col("f.stage").as("stage"), col("f.step").as("step"),
         col("f.n_users").as("n_users"))
   }
+
+  /** Cohort retention matrix: users bucket into the period of their
+    * first event (cohort); each (cohort, offset) cell counts the
+    * users of that cohort active `offset` periods later — the classic
+    * engagement triangle. Period arithmetic is integer `div` over
+    * epoch micros (float division of ~1e15 micros drifts at period
+    * boundaries).
+    *
+    * Shape: one user-keyed min-aggregation (first period), one
+    * user-keyed join back, one (cohort, offset, user) distinct and
+    * one count — all keyed shuffles, output ≤ periods² rows however
+    * large the stream.
+    *
+    * @return (cohort_period, period_offset, n_users)
+    */
+  def retention(events: DataFrame, periodSec: Long = 7L * 86400L,
+                userCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    require(periodSec > 0, s"periodSec must be positive, got $periodSec")
+    val perMicros = periodSec * 1000000L
+    val base = events.select(col(userCol),
+      expr(s"unix_micros($tsCol) div ${perMicros}L").as("__w"))
+    val cohorts = base.groupBy(col(userCol))
+      .agg(min(col("__w")).as("cohort_period"))
+    base.join(cohorts, userCol)
+      .select(col("cohort_period"),
+        (col("__w") - col("cohort_period")).as("period_offset"),
+        col(userCol))
+      .distinct()
+      .groupBy(col("cohort_period"), col("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

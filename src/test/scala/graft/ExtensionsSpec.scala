@@ -728,5 +728,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(h(0L) == h(1L), "brightness shift changed the hash")
     assert(h(0L) != h(2L), "different content hashed identically")
     assert(h.values.forall(v => v.length == 64 && v.forall(c => c == '0' || c == '1')))
+    // the banded near-dup pair join surfaces the brightness twin as a
+    // hamming-0 pair and nothing else (content 2 differs in >3 bits)
+    val pairs = Multimodal.dhashPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((0L, 1L, 0)))
+  }
+
+  test("retention cohorts count distinct users per period offset") {
+    import org.apache.spark.sql.functions._
+    // u1 first in week 0, active weeks 0/1/3 (two events in week 1 count
+    // once); u2 first in week 1, active weeks 1/2; u3 week 0 only
+    val week = 7L * 86400L
+    val rows = Seq(
+      (1L, 0L), (1L, week + 10L), (1L, week + 20L), (1L, 3 * week + 5L),
+      (2L, week + 30L), (2L, 2 * week + 40L),
+      (3L, 100L))
+    val ev = rows.toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = graft.relational.Funnel.retention(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
   }
 }
