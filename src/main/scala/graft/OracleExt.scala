@@ -1394,6 +1394,22 @@ object OracleExt {
        |  TRUE AS recall_ok
        |FROM rk WHERE rank <= 10 GROUP BY query_id""".stripMargin
 
+  /** Aggregate recall gate (Similarity.annRecallSummary over the
+    * IVF-PQ serving config): exact n_queries + global brute mean
+    * cosine, TRUE for the micro-recall verdict.
+    */
+  val qEmbedIvfPqRecall: String =
+    s"""$embCte, q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 50),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("qv", "v")} AS cosine
+       |  FROM c, q WHERE c.vec_id <> q.query_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+       |  round(avg(cosine), 6) AS brute_mean_cosine, TRUE AS recall_ok
+       |FROM rk WHERE rank <= 10""".stripMargin
+
   /** Int8 quantization CTEs `mx, qz(vec_id, scale, qv)` over a prior
     * `c(vec_id, v)` — the identical floor(x/scale + 0.5) arithmetic as
     * Similarity.quantize (floor avoids round()-mode ambiguity across

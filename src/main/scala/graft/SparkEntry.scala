@@ -686,6 +686,17 @@ object SparkEntry {
       similarity.Similarity.ivfRecall(e, e.filter(col("vec_id") < 50),
         k = 10, nlists = 16, nprobe = 4, bound = 0.25)
     }),
+    // r9: the IVF-PQ recall gate — aggregate micro-recall (per-query
+    // recall legitimately hits 0 under 12-bit codes on random data);
+    // deterministic mean 0.17 at sf0.01, bound 0.08 flags corruption
+    "q_embed_ivfpq_recall" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 50)
+      similarity.Similarity.annRecallSummary(e, q,
+        similarity.Pq.ivfPqTopK(e, q, k = 10, nlists = 8, nprobe = 2,
+          m = 4, ksub = 8),
+        k = 10, bound = 0.08)
+    }),
     // r8: product-quantization ADC search — per-subspace codebooks,
     // corpus stored as m codes, per-query LUT + m lookups per candidate
     "q_embed_pq_topk" -> ((s, dir) => {
@@ -1299,6 +1310,7 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,
     "q_embed_ivf_topk" -> OracleExt.qEmbedIvfTopK(),
     "q_embed_ivf_recall" -> OracleExt.qEmbedIvfRecall,
+    "q_embed_ivfpq_recall" -> OracleExt.qEmbedIvfPqRecall,
     "q_embed_pq_topk" -> OracleExt.qEmbedPqTopK(),
     "q_embed_normalize" -> OracleExt.qEmbedNormalize,
     "q_embed_mrl" -> OracleExt.qEmbedMrl(),

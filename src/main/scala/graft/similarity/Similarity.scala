@@ -163,17 +163,52 @@ object Similarity {
   def ivfRecall(corpus: DataFrame, queries: DataFrame, k: Int,
                 nlists: Int, nprobe: Int, bound: Double, iters: Int = 3,
                 idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    annRecall(corpus, queries,
+      ivfTopK(corpus, queries, k, nlists, nprobe, iters, idCol, vecCol),
+      k, bound, idCol, vecCol)
+
+  /** The generic recall gate behind [[ivfRecall]]: any ANN result
+    * frame with (query_id, neighbor_id) rows audits against an
+    * in-plan brute pass over the same queries — one gate shape for
+    * IVF, PQ, IVF-PQ, LSH.
+    */
+  def annRecall(corpus: DataFrame, queries: DataFrame, approx: DataFrame,
+                k: Int, bound: Double, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     val brute = bruteForceTopK(corpus, queries, k, idCol, vecCol)
-    val approx = ivfTopK(corpus, queries, k, nlists, nprobe, iters,
-        idCol, vecCol)
-      .select(col("query_id").as("__q"), col("neighbor_id").as("__n"),
-        lit(1L).as("__hit"))
+    val a = approx.select(col("query_id").as("__q"),
+      col("neighbor_id").as("__n"), lit(1L).as("__hit"))
     brute
-      .join(approx, col("query_id") === col("__q") &&
+      .join(a, col("query_id") === col("__q") &&
         col("neighbor_id") === col("__n"), "left")
       .groupBy(col("query_id"))
       .agg(round(avg(col("cosine")), 6).as("brute_mean_cosine"),
+        (sum(coalesce(col("__hit"), lit(0L))) >=
+          count(lit(1)) * bound).as("recall_ok"))
+  }
+
+  /** Aggregate-level recall gate — ONE row over the whole query set:
+    * (n_queries, global brute mean cosine, micro-recall ≥ bound).
+    * For coarse quantizers (PQ at small m·log₂ksub bits) per-query
+    * recall legitimately touches 0 on unclustered data, so the
+    * per-query [[annRecall]] verdict would flap; the corpus-level
+    * micro-average is the statistic that stays deterministic and
+    * still collapses under real corruption (wrong LUT, garbled codes
+    * → recall ≈ k/corpus).
+    */
+  def annRecallSummary(corpus: DataFrame, queries: DataFrame,
+                       approx: DataFrame, k: Int, bound: Double,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val brute = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val a = approx.select(col("query_id").as("__q"),
+      col("neighbor_id").as("__n"), lit(1L).as("__hit"))
+    brute
+      .join(a, col("query_id") === col("__q") &&
+        col("neighbor_id") === col("__n"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        round(avg(col("cosine")), 6).as("brute_mean_cosine"),
         (sum(coalesce(col("__hit"), lit(0L))) >=
           count(lit(1)) * bound).as("recall_ok"))
   }
