@@ -242,6 +242,54 @@ object OracleExt {
   val qMinhashLsh: String = qMinhashLshFiltered("WHERE doc_id < 200", 1, 0.1)
   val qMinhashLshFull: String = qMinhashLshFiltered("", 2, 0.5)
 
+  /** MinHash estimator gate (Dedup.minhashEstimateGate): exact
+    * candidate count + mean exact Jaccard, TRUE for the mean-error
+    * verdict the Spark side computes against its own signatures.
+    */
+  val qMinhashEstimate: String =
+    s"""$norm, ${minhashPairCtes("WHERE doc_id < 200", 1)}
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  round(avg(jaccard), 6) AS mean_jaccard, TRUE AS est_ok
+       |FROM j""".stripMargin
+
+  /** Windowed funnel (Funnel.funnel with maxGapSec 6h): the strictly-
+    * after gate additionally bounded above by the conversion window.
+    */
+  val qFunnelWindowed: String = {
+    val gap = 6L * 3600L * 1000000L
+    s"""WITH e AS (SELECT user_id, event_type,
+       |  CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t FROM events),
+       |s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+       |       WHERE event_type = 'view' GROUP BY user_id),
+       |s2 AS (SELECT s1.user_id, MIN(e.t) AS t2 FROM s1 JOIN e
+       |       ON e.user_id = s1.user_id AND e.event_type = 'click'
+       |          AND e.t > s1.t1 AND e.t <= s1.t1 + $gap GROUP BY s1.user_id),
+       |s3 AS (SELECT s2.user_id, MIN(e.t) AS t3 FROM s2 JOIN e
+       |       ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+       |          AND e.t > s2.t2 AND e.t <= s2.t2 + $gap GROUP BY s2.user_id)
+       |SELECT CAST(1 AS INTEGER) AS stage, 'view' AS step,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+       |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+       |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)""".stripMargin
+  }
+
+  /** Robust anomaly flags (Anomaly.robustFlags, k=3): group median/IQR
+    * via quantile_cont (the winsorize parity), margin rounded 1e-6.
+    */
+  val qEventAnomaly: String =
+    """WITH e AS (SELECT event_id, event_type, value FROM events),
+      |st AS (SELECT event_type,
+      |         quantile_cont(value, 0.5) AS med,
+      |         quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+      |       FROM e GROUP BY event_type),
+      |rz AS (SELECT e.event_id, e.event_type, e.value,
+      |         CASE WHEN iqr = 0.0 THEN 0.0
+      |              ELSE (e.value - med) / iqr END AS z
+      |       FROM e JOIN st USING (event_type))
+      |SELECT event_id, event_type, value, round(z, 6) AS robust_z,
+      |  CAST(round(abs(z) - 3.0, 6) > 0.0 AS INTEGER) AS is_anomaly
+      |FROM rz""".stripMargin
+
   /** Edit-distance-verified pairs oracle (mirrors
     * Dedup.editVerifiedPairs): the same banded candidate CTEs, then
     * exact Levenshtein on the normalised texts — integer distances, so

@@ -548,6 +548,18 @@ object SparkEntry {
       dedup.Dedup.minhashLsh(docs(s, dir).filter(col("doc_id") < 200),
         shingleSize = 2, numHashes = OracleExt.MinhashHashes,
         bandRows = 1, threshold = 0.1)),
+    // r9: the estimator-quality gate row for the MinHash family
+    "q_minhash_estimate" -> ((s, dir) =>
+      dedup.Dedup.minhashEstimateGate(docs(s, dir).filter(col("doc_id") < 200),
+        shingleSize = 2, numHashes = OracleExt.MinhashHashes,
+        bandRows = 1, bound = 0.2)),
+    // r9: windowed funnel — each step within 6h of the previous one
+    "q_funnel_windowed" -> ((s, dir) =>
+      relational.Funnel.funnel(Panel.readEvents(s, dir),
+        Seq("view", "click", "purchase"), maxGapSec = Some(6L * 3600L))),
+    // r9: robust per-event-type anomaly flags (median/IQR z-score)
+    "q_event_anomaly" -> ((s, dir) =>
+      relational.Anomaly.robustFlags(Panel.readEvents(s, dir), k = 3.0)),
     // r8: character-level verify of the same banded candidates —
     // catches in-place edits Jaccard over- or under-counts
     "q_dedup_edit" -> ((s, dir) =>
@@ -1244,6 +1256,9 @@ object SparkEntry {
     "q_pipeline_clusters" -> OracleExt.qPipelineClusters,
     "q_corpus_stats" -> OracleExt.qCorpusStats,
     "q_minhash_lsh" -> OracleExt.qMinhashLsh,
+    "q_minhash_estimate" -> OracleExt.qMinhashEstimate,
+    "q_funnel_windowed" -> OracleExt.qFunnelWindowed,
+    "q_event_anomaly" -> OracleExt.qEventAnomaly,
     "q_dedup_edit" -> OracleExt.qEditVerifiedPairs("WHERE doc_id < 200", 1, 0.35),
     "q_minhash_lsh_full" -> OracleExt.qMinhashLshFull,
     "q_simhash" -> OracleExt.qSimhash,

@@ -214,6 +214,39 @@ object Dedup {
     jaccard(cand, sh, idCol).filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash ESTIMATOR quality as a gate row (the recall-gate
+    * discipline applied to the dedup family): over the banded
+    * candidate pairs, the exact Jaccard (oracle-checked value) plus a
+    * verdict that the signature estimate — matching components /
+    * numHashes — tracks it within `bound` on average. A broken hash
+    * family or banding bug floods the estimate error; the per-pair
+    * binomial spread (σ ≈ 0.5/√k) is PropertySpec's S-curve territory,
+    * so the gate is the corpus-level mean, which stays deterministic.
+    *
+    * @return one row (n_pairs, mean_jaccard, est_ok)
+    */
+  def minhashEstimateGate(docs: DataFrame, shingleSize: Int,
+                          numHashes: Int, bandRows: Int, bound: Double,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val sh = graft.OpCache.persist(shingles(docs, shingleSize, idCol, textCol))
+    val sig = graft.OpCache.persist(minhash(sh, numHashes, idCol))
+    val cand = lshCandidates(sig, numHashes, bandRows, idCol)
+    val exact = jaccard(cand, sh, idCol)
+    val sigA = sig.select(col(idCol).as("id_a") +:
+      (0 until numHashes).map(s => col(s"mh_$s").as(s"__a_$s")): _*)
+    val sigB = sig.select(col(idCol).as("id_b") +:
+      (0 until numHashes).map(s => col(s"mh_$s").as(s"__b_$s")): _*)
+    val est = (0 until numHashes).map(s =>
+      when(col(s"__a_$s") === col(s"__b_$s"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes
+    exact.join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("__est", est)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 6).as("mean_jaccard"),
+        (avg(abs(col("__est") - col("jaccard"))) <= bound).as("est_ok"))
+  }
+
   /** 16-bit SimHash from the MSB of each md5 hex digit of every token:
     * bit j is 1 iff the frequency-weighted sum of (±1 per token) is
     * positive. Returned as a 16-char '0'/'1' string (portable across

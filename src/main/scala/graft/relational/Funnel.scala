@@ -24,19 +24,25 @@ object Funnel {
   def funnelTimes(events: DataFrame, steps: Seq[String],
                   userCol: String = "user_id",
                   typeCol: String = "event_type",
-                  tsCol: String = "ts"): DataFrame = {
+                  tsCol: String = "ts",
+                  maxGapSec: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapSec.forall(_ > 0), "maxGapSec must be positive")
     val base = events.select(col(userCol), col(typeCol),
       unix_micros(col(tsCol)).as("__t"))
     val first = base.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col("__t")).as("t_1"))
     steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (s, i)) =>
       val prior = (1 to i).map(j => col(s"t_$j"))
+      val gate = maxGapSec match {
+        case None => col("__t") > col(s"t_$i")
+        case Some(g) => col("__t") > col(s"t_$i") &&
+          col("__t") <= col(s"t_$i") + g * 1000000L
+      }
       acc.join(base.filter(col(typeCol) === s).drop(typeCol),
           Seq(userCol), "left")
         .groupBy((col(userCol) +: prior): _*)
-        .agg(min(when(col("__t") > col(s"t_$i"), col("__t")))
-          .as(s"t_${i + 1}"))
+        .agg(min(when(gate, col("__t"))).as(s"t_${i + 1}"))
     }
   }
 
@@ -46,8 +52,9 @@ object Funnel {
   def funnel(events: DataFrame, steps: Seq[String],
              userCol: String = "user_id",
              typeCol: String = "event_type",
-             tsCol: String = "ts"): DataFrame = {
-    val t = funnelTimes(events, steps, userCol, typeCol, tsCol)
+             tsCol: String = "ts",
+             maxGapSec: Option[Long] = None): DataFrame = {
+    val t = funnelTimes(events, steps, userCol, typeCol, tsCol, maxGapSec)
     val counts = t.agg(
       count(col("t_1")).as("c_1"),
       steps.indices.drop(1).map(i =>

@@ -153,8 +153,12 @@ object SpacetimeDist {
       case Some(Band(b, r)) =>
         // ring-bounded candidates: equi-join unit ring cells × event
         // band cells, then prove each (unit, event-month) group
-        // complete or recompute it against that month's full event set
-        val eb = events
+        // complete or recompute it against that month's full event
+        // set. The event table feeds FOUR consumers here (band join,
+        // month totals, distinct months, fallback join) — persist it
+        // once instead of re-filtering the panel per consumer.
+        val ev = graft.OpCache.persist(events)
+        val eb = ev
           .withColumn("ebx", floor(col("e_lon") / b).cast("long"))
           .withColumn("eby", floor(col("e_lat") / b).cast("long"))
         val offsets = for { dx <- -r to r; dy <- -r to r } yield (dx, dy)
@@ -170,24 +174,28 @@ object SpacetimeDist {
           .groupBy(col(U), col("e_t"))
           .agg(topk(col("sd2"), col("e_t"), col("e_u"), col("e_size")).as("cs"),
             count(lit(1)).as("__cnt"))
-        val monthTotals = events.groupBy(col("e_t"))
+        val monthTotals = ev.groupBy(col("e_t"))
           .agg(count(lit(1)).as("__mtotal"))
         // outside-ring events sit ≥ ring band cells away in some
         // coordinate, so their scaled distance² is ≥ (0.5·ring·b)²;
         // strict < keeps distance TIES at the bound exact too
         val minOut2 = { val g = 0.5 * r * b; g * g }
-        val checked = unitGeo
-          .crossJoin(broadcast(events.select(col("e_t")).distinct()))
+        // persisted: the safe filter AND the unsafe fallback both
+        // consume this frame — without a materialization boundary the
+        // whole ring-join + top-k subtree executes once per branch
+        // (measured ~2× the operator)
+        val checked = graft.OpCache.persist(unitGeo
+          .crossJoin(broadcast(ev.select(col("e_t")).distinct()))
           .join(ringTop, Seq(U, "e_t"), "left")
           .join(broadcast(monthTotals), Seq("e_t"))
           .withColumn("__kth2", element_at(col("cs"), -1).getField("_1"))
           .withColumn("__safe", col("__cnt").isNotNull &&
             ((col("__cnt") >= k && col("__kth2") < minOut2) ||
-              col("__cnt") === col("__mtotal")))
+              col("__cnt") === col("__mtotal"))))
         val safe = checked.filter(col("__safe")).select(col(U), col("cs"))
         val unsafeTop = checked.filter(!col("__safe"))
           .select(col("e_t"), col(U), col(lonCol), col(latCol))
-          .join(events, Seq("e_t"))
+          .join(ev, Seq("e_t"))
           .withColumn("sd2", sdx * sdx + sdy * sdy)
           .groupBy(col(U), col("e_t"))
           .agg(topk(col("sd2"), col("e_t"), col("e_u"), col("e_size")).as("cs"))

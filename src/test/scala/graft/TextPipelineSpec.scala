@@ -647,6 +647,53 @@ class TextPipelineSpec extends SparkSpec {
     assert(out == Map(("s1", "s2") -> 2L))
   }
 
+  test("windowed funnel drops conversions outside the gap; anomaly flags median/IQR outliers") {
+    val rows = Seq(
+      // u1: click 10s after view (inside 60s window), purchase 120s
+      // after click (OUTSIDE) -> stalls at click
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 130L, "purchase"),
+      // u2: everything within the window
+      (2L, 0L, "view"), (2L, 30L, "click"), (2L, 80L, "purchase"))
+    val ev = rows.toDF("user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = graft.relational.Funnel
+      .funnel(ev, Seq("view", "click", "purchase"), maxGapSec = Some(60L))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("view" -> 2L, "click" -> 2L, "purchase" -> 1L))
+
+    // anomaly: type A values {1..7, 100}: median 4.5, IQR q75-q25 =
+    // 6.25-2.75 = 3.5 -> z(100) = 27.3 (flag), z(7) = 0.71 (no flag)
+    val av = (1 to 7).map(_.toDouble) :+ 100.0
+    val evs = av.zipWithIndex.map { case (v, i) => (i.toLong, "A", v) }
+      .toDF("event_id", "event_type", "value")
+    val fl = graft.relational.Anomaly.robustFlags(evs, k = 3.0)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getInt(4))).toMap
+    assert(fl(7L)._2 == 1 && math.abs(fl(7L)._1 - (100.0 - 4.5) / 3.5) < 1e-6)
+    assert((0L to 6L).forall(fl(_)._2 == 0))
+  }
+
+  test("minhash estimate gate: identical docs estimate exactly, verdict holds") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "alpha beta gamma other words here"),
+      (4L, "completely different text body now"))
+      .toDF("doc_id", "text")
+    val row = graft.dedup.Dedup
+      .minhashEstimateGate(docs, shingleSize = 2, numHashes = 12,
+        bandRows = 1, bound = 0.5)
+      .collect()(0)
+    assert(row.getLong(0) >= 1L)     // at least the exact-dup pair banded
+    assert(row.getBoolean(2))        // mean |est - exact| within bound
+    // identical shingle sets: estimate == exact == 1 for the dup pair
+    val sh = graft.dedup.Dedup.shingles(docs, 2)
+    val sig = graft.dedup.Dedup.minhash(sh, 12)
+    val cand = graft.dedup.Dedup.lshCandidates(sig, 12, 1)
+    val ex = graft.dedup.Dedup.jaccard(cand, sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ex((1L, 2L)) == 1.0)
+  }
+
   test("funnel gates each step strictly after the previous step's first time") {
     val rows = Seq(
       // u1 converts fully: view@10, click@20, purchase@30
