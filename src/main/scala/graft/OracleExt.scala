@@ -1020,6 +1020,37 @@ object OracleExt {
       |FROM e l ASOF LEFT JOIN r
       |  ON l.user_id = r.user_id AND l.t >= r.t""".stripMargin
 
+  /** Tolerance-bounded as-of (AsofJoin with tolerance 1h): DuckDB's
+    * native ASOF JOIN carries the matched right time; matches staler
+    * than the bound null out.
+    */
+  val qAsofTolerance: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t,
+      |         event_id, value, event_type
+      |  FROM events),
+      |r AS (SELECT user_id, t, MAX(value) AS purchase_value
+      |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, t),
+      |a AS (SELECT l.user_id, l.t, l.event_id, r.purchase_value,
+      |        r.t AS rt
+      |      FROM e l ASOF LEFT JOIN r
+      |        ON l.user_id = r.user_id AND l.t >= r.t)
+      |SELECT user_id, t, event_id,
+      |  CASE WHEN rt >= t - 3600000000 THEN purchase_value END
+      |    AS purchase_value
+      |FROM a""".stripMargin
+
+  /** Hierarchical ROLLUP revenue (StarQueries.revenueRollup): same
+    * grouping-set expansion and GROUPING bitmask in DuckDB.
+    */
+  val qRollupRevenue: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   /** Keyless interval join over the 20 longest sessions (mirrors
     * q_range_join): sessions via the same gaps-and-islands chain as
     * qSessionize, top-20 by duration with a deterministic tie-break,

@@ -704,7 +704,40 @@ object Registry {
   def runCorpus(df: DataFrame, json: String): DataFrame =
     corpusPipeline(df, parse(json))
 
+  /** Event-stream transforms over (user_id, ts, event_type, value, …)
+    * frames — the fourth wire-format family (panel / corpus /
+    * embeddings / events), covering the product-analytics surface.
+    */
+  val eventTransforms: Map[String, Transform] = Map(
+    "identity" -> ((df, _) => df),
+    // args: [gapSeconds] — session aggregation (streaming-ready)
+    "sessionize" -> ((df, a) =>
+      streaming.Sessions.sessionize(df, a.num(0).toLong)),
+    // args: [step1, step2, …] — terminal ordered conversion funnel
+    "funnel" -> ((df, a) =>
+      relational.Funnel.funnel(df, a.collect { case s: String => s })),
+    // args: [gapSec, step1, step2, …] — funnel with a conversion window
+    "funnel_windowed" -> ((df, a) =>
+      relational.Funnel.funnel(df, a.drop(1).collect { case s: String => s },
+        maxGapSec = Some(a.num(0).toLong))),
+    // args: [periodSec?] — terminal cohort retention matrix
+    "retention" -> ((df, a) =>
+      relational.Funnel.retention(df,
+        a.numOpt(0).getOrElse(7.0 * 86400.0).toLong)),
+    // args: [k?] — robust per-type anomaly flags
+    "anomaly" -> ((df, a) =>
+      relational.Anomaly.robustFlags(df, a.numOpt(0).getOrElse(3.0))),
+    // args: [type1, type2, …] — terminal long→wide event-type pivot
+    "pivot_types" -> ((df, a) =>
+      sources.SemiStructured.pivotEventCounts(df,
+        a.collect { case s: String => s })),
+  )
+
   /** Run a JSON spec over an embeddings frame. */
   def runEmbeddings(df: DataFrame, json: String): DataFrame =
     parse(json).foldLeft(df)(applyIn(embeddingTransforms, "embedding"))
+
+  /** Run a JSON spec over an events frame. */
+  def runEvents(df: DataFrame, json: String): DataFrame =
+    parse(json).foldLeft(df)(applyIn(eventTransforms, "event"))
 }

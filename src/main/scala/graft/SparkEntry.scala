@@ -944,6 +944,28 @@ object SparkEntry {
       relational.AsofJoin.asofJoin(left, right, "user_id", "t",
         Seq("purchase_value"))
     }),
+    // r9: the tolerance-bounded as-of (pandas merge_asof semantics) —
+    // matches staler than 1h become NULL
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = Panel.readEvents(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_id"), col("value"), col("event_type"))
+      val left = ev.select(col("user_id"), col("t"), col("event_id"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("t"))
+        .agg(max(col("value")).as("purchase_value"))
+      relational.AsofJoin.asofJoin(left, right, "user_id", "t",
+        Seq("purchase_value"), tolerance = Some(3600L * 1000000L))
+    }),
+    // r9: hierarchical ROLLUP totals in one aggregation pass
+    "q_rollup_revenue" -> ((s, dir) =>
+      relational.StarQueries.revenueRollup(s, dir)),
+    // r9: the events wire-format family — funnel dispatched from JSON
+    "q_pipeline_funnel" -> ((s, dir) =>
+      Registry.runEvents(Panel.readEvents(s, dir),
+        """[{"type":"identity"},
+           |{"type":"funnel","args":["view","click","purchase"]}]"""
+          .stripMargin)),
     // keyless interval join: ALL events falling inside the 20 longest
     // sessions — bucketized equi-join on time bins, no inequality
     // product; oracle is a plain SQL BETWEEN join
@@ -1305,6 +1327,9 @@ object SparkEntry {
     "q_split_no_leakage" -> OracleExt.qSplitNoLeakage,
     "q_nfc_normalize" -> OracleExt.qNfcNormalize,
     "q_asof_purchase" -> OracleExt.qAsofPurchase,
+    "q_asof_tolerance" -> OracleExt.qAsofTolerance,
+    "q_rollup_revenue" -> OracleExt.qRollupRevenue,
+    "q_pipeline_funnel" -> OracleExt.qFunnel,
     "q_range_join" -> OracleExt.qRangeJoin,
     // the streaming twins run in batch mode compute the identical
     // relations, so the same independent-engine SQL pins them

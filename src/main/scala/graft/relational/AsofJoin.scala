@@ -28,12 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** @param tolerance maximum staleness (same units as `timeCol`):
+    * a carried right row older than `leftTime − tolerance` is treated
+    * as no match (NULL values) — pandas `merge_asof(tolerance=...)`.
+    * Costs nothing extra: the matched right time already rides the
+    * carried struct, so the bound is one more projection-level
+    * conditional, never a second window or join.
+    */
   def asofJoin(left: DataFrame, right: DataFrame,
                keyCol: String, timeCol: String,
-               valueCols: Seq[String]): DataFrame = {
+               valueCols: Seq[String],
+               tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!valueCols.exists(leftCols.contains),
       s"value columns $valueCols collide with left columns")
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
     // one unified schema: left rows carry null right-values, right
     // rows carry null left-payloads
     // the right payload travels as ONE struct per right row: the
@@ -42,14 +51,19 @@ object AsofJoin {
     // is genuinely NULL (diverging from ASOF semantics, which attach
     // the latest row, NULLs included) and could stitch the columns of
     // DIFFERENT right rows into a tuple that never existed
+    // the matched right TIME travels inside the struct too — the
+    // tolerance bound (and any caller who wants match staleness)
+    // reads it from the carried row
     val rightTagged = right.select(
       Seq(col(keyCol), col(timeCol), lit(1).as("__r"),
-        struct(valueCols.map(col): _*).as("__v")) ++
+        struct(valueCols.map(col) :+ col(timeCol).as("__rt"): _*).as("__v")) ++
         leftCols.filterNot(Seq(keyCol, timeCol).contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val vStructType = org.apache.spark.sql.types.StructType(
       valueCols.map(c => org.apache.spark.sql.types.StructField(
-        c, right.schema(c).dataType, nullable = true)))
+        c, right.schema(c).dataType, nullable = true)) :+
+        org.apache.spark.sql.types.StructField(
+          "__rt", right.schema(timeCol).dataType, nullable = true))
     val leftTagged = left.select(
       Seq(col(keyCol), col(timeCol), lit(0).as("__r"),
         lit(null).cast(vStructType).as("__v")) ++
@@ -59,9 +73,15 @@ object AsofJoin {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol).asc, col("__r").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    rightTagged.unionByName(leftTagged)
+    val carried = rightTagged.unionByName(leftTagged)
       .withColumn("__v", last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__r") === 0)
+    val bounded = tolerance match {
+      case None => carried
+      case Some(tol) => carried.withColumn("__v",
+        when(col(s"__v.__rt") >= col(timeCol) - tol, col("__v")))
+    }
+    bounded
       .select((Seq(keyCol, timeCol) ++
         leftCols.filterNot(Seq(keyCol, timeCol).contains)).map(col) ++
         valueCols.map(c => col(s"__v.$c").as(c)): _*)

@@ -30,6 +30,24 @@ object StarQueries {
         avg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
+  /** Hierarchical revenue totals via native ROLLUP — per (returnflag,
+    * linestatus) cell, per returnflag subtotal, and the grand total in
+    * ONE aggregation pass (Catalyst expands the grouping sets; the
+    * fact table is scanned once, partial aggregation map-side).
+    * `grouping_id()` disambiguates the null super-aggregate keys —
+    * identical bitmask semantics to SQL GROUPING(). Revenue rounds to
+    * cents in-query: super-aggregate sums fold the whole fact table,
+    * where raw float ULP order noise would straddle a 1e-6 canon.
+    */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"),
+        grouping_id().cast("int").as("gid"))
+
   /** TPC-H Q3 shape: fact-to-fact join with a broadcast dimension and a
     * deterministic top-k by revenue (row_number window over the small
     * aggregated side — never a global sort of the fact table).

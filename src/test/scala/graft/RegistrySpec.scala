@@ -129,6 +129,48 @@ class RegistrySpec extends SparkSpec {
       """[{"type":"gopher_filter"}]""").count() == 0L)
   }
 
+  test("r9 events wire family: funnel, retention, anomaly, sessionize dispatch") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, 0L, "view", 1.0), (1L, 10L, "click", 2.0), (1L, 30L, "purchase", 3.0),
+      (2L, 5L, "view", 1.0), (2L, 3711L * 7L * 86400L, "view", 9.0))
+    val ev = rows.toDF("user_id", "sec", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withColumn("event_id", col("user_id") * 100 + col("sec"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rowsOf(Registry.runEvents(ev,
+        """[{"type":"funnel","args":["view","click","purchase"]}]""")) ==
+      rowsOf(graft.relational.Funnel.funnel(ev, Seq("view", "click", "purchase"))))
+    assert(rowsOf(Registry.runEvents(ev,
+        """[{"type":"funnel_windowed","args":[60,"view","click"]}]""")) ==
+      rowsOf(graft.relational.Funnel.funnel(ev, Seq("view", "click"),
+        maxGapSec = Some(60L))))
+    assert(rowsOf(Registry.runEvents(ev, """[{"type":"retention"}]""")) ==
+      rowsOf(graft.relational.Funnel.retention(ev)))
+    assert(rowsOf(Registry.runEvents(ev, """[{"type":"anomaly","args":[2.5]}]""")) ==
+      rowsOf(graft.relational.Anomaly.robustFlags(ev, k = 2.5)))
+    assert(rowsOf(Registry.runEvents(ev, """[{"type":"sessionize","args":[3600]}]""")) ==
+      rowsOf(graft.streaming.Sessions.sessionize(ev, 3600L)))
+    assert(rowsOf(Registry.runEvents(ev,
+        """[{"type":"pivot_types","args":["view","click"]}]""")) ==
+      rowsOf(graft.sources.SemiStructured.pivotEventCounts(ev, Seq("view", "click"))))
+  }
+
+  test("asof tolerance nulls matches staler than the bound, keeps fresh ones") {
+    import org.apache.spark.sql.functions._
+    val left = Seq((1L, 100L, "a"), (1L, 250L, "b"), (1L, 400L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, 9.0)).toDF("k", "t", "v")
+    def run(tol: Option[Long]) = graft.relational.AsofJoin
+      .asofJoin(left, right, "k", "t", Seq("v"), tol)
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    // no bound: the t=90 row carries forward to every later left row
+    assert(run(None) == Map("a" -> Some(9.0), "b" -> Some(9.0), "c" -> Some(9.0)))
+    // bound 200: t=400 is 310 stale -> null; 100/250 stay (10/160 stale)
+    assert(run(Some(200L)) == Map("a" -> Some(9.0), "b" -> Some(9.0), "c" -> None))
+  }
+
   test("r7 corpus steps: keep-first span dedup and mix_sources dispatch") {
     val spanDocs = Seq(
       (1L, "alpha beta gamma delta unique one"),
