@@ -1092,6 +1092,62 @@ object OracleExt {
        |GROUP BY top.rk, top.s_user, top.t_start_us, top.t_end_us""".stripMargin
   }
 
+  /** Interval-overlap join (RangeJoin.intervalOverlapJoin over the 20
+    * longest click vs view sessions, 1800 s gap): both session sets
+    * via the gaps-and-islands chain, then the plain overlap predicate.
+    */
+  val qIntervalOverlap: String = {
+    val gapUs = 1800L * 1000000L
+    def sessions(tpe: String, pfx: String) =
+      s"""e_$pfx AS (
+         |  SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t,
+         |         event_id
+         |  FROM events WHERE event_type = '$tpe'),
+         |m_$pfx AS (
+         |  SELECT user_id, t, event_id,
+         |    CASE WHEN LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > $gapUs
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM e_$pfx WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         |s_$pfx AS (
+         |  SELECT user_id, t,
+         |    SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS sid
+         |  FROM m_$pfx),
+         |agg_$pfx AS (
+         |  SELECT user_id, MIN(t) AS ts, MAX(t) + $gapUs AS te
+         |  FROM s_$pfx GROUP BY user_id, sid),
+         |top_$pfx AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY te - ts DESC,
+         |           user_id, ts) AS BIGINT) AS ${pfx}_rk,
+         |         user_id AS ${pfx}_user, ts AS ${pfx}_s, te AS ${pfx}_e
+         |  FROM agg_$pfx
+         |  ORDER BY te - ts DESC, user_id, ts
+         |  LIMIT 20)""".stripMargin
+    s"""WITH ${sessions("click", "c")},
+       |${sessions("view", "v")}
+       |SELECT c.c_rk, c.c_user, c.c_s, c.c_e,
+       |  v.v_rk, v.v_user, v.v_s, v.v_e,
+       |  least(c.c_e, v.v_e) - greatest(c.c_s, v.v_s) AS overlap_us
+       |FROM top_c c JOIN top_v v
+       |  ON c.c_s < v.v_e AND v.v_s < c.c_e""".stripMargin
+  }
+
+  /** Weighted sampling (Sampling.weightedSample, weight = n_chars,
+    * k = 50, salt ws0): the identical seeded Gumbel arithmetic.
+    */
+  val qWeightedSample: String = {
+    val u = s"(${hexInt8("CAST(doc_id AS VARCHAR) || ':ws0'")} + 0.5) / 4294967296.0"
+    s"""WITH w AS (
+       |  SELECT doc_id, text, lang, source, n_chars,
+       |    round(ln(CAST(n_chars AS DOUBLE)) - ln(-ln($u)), 6)
+       |      AS gumbel_score
+       |  FROM documents WHERE n_chars > 0)
+       |SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY gumbel_score DESC,
+       |  doc_id) AS INTEGER) AS rank
+       |FROM w ORDER BY gumbel_score DESC, doc_id LIMIT 50""".stripMargin
+  }
+
   /** Typed JSON extraction rollup (mirrors SemiStructured.propsRollup). */
   val qJsonRollup: String =
     """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -960,6 +960,35 @@ object SparkEntry {
     // r9: hierarchical ROLLUP totals in one aggregation pass
     "q_rollup_revenue" -> ((s, dir) =>
       relational.StarQueries.revenueRollup(s, dir)),
+    // r9: interval-OVERLAP (temporal) join — the 20 longest click
+    // sessions against the 20 longest view sessions, bin-bucketized
+    "q_interval_overlap" -> ((s, dir) => {
+      def topSessions(tpe: String, pfx: String) = {
+        val sess = streaming.Sessions.sessionize(
+          Panel.readEvents(s, dir).filter(col("event_type") === tpe),
+          gapSeconds = 1800)
+        sess.withColumn("dur", col("t_end_us") - col("t_start_us"))
+          .orderBy(col("dur").desc, col("user_id"), col("t_start_us"))
+          .limit(20)
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(pmod(col("user_id"), lit(1)))
+              .orderBy(col("dur").desc, col("user_id"), col("t_start_us"))))
+          .select(col("rk").cast("long").as(s"${pfx}_rk"),
+            col("user_id").as(s"${pfx}_user"),
+            col("t_start_us").as(s"${pfx}_s"),
+            col("t_end_us").as(s"${pfx}_e"))
+      }
+      relational.RangeJoin.intervalOverlapJoin(
+          topSessions("click", "c"), topSessions("view", "v"),
+          "c_s", "c_e", "v_s", "v_e", binWidth = 21600000000L)
+        .withColumn("overlap_us",
+          least(col("c_e"), col("v_e")) - greatest(col("c_s"), col("v_s")))
+    }),
+    // r9: Efraimidis–Spirakis weighted sampling without replacement
+    "q_weighted_sample" -> ((s, dir) =>
+      sampling.Sampling.weightedSample(docs(s, dir), "n_chars",
+        k = 50, salt = "ws0")),
     // r9: the events wire-format family — funnel dispatched from JSON
     "q_pipeline_funnel" -> ((s, dir) =>
       Registry.runEvents(Panel.readEvents(s, dir),
@@ -1330,6 +1359,8 @@ object SparkEntry {
     "q_asof_tolerance" -> OracleExt.qAsofTolerance,
     "q_rollup_revenue" -> OracleExt.qRollupRevenue,
     "q_pipeline_funnel" -> OracleExt.qFunnel,
+    "q_interval_overlap" -> OracleExt.qIntervalOverlap,
+    "q_weighted_sample" -> OracleExt.qWeightedSample,
     "q_range_join" -> OracleExt.qRangeJoin,
     // the streaming twins run in batch mode compute the identical
     // relations, so the same independent-engine SQL pins them

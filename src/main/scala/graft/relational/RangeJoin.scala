@@ -68,4 +68,39 @@ object RangeJoin {
       .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** Interval–interval OVERLAP join (temporal join): match left
+    * `[s1, e1)` with right `[s2, e2)` when they overlap —
+    * `s1 < e2 ∧ s2 < e1`. Same bucketization discipline as
+    * [[intervalJoin]]: both sides explode to their covered bins and
+    * the overlap becomes an equi join on bin plus the exact residual.
+    * An overlapping pair shares every bin of its intersection, so
+    * matches dedup WITHOUT a distinct pass: the pair is emitted only
+    * from the intersection's FIRST bin, `bin(max(s1, s2))` — a bin
+    * both sides provably cover (the point max(s1, s2) lies in both
+    * half-open intervals whenever they overlap), computed per row
+    * with no extra shuffle.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          s1: String, e1: String,
+                          s2: String, e2: String,
+                          binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(!left.columns.exists(right.columns.contains),
+      "left and right must have disjoint column names")
+    def q(name: String) = "`" + name.replace("`", "``") + "`"
+    def binOf(c: String) = expr(s"${q(c)} div ${binWidth}L")
+    def nonNegOrNull(c: String) = assert_true(
+      col(c).isNull || col(c) >= 0, lit(s"intervalOverlapJoin: negative $c")).isNull
+    def side(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) >= col(s))
+      .filter(nonNegOrNull(s))
+      .withColumn("__bin", explode(sequence(binOf(s), binOf(e))))
+    side(left, s1, e1)
+      .join(side(right, s2, e2).withColumnRenamed("__bin", "__bin2"),
+        col("__bin") === col("__bin2"))
+      .filter(col(s1) < col(e2) && col(s2) < col(e1))
+      .filter(col("__bin") === greatest(binOf(s1), binOf(s2)))
+      .drop("__bin", "__bin2")
+  }
 }

@@ -318,6 +318,32 @@ object Sampling {
     docs.join(broadcast(keep), Seq(idCol), "left_semi")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis via
+    * the Gumbel-max trick, the Dsir.resample machinery generalized to
+    * any weight column): score_i = ln(w_i) + Gumbel(u_i) with the
+    * seeded md5 uniform, top-k by score ≡ a w-proportional draw
+    * without replacement. Deterministic (same salt → same sample),
+    * and the selection is TakeOrderedAndProject per-partition k-heaps
+    * — never a global sort; the rank window is k-bounded by
+    * construction. Non-positive weights are excluded (zero mass).
+    *
+    * @return the k sampled rows + (gumbel_score, rank)
+    */
+  def weightedSample(df: DataFrame, weightCol: String, k: Int,
+                     salt: String, idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(hashKey(col(idCol), salt), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    df.filter(col(weightCol) > 0.0)
+      .withColumn("gumbel_score",
+        round(log(col(weightCol).cast("double")) - log(-log(u)), 6))
+      .orderBy(col("gumbel_score").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(xxhash64(col(idCol)), lit(1)))
+          .orderBy(col("gumbel_score").desc, col(idCol))).cast("int"))
+  }
+
   /** The n−1 upper-bound hex thresholds of `hashSplit`'s bands,
     * exposed so an external checker can reproduce the exact same
     * literals (the cumulative float sums must match bit-for-bit).

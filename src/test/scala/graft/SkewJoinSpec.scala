@@ -1,4 +1,6 @@
 package graft
+// (interval-overlap + weighted-sample specs live here too: the
+// relational-join/sampling grab-bag suite)
 
 import graft.relational.SkewJoin
 import org.apache.spark.sql.functions._
@@ -42,5 +44,51 @@ class SkewJoinSpec extends SparkSpec {
       .withColumn("s", SkewJoin.saltColumn(8))
       .select("s").distinct().count()
     assert(salts == 8L)
+  }
+
+  test("interval overlap join matches the naive predicate and emits each pair once") {
+    // left interval spanning MANY bins (0..1000, binWidth 10 => 100
+    // shared bins with right) must still emit exactly one match row
+    val left = Seq((1L, 0L, 1000L), (2L, 50L, 60L), (3L, 2000L, 2100L))
+      .toDF("lid", "ls", "le")
+    val right = Seq((10L, 500L, 600L), (11L, 55L, 58L), (12L, 1000L, 1100L),
+      (13L, 60L, 70L)).toDF("rid", "rs", "re")
+    val got = graft.relational.RangeJoin
+      .intervalOverlapJoin(left, right, "ls", "le", "rs", "re", binWidth = 10L)
+      .select("lid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // naive: overlap iff ls < re && rs < le (half-open)
+    val l = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rr = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (for {
+      (lid, ls, le) <- l; (rid, rs, re) <- rr
+      if ls < re && rs < le
+    } yield (lid, rid)).toSeq.sorted
+    assert(got == want)
+    // boundary: [50,60) and [60,70) do NOT overlap (half-open)
+    assert(!got.contains((2L, 13L)))
+    // the 100-shared-bin pair appears exactly once
+    assert(got.count(_ == ((1L, 10L))) == 1)
+  }
+
+  test("weighted sample is deterministic, k-bounded, and favours heavy weights") {
+    val docs = (0L until 400L)
+      .map(i => (i, s"t$i", if (i < 20) 1000.0 else 1.0))
+      .toDF("doc_id", "text", "w")
+    def ids(salt: String) = graft.sampling.Sampling
+      .weightedSample(docs, "w", k = 30, salt = salt)
+      .collect().map(_.getLong(0)).toSet
+    val a = ids("s1")
+    assert(a == ids("s1") && a.size == 30)  // deterministic, exactly k
+    assert(a != ids("s2"))                  // salt changes the draw
+    // the 20 heavy docs carry 1000/1380 of the mass each pick — with
+    // k=30 essentially all of them are drawn
+    assert((a & (0L until 20L).toSet).size >= 18)
+    // zero/negative weights are excluded outright
+    val z = graft.sampling.Sampling.weightedSample(
+        docs.withColumn("w", when(col("doc_id") < 395, 0.0).otherwise(col("w"))),
+        "w", k = 30, salt = "s3")
+      .collect().map(_.getLong(0)).toSet
+    assert(z.forall(_ >= 395L) && z.size == 5)
   }
 }
