@@ -242,6 +242,46 @@ object OracleExt {
   val qMinhashLsh: String = qMinhashLshFiltered("WHERE doc_id < 200", 1, 0.1)
   val qMinhashLshFull: String = qMinhashLshFiltered("", 2, 0.5)
 
+  /** Asymmetric containment pairs (Dedup.containmentPairs over the
+    * banded candidates, threshold 0.5 on the max direction): the same
+    * candidate/intersection/size CTEs, containment = inter / own size.
+    */
+  val qContainment: String =
+    s"""$norm, ${minhashPairCtes("WHERE doc_id < 200", 1)},
+       |ct AS (SELECT c.id_a, c.id_b,
+       |  round(CAST(COALESCE(i.n, 0) AS DOUBLE) / za.sz, 6) AS containment_a,
+       |  round(CAST(COALESCE(i.n, 0) AS DOUBLE) / zb.sz, 6) AS containment_b,
+       |  round(CAST(COALESCE(i.n, 0) AS DOUBLE)
+       |    / (za.sz + zb.sz - COALESCE(i.n, 0)), 6) AS jaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |JOIN szs za ON za.doc_id = c.id_a
+       |JOIN szs zb ON zb.doc_id = c.id_b)
+       |SELECT * FROM ct
+       |WHERE greatest(containment_a, containment_b) >= 0.5""".stripMargin
+
+  /** Distribution drift (Sampling.distributionDrift on source, B =
+    * doc_id % 3 = 0, α = 0.5): identical Laplace-smoothed JS
+    * arithmetic.
+    */
+  val qDistributionDrift: String =
+    """WITH ca AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_a
+      |            FROM documents GROUP BY source),
+      |cb AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_b
+      |       FROM documents WHERE doc_id % 3 = 0 GROUP BY source),
+      |j AS (SELECT source, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      |      FROM ca FULL JOIN cb USING (source)),
+      |st AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb, COUNT(*) AS kk FROM j),
+      |sm AS (SELECT source, n_a, n_b,
+      |         (n_a + 0.5) / (ta + 0.5 * kk) AS p,
+      |         (n_b + 0.5) / (tb + 0.5 * kk) AS q
+      |       FROM j, st)
+      |SELECT source, n_a, n_b,
+      |  round(p, 6) AS share_a, round(q, 6) AS share_b,
+      |  round((p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0)))
+      |    / (2.0 * ln(2.0)), 6) AS js_bits
+      |FROM sm""".stripMargin
+
   /** MinHash estimator gate (Dedup.minhashEstimateGate): exact
     * candidate count + mean exact Jaccard, TRUE for the mean-error
     * verdict the Spark side computes against its own signatures.

@@ -560,6 +560,24 @@ object SparkEntry {
     // r9: robust per-event-type anomaly flags (median/IQR z-score)
     "q_event_anomaly" -> ((s, dir) =>
       relational.Anomaly.robustFlags(Panel.readEvents(s, dir), k = 3.0)),
+    // r9: the STREAMING scoring path (fit-once baseline broadcast onto
+    // the stream, stateless) in batch mode — same oracle as the batch
+    "q_anomaly_stream" -> ((s, dir) => {
+      val ev = Panel.readEvents(s, dir)
+      relational.Anomaly.robustFlagsAgainst(ev,
+        relational.Anomaly.fitBaseline(ev), k = 3.0)
+    }),
+    // r9: asymmetric containment verify over banded candidates —
+    // subset/quotation duplication symmetric Jaccard misses
+    "q_containment" -> ((s, dir) =>
+      dedup.Dedup.containmentPairs(docs(s, dir).filter(col("doc_id") < 200),
+        shingleSize = 2, numHashes = OracleExt.MinhashHashes,
+        bandRows = 1, threshold = 0.5)),
+    // r9: corpus version drift audit — source distribution JS bits
+    // between the full corpus and a skewed subset
+    "q_distribution_drift" -> ((s, dir) =>
+      sampling.Sampling.distributionDrift(docs(s, dir),
+        docs(s, dir).filter(col("doc_id") % 3 === 0), "source")),
     // r8: character-level verify of the same banded candidates —
     // catches in-place edits Jaccard over- or under-counts
     "q_dedup_edit" -> ((s, dir) =>
@@ -1308,6 +1326,9 @@ object SparkEntry {
     "q_corpus_stats" -> OracleExt.qCorpusStats,
     "q_minhash_lsh" -> OracleExt.qMinhashLsh,
     "q_minhash_estimate" -> OracleExt.qMinhashEstimate,
+    "q_containment" -> OracleExt.qContainment,
+    "q_distribution_drift" -> OracleExt.qDistributionDrift,
+    "q_anomaly_stream" -> OracleExt.qEventAnomaly,
     "q_funnel_windowed" -> OracleExt.qFunnelWindowed,
     "q_event_anomaly" -> OracleExt.qEventAnomaly,
     "q_dedup_edit" -> OracleExt.qEditVerifiedPairs("WHERE doc_id < 200", 1, 0.35),

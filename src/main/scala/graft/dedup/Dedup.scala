@@ -195,6 +195,50 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT verify over the banded candidates:
+    * `c(a→b) = |A∩B| / |A|` — a document wholly quoted inside a larger
+    * one scores ~1.0 here while symmetric Jaccard dives toward
+    * |A|/|B| and slips under any useful threshold. The standard
+    * complement to Jaccard dedup for subset/quotation duplication.
+    * Same plan as [[jaccard]] (the intersection aggregation already
+    * carries both set sizes); emits both directions per candidate
+    * pair, filtered at `threshold` on the max direction.
+    *
+    * Recall caveat: the candidates are the JACCARD-tuned LSH bands, so
+    * an extreme-asymmetry pair (tiny doc inside a huge one — Jaccard
+    * near zero) may never band together however high its containment;
+    * size the banding (numHashes up, bandRows = 1) for the smallest
+    * Jaccard you must recall.
+    *
+    * @return (id_a, id_b, containment_a, containment_b, jaccard)
+    */
+  def containmentPairs(docs: DataFrame, shingleSize: Int, numHashes: Int,
+                       bandRows: Int, threshold: Double,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val sh = graft.OpCache.persist(shingles(docs, shingleSize, idCol, textCol))
+    val sig = minhash(sh, numHashes, idCol)
+    val cand = lshCandidates(sig, numHashes, bandRows, idCol)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val shB = sh.select(col(idCol).as("id_b"), col("shingle").as("shingle_b"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(shB, shB("id_b") === cand("id_b") && col("shingle") === col("shingle_b"))
+      .groupBy(cand("id_a"), cand("id_b")).agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("containment_a",
+        round(col("inter").cast("double") / col("sz_a").cast("double"), 6))
+      .withColumn("containment_b",
+        round(col("inter").cast("double") / col("sz_b").cast("double"), 6))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select("id_a", "id_b", "containment_a", "containment_b", "jaccard")
+  }
+
   /** MinHash+LSH near-duplicate detection end-to-end: shingle → sign →
     * band → candidates → exact-Jaccard verify ≥ threshold.
     *

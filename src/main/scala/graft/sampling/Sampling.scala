@@ -344,6 +344,35 @@ object Sampling {
           .orderBy(col("gumbel_score").desc, col(idCol))).cast("int"))
   }
 
+  /** Distribution drift between two dataset VERSIONS, keyed on any
+    * categorical column (source, language, length bucket): per key the
+    * raw counts, Laplace-smoothed shares, and the pointwise
+    * Jensen–Shannon contribution in bits — summing `js_bits` gives
+    * JS(A‖B), the symmetric bounded divergence a corpus-refresh audit
+    * reports before a retrain. Two count aggregations + a full outer
+    * join on the key + one broadcast 1-row totals join — output is
+    * key-cardinality rows whatever the corpus size.
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame, keyCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val ca = a.groupBy(col(keyCol)).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(keyCol)).agg(count(lit(1)).as("n_b"))
+    val joined = ca.join(cb, Seq(keyCol), "full")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val stats = joined.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb"), count(lit(1)).as("__k"))
+    val p = (col("n_a") + alpha) / (col("__ta") + col("__k") * alpha)
+    val q = (col("n_b") + alpha) / (col("__tb") + col("__k") * alpha)
+    val m = (p + q) / 2.0
+    val ln2 = math.log(2.0)
+    joined.crossJoin(broadcast(stats))
+      .select(col(keyCol), col("n_a"), col("n_b"),
+        round(p, 6).as("share_a"), round(q, 6).as("share_b"),
+        round((p * log(p / m) + q * log(q / m)) / (2.0 * ln2), 6)
+          .as("js_bits"))
+  }
+
   /** The n−1 upper-bound hex thresholds of `hashSplit`'s bands,
     * exposed so an external checker can reproduce the exact same
     * literals (the cumulative float sums must match bit-for-bit).

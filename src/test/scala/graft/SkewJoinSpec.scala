@@ -71,6 +71,41 @@ class SkewJoinSpec extends SparkSpec {
     assert(got.count(_ == ((1L, 10L))) == 1)
   }
 
+  test("containment catches subset duplication that symmetric Jaccard misses") {
+    // the contained doc is a large-enough fraction of the big one that
+    // the jaccard-tuned banding still recalls the pair (J ≈ 0.4 →
+    // ≥1-of-12 band hit is near-certain and md5-deterministic), while
+    // the CONTAINMENT asymmetry is what crosses the 0.9 threshold
+    val small = (1 to 12).map(i => s"core$i").mkString(" ")
+    val big = small + " " + (1 to 18).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, "unrelated text entirely here"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Dedup
+      .containmentPairs(docs, shingleSize = 2, numHashes = 12,
+        bandRows = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (ca, cb, j) = out((1L, 2L))
+    assert(ca == 1.0, "the small doc is fully contained")
+    assert(j < 0.5, s"symmetric Jaccard stays under any dedup threshold: $j")
+    assert(cb < 0.5)
+  }
+
+  test("distribution drift: zero for identical versions, js_bits flags a dropped key") {
+    val a = (0L until 90L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val same = graft.sampling.Sampling.distributionDrift(a, a, "source")
+      .collect().map(r => (r.getString(0), r.getDouble(5))).toMap
+    assert(same.values.forall(_ == 0.0))
+    // version B drops src2 entirely -> that key carries the drift
+    val b = a.filter(col("source") =!= "src2")
+    val drift = graft.sampling.Sampling.distributionDrift(a, b, "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    assert(drift("src2")._2 == 0L)
+    assert(drift("src2")._3 > drift("src0")._3)
+    assert(drift.values.map(_._3).sum > 0.05) // real divergence in bits
+  }
+
   test("weighted sample is deterministic, k-bounded, and favours heavy weights") {
     val docs = (0L until 400L)
       .map(i => (i, s"t$i", if (i < 20) 1000.0 else 1.0))
