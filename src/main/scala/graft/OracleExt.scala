@@ -242,6 +242,41 @@ object OracleExt {
   val qMinhashLsh: String = qMinhashLshFiltered("WHERE doc_id < 200", 1, 0.1)
   val qMinhashLshFull: String = qMinhashLshFiltered("", 2, 0.5)
 
+  /** Last-touch attribution (Attribution.lastTouch): conversions ASOF
+    * against deduplicated touchpoints (arg_max tie-break at one
+    * timestamp, matching Spark's max_by).
+    */
+  val qAttribution: String =
+    """WITH e AS (SELECT user_id,
+      |  CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t, event_id, event_type
+      |  FROM events),
+      |c AS (SELECT user_id, t, event_id FROM e
+      |      WHERE event_type = 'purchase'),
+      |tp AS (SELECT user_id, t,
+      |         arg_max(event_type, event_id) AS touch_type,
+      |         MAX(event_id) AS touch_event_id
+      |       FROM e WHERE event_type <> 'purchase' GROUP BY user_id, t)
+      |SELECT c.user_id, c.t, c.event_id, tp.touch_type, tp.touch_event_id
+      |FROM c ASOF LEFT JOIN tp
+      |  ON c.user_id = tp.user_id AND c.t >= tp.t""".stripMargin
+
+  /** One-pass numeric profile (Profile.profile over lineitem):
+    * per-column stats via plain aggregates + quantile_cont median.
+    */
+  val qProfile: String = {
+    def row(c: String) =
+      s"""SELECT '$c' AS "column",
+         |  CAST(COUNT($c) AS BIGINT) AS n_values,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+         |  round(CAST(MIN($c) AS DOUBLE), 6) AS min,
+         |  round(CAST(MAX($c) AS DOUBLE), 6) AS max,
+         |  round(AVG($c), 6) AS mean,
+         |  round(quantile_cont(CAST($c AS DOUBLE), 0.5), 6) AS p50
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount")
+      .map(row).mkString("\nUNION ALL\n")
+  }
+
   /** Asymmetric containment pairs (Dedup.containmentPairs over the
     * banded candidates, threshold 0.5 on the max direction): the same
     * candidate/intersection/size CTEs, containment = inter / own size.

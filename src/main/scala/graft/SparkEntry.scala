@@ -578,6 +578,14 @@ object SparkEntry {
     "q_distribution_drift" -> ((s, dir) =>
       sampling.Sampling.distributionDrift(docs(s, dir),
         docs(s, dir).filter(col("doc_id") % 3 === 0), "source")),
+    // r9: last-touch conversion attribution (as-of machinery)
+    "q_attribution" -> ((s, dir) =>
+      relational.Attribution.lastTouch(Panel.readEvents(s, dir))),
+    // r9: one-pass numeric profile (dataset-card stats) of lineitem
+    "q_profile" -> ((s, dir) =>
+      relational.Profile.profile(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
     // r8: character-level verify of the same banded candidates —
     // catches in-place edits Jaccard over- or under-counts
     "q_dedup_edit" -> ((s, dir) =>
@@ -1327,6 +1335,8 @@ object SparkEntry {
     "q_minhash_lsh" -> OracleExt.qMinhashLsh,
     "q_minhash_estimate" -> OracleExt.qMinhashEstimate,
     "q_containment" -> OracleExt.qContainment,
+    "q_attribution" -> OracleExt.qAttribution,
+    "q_profile" -> OracleExt.qProfile,
     "q_distribution_drift" -> OracleExt.qDistributionDrift,
     "q_anomaly_stream" -> OracleExt.qEventAnomaly,
     "q_funnel_windowed" -> OracleExt.qFunnelWindowed,

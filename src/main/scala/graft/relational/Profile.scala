@@ -1,0 +1,41 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass numeric profiling — the dataset-card numbers (count, null
+  * count, min/max, mean, median) for any set of numeric columns in a
+  * SINGLE aggregation over one scan: every statistic is a partial
+  * (map-side combinable) aggregate, so the profile of a 100 TB table
+  * costs one pass however many columns ride along. Output is
+  * long-format (one row per column), assembled by an in-plan explode
+  * of the single stats row.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
+        round(min(col(c)).cast("double"), 6).as(s"__min_$c"),
+        round(max(col(c)).cast("double"), 6).as(s"__max_$c"),
+        round(avg(col(c)), 6).as(s"__mean_$c"),
+        round(percentile(col(c).cast("double"), lit(0.5)), 6).as(s"__p50_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"),
+          col(s"__n_$c").as("n_values"),
+          col(s"__nulls_$c").as("n_nulls"),
+          col(s"__min_$c").as("min"),
+          col(s"__max_$c").as("max"),
+          col(s"__mean_$c").as("mean"),
+          col(s"__p50_$c").as("p50"))
+      }: _*)).as("p"))
+      .select(col("p.column").as("column"), col("p.n_values").as("n_values"),
+        col("p.n_nulls").as("n_nulls"), col("p.min").as("min"),
+        col("p.max").as("max"), col("p.mean").as("mean"),
+        col("p.p50").as("p50"))
+  }
+}

@@ -106,6 +106,34 @@ class SkewJoinSpec extends SparkSpec {
     assert(drift.values.map(_._3).sum > 0.05) // real divergence in bits
   }
 
+  test("last-touch attribution credits the latest prior-or-simultaneous touchpoint") {
+    val rows = Seq(
+      (1L, 10L, "view", 100L), (1L, 20L, "click", 101L),
+      (1L, 30L, "purchase", 102L),           // -> click@20
+      (1L, 40L, "purchase", 103L),           // -> still click@20
+      (2L, 50L, "purchase", 200L),           // no prior touch -> NULL
+      (3L, 60L, "view", 300L), (3L, 60L, "click", 301L),
+      (3L, 60L, "purchase", 302L))           // tie at t=60 -> max event_id (click)
+    val ev = rows.toDF("user_id", "sec", "event_type", "event_id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = graft.relational.Attribution.lastTouch(ev)
+      .collect().map(r => r.getLong(2) -> Option(r.getString(3))).toMap
+    assert(out == Map(102L -> Some("click"), 103L -> Some("click"),
+      200L -> None, 302L -> Some("click")))
+  }
+
+  test("profile reports one-pass stats per column, long format") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, null), (3.0, 30.0), (4.0, 40.0))
+      .toDF("a", "b")
+    val p = graft.relational.Profile.profile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(p("a") == ((4L, 0L, 1.0, 4.0, 2.5, 2.5)))
+    assert(p("b") == ((3L, 1L, 10.0, 40.0, 26.666667, 30.0)))
+  }
+
   test("weighted sample is deterministic, k-bounded, and favours heavy weights") {
     val docs = (0L until 400L)
       .map(i => (i, s"t$i", if (i < 20) 1000.0 else 1.0))
