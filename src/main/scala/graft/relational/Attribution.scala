@@ -29,7 +29,8 @@ object Attribution {
       .select(col(userCol), col("t"), col("event_id"))
     val touches = ev.filter(col(typeCol) =!= conversionType)
       .groupBy(col(userCol), col("t"))
-      .agg(expr(s"max_by($typeCol, event_id)").as("touch_type"),
+      .agg(expr(s"max_by(`${typeCol.replace("`", "``")}`, event_id)")
+        .as("touch_type"),
         max(col("event_id")).as("touch_event_id"))
     AsofJoin.asofJoin(conversions, touches, userCol, "t",
       Seq("touch_type", "touch_event_id"))

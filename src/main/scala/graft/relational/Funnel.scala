@@ -87,7 +87,8 @@ object Funnel {
     require(periodSec > 0, s"periodSec must be positive, got $periodSec")
     val perMicros = periodSec * 1000000L
     val base = events.select(col(userCol),
-      expr(s"unix_micros($tsCol) div ${perMicros}L").as("__w"))
+      expr(s"unix_micros(`${tsCol.replace("`", "``")}`) div ${perMicros}L")
+        .as("__w"))
     val cohorts = base.groupBy(col(userCol))
       .agg(min(col("__w")).as("cohort_period"))
     base.join(cohorts, userCol)

@@ -15,6 +15,11 @@ object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // the long-format assembly addresses derived stats by generated
+    // name, and col("...") parses '.' as a struct path — keep names
+    // simple rather than quoting every generated reference
+    require(cols.forall(c => !c.contains(".") && !c.contains("`")),
+      s"profile column names must be dot/backtick-free: $cols")
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__n_$c"),
         sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),

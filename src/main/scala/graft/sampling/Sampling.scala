@@ -334,7 +334,9 @@ object Sampling {
     require(k > 0, s"k must be positive, got $k")
     val u = (conv(substring(hashKey(col(idCol), salt), 1, 8), 16, 10)
       .cast("double") + 0.5) / 4294967296.0
-    df.filter(col(weightCol) > 0.0)
+    // NaN guard is load-bearing: Spark orders NaN ABOVE every double,
+    // so an unfiltered NaN weight would score NaN and hijack the top-k
+    df.filter(col(weightCol) > 0.0 && !isnan(col(weightCol).cast("double")))
       .withColumn("gumbel_score",
         round(log(col(weightCol).cast("double")) - log(-log(u)), 6))
       .orderBy(col("gumbel_score").desc, col(idCol)).limit(k)
@@ -356,8 +358,13 @@ object Sampling {
   def distributionDrift(a: DataFrame, b: DataFrame, keyCol: String,
                         alpha: Double = 0.5): DataFrame = {
     require(alpha > 0.0, s"alpha must be positive, got $alpha")
-    val ca = a.groupBy(col(keyCol)).agg(count(lit(1)).as("n_a"))
-    val cb = b.groupBy(col(keyCol)).agg(count(lit(1)).as("n_b"))
+    // null keys are excluded: a full outer join never matches NULL to
+    // NULL, so a null key would surface as TWO half-rows with
+    // inconsistent shares instead of one drifted cell
+    val ca = a.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_a"))
+    val cb = b.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_b"))
     val joined = ca.join(cb, Seq(keyCol), "full")
       .na.fill(0L, Seq("n_a", "n_b"))
     val stats = joined.agg(sum(col("n_a")).as("__ta"),
