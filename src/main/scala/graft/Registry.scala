@@ -301,6 +301,16 @@ object Registry {
     "cap_source" -> ((df, a) =>
       sampling.Sampling.capPerSource(df, a.num(0).toInt,
         a.strOpt(1).getOrElse("cap0"))),
+    // args: [k, salt, weightCol?] — Efraimidis–Spirakis weighted draw
+    // without replacement (weight defaults to n_chars)
+    "weighted_sample" -> ((df, a) =>
+      sampling.Sampling.weightedSample(df,
+        a.strOpt(2).getOrElse("n_chars"), a.num(0).toInt, a.str(1))),
+    // args: [shingleSize, numHashes, bandRows, threshold] — terminal
+    // asymmetric containment pairs over banded candidates
+    "containment" -> ((df, a) =>
+      dedup.Dedup.containmentPairs(df, a.num(0).toInt, a.num(1).toInt,
+        a.num(2).toInt, a.num(3))),
     // Gopher-rule quality FILTER: only docs passing all rule verdicts
     // survive (flags recomputed scan-side; schema unchanged)
     "gopher_filter" -> ((df, _) =>

@@ -127,6 +127,18 @@ class RegistrySpec extends SparkSpec {
     val failing = docs.withColumn("text", lit("too short"))
     assert(Registry.runCorpus(failing,
       """[{"type":"gopher_filter"}]""").count() == 0L)
+    // weighted_sample + containment dispatch equal the direct calls
+    val wdocs = docs.withColumn("n_chars", length(col("text")))
+    assert(Registry.runCorpus(wdocs,
+        """[{"type":"weighted_sample","args":[7,"w1"]}]""")
+      .collect().map(_.getLong(0)).toSet ==
+      graft.sampling.Sampling.weightedSample(wdocs, "n_chars", 7, "w1")
+        .collect().map(_.getLong(0)).toSet)
+    assert(Registry.runCorpus(docs,
+        """[{"type":"containment","args":[2,12,1,0.9]}]""")
+      .collect().map(_.toSeq).toSet ==
+      graft.dedup.Dedup.containmentPairs(docs, 2, 12, 1, 0.9)
+        .collect().map(_.toSeq).toSet)
   }
 
   test("r9 events wire family: funnel, retention, anomaly, sessionize dispatch") {
