@@ -1015,6 +1015,11 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, dir) =>
       sampling.Sampling.weightedSample(docs(s, dir), "n_chars",
         k = 50, salt = "ws0")),
+    // r9: the STREAMING funnel state machine in batch mode — same
+    // oracle as the batch funnel pins the per-user stage recurrence
+    "q_funnel_stream" -> ((s, dir) =>
+      streaming.FunnelStream.funnelReport(Panel.readEvents(s, dir),
+        Seq("view", "click", "purchase"))),
     // r9: the events wire-format family — funnel dispatched from JSON
     "q_pipeline_funnel" -> ((s, dir) =>
       Registry.runEvents(Panel.readEvents(s, dir),
@@ -1390,6 +1395,7 @@ object SparkEntry {
     "q_asof_tolerance" -> OracleExt.qAsofTolerance,
     "q_rollup_revenue" -> OracleExt.qRollupRevenue,
     "q_pipeline_funnel" -> OracleExt.qFunnel,
+    "q_funnel_stream" -> OracleExt.qFunnel,
     "q_interval_overlap" -> OracleExt.qIntervalOverlap,
     "q_weighted_sample" -> OracleExt.qWeightedSample,
     "q_range_join" -> OracleExt.qRangeJoin,

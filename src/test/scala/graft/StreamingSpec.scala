@@ -88,6 +88,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel state carries a user's stage times across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.FunnelStream
+    val src = MemoryStream[(Long, Long, String)]
+    val steps = Seq("view", "click", "purchase")
+    val q = FunnelStream.funnelPositions(
+        src.toDS().toDF("user_id", "sec", "event_type")
+          .withColumn("ts", timestamp_seconds(col("sec"))),
+        steps)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: u1 views+clicks; u2 purchases FIRST (never converts)
+      src.addData((1L, 10L, "view"), (1L, 20L, "click"), (2L, 5L, "purchase"))
+      q.processAllAvailable()
+      // batch 2: u1's purchase arrives later — state must remember the
+      // click@20 gate; u2's view arrives after its purchase (stalls)
+      src.addData((1L, 30L, "purchase"), (2L, 9L, "view"))
+      q.processAllAvailable()
+      val last = spark.table("funnel_stream").as[FunnelStream.FunnelOut]
+        .collect().groupBy(_.user_id)
+        .map { case (u, rs) => u -> rs.maxBy(_.reached) }
+      assert(last(1L).reached == 3)
+      assert(last(1L).times == Seq(Some(10000000L), Some(20000000L), Some(30000000L)))
+      assert(last(2L).reached == 1) // view only; the earlier purchase never counts
+    } finally q.stop()
+  }
+
   test("streaming ewma trailing-window state matches the batch window operator") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
