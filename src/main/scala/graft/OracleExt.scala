@@ -432,6 +432,41 @@ object OracleExt {
        |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
        |FROM h WHERE hamming <= 3""".stripMargin
 
+  /** PageRank over the simhash near-dup graph (graphs.PageRank, 5
+    * iterations, damping 0.85): the rounded power-iteration recurrence
+    * unrolled as chained CTEs — round(…, 9) per iteration keeps both
+    * engines on the identical trajectory (the qBpeTrain/Lloyd
+    * discipline applied to float recursion).
+    */
+  def qPageRank(iters: Int = 5, damping: Double = 0.85): String = {
+    val sb = new StringBuilder(
+      s"""$norm, $simhashPairCtes,
+         |e0 AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e0
+         |        UNION SELECT id_b, id_a FROM e0),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM sym GROUP BY src),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+         |r0 AS (SELECT src AS id, round(1.0 / n, 9) AS rank
+         |       FROM deg, nn)""".stripMargin)
+    (1 to iters).foreach { i =>
+      sb.append(
+        s""",
+           |c$i AS (SELECT s.dst, SUM(r.rank / d.deg) AS c
+           |        FROM sym s
+           |        JOIN deg d ON d.src = s.src
+           |        JOIN r${i - 1} r ON r.id = s.src
+           |        GROUP BY s.dst),
+           |r$i AS (SELECT d.src AS id,
+           |          round((1.0 - $damping) / nn.n
+           |            + COALESCE(c.c, 0.0) * $damping, 9) AS rank
+           |        FROM deg d CROSS JOIN nn
+           |        LEFT JOIN c$i c ON c.dst = d.src)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, round(rank, 6) AS pagerank FROM r$iters")
+      .toString
+  }
+
   /** 64-bit simhash signature CTE — mirrors Dedup.simhash64: bits
     * 1..32 from the hex-MSB projection of md5(tok), 33..64 from
     * md5(tok || '#2').

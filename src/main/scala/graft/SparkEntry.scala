@@ -609,6 +609,12 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) => dedup.Dedup.simhash(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) =>
       dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200), maxDist = 3)),
+    // r9: PageRank centrality over the near-dup graph (5 rounded
+    // power iterations; unrolled-CTE oracle)
+    "q_pagerank" -> ((s, dir) =>
+      graphs.PageRank.pageRank(
+        dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
+          maxDist = 3), iters = 5)),
     // 64-bit scale-path signature; the pairs oracle is brute-force
     // all-pairs hamming, so a green row proves the band blocking exact
     "q_simhash64" -> ((s, dir) => dedup.Dedup.simhash64(docs(s, dir))),
@@ -1350,6 +1356,7 @@ object SparkEntry {
     "q_minhash_lsh_full" -> OracleExt.qMinhashLshFull,
     "q_simhash" -> OracleExt.qSimhash,
     "q_simhash_pairs" -> OracleExt.qSimhashPairs,
+    "q_pagerank" -> OracleExt.qPageRank(),
     "q_simhash64" -> OracleExt.qSimhash64,
     "q_simhash64_pairs" -> OracleExt.qSimhash64Pairs,
     "q_simhash64_pairs_full" -> OracleExt.qSimhash64PairsFull,

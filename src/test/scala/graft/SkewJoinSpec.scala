@@ -106,6 +106,26 @@ class SkewJoinSpec extends SparkSpec {
     assert(drift.values.map(_._3).sum > 0.05) // real divergence in bits
   }
 
+  test("pagerank: mass conserved, cycle uniform, hubs outrank leaves, partition-invariant") {
+    // star: hub 0 connected to 1..6 — hub rank must dominate
+    val star = (1L to 6L).map(i => (0L, i)).toDF("id_a", "id_b")
+    val ranks = graft.graphs.PageRank.pageRank(star, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-4, s"mass: ${ranks.values.sum}")
+    assert(ranks(0L) > 2 * ranks(1L))
+    assert((1L to 6L).map(ranks).distinct.size == 1) // leaves symmetric
+    // 4-cycle: perfectly symmetric -> uniform 0.25
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("id_a", "id_b")
+    val cr = graft.graphs.PageRank.pageRank(cycle, iters = 8)
+      .collect().map(_.getDouble(1))
+    assert(cr.forall(v => math.abs(v - 0.25) < 1e-6))
+    // partitioning invariance (the rounded recurrence is layout-proof)
+    def of(parts: Int) = graft.graphs.PageRank
+      .pageRank(star.repartition(parts), iters = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(of(2) == of(7))
+  }
+
   test("last-touch attribution credits the latest prior-or-simultaneous touchpoint") {
     val rows = Seq(
       (1L, 10L, "view", 100L), (1L, 20L, "click", 101L),
