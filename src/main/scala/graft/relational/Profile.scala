@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   * costs one pass however many columns ride along. Output is
   * long-format (one row per column), assembled by an in-plan explode
   * of the single stats row.
+  *
+  * Scale note: the median is the one statistic here whose exact form
+  * buffers values (Spark's `percentile` is exact-interpolated — the
+  * oracle-checkable choice). At 100 TB swap it for
+  * `approx_percentile(c, 0.5, accuracy)` — a mergeable KLL-style
+  * sketch with bounded error, the q_length_quantiles_approx
+  * discipline; everything else is already O(1)-mergeable.
   */
 object Profile {
 
