@@ -205,6 +205,11 @@ object Oracle {
   val qRollmax: String =
     s"$panel SELECT month_id, unit_id, MAX(value) OVER (${trail(4)}) AS rollmax_4 FROM panel"
 
+  val qRollingMedian: String =
+    s"""$panel SELECT month_id, unit_id,
+       |  round(quantile_cont(value, 0.5) OVER (${trail(7)}), 6)
+       |    AS rmed FROM panel""".stripMargin
+
   val qMean: String =
     s"$panel SELECT month_id, unit_id, AVG(value) OVER (PARTITION BY unit_id) AS mean_val FROM panel"
 

@@ -79,6 +79,9 @@ object SparkEntry {
     "q_mavg" -> colQ("mavg_3", TemporalOps.movingAverage(col("value"), 3)),
     "q_msum" -> colQ("msum_5", TemporalOps.movingSum(col("value"), 5)),
     "q_rollmax" -> colQ("rollmax_4", TemporalOps.rollmax(col("value"), 4)),
+    // r9: outlier-robust rolling smoother (pandas rolling(7).median())
+    "q_rolling_median" -> colQ("rmed",
+      round(TemporalOps.rollingMedian(col("value"), 7), 6)),
     "q_mean" -> colQ("mean_val", TemporalOps.meanOverTime(col("value"))),
     "q_demean" -> colQ("demeaned", TemporalOps.demean(col("value"))),
     // r8 extensions: quantile clip + outlier-insensitive scaling, both
@@ -1260,6 +1263,7 @@ object SparkEntry {
     "q_mavg" -> Oracle.qMavg,
     "q_msum" -> Oracle.qMsum,
     "q_rollmax" -> Oracle.qRollmax,
+    "q_rolling_median" -> Oracle.qRollingMedian,
     "q_mean" -> Oracle.qMean,
     "q_demean" -> Oracle.qDemean,
     "q_winsorize" -> Oracle.qWinsorize,

@@ -57,6 +57,18 @@ object TemporalOps {
   /** Rolling sum, same frame rules — views_2.py:144-169. */
   def movingSum(c: Column, t: Int): Column = sum(c).over(trailing(t))
 
+  /** Rolling MEDIAN over trailing `t` rows (min_periods=0, expanding
+    * at the series start) — the outlier-robust smoother pandas
+    * `rolling(t).median()` provides where the moving average chases
+    * spikes. Same shared unit partitioning as every temporal op; the
+    * exact interpolated percentile over a ≤t-row frame is
+    * engine-portable (quantile_cont parity).
+    */
+  def rollingMedian(c: Column, t: Int): Column = {
+    require(t >= 1, s"rollingMedian requires t >= 1, got $t")
+    percentile(c, lit(0.5)).over(trailing(t))
+  }
+
   /** Rolling max, min_periods=0 — views_2.py:337-352. */
   def rollmax(c: Column, win: Int): Column = max(c).over(trailing(win))
 

@@ -73,6 +73,12 @@ class TemporalOpsSpec extends SparkSpec {
       == Seq(1.0, 3.0, 5.0, 7.0))
     assert(outDoubles(p.select(col(T), TemporalOps.rollmax(col("value"), 2).as("m")), "m")
       == Seq(1.0, 2.0, 3.0, 4.0))
+    // rolling median ignores a spike the moving average would chase:
+    // series 1,100,3,5 window 3 -> 1, 50.5 (interp of 2), 3, 5
+    val sp = panel1(1, 100, 3, 5)
+    assert(outDoubles(sp.select(col(T),
+        TemporalOps.rollingMedian(col("value"), 3).as("m")), "m")
+      == Seq(1.0, 50.5, 3.0, 5.0))
   }
 
   test("tlag/tlead/delta") {
