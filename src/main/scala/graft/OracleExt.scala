@@ -883,6 +883,23 @@ object OracleExt {
        |FROM tk JOIN r ON r.source = tk.source
        |WHERE $mixKeepPredicate""".stripMargin
 
+  /** Temperature mixing (Sampling.mixByTemperature, α=0.5, n_chars
+    * mass, salt temp0): shares ∝ mass^α derived in-SQL, rate rounded
+    * 1e-9 before the hex threshold exactly as the Spark side.
+    */
+  val qMixTemperature: String =
+    """WITH m AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS mass
+      |           FROM documents GROUP BY source),
+      |w AS (SELECT source, mass, power(mass, 0.5) AS wt FROM m),
+      |t AS (SELECT MIN(mass / wt) AS t FROM w),
+      |r AS (SELECT source, round(wt * t.t / mass, 9) AS rate FROM w, t)
+      |SELECT d.doc_id, d.source, d.n_chars, r.rate
+      |FROM documents d JOIN r USING (source)
+      |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp0'), 1, 8) <
+      |  CASE WHEN r.rate >= 1.0 THEN 'g'
+      |       ELSE lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+      |       END""".stripMargin
+
   /** The wire-format step's frame contract: a pure row filter. */
   val qPipelineMix: String =
     s"""$mixSourcesCtes

@@ -393,6 +393,19 @@ object Registry {
         .select("doc_id")
       df.join(kept, Seq("doc_id"), "left_semi")
     }),
+    // args: [alpha, salt?, stratumCol?] — temperature-scaled mixing
+    // (target mass ∝ mass^alpha, the mT5/ROOTS recipe); a
+    // row-filtering step keyed on doc_id like mix_sources
+    "mix_temperature" -> ((df, a) => {
+      val stratum = a.strOpt(2).getOrElse("source")
+      val proj = df.select(col("doc_id"), col(stratum),
+        text.TextOps.tokenCount(col("text")).cast("long").as("__nt"))
+      val kept = sampling.Sampling
+        .mixByTemperature(proj, "doc_id", stratum, "__nt", a.num(0),
+          a.strOpt(1).getOrElse("temp0"))
+        .select("doc_id")
+      df.join(kept, Seq("doc_id"), "left_semi")
+    }),
     // args: [stratumCol, salt, s1, f1, s2, f2, ...] — the REPLICATION
     // half of mixture weighting: epoch-style per-stratum factors
     // (floor(f) full copies + fractional md5 draw; factor 0 drops the

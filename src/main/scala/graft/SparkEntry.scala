@@ -1024,6 +1024,11 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, dir) =>
       sampling.Sampling.weightedSample(docs(s, dir), "n_chars",
         k = 50, salt = "ws0")),
+    // r9: temperature-scaled source mixing (mass^alpha targets, the
+    // mT5/ROOTS recipe; shares derived in-plan)
+    "q_mix_temperature" -> ((s, dir) =>
+      sampling.Sampling.mixByTemperature(docs(s, dir), "doc_id", "source",
+        "n_chars", alpha = 0.5, salt = "temp0")),
     // r9: the STREAMING funnel state machine in batch mode — same
     // oracle as the batch funnel pins the per-user stage recurrence
     "q_funnel_stream" -> ((s, dir) =>
@@ -1409,6 +1414,7 @@ object SparkEntry {
     "q_funnel_stream" -> OracleExt.qFunnel,
     "q_interval_overlap" -> OracleExt.qIntervalOverlap,
     "q_weighted_sample" -> OracleExt.qWeightedSample,
+    "q_mix_temperature" -> OracleExt.qMixTemperature,
     "q_range_join" -> OracleExt.qRangeJoin,
     // the streaming twins run in batch mode compute the identical
     // relations, so the same independent-engine SQL pins them

@@ -158,6 +158,39 @@ object Sampling {
       .select(col(keyCol), col(stratumCol), col(tokensCol), col("rate"))
   }
 
+  /** Temperature-scaled source mixing — the mT5/ROOTS α-sampling
+    * recipe: target mass per stratum ∝ mass^α (α < 1 flattens the
+    * distribution — tail sources keep everything, head sources trim),
+    * realized as the same downscale-only deterministic-hash filter as
+    * [[mixByTokenMass]] with the target shares derived IN-PLAN from
+    * the observed masses (normalization cancels in the rate formula,
+    * so no extra pass). The rate rounds at 1e-9 before the hex
+    * threshold: `pow` is the one term whose last ULP could differ
+    * across engines, and the threshold floor would amplify it into a
+    * membership flip.
+    *
+    * @return kept rows (keyCol, stratumCol, tokensCol, rate)
+    */
+  def mixByTemperature(df: DataFrame, keyCol: String, stratumCol: String,
+                       tokensCol: String, alpha: Double,
+                       salt: String): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    val mass = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).cast("double").as("__mass"))
+      .withColumn("__w", pow(col("__mass"), alpha))
+    val t = mass.agg(min(col("__mass") / col("__w")).as("__t"))
+    val rates = mass.crossJoin(broadcast(t))
+      .select(col(stratumCol),
+        round(col("__w") * col("__t") / col("__mass"), 9).as("rate"))
+    val thr = when(col("rate") >= 1.0, lit("g"))
+      .otherwise(lpad(lower(hex(floor(col("rate") * lit(4294967296.0))
+        .cast("long"))), 8, "0"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(substring(hashKey(col(keyCol), salt), 1, 8) < thr)
+      .select(col(keyCol), col(stratumCol), col(tokensCol), col("rate"))
+  }
+
   /** Near-duplicate-aware train/val/test assignment: resolve the
     * near-dup graph into clusters first (pointer-jumping connected
     * components), then draw the split from the CLUSTER id — two

@@ -672,6 +672,23 @@ class TextPipelineSpec extends SparkSpec {
     assert((0L to 6L).forall(fl(_)._2 == 0))
   }
 
+  test("temperature mixing: alpha=1 keeps all, alpha<1 trims heavy sources hardest") {
+    val docs = ((0L until 80L).map(i => (i, "sA", 100L)) ++
+      (80L until 100L).map(i => (i, "sB", 100L)))
+      .toDF("doc_id", "source", "n_toks")
+    def kept(alpha: Double) = graft.sampling.Sampling
+      .mixByTemperature(docs, "doc_id", "source", "n_toks", alpha, "t0")
+      .collect().map(r => r.getString(1)).groupBy(identity).view.mapValues(_.size).toMap
+    assert(kept(1.0) == Map("sA" -> 80, "sB" -> 20)) // rates all 1
+    val flat = kept(0.5)
+    // alpha=0.5: sB (light) keeps all 20, sA trims toward sqrt-mass
+    // parity — rate_A = (massB/massA)^0.5 = 0.5 -> ~40 of 80 kept
+    assert(flat("sB") == 20)
+    assert(flat("sA") < 55 && flat("sA") > 25, s"got $flat")
+    // deterministic
+    assert(kept(0.5) == kept(0.5))
+  }
+
   test("minhash estimate gate: identical docs estimate exactly, verdict holds") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
