@@ -27,6 +27,8 @@ object Funnel {
                   tsCol: String = "ts",
                   maxGapSec: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length,
+      s"funnel steps must be distinct: $steps")
     require(maxGapSec.forall(_ > 0), "maxGapSec must be positive")
     val base = events.select(col(userCol), col(typeCol),
       unix_micros(col(tsCol)).as("__t"))

@@ -60,6 +60,8 @@ object FunnelStream {
                       typeCol: String = "event_type",
                       tsCol: String = "ts"): Dataset[FunnelOut] = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length,
+      s"funnel steps must be distinct: $steps")
     val spark = events.sparkSession
     import spark.implicits._
     val idx = steps.zipWithIndex
