@@ -321,10 +321,16 @@ object Dedup {
   }
 
   /** Hamming distance between two equal-length bit strings. */
+  /** Hamming distance between equal-width '0'/'1' signatures — a
+    * native codegen'd Expression (one byte loop) since r9; the earlier
+    * nBits-term substring-comparison chain allocated 2·nBits
+    * UTF8Strings per row and its generated method grew with the
+    * signature width. `nBits` stays in the signature as the DOCUMENTED
+    * width contract (all call sites pass fixed-width signatures, where
+    * the min-length byte loop computes the identical sum).
+    */
   def hamming(a: Column, b: Column, nBits: Int): Column =
-    (1 to nBits).map(j =>
-      when(substring(a, j, 1) =!= substring(b, j, 1), 1).otherwise(0))
-      .reduce(_ + _)
+    graft.functions.HammingDistance.hamming(a, b)
 
   /** SimHash near-dup pairs with hamming distance <= maxDist, blocked on
     * the two 8-bit halves (a pair within distance d<=8 must agree on at

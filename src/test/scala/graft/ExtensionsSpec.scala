@@ -289,6 +289,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(nativeOnly.filter(col("n") <= 0).count() == 0)
   }
 
+  test("native HammingDistance matches the substring chain bit-for-bit, stays in codegen") {
+    import graft.functions.HammingDistance
+    def chain(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column, n: Int) =
+      (1 to n).map(j =>
+        when(substring(a, j, 1) =!= substring(b, j, 1), 1).otherwise(0))
+        .reduce(_ + _)
+    val sigs = (0L until 60L).map { i =>
+      def bits(seed: Long) =
+        (0 until 64).map(j => if (((seed >> (j % 60)) & 1L) == 1L) '1' else '0').mkString
+      (i, bits(i * 2654435761L), bits(i * 40503L + 7L))
+    }.toDF("id", "a", "b")
+    val both = sigs.select(
+      HammingDistance.hamming(col("a"), col("b")).as("native"),
+      chain(col("a"), col("b"), 64).as("legacy"))
+    assert(both.filter(col("native") =!= col("legacy")).count() == 0)
+    // parquet-backed plan check: the native projection stays inside
+    // whole-stage codegen as a single expression, no 64-term chain
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(md5(col("text")).as("x"), md5(concat(col("text"), lit("y"))).as("y"))
+    val plan = docs.select(HammingDistance.hamming(col("x"), col("y")).as("h"))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("hamming_distance"), plan)
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("NfcNormalize composes decomposed sequences, stays in codegen, registers in SQL") {
     val decomposed = "cafe\u0301 u\u0308ber"   // e+U+0301, u+U+0308
     val composed = "caf\u00e9 \u00fcber"         // é, ü precomposed
