@@ -929,6 +929,10 @@ object SparkEntry {
     // r9: weekly cohort retention matrix over the event stream
     "q_retention" -> ((s, dir) =>
       relational.Funnel.retention(Panel.readEvents(s, dir))),
+    // r9: the STREAMING retention state machine in batch mode —
+    // exactly-once cell emissions; same oracle as the batch matrix
+    "q_retention_stream" -> ((s, dir) =>
+      streaming.RetentionStream.retentionReport(Panel.readEvents(s, dir))),
     // r8: audio fingerprint dedup — energy-gradient 64-bit signature
     // over the real decoded PCM, exact-hash groups
     // r8: per-frame video fingerprinting over the real GIF decode
@@ -1465,6 +1469,7 @@ object SparkEntry {
     "q_multimodal_phash" -> OracleExt.qMultimodalPhash,
     "q_multimodal_phash_pairs" -> OracleExt.qMultimodalPhashPairs,
     "q_retention" -> OracleExt.qRetention,
+    "q_retention_stream" -> OracleExt.qRetention,
     "q_multimodal_afp" -> OracleExt.qMultimodalAfp,
     "q_multimodal_video_phash" -> OracleExt.qMultimodalVideoPhash,
     "q_mice" -> OracleExt.qMice,

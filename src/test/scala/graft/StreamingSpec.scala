@@ -88,6 +88,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retention emits each (user, offset) cell exactly once across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.RetentionStream
+    val week = 7L * 86400L
+    val src = MemoryStream[(Long, Long)]
+    val q = RetentionStream.retentionCells(
+        src.toDS().toDF("user_id", "sec")
+          .withColumn("ts", timestamp_seconds(col("sec"))),
+        periodSec = week)
+      .writeStream.format("memory").queryName("retention_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: u1 active in week 0 (twice — cell emitted once)
+      src.addData((1L, 10L), (1L, 20L)); q.processAllAvailable()
+      // batch 2: u1 again in week 0 (no re-emission) and in week 2;
+      // u2 first seen in week 1
+      src.addData((1L, 30L), (1L, 2 * week + 5L), (2L, week + 1L))
+      q.processAllAvailable()
+      val cells = spark.table("retention_stream").as[RetentionStream.Cell]
+        .collect().map(c => (c.user_id, c.cohort_period, c.period_offset))
+      assert(cells.length == cells.distinct.length, "duplicate cell emission")
+      assert(cells.toSet == Set((1L, 0L, 0L), (1L, 0L, 2L), (2L, 1L, 0L)))
+    } finally q.stop()
+  }
+
   test("streaming funnel state carries a user's stage times across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
