@@ -277,6 +277,20 @@ object OracleExt {
       .map(row).mkString("\nUNION ALL\n")
   }
 
+  /** Sketch-median profile envelope (Profile.profileApprox): exact
+    * count + exact median, TRUE for the in-plan sketch verdict.
+    */
+  val qProfileApprox: String = {
+    def row(c: String) =
+      s"""SELECT '$c' AS "column",
+         |  CAST(COUNT($c) AS BIGINT) AS n_values,
+         |  round(quantile_cont(CAST($c AS DOUBLE), 0.5), 6) AS p50,
+         |  TRUE AS p50_within_tol
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount")
+      .map(row).mkString("\nUNION ALL\n")
+  }
+
   /** Asymmetric containment pairs (Dedup.containmentPairs over the
     * banded candidates, threshold 0.5 on the max direction): the same
     * candidate/intersection/size CTEs, containment = inter / own size.

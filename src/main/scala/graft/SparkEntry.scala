@@ -589,6 +589,11 @@ object SparkEntry {
       relational.Profile.profile(
         s.read.parquet(s"$dir/lineitem.parquet"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    // r9: the sketch-median scale path with its in-plan envelope
+    "q_profile_approx" -> ((s, dir) =>
+      relational.Profile.profileApprox(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
     // r8: character-level verify of the same banded candidates —
     // catches in-place edits Jaccard over- or under-counts
     "q_dedup_edit" -> ((s, dir) =>
@@ -1361,6 +1366,7 @@ object SparkEntry {
     "q_containment" -> OracleExt.qContainment,
     "q_attribution" -> OracleExt.qAttribution,
     "q_profile" -> OracleExt.qProfile,
+    "q_profile_approx" -> OracleExt.qProfileApprox,
     "q_distribution_drift" -> OracleExt.qDistributionDrift,
     "q_anomaly_stream" -> OracleExt.qEventAnomaly,
     "q_funnel_windowed" -> OracleExt.qFunnelWindowed,

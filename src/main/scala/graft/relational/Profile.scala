@@ -50,4 +50,41 @@ object Profile {
         col("p.max").as("max"), col("p.mean").as("mean"),
         col("p.p50").as("p50"))
   }
+
+  /** The 100 TB profile: identical shape, the median via the mergeable
+    * `approx_percentile` sketch instead of the value-buffering exact
+    * form — emitted WITH an in-plan verdict that the estimate sits
+    * within `tolFrac` of (max−min) of the exact median computed in the
+    * same pass (the vocab-sketch envelope discipline: the oracle
+    * reproduces the exact columns and answers TRUE, so sketch drift
+    * hash-mismatches the gate).
+    *
+    * @return (column, n_values, p50, p50_within_tol)
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+                    accuracy: Int = 10000,
+                    tolFrac: Double = 0.01): DataFrame = {
+    require(cols.nonEmpty, "profileApprox needs at least one column")
+    require(cols.forall(c => !c.contains(".") && !c.contains("`")),
+      s"profile column names must be dot/backtick-free: $cols")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        round(percentile(col(c).cast("double"), lit(0.5)), 6).as(s"__p50_$c"),
+        expr(s"approx_percentile(CAST($c AS DOUBLE), 0.5, $accuracy)")
+          .as(s"__ap_$c"),
+        (max(col(c)).cast("double") - min(col(c)).cast("double"))
+          .as(s"__rng_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"),
+          col(s"__n_$c").as("n_values"),
+          col(s"__p50_$c").as("p50"),
+          (abs(col(s"__ap_$c") - col(s"__p50_$c")) <=
+            greatest(col(s"__rng_$c") * tolFrac, lit(1e-9)))
+            .as("p50_within_tol"))
+      }: _*)).as("p"))
+      .select(col("p.column").as("column"), col("p.n_values").as("n_values"),
+        col("p.p50").as("p50"), col("p.p50_within_tol").as("p50_within_tol"))
+  }
 }
