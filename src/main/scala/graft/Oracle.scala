@@ -142,6 +142,62 @@ object Oracle {
        |  CAST(round(abs(c) - $h * sd, 6) > 0.0 AS INTEGER) AS breach
        |FROM cs""".stripMargin
 
+  /** Per-unit OLS trend (TemporalOps.trendFit): slope/intercept from
+    * the closed-form normal equations, both rounded 1e-9 before the
+    * t-multiplying fit and the intercept derived from the rounded
+    * slope — identical arithmetic to the Spark side.
+    */
+  val qTrend: String =
+    s"""$panel, st AS (
+       |  SELECT month_id, unit_id, value,
+       |    CAST(month_id AS DOUBLE) AS t,
+       |    CAST(count(value) OVER (PARTITION BY unit_id) AS DOUBLE) AS n,
+       |    sum(CAST(month_id AS DOUBLE)) OVER (PARTITION BY unit_id) AS s_t,
+       |    sum(value) OVER (PARTITION BY unit_id) AS s_x,
+       |    sum(CAST(month_id AS DOUBLE) * value) OVER (PARTITION BY unit_id) AS s_tx,
+       |    sum(CAST(month_id AS DOUBLE) * CAST(month_id AS DOUBLE))
+       |      OVER (PARTITION BY unit_id) AS s_tt
+       |  FROM panel),
+       |fit AS (
+       |  SELECT month_id, unit_id, value, t,
+       |    round(CASE WHEN n * s_tt - s_t * s_t = 0.0 THEN 0.0
+       |          ELSE (n * s_tx - s_t * s_x) / (n * s_tt - s_t * s_t) END, 9) AS slope,
+       |    s_x, s_t, n
+       |  FROM st),
+       |fit2 AS (
+       |  SELECT month_id, unit_id, value, t, slope,
+       |    round(s_x / n - slope * (s_t / n), 9) AS icept
+       |  FROM fit)
+       |SELECT month_id, unit_id, slope,
+       |  round(slope * t + icept, 6) AS fitted,
+       |  round(value - (slope * t + icept), 6) AS detrended
+       |FROM fit2""".stripMargin
+
+  /** Trailing-window Pearson correlation (TemporalOps.rollingCorr):
+    * the explicit-sums formula with 1e-9-rounded variance guards —
+    * same arithmetic as the Spark side, never an engine-native corr.
+    */
+  def qRollingCorr(win: Int = 6): String = {
+    val f = s"OVER (PARTITION BY unit_id ORDER BY month_id ROWS BETWEEN ${win - 1} PRECEDING AND CURRENT ROW)"
+    s"""$panel, st AS (
+       |  SELECT month_id, unit_id,
+       |    CAST(count(CASE WHEN value IS NOT NULL AND value2 IS NOT NULL THEN 1 END) $f AS DOUBLE) AS n,
+       |    sum(value) $f AS sx, sum(value2) $f AS sy,
+       |    sum(value * value) $f AS sxx,
+       |    sum(value2 * value2) $f AS syy,
+       |    sum(value * value2) $f AS sxy
+       |  FROM panel),
+       |g AS (
+       |  SELECT month_id, unit_id, n, sx, sy, sxy,
+       |    round(n * sxx - sx * sx, 9) AS vx,
+       |    round(n * syy - sy * sy, 9) AS vy
+       |  FROM st)
+       |SELECT month_id, unit_id,
+       |  CASE WHEN n < 2.0 OR vx <= 0.0 OR vy <= 0.0 THEN NULL
+       |       ELSE round((n * sxy - sx * sy) / sqrt(vx * vy), 6) END AS rcorr
+       |FROM g""".stripMargin
+  }
+
   /** Additive seasonal decomposition (TemporalOps.decompose). */
   def qDecompose(period: Int = 7, half: Int = 2): String =
     s"""$panel, t AS (

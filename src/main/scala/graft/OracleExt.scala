@@ -3074,6 +3074,47 @@ object OracleExt {
        |FROM keep""".stripMargin
   }
 
+  /** Naive Bayes corpus classifier (Classifier.nbScore, label
+    * lang = 'en'): per-token Laplace log-odds fixed to 1e-6 BIGINT
+    * units before the per-doc integer sum — the micro-fixing makes the
+    * score order-independent and immune to cross-engine ln() ULP
+    * noise; arithmetic shape (two lns, one division each) mirrors the
+    * Spark side exactly.
+    */
+  val qNbScore: String =
+    s"""$norm, toks AS (
+       |  SELECT n.doc_id,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |    unnest(string_split(n.nt, ' ')) AS tok
+       |  FROM norm n JOIN documents d ON d.doc_id = n.doc_id),
+       |counts AS (
+       |  SELECT tok, CAST(SUM(pos) AS DOUBLE) AS cp,
+       |         CAST(SUM(1 - pos) AS DOUBLE) AS cn
+       |  FROM toks GROUP BY tok),
+       |tot AS (
+       |  SELECT SUM(cp) AS tp, SUM(cn) AS tn,
+       |         CAST(COUNT(*) AS DOUBLE) AS v
+       |  FROM counts),
+       |lo AS (
+       |  SELECT tok,
+       |    CAST(round((ln((cp + 1.0) / (tp + v))
+       |      - ln((cn + 1.0) / (tn + v))) * 1e6, 0) AS BIGINT) AS lo_micro
+       |  FROM counts, tot),
+       |prior AS (
+       |  SELECT CAST(round(ln(
+       |      (CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+       |      / (CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS DOUBLE) + 1.0)
+       |    ) * 1e6, 0) AS BIGINT) AS prior_micro
+       |  FROM documents),
+       |scores AS (
+       |  SELECT t.doc_id, SUM(l.lo_micro) AS s_micro
+       |  FROM toks t JOIN lo l ON l.tok = t.tok
+       |  GROUP BY t.doc_id)
+       |SELECT s.doc_id,
+       |  round(CAST(s.s_micro + p.prior_micro AS DOUBLE) / 1e6, 6) AS nb_score,
+       |  CAST(s.s_micro + p.prior_micro > 0 AS INTEGER) AS nb_pred
+       |FROM scores s, prior p""".stripMargin
+
   /** impute_mice_generator (missing.py:212-230): n = 3 chains stacked
     * under imputation_id. Chain i redraws every null-origin cell as
     * prediction + sd·z, where sd is the fitted regression's residual

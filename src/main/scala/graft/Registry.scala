@@ -114,6 +114,17 @@ object Registry {
         .withColumn("seasonal", d.getField("seasonal"))
         .withColumn("residual", d.getField("residual"))
     }),
+    // appends (slope, fitted, detrended): per-unit OLS detrend
+    "trend" -> ((df, _) => {
+      val f = TemporalOps.trendFit(col("value"))
+      df.withColumn("slope", f.getField("slope"))
+        .withColumn("fitted", f.getField("fitted"))
+        .withColumn("detrended", f.getField("detrended"))
+    }),
+    // args: [win] — trailing Pearson correlation of value vs value2
+    "rolling_corr" -> ((df, a) =>
+      df.withColumn("rcorr",
+        TemporalOps.rollingCorr(col("value"), col("value2"), a.num(0).toInt))),
     "onset_possible" -> colT((c, a) => TemporalOps.onsetPossible(c, a.num(0).toInt).cast("double")),
     "onset" -> colT((c, a) => TemporalOps.onset(c, a.num(0).toInt).cast("double")),
     "temporal_entropy" -> colT((c, a) => TemporalOps.temporalEntropy(c, a.num(0).toInt, a.num(1))),

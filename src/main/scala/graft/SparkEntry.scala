@@ -124,6 +124,16 @@ object SparkEntry {
         .select(col(T), col(U), round(col("cusum"), 6).as("cusum"),
           col("breach"))
     },
+    // r9: per-unit OLS detrend + rolling co-movement — the remaining
+    // classical panel-analytics pair, both on the shared unit window
+    "q_trend" -> onPanel { p =>
+      val f = TemporalOps.trendFit(col("value"))
+      p.select(col(T), col(U), f.getField("slope").as("slope"),
+        round(f.getField("fitted"), 6).as("fitted"),
+        round(f.getField("detrended"), 6).as("detrended"))
+    },
+    "q_rolling_corr" -> colQ("rcorr",
+      round(TemporalOps.rollingCorr(col("value"), col("value2"), 6), 6)),
     "q_decompose" -> onPanel { p =>
       val d = TemporalOps.decompose(col("value"), period = 7, half = 2)
       p.select(col(T), col(U),
@@ -378,6 +388,11 @@ object SparkEntry {
     }),
     // self-trained bigram LM corpus-fit score
     "q_lm_score" -> ((s, dir) => text.TextOps.bigramLmScore(docs(s, dir))),
+    // r9: trained Naive Bayes corpus filter (the fastText/CCNet-style
+    // classifier stage) — train + score in one plan, label lang='en';
+    // integer micro log-odds make the score engine/order-deterministic
+    "q_nb_score" -> ((s, dir) =>
+      text.Classifier.nbScore(docs(s, dir), col("lang") === "en")),
     // BPE training, iteration 1 (oracle-expressible): top-20 adjacent
     // char pairs weighted by word frequency
     "q_bpe_pair_stats" -> ((s, dir) => text.Bpe.pairStats(docs(s, dir), 20)),
@@ -1284,6 +1299,8 @@ object SparkEntry {
     "q_robust_scale" -> Oracle.qRobustScale,
     "q_ewma" -> Oracle.qEwma(),
     "q_cusum" -> Oracle.qCusum(),
+    "q_trend" -> Oracle.qTrend,
+    "q_rolling_corr" -> Oracle.qRollingCorr(),
     "q_cusum_stream" -> Oracle.qCusum(),
     "q_ewma_stream" -> Oracle.qEwma(),
     "q_decompose" -> Oracle.qDecompose(),
@@ -1440,6 +1457,7 @@ object SparkEntry {
     "q_pack_sequences_bpe" -> OracleExt.qPackSequencesBpe,
     "q_oov" -> OracleExt.qOov,
     "q_lm_score" -> OracleExt.qLmScore,
+    "q_nb_score" -> OracleExt.qNbScore,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,

@@ -166,6 +166,62 @@ object TemporalOps {
       (round(abs(cs) - lit(h) * sd, 6) > 0.0).cast("int").as("breach"))
   }
 
+  /** Per-unit OLS trend fit of the feature on time — the classic panel
+    * detrend: slope/intercept from the closed-form normal equations
+    * over the unit's full series, fitted value `a·t + b`, and the
+    * detrended residual. All five sufficient statistics (n, Σt, Σx,
+    * Σtx, Σt²) come from ONE unbounded window on the shared unit
+    * partitioning — no join back, no extra shuffle, and at 100 TB the
+    * per-unit statistics are map-side-combinable aggregates.
+    *
+    * Determinism: slope and intercept are rounded to 1e-9 before the
+    * t-multiplying fit (the cusum discipline — an unordered window
+    * sum's last-ULP noise must not be amplified by t past the 1e-6
+    * output rounding), and the intercept is derived from the already
+    * rounded slope so both engines compose identical arithmetic.
+    *
+    * @return struct (slope, fitted, detrended)
+    */
+  def trendFit(c: Column): Column = {
+    val wAll = Window.partitionBy(Panel.UnitCol)
+    val t = col(Panel.TimeCol).cast("double")
+    val n = count(c).over(wAll).cast("double")
+    val st = sum(t).over(wAll)
+    val sx = sum(c).over(wAll)
+    val stx = sum(t * c).over(wAll)
+    val stt = sum(t * t).over(wAll)
+    val den = n * stt - st * st
+    val slope = round(when(den === 0.0, 0.0)
+      .otherwise((n * stx - st * sx) / den), 9)
+    val intercept = round(sx / n - slope * (st / n), 9)
+    val fitted = slope * t + intercept
+    struct(slope.as("slope"), fitted.as("fitted"),
+      (c - fitted).as("detrended"))
+  }
+
+  /** Trailing-window Pearson correlation between two features — the
+    * rolling co-movement signal (lead/lag co-drift of two panel
+    * series). Computed from explicit windowed sums via the textbook
+    *   r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    * rather than an engine-native `corr`, so both engines run the
+    * SAME arithmetic (native corr implementations differ in update
+    * order / Welford form across engines). Windows with fewer than 2
+    * rows or zero variance in either series yield NULL. Six windowed
+    * sums over ONE trailing frame on the shared unit partitioning.
+    */
+  def rollingCorr(x: Column, y: Column, win: Int): Column = {
+    require(win > 1, s"window must exceed 1, got $win")
+    val f = trailing(win)
+    val n = count(when(x.isNotNull && y.isNotNull, 1)).over(f).cast("double")
+    val sx = sum(x).over(f); val sy = sum(y).over(f)
+    val sxx = sum(x * x).over(f); val syy = sum(y * y).over(f)
+    val sxy = sum(x * y).over(f)
+    val vx = round(n * sxx - sx * sx, 9)
+    val vy = round(n * syy - sy * sy, 9)
+    when(n < 2.0 || vx <= 0.0 || vy <= 0.0, lit(null).cast("double"))
+      .otherwise((n * sxy - sx * sy) / sqrt(vx * vy))
+  }
+
   /** Classical seasonal decomposition (additive):
     *   trend_t    = centered moving average, window ±half
     *   seasonal_t = mean of (x − trend) over the unit's same phase

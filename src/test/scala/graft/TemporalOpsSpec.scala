@@ -194,6 +194,43 @@ class TemporalOpsSpec extends SparkSpec {
     }
   }
 
+  test("trendFit recovers a planted linear trend exactly") {
+    // unit 0: x = 3t + 7 exactly; unit 1: constant (zero-variance t? no —
+    // constant VALUE, slope 0, intercept = the constant)
+    val rows = (1L to 10L).map(m => (m, 0L, 3.0 * m + 7.0)) ++
+      (1L to 10L).map(m => (m, 1L, 5.0))
+    val p = rows.toDF(T, U, "value")
+    val out = p.select(col(T), col(U),
+        TemporalOps.trendFit(col("value")).as("f"))
+      .collect()
+      .map(r => ((r.getLong(1), r.getLong(0)), r.getStruct(2)))
+      .toMap
+    val f0 = out((0L, 4L))
+    assert(math.abs(f0.getDouble(0) - 3.0) < 1e-9, "slope")
+    assert(math.abs(f0.getDouble(1) - 19.0) < 1e-6, "fitted at t=4")
+    assert(math.abs(f0.getDouble(2)) < 1e-6, "residual on exact line")
+    val f1 = out((1L, 7L))
+    assert(math.abs(f1.getDouble(0)) < 1e-9, "constant series slope 0")
+    assert(math.abs(f1.getDouble(1) - 5.0) < 1e-6)
+  }
+
+  test("rollingCorr is ±1 on exact linear co-movement and null on constants") {
+    // y = 2x exactly → +1; y = −x → −1; constant y → null (zero variance)
+    val rows = (1L to 8L).map(m => (m, 0L, m.toDouble, 2.0 * m)) ++
+      (1L to 8L).map(m => (m, 1L, m.toDouble, -m.toDouble)) ++
+      (1L to 8L).map(m => (m, 2L, m.toDouble, 4.0))
+    val p = rows.toDF(T, U, "value", "value2")
+    val out = p.select(col(T), col(U),
+        TemporalOps.rollingCorr(col("value"), col("value2"), 4).as("r"))
+      .collect()
+      .map(r => ((r.getLong(1), r.getLong(0)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(math.abs(out((0L, 6L)).get - 1.0) < 1e-9)
+    assert(math.abs(out((1L, 6L)).get + 1.0) < 1e-9)
+    assert(out((2L, 6L)).isEmpty, "zero-variance window must be null")
+    assert(out((0L, 1L)).isEmpty, "single-row window must be null")
+  }
+
   test("decay halves per halflife; ln is log1p (views_2.py:279-319)") {
     val p = panel1(0, 12, 24)
     val d = outDoubles(p.select(col(T), col(U),
