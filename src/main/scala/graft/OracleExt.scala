@@ -547,6 +547,45 @@ object OracleExt {
        |SELECT c.doc_id, c.cluster_id, s.cluster_size
        |FROM cl c JOIN sz s ON s.cluster_id = c.cluster_id""".stripMargin
 
+  /** Keep-best canonical selection (Dedup.keepBest over the
+    * qDedupClusters graph + the TextOps quality score): per-cluster
+    * argmax of 1e-9-rounded quality, ties to the smallest doc_id.
+    */
+  val qDedupKeepBest: String = {
+    val stop = stopHits("pd", Seq("the", "a", "and", "of", "is"))
+    s"""${norm.replaceFirst("WITH ", "WITH RECURSIVE ")}, $simhashPairCtes,
+       |pairs AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+       |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+       |       FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |       FROM cl GROUP BY 1),
+       |pad AS (SELECT doc_id, text, nt,
+       |  ' ' || replace(nt, ' ', '  ') || ' ' AS pd
+       |  FROM norm WHERE doc_id < 200),
+       |qual AS (SELECT doc_id, round(
+       |    least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 200.0, 1.0) * 0.4
+       |    + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+       |        / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3
+       |    + least(($stop) / 10.0, 1.0) * 0.3, 9) AS quality
+       |  FROM pad),
+       |r AS (SELECT c.doc_id, c.cluster_id, s.cluster_size, q.quality,
+       |        row_number() OVER (PARTITION BY c.cluster_id
+       |          ORDER BY q.quality DESC, c.doc_id) AS rn
+       |      FROM cl c JOIN sz s ON s.cluster_id = c.cluster_id
+       |      JOIN qual q ON q.doc_id = c.doc_id)
+       |SELECT doc_id, cluster_id, cluster_size,
+       |  round(quality, 6) AS quality,
+       |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |FROM r""".stripMargin
+  }
+
   /** NFC normalization oracle: DuckDB's independent nfc_normalize over
     * the same ASCII prefix + decomposed suffix (combining acute 0x301,
     * combining diaeresis 0x308); n_composed counts the code points the
@@ -3073,6 +3112,48 @@ object OracleExt {
        |  CAST(ntile($stages) OVER (ORDER BY n_tokens, doc_id) AS INTEGER) AS stage
        |FROM keep""".stripMargin
   }
+
+  /** SCD2 snapshot merge (Scd.scd2Merge over orders, baseSeq 1 →
+    * updSeq 2): full-outer join of snapshot vs derived update extract,
+    * changed keys emit the closed version + the new current one,
+    * inserts open at the update sequence. IS DISTINCT FROM mirrors the
+    * Spark side's null-safe `<=>` comparison.
+    */
+  val qScd2: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 13 = 0
+      |         THEN o_totalprice + 1.5
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus
+      |  FROM orders WHERE o_orderkey % 13 = 0 OR o_orderkey % 17 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 19 = 0),
+      |j AS (
+      |  SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+      |    b.o_totalprice AS bp, b.o_orderstatus AS bs,
+      |    u.o_totalprice AS up, u.o_orderstatus AS us,
+      |    b.o_orderkey IS NOT NULL AS in_b,
+      |    u.o_orderkey IS NOT NULL AS in_u
+      |  FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey),
+      |ch AS (
+      |  SELECT *, in_b AND in_u AND (bp IS DISTINCT FROM up
+      |    OR bs IS DISTINCT FROM us) AS is_change
+      |  FROM j)
+      |SELECT o_orderkey, bp AS o_totalprice, bs AS o_orderstatus,
+      |  CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to,
+      |  CAST(0 AS INTEGER) AS is_current
+      |FROM ch WHERE is_change
+      |UNION ALL
+      |SELECT o_orderkey,
+      |  CASE WHEN is_change OR NOT in_b THEN up ELSE bp END,
+      |  CASE WHEN is_change OR NOT in_b THEN us ELSE bs END,
+      |  CAST(CASE WHEN is_change OR NOT in_b THEN 2 ELSE 1 END AS BIGINT),
+      |  CAST(NULL AS BIGINT), CAST(1 AS INTEGER)
+      |FROM ch""".stripMargin
 
   /** Naive Bayes corpus classifier (Classifier.nbScore, label
     * lang = 'en'): per-token Laplace log-odds fixed to 1e-6 BIGINT

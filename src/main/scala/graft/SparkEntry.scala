@@ -654,6 +654,18 @@ object SparkEntry {
       dedup.Dedup.connectedComponents(d,
         dedup.Dedup.simhashPairs(d, maxDist = 3))
     }),
+    // r9: canonical selection — keep the highest-QUALITY copy per
+    // near-dup cluster (not the arbitrary first), ties to smallest id
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 200)
+      val cl = dedup.Dedup.connectedComponents(d,
+        dedup.Dedup.simhashPairs(d, maxDist = 3))
+      val q = d.select(col("doc_id"),
+        round(text.TextOps.qualityScore(col("text")), 9).as("quality"))
+      dedup.Dedup.keepBest(cl, q)
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          round(col("quality"), 6).as("quality"), col("keep"))
+    }),
     // r8: unicode NFC normalization as a native codegen'd Expression.
     // The synthetic corpus is ASCII (where NFC is the fast-path no-op),
     // so the query appends a deterministic DECOMPOSED suffix
@@ -905,6 +917,28 @@ object SparkEntry {
     }),
     "q_pricing_summary" -> ((s, dir) => relational.StarQueries.pricingSummary(s, dir)),
     "q_top_orders" -> ((s, dir) => relational.StarQueries.topUnshippedOrders(s, dir)),
+    // r9: SCD2 snapshot merge — the warehouse CDC primitive. The update
+    // extract is derived deterministically from orders itself: keys
+    // %13 reprice (changed → close+open), %17 arrive unchanged
+    // (no-op), %19 arrive under shifted keys (insert path)
+    "q_scd2" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val base = o.select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      val upd = o.filter(col("o_orderkey") % 13 === 0 || col("o_orderkey") % 17 === 0)
+        .select(col("o_orderkey"),
+          // reprice by an exactly-representable increment — a *1.1
+          // round(…, 2) would sit on half-way decimals whose rounding
+          // direction differs between engines' double→decimal paths
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.5)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderstatus"))
+        .unionByName(o.filter(col("o_orderkey") % 19 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")))
+      relational.Scd.scd2Merge(base, upd, "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"), baseSeq = 1L, updSeq = 2L)
+    }),
     "q_region_revenue" -> ((s, dir) => relational.StarQueries.regionRevenue(s, dir)),
 
     // features + resize run over REAL synthesized PNGs (lossless, so
@@ -1397,6 +1431,7 @@ object SparkEntry {
     "q_simhash64_pairs" -> OracleExt.qSimhash64Pairs,
     "q_simhash64_pairs_full" -> OracleExt.qSimhash64PairsFull,
     "q_dedup_clusters" -> OracleExt.qDedupClusters,
+    "q_dedup_keep_best" -> OracleExt.qDedupKeepBest,
     "q_sample_hash" -> OracleExt.qSampleHash,
     "q_sample_split" -> OracleExt.qSampleSplit,
     "q_dsir_weights" -> OracleExt.qDsirWeights(),
@@ -1502,6 +1537,7 @@ object SparkEntry {
     "q_salted_join" -> OracleExt.qSaltedJoin,
     "q_pricing_summary" -> OracleExt.qPricingSummary,
     "q_top_orders" -> OracleExt.qTopOrders,
+    "q_scd2" -> OracleExt.qScd2,
     "q_region_revenue" -> OracleExt.qRegionRevenue,
   )
 }

@@ -534,6 +534,32 @@ object Dedup {
       .select(col("node").as(idCol), col("cluster_id"), col("cluster_size"))
   }
 
+  /** Canonical-document selection over near-dup clusters: instead of
+    * "keep first" (arbitrary) the curation pipeline keeps the HIGHEST
+    * QUALITY copy of each duplicate cluster — join the cluster
+    * assignment with a per-doc quality score and flag the per-cluster
+    * argmax (ties break to the smallest id, so selection is total and
+    * deterministic).
+    *
+    * Scale shape: one keyed join plus a window partitioned by
+    * cluster_id — cluster populations are duplicate-group-sized (tiny
+    * versus the corpus), so the window never concentrates load; the
+    * quality scores should arrive pre-rounded (1e-9) so the ordering
+    * is engine- and partitioning-invariant.
+    *
+    * @param clusters (idCol, cluster_id, cluster_size) — e.g. from
+    *   [[connectedComponents]]
+    * @param quality (idCol, qCol)
+    * @return clusters columns + qCol + keep (1 = canonical)
+    */
+  def keepBest(clusters: DataFrame, quality: DataFrame,
+               idCol: String = "doc_id", qCol: String = "quality"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col(qCol).desc, col(idCol))
+    clusters.join(quality, idCol)
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+  }
+
   /** Repeated-span REMOVAL — duplicate-text dedup below document
     * granularity (the "dedup the span, not the doc" approach of
     * exact-substring training-data dedup): every token covered by a

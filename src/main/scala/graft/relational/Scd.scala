@@ -1,0 +1,70 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) snapshot merge — the warehouse
+  * CDC primitive a 100 TB ingest pipeline applies when a new extract
+  * of a mutable dimension (prices, account states, document metadata)
+  * lands against the current snapshot: unchanged rows pass through,
+  * changed rows close the old version and open a new one, and keys
+  * only present in the update insert a first version.
+  *
+  * Scale shape: ONE keyed full-outer equi-join between snapshot and
+  * update (both sides shuffle-partitioned on the key — AQE handles
+  * skew), then pure row-local CASE logic; history explosion is
+  * impossible because each input row emits at most two output rows.
+  * No window, no driver state.
+  */
+object Scd {
+
+  /** Merge `updates` (one row per key, observed at `updSeq`) into
+    * `base` (one row per key, valid since `baseSeq`).
+    *
+    * Output: key, one column per tracked attribute, `valid_from`,
+    * `valid_to` (null while current), `is_current` (1/0). Rows:
+    *  - key only in base, or tracked values equal → one current row
+    *    with the base values (valid_from = baseSeq);
+    *  - key in both with any tracked value differing → the closed
+    *    base row (valid_to = updSeq) plus a current update row;
+    *  - key only in updates → one current row (valid_from = updSeq).
+    *
+    * Null-safe comparison: a null tracked value equals only null (the
+    * `<=>` semantics), so null→value transitions version correctly.
+    */
+  def scd2Merge(base: DataFrame, updates: DataFrame, key: String,
+                tracked: Seq[String], baseSeq: Long, updSeq: Long): DataFrame = {
+    require(tracked.nonEmpty, "need at least one tracked column")
+    // presence markers ride on the join inputs (not tracked-value
+    // nullness), so a row whose every tracked value is null still
+    // counts as present on its side — and the merge stays ONE join
+    val b = base.select(col(key) +: tracked.map(c => col(c).as(s"b_$c"))
+      :+ lit(1).as("__in_b"): _*)
+    val u = updates.select(col(key) +: tracked.map(c => col(c).as(s"u_$c"))
+      :+ lit(1).as("__in_u"): _*)
+    val withPresence = b.join(u, Seq(key), "full_outer")
+    val changed = tracked
+      .map(c => !(col(s"b_$c") <=> col(s"u_$c")))
+      .reduce(_ || _)
+    val isChange = col("__in_b").isNotNull && col("__in_u").isNotNull && changed
+    // both output rows come from ONE pass over the join (array +
+    // explode), not a two-branch union that would re-run the join
+    val closedRow = when(isChange, struct(
+      tracked.map(c => col(s"b_$c").as(c)) :+
+        lit(baseSeq).as("valid_from") :+
+        lit(updSeq).cast("long").as("valid_to") :+
+        lit(0).as("is_current"): _*))
+    val currentRow = struct(
+      tracked.map(c => when(isChange || col("__in_b").isNull, col(s"u_$c"))
+        .otherwise(col(s"b_$c")).as(c)) :+
+        when(isChange || col("__in_b").isNull, lit(updSeq))
+          .otherwise(lit(baseSeq)).as("valid_from") :+
+        lit(null).cast("long").as("valid_to") :+
+        lit(1).as("is_current"): _*)
+    withPresence
+      .select(col(key), explode(array(closedRow, currentRow)).as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(col(key) +: (tracked :+ "valid_from" :+ "valid_to" :+ "is_current")
+        .map(c => col(s"__r.$c")): _*)
+  }
+}

@@ -95,6 +95,23 @@ class ExtensionsSpec extends SparkSpec {
       (4L, 3L, 2L), (5L, 1L, 3L), (6L, 6L, 1L)))
   }
 
+  test("keepBest flags the per-cluster quality argmax, ties to smallest id") {
+    val clusters = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (5L, 1L, 3L),  // cluster 1
+      (3L, 3L, 2L), (4L, 3L, 2L),                 // cluster 3
+      (6L, 6L, 1L)                                // singleton
+    ).toDF("doc_id", "cluster_id", "cluster_size")
+    val quality = Seq(
+      (1L, 0.4), (2L, 0.9), (5L, 0.9),  // tie between 2 and 5 → keep 2
+      (3L, 0.5), (4L, 0.7),
+      (6L, 0.1)
+    ).toDF("doc_id", "quality")
+    val kept = Dedup.keepBest(clusters, quality)
+      .filter(col("keep") === 1)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(2L, 4L, 6L))
+  }
+
   test("repetitionStats: worked example, single-token doc has bigram frac 0") {
     val docs = Seq(
       (1L, "a a a b"),   // top token a: 3/4; bigrams "a a"x2,"a b" → 2/3; distinct 2/4
