@@ -1680,6 +1680,40 @@ object OracleExt {
        | ELSE list_dot_product($a, $b)
        |   / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END""".stripMargin
 
+  /** Embedding-space outliers (Similarity.centroidOutliers): distance
+    * to own-label centroid, z-scored per label. Centroids, distances,
+    * and stats all rounded 1e-9 before downstream use; the squared
+    * deviation is an explicit multiply — identical arithmetic to the
+    * Spark side.
+    */
+  val qEmbedOutliers: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |x AS (
+      |  SELECT vec_id, label, unnest(v) AS val,
+      |         generate_subscripts(v, 1) AS pos
+      |  FROM e),
+      |cent AS (
+      |  SELECT label, pos, round(avg(val), 9) AS cv
+      |  FROM x GROUP BY 1, 2),
+      |d AS (
+      |  SELECT x.vec_id, x.label,
+      |    round(sqrt(sum((x.val - c.cv) * (x.val - c.cv))), 9) AS dist
+      |  FROM x JOIN cent c ON c.label = x.label AND c.pos = x.pos
+      |  GROUP BY 1, 2),
+      |st AS (
+      |  SELECT vec_id, label, dist,
+      |    round(avg(dist) OVER (PARTITION BY label), 9) AS mu,
+      |    round(stddev_pop(dist) OVER (PARTITION BY label), 9) AS sd
+      |  FROM d),
+      |g AS (
+      |  SELECT vec_id, label, dist,
+      |    CASE WHEN sd = 0.0 THEN 0.0 ELSE (dist - mu) / sd END AS z
+      |  FROM st)
+      |SELECT vec_id, label, round(dist, 6) AS dist, round(z, 6) AS z,
+      |  CAST(round(z - 2.0, 6) > 0.0 AS INTEGER) AS outlier
+      |FROM g""".stripMargin
+
   val qEmbedTopK: String =
     s"""$embCte, q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 50),
        |scored AS (

@@ -803,6 +803,11 @@ object SparkEntry {
           Seq("src0" -> 3.0, "src1" -> 1.5), "il0")
         .select(col("doc_id"), col("source"), col("source_idx"),
           col("serve_key"))),
+    // r9: embedding-space outlier curation — distance to own-label
+    // centroid, z-scored per label (drops mislabeled/off-distribution
+    // vectors before they enter a training mix)
+    "q_embed_outliers" -> ((s, dir) =>
+      similarity.Similarity.centroidOutliers(embeddings(s, dir))),
     // r8: embedding hygiene transforms, exploded to (vec_id, dim, nval)
     // rows so the gate compares doubles, not stringified arrays
     "q_embed_normalize" -> ((s, dir) =>
@@ -1501,6 +1506,7 @@ object SparkEntry {
     "q_embed_ivfpq_recall" -> OracleExt.qEmbedIvfPqRecall,
     "q_embed_pq_topk" -> OracleExt.qEmbedPqTopK(),
     "q_embed_normalize" -> OracleExt.qEmbedNormalize,
+    "q_embed_outliers" -> OracleExt.qEmbedOutliers,
     "q_embed_mrl" -> OracleExt.qEmbedMrl(),
     "q_hard_negatives" -> OracleExt.qHardNegatives(),
     "q_budget_sample" -> OracleExt.qBudgetSample(),

@@ -41,6 +41,46 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Embedding-space outlier detection — the curation pass that drops
+    * mislabeled / off-distribution vectors before they poison a
+    * training mix: each vector's L2 distance to its OWN label's
+    * centroid, z-scored against that label's distance distribution;
+    * `outlier = z > zThresh`.
+    *
+    * Scale shape: the (vec, dim) explode feeds a map-side-combinable
+    * (label, dim) hash aggregate (centroid table is labels × dims —
+    * tiny, broadcast back); the distance reduces per vector with no
+    * products; the per-label stats ride ONE label-partitioned window.
+    * Nothing is quadratic and the corpus is never broadcast.
+    *
+    * Determinism: centroid coordinates, distances, and the per-label
+    * mean/σ are all rounded 1e-9 before downstream arithmetic (the
+    * cusum discipline), the squared deviation is an explicit multiply
+    * (never pow, whose engine implementations differ), and the outlier
+    * flag compares a 1e-6-rounded margin.
+    *
+    * @return (vec_id, label, dist, z, outlier INT)
+    */
+  def centroidOutliers(embeds: DataFrame, zThresh: Double = 2.0): DataFrame = {
+    val e = embeds.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("v"))
+    val x = e.select(col("vec_id"), col("label"),
+      posexplode(col("v")).as(Seq("pos", "val")))
+    val cent = x.groupBy("label", "pos")
+      .agg(round(avg("val"), 9).as("cv"))
+    val d = x.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(round(sqrt(sum((col("val") - col("cv")) * (col("val") - col("cv")))), 9)
+        .as("dist"))
+    val wl = Window.partitionBy("label")
+    val mu = round(avg(col("dist")).over(wl), 9)
+    val sd = round(stddev_pop(col("dist")).over(wl), 9)
+    val z = when(sd === 0.0, 0.0).otherwise((col("dist") - mu) / sd)
+    d.select(col("vec_id"), col("label"),
+      round(col("dist"), 6).as("dist"), round(z, 6).as("z"),
+      (round(z - zThresh, 6) > 0.0).cast("int").as("outlier"))
+  }
+
   /** Shared ranking tail: per-query top-k by cosine with deterministic
     * neighbour-id tie-break. Expects columns query_id/neighbor_id/cosine.
     */

@@ -95,6 +95,22 @@ class ExtensionsSpec extends SparkSpec {
       (4L, 3L, 2L), (5L, 1L, 3L), (6L, 6L, 1L)))
   }
 
+  test("centroidOutliers flags a planted far vector, not the tight cluster") {
+    // label 0: eight vectors near (1,0) plus one at (−9,0) — the far
+    // point dominates the distance spread → z > 2; label 1: tight pair
+    val near = (1L to 8L).map(i =>
+      (i, Array(1.0f + 0.01f * i, 0.0f), 0))
+    val rows = near ++ Seq(
+      (9L, Array(-9.0f, 0.0f), 0),
+      (10L, Array(5.0f, 5.0f), 1), (11L, Array(5.0f, 5.1f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.similarity.Similarity.centroidOutliers(df)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out(9L) == 1, "planted far vector must be flagged")
+    assert((1L to 8L).forall(out(_) == 0), "tight cluster must not be flagged")
+    assert(out(10L) == 0 && out(11L) == 0)
+  }
+
   test("keepBest flags the per-cluster quality argmax, ties to smallest id") {
     val clusters = Seq(
       (1L, 1L, 3L), (2L, 1L, 3L), (5L, 1L, 3L),  // cluster 1
