@@ -3147,6 +3147,32 @@ object OracleExt {
        |FROM keep""".stripMargin
   }
 
+  /** Association rules (Association.pairRules over user event
+    * baskets): distinct (user, event_type) baskets, bounded-fan-out
+    * pair self-join, exact-long ratio scoring.
+    */
+  val qAssociation: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT user_id AS basket, event_type AS item FROM events),
+      |n AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets
+      |      FROM baskets),
+      |supp AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS s
+      |         FROM baskets GROUP BY item),
+      |pairs AS (
+      |  SELECT a.item AS item_a, b.item AS item_b,
+      |         CAST(COUNT(*) AS BIGINT) AS pair_support
+      |  FROM baskets a JOIN baskets b
+      |    ON a.basket = b.basket AND a.item < b.item
+      |  GROUP BY 1, 2)
+      |SELECT p.item_a, p.item_b, p.pair_support,
+      |  round(CAST(p.pair_support AS DOUBLE) / sa.s, 6) AS conf_a_to_b,
+      |  round(CAST(p.pair_support AS DOUBLE) / sb.s, 6) AS conf_b_to_a,
+      |  round(CAST(p.pair_support AS DOUBLE) * n.n_baskets
+      |    / (sa.s * sb.s), 6) AS lift
+      |FROM pairs p
+      |JOIN supp sa ON sa.item = p.item_a
+      |JOIN supp sb ON sb.item = p.item_b, n""".stripMargin
+
   /** SCD2 snapshot merge (Scd.scd2Merge over orders, baseSeq 1 →
     * updSeq 2): full-outer join of snapshot vs derived update extract,
     * changed keys emit the closed version + the new current one,

@@ -597,6 +597,11 @@ object SparkEntry {
       sampling.Sampling.distributionDrift(docs(s, dir),
         docs(s, dir).filter(col("doc_id") % 3 === 0), "source")),
     // r9: last-touch conversion attribution (as-of machinery)
+    // r9: market-basket association rules over user event baskets —
+    // support / confidence / lift from exact long counts
+    "q_association" -> ((s, dir) =>
+      relational.Association.pairRules(Panel.readEvents(s, dir),
+        basketCol = "user_id", itemCol = "event_type")),
     "q_attribution" -> ((s, dir) =>
       relational.Attribution.lastTouch(Panel.readEvents(s, dir))),
     // r9: one-pass numeric profile (dataset-card stats) of lineitem
@@ -1421,6 +1426,7 @@ object SparkEntry {
     "q_minhash_estimate" -> OracleExt.qMinhashEstimate,
     "q_containment" -> OracleExt.qContainment,
     "q_attribution" -> OracleExt.qAttribution,
+    "q_association" -> OracleExt.qAssociation,
     "q_profile" -> OracleExt.qProfile,
     "q_profile_approx" -> OracleExt.qProfileApprox,
     "q_distribution_drift" -> OracleExt.qDistributionDrift,

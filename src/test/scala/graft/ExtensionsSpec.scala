@@ -95,6 +95,25 @@ class ExtensionsSpec extends SparkSpec {
       (4L, 3L, 2L), (5L, 1L, 3L), (6L, 6L, 1L)))
   }
 
+  test("pairRules: worked lift/confidence on a four-basket example") {
+    // baskets: {x,y} {x,y} {x} {y,z} → pair (x,y): supp 2, P(y|x)=2/3,
+    // P(x|y)=2/3, lift = 2·4/(3·3); pair (y,z): supp 1, lift = 1·4/(3·1)
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (2L, "y"), // dup row dropped
+      (3L, "x"), (4L, "y"), (4L, "z"))
+      .toDF("user", "item")
+    val out = graft.relational.Association.pairRules(df, "user", "item")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(("x", "y")) == ((2L, 0.666667, 0.666667,
+      BigDecimal(8.0 / 9.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(("y", "z")) == ((1L, round6(1.0 / 3.0), 1.0, round6(4.0 / 3.0))))
+    assert(!out.contains(("x", "z")), "never co-occur → no row")
+  }
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("centroidOutliers flags a planted far vector, not the tight cluster") {
     // label 0: eight vectors near (1,0) plus one at (−9,0) — the far
     // point dominates the distance spread → z > 2; label 1: tight pair
