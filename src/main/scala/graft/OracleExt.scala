@@ -3147,6 +3147,33 @@ object OracleExt {
        |FROM keep""".stripMargin
   }
 
+  /** PMI collocations (Collocations.pmiPairs, minCount 5): bigrams by
+    * positional self-join, exact-long counts, one ln on an identical
+    * rational.
+    */
+  val qCollocations: String =
+    s"""$norm, toks AS (
+       |  SELECT doc_id, unnest(string_split(nt, ' ')) AS tok,
+       |         generate_subscripts(string_split(nt, ' '), 1) AS pos
+       |  FROM norm),
+       |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n1
+       |        FROM toks GROUP BY tok),
+       |tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS t_uni FROM uni),
+       |bi AS (
+       |  SELECT a.tok AS tok_a, b.tok AS tok_b,
+       |         CAST(COUNT(*) AS BIGINT) AS pair_count
+       |  FROM toks a JOIN toks b
+       |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY 1, 2),
+       |bt AS (SELECT CAST(SUM(pair_count) AS BIGINT) AS t_bi FROM bi)
+       |SELECT p.tok_a, p.tok_b, p.pair_count,
+       |  round(ln(CAST(p.pair_count AS DOUBLE) * t.t_uni * t.t_uni
+       |    / (CAST(b.t_bi AS DOUBLE) * ua.n1 * ub.n1)), 6) AS pmi
+       |FROM bi p
+       |JOIN uni ua ON ua.tok = p.tok_a
+       |JOIN uni ub ON ub.tok = p.tok_b, tot t, bt b
+       |WHERE p.pair_count >= 5""".stripMargin
+
   /** Association rules (Association.pairRules over user event
     * baskets): distinct (user, event_type) baskets, bounded-fan-out
     * pair self-join, exact-long ratio scoring.

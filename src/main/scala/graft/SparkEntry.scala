@@ -388,6 +388,10 @@ object SparkEntry {
     }),
     // self-trained bigram LM corpus-fit score
     "q_lm_score" -> ((s, dir) => text.TextOps.bigramLmScore(docs(s, dir))),
+    // r9: PMI collocation mining — the word2vec-style phrase-merge
+    // statistic over adjacent token pairs
+    "q_collocations" -> ((s, dir) =>
+      text.Collocations.pmiPairs(docs(s, dir), minCount = 5L)),
     // r9: trained Naive Bayes corpus filter (the fastText/CCNet-style
     // classifier stage) — train + score in one plan, label lang='en';
     // integer micro log-odds make the score engine/order-deterministic
@@ -1504,6 +1508,7 @@ object SparkEntry {
     "q_oov" -> OracleExt.qOov,
     "q_lm_score" -> OracleExt.qLmScore,
     "q_nb_score" -> OracleExt.qNbScore,
+    "q_collocations" -> OracleExt.qCollocations,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,

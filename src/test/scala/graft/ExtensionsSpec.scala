@@ -95,6 +95,27 @@ class ExtensionsSpec extends SparkSpec {
       (4L, 3L, 2L), (5L, 1L, 3L), (6L, 6L, 1L)))
   }
 
+  test("pmiPairs: a planted phrase scores high PMI; independents low") {
+    // "deep learning" always adjacent (4×); "of the" co-occurs but the
+    // unigrams are everywhere → PMI(deep,learning) >> PMI(of,the)
+    val docs = Seq(
+      (1L, "deep learning of the art of the trade"),
+      (2L, "deep learning of the craft the art"),
+      (3L, "the state of deep learning"),
+      (4L, "of deep learning the")
+    ).toDF("doc_id", "text")
+    val out = graft.text.Collocations.pmiPairs(docs, minCount = 2L)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val (nDl, pmiDl) = out(("deep", "learning"))
+    assert(nDl == 4L)
+    val (_, pmiOfThe) = out(("of", "the"))
+    assert(pmiDl > pmiOfThe + 0.5,
+      s"phrase PMI $pmiDl should clearly beat $pmiOfThe")
+    assert(!out.contains(("learning", "craft")), "below minCount must drop")
+  }
+
   test("pairRules: worked lift/confidence on a four-basket example") {
     // baskets: {x,y} {x,y} {x} {y,z} → pair (x,y): supp 2, P(y|x)=2/3,
     // P(x|y)=2/3, lift = 2·4/(3·3); pair (y,z): supp 1, lift = 1·4/(3·1)
