@@ -561,6 +561,27 @@ object Registry {
     "dedup_clusters" -> ((df, a) =>
       dedup.Dedup.connectedComponents(df.select(col("doc_id")),
         dedup.Dedup.simhash64Pairs(df, a.numOpt(0).getOrElse(3.0).toInt))),
+    // args: [maxDist?] — near-dup FILTER keeping the highest-quality
+    // copy per cluster (not the arbitrary first): cluster the simhash
+    // graph, score quality, keep the per-cluster argmax
+    "dedup_keep_best" -> ((df, a) => {
+      val cl = dedup.Dedup.connectedComponents(df.select(col("doc_id")),
+        dedup.Dedup.simhash64Pairs(df, a.numOpt(0).getOrElse(3.0).toInt))
+      val q = df.select(col("doc_id"),
+        round(text.TextOps.qualityScore(col("text")), 9).as("quality"))
+      df.join(dedup.Dedup.keepBest(cl, q).filter(col("keep") === 1)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    }),
+    // args: [lang?] — appends (nb_score, nb_pred): Naive Bayes trained
+    // in-plan on lang==arg (default 'en') as the positive class
+    "nb_score" -> ((df, a) =>
+      df.join(text.Classifier.nbScore(df,
+        col("lang") === a.strOpt(0).getOrElse("en")), Seq("doc_id"), "left")),
+    // args: [minCount?] — terminal PMI collocation table
+    // (tok_a, tok_b, pair_count, pmi)
+    "collocations" -> ((df, a) =>
+      text.Collocations.pmiPairs(df,
+        a.numOpt(0).getOrElse(5.0).toLong)),
   )
 
   /** Embeddings-frame registry: the same JSON wire format dispatched

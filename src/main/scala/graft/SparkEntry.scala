@@ -503,6 +503,14 @@ object SparkEntry {
     // off one shared (doc, token) + one (doc, bigram) aggregation. The
     // oracle is unchanged from the r7 step chain — the fusion is a
     // pure plan optimisation, pinned equivalent by the same SQL
+    // r9: the new corpus steps as wire dispatches, pinned by the SAME
+    // oracles as their direct-call queries
+    "q_pipeline_collocations" -> ((s, dir) =>
+      Registry.runCorpus(docs(s, dir),
+        """[{"type":"collocations","args":[5]}]""")),
+    "q_pipeline_nb" -> ((s, dir) =>
+      Registry.runCorpus(docs(s, dir), """[{"type":"nb_score"}]""")
+        .select(col("doc_id"), col("nb_score"), col("nb_pred"))),
     "q_pipeline_corpus_signals" -> ((s, dir) =>
       Registry.runCorpus(docs(s, dir).select(col("doc_id"), col("text")),
         """[{"type":"decontaminate","args":[4,10]},
@@ -1509,6 +1517,8 @@ object SparkEntry {
     "q_lm_score" -> OracleExt.qLmScore,
     "q_nb_score" -> OracleExt.qNbScore,
     "q_collocations" -> OracleExt.qCollocations,
+    "q_pipeline_collocations" -> OracleExt.qCollocations,
+    "q_pipeline_nb" -> OracleExt.qNbScore,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,

@@ -277,6 +277,32 @@ class RegistrySpec extends SparkSpec {
     assert(packed.select(countDistinct(col("doc_id"), col("chunk_id"))).head.getLong(0) == nChunks)
   }
 
+  test("r9 corpus steps: keep-best dedup, nb_score append, collocations terminal") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog barked at it all day long", "en"),
+      (2L, "the cat  sat on the mat and the dog barked at it all day long", "en"),
+      (3L, "vier worte ohne sinn hier und dort", "de"),
+      (4L, "weather patterns and rain clouds today all over", "en"))
+      .toDF("doc_id", "text", "lang")
+    // keep-best: docs 1/2 cluster (normalised-identical); the winner is
+    // the quality argmax (equal quality → smaller id 1); others survive
+    val kb = Registry.runCorpus(docs, """[{"type":"dedup_keep_best","args":[3]}]""")
+    assert(kb.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+    assert(kb.columns.toSeq == docs.columns.toSeq, "filter keeps the frame schema")
+    // nb_score appends and matches the direct call
+    val nb = Registry.runCorpus(docs, """[{"type":"nb_score"}]""")
+    assert(nb.columns.toSeq == Seq("doc_id", "text", "lang", "nb_score", "nb_pred"))
+    val direct = text.Classifier.nbScore(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    nb.collect().foreach(r => assert(r.getDouble(3) == direct(r.getLong(0))))
+    // collocations is terminal: the repeated-phrase corpus yields the
+    // pair table shape
+    val coll = Registry.runCorpus(docs, """[{"type":"collocations","args":[2]}]""")
+    assert(coll.columns.toSeq == Seq("tok_a", "tok_b", "pair_count", "pmi"))
+    assert(coll.filter(col("tok_a") === "the" && col("tok_b") === "cat")
+      .head.getLong(2) == 2L)
+  }
+
   test("embeddings wire format: sample, quantize append, retrieval dispatch") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
