@@ -198,6 +198,44 @@ object Oracle {
        |FROM g""".stripMargin
   }
 
+  /** PSI numeric drift (Sampling.psi, first-half vs second-half
+    * months, 10 fixed-width bins from the reference min/max, α = 0.5):
+    * identical edge rounding, clamping, smoothing, and log shape.
+    */
+  def qPsi(bins: Int = 10, alpha: Double = 0.5): String = {
+    val ba = bins * alpha
+    s"""$panel,
+       |r AS (SELECT value AS v FROM panel
+       |      WHERE month_id <= 15 AND value IS NOT NULL AND NOT isnan(value)),
+       |c AS (SELECT value AS v FROM panel
+       |      WHERE month_id > 15 AND value IS NOT NULL AND NOT isnan(value)),
+       |st AS (SELECT round(min(v), 9) AS mn,
+       |              round((max(v) - min(v)) / $bins, 9) AS w FROM r),
+       |br AS (SELECT least(greatest(CASE WHEN w = 0.0 THEN 0
+       |           ELSE CAST(floor((v - mn) / w) AS INTEGER) END, 0), ${bins - 1}) AS bin,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM r, st GROUP BY 1),
+       |bc AS (SELECT least(greatest(CASE WHEN w = 0.0 THEN 0
+       |           ELSE CAST(floor((v - mn) / w) AS INTEGER) END, 0), ${bins - 1}) AS bin,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM c, st GROUP BY 1),
+       |spine AS (SELECT CAST(range AS INTEGER) AS bin FROM range($bins)),
+       |j AS (SELECT s.bin, CAST(COALESCE(br.n, 0) AS BIGINT) AS n_ref,
+       |             CAST(COALESCE(bc.n, 0) AS BIGINT) AS n_cur
+       |      FROM spine s LEFT JOIN br ON br.bin = s.bin
+       |      LEFT JOIN bc ON bc.bin = s.bin),
+       |tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j),
+       |t AS (SELECT j.*, (n_ref + $alpha) / (tr + $ba) AS p,
+       |             (n_cur + $alpha) / (tc + $ba) AS q
+       |      FROM j, tot),
+       |t2 AS (SELECT *, round((q - p) * ln(q / p), 9) AS term FROM t)
+       |SELECT bin, n_ref, n_cur,
+       |  round(p, 6) AS share_ref, round(q, 6) AS share_cur,
+       |  round(term, 6) AS psi_term,
+       |  round(SUM(term) OVER (), 6) AS psi_total
+       |FROM t2""".stripMargin
+  }
+
   /** Additive seasonal decomposition (TemporalOps.decompose). */
   def qDecompose(period: Int = 7, half: Int = 2): String =
     s"""$panel, t AS (

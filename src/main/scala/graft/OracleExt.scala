@@ -3200,6 +3200,36 @@ object OracleExt {
       |JOIN supp sa ON sa.item = p.item_a
       |JOIN supp sb ON sb.item = p.item_b, n""".stripMargin
 
+  /** Distinctive vocabulary per source (Classifier.distinctiveTerms,
+    * group = source, k = 10, α = 0.5): the Monroe log-odds z with
+    * identical 1e-9 rounding of δ and variance before the ratio.
+    */
+  def qDistinctiveTerms(k: Int = 10, alpha: Double = 0.5): String =
+    s"""$norm, toks AS (
+       |  SELECT d.source AS grp, unnest(string_split(n.nt, ' ')) AS tok
+       |  FROM norm n JOIN documents d ON d.doc_id = n.doc_id),
+       |gw AS (SELECT grp, tok, CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM toks GROUP BY 1, 2),
+       |w AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS n_w FROM gw GROUP BY tok),
+       |g AS (SELECT grp, CAST(SUM(n) AS BIGINT) AS n_g FROM gw GROUP BY grp),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+       |               CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM gw),
+       |sc AS (
+       |  SELECT gw.grp, gw.tok, gw.n,
+       |    round(ln((gw.n + $alpha) / (g.n_g + t.v * $alpha - gw.n - $alpha))
+       |      - ln((w.n_w - gw.n + $alpha)
+       |           / (t.n_tot - g.n_g + t.v * $alpha - (w.n_w - gw.n) - $alpha)), 9)
+       |      AS delta,
+       |    round(1.0 / (gw.n + $alpha) + 1.0 / (w.n_w - gw.n + $alpha), 9)
+       |      AS variance
+       |  FROM gw JOIN w ON w.tok = gw.tok JOIN g ON g.grp = gw.grp, tot t),
+       |z AS (SELECT grp, tok, n, round(delta / sqrt(variance), 9) AS z FROM sc),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY grp
+       |        ORDER BY z DESC, tok) AS rank FROM z)
+       |SELECT grp AS "group", tok, n, round(z, 6) AS zscore,
+       |  CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= $k""".stripMargin
+
   /** SCD2 snapshot merge (Scd.scd2Merge over orders, baseSeq 1 →
     * updSeq 2): full-outer join of snapshot vs derived update extract,
     * changed keys emit the closed version + the new current one,

@@ -134,6 +134,9 @@ object SparkEntry {
     },
     "q_rolling_corr" -> colQ("rcorr",
       round(TemporalOps.rollingCorr(col("value"), col("value2"), 6), 6)),
+    // r9: PSI numeric-feature drift — first-half vs second-half months
+    "q_psi" -> onPanel(p => sampling.Sampling.psi(
+      p.filter(col(T) <= 15), p.filter(col(T) > 15), "value")),
     "q_decompose" -> onPanel { p =>
       val d = TemporalOps.decompose(col("value"), period = 7, half = 2)
       p.select(col(T), col(U),
@@ -397,6 +400,9 @@ object SparkEntry {
     // integer micro log-odds make the score engine/order-deterministic
     "q_nb_score" -> ((s, dir) =>
       text.Classifier.nbScore(docs(s, dir), col("lang") === "en")),
+    // r9: per-source distinctive vocabulary (Monroe log-odds z)
+    "q_distinctive_terms" -> ((s, dir) =>
+      text.Classifier.distinctiveTerms(docs(s, dir), "source", k = 10)),
     // BPE training, iteration 1 (oracle-expressible): top-20 adjacent
     // char pairs weighted by word frequency
     "q_bpe_pair_stats" -> ((s, dir) => text.Bpe.pairStats(docs(s, dir), 20)),
@@ -1357,6 +1363,7 @@ object SparkEntry {
     "q_cusum" -> Oracle.qCusum(),
     "q_trend" -> Oracle.qTrend,
     "q_rolling_corr" -> Oracle.qRollingCorr(),
+    "q_psi" -> Oracle.qPsi(),
     "q_cusum_stream" -> Oracle.qCusum(),
     "q_ewma_stream" -> Oracle.qEwma(),
     "q_decompose" -> Oracle.qDecompose(),
@@ -1519,6 +1526,7 @@ object SparkEntry {
     "q_collocations" -> OracleExt.qCollocations,
     "q_pipeline_collocations" -> OracleExt.qCollocations,
     "q_pipeline_nb" -> OracleExt.qNbScore,
+    "q_distinctive_terms" -> OracleExt.qDistinctiveTerms(),
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,

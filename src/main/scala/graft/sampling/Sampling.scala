@@ -413,6 +413,60 @@ object Sampling {
           .as("js_bits"))
   }
 
+  /** Population stability index for a NUMERIC feature — the
+    * companion of [[distributionDrift]] (which keys on categoricals):
+    * fixed-width bins over the REFERENCE period's [min, max], both
+    * periods' values binned (out-of-range clamps to the edge bins),
+    * Laplace-smoothed shares, and the per-bin PSI term
+    * `(q − p)·ln(q/p)`; `psi_total` repeats the full sum on every row
+    * so the audit verdict travels with the table. The >0.25 "retrain"
+    * convention applies to the total.
+    *
+    * Scale shape: one 1-row min/max aggregate broadcast back, one
+    * (period, bin) count aggregate (map-side combinable), a `bins`-row
+    * spine join — output is `bins` rows whatever the corpus.
+    *
+    * Determinism: fixed-width binning needs NO quantile interpolation
+    * parity; edges are derived from 1e-9-rounded min/width, and the
+    * smoothing keeps every log argument strictly positive.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+          bins: Int = 10, alpha: Double = 0.5): DataFrame = {
+    require(bins > 1, s"need bins > 1, got $bins")
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val spark = ref.sparkSession
+    val v = col(valueCol).cast("double")
+    val r = ref.select(v.as("v")).filter(!isnan(col("v")) && col("v").isNotNull)
+    val c = cur.select(v.as("v")).filter(!isnan(col("v")) && col("v").isNotNull)
+    val stats = r.agg(round(min(col("v")), 9).as("__mn"),
+      round((max(col("v")) - min(col("v"))) / bins, 9).as("__w"))
+    def binned(df: DataFrame) = df.crossJoin(broadcast(stats))
+      .select(least(greatest(
+        when(col("__w") === 0.0, lit(0))
+          .otherwise(floor((col("v") - col("__mn")) / col("__w")).cast("int")),
+        lit(0)), lit(bins - 1)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val spine = spark.range(bins).select(col("id").cast("int").as("bin"))
+    val joined = spine
+      .join(binned(r).withColumnRenamed("n", "n_ref"), Seq("bin"), "left")
+      .join(binned(c).withColumnRenamed("n", "n_cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val totals = joined.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    val p = (col("n_ref") + alpha) / (col("__tr") + bins * alpha)
+    val q = (col("n_cur") + alpha) / (col("__tc") + bins * alpha)
+    val term = round((q - p) * log(q / p), 9)
+    joined.crossJoin(broadcast(totals))
+      .withColumn("psi_term", term)
+      .withColumn("psi_total",
+        round(sum(col("psi_term")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(xxhash64(col("bin")), lit(1)))), 6))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(p, 6).as("share_ref"), round(q, 6).as("share_cur"),
+        round(col("psi_term"), 6).as("psi_term"), col("psi_total"))
+  }
+
   /** The n−1 upper-bound hex thresholds of `hashSplit`'s bands,
     * exposed so an external checker can reproduce the exact same
     * literals (the cumulative float sums must match bit-for-bit).

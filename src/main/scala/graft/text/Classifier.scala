@@ -49,6 +49,63 @@ object Classifier {
         .cast("long").as("lo_micro"))
   }
 
+  /** Per-group distinctive vocabulary — the "fightin' words"
+    * log-odds-with-Dirichlet-prior statistic (Monroe et al. 2008),
+    * the standard answer to "which tokens characterise each source /
+    * language / time slice" in corpus audits:
+    *
+    *   δ_gw = ln( (y_gw + α) / (n_g + αV − y_gw − α) )
+    *        − ln( (y_w' + α) / (n' + αV − y_w' − α) )
+    *   z_gw = δ_gw / √(1/(y_gw + α) + 1/(y_w' + α))
+    *
+    * with y' / n' the counts in the REST of the corpus.
+    *
+    * Scale shape: ONE (group, token) count aggregate (map-side
+    * combinable) feeding both the per-token corpus totals (token-keyed
+    * re-agg) and the per-group totals (group-keyed, tiny, broadcast);
+    * the z-score is then a pure projection and the per-group top-k a
+    * window bounded by k. Nothing corpus-sized is broadcast.
+    *
+    * Determinism: counts are exact longs; δ and the variance are
+    * rounded 1e-9 before the ratio so the ranking key is
+    * engine-stable, ties break on token.
+    *
+    * @return (group, tok, n BIGINT, zscore, rank INT) — top `k`
+    *   tokens per group by z
+    */
+  def distinctiveTerms(docs: DataFrame, groupCol: String, k: Int = 10,
+                       alpha: Double = 0.5,
+                       textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val toks = docs.select(col(groupCol).as("group"),
+      explode(split(TextOps.normalize(col(textCol)), " ")).as("tok"))
+    val gw = toks.groupBy("group", "tok").agg(count(lit(1)).as("n"))
+    val w = gw.groupBy("tok").agg(sum("n").as("n_w"))
+    val g = gw.groupBy("group").agg(sum("n").as("n_g"))
+    val tot = gw.agg(sum("n").as("n_tot"),
+      countDistinct("tok").cast("double").as("v"))
+    val av = col("v") * alpha
+    val yRest = col("n_w") - col("n")
+    val nRest = col("n_tot") - col("n_g")
+    val delta = round(
+      log((col("n") + alpha) / (col("n_g") + av - col("n") - alpha))
+        - log((yRest + alpha) / (nRest + av - yRest - alpha)), 9)
+    val variance = round(lit(1.0) / (col("n") + alpha)
+      + lit(1.0) / (yRest + alpha), 9)
+    val scored = gw.join(w, "tok")
+      .join(broadcast(g), "group")
+      .crossJoin(broadcast(tot))
+      .select(col("group"), col("tok"), col("n"),
+        round(delta / sqrt(variance), 9).as("z"))
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("group")
+          .orderBy(col("z").desc, col("tok"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("group"), col("tok"), col("n"),
+        round(col("z"), 6).as("zscore"), col("rank"))
+  }
+
   /** Train on `labelCol` (boolean) over `textCol`, score every
     * document. Output: (doc_id, nb_score DOUBLE, nb_pred INT).
     */

@@ -43,6 +43,20 @@ class ClassifierSpec extends SparkSpec {
     assert(math.abs(out(2L) + exp1) < 1e-9, "symmetric corpus → mirrored score")
   }
 
+  test("distinctiveTerms surfaces each group's marker token at rank 1") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha shared words here", "s1"),
+      (2L, "alpha alpha shared words again", "s1"),
+      (3L, "omega omega omega shared words here", "s2"),
+      (4L, "omega omega shared words again", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.text.Classifier.distinctiveTerms(docs, "source", k = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("s1") == "alpha", s"s1 marker: $out")
+    assert(out("s2") == "omega", s"s2 marker: $out")
+  }
+
   test("nbScore is invariant to input partitioning (integer-sum determinism)") {
     val base = Classifier.nbScore(corpus, col("label"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq

@@ -95,6 +95,22 @@ class ExtensionsSpec extends SparkSpec {
       (4L, 3L, 2L), (5L, 1L, 3L), (6L, 6L, 1L)))
   }
 
+  test("psi: identical distributions score ~0; a planted shift scores high") {
+    val ref = (1 to 1000).map(i => Tuple1(i % 100 / 10.0)).toDF("value")
+    val same = graft.sampling.Sampling.psi(ref, ref, "value")
+      .select("psi_total").head.getDouble(0)
+    assert(same == 0.0, s"self-PSI must be exactly 0, got $same")
+    // current period shifted far right: most mass lands in the top bin
+    val cur = (1 to 1000).map(i => Tuple1(9.0 + i % 10 / 100.0)).toDF("value")
+    val shifted = graft.sampling.Sampling.psi(ref, cur, "value")
+    assert(shifted.count() == 10, "one row per bin")
+    val total = shifted.select("psi_total").head.getDouble(0)
+    assert(total > 0.25, s"a gross shift must breach the retrain bar, got $total")
+    // out-of-range current values clamp into the edge bin, not vanish
+    val nCur = shifted.agg(sum("n_cur")).head.getLong(0)
+    assert(nCur == 1000L)
+  }
+
   test("pmiPairs: a planted phrase scores high PMI; independents low") {
     // "deep learning" always adjacent (4×); "of the" co-occurs but the
     // unigrams are everywhere → PMI(deep,learning) >> PMI(of,the)
