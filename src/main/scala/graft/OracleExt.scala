@@ -547,6 +547,35 @@ object OracleExt {
        |SELECT c.doc_id, c.cluster_id, s.cluster_size
        |FROM cl c JOIN sz s ON s.cluster_id = c.cluster_id""".stripMargin
 
+  /** Winnowing fingerprint pairs (Dedup.winnowPairs, k=3 w=4
+    * minShared=2 maxDf=50): gram hashes by positional slice, window
+    * minima by bounded range join, identical md5/lexicographic-min
+    * arithmetic.
+    */
+  def qWinnowPairs(k: Int = 3, w: Int = 4, minShared: Long = 2L,
+                   maxDf: Long = 50L): String =
+    s"""$norm,
+       |words AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM norm),
+       |g AS (SELECT doc_id, ws,
+       |        unnest(range(1, len(ws) - ${k - 1} + 1)) AS i
+       |      FROM words WHERE len(ws) >= ${k + w - 1}),
+       |grams AS (SELECT doc_id, i,
+       |        md5(array_to_string(ws[i:i+${k - 1}], ' ')) AS h FROM g),
+       |gc AS (SELECT doc_id, COUNT(*) AS cnt FROM grams GROUP BY 1),
+       |wdx AS (SELECT doc_id, unnest(range(1, cnt - ${w - 1} + 1)) AS j
+       |        FROM gc),
+       |win AS (SELECT wdx.doc_id, wdx.j, MIN(grams.h) AS fp
+       |        FROM wdx JOIN grams ON grams.doc_id = wdx.doc_id
+       |          AND grams.i BETWEEN wdx.j AND wdx.j + ${w - 1}
+       |        GROUP BY 1, 2),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM win),
+       |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= $maxDf),
+       |fk AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep kp ON kp.fp = f.fp)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared""".stripMargin
+
   /** Keep-best canonical selection (Dedup.keepBest over the
     * qDedupClusters graph + the TextOps quality score): per-cluster
     * argmax of 1e-9-rounded quality, ties to the smallest doc_id.

@@ -677,6 +677,10 @@ object SparkEntry {
       dedup.Dedup.connectedComponents(d,
         dedup.Dedup.simhashPairs(d, maxDist = 3))
     }),
+    // r9: winnowing fingerprints (MOSS) — localized-overlap pairs,
+    // the plagiarism/attribution complement of global-Jaccard MinHash
+    "q_winnow_pairs" -> ((s, dir) =>
+      dedup.Dedup.winnowPairs(docs(s, dir))),
     // r9: canonical selection — keep the highest-QUALITY copy per
     // near-dup cluster (not the arbitrary first), ties to smallest id
     "q_dedup_keep_best" -> ((s, dir) => {
@@ -1462,6 +1466,7 @@ object SparkEntry {
     "q_simhash64_pairs_full" -> OracleExt.qSimhash64PairsFull,
     "q_dedup_clusters" -> OracleExt.qDedupClusters,
     "q_dedup_keep_best" -> OracleExt.qDedupKeepBest,
+    "q_winnow_pairs" -> OracleExt.qWinnowPairs(),
     "q_sample_hash" -> OracleExt.qSampleHash,
     "q_sample_split" -> OracleExt.qSampleSplit,
     "q_dsir_weights" -> OracleExt.qDsirWeights(),

@@ -534,6 +534,56 @@ object Dedup {
       .select(col("node").as(idCol), col("cluster_id"), col("cluster_size"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * scheme): hash every word k-gram, slide a window of `w` hashes,
+    * keep each window's MINIMUM — guaranteeing any shared run of
+    * ≥ w + k − 1 tokens contributes at least one shared fingerprint,
+    * with ~2/(w+1) of grams selected. The local-similarity
+    * complement of MinHash (which estimates GLOBAL Jaccard): winnowing
+    * localises WHERE documents overlap, the plagiarism/attribution
+    * primitive.
+    *
+    * Everything up to the pair join is ROW-LOCAL (grams, window
+    * minima, distinct — array HOFs, no per-token shuffle); candidate
+    * pairs come from a fingerprint-keyed self-join whose fan-out is
+    * bounded by dropping fingerprints shared by more than `maxDf`
+    * docs (the bm25 stop-term discipline — boilerplate cannot explode
+    * the join). Hashes are md5 hex strings, so lexicographic minima
+    * reproduce in any engine.
+    *
+    * @return (id_a, id_b, n_shared BIGINT) — pairs sharing
+    *   ≥ `minShared` selected fingerprints
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                  minShared: Long = 2L, maxDf: Long = 50L,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k, w >= 1, got ($k, $w)")
+    require(minShared >= 1L && maxDf >= 2L, "need minShared >= 1, maxDf >= 2")
+    val words = split(TextOps.normalize(col(textCol)), " ")
+    val withGrams = docs
+      .select(col(idCol), words.as("ws"))
+      .filter(size(col("ws")) >= k + w - 1)
+      .select(col(idCol), transform(
+        sequence(lit(1), size(col("ws")) - (k - 1)),
+        i => md5(concat_ws(" ", slice(col("ws"), i, lit(k))))).as("hs"))
+    val fps = withGrams.select(col(idCol), explode(array_distinct(transform(
+        sequence(lit(1), size(col("hs")) - (w - 1)),
+        j => array_min(slice(col("hs"), j, lit(w)))))).as("fp"))
+    // df prune as COUNT + semi-join (never a collect_list buffer — a
+    // mega-hot boilerplate fingerprint must not grow an agg buffer
+    // before its own filter)
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val pruned = fps.join(keep, "fp")
+    pruned.as("a")
+      .join(pruned.as("b"), col("a.fp") === col("b.fp")
+        && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Canonical-document selection over near-dup clusters: instead of
     * "keep first" (arbitrary) the curation pipeline keeps the HIGHEST
     * QUALITY copy of each duplicate cluster — join the cluster

@@ -95,6 +95,21 @@ class ExtensionsSpec extends SparkSpec {
       (4L, 3L, 2L), (5L, 1L, 3L), (6L, 6L, 1L)))
   }
 
+  test("winnowPairs guarantees detection of a shared >= w+k-1 token run") {
+    // k=3, w=4: any shared run of >= 6 tokens must yield >= 1 shared
+    // fingerprint. Docs 1/2 share an 8-token run; doc 3 is disjoint.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two $shared tail words here padding more filler"),
+      (2L, s"$shared completely different ending tokens now extra pad"),
+      (3L, "nothing in common with the others at all whatsoever today fine")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowPairs(docs, k = 3, w = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)), s"shared-run pair missing: $out")
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L), s"false pair: $out")
+  }
+
   test("psi: identical distributions score ~0; a planted shift scores high") {
     val ref = (1 to 1000).map(i => Tuple1(i % 100 / 10.0)).toDF("value")
     val same = graft.sampling.Sampling.psi(ref, ref, "value")
