@@ -547,6 +547,63 @@ object OracleExt {
        |SELECT c.doc_id, c.cluster_id, s.cluster_size
        |FROM cl c JOIN sz s ON s.cluster_id = c.cluster_id""".stripMargin
 
+  /** Tokenizer fertility stats (TokenizerStats.fertility): one
+    * language-keyed aggregate of exact long sums.
+    */
+  val qTokenizerFertility: String =
+    """WITH t AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |      AS n_words,
+      |    CAST(SUM(len(regexp_extract_all(lower(text),
+      |      '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_subwords,
+      |    CAST(SUM(length(text)) AS BIGINT) AS n_chars_sum
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, n_docs, n_words, n_subwords,
+      |  round(CAST(n_subwords AS DOUBLE) / n_words, 6) AS fertility,
+      |  round(CAST(n_chars_sum AS DOUBLE) / n_subwords, 6)
+      |    AS chars_per_subword
+      |FROM t""".stripMargin
+
+  /** Character entropy (TextOps.charEntropy): per-char probabilities
+    * from exact counts, each −p·ln(p) term fixed to 1e-9 BIGINT units
+    * before the per-doc sum — identical arithmetic to the Spark side.
+    */
+  val qCharEntropy: String =
+    s"""$norm, chars AS (
+       |  SELECT doc_id, CAST(length(nt) AS BIGINT) AS n_chars,
+       |         unnest(regexp_extract_all(nt, '.')) AS ch
+       |  FROM norm WHERE length(nt) > 0),
+       |cc AS (
+       |  SELECT doc_id, n_chars, ch, CAST(COUNT(*) AS DOUBLE) AS cnt
+       |  FROM chars GROUP BY 1, 2, 3),
+       |terms AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(round((cnt / n_chars) * ln(cnt / n_chars) * -1e9, 0)
+       |      AS BIGINT) AS term_nano
+       |  FROM cc)
+       |SELECT doc_id, n_chars,
+       |  round(CAST(SUM(term_nano) AS DOUBLE) / 1e9, 6) AS char_entropy
+       |FROM terms GROUP BY doc_id, n_chars""".stripMargin
+
+  /** Per-source quality calibration (percent_rank of the 1e-9-rounded
+    * quality score within source — cross-source comparable
+    * thresholds).
+    */
+  val qQualityCalibrate: String =
+    s"""$norm, pad AS (SELECT doc_id, text, nt,
+       |  ' ' || replace(nt, ' ', '  ') || ' ' AS pd FROM norm),
+       |q AS (SELECT p.doc_id, d.source, round(
+       |    least(CAST(len(string_split_regex(trim(p.text), '\\s+')) AS DOUBLE) / 200.0, 1.0) * 0.4
+       |    + (1.0 - (length(p.text) - length(regexp_replace(p.text, '[.,!?;:]', '', 'g')))
+       |        / CAST(greatest(length(p.text), 1) AS DOUBLE)) * 0.3
+       |    + least((${stopHits("pd", Seq("the", "a", "and", "of", "is"))}) / 10.0, 1.0) * 0.3, 9) AS quality
+       |  FROM pad p JOIN documents d ON d.doc_id = p.doc_id)
+       |SELECT doc_id, source, round(quality, 6) AS quality,
+       |  round(percent_rank() OVER (PARTITION BY source
+       |    ORDER BY quality, doc_id), 6) AS q_rank
+       |FROM q""".stripMargin
+
   /** Winnowing fingerprint pairs (Dedup.winnowPairs, k=3 w=4
     * minShared=2 maxDf=50): gram hashes by positional slice, window
     * minima by bounded range join, identical md5/lexicographic-min

@@ -403,6 +403,23 @@ object SparkEntry {
     // r9: per-source distinctive vocabulary (Monroe log-odds z)
     "q_distinctive_terms" -> ((s, dir) =>
       text.Classifier.distinctiveTerms(docs(s, dir), "source", k = 10)),
+    // r9: tokenizer-evaluation stats per language
+    "q_tokenizer_fertility" -> ((s, dir) =>
+      text.TokenizerStats.fertility(docs(s, dir))),
+    // r9: char-level entropy (compressibility-proxy quality signal)
+    "q_char_entropy" -> ((s, dir) =>
+      text.TextOps.charEntropy(docs(s, dir))),
+    // r9: per-source quality calibration — percent_rank within source
+    // makes one quality threshold comparable across sources
+    "q_quality_calibrate" -> ((s, dir) => {
+      val q = docs(s, dir).select(col("doc_id"), col("source"),
+        round(text.TextOps.qualityScore(col("text")), 9).as("quality"))
+      q.select(col("doc_id"), col("source"),
+        round(col("quality"), 6).as("quality"),
+        round(percent_rank().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(col("quality"), col("doc_id"))), 6).as("q_rank"))
+    }),
     // BPE training, iteration 1 (oracle-expressible): top-20 adjacent
     // char pairs weighted by word frequency
     "q_bpe_pair_stats" -> ((s, dir) => text.Bpe.pairStats(docs(s, dir), 20)),
@@ -1532,6 +1549,9 @@ object SparkEntry {
     "q_pipeline_collocations" -> OracleExt.qCollocations,
     "q_pipeline_nb" -> OracleExt.qNbScore,
     "q_distinctive_terms" -> OracleExt.qDistinctiveTerms(),
+    "q_tokenizer_fertility" -> OracleExt.qTokenizerFertility,
+    "q_char_entropy" -> OracleExt.qCharEntropy,
+    "q_quality_calibrate" -> OracleExt.qQualityCalibrate,
     "q_embed_lsh_topk" -> OracleExt.qEmbedLshTopK,
     "q_embed_neardup" -> OracleExt.qEmbedNearDup,
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,

@@ -3,6 +3,36 @@ package graft.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Tokenizer-evaluation statistics: per-language fertility (subword
+  * tokens per whitespace word) and chars-per-token — the standard
+  * audit of how well a tokenizer serves each language in a
+  * multilingual mix (high fertility = the language pays more sequence
+  * positions per word; compare against the corpus mix before fixing
+  * sampling temperatures).
+  *
+  * ONE map-side-combinable aggregate keyed by language (output =
+  * languages rows); all ratios derive from exact long sums.
+  */
+object TokenizerStats {
+  import graft.text.TextOps
+
+  /** @return (lang, n_docs, n_words, n_subwords, fertility,
+    *   chars_per_subword) — ratios rounded 1e-6
+    */
+  def fertility(docs: DataFrame, langCol: String = "lang",
+                textCol: String = "text"): DataFrame =
+    docs.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_words"),
+        sum(TextOps.tokenCountBpe(col(textCol)).cast("long")).as("n_subwords"),
+        sum(length(col(textCol)).cast("long")).as("n_chars_sum"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars_sum").cast("double") / col("n_subwords"), 6)
+          .as("chars_per_subword"))
+}
+
 /** Collocation (phrase) mining — pointwise mutual information over
   * adjacent token pairs, the statistic behind word2vec-style phrase
   * merging ("new york" → "new_york") and collocation-aware tokenizer

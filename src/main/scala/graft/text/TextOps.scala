@@ -610,6 +610,37 @@ object TextOps {
     * The k-row collect is bounded by construction; `seed` pins the
     * sketch's hash family so runs are deterministic.
     */
+  /** Character-level Shannon entropy of the normalised text — the
+    * compressibility proxy quality filters use to catch both extremes:
+    * near-zero entropy (repeated characters / padding) and
+    * near-maximal entropy (random strings, hashes, minified blobs).
+    *
+    * Shape: the doc's char total rides the row BEFORE the explode
+    * (pure `length`), so the per-(doc, char) counts aggregate needs no
+    * join back; per-doc entropy is then a sum over ≤ alphabet-size
+    * rows. Each term is fixed to 1e-9 BIGINT units before summation
+    * (the nb_score discipline) — order-independent exactly.
+    *
+    * @return (idCol, n_chars BIGINT, char_entropy) — entropy in nats
+    */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val nt = normalize(col(textCol))
+    val chars = docs
+      .select(col(idCol), length(nt).cast("long").as("n_chars"),
+        explode(split(nt, "")).as("ch"))
+      .filter(col("n_chars") > 0L)
+    chars.groupBy(col(idCol), col("n_chars"), col("ch"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .select(col(idCol), col("n_chars"),
+        round((col("cnt") / col("n_chars")) *
+          log(col("cnt") / col("n_chars")) * -1e9, 0)
+          .cast("long").as("term_nano"))
+      .groupBy(col(idCol), col("n_chars"))
+      .agg(round(sum(col("term_nano")).cast("double") / 1e9, 6)
+        .as("char_entropy"))
+  }
+
   def heavyHittersChecked(docs: DataFrame, k: Int, eps: Double = 1e-4,
                           confidence: Double = 0.99, seed: Int = 42,
                           textCol: String = "text"): DataFrame = {

@@ -95,6 +95,28 @@ class ExtensionsSpec extends SparkSpec {
       (4L, 3L, 2L), (5L, 1L, 3L), (6L, 6L, 1L)))
   }
 
+  test("charEntropy: worked examples — uniform, constant, and mixed") {
+    val docs = Seq(
+      (1L, "aaaa"),     // H = 0
+      (2L, "abab"),     // 2 chars, p=1/2 each → H = ln 2
+      (3L, "abcd")      // 4 chars uniform → H = ln 4
+    ).toDF("doc_id", "text")
+    val out = TextOps.charEntropy(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) == 0.0)
+    assert(math.abs(out(2L) - math.log(2.0)) < 1e-6)
+    assert(math.abs(out(3L) - math.log(4.0)) < 1e-6)
+  }
+
+  test("tokenizer fertility: punctuation splits subwords, not words") {
+    // "don't stop." → 2 whitespace words; BPE-ish: don ' t stop . = 5
+    val docs = Seq((1L, "don't stop.", "en")).toDF("doc_id", "text", "lang")
+    val r = graft.text.TokenizerStats.fertility(docs).head
+    assert(r.getAs[Long]("n_words") == 2L)
+    assert(r.getAs[Long]("n_subwords") == 5L)
+    assert(math.abs(r.getAs[Double]("fertility") - 2.5) < 1e-9)
+  }
+
   test("winnowPairs guarantees detection of a shared >= w+k-1 token run") {
     // k=3, w=4: any shared run of >= 6 tokens must yield >= 1 shared
     // fingerprint. Docs 1/2 share an 8-token run; doc 3 is disjoint.

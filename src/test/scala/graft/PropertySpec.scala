@@ -466,4 +466,37 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(decomposeOf(2) == decomposeOf(13))
   }
+
+  test("partitioning invariance: trendFit and centroidOutliers") {
+    // same hazard class as cusum: unordered sufficient-statistic sums
+    // feed t-amplifying (trend) or z-normalised (outlier) arithmetic;
+    // the 1e-9 pre-rounding must make the rounded outputs layout-proof
+    val panel = (0 until 6).flatMap { u =>
+      (0 until 120).map { t =>
+        (t.toLong, u.toLong,
+          1.0e6 + t * 17.3456 + math.cos(t * 1.3 + u) * 997.0)
+      }
+    }.toDF(T, U, "value")
+    def trendOf(parts: Int) = {
+      val f = graft.ops.TemporalOps.trendFit(col("value"))
+      panel.repartition(parts)
+        .select(col(T), col(U), round(f.getField("fitted"), 6).as("f"),
+          round(f.getField("detrended"), 6).as("d"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+    }
+    assert(trendOf(2) == trendOf(13))
+
+    val embeds = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        (math.sin(i * 0.37 + d) * 1000.0).toFloat), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    def outliersOf(parts: Int) =
+      graft.similarity.Similarity.centroidOutliers(embeds.repartition(parts))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+        .toSet
+    assert(outliersOf(2) == outliersOf(13))
+  }
 }
