@@ -3316,6 +3316,33 @@ object OracleExt {
        |  CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= $k""".stripMargin
 
+  /** Frequent triples (Association.tripleRules, minSupport 2): the
+    * ANTI-MIRROR — a direct three-way self-join count with no apriori
+    * prune, so matching it proves the Spark side's candidate pruning
+    * lossless (downward closure), not just plan equality.
+    */
+  def qAssociationTriples(minSupport: Long = 2L): String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT user_id AS basket, event_type AS item FROM events),
+       |n AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets
+       |      FROM baskets),
+       |supp AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS s
+       |         FROM baskets GROUP BY item),
+       |tri AS (
+       |  SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+       |         CAST(COUNT(*) AS BIGINT) AS support
+       |  FROM baskets a
+       |  JOIN baskets b ON a.basket = b.basket AND a.item < b.item
+       |  JOIN baskets c ON a.basket = c.basket AND b.item < c.item
+       |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= $minSupport)
+       |SELECT t.item_a, t.item_b, t.item_c, t.support,
+       |  round(CAST(t.support AS DOUBLE) * n.n_baskets * n.n_baskets
+       |    / (sa.s * sb.s * sc.s), 6) AS lift3
+       |FROM tri t
+       |JOIN supp sa ON sa.item = t.item_a
+       |JOIN supp sb ON sb.item = t.item_b
+       |JOIN supp sc ON sc.item = t.item_c, n""".stripMargin
+
   /** SCD2 snapshot merge (Scd.scd2Merge over orders, baseSeq 1 →
     * updSeq 2): full-outer join of snapshot vs derived update extract,
     * changed keys emit the closed version + the new current one,

@@ -637,6 +637,11 @@ object SparkEntry {
     "q_association" -> ((s, dir) =>
       relational.Association.pairRules(Panel.readEvents(s, dir),
         basketCol = "user_id", itemCol = "event_type")),
+    // r9: apriori frequent triples — the oracle is the UNpruned direct
+    // count, proving the candidate prune lossless
+    "q_association_triples" -> ((s, dir) =>
+      relational.Association.tripleRules(Panel.readEvents(s, dir),
+        basketCol = "user_id", itemCol = "event_type")),
     "q_attribution" -> ((s, dir) =>
       relational.Attribution.lastTouch(Panel.readEvents(s, dir))),
     // r9: one-pass numeric profile (dataset-card stats) of lineitem
@@ -1467,6 +1472,7 @@ object SparkEntry {
     "q_containment" -> OracleExt.qContainment,
     "q_attribution" -> OracleExt.qAttribution,
     "q_association" -> OracleExt.qAssociation,
+    "q_association_triples" -> OracleExt.qAssociationTriples(),
     "q_profile" -> OracleExt.qProfile,
     "q_profile_approx" -> OracleExt.qProfileApprox,
     "q_distribution_drift" -> OracleExt.qDistributionDrift,

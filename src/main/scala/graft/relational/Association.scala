@@ -56,4 +56,59 @@ object Association {
         round(col("pair_support").cast("double") * col("n_baskets")
           / (col("supp_a") * col("supp_b")), 6).as("lift"))
   }
+
+  /** Frequent 3-itemsets with the classic APRIORI candidate prune:
+    * triples are generated ONLY by extending frequent pairs, and every
+    * sub-pair of a candidate must itself be frequent — the downward-
+    * closure property makes the prune lossless (any frequent triple's
+    * sub-pairs are at least as frequent), which the direct-count
+    * DuckDB oracle proves on every run. `lift3` compares the joint
+    * share against full independence.
+    *
+    * Scale shape: candidate generation is frequent-pair ⋈ basket (one
+    * item extension, never a 3-way raw self-join); the two sub-pair
+    * prunes are broadcast semi-joins against the (bounded) frequent
+    * pair list; supports broadcast into the final projection.
+    *
+    * @return (item_a, item_b, item_c, support, lift3), a < b < c
+    */
+  def tripleRules(df: DataFrame, basketCol: String, itemCol: String,
+                  minSupport: Long = 2L): DataFrame = {
+    require(minSupport >= 1L, s"minSupport must be >= 1, got $minSupport")
+    val baskets = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val nBaskets = baskets.agg(countDistinct(col("basket")).as("n_baskets"))
+    val itemSupp = baskets.groupBy("item").agg(count(lit(1)).as("supp"))
+    val fPairs = baskets.as("a")
+      .join(baskets.as("b"), col("a.basket") === col("b.basket")
+        && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("pa"), col("b.item").as("pb"))
+      .agg(count(lit(1)).as("ps"))
+      .filter(col("ps") >= minSupport)
+      .select("pa", "pb")
+    val cand = fPairs
+      .join(baskets.as("p1"), col("p1.item") === col("pa"))
+      .join(baskets.as("p2"), col("p2.item") === col("pb")
+        && col("p2.basket") === col("p1.basket"))
+      .join(baskets.as("c"), col("c.basket") === col("p1.basket")
+        && col("c.item") > col("pb"))
+      .select(col("pa").as("item_a"), col("pb").as("item_b"),
+        col("c.item").as("item_c"), col("p1.basket").as("basket"))
+    val pruned = cand
+      .join(broadcast(fPairs.select(col("pa").as("item_b"), col("pb").as("item_c"))),
+        Seq("item_b", "item_c"), "left_semi")
+      .join(broadcast(fPairs.select(col("pa").as("item_a"), col("pb").as("item_c"))),
+        Seq("item_a", "item_c"), "left_semi")
+    val triples = pruned.groupBy("item_a", "item_b", "item_c")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    triples
+      .join(broadcast(itemSupp.select(col("item").as("item_a"), col("supp").as("sa"))), "item_a")
+      .join(broadcast(itemSupp.select(col("item").as("item_b"), col("supp").as("sb"))), "item_b")
+      .join(broadcast(itemSupp.select(col("item").as("item_c"), col("supp").as("sc"))), "item_c")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("item_c"), col("support"),
+        round(col("support").cast("double") * col("n_baskets") * col("n_baskets")
+          / (col("sa") * col("sb") * col("sc")), 6).as("lift3"))
+  }
 }

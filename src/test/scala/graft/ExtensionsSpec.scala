@@ -188,6 +188,27 @@ class ExtensionsSpec extends SparkSpec {
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("tripleRules: apriori prune is lossless vs the hand count") {
+    // baskets: {x,y,z} {x,y,z} {x,y} {x,z} {y,z,w} → (x,y,z) support 2;
+    // (y,z,w) support 1 < minSupport → dropped
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "x"), (3L, "y"),
+      (4L, "x"), (4L, "z"),
+      (5L, "y"), (5L, "z"), (5L, "w"))
+      .toDF("user", "item")
+    val out = graft.relational.Association.tripleRules(df, "user", "item",
+        minSupport = 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3))).toMap
+    assert(out == Map(("x", "y", "z") -> 2L))
+    // lift3 = s·n²/(sa·sb·sc) = 2·25/(4·4·4)
+    val lift = graft.relational.Association.tripleRules(df, "user", "item", 2L)
+      .head.getDouble(4)
+    assert(math.abs(lift - round6(50.0 / 64.0)) < 1e-9)
+  }
+
   test("centroidOutliers flags a planted far vector, not the tight cluster") {
     // label 0: eight vectors near (1,0) plus one at (−9,0) — the far
     // point dominates the distance spread → z > 2; label 1: tight pair
