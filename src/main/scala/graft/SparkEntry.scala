@@ -137,6 +137,14 @@ object SparkEntry {
     // r9: PSI numeric-feature drift — first-half vs second-half months
     "q_psi" -> onPanel(p => sampling.Sampling.psi(
       p.filter(col(T) <= 15), p.filter(col(T) > 15), "value")),
+    // r9: the STREAMING drift monitor in batch mode — reference bins
+    // fitted once, current batch scored against them; same oracle
+    "q_psi_stream" -> onPanel { p =>
+      val base = streaming.DriftStream.fitBaseline(
+        p.filter(col(T) <= 15), "value")
+      streaming.DriftStream.scoreAgainst(
+        p.filter(col(T) > 15), base, "value")
+    },
     "q_decompose" -> onPanel { p =>
       val d = TemporalOps.decompose(col("value"), period = 7, half = 2)
       p.select(col(T), col(U),
@@ -1390,6 +1398,7 @@ object SparkEntry {
     "q_trend" -> Oracle.qTrend,
     "q_rolling_corr" -> Oracle.qRollingCorr(),
     "q_psi" -> Oracle.qPsi(),
+    "q_psi_stream" -> Oracle.qPsi(),
     "q_cusum_stream" -> Oracle.qCusum(),
     "q_ewma_stream" -> Oracle.qEwma(),
     "q_decompose" -> Oracle.qDecompose(),

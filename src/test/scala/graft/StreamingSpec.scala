@@ -88,6 +88,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI: bin counts accumulate across batches to the batch index") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DriftStream
+    // reference = uniform-ish 0..99; current = shifted 50..149, fed in
+    // 3 micro-batches; the streaming-safe part (scan-side bin assign +
+    // update-mode grouped count) must accumulate to the batch counts,
+    // and the downstream PSI roll-up then equals Sampling.psi exactly
+    val ref = (0 until 100).map(i => Tuple1(i.toDouble)).toDF("value")
+    val curRows = (0 until 100).map(i => 50.0 + i)
+    val cur = curRows.map(Tuple1(_)).toDF("value")
+    val batch = DriftStream.scoreAgainst(cur,
+        DriftStream.fitBaseline(ref, "value"), "value")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batchDirect = graft.sampling.Sampling.psi(ref, cur, "value")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(batch == batchDirect, "scoreAgainst must equal Sampling.psi")
+    // stream the current side: stateless bin assignment + streaming agg
+    val baseline = DriftStream.fitBaseline(ref, "value")
+    val stats = baseline.select("__mn", "__w").distinct().collect().head
+    val (mn, w) = (stats.getDouble(0), stats.getDouble(1))
+    val src = MemoryStream[Double]
+    val binned = src.toDS().toDF("value")
+      .select(least(greatest(
+        floor((col("value") - mn) / w).cast("int"), lit(0)), lit(9)).as("bin"))
+      .groupBy("bin").count()
+    val q = binned.writeStream.format("memory").queryName("psi_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      src.addData(curRows.take(30)); q.processAllAvailable()
+      src.addData(curRows.slice(30, 70)); q.processAllAvailable()
+      src.addData(curRows.drop(70)); q.processAllAvailable()
+      val streamed = spark.table("psi_stream").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val expected = batch.collect { case (b, (_, nc)) if nc > 0 => b -> nc }
+      assert(streamed == expected,
+        s"cross-batch bin counts $streamed != $expected")
+    } finally q.stop()
+  }
+
   test("streaming retention emits each (user, offset) cell exactly once across batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
