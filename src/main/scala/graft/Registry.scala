@@ -582,6 +582,18 @@ object Registry {
     "collocations" -> ((df, a) =>
       text.Collocations.pmiPairs(df,
         a.numOpt(0).getOrElse(5.0).toLong)),
+    // appends (n_chars, char_entropy) — compressibility-proxy signal
+    "char_entropy" -> ((df, _) =>
+      df.join(text.TextOps.charEntropy(df).drop("n_chars"),
+        Seq("doc_id"), "left")),
+    // args: [k?, w?, minShared?] — terminal winnowing overlap pairs
+    "winnow_pairs" -> ((df, a) =>
+      dedup.Dedup.winnowPairs(df, a.numOpt(0).getOrElse(3.0).toInt,
+        a.numOpt(1).getOrElse(4.0).toInt,
+        a.numOpt(2).getOrElse(2.0).toLong)),
+    // terminal per-language tokenizer fertility stats
+    "tokenizer_fertility" -> ((df, _) =>
+      text.TokenizerStats.fertility(df)),
   )
 
   /** Embeddings-frame registry: the same JSON wire format dispatched
@@ -786,6 +798,15 @@ object Registry {
     "pivot_types" -> ((df, a) =>
       sources.SemiStructured.pivotEventCounts(df,
         a.collect { case s: String => s })),
+    // args: [minSupport?] — terminal pairwise association rules over
+    // (user, event_type) baskets
+    "association" -> ((df, a) =>
+      relational.Association.pairRules(df, "user_id", "event_type",
+        a.numOpt(0).getOrElse(1.0).toLong)),
+    // args: [minSupport?] — terminal apriori frequent triples
+    "association_triples" -> ((df, a) =>
+      relational.Association.tripleRules(df, "user_id", "event_type",
+        a.numOpt(0).getOrElse(2.0).toLong)),
   )
 
   /** Run a JSON spec over an embeddings frame. */

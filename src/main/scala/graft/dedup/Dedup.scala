@@ -573,9 +573,12 @@ object Dedup {
     // df prune as COUNT + semi-join (never a collect_list buffer — a
     // mega-hot boilerplate fingerprint must not grow an agg buffer
     // before its own filter)
-    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+    // persisted before the self-join (the LSH band-table discipline) —
+    // otherwise BOTH join sides re-run the whole gram/winnow pipeline
+    val fpsP = graft.OpCache.persist(fps)
+    val keep = fpsP.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
-    val pruned = fps.join(keep, "fp")
+    val pruned = graft.OpCache.persist(fpsP.join(keep, "fp"))
     pruned.as("a")
       .join(pruned.as("b"), col("a.fp") === col("b.fp")
         && col(s"a.$idCol") < col(s"b.$idCol"))

@@ -285,6 +285,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit") || plan.contains("Window"), plan)
   }
 
+  test("scd2Merge plans exactly one join (full outer) and one Generate") {
+    val base = Seq((1L, 1.0, "A")).toDF("k", "p", "s")
+    val upd = Seq((1L, 2.0, "A")).toDF("k", "p", "s")
+    val plan = graft.relational.Scd.scd2Merge(base, upd, "k", Seq("p", "s"), 1L, 2L)
+      .queryExecution.executedPlan.toString()
+    val joins = plan.linesIterator.count(_.contains("Join"))
+    assert(joins == 1, s"expected ONE join, plan:\n$plan")
+    assert(plan.contains("FullOuter"), plan)
+    assert(plan.linesIterator.count(_.trim.matches("(\\+- |:- |)Generate.*")) == 1,
+      s"both versions must come from one Generate pass:\n$plan")
+  }
+
+  test("nbScore never broadcasts or products the corpus side") {
+    val docs = Seq((1L, "a b", true), (2L, "c d", false))
+      .toDF("doc_id", "text", "label")
+    val plan = graft.text.Classifier.nbScore(docs, col("label"))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop joins are the 1-row totals/prior broadcasts
+    val bnl = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).size
+    assert(bnl <= 2, s"unexpected products:\n$plan")
+  }
+
+  test("winnowPairs joins candidates on fingerprints, never all-pairs") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f z z"))
+      .toDF("doc_id", "text")
+    val plan = graft.dedup.Dedup.winnowPairs(docs, 3, 4, 1L)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("zorder clustered write plans a range exchange, not a global sort") {
     val df = Seq((1, 2, 0.5), (3, 4, 0.25)).toDF("lon", "lat", "v")
     val plan = df.withColumn("__z",

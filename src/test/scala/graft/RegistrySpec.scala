@@ -277,6 +277,27 @@ class RegistrySpec extends SparkSpec {
     assert(packed.select(countDistinct(col("doc_id"), col("chunk_id"))).head.getLong(0) == nChunks)
   }
 
+  test("r9 wire steps: char_entropy append, fertility/winnow/association terminal") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta one two", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta other words here now", "en"))
+      .toDF("doc_id", "text", "lang")
+    val ce = Registry.runCorpus(docs, """[{"type":"char_entropy"}]""")
+    assert(ce.columns.toSeq == Seq("doc_id", "text", "lang", "char_entropy"))
+    assert(ce.count() == 2)
+    val tf = Registry.runCorpus(docs, """[{"type":"tokenizer_fertility"}]""")
+    assert(tf.columns.contains("fertility") && tf.count() == 1)
+    val wp = Registry.runCorpus(docs,
+      """[{"type":"winnow_pairs","args":[3,4,1]}]""")
+    assert(wp.columns.toSeq == Seq("id_a", "id_b", "n_shared"))
+    assert(wp.count() >= 1, "shared 6-token run must pair")
+    val ev = Seq((1L, "view"), (1L, "click"), (2L, "view"), (2L, "click"))
+      .toDF("user_id", "event_type")
+    val ar = Registry.runEvents(ev, """[{"type":"association"}]""")
+    assert(ar.filter(col("item_a") === "click" && col("item_b") === "view")
+      .head.getLong(2) == 2L)
+  }
+
   test("r9 corpus steps: keep-best dedup, nb_score append, collocations terminal") {
     val docs = Seq(
       (1L, "the cat sat on the mat and the dog barked at it all day long", "en"),
