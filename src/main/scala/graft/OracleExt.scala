@@ -3316,6 +3316,38 @@ object OracleExt {
        |  CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= $k""".stripMargin
 
+  /** Benford first-digit audit (Profile.benford over
+    * lineitem.l_extendedprice): identical ln-based digit arithmetic;
+    * expected shares are the SAME inlined double literals.
+    */
+  val qBenford: String = {
+    val exp = graft.relational.Profile.BenfordExpected
+      .map { case (d, e) => s"($d, $e)" }.mkString(", ")
+    s"""WITH counts AS (
+       |  SELECT least(greatest(CAST(floor(v / pow(10.0,
+       |      floor(ln(v) / ${math.log(10.0)}))) AS INTEGER), 1), 9) AS digit,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem)
+       |  WHERE v > 0.0 GROUP BY 1),
+       |expected AS (SELECT digit, CAST(expected AS DOUBLE) AS expected
+       |             FROM (VALUES $exp) e(digit, expected)),
+       |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_tot FROM counts),
+       |j AS (
+       |  SELECT e.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n, e.expected,
+       |         t.n_tot
+       |  FROM expected e LEFT JOIN counts c ON c.digit = e.digit, tot t),
+       |terms AS (
+       |  SELECT *, round((n - n_tot * expected) * (n - n_tot * expected)
+       |    / (n_tot * expected), 9) AS chi_term
+       |  FROM j)
+       |SELECT CAST(digit AS INTEGER) AS digit, n,
+       |  round(CAST(n AS DOUBLE) / n_tot, 6) AS share,
+       |  round(expected, 6) AS expected,
+       |  round(CAST(n AS DOUBLE) / n_tot - expected, 6) AS dev,
+       |  round(SUM(chi_term) OVER (), 6) AS chi2
+       |FROM terms""".stripMargin
+  }
+
   /** Frequent triples (Association.tripleRules, minSupport 2): the
     * ANTI-MIRROR — a direct three-way self-join count with no apriori
     * prune, so matching it proves the Spark side's candidate pruning

@@ -645,6 +645,10 @@ object SparkEntry {
     "q_association" -> ((s, dir) =>
       relational.Association.pairRules(Panel.readEvents(s, dir),
         basketCol = "user_id", itemCol = "event_type")),
+    // r9: Benford first-digit audit over order prices
+    "q_benford" -> ((s, dir) =>
+      relational.Profile.benford(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice")),
     // r9: apriori frequent triples — the oracle is the UNpruned direct
     // count, proving the candidate prune lossless
     "q_association_triples" -> ((s, dir) =>
@@ -1482,6 +1486,7 @@ object SparkEntry {
     "q_attribution" -> OracleExt.qAttribution,
     "q_association" -> OracleExt.qAssociation,
     "q_association_triples" -> OracleExt.qAssociationTriples(),
+    "q_benford" -> OracleExt.qBenford,
     "q_profile" -> OracleExt.qProfile,
     "q_profile_approx" -> OracleExt.qProfileApprox,
     "q_distribution_drift" -> OracleExt.qDistributionDrift,

@@ -188,6 +188,26 @@ class ExtensionsSpec extends SparkSpec {
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("benford: an exact-Benford sample scores chi2 ~ 0; digits parse right") {
+    // counts proportional to log10(1+1/d) over 100000 → near-exact fit
+    val rows = graft.relational.Profile.BenfordExpected.flatMap {
+      case (d, e) =>
+        val n = math.round(e * 100000).toInt
+        (0 until n).map(i => Tuple1(d * 100.0 + (i % 97) / 100.0))
+    }
+    val out = graft.relational.Profile.benford(rows.toDF("v"), "v").collect()
+    assert(out.length == 9)
+    val byDigit = out.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit(1L.toInt) > byDigit(9))
+    val chi2 = out.head.getDouble(5)
+    assert(chi2 < 20.0, s"near-exact Benford sample must fit, chi2=$chi2")
+    // a uniform-magnitude sample (all first digit 5) must NOT fit
+    val flat = (0 until 9000).map(i => Tuple1(500.0 + i % 100))
+    val chiFlat = graft.relational.Profile.benford(flat.toDF("v"), "v")
+      .head.getDouble(5)
+    assert(chiFlat > 1000.0, s"degenerate sample must breach, chi2=$chiFlat")
+  }
+
   test("tripleRules: apriori prune is lossless vs the hand count") {
     // baskets: {x,y,z} {x,y,z} {x,y} {x,z} {y,z,w} → (x,y,z) support 2;
     // (y,z,w) support 1 < minSupport → dropped
