@@ -3316,6 +3316,25 @@ object OracleExt {
        |  CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= $k""".stripMargin
 
+  /** Event-transition matrix (Association.transitions): lead over the
+    * deterministic (ts, event_id) order, exact-long conditional
+    * probabilities.
+    */
+  val qTransitions: String =
+    """WITH nxt AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+      |        FROM pairs GROUP BY 1)
+      |SELECT p.from_type, p.to_type, p.n,
+      |  round(CAST(p.n AS DOUBLE) / t.n_from, 6) AS prob
+      |FROM pairs p JOIN tot t ON t.from_type = p.from_type""".stripMargin
+
   /** Benford first-digit audit (Profile.benford over
     * lineitem.l_extendedprice): identical ln-based digit arithmetic;
     * expected shares are the SAME inlined double literals.

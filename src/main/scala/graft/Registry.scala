@@ -807,6 +807,9 @@ object Registry {
     "association_triples" -> ((df, a) =>
       relational.Association.tripleRules(df, "user_id", "event_type",
         a.numOpt(0).getOrElse(2.0).toLong)),
+    // terminal Markov event-transition matrix
+    "transitions" -> ((df, _) =>
+      relational.Association.transitions(df)),
   )
 
   /** Run a JSON spec over an embeddings frame. */

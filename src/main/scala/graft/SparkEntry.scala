@@ -645,6 +645,9 @@ object SparkEntry {
     "q_association" -> ((s, dir) =>
       relational.Association.pairRules(Panel.readEvents(s, dir),
         basketCol = "user_id", itemCol = "event_type")),
+    // r9: Markov event-transition matrix (path/flow analysis)
+    "q_transitions" -> ((s, dir) =>
+      relational.Association.transitions(Panel.readEvents(s, dir))),
     // r9: Benford first-digit audit over order prices
     "q_benford" -> ((s, dir) =>
       relational.Profile.benford(
@@ -1487,6 +1490,7 @@ object SparkEntry {
     "q_association" -> OracleExt.qAssociation,
     "q_association_triples" -> OracleExt.qAssociationTriples(),
     "q_benford" -> OracleExt.qBenford,
+    "q_transitions" -> OracleExt.qTransitions,
     "q_profile" -> OracleExt.qProfile,
     "q_profile_approx" -> OracleExt.qProfileApprox,
     "q_distribution_drift" -> OracleExt.qDistributionDrift,

@@ -57,6 +57,33 @@ object Association {
           / (col("supp_a") * col("supp_b")), 6).as("lift"))
   }
 
+  /** Event-transition matrix — the Markov "what happens next" flow
+    * behind Sankey / path-analysis views: for consecutive events
+    * within each user's timeline, the count and conditional
+    * probability P(next | current).
+    *
+    * ONE user-keyed window (lead over the deterministic
+    * (ts, event_id) order — the shuffle every event-analytics op
+    * already pays) feeding a (from, to) count aggregate; the
+    * per-source totals ride a second tiny aggregate joined back.
+    * Output is event-vocabulary² rows whatever the history size.
+    *
+    * @return (from_type, to_type, n, prob) — prob rounded 1e-6
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 6).as("prob"))
+  }
+
   /** Frequent 3-itemsets with the classic APRIORI candidate prune:
     * triples are generated ONLY by extending frequent pairs, and every
     * sub-pair of a candidate must itself be frequent — the downward-

@@ -188,6 +188,22 @@ class ExtensionsSpec extends SparkSpec {
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("transitions: conditional probabilities from a worked path") {
+    // user 1: a→b→a; user 2: a→b. pairs: (a,b)x2, (b,a)x1
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (2L, 1L, 20L, "b"), (3L, 1L, 30L, "a"),
+      (4L, 2L, 10L, "a"), (5L, 2L, 20L, "b"))
+      .toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = graft.relational.Association.transitions(ev)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(("a", "b")) == ((2L, 1.0)))
+    assert(out(("b", "a")) == ((1L, 1.0)))
+    assert(out.size == 2)
+  }
+
   test("benford: an exact-Benford sample scores chi2 ~ 0; digits parse right") {
     // counts proportional to log10(1+1/d) over 100000 → near-exact fit
     val rows = graft.relational.Profile.BenfordExpected.flatMap {
