@@ -3436,6 +3436,119 @@ object OracleExt {
       |  CAST(NULL AS BIGINT), CAST(1 AS INTEGER)
       |FROM ch""".stripMargin
 
+  /** Type-1 CDC apply (Scd.cdcApply over the orders-derived I/U/D
+    * log): highest-sequence row wins per key via row_number DESC (the
+    * anti-mirror of the Spark side's max_by aggregate — matching
+    * proves the one-agg compaction ≡ the textbook window form),
+    * delete winners drop out.
+    */
+  val qCdcApply: String =
+    """WITH log AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      |         o_orderstatus, CAST(1 AS BIGINT) AS seq, 'I' AS op
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST(o_totalprice + 2.5 AS DOUBLE), 'P',
+      |         CAST(2 AS BIGINT), 'U'
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+      |         CAST(3 AS BIGINT), 'D'
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |w AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |    ORDER BY seq DESC) AS rn
+      |  FROM log)
+      |SELECT o_orderkey, o_totalprice, o_orderstatus, seq
+      |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin
+
+  /** RFM quintiles (Rfm.rfm over orders, 5 buckets): textbook ntile
+    * windows over the identical total orders — the anti-mirror of the
+    * range-partitioned [[graft.ops.Ranking.globalNtile]], proving its
+    * bit-identical ntile semantics on every gate run.
+    */
+  val qRfm: String =
+    """WITH pc AS (
+      |  SELECT o_custkey AS cust, max(o_orderdate) AS last_d,
+      |         CAST(COUNT(*) AS BIGINT) AS frequency,
+      |         round(SUM(o_totalprice), 6) AS monetary
+      |  FROM orders GROUP BY 1),
+      |a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+      |b AS (
+      |  SELECT cust,
+      |    CAST(date_diff('day', CAST(last_d AS DATE), CAST(anchor AS DATE))
+      |      AS BIGINT) AS recency_days,
+      |    frequency, monetary
+      |  FROM pc, a),
+      |s AS (
+      |  SELECT *,
+      |    ntile(5) OVER (ORDER BY recency_days DESC, cust) AS r,
+      |    ntile(5) OVER (ORDER BY frequency, cust) AS f,
+      |    ntile(5) OVER (ORDER BY monetary, cust) AS m
+      |  FROM b)
+      |SELECT cust, recency_days, frequency, monetary,
+      |  CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
+      |  CAST(m AS INTEGER) AS m,
+      |  CAST(r * 100 + f * 10 + m AS INTEGER) AS rfm
+      |FROM s""".stripMargin
+
+  /** k-anonymity audit (Profile.kAnonymity over customer
+    * quasi-identifiers, k = 10): one grouped count + broadcast total.
+    */
+  val qKAnonymity: String =
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cls)
+      |SELECT c_nationkey, c_mktsegment, n,
+      |  round(CAST(n AS DOUBLE) / t.total, 6) AS share,
+      |  n < 10 AS at_risk
+      |FROM cls, t""".stripMargin
+
+  /** A/B readout (Experiment.abTest over events, salt "ab"): identical
+    * md5-threshold variant split, exact-long conversion counts, the
+    * pooled-variance z with the same 1e-9 term fixing and the same
+    * se = 0 guard.
+    */
+  val qAbTest: String =
+    """WITH u AS (SELECT DISTINCT user_id AS u FROM events),
+      |v AS (
+      |  SELECT u, CASE WHEN md5(CAST(u AS VARCHAR) || ':ab') < '8'
+      |              THEN 'A' ELSE 'B' END AS variant
+      |  FROM u),
+      |d AS (
+      |  SELECT max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+      |         max(CASE WHEN variant = 'B' THEN n END) AS n_b
+      |  FROM (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM v GROUP BY 1)),
+      |c AS (
+      |  SELECT metric,
+      |    CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS conv_a,
+      |    CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS conv_b
+      |  FROM (SELECT DISTINCT event_type AS metric, user_id AS u
+      |        FROM events) e
+      |  JOIN v USING (u) GROUP BY 1),
+      |s AS (
+      |  SELECT c.*, d.n_a, d.n_b,
+      |    CAST(conv_a AS DOUBLE) / d.n_a AS pa,
+      |    CAST(conv_b AS DOUBLE) / d.n_b AS pb,
+      |    CAST(conv_a + conv_b AS DOUBLE) / (d.n_a + d.n_b) AS pp
+      |  FROM c, d),
+      |se AS (
+      |  SELECT *, round(sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)), 9)
+      |    AS sev
+      |  FROM s),
+      |f AS (
+      |  SELECT metric, n_a, n_b, conv_a, conv_b,
+      |    round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+      |    CASE WHEN sev > 0
+      |         THEN round((round(pa, 9) - round(pb, 9)) / sev, 6)
+      |         ELSE 0.0 END AS z
+      |  FROM se)
+      |SELECT *, abs(z) > 1.96 AS significant FROM f""".stripMargin
+
   /** Naive Bayes corpus classifier (Classifier.nbScore, label
     * lang = 'en'): per-token Laplace log-odds fixed to 1e-6 BIGINT
     * units before the per-doc integer sum — the micro-fixing makes the
@@ -3502,4 +3615,218 @@ object OracleExt {
        |  value2 AS value2_imp
        |FROM noisy""".stripMargin
   }
+
+  /** l-diversity audit (Profile.lDiversity, quasi = c_nationkey,
+    * sensitive = c_mktsegment, l = 3): exact distinct-sensitive count
+    * per quasi class.
+    */
+  val qLDiversity: String =
+    """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS distinct_sensitive,
+      |  COUNT(DISTINCT c_mktsegment) < 3 AS at_risk
+      |FROM customer GROUP BY 1""".stripMargin
+
+  /** Gini revenue concentration (Profile.gini over per-customer order
+    * totals): values fixed to integer cents per ROW before any sum (so
+    * both engines aggregate exact integers in any order), closed-form
+    * rank statistic in HUGEINT/DECIMAL(38,0).
+    */
+  val qGini: String =
+    """WITH cents AS (
+      |  SELECT o_custkey AS u,
+      |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT x, row_number() OVER (ORDER BY x, u) AS rk FROM cents),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+      |        SUM(CAST(x AS HUGEINT)) AS t,
+      |        SUM(CAST(rk AS HUGEINT) * CAST(x AS HUGEINT)) AS s1
+      |      FROM r)
+      |SELECT n_units, round(CAST(t AS DOUBLE) / 100, 6) AS total,
+      |  CASE WHEN t = 0 THEN NULL
+      |       ELSE round(CAST(2 * s1 - (n_units + 1) * t AS DOUBLE)
+      |                  / CAST(n_units * t AS DOUBLE), 6) END AS gini
+      |FROM a""".stripMargin
+
+  /** Triangle counts (graphs.Triangles over the simhash near-dup
+    * pairs): the same degree-ordered orientation re-derived
+    * relationally — each triangle closes exactly once at its
+    * lowest-(deg, id) corner.
+    */
+  val qTriangles: String =
+    s"""$norm, $simhashPairCtes,
+       |e0 AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
+       |canon AS (SELECT DISTINCT least(id_a, id_b) AS a,
+       |            greatest(id_a, id_b) AS b
+       |          FROM e0 WHERE id_a <> id_b),
+       |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |          SELECT a AS id FROM canon
+       |          UNION ALL SELECT b FROM canon) GROUP BY 1),
+       |o AS (SELECT
+       |        CASE WHEN (da.deg, c.a) < (db.deg, c.b)
+       |             THEN c.a ELSE c.b END AS src,
+       |        CASE WHEN (da.deg, c.a) < (db.deg, c.b)
+       |             THEN c.b ELSE c.a END AS dst,
+       |        CASE WHEN (da.deg, c.a) < (db.deg, c.b)
+       |             THEN db.deg ELSE da.deg END AS ddeg
+       |      FROM canon c
+       |      JOIN deg da ON da.id = c.a
+       |      JOIN deg db ON db.id = c.b),
+       |wg AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+       |       FROM o e1 JOIN o e2 ON e1.src = e2.src
+       |       WHERE (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)),
+       |tri AS (SELECT u, v, w FROM wg
+       |        JOIN o ON o.src = wg.v AND o.dst = wg.w),
+       |pn AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+       |         SELECT u AS id FROM tri
+       |         UNION ALL SELECT v FROM tri
+       |         UNION ALL SELECT w FROM tri) GROUP BY 1)
+       |SELECT d.id, COALESCE(pn.triangles, 0) AS triangles
+       |FROM deg d LEFT JOIN pn ON pn.id = d.id""".stripMargin
+
+  /** Multi-touch attribution (Attribution.multiTouch): the
+    * next-conversion assignment is a min over the FOLLOWING frame in
+    * (t, event_id) order — the Spark side takes a struct min, the SQL
+    * encodes the same pair as t·2³² + event_id in HUGEINT (event ids
+    * are < 2³², so the encoding preserves the lexicographic order
+    * exactly).
+    */
+  val qAttributionMulti: String =
+    """WITH e AS (SELECT user_id,
+      |  CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t, event_id, event_type
+      |  FROM events),
+      |tt AS (SELECT user_id, t, event_id, event_type,
+      |         MIN(CASE WHEN event_type = 'purchase'
+      |             THEN CAST(t AS HUGEINT) * 4294967296 + event_id END)
+      |           OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |           AS ck
+      |       FROM e),
+      |g AS (SELECT user_id, t, event_id AS touch_event_id,
+      |        event_type AS touch_type,
+      |        CAST(ck // 4294967296 AS BIGINT) AS conv_t,
+      |        CAST(ck % 4294967296 AS BIGINT) AS conv_event_id
+      |      FROM tt
+      |      WHERE event_type <> 'purchase' AND ck IS NOT NULL),
+      |p AS (SELECT *,
+      |        CAST(COUNT(*) OVER (PARTITION BY user_id, conv_event_id)
+      |          AS BIGINT) AS n_touches,
+      |        CAST(row_number() OVER (PARTITION BY user_id, conv_event_id
+      |          ORDER BY t, touch_event_id) AS BIGINT) AS position
+      |      FROM g)
+      |SELECT user_id, conv_t, conv_event_id, touch_event_id, touch_type,
+      |  n_touches, position,
+      |  round(1.0 / n_touches, 6) AS credit_linear,
+      |  round(CASE WHEN n_touches <= 2 THEN 1.0 / n_touches
+      |             WHEN position = 1 OR position = n_touches THEN 0.4
+      |             ELSE 0.2 / (n_touches - 2.0) END, 6) AS credit_position
+      |FROM p""".stripMargin
+
+  /** Kaplan–Meier life table (Survival.kaplanMeier, censorDays = 7):
+    * identical per-user lifetimes, censor convention, and the
+    * 1e-9-rounded log-sum product form.
+    */
+  val qSurvival: String =
+    """WITH pu AS (SELECT user_id, MIN(ts) AS f, MAX(ts) AS l
+      |            FROM events GROUP BY 1),
+      |hm AS (SELECT MAX(ts) AS hmax FROM events),
+      |lv AS (SELECT
+      |         CAST(date_diff('day', CAST(f AS DATE), CAST(l AS DATE))
+      |           AS BIGINT) AS duration_days,
+      |         l < hmax - INTERVAL 7 DAY AS ch
+      |       FROM pu, hm),
+      |tb AS (SELECT duration_days,
+      |         CAST(SUM(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS churned,
+      |         CAST(SUM(CASE WHEN ch THEN 0 ELSE 1 END) AS BIGINT)
+      |           AS censored
+      |       FROM lv GROUP BY 1),
+      |cw AS (SELECT *,
+      |         CAST(SUM(churned + censored) OVER ()
+      |           - COALESCE(SUM(churned + censored) OVER (
+      |               ORDER BY duration_days
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS n_risk
+      |       FROM tb),
+      |lg AS (SELECT *,
+      |         CASE WHEN churned < n_risk THEN
+      |           round(ln(1.0 - CAST(churned AS DOUBLE) / n_risk), 9)
+      |         END AS lt,
+      |         CASE WHEN churned >= n_risk THEN 1 ELSE 0 END AS z
+      |       FROM cw),
+      |fin AS (SELECT *,
+      |          SUM(z) OVER (ORDER BY duration_days
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zc,
+      |          SUM(lt) OVER (ORDER BY duration_days
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls
+      |        FROM lg)
+      |SELECT duration_days, churned, censored, n_risk,
+      |  CASE WHEN zc > 0 THEN 0.0
+      |       ELSE round(exp(COALESCE(ls, 0.0)), 6) END AS survival
+      |FROM fin""".stripMargin
+
+  /** Two-sample KS drift (Sampling.ksTest over order totals split by
+    * customer-key parity): exact ECDFs from grouped long counts.
+    */
+  val qKsTest: String =
+    """WITH r AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      |           WHERE o_custkey % 2 = 0),
+      |c AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      |      WHERE o_custkey % 2 = 1),
+      |cr AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_ref FROM r GROUP BY 1),
+      |cc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_cur FROM c GROUP BY 1),
+      |m AS (SELECT COALESCE(cr.v, cc.v) AS v,
+      |        COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      |      FROM cr FULL JOIN cc ON cr.v = cc.v),
+      |cum AS (SELECT
+      |          SUM(n_ref) OVER (ORDER BY v
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cref,
+      |          SUM(n_cur) OVER (ORDER BY v
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccur
+      |        FROM m),
+      |t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+      |        CAST(SUM(n_cur) AS BIGINT) AS tc FROM m),
+      |s AS (SELECT tr AS n_ref, tc AS n_cur,
+      |        round(MAX(abs(CAST(cref AS DOUBLE) / tr
+      |          - CAST(ccur AS DOUBLE) / tc)), 6) AS d_stat,
+      |        round(1.358 * sqrt(CAST(tr + tc AS DOUBLE)
+      |          / (CAST(tr AS DOUBLE) * CAST(tc AS DOUBLE))), 6) AS d_crit
+      |      FROM cum, t GROUP BY tr, tc)
+      |SELECT *, d_stat > d_crit AS drifted FROM s""".stripMargin
+
+  /** Per-unit autocorrelation function at lags 1..3 (TemporalOps.acf
+    * over the dense panel): explicit-sum Pearson per lag, numerator
+    * and both variances rounded 1e-9 (the rollingCorr discipline).
+    */
+  val qAcf: String =
+    s"""${Oracle.panel},
+       |lx AS (SELECT unit_id, value AS x,
+       |         lag(value, 1) OVER (PARTITION BY unit_id
+       |           ORDER BY month_id) AS y1,
+       |         lag(value, 2) OVER (PARTITION BY unit_id
+       |           ORDER BY month_id) AS y2,
+       |         lag(value, 3) OVER (PARTITION BY unit_id
+       |           ORDER BY month_id) AS y3
+       |       FROM panel),
+       |pairs AS (
+       |  SELECT unit_id, 1 AS lag, x, y1 AS y FROM lx
+       |  UNION ALL SELECT unit_id, 2, x, y2 FROM lx
+       |  UNION ALL SELECT unit_id, 3, x, y3 FROM lx),
+       |st AS (SELECT unit_id, lag,
+       |         CAST(COUNT(CASE WHEN y IS NOT NULL THEN 1 END) AS DOUBLE)
+       |           AS n,
+       |         SUM(CASE WHEN y IS NOT NULL THEN x END) AS sx,
+       |         SUM(y) AS sy,
+       |         SUM(CASE WHEN y IS NOT NULL THEN x * x END) AS sxx,
+       |         SUM(y * y) AS syy,
+       |         SUM(x * y) AS sxy
+       |       FROM pairs GROUP BY 1, 2)
+       |SELECT unit_id, CAST(lag AS INTEGER) AS lag,
+       |  CAST(n AS BIGINT) AS n_pairs,
+       |  CASE WHEN n < 2 OR round(n * sxx - sx * sx, 9) <= 0
+       |            OR round(n * syy - sy * sy, 9) <= 0 THEN NULL
+       |       ELSE round(round(n * sxy - sx * sy, 9)
+       |                  / sqrt(round(n * sxx - sx * sx, 9)
+       |                         * round(n * syy - sy * sy, 9)), 6)
+       |  END AS acf
+       |FROM st""".stripMargin
 }

@@ -1009,6 +1009,42 @@ object SparkEntry {
         Seq("o_totalprice", "o_orderstatus"), baseSeq = 1L, updSeq = 2L)
     }),
     "q_region_revenue" -> ((s, dir) => relational.StarQueries.regionRevenue(s, dir)),
+    // r9: type-1 CDC apply — latest-state compaction of an I/U/D change
+    // log (one max_by hash agg, no window). The log derives
+    // deterministically from orders: every key inserts at seq 1, keys
+    // %7 reprice at seq 2 (exactly-representable +2.5 — the q_scd2
+    // half-way-decimal discipline), keys %11 delete at seq 3
+    "q_cdc_apply" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val ins = o.select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"), lit(1L).as("seq"), lit("I").as("op"))
+      val upd = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 2.5).as("o_totalprice"),
+          lit("P").as("o_orderstatus"), lit(2L).as("seq"), lit("U").as("op"))
+      val del = o.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), lit(null).cast("double").as("o_totalprice"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(3L).as("seq"), lit("D").as("op"))
+      relational.Scd.cdcApply(ins.unionByName(upd).unionByName(del),
+        "o_orderkey", "seq", "op", Seq("o_totalprice", "o_orderstatus"))
+    }),
+    // r9: RFM quintile segmentation over the orders fact — one fact
+    // agg + three exact global ntiles (range-partitioned, never a
+    // single-task window)
+    "q_rfm" -> ((s, dir) =>
+      relational.Rfm.rfm(s.read.parquet(s"$dir/orders.parquet"),
+        custCol = "o_custkey", dateCol = "o_orderdate",
+        amountCol = "o_totalprice")),
+    // r9: k-anonymity privacy audit over customer quasi-identifiers
+    "q_k_anonymity" -> ((s, dir) =>
+      relational.Profile.kAnonymity(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)),
+    // r9: A/B experiment readout — md5-hash variant split, per-metric
+    // two-proportion z-test from exact long counts
+    "q_ab_test" -> ((s, dir) =>
+      relational.Experiment.abTest(Panel.readEvents(s, dir),
+        userCol = "user_id", metricCol = "event_type")),
 
     // features + resize run over REAL synthesized PNGs (lossless, so
     // the decoded pixels are oracle-recomputable); frames keeps the
@@ -1622,6 +1658,10 @@ object SparkEntry {
     "q_pricing_summary" -> OracleExt.qPricingSummary,
     "q_top_orders" -> OracleExt.qTopOrders,
     "q_scd2" -> OracleExt.qScd2,
+    "q_cdc_apply" -> OracleExt.qCdcApply,
+    "q_rfm" -> OracleExt.qRfm,
+    "q_k_anonymity" -> OracleExt.qKAnonymity,
+    "q_ab_test" -> OracleExt.qAbTest,
     "q_region_revenue" -> OracleExt.qRegionRevenue,
   )
 }

@@ -18,9 +18,25 @@ import org.apache.spark.sql.functions._
   *   global_rank = (rows in lower partitions) + local index
   *
   * One range shuffle of the data, one tiny (nPartitions-row)
-  * aggregation — both fully parallel. The range exchange is shared by
-  * the count branch and the rank branch (`ReusedExchange` in the
-  * physical plan), so the data shuffles once.
+  * aggregation — both fully parallel.
+  *
+  * The range-partitioned data is materialized ONCE (eager
+  * `localCheckpoint`, memory-and-disk) before the count branch and the
+  * rank branch read it. This is load-bearing for correctness, not a
+  * cache hint: each physical range `Exchange` samples its own
+  * partition boundaries (`RangePartitioner`'s reservoir sample is
+  * seeded per RDD instance), so if the two branches plan as two
+  * exchanges — Catalyst's `ReuseExchange` is an optimization that
+  * column-pruning divergence or AQE staging can and does defeat (the
+  * r9 q_rfm gate failure: 1500 rows ranked into quintiles of
+  * 300/316/304/286/294) — the per-partition counts describe a
+  * DIFFERENT partitioning than the one the local indexes were
+  * assigned in, and ranks silently duplicate/skip. Checkpointing pins
+  * one physical layout that both branches read. The cost — one
+  * materialization of the ranked working set — is the honest price of
+  * an exact global rank; callers ranking wide rows at corpus scale can
+  * rank a keys-only projection (the order is total, so the key tuple
+  * is unique) and join the rank back.
   *
   * The order must be TOTAL (append a unique tiebreaker such as the
   * doc id): range partitioning never splits equal keys across
@@ -45,7 +61,9 @@ object Ranking {
                  numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
-    val parted = df.repartitionByRange(n, order: _*)
+    // eager checkpoint: both branches below MUST observe the same
+    // physical partition boundaries (see the object doc)
+    val parted = df.repartitionByRange(n, order: _*).localCheckpoint()
     // tiny: one row per partition; the constant partition key keeps the
     // cumulative sum off the "no partition defined" single-task-Window
     // warning path while staying a genuinely bounded computation
@@ -117,7 +135,9 @@ object Ranking {
                    numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
-    val parted = df.repartitionByRange(n, order: _*)
+    // eager checkpoint: the per-partition-sum branch and the running-sum
+    // branch must observe the same boundaries (see the object doc)
+    val parted = df.repartitionByRange(n, order: _*).localCheckpoint()
     val sums = parted.groupBy(spark_partition_id().as("__pid"))
       .agg(sum(col(valueCol)).as("__psum"))
     val w = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))

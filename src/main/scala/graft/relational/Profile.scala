@@ -139,4 +139,95 @@ object Profile {
         round(share - col("expected"), 6).as("dev"),
         col("chi2"))
   }
+
+  /** k-anonymity audit — the privacy screen a training-data release
+    * runs before shipping: group the table by its quasi-identifier
+    * columns and flag every equivalence class smaller than `k` (those
+    * rows are re-identifiable by joining the quasi-identifiers against
+    * an external dataset).
+    *
+    * ONE map-side-combinable count aggregate; output is one row per
+    * quasi-identifier combination (bounded by the identifier domain
+    * product, not the table), with the class size, its share of the
+    * table, and the at-risk verdict. The 1-row total broadcasts into
+    * the projection.
+    *
+    * @return (quasi..., n, share, at_risk)
+    */
+  /** l-diversity audit — the companion screen to [[kAnonymity]]: a
+    * k-anonymous class is still disclosive when every row in it shares
+    * one SENSITIVE value (the homogeneity attack), so each
+    * quasi-identifier class is additionally graded on how many
+    * distinct sensitive values it carries.
+    *
+    * ONE grouped aggregate: `count` plus exact `count(distinct
+    * sensitive)` per class — Spark plans the distinct as the standard
+    * two-phase expand/partial-merge aggregate, map-side combinable, so
+    * the pass stays one shuffle bounded by (class × sensitive)
+    * cardinality, never table rows.
+    *
+    * @return (quasi..., n, distinct_sensitive, at_risk)
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 2L, s"l must be >= 2, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .select(quasiCols.map(col) :+
+        col("n") :+ col("distinct_sensitive") :+
+        (col("distinct_sensitive") < l).as("at_risk"): _*)
+  }
+
+  /** Gini concentration coefficient of a monetary value across units
+    * (customers, suppliers, sources) — the inequality audit a revenue
+    * or token-budget review reports: 0 = perfectly even, →1 = all
+    * mass on one unit.
+    *
+    * Exactness: values are fixed to integer cents BEFORE any
+    * aggregation (`round(v·100)` per row — `valueCol` is expected to
+    * carry ≤2 decimals, the money convention), so the per-unit sums
+    * are exact BIGINTs whatever the partition order, and the closed
+    * form
+    *   G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)
+    * (x ascending, rank 1..n) divides one exactly-computed DECIMAL by
+    * another — engine-independent to the last bit before the 1e-6
+    * output rounding. The rank is [[graft.ops.Ranking.rank]] (range
+    * partition + offsets, no single-task window), rank·x and the
+    * final sums ride DECIMAL(38,0) so a 1e9-unit × 1e9-cent corpus
+    * cannot overflow.
+    *
+    * @return one row: (n_units, total, gini)
+    */
+  def gini(df: DataFrame, valueCol: String, unitCol: String): DataFrame = {
+    val cents = df.groupBy(col(unitCol).as("__u"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("__x"))
+    val ranked = graft.ops.Ranking.rank(cents,
+      Seq(col("__x"), col("__u")), "__r")
+    val d = "decimal(38,0)"
+    ranked.agg(count(lit(1)).as("n_units"),
+      sum(col("__x").cast(d)).as("__t"),
+      sum(col("__r").cast(d) * col("__x").cast(d)).as("__s1"))
+      .select(col("n_units"),
+        round(col("__t").cast("double") / 100, 6).as("total"),
+        when(col("__t") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (lit(2) * col("__s1") - (col("n_units") + 1) * col("__t"))
+              .cast("double") /
+            (col("n_units") * col("__t")).cast("double"), 6)).as("gini"))
+  }
+
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2L, s"k must be >= 2, got $k")
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val tot = classes.agg(sum("n").as("__N"))
+    classes.crossJoin(broadcast(tot))
+      .select(quasiCols.map(col) :+
+        col("n") :+
+        round(col("n").cast("double") / col("__N"), 6).as("share") :+
+        (col("n") < k).as("at_risk"): _*)
+  }
 }

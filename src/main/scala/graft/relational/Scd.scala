@@ -67,4 +67,34 @@ object Scd {
       .select(col(key) +: (tracked :+ "valid_from" :+ "valid_to" :+ "is_current")
         .map(c => col(s"__r.$c")): _*)
   }
+
+  /** Type-1 CDC apply — collapse an insert/update/delete change log to
+    * the latest state per key: the other half of the warehouse ingest
+    * story ([[scd2Merge]] keeps history; this materializes "now").
+    *
+    * `log` carries `keyCol`, a strictly increasing per-key `seqCol`,
+    * an `opCol` in {I, U, D}, and the value columns. The winner per
+    * key is the row with the highest sequence; keys whose winning op
+    * is D vanish from the output.
+    *
+    * Scale shape: ONE `max_by(struct(values), seq)` hash aggregate —
+    * map-side combinable (each mapper keeps one candidate per key
+    * before the shuffle), so the shuffle volume is bounded by distinct
+    * keys, not log length. No window, no driver state: the 100 TB
+    * change-log compaction shape. Replayed / duplicated log entries
+    * (at-least-once ingest) are harmless: the same (key, seq) winner
+    * wins again.
+    */
+  def cdcApply(log: DataFrame, keyCol: String, seqCol: String,
+               opCol: String, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    val payload = struct(
+      (opCol +: valueCols :+ seqCol).map(col): _*)
+    log.groupBy(col(keyCol))
+      .agg(max_by(payload, col(seqCol)).as("__w"))
+      .filter(col(s"__w.$opCol") =!= "D")
+      .select(col(keyCol) +:
+        valueCols.map(c => col(s"__w.$c").as(c)) :+
+        col(s"__w.$seqCol").as(seqCol): _*)
+  }
 }
