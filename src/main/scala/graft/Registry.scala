@@ -125,6 +125,9 @@ object Registry {
     "rolling_corr" -> ((df, a) =>
       df.withColumn("rcorr",
         TemporalOps.rollingCorr(col("value"), col("value2"), a.num(0).toInt))),
+    // args: [maxLag?] — terminal per-unit autocorrelation table
+    "acf" -> ((df, a) =>
+      TemporalOps.acf(df, "value", a.numOpt(0).getOrElse(3.0).toInt)),
     "onset_possible" -> colT((c, a) => TemporalOps.onsetPossible(c, a.num(0).toInt).cast("double")),
     "onset" -> colT((c, a) => TemporalOps.onset(c, a.num(0).toInt).cast("double")),
     "temporal_entropy" -> colT((c, a) => TemporalOps.temporalEntropy(c, a.num(0).toInt, a.num(1))),
@@ -810,6 +813,14 @@ object Registry {
     // terminal Markov event-transition matrix
     "transitions" -> ((df, _) =>
       relational.Association.transitions(df)),
+    // args: [conversionType?] — terminal multi-touch credit table
+    "attribution_multi" -> ((df, a) =>
+      relational.Attribution.multiTouch(df,
+        a.collectFirst { case s: String => s }.getOrElse("purchase"))),
+    // args: [censorDays?] — terminal Kaplan–Meier life table
+    "survival" -> ((df, a) =>
+      relational.Survival.kaplanMeier(df,
+        a.numOpt(0).getOrElse(7.0).toInt)),
   )
 
   /** Run a JSON spec over an embeddings frame. */

@@ -134,6 +134,10 @@ object SparkEntry {
     },
     "q_rolling_corr" -> colQ("rcorr",
       round(TemporalOps.rollingCorr(col("value"), col("value2"), 6), 6)),
+    // r9: per-unit autocorrelation at lags 1..3 — the seasonality
+    // diagnostic, one row per (unit, lag), all on the shared unit
+    // partitioning
+    "q_acf" -> onPanel(p => TemporalOps.acf(p, "value", maxLag = 3)),
     // r9: PSI numeric-feature drift — first-half vs second-half months
     "q_psi" -> onPanel(p => sampling.Sampling.psi(
       p.filter(col(T) <= 15), p.filter(col(T) > 15), "value")),
@@ -698,6 +702,13 @@ object SparkEntry {
       graphs.PageRank.pageRank(
         dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
           maxDist = 3), iters = 5)),
+    // r9: triangle counts over the same near-dup graph — local
+    // clustering via the degree-ordered orientation (out-degree
+    // bounded O(√E), so the wedge join never goes quadratic)
+    "q_triangles" -> ((s, dir) =>
+      graphs.Triangles.triangleCounts(
+        dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
+          maxDist = 3))),
     // 64-bit scale-path signature; the pairs oracle is brute-force
     // all-pairs hamming, so a green row proves the band blocking exact
     "q_simhash64" -> ((s, dir) => dedup.Dedup.simhash64(docs(s, dir))),
@@ -1045,6 +1056,34 @@ object SparkEntry {
     "q_ab_test" -> ((s, dir) =>
       relational.Experiment.abTest(Panel.readEvents(s, dir),
         userCol = "user_id", metricCol = "event_type")),
+    // r9: l-diversity — the homogeneity-attack companion audit of
+    // q_k_anonymity (one grouped count + exact distinct-sensitive)
+    "q_l_diversity" -> ((s, dir) =>
+      relational.Profile.lDiversity(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_nationkey"), "c_mktsegment", l = 3L)),
+    // r9: Gini revenue concentration across customers — values fixed
+    // to exact integer cents before any sum, rank via the
+    // range-partitioned exact global rank
+    "q_gini" -> ((s, dir) =>
+      relational.Profile.gini(s.read.parquet(s"$dir/orders.parquet"),
+        "o_totalprice", "o_custkey")),
+    // r9: multi-touch attribution — linear + U-shaped position credits
+    // per (conversion, touch); assignment is a struct-min over the
+    // following frame (no join), the forward mirror of q_attribution
+    "q_attribution_multi" -> ((s, dir) =>
+      relational.Attribution.multiTouch(Panel.readEvents(s, dir))),
+    // r9: Kaplan–Meier churn curve — life table over per-user
+    // lifetimes, right-censored within 7 days of the stream end
+    "q_survival" -> ((s, dir) =>
+      relational.Survival.kaplanMeier(Panel.readEvents(s, dir))),
+    // r9: two-sample KS drift over order totals split by customer
+    // parity — exact ECDFs via the range-partitioned global cumsum
+    "q_ks_test" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      sampling.Sampling.ksTest(o.filter(col("o_custkey") % 2 === 0),
+        o.filter(col("o_custkey") % 2 === 1), "o_totalprice")
+    }),
 
     // features + resize run over REAL synthesized PNGs (lossless, so
     // the decoded pixels are oracle-recomputable); frames keeps the
@@ -1662,6 +1701,13 @@ object SparkEntry {
     "q_rfm" -> OracleExt.qRfm,
     "q_k_anonymity" -> OracleExt.qKAnonymity,
     "q_ab_test" -> OracleExt.qAbTest,
+    "q_l_diversity" -> OracleExt.qLDiversity,
+    "q_gini" -> OracleExt.qGini,
+    "q_triangles" -> OracleExt.qTriangles,
+    "q_attribution_multi" -> OracleExt.qAttributionMulti,
+    "q_survival" -> OracleExt.qSurvival,
+    "q_ks_test" -> OracleExt.qKsTest,
+    "q_acf" -> OracleExt.qAcf,
     "q_region_revenue" -> OracleExt.qRegionRevenue,
   )
 }

@@ -199,6 +199,58 @@ object TemporalOps {
       (c - fitted).as("detrended"))
   }
 
+  /** Autocorrelation function — the seasonality/persistence diagnostic:
+    * for each lag 1..maxLag, the Pearson correlation between the
+    * unit's series and its own l-step lag over the overlapping pairs.
+    * One output row per (unit, lag); lags with < 2 complete pairs or
+    * zero variance on either side report null.
+    *
+    * Scale shape: the lagged pairs and all six sufficient statistics
+    * per lag ride windows on the ONE shared unit partitioning (the
+    * family's single shuffle); the per-unit reduction to one row is a
+    * row_number on the same spec, and the lag dimension is an in-plan
+    * posexplode of a maxLag-wide array — no joins, no extra passes.
+    *
+    * Determinism: the [[rollingCorr]] discipline — explicit sums, both
+    * variance terms rounded 1e-9 before the ratio, output rounded 1e-6.
+    *
+    * @return (unit_id, lag, n_pairs, acf)
+    */
+  def acf(df: DataFrame, valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val wAll = Window.partitionBy(Panel.UnitCol)
+    val x = col(valueCol)
+    val lagged = (1 to maxLag).foldLeft(df) { (d, l) =>
+      d.withColumn(s"__y$l", lag(x, l).over(w))
+    }
+    val stats = (1 to maxLag).foldLeft(lagged) { (d, l) =>
+      val y = col(s"__y$l")
+      val ok = x.isNotNull && !isnan(x) && y.isNotNull && !isnan(y)
+      val n = count(when(ok, 1)).over(wAll).cast("double")
+      val sx = sum(when(ok, x)).over(wAll)
+      val sy = sum(when(ok, y)).over(wAll)
+      val sxx = sum(when(ok, x * x)).over(wAll)
+      val syy = sum(when(ok, y * y)).over(wAll)
+      val sxy = sum(when(ok, x * y)).over(wAll)
+      val vx = round(n * sxx - sx * sx, 9)
+      val vy = round(n * syy - sy * sy, 9)
+      d.withColumn(s"__acf$l",
+        struct(n.cast("long").as("n_pairs"),
+          when(n < 2.0 || vx <= 0.0 || vy <= 0.0, lit(null).cast("double"))
+            .otherwise(round(round(n * sxy - sx * sy, 9) / sqrt(vx * vy), 6))
+            .as("acf")))
+    }
+    stats
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col(Panel.TimeCol))))
+      .filter(col("__rn") === 1)
+      .select(col(Panel.UnitCol),
+        posexplode(array((1 to maxLag).map(l => col(s"__acf$l")): _*))
+          .as(Seq("__p", "__s")))
+      .select(col(Panel.UnitCol), (col("__p") + 1).cast("int").as("lag"),
+        col("__s.n_pairs").as("n_pairs"), col("__s.acf").as("acf"))
+  }
+
   /** Trailing-window Pearson correlation between two features — the
     * rolling co-movement signal (lead/lag co-drift of two panel
     * series). Computed from explicit windowed sums via the textbook

@@ -35,4 +35,65 @@ object Attribution {
     AsofJoin.asofJoin(conversions, touches, userCol, "t",
       Seq("touch_type", "touch_event_id"))
   }
+
+  /** Multi-touch attribution — every touch before a conversion gets a
+    * CREDIT share instead of winner-takes-all [[lastTouch]]. Each
+    * non-conversion event is assigned to the user's EARLIEST conversion
+    * at or after it (the forward mirror of the last-touch as-of);
+    * within a conversion's touch path of length n the row carries both
+    * standard models:
+    *
+    *   - linear:   1/n to every touch
+    *   - position (U-shaped): n=1 → 1.0; n=2 → 0.5 each;
+    *     n≥3 → 0.4 first, 0.4 last, 0.2/(n−2) to each middle
+    *
+    * Scale shape: conversion assignment is ONE min-over-following
+    * window on the user partitioning (no join — the as-of discipline),
+    * and path length / position are one more window pass on (user,
+    * conversion). Touch paths are per-user bounded; nothing leaves the
+    * user partitioning until the final projection. Credits are ratios
+    * of small exact integers — IEEE-identical in any engine — rounded
+    * 1e-6 on output.
+    *
+    * @return one row per attributed touch: (user_id, conv_t,
+    *         conv_event_id, touch_event_id, touch_type, n_touches,
+    *         position, credit_linear, credit_position)
+    */
+  def multiTouch(events: DataFrame, conversionType: String = "purchase",
+                 userCol: String = "user_id", typeCol: String = "event_type",
+                 tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col(userCol), unix_micros(col(tsCol)).as("t"),
+      col("event_id"), col(typeCol))
+    val isConv = col(typeCol) === conversionType
+    // earliest conversion at-or-after each row, as a (t, event_id)
+    // struct min over the following frame — deterministic total order
+    val wFwd = Window.partitionBy(col(userCol))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val assigned = ev
+      .withColumn("__conv",
+        min(when(isConv, struct(col("t"), col("event_id")))).over(wFwd))
+      .filter(!isConv && col("__conv").isNotNull)
+      .select(col(userCol), col("t"), col("__conv.t").as("conv_t"),
+        col("__conv.event_id").as("conv_event_id"),
+        col("event_id").as("touch_event_id"),
+        col(typeCol).as("touch_type"))
+    val wPath = Window.partitionBy(col(userCol), col("conv_event_id"))
+    val wPos = wPath.orderBy(col("t"), col("touch_event_id"))
+    val n = col("n_touches").cast("double")
+    val pos = col("position")
+    val position = when(col("n_touches") <= 2,
+        lit(1.0) / n)
+      .when(pos === 1 || pos === col("n_touches"), lit(0.4))
+      .otherwise(lit(0.2) / (n - 2.0))
+    assigned
+      .withColumn("n_touches", count(lit(1)).over(wPath))
+      .withColumn("position", row_number().over(wPos).cast("long"))
+      .select(col(userCol), col("conv_t"), col("conv_event_id"),
+        col("touch_event_id"), col("touch_type"), col("n_touches"),
+        col("position"),
+        round(lit(1.0) / n, 6).as("credit_linear"),
+        round(position, 6).as("credit_position"))
+  }
 }

@@ -467,6 +467,54 @@ object Sampling {
         round(col("psi_term"), 6).as("psi_term"), col("psi_total"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test — the third drift gauge
+    * next to [[distributionDrift]] (categorical JS) and [[psi]]
+    * (binned numeric): D = sup |F_ref − F_cur| over the EXACT empirical
+    * CDFs, so it is binning-free and catches shape drift PSI's 10 bins
+    * smear out. The verdict compares D against the asymptotic
+    * two-sided critical value c(α)·√((n₁+n₂)/(n₁·n₂)).
+    *
+    * Scale shape: one grouped count per side keyed on the value (the
+    * cardinality-bounding step), a full outer merge, then the two
+    * running counts via [[graft.ops.Ranking.globalCumsum]] — the
+    * range-partition + offsets form, so the ECDF never funnels through
+    * a single-task window however many distinct values survive. One
+    * 1-row max/total aggregate finishes.
+    *
+    * Determinism: every input to D is an exact long; the ECDF ratios
+    * and their gap are IEEE-identical in any engine, so even the max
+    * needs no tolerance.
+    *
+    * @return one row: (n_ref, n_cur, d_stat, d_crit, drifted)
+    */
+  def ksTest(ref: DataFrame, cur: DataFrame, valueCol: String,
+             cAlpha: Double = 1.358): DataFrame = {
+    require(cAlpha > 0.0, s"cAlpha must be positive, got $cAlpha")
+    val v = col(valueCol).cast("double")
+    def counts(df: DataFrame, as: String) =
+      df.select(v.as("v")).filter(col("v").isNotNull && !isnan(col("v")))
+        .groupBy("v").agg(count(lit(1)).as(as))
+    val merged = counts(ref, "n_ref").join(counts(cur, "n_cur"), Seq("v"), "full")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val cum = graft.ops.Ranking.globalCumsum(
+      graft.ops.Ranking.globalCumsum(merged, Seq(col("v")), "n_ref", "__cr"),
+      Seq(col("v")), "n_cur", "__cc")
+    val totals = merged.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("__tr"), col("__tc"),
+        abs(col("__cr").cast("double") / col("__tr") -
+          col("__cc").cast("double") / col("__tc")).as("__gap"))
+      .groupBy("__tr", "__tc")
+      .agg(round(max(col("__gap")), 6).as("d_stat"))
+      .select(col("__tr").as("n_ref"), col("__tc").as("n_cur"),
+        col("d_stat"),
+        round(lit(cAlpha) * sqrt((col("__tr") + col("__tc")).cast("double") /
+          (col("__tr").cast("double") * col("__tc").cast("double"))), 6)
+          .as("d_crit"))
+      .withColumn("drifted", col("d_stat") > col("d_crit"))
+  }
+
   /** The n−1 upper-bound hex thresholds of `hashSplit`'s bands,
     * exposed so an external checker can reproduce the exact same
     * literals (the cumulative float sums must match bit-for-bit).

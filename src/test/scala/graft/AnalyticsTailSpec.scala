@@ -1,0 +1,130 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Closed-form fixtures for the r9 analytics tail: triangle counting,
+  * Kaplan–Meier survival, multi-touch attribution, the KS drift test,
+  * per-unit ACF, Gini concentration, and l-diversity.
+  */
+class AnalyticsTailSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d 00:00:${sec}%02d")
+
+  test("triangleCounts: K4 plus a pendant path") {
+    // K4 on 1-4 (every node in 3 triangles), pendant 5 hanging off 4
+    // and an isolated edge 6-7 (all zero triangles)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L),
+      (2L, 1L), (3L, 3L)) // reversed duplicate + self-loop must vanish
+      .toDF("id_a", "id_b")
+    val got = graphs.Triangles.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L))
+  }
+
+  test("kaplanMeier: textbook product-limit with late-tail censoring") {
+    // horizon max = day 28; censorDays 7 ⇒ churned iff last < day 21.
+    // u1: d0..d2  (dur 2, churned)   u2: d0..d2  (dur 2, churned)
+    // u3: d0..d5  (dur 5, churned)   u4: d20..d25 (dur 5, censored)
+    // u5: d1..d28 (dur 27, censored)
+    val ev = Seq((1L, ts(1)), (1L, ts(3)), (2L, ts(1)), (2L, ts(3)),
+      (3L, ts(1)), (3L, ts(6)), (4L, ts(21)), (4L, ts(26)),
+      (5L, ts(2)), (5L, ts(29))).toDF("user_id", "ts")
+    val got = relational.Survival.kaplanMeier(ev, censorDays = 7)
+      .orderBy("duration_days")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // dur 2: d=2 n=5 → S=0.6; dur 5: d=1,c=1 n=3 → S=0.6·(2/3)=0.4;
+    // dur 27: censor-only row, S carries 0.4
+    assert(got === Seq((2L, 2L, 0L, 5L, 0.6), (5L, 1L, 1L, 3L, 0.4),
+      (27L, 0L, 1L, 1L, 0.4)))
+  }
+
+  test("kaplanMeier: everyone churning drives survival to exactly 0") {
+    val ev = Seq((1L, ts(1)), (1L, ts(2)), (2L, ts(1)), (2L, ts(3)),
+      (9L, ts(28))).toDF("user_id", "ts") // u9 anchors the horizon
+    val got = relational.Survival.kaplanMeier(ev, censorDays = 7)
+      .orderBy("duration_days").collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got(2L) === 0.0) // last churn row: factor 1 − 1/1 = 0
+  }
+
+  test("multiTouch: linear and U-shaped credits across path lengths") {
+    def e(id: Long, u: Long, d: Int, t: String) = (id, u, ts(d), t)
+    val ev = Seq(
+      // u1: 4 touches then a purchase → 0.4/0.2/0.2/0.4... wait n=4:
+      // first 0.4, last 0.4, two middles 0.1 each
+      e(1, 1, 1, "view"), e(2, 1, 2, "click"), e(3, 1, 3, "view"),
+      e(4, 1, 4, "cart"), e(5, 1, 5, "purchase"),
+      // u2: 1 touch → 1.0; later orphan touch (no next conversion)
+      e(6, 2, 1, "view"), e(7, 2, 2, "purchase"), e(8, 2, 3, "view"),
+      // u3: 2 touches → 0.5 each
+      e(9, 3, 1, "view"), e(10, 3, 2, "click"), e(11, 3, 3, "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = relational.Attribution.multiTouch(ev)
+      .collect()
+      .map(r => (r.getLong(3), (r.getLong(2), r.getLong(5), r.getLong(6),
+        r.getDouble(7), r.getDouble(8)))).toMap
+    assert(got.size === 7) // the orphan touch 8 is dropped
+    assert(got(1L) === ((5L, 4L, 1L, 0.25, 0.4)))
+    assert(got(2L) === ((5L, 4L, 2L, 0.25, 0.1)))
+    assert(got(3L) === ((5L, 4L, 3L, 0.25, 0.1)))
+    assert(got(4L) === ((5L, 4L, 4L, 0.25, 0.4)))
+    assert(got(6L) === ((7L, 1L, 1L, 1.0, 1.0)))
+    assert(got(9L) === ((11L, 2L, 1L, 0.5, 0.5)))
+    assert(got(10L) === ((11L, 2L, 2L, 0.5, 0.5)))
+  }
+
+  test("ksTest: identical samples give D=0, disjoint give D=1") {
+    val a = (1 to 100).map(_.toDouble).toDF("v")
+    val same = sampling.Sampling.ksTest(a, a, "v").collect().head
+    assert(same.getDouble(2) === 0.0 && !same.getBoolean(4))
+    val b = (101 to 200).map(_.toDouble).toDF("v")
+    val disj = sampling.Sampling.ksTest(a, b, "v").collect().head
+    assert(disj.getDouble(2) === 1.0 && disj.getBoolean(4))
+  }
+
+  test("acf: a linear series is perfectly autocorrelated at every lag") {
+    val df = (for (u <- 1 to 3; t <- 1 to 10)
+      yield (t.toLong, u.toLong, t.toDouble * u, 0.0))
+      .toDF("month_id", "unit_id", "value", "value2")
+    val got = ops.TemporalOps.acf(df, "value", maxLag = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    for (u <- 1L to 3L; l <- 1 to 2)
+      assert(got((u, l)) === ((10L - l, 1.0)), s"unit $u lag $l")
+  }
+
+  test("acf: constant series yields null (zero variance)") {
+    val df = (1 to 8).map(t => (t.toLong, 1L, 5.0, 0.0))
+      .toDF("month_id", "unit_id", "value", "value2")
+    val rows = ops.TemporalOps.acf(df, "value", maxLag = 1).collect()
+    assert(rows.length === 1 && rows.head.isNullAt(3))
+  }
+
+  test("gini: equality is 0, total concentration is (n-1)/n") {
+    val eq = Seq((1L, 10.0), (2L, 10.0), (3L, 10.0), (4L, 10.0))
+      .toDF("u", "amt")
+    val g0 = relational.Profile.gini(eq, "amt", "u").collect().head
+    assert(g0.getLong(0) === 4L && g0.getDouble(1) === 40.0 &&
+      g0.getDouble(2) === 0.0)
+    val one = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 100.0))
+      .toDF("u", "amt")
+    val g1 = relational.Profile.gini(one, "amt", "u").collect().head
+    assert(g1.getDouble(2) === 0.75)
+  }
+
+  test("lDiversity: homogeneous class flagged, diverse class not") {
+    val df = Seq((1, "a"), (1, "a"), (1, "a"),
+      (2, "a"), (2, "b"), (2, "c")).toDF("quasi", "sens")
+    val got = relational.Profile.lDiversity(df, Seq("quasi"), "sens", 3L)
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got(1) === ((1L, true)) && got(2) === ((3L, false)))
+  }
+}

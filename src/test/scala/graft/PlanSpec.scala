@@ -331,4 +331,62 @@ class PlanSpec extends SparkSpec {
       plan.linesIterator.filter(_.trim.startsWith("Sort")).toSeq
     assert(sortLines.nonEmpty && sortLines.forall(_.contains("false")), plan)
   }
+
+  test("triangle counting stays equi-join keyed — no product nodes") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val plan = graphs.Triangles.triangleCounts(edges)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("multiTouch plans no join: assignment rides the user window") {
+    val ev = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      "view"), (2L, 1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+      "purchase")).toDF("event_id", "user_id", "ts", "event_type")
+    val plan = relational.Attribution.multiTouch(ev)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("ksTest's ECDFs ride range partitioning, never a single-task window") {
+    val a = (1 to 50).map(_.toDouble).toDF("v")
+    val plan = sampling.Sampling.ksTest(a, a, "v")
+      .queryExecution.executedPlan.toString()
+    // the range exchange itself is truncated out of the visible plan
+    // by globalCumsum's eager localCheckpoint (RankingSpec pins that
+    // shape); what must hold HERE: the within-partition ECDF windows
+    // are pid-partitioned, and the only SinglePartition exchange is
+    // the 1-row grand-total merge — an UNPARTITIONED window (Window
+    // directly over Exchange SinglePartition) would be the hazard
+    assert(plan.contains("Scan ExistingRDD"), plan) // the checkpointed range layout
+    assert(noSingleTaskWindow(plan), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  /** True iff no Window node in the plan text is fed by an
+    * `Exchange SinglePartition` (the physical signature of an
+    * unpartitioned, single-task window).
+    */
+  private def noSingleTaskWindow(plan: String): Boolean = {
+    val lines = plan.linesIterator.toIndexedSeq
+    !lines.zipWithIndex.exists { case (l, i) =>
+      l.contains("Window ") &&
+        lines.slice(i + 1, i + 3).exists(_.contains("Exchange SinglePartition"))
+    }
+  }
+
+  test("survival's corpus-scale work is one per-user hash aggregate") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00")))
+      .toDF("user_id", "ts")
+    val plan = relational.Survival.kaplanMeier(ev)
+      .queryExecution.executedPlan.toString()
+    // the life-table windows are constant-key (bounded rows): the only
+    // SinglePartition exchanges allowed are the 1-row total merges
+    assert(noSingleTaskWindow(plan), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

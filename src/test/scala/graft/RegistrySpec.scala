@@ -167,6 +167,22 @@ class RegistrySpec extends SparkSpec {
     assert(rowsOf(Registry.runEvents(ev,
         """[{"type":"pivot_types","args":["view","click"]}]""")) ==
       rowsOf(graft.sources.SemiStructured.pivotEventCounts(ev, Seq("view", "click"))))
+    assert(rowsOf(Registry.runEvents(ev,
+        """[{"type":"attribution_multi","args":["purchase"]}]""")) ==
+      rowsOf(graft.relational.Attribution.multiTouch(ev)))
+    assert(rowsOf(Registry.runEvents(ev, """[{"type":"survival","args":[1]}]""")) ==
+      rowsOf(graft.relational.Survival.kaplanMeier(ev, censorDays = 1)))
+  }
+
+  test("r9 panel wire family: acf dispatch") {
+    import org.apache.spark.sql.functions._
+    val p = (for (u <- 1 to 2; t <- 1 to 6)
+      yield (t.toLong, u.toLong, (t * t).toDouble, 1.0))
+      .toDF("month_id", "unit_id", "value", "value2")
+    assert(Registry.run(p, """[{"type":"acf","args":[2]}]""")
+        .collect().map(_.toSeq).toSet ==
+      graft.ops.TemporalOps.acf(p, "value", 2)
+        .collect().map(_.toSeq).toSet)
   }
 
   test("asof tolerance nulls matches staler than the bound, keeps fresh ones") {
