@@ -3829,4 +3829,98 @@ object OracleExt {
        |                         * round(n * syy - sy * sy, 9)), 6)
        |  END AS acf
        |FROM st""".stripMargin
+
+  /** Bounded-hop BFS (graphs.Bfs over the simhash near-dup pairs,
+    * seeds = doc ids < 5): the frontier relaxation unrolled as one
+    * chained CTE per hop — the qPageRank iteration discipline.
+    */
+  def qBfsHops(maxHops: Int = 4): String = {
+    val sb = new StringBuilder(
+      s"""$norm, $simhashPairCtes,
+         |e0 AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e0
+         |        UNION SELECT id_b, id_a FROM e0),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |d0 AS (SELECT id,
+         |         CASE WHEN id < 5 THEN CAST(0 AS BIGINT) END AS hops
+         |       FROM nodes)""".stripMargin)
+    (1 to maxHops).foreach { i =>
+      sb.append(
+        s""",
+           |c$i AS (SELECT s.src AS id, MIN(d.hops) + 1 AS nh
+           |        FROM sym s JOIN d${i - 1} d ON d.id = s.dst
+           |        WHERE d.hops IS NOT NULL GROUP BY 1),
+           |d$i AS (SELECT d.id,
+           |          CASE WHEN d.hops IS NULL THEN c.nh
+           |               WHEN c.nh IS NULL THEN d.hops
+           |               ELSE least(d.hops, c.nh) END AS hops
+           |        FROM d${i - 1} d LEFT JOIN c$i c ON c.id = d.id)"""
+          .stripMargin)
+    }
+    sb.append(s"\nSELECT id, hops FROM d$maxHops").toString
+  }
+
+  /** Per-doc TF-IDF top-k terms (Index.tfidfTerms, k = 5): smoothed
+    * idf rounded 1e-9 before the tf multiply, rank over the 1e-6
+    * rounded score with the term as tiebreak.
+    */
+  val qTfidfTerms: String =
+    s"""$norm,
+       |toks AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+       |         FROM norm),
+       |t1 AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM toks WHERE len(term) > 0 GROUP BY 1, 2),
+       |d1 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |       FROM t1 GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       |sc AS (SELECT doc_id, t1.term, tf, df,
+       |         round(tf * round(ln((n + 1.0) / (df + 1.0)) + 1.0, 9), 6)
+       |           AS score
+       |       FROM t1 JOIN d1 USING (term), nn),
+       |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |         ORDER BY score DESC, term) AS BIGINT) AS term_rank
+       |       FROM sc)
+       |SELECT doc_id, term, tf, df, score, term_rank
+       |FROM rk WHERE term_rank <= 5""".stripMargin
+
+  /** Time-to-convert (Attribution.conversionLatency): the
+    * qAttributionMulti assignment encoding, then one group per
+    * conversion.
+    */
+  val qConversionLatency: String =
+    """WITH e AS (SELECT user_id,
+      |  CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t, event_id, event_type
+      |  FROM events),
+      |tt AS (SELECT user_id, t, event_id, event_type,
+      |         MIN(CASE WHEN event_type = 'purchase'
+      |             THEN CAST(t AS HUGEINT) * 4294967296 + event_id END)
+      |           OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |           AS ck
+      |       FROM e),
+      |g AS (SELECT user_id, t,
+      |        CAST(ck % 4294967296 AS BIGINT) AS conv_event_id,
+      |        CAST(ck // 4294967296 AS BIGINT) AS ct
+      |      FROM tt
+      |      WHERE event_type <> 'purchase' AND ck IS NOT NULL)
+      |SELECT user_id, conv_event_id, MIN(ct) AS conv_t,
+      |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  round(CAST(MIN(ct) - MIN(t) AS DOUBLE) / 1000000.0, 6)
+      |    AS latency_sec
+      |FROM g GROUP BY 1, 2""".stripMargin
+
+  /** Component-size histogram (Dedup.componentStats over the
+    * q_dedup_clusters labelling): wraps the recursive-CTE clusters
+    * oracle as a subquery.
+    */
+  def qCcStats: String =
+    s"""SELECT cluster_size, n_clusters, n_docs,
+       |  round(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6)
+       |    AS doc_share
+       |FROM (
+       |  SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |         CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+       |  FROM (SELECT DISTINCT cluster_id, cluster_size
+       |        FROM ($qDedupClusters) b) s
+       |  GROUP BY 1) g""".stripMargin
 }

@@ -709,6 +709,19 @@ object SparkEntry {
       graphs.Triangles.triangleCounts(
         dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
           maxDist = 3))),
+    // r9: bounded-hop BFS from a seed set (contamination blast
+    // radius) — frontier relaxation, unrolled-CTE oracle
+    "q_bfs_hops" -> ((s, dir) =>
+      graphs.Bfs.hopDistance(
+        dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
+          maxDist = 3), id => id < 5, maxHops = 4)),
+    // r9: component-size histogram — the dedup-graph health audit
+    "q_cc_stats" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 200)
+      dedup.Dedup.componentStats(
+        dedup.Dedup.connectedComponents(d,
+          dedup.Dedup.simhashPairs(d, maxDist = 3)))
+    }),
     // 64-bit scale-path signature; the pairs oracle is brute-force
     // all-pairs hamming, so a green row proves the band blocking exact
     "q_simhash64" -> ((s, dir) => dedup.Dedup.simhash64(docs(s, dir))),
@@ -1077,6 +1090,12 @@ object SparkEntry {
     // lifetimes, right-censored within 7 days of the stream end
     "q_survival" -> ((s, dir) =>
       relational.Survival.kaplanMeier(Panel.readEvents(s, dir))),
+    // r9: time-to-convert — first-touch→conversion latency per
+    // conversion, same no-join assignment as multi-touch
+    "q_conversion_latency" -> ((s, dir) =>
+      relational.Attribution.conversionLatency(Panel.readEvents(s, dir))),
+    // r9: per-doc TF-IDF top-5 keyword extraction
+    "q_tfidf_terms" -> ((s, dir) => text.Index.tfidfTerms(docs(s, dir), k = 5)),
     // r9: two-sample KS drift over order totals split by customer
     // parity — exact ECDFs via the range-partitioned global cumsum
     "q_ks_test" -> ((s, dir) => {
@@ -1708,6 +1727,10 @@ object SparkEntry {
     "q_survival" -> OracleExt.qSurvival,
     "q_ks_test" -> OracleExt.qKsTest,
     "q_acf" -> OracleExt.qAcf,
+    "q_bfs_hops" -> OracleExt.qBfsHops(),
+    "q_cc_stats" -> OracleExt.qCcStats,
+    "q_conversion_latency" -> OracleExt.qConversionLatency,
+    "q_tfidf_terms" -> OracleExt.qTfidfTerms,
     "q_region_revenue" -> OracleExt.qRegionRevenue,
   )
 }

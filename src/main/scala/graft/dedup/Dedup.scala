@@ -534,6 +534,30 @@ object Dedup {
       .select(col("node").as(idCol), col("cluster_id"), col("cluster_size"))
   }
 
+  /** Cluster-size histogram over a [[connectedComponents]] labelling —
+    * the graph-health audit a dedup run reports: how many components
+    * of each size exist, how many documents they absorb, and each
+    * size's share of the corpus (a giant component = the banding
+    * threshold is too loose; all singletons = too tight).
+    *
+    * One distinct over (cluster, size) — bounded by component count —
+    * then a size-keyed count and a 1-row broadcast total. Exact longs
+    * throughout; only the share divides.
+    *
+    * @return (cluster_size, n_clusters, n_docs, doc_share)
+    */
+  def componentStats(cc: DataFrame): DataFrame = {
+    val perSize = cc.select(col("cluster_id"), col("cluster_size"))
+      .distinct()
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val tot = perSize.agg(sum(col("n_docs")).as("__t"))
+    perSize.crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("__t"), 6).as("doc_share"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     * scheme): hash every word k-gram, slide a window of `w` hashes,
     * keep each window's MINIMUM — guaranteeing any shared run of

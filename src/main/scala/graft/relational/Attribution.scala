@@ -96,4 +96,38 @@ object Attribution {
         round(lit(1.0) / n, 6).as("credit_linear"),
         round(position, 6).as("credit_position"))
   }
+
+  /** Time-to-convert per conversion — how long the touch path ran
+    * before the purchase: the latency distribution a growth readout
+    * reports next to the credit split. Same no-join assignment as
+    * [[multiTouch]] (struct-min over the following user frame), then
+    * ONE (user, conversion) aggregate: path length, first/last touch
+    * times, and the first-touch→conversion latency in seconds.
+    *
+    * @return (user_id, conv_event_id, conv_t, n_touches,
+    *         latency_sec) — one row per conversion that HAS touches
+    */
+  def conversionLatency(events: DataFrame,
+                        conversionType: String = "purchase",
+                        userCol: String = "user_id",
+                        typeCol: String = "event_type",
+                        tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col(userCol), unix_micros(col(tsCol)).as("t"),
+      col("event_id"), col(typeCol))
+    val isConv = col(typeCol) === conversionType
+    val wFwd = Window.partitionBy(col(userCol))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.withColumn("__conv",
+        min(when(isConv, struct(col("t"), col("event_id")))).over(wFwd))
+      .filter(!isConv && col("__conv").isNotNull)
+      .groupBy(col(userCol), col("__conv.event_id").as("conv_event_id"))
+      .agg(min(col("__conv.t")).as("conv_t"),
+        count(lit(1)).as("n_touches"),
+        round((min(col("__conv.t")) - min(col("t"))).cast("double")
+          / 1000000.0, 6).as("latency_sec"))
+      .select(col(userCol), col("conv_event_id"), col("conv_t"),
+        col("n_touches"), col("latency_sec"))
+  }
 }

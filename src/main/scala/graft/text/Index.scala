@@ -124,4 +124,41 @@ object Index {
       .filter(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol), col("score"))
   }
+
+  /** Per-document TF-IDF keyword extraction — the top-k most
+    * distinctive terms of every document (tagging, near-dup
+    * explanation, topic drift audits). Smoothed idf
+    * `ln((N+1)/(df+1)) + 1` (never zero, never log-of-zero).
+    *
+    * Scale shape: ONE (doc, token) count aggregation over the corpus
+    * tokenization, a token-keyed df aggregate joined back on the token
+    * key (the corpus side is never broadcast — the q_bm25 discipline),
+    * a 1-row N broadcast, and the top-k cut on a per-DOC window
+    * (bounded by the document's distinct terms, not the corpus).
+    *
+    * Determinism: idf is rounded 1e-9 before the tf multiply (libm ln
+    * parity), the score rounds 1e-6, and the rank orders by (rounded
+    * score, term) — total, engine-independent.
+    *
+    * @return (doc_id, term, tf, df, score, term_rank), term_rank ≤ k
+    */
+  def tfidfTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(col(idCol),
+        explode(split(TextOps.normalize(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val idf = round(log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0, 9)
+    val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("tf") * idf, 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= k)
+  }
 }

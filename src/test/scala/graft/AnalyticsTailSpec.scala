@@ -119,6 +119,59 @@ class AnalyticsTailSpec extends SparkSpec {
     assert(g1.getDouble(2) === 0.75)
   }
 
+  test("hopDistance: path graph relaxes one hop per pass, null past radius") {
+    // path 1-2-3-4-5-6 plus isolated edge 8-9; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (8L, 9L)).toDF("id_a", "id_b")
+    val got = graphs.Bfs.hopDistance(edges, id => id === 1L, maxHops = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> -1L, 6L -> -1L, 8L -> -1L, 9L -> -1L))
+  }
+
+  test("componentStats: histogram over a CC labelling with totals") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"), (5L, "w"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val cc = dedup.Dedup.connectedComponents(docs, pairs)
+    val got = dedup.Dedup.componentStats(cc)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // one 3-cluster {1,2,3}, two singletons {4} {5}
+    assert(got === Map(3L -> ((1L, 3L, 0.6)), 1L -> ((2L, 2L, 0.4))))
+  }
+
+  test("conversionLatency: first-touch to conversion per path") {
+    def e(id: Long, u: Long, d: Int, t: String) = (id, u, ts(d), t)
+    val ev = Seq(
+      e(1, 1, 1, "view"), e(2, 1, 3, "click"), e(3, 1, 5, "purchase"),
+      e(4, 2, 2, "view"), e(5, 2, 2, "purchase"), // same-day: latency 0
+      e(6, 3, 1, "view")) // orphan — no conversion, no row
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = relational.Attribution.conversionLatency(ev)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.size === 2)
+    assert(got(1L) === ((3L, 2L, 4.0 * 86400))) // day1 → day5
+    assert(got(2L) === ((5L, 1L, 0.0)))
+  }
+
+  test("tfidfTerms: corpus-wide terms rank below distinctive ones") {
+    val docs = Seq(
+      (1L, "alpha common common"), (2L, "beta common"),
+      (3L, "gamma common")).toDF("doc_id", "text")
+    val got = text.Index.tfidfTerms(docs, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(5)) -> r.getString(1)).toMap
+    // idf(common, df=3) = ln(4/4)+1 = 1; idf(rare, df=1) = ln(2)+1
+    // doc1: common tf=2·1 = 2.0 < alpha 1·1.693 — wait: alpha scores
+    // 1.693, common scores 2.0 → common ranks FIRST in doc1 (tf wins)
+    assert(got((1L, 1L)) === "common" && got((1L, 2L)) === "alpha")
+    assert(got((2L, 1L)) === "beta" && got((2L, 2L)) === "common")
+    assert(got((3L, 1L)) === "gamma" && got((3L, 2L)) === "common")
+  }
+
   test("lDiversity: homogeneous class flagged, diverse class not") {
     val df = Seq((1, "a"), (1, "a"), (1, "a"),
       (2, "a"), (2, "b"), (2, "c")).toDF("quasi", "sens")
