@@ -3909,6 +3909,104 @@ object OracleExt {
       |    AS latency_sec
       |FROM g GROUP BY 1, 2""".stripMargin
 
+  /** Rolling 7-day distinct actives (Engagement.rollingDistinctUsers):
+    * the exact expansion only — the sketch estimate is engine-specific,
+    * so the checked value is the emitted bounded-error verdict (the
+    * qVocabApprox discipline: oracle returns TRUE).
+    */
+  val qRollingDau: String =
+    """WITH e AS (SELECT
+      |  CAST(epoch_ns(ts) // 1000 // 86400000000 AS BIGINT) AS day,
+      |  user_id FROM events),
+      |p AS (SELECT DISTINCT day, user_id FROM e),
+      |days AS (SELECT DISTINCT day FROM e)
+      |SELECT d.day AS day,
+      |  CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS dau_exact,
+      |  TRUE AS within_5pct
+      |FROM days d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY 1""".stripMargin
+
+  /** Top-20 session paths (Engagement.sessionPaths, gap 3600 s, first
+    * 8 event types): gap sessions via lag + running sum, ordered
+    * array_agg sliced to the path cap.
+    */
+  val qSessionPaths: String =
+    """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t,
+      |  event_id, event_type FROM events),
+      |m AS (SELECT *, CASE WHEN t - lag(t) OVER
+      |         (PARTITION BY user_id ORDER BY t, event_id) <= 3600000000
+      |       THEN 0 ELSE 1 END AS ns FROM e),
+      |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+      |        ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM m),
+      |p AS (SELECT user_id, sid, array_to_string(
+      |        (array_agg(event_type ORDER BY t, event_id))[1:8], '>') AS path
+      |      FROM s GROUP BY 1, 2),
+      |c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      |      FROM p GROUP BY 1),
+      |r AS (SELECT path, n_sessions, CAST(row_number() OVER
+      |        (ORDER BY n_sessions DESC, path) AS BIGINT) AS path_rank
+      |      FROM c)
+      |SELECT path, n_sessions, path_rank FROM r WHERE path_rank <= 20"""
+      .stripMargin
+
+  /** Pareto concentration deciles (Profile.paretoShare): the qGini
+    * exact-cents discipline + window ntile (bit-identical to the
+    * repo's exact global ntile).
+    */
+  val qPareto: String =
+    """WITH cents AS (SELECT o_custkey AS u,
+      |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+      |  FROM orders GROUP BY 1),
+      |b AS (SELECT u, x, ntile(10) OVER (ORDER BY x DESC, u) AS bucket
+      |      FROM cents),
+      |g AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+      |        CAST(COUNT(*) AS BIGINT) AS n_units,
+      |        SUM(CAST(x AS HUGEINT)) AS v
+      |      FROM b GROUP BY 1),
+      |t AS (SELECT SUM(v) AS tot FROM g)
+      |SELECT bucket, n_units,
+      |  round(CAST(v AS DOUBLE) / 100, 6) AS bucket_value,
+      |  round(CAST(v AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS value_share,
+      |  round(CAST(SUM(v) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+      |          AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_value_share
+      |FROM g, t""".stripMargin
+
+  /** Star-schema integrity audit (Integrity.audit): six UNION ALL
+    * verdict rows — FK orphans count NULL child keys as violations
+    * (anti-join semantics), PK duplicate counts include every row of
+    * a duplicated key.
+    */
+  val qRefIntegrity: String = {
+    def fk(name: String, child: String, ck: String, parent: String,
+           pk: String) =
+      s"""SELECT '$name' AS check_name,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child) AS n_rows,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child c
+         |    WHERE NOT EXISTS (SELECT 1 FROM $parent p
+         |                      WHERE p.$pk = c.$ck)) AS n_bad""".stripMargin
+    def pk(name: String, table: String, keys: Seq[String]) = {
+      val kc = keys.mkString(", ")
+      val nullPred = keys.map(k => s"$k IS NULL").mkString(" OR ")
+      s"""SELECT '$name' AS check_name,
+         |  CAST(SUM(n) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN n > 1 OR ($nullPred) THEN n ELSE 0 END)
+         |    AS BIGINT) AS n_bad
+         |FROM (SELECT $kc, COUNT(*) AS n FROM $table
+         |      GROUP BY $kc) g""".stripMargin
+    }
+    val parts = Seq(
+      fk("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      fk("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      fk("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      fk("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      pk("orders_pk", "orders", Seq("o_orderkey")),
+      pk("lineitem_pk", "lineitem", Seq("l_orderkey", "l_linenumber")))
+    s"""SELECT check_name, n_rows, n_bad, n_bad = 0 AS ok FROM (
+       |${parts.mkString("\nUNION ALL\n")}
+       |) checks""".stripMargin
+  }
+
   /** Component-size histogram (Dedup.componentStats over the
     * q_dedup_clusters labelling): wraps the recursive-CTE clusters
     * oracle as a subquery.

@@ -1096,6 +1096,34 @@ object SparkEntry {
       relational.Attribution.conversionLatency(Panel.readEvents(s, dir))),
     // r9: per-doc TF-IDF top-5 keyword extraction
     "q_tfidf_terms" -> ((s, dir) => text.Index.tfidfTerms(docs(s, dir), k = 5)),
+    // r9: rolling 7-day distinct actives — the HLL-sketch production
+    // path gated against the exact expansion in one verdict row per day
+    "q_rolling_dau" -> ((s, dir) =>
+      relational.Engagement.rollingDistinctUsers(Panel.readEvents(s, dir))),
+    // r9: top-20 session event-type paths (gap sessions, first 8 types)
+    "q_session_paths" -> ((s, dir) =>
+      relational.Engagement.sessionPaths(Panel.readEvents(s, dir))),
+    // r9: Pareto revenue-concentration deciles over customers — the
+    // gini companion on the same exact-cents discipline
+    "q_pareto" -> ((s, dir) =>
+      relational.Profile.paretoShare(s.read.parquet(s"$dir/orders.parquet"),
+        "o_totalprice", "o_custkey")),
+    // r9: star-schema integrity audit — FK orphans + PK uniqueness,
+    // one verdict row per check
+    "q_ref_integrity" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      relational.Integrity.audit(Seq(
+        relational.Integrity.fkCheck("lineitem_orders", li, "l_orderkey", o, "o_orderkey"),
+        relational.Integrity.fkCheck("orders_customer", o, "o_custkey", c, "c_custkey"),
+        relational.Integrity.fkCheck("customer_nation", c, "c_nationkey", n, "n_nationkey"),
+        relational.Integrity.fkCheck("supplier_nation", sup, "s_nationkey", n, "n_nationkey"),
+        relational.Integrity.pkCheck("orders_pk", o, Seq("o_orderkey")),
+        relational.Integrity.pkCheck("lineitem_pk", li, Seq("l_orderkey", "l_linenumber"))))
+    }),
     // r9: two-sample KS drift over order totals split by customer
     // parity — exact ECDFs via the range-partitioned global cumsum
     "q_ks_test" -> ((s, dir) => {
@@ -1731,6 +1759,10 @@ object SparkEntry {
     "q_cc_stats" -> OracleExt.qCcStats,
     "q_conversion_latency" -> OracleExt.qConversionLatency,
     "q_tfidf_terms" -> OracleExt.qTfidfTerms,
+    "q_rolling_dau" -> OracleExt.qRollingDau,
+    "q_session_paths" -> OracleExt.qSessionPaths,
+    "q_pareto" -> OracleExt.qPareto,
+    "q_ref_integrity" -> OracleExt.qRefIntegrity,
     "q_region_revenue" -> OracleExt.qRegionRevenue,
   )
 }

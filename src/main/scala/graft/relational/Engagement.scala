@@ -1,0 +1,110 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Engagement analytics over an event log: rolling-window distinct
+  * actives (the DAU/WAU family) and top session paths. Both are event
+  * analytics the reference's panel transforms stop short of
+  * (`utilities.py` aggregates fixed month panels; these work on the
+  * raw stream).
+  *
+  * Scale shapes:
+  *  - rolling distinct: the corpus-scale work is ONE day-keyed
+  *    aggregation; the rolling union then runs over #days rows of
+  *    fixed-size HLL sketches (the production path), while the exact
+  *    verification path expands distinct (day, user) pairs windowSize×
+  *    — bounded by actives×days, never raw events.
+  *  - session paths: one user-keyed shuffle to assign gap sessions,
+  *    one (user, session) aggregation, one path-keyed count, then a
+  *    TakeOrderedAndProject top-k (never a global sort).
+  */
+object Engagement {
+
+  private val UsPerDay = 86400000000L
+
+  /** Rolling `windowDays`-day distinct `idCol` per day, with the HLL
+    * sketch estimate checked against the exact count in the same
+    * result (the q_vocab_approx envelope discipline: the emitted
+    * `within_5pct` verdict hash-mismatches the gate if the sketch
+    * drifts).
+    *
+    * Exact side: distinct (day, id) pairs exploded to the following
+    * `windowDays` target days, then a distinct count per target day.
+    * Sketch side: one `hll_sketch_agg` per day (mergeable, fixed
+    * memory), each daily sketch exploded to its target days and
+    * merged with `hll_union_agg` — at 100 TB the union pass touches
+    * #days sketch rows only, which is why the sketch path is the
+    * production one and the exact path is the verification baseline.
+    * Partial leading windows are kept (expanding-window semantics).
+    *
+    * @return (day, dau_exact, within_5pct) — day is epoch days.
+    */
+  def rollingDistinctUsers(events: DataFrame, idCol: String = "user_id",
+                           windowDays: Int = 7,
+                           relErr: Double = 0.05): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val byDay = events.select(
+      expr(s"unix_micros(ts) div $UsPerDay").as("day"), col(idCol).as("__id"))
+    val targets = expr(s"explode(sequence(day, day + ${windowDays - 1}))")
+    // exact verification path: actives×days pairs, windowDays× expanded
+    val exact = byDay.distinct()
+      .select(targets.as("day"), col("__id"))
+      .groupBy("day").agg(countDistinct(col("__id")).as("dau_exact"))
+    // production path: one sketch per day, then a #days-row union pass
+    val est = byDay
+      .groupBy("day").agg(expr("hll_sketch_agg(__id)").as("__sk"))
+      .select(targets.as("day"), col("__sk"))
+      .groupBy("day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))").as("__est"))
+    // the explode manufactures target days past the stream end — keep
+    // observed days only (semi join on the tiny day list)
+    exact.join(est, Seq("day"))
+      .join(byDay.select("day").distinct(), Seq("day"), "left_semi")
+      .select(col("day"), col("dau_exact"),
+        (abs(col("__est") - col("dau_exact").cast("double")) <=
+          greatest(col("dau_exact").cast("double") * relErr, lit(1.0)))
+          .as("within_5pct"))
+  }
+
+  /** Top-`k` session event-type paths: gap-based sessions (a new
+    * session starts after `gapSeconds` of inactivity), each session's
+    * path = its first `maxLen` event types joined with '>', ranked by
+    * session count.
+    *
+    * The top-k is orderBy+limit — Spark plans TakeOrderedAndProject
+    * (per-partition heaps + a k-row driver merge), never a global
+    * sort; the k-row rank window is bounded by construction.
+    *
+    * @return (path, n_sessions, path_rank)
+    */
+  def sessionPaths(events: DataFrame, gapSeconds: Long = 3600,
+                   maxLen: Int = 8, k: Int = 20): DataFrame = {
+    require(maxLen >= 1 && k >= 1, s"maxLen/k must be >= 1")
+    val gapUs = gapSeconds * 1000000L
+    val ev = events.select(col("user_id"),
+      unix_micros(col("ts")).as("__t"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("__t"), col("event_id"))
+    val sessions = ev
+      .withColumn("__new",
+        when(col("__t") - lag(col("__t"), 1).over(w) <= gapUs, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("__sid", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // array_sort on (t, event_id, type) structs = deterministic event
+    // order inside one map-side-combinable collect
+    val paths = sessions
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(array_sort(collect_list(
+        struct(col("__t"), col("event_id"), col("event_type")))).as("__evs"))
+      .select(concat_ws(">",
+        slice(expr("transform(__evs, e -> e.event_type)"), 1, maxLen))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+    val top = paths.orderBy(col("n_sessions").desc, col("path")).limit(k)
+    top.withColumn("path_rank",
+      row_number().over(Window.partitionBy(pmod(col("n_sessions"), lit(1)))
+        .orderBy(col("n_sessions").desc, col("path"))).cast("long"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.relational
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-pass numeric profiling — the dataset-card numbers (count, null
@@ -216,6 +217,40 @@ object Profile {
             (lit(2) * col("__s1") - (col("n_units") + 1) * col("__t"))
               .cast("double") /
             (col("n_units") * col("__t")).cast("double"), 6)).as("gini"))
+  }
+
+  /** Pareto concentration curve — the "top 20% of customers carry x%
+    * of revenue" audit that complements [[gini]]'s single number with
+    * the full decile breakdown. Per-unit values are fixed to exact
+    * integer cents (the gini discipline) so every sum is an exact
+    * BIGINT; units are binned into `buckets` equal-population bins by
+    * descending value (exact global ntile — range partition + offsets,
+    * no single-task window); shares divide exact longs and round 1e-6.
+    *
+    * @return (bucket, n_units, bucket_value, value_share,
+    *         cum_value_share) — bucket 1 = the highest-value units.
+    */
+  def paretoShare(df: DataFrame, valueCol: String, unitCol: String,
+                  buckets: Int = 10): DataFrame = {
+    val cents = df.groupBy(col(unitCol).as("__u"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("__x"))
+    val binned = graft.ops.Ranking.globalNtile(cents,
+      Seq(col("__x").desc, col("__u")), buckets, "bucket")
+    val perBin = binned.groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_units"), sum(col("__x")).as("__v"))
+    // buckets rows from here on — the constant-key window is bounded
+    val w = Window.partitionBy(pmod(col("bucket"), lit(1)))
+      .orderBy(col("bucket"))
+    perBin
+      .withColumn("__tot", sum(col("__v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__cum", sum(col("__v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bucket"), col("n_units"),
+        round(col("__v").cast("double") / 100, 6).as("bucket_value"),
+        round(col("__v").cast("double") / col("__tot"), 6).as("value_share"),
+        round(col("__cum").cast("double") / col("__tot"), 6)
+          .as("cum_value_share"))
   }
 
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {

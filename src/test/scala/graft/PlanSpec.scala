@@ -389,4 +389,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("sessionPaths' top-k is TakeOrdered, never a global sort") {
+    // enough statically-known rows that the optimizer cannot fold the
+    // limit away (maxRows > k) — the shape real data gets
+    val ev = (1 to 30).map(i => (i.toLong, i.toLong,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), s"t$i"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val plan = relational.Engagement.sessionPaths(ev)
+      .queryExecution.executedPlan.toString()
+    // Limit(Sort) plans as per-partition heaps + a k-row driver merge
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(noSingleTaskWindow(plan), plan)
+  }
+
+  test("rollingDistinctUsers: day-keyed aggregates only, no window") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("user_id", "ts")
+    val plan = relational.Engagement.rollingDistinctUsers(ev)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("hll_sketch_agg"), plan) // the production path
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
