@@ -1776,28 +1776,38 @@ object OracleExt {
     """WITH e AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |x AS (
-      |  SELECT vec_id, label, unnest(v) AS val,
+      |  SELECT vec_id, label,
+      |         CAST(round(unnest(v) * 1e9) AS BIGINT) AS val_i,
       |         generate_subscripts(v, 1) AS pos
       |  FROM e),
       |cent AS (
-      |  SELECT label, pos, round(avg(val), 9) AS cv
+      |  SELECT label, pos,
+      |    CAST(round(CAST(SUM(CAST(val_i AS HUGEINT)) AS DOUBLE)
+      |               / COUNT(*)) AS BIGINT) AS cv_i
       |  FROM x GROUP BY 1, 2),
       |d AS (
       |  SELECT x.vec_id, x.label,
-      |    round(sqrt(sum((x.val - c.cv) * (x.val - c.cv))), 9) AS dist
+      |    CAST(round(sqrt(CAST(SUM(CAST(x.val_i - c.cv_i AS HUGEINT)
+      |                             * (x.val_i - c.cv_i)) AS DOUBLE)))
+      |      AS BIGINT) AS dist_i
       |  FROM x JOIN cent c ON c.label = x.label AND c.pos = x.pos
       |  GROUP BY 1, 2),
       |st AS (
-      |  SELECT vec_id, label, dist,
-      |    round(avg(dist) OVER (PARTITION BY label), 9) AS mu,
-      |    round(stddev_pop(dist) OVER (PARTITION BY label), 9) AS sd
+      |  SELECT vec_id, label, dist_i,
+      |    COUNT(*) OVER (PARTITION BY label) AS n,
+      |    SUM(CAST(dist_i AS HUGEINT)) OVER (PARTITION BY label) AS s,
+      |    SUM(CAST(dist_i AS HUGEINT) * dist_i)
+      |      OVER (PARTITION BY label) AS q
       |  FROM d),
       |g AS (
-      |  SELECT vec_id, label, dist,
-      |    CASE WHEN sd = 0.0 THEN 0.0 ELSE (dist - mu) / sd END AS z
+      |  SELECT vec_id, label, dist_i,
+      |    CAST(n * dist_i - s AS DOUBLE) AS num,
+      |    sqrt(CAST(n * q - s * s AS DOUBLE)) AS den
       |  FROM st)
-      |SELECT vec_id, label, round(dist, 6) AS dist, round(z, 6) AS z,
-      |  CAST(round(z - 2.0, 6) > 0.0 AS INTEGER) AS outlier
+      |SELECT vec_id, label, round(dist_i / 1e9, 6) AS dist,
+      |  round(CASE WHEN den = 0.0 THEN 0.0 ELSE num / den END, 6) AS z,
+      |  CAST(round(CASE WHEN den = 0.0 THEN 0.0
+      |             ELSE num / den END - 2.0, 6) > 0.0 AS INTEGER) AS outlier
       |FROM g""".stripMargin
 
   val qEmbedTopK: String =

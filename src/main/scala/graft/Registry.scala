@@ -821,6 +821,21 @@ object Registry {
     "survival" -> ((df, a) =>
       relational.Survival.kaplanMeier(df,
         a.numOpt(0).getOrElse(7.0).toInt)),
+    // args: [windowDays?] — terminal rolling distinct actives
+    // (HLL production path + exact gate)
+    "rolling_dau" -> ((df, a) =>
+      relational.Engagement.rollingDistinctUsers(df,
+        windowDays = a.numOpt(0).getOrElse(7.0).toInt)),
+    // args: [gapSec?, maxLen?, k?] — terminal top-k session paths
+    "session_paths" -> ((df, a) =>
+      relational.Engagement.sessionPaths(df,
+        gapSeconds = a.numOpt(0).getOrElse(3600.0).toLong,
+        maxLen = a.numOpt(1).getOrElse(8.0).toInt,
+        k = a.numOpt(2).getOrElse(20.0).toInt)),
+    // args: [conversionType?] — terminal time-to-convert latencies
+    "conversion_latency" -> ((df, a) =>
+      relational.Attribution.conversionLatency(df,
+        a.collectFirst { case s: String => s }.getOrElse("purchase"))),
   )
 
   /** Run a JSON spec over an embeddings frame. */

@@ -1289,6 +1289,11 @@ object SparkEntry {
         """[{"type":"identity"},
            |{"type":"funnel","args":["view","click","purchase"]}]"""
           .stripMargin)),
+    // r9: session paths dispatched through the same wire family —
+    // shares qSessionPaths with the direct query
+    "q_pipeline_session_paths" -> ((s, dir) =>
+      Registry.runEvents(Panel.readEvents(s, dir),
+        """[{"type":"session_paths","args":[3600, 8, 20]}]""")),
     // keyless interval join: ALL events falling inside the 20 longest
     // sessions — bucketized equi-join on time bins, no inequality
     // product; oracle is a plain SQL BETWEEN join
@@ -1761,6 +1766,7 @@ object SparkEntry {
     "q_tfidf_terms" -> OracleExt.qTfidfTerms,
     "q_rolling_dau" -> OracleExt.qRollingDau,
     "q_session_paths" -> OracleExt.qSessionPaths,
+    "q_pipeline_session_paths" -> OracleExt.qSessionPaths,
     "q_pareto" -> OracleExt.qPareto,
     "q_ref_integrity" -> OracleExt.qRefIntegrity,
     "q_region_revenue" -> OracleExt.qRegionRevenue,

@@ -62,22 +62,35 @@ object Similarity {
     * @return (vec_id, label, dist, z, outlier INT)
     */
   def centroidOutliers(embeds: DataFrame, zThresh: Double = 2.0): DataFrame = {
+    // Every aggregated quantity is fixed to exact integers BEFORE
+    // aggregation (coordinates and distances in 1e-9 units, sums on
+    // DECIMAL(38,0)) so no result depends on float accumulation order —
+    // the q_cusum lesson: 1e-9-rounding AFTER an unordered double sum
+    // still flips at boundary values when the partition layout shifts.
+    // z reduces to (n·x − S) / √(n·Q − S²) over the exact sums.
+    val dec = "decimal(38,0)"
     val e = embeds.select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("v"))
     val x = e.select(col("vec_id"), col("label"),
-      posexplode(col("v")).as(Seq("pos", "val")))
+        posexplode(col("v")).as(Seq("pos", "val")))
+      .withColumn("val_i", round(col("val") * 1e9).cast("long"))
     val cent = x.groupBy("label", "pos")
-      .agg(round(avg("val"), 9).as("cv"))
+      .agg(round(sum(col("val_i").cast(dec)).cast("double") / count(lit(1)))
+        .cast("long").as("cv_i"))
     val d = x.join(broadcast(cent), Seq("label", "pos"))
+      .withColumn("diff", (col("val_i") - col("cv_i")).cast(dec))
       .groupBy("vec_id", "label")
-      .agg(round(sqrt(sum((col("val") - col("cv")) * (col("val") - col("cv")))), 9)
-        .as("dist"))
+      .agg(round(sqrt(sum(col("diff") * col("diff")).cast("double")))
+        .cast("long").as("dist_i"))
     val wl = Window.partitionBy("label")
-    val mu = round(avg(col("dist")).over(wl), 9)
-    val sd = round(stddev_pop(col("dist")).over(wl), 9)
-    val z = when(sd === 0.0, 0.0).otherwise((col("dist") - mu) / sd)
+    val n = count(lit(1)).over(wl).cast(dec)
+    val s = sum(col("dist_i").cast(dec)).over(wl)
+    val q = sum(col("dist_i").cast(dec) * col("dist_i")).over(wl)
+    val num = (n * col("dist_i") - s).cast("double")
+    val den = sqrt((n * q - s * s).cast("double"))
+    val z = when(den === 0.0, 0.0).otherwise(num / den)
     d.select(col("vec_id"), col("label"),
-      round(col("dist"), 6).as("dist"), round(z, 6).as("z"),
+      round(col("dist_i") / 1e9, 6).as("dist"), round(z, 6).as("z"),
       (round(z - zThresh, 6) > 0.0).cast("int").as("outlier"))
   }
 
