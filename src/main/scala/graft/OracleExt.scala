@@ -270,7 +270,8 @@ object OracleExt {
          |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
          |  round(CAST(MIN($c) AS DOUBLE), 6) AS min,
          |  round(CAST(MAX($c) AS DOUBLE), 6) AS max,
-         |  round(AVG($c), 6) AS mean,
+         |  round(CAST(SUM(CAST(round($c * 1e6) AS HUGEINT)) AS DOUBLE)
+         |        / COUNT($c) / 1e6, 6) AS mean,
          |  round(quantile_cont(CAST($c AS DOUBLE), 0.5), 6) AS p50
          |FROM lineitem""".stripMargin
     Seq("l_quantity", "l_extendedprice", "l_discount")
@@ -466,14 +467,16 @@ object OracleExt {
     (1 to iters).foreach { i =>
       sb.append(
         s""",
-           |c$i AS (SELECT s.dst, SUM(r.rank / d.deg) AS c
+           |c$i AS (SELECT s.dst,
+           |          SUM(CAST(round(r.rank / d.deg * 1e15) AS HUGEINT)) AS ci
            |        FROM sym s
            |        JOIN deg d ON d.src = s.src
            |        JOIN r${i - 1} r ON r.id = s.src
            |        GROUP BY s.dst),
            |r$i AS (SELECT d.src AS id,
            |          round((1.0 - $damping) / nn.n
-           |            + COALESCE(c.c, 0.0) * $damping, 9) AS rank
+           |            + CAST(COALESCE(c.ci, 0) AS DOUBLE) / 1e15
+           |              * $damping, 9) AS rank
            |        FROM deg d CROSS JOIN nn
            |        LEFT JOIN c$i c ON c.dst = d.src)""".stripMargin)
     }
@@ -1311,7 +1314,8 @@ object OracleExt {
     */
   val qRollupRevenue: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  round(CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+      |    * 10000) AS HUGEINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
       |  CAST(COUNT(*) AS BIGINT) AS n_items,
       |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
       |FROM lineitem
@@ -1835,7 +1839,9 @@ object OracleExt {
        |  FROM c, q WHERE c.vec_id <> q.query_id),
        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
-       |SELECT query_id, round(avg(cosine), 6) AS brute_mean_cosine,
+       |SELECT query_id,
+       |  round(CAST(SUM(CAST(round(cosine * 1e9) AS BIGINT)) AS DOUBLE)
+       |        / COUNT(*) / 1e9, 6) AS brute_mean_cosine,
        |  TRUE AS recall_ok
        |FROM rk WHERE rank <= 10 GROUP BY query_id""".stripMargin
 
@@ -1852,7 +1858,9 @@ object OracleExt {
        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
        |SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
-       |  round(avg(cosine), 6) AS brute_mean_cosine, TRUE AS recall_ok
+       |  round(CAST(SUM(CAST(round(cosine * 1e9) AS BIGINT)) AS DOUBLE)
+       |        / COUNT(*) / 1e9, 6) AS brute_mean_cosine,
+       |  TRUE AS recall_ok
        |FROM rk WHERE rank <= 10""".stripMargin
 
   /** Int8 quantization CTEs `mx, qz(vec_id, scale, qv)` over a prior
@@ -2688,8 +2696,10 @@ object OracleExt {
   val qPricingSummary: String =
     """SELECT l_returnflag, l_linestatus,
       |  SUM(l_quantity) AS sum_qty,
-      |  SUM(l_extendedprice) AS sum_base_price,
-      |  SUM(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS DOUBLE)
+      |    / 100.0 AS sum_base_price,
+      |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+      |    AS HUGEINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
       |  AVG(l_quantity) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
@@ -3481,7 +3491,8 @@ object OracleExt {
     """WITH pc AS (
       |  SELECT o_custkey AS cust, max(o_orderdate) AS last_d,
       |         CAST(COUNT(*) AS BIGINT) AS frequency,
-      |         round(SUM(o_totalprice), 6) AS monetary
+      |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+      |           AS DOUBLE) / 100.0 AS monetary
       |  FROM orders GROUP BY 1),
       |a AS (SELECT max(o_orderdate) AS anchor FROM orders),
       |b AS (

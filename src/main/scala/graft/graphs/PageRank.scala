@@ -45,16 +45,22 @@ object PageRank {
     var ranks = deg.select(col("src").as("id"),
       round(lit(1.0 / n), 9).as("rank"))
     (1 to iters).foreach { _ =>
+      // contributions are fixed to exact 1e-15-unit integers BEFORE the
+      // per-dst sum: a float sum's accumulation order shifts with
+      // partition layout, and 1e-9-rounding an order-dependent double
+      // still flips at boundary values (the cusum/outlier lesson) —
+      // integer summands make the recurrence layout-proof outright
       val contrib = sym
         .join(deg, "src")
         .join(ranks, col("src") === col("id"))
         .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("deg")).as("__c"))
+        .agg(sum(round(col("rank") / col("deg") * 1e15).cast("long"))
+          .as("__ci"))
       ranks = deg.select(col("src").as("id"))
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           round(lit((1.0 - damping) / n) +
-            coalesce(col("__c"), lit(0.0)) * damping, 9).as("rank"))
+            coalesce(col("__ci"), lit(0L)) / 1e15 * damping, 9).as("rank"))
         .localCheckpoint()
     }
     ranks.select(col("id"), round(col("rank"), 6).as("pagerank"))

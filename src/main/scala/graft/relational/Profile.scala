@@ -33,7 +33,13 @@ object Profile {
         sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
         round(min(col(c)).cast("double"), 6).as(s"__min_$c"),
         round(max(col(c)).cast("double"), 6).as(s"__max_$c"),
-        round(avg(col(c)), 6).as(s"__mean_$c"),
+        // the mean's summands are fixed to exact 1e-6-unit integers
+        // (DECIMAL sum) — a corpus-scale float sum is accumulation-
+        // order-dependent and its 1e-6 rounding flips with partition
+        // layout; the 5e-7 input quantization is far inside the output
+        // rounding. Bounds: |value| ≤ ~9e12 before the long overflows.
+        round(sum(round(col(c) * 1e6).cast("long").cast("decimal(38,0)"))
+          .cast("double") / count(col(c)) / 1e6, 6).as(s"__mean_$c"),
         round(percentile(col(c).cast("double"), lit(0.5)), 6).as(s"__p50_$c"))
     }
     df.agg(aggs.head, aggs.tail: _*)

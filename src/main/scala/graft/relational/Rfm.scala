@@ -33,10 +33,15 @@ object Rfm {
   def rfm(orders: DataFrame, custCol: String, dateCol: String,
           amountCol: String, buckets: Int = 5): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // monetary sums exact integer cents (the gini discipline): a float
+    // sum's accumulation order shifts with partition layout, and both
+    // the 1e-6-rounded output and the m-ntile ORDER would wobble at
+    // boundary values
     val perCust = orders.groupBy(col(custCol).as("cust"))
       .agg(max(col(dateCol)).as("__last"),
         count(lit(1)).as("frequency"),
-        round(sum(col(amountCol)), 6).as("monetary"))
+        (sum(round(col(amountCol) * 100).cast("long")) / 100.0)
+          .as("monetary"))
     val anchor = orders.agg(max(col(dateCol)).as("__anchor"))
     val base = perCust.crossJoin(broadcast(anchor))
       .withColumn("recency_days",

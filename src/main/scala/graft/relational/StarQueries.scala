@@ -24,9 +24,17 @@ object StarQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
+        // quantities are integer-valued, so their double sums are exact;
+        // the money sums ride exact integer units (cents / 1e-4 for the
+        // discounted product) — fact-table-scale float sums are
+        // accumulation-order-dependent and wobble against a fixed canon
         sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")
+          .cast("decimal(38,0)")).cast("double") / 100.0)
+          .as("sum_base_price"),
+        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 10000).cast("long").cast("decimal(38,0)")).cast("double")
+          / 10000.0).as("sum_disc_price"),
         avg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
@@ -43,8 +51,9 @@ object StarQueries {
     t(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
+        round(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 10000).cast("long").cast("decimal(38,0)")).cast("double")
+          / 10000.0, 2).as("revenue"),
         count(lit(1)).as("n_items"),
         grouping_id().cast("int").as("gid"))
 

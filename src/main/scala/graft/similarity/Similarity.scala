@@ -236,7 +236,10 @@ object Similarity {
       .join(a, col("query_id") === col("__q") &&
         col("neighbor_id") === col("__n"), "left")
       .groupBy(col("query_id"))
-      .agg(round(avg(col("cosine")), 6).as("brute_mean_cosine"),
+      // cosines are row-local (deterministic); the MEAN is integer-fixed
+      // before summation so the 1e-6 rounding cannot flip with layout
+      .agg(round(sum(round(col("cosine") * 1e9).cast("long"))
+          / count(lit(1)) / 1e9, 6).as("brute_mean_cosine"),
         (sum(coalesce(col("__hit"), lit(0L))) >=
           count(lit(1)) * bound).as("recall_ok"))
   }
@@ -261,7 +264,8 @@ object Similarity {
       .join(a, col("query_id") === col("__q") &&
         col("neighbor_id") === col("__n"), "left")
       .agg(countDistinct(col("query_id")).as("n_queries"),
-        round(avg(col("cosine")), 6).as("brute_mean_cosine"),
+        round(sum(round(col("cosine") * 1e9).cast("long"))
+          / count(lit(1)) / 1e9, 6).as("brute_mean_cosine"),
         (sum(coalesce(col("__hit"), lit(0L))) >=
           count(lit(1)) * bound).as("recall_ok"))
   }
