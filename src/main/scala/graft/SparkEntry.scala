@@ -1100,6 +1100,23 @@ object SparkEntry {
     // path gated against the exact expansion in one verdict row per day
     "q_rolling_dau" -> ((s, dir) =>
       relational.Engagement.rollingDistinctUsers(Panel.readEvents(s, dir))),
+    // r9: the STREAMING rolling-DAU twin in batch mode — two ingest
+    // epochs (split by user parity) append per-day sketch PARTIALS to
+    // a store; serving merges partials and must land inside the same
+    // exact-envelope oracle as q_rolling_dau (proves cross-epoch
+    // partial-sketch merge = the one-pass batch sketch)
+    "q_dau_stream" -> ((s, dir) => {
+      val ev = Panel.readEvents(s, dir)
+      val store =
+        java.nio.file.Files.createTempDirectory("graft_dau_").toString
+      streaming.DauStream.ingestEpoch(ev.filter(col("user_id") % 2 === 0),
+        store, 0L)
+      streaming.DauStream.ingestEpoch(ev.filter(col("user_id") % 2 === 1),
+        store, 1L)
+      relational.Engagement.gate(ev,
+        relational.Engagement.rollingExact(ev),
+        streaming.DauStream.serveRolling(s, store))
+    }),
     // r9: top-20 session event-type paths (gap sessions, first 8 types)
     "q_session_paths" -> ((s, dir) =>
       relational.Engagement.sessionPaths(Panel.readEvents(s, dir))),
@@ -1765,6 +1782,7 @@ object SparkEntry {
     "q_conversion_latency" -> OracleExt.qConversionLatency,
     "q_tfidf_terms" -> OracleExt.qTfidfTerms,
     "q_rolling_dau" -> OracleExt.qRollingDau,
+    "q_dau_stream" -> OracleExt.qRollingDau,
     "q_session_paths" -> OracleExt.qSessionPaths,
     "q_pipeline_session_paths" -> OracleExt.qSessionPaths,
     "q_pareto" -> OracleExt.qPareto,

@@ -41,32 +41,65 @@ object Engagement {
     *
     * @return (day, dau_exact, within_5pct) — day is epoch days.
     */
+  /** (day, id) projection of an event log, day = epoch days. */
+  def byDay(events: DataFrame, idCol: String = "user_id"): DataFrame =
+    events.select(
+      expr(s"unix_micros(ts) div $UsPerDay").as("day"), col(idCol).as("__id"))
+
+  private def targets(windowDays: Int) =
+    expr(s"explode(sequence(day, day + ${windowDays - 1}))")
+
+  /** Exact rolling distinct — the verification baseline: distinct
+    * (day, id) pairs exploded windowDays×, then a distinct count per
+    * target day. Bounded by actives×days, never raw events.
+    */
+  def rollingExact(events: DataFrame, idCol: String = "user_id",
+                   windowDays: Int = 7): DataFrame =
+    byDay(events, idCol).distinct()
+      .select(targets(windowDays).as("day"), col("__id"))
+      .groupBy("day").agg(countDistinct(col("__id")).as("dau_exact"))
+
+  /** Rolling estimate from per-day sketch partials `(day, __sk)` —
+    * merges partials per day, then unions each day's sketch into its
+    * following windowDays target days. The input may carry SEVERAL
+    * partial sketches per day (e.g. one per ingest epoch from
+    * [[graft.streaming.DauStream]]); HLL union is register-wise max,
+    * so partial merge order never matters.
+    */
+  def rollingSketchEstimate(daily: DataFrame, windowDays: Int): DataFrame =
+    daily
+      .select(targets(windowDays).as("day"), col("__sk"))
+      .groupBy("day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))").as("__est"))
+
+  /** One HLL sketch per day — the production aggregation (mergeable,
+    * fixed memory per day).
+    */
+  def dailySketches(events: DataFrame, idCol: String = "user_id"): DataFrame =
+    byDay(events, idCol)
+      .groupBy("day").agg(expr("hll_sketch_agg(__id)").as("__sk"))
+
   def rollingDistinctUsers(events: DataFrame, idCol: String = "user_id",
                            windowDays: Int = 7,
                            relErr: Double = 0.05): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
-    val byDay = events.select(
-      expr(s"unix_micros(ts) div $UsPerDay").as("day"), col(idCol).as("__id"))
-    val targets = expr(s"explode(sequence(day, day + ${windowDays - 1}))")
-    // exact verification path: actives×days pairs, windowDays× expanded
-    val exact = byDay.distinct()
-      .select(targets.as("day"), col("__id"))
-      .groupBy("day").agg(countDistinct(col("__id")).as("dau_exact"))
-    // production path: one sketch per day, then a #days-row union pass
-    val est = byDay
-      .groupBy("day").agg(expr("hll_sketch_agg(__id)").as("__sk"))
-      .select(targets.as("day"), col("__sk"))
-      .groupBy("day")
-      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))").as("__est"))
-    // the explode manufactures target days past the stream end — keep
-    // observed days only (semi join on the tiny day list)
+    val exact = rollingExact(events, idCol, windowDays)
+    val est = rollingSketchEstimate(dailySketches(events, idCol), windowDays)
+    gate(events, exact, est, relErr)
+  }
+
+  /** Join the exact and estimated rolling counts into the envelope
+    * verdict row, keeping observed days only (the explode manufactures
+    * target days past the stream end).
+    */
+  def gate(events: DataFrame, exact: DataFrame, est: DataFrame,
+           relErr: Double = 0.05): DataFrame =
     exact.join(est, Seq("day"))
-      .join(byDay.select("day").distinct(), Seq("day"), "left_semi")
+      .join(byDay(events).select("day").distinct(), Seq("day"), "left_semi")
       .select(col("day"), col("dau_exact"),
         (abs(col("__est") - col("dau_exact").cast("double")) <=
           greatest(col("dau_exact").cast("double") * relErr, lit(1.0)))
           .as("within_5pct"))
-  }
 
   /** Top-`k` session event-type paths: gap-based sessions (a new
     * session starts after `gapSeconds` of inactivity), each session's

@@ -824,4 +824,53 @@ class StreamingSpec extends SparkSpec {
       assert(sigs.forall { case (id, s) => s == batchSig(id) })
     } finally q.stop()
   }
+
+  test("streaming DAU sketch store: partial merge equals the one-pass batch estimate") {
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    // three days; users split across batches so day-2's sketch is
+    // assembled from partials of BOTH epochs (and a late day-1 event
+    // lands in epoch 2)
+    val rows = Seq(
+      (1L, ts("2024-01-01T01:00:00Z")), (2L, ts("2024-01-01T02:00:00Z")),
+      (2L, ts("2024-01-02T01:00:00Z")), (3L, ts("2024-01-02T02:00:00Z")),
+      (1L, ts("2024-01-03T01:00:00Z")))
+    val batch1 = rows.take(3)
+    val batch2 = rows.drop(3) :+ (4L, ts("2024-01-01T23:00:00Z")) // late
+    val all = (batch1 ++ batch2).toDF("user_id", "ts")
+    val store =
+      java.nio.file.Files.createTempDirectory("graft_dau_spec_").toString
+
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = graft.streaming.DauStream
+      .ingest(src.toDS().toDF("user_id", "ts"), store)
+      .start()
+    try {
+      src.addData(batch1: _*); q.processAllAvailable()
+      src.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // the store holds per-epoch PARTIALS: >1 sketch row for a shared day
+    val partials = spark.read.parquet(s"$store/sketches")
+    assert(partials.count() > partials.select("day").distinct().count())
+
+    val served = graft.streaming.DauStream.serveRolling(spark, store, 3)
+    val oneShot = graft.relational.Engagement.rollingSketchEstimate(
+      graft.relational.Engagement.dailySketches(all), 3)
+    val a = served.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = oneShot.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, s"served $a vs one-pass $b") // register-wise-max merge
+
+    // replaying a committed epoch is a no-op (the marker skips it)
+    val before = partials.count()
+    graft.streaming.DauStream.ingestEpoch(all, store, 1L)
+    assert(spark.read.parquet(s"$store/sketches").count() == before)
+
+    // and the envelope gate holds end-to-end at this tiny cardinality
+    val gated = graft.relational.Engagement.gate(all,
+      graft.relational.Engagement.rollingExact(all, windowDays = 3),
+      served)
+    assert(gated.collect().forall(_.getBoolean(2)))
+  }
 }
