@@ -242,6 +242,21 @@ object OracleExt {
   val qMinhashLsh: String = qMinhashLshFiltered("WHERE doc_id < 200", 1, 0.1)
   val qMinhashLshFull: String = qMinhashLshFiltered("", 2, 0.5)
 
+  /** More-like-this retrieval (Dedup.moreLikeThis): the shared banded
+    * candidate + exact-Jaccard CTEs, symmetrized, top-5 per seed.
+    */
+  val qMoreLikeThis: String =
+    s"""$norm, ${minhashPairCtes("WHERE doc_id < 200", 1)},
+       |sym AS (SELECT id_a AS seed_id, id_b AS match_id, jaccard FROM j
+       |        UNION ALL SELECT id_b, id_a, jaccard FROM j),
+       |f AS (SELECT * FROM sym WHERE seed_id < 5 AND jaccard > 0.0),
+       |r AS (SELECT seed_id, match_id, jaccard,
+       |        CAST(row_number() OVER (PARTITION BY seed_id
+       |          ORDER BY jaccard DESC, match_id) AS BIGINT) AS match_rank
+       |      FROM f)
+       |SELECT seed_id, match_id, jaccard, match_rank
+       |FROM r WHERE match_rank <= 5""".stripMargin
+
   /** Last-touch attribution (Attribution.lastTouch): conversions ASOF
     * against deduplicated touchpoints (arg_max tie-break at one
     * timestamp, matching Spark's max_by).
@@ -2284,6 +2299,32 @@ object OracleExt {
        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
        |FROM rk WHERE rank <= $k""".stripMargin
 
+  /** IVF quantizer health audit (Similarity.ivfStats): the same Lloyd
+    * assignment, distance to own centroid via the identical
+    * left-associated dot chain, per-list means from exact 1e-9-unit
+    * integer sums.
+    */
+  def qIvfStats(nlists: Int = 16, iters: Int = 3, dim: Int = 64): String =
+    s"""${ivfAssignCtes(nlists, iters, dim)},
+       |dd AS (
+       |  SELECT a.list,
+       |    CAST(round(sqrt(greatest(
+       |      list_dot_product(a.v, a.v)
+       |        - 2 * list_dot_product(a.v, ct.cent)
+       |        + list_dot_product(ct.cent, ct.cent), 0.0)) * 1e9)
+       |      AS BIGINT) AS di
+       |  FROM asgnF a JOIN cent$iters ct ON ct.list = a.list),
+       |g AS (
+       |  SELECT CAST(list AS INTEGER) AS list,
+       |    CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |    SUM(CAST(di AS HUGEINT)) AS s
+       |  FROM dd GROUP BY 1),
+       |t AS (SELECT SUM(n_vecs) AS tot FROM g)
+       |SELECT list, n_vecs,
+       |  round(CAST(n_vecs AS DOUBLE) / tot, 6) AS share,
+       |  round(CAST(s AS DOUBLE) / n_vecs / 1e9, 6) AS mean_dist
+       |FROM g, t""".stripMargin
+
   /** Cluster-diverse sampling oracle: the same Lloyd assignment, then
     * a per-cluster deterministic hash rank capped at `perCluster`
     * (mirrors Similarity.diverseSample / Sampling.hashTopKPerStratum).
@@ -2705,6 +2746,18 @@ object OracleExt {
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY 1, 2""".stripMargin
+
+  /** Bucketed-join rollup (sources.Bucketing): the values are layout-
+    * independent, so the oracle is the plain join — the bucketing
+    * claim (zero input exchanges) is pinned by PlanSpec, not here.
+    */
+  val qBucketedJoin: String =
+    """SELECT o.o_orderpriority,
+      |  round(CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+      |    * 10000) AS HUGEINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1""".stripMargin
 
   val qTopOrders: String =
     """WITH revenue AS (

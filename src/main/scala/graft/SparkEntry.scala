@@ -613,6 +613,13 @@ object SparkEntry {
       dedup.Dedup.minhashLsh(docs(s, dir).filter(col("doc_id") < 200),
         shingleSize = 2, numHashes = OracleExt.MinhashHashes,
         bandRows = 1, threshold = 0.1)),
+    // r9: more-like-this — top-5 exact-Jaccard matches per seed doc
+    // over the banded candidates (keyword/embedding/shingle retrieval
+    // triad complete)
+    "q_more_like_this" -> ((s, dir) =>
+      dedup.Dedup.moreLikeThis(docs(s, dir).filter(col("doc_id") < 200),
+        maxSeedId = 5, k = 5, shingleSize = 2,
+        numHashes = OracleExt.MinhashHashes, bandRows = 1)),
     // r9: the estimator-quality gate row for the MinHash family
     "q_minhash_estimate" -> ((s, dir) =>
       dedup.Dedup.minhashEstimateGate(docs(s, dir).filter(col("doc_id") < 200),
@@ -927,6 +934,10 @@ object SparkEntry {
     "q_embed_semdedup" -> ((s, dir) =>
       similarity.Similarity.semanticDedup(embeddings(s, dir),
         threshold = 0.3, nlists = 16)),
+    // r9: quantizer health audit — per-list population share + mean
+    // centroid distance at the q_embed_ivf_topk serving config
+    "q_embed_ivf_stats" -> ((s, dir) =>
+      similarity.Similarity.ivfStats(embeddings(s, dir), nlists = 16)),
     // r8: diversity-preserving downsampling — at most 10 vectors per
     // semantic cluster, deterministic hash rank within cluster
     "q_embed_diverse" -> ((s, dir) =>
@@ -1009,6 +1020,33 @@ object SparkEntry {
       relational.SkewJoin.saltedJoin(ord, cust, Seq("o_custkey"), saltFactor = 8)
     }),
     "q_pricing_summary" -> ((s, dir) => relational.StarQueries.pricingSummary(s, dir)),
+    // r9: bucketed-layout join — both facts written bucketed+sorted by
+    // the join key (the one-time shuffle), then an exchange-free
+    // SortMergeJoin (PlanSpec pins zero input exchanges) feeding the
+    // priority rollup; values must equal the plain-join oracle
+    "q_bucketed_join" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_buckets_").toString
+      sources.Bucketing.writeBucketed(
+        s.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_orderpriority"),
+        s"$base/orders", "graft_b_orders", "o_orderkey", 8)
+      sources.Bucketing.writeBucketed(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .withColumnRenamed("l_orderkey", "o_orderkey")
+          .select("o_orderkey", "l_extendedprice", "l_discount"),
+        s"$base/lineitem", "graft_b_lineitem", "o_orderkey", 8)
+      sources.Bucketing.bucketedJoin(s, "graft_b_orders",
+          "graft_b_lineitem", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+          (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 10000).cast("long").cast("decimal(38,0)")).cast("double")
+            / 10000.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select(col("o_orderpriority"), round(col("revenue"), 2).as("revenue"),
+          col("n_items"))
+    }),
     "q_top_orders" -> ((s, dir) => relational.StarQueries.topUnshippedOrders(s, dir)),
     // r9: SCD2 snapshot merge — the warehouse CDC primitive. The update
     // extract is derived deterministically from orders itself: keys
@@ -1628,6 +1666,7 @@ object SparkEntry {
     "q_pipeline_clusters" -> OracleExt.qPipelineClusters,
     "q_corpus_stats" -> OracleExt.qCorpusStats,
     "q_minhash_lsh" -> OracleExt.qMinhashLsh,
+    "q_more_like_this" -> OracleExt.qMoreLikeThis,
     "q_minhash_estimate" -> OracleExt.qMinhashEstimate,
     "q_containment" -> OracleExt.qContainment,
     "q_attribution" -> OracleExt.qAttribution,
@@ -1692,6 +1731,7 @@ object SparkEntry {
     "q_asof_purchase" -> OracleExt.qAsofPurchase,
     "q_asof_tolerance" -> OracleExt.qAsofTolerance,
     "q_rollup_revenue" -> OracleExt.qRollupRevenue,
+    "q_bucketed_join" -> OracleExt.qBucketedJoin,
     "q_pipeline_funnel" -> OracleExt.qFunnel,
     "q_funnel_stream" -> OracleExt.qFunnel,
     "q_interval_overlap" -> OracleExt.qIntervalOverlap,
@@ -1725,6 +1765,7 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,
     "q_embed_ivf_topk" -> OracleExt.qEmbedIvfTopK(),
     "q_embed_ivf_recall" -> OracleExt.qEmbedIvfRecall,
+    "q_embed_ivf_stats" -> OracleExt.qIvfStats(),
     "q_embed_ivfpq_recall" -> OracleExt.qEmbedIvfPqRecall,
     "q_embed_pq_topk" -> OracleExt.qEmbedPqTopK(),
     "q_embed_normalize" -> OracleExt.qEmbedNormalize,

@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for corpus pipelines: exact (hash-groupBy),
@@ -769,6 +770,36 @@ object Dedup {
     * (the exact-verification path; the LSH variants above are the scale
     * path — never run this on an unbounded corpus).
     */
+  /** "More like this" retrieval: the top-`k` most-similar documents
+    * per seed document by EXACT shingle Jaccard, with the candidate
+    * set bounded by MinHash banding — the third retrieval modality
+    * next to BM25 (keyword) and ANN (embedding), and the scale shape
+    * is the dedup family's: banded bucket join, never seed×corpus.
+    * Pairs are symmetrized so a seed matches in either direction; the
+    * per-seed rank window is bounded by that seed's candidate count.
+    *
+    * @return (seed_id, match_id, jaccard, match_rank) for seeds with
+    *         id < maxSeedId
+    */
+  def moreLikeThis(docs: DataFrame, maxSeedId: Long, k: Int,
+                   shingleSize: Int, numHashes: Int, bandRows: Int,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sh = graft.OpCache.persist(shingles(docs, shingleSize, idCol, textCol))
+    val sig = minhash(sh, numHashes, idCol)
+    val cand = lshCandidates(sig, numHashes, bandRows, idCol)
+    val j = jaccard(cand, sh, idCol)
+    val sym = j.select(col("id_a").as("seed_id"), col("id_b").as("match_id"),
+        col("jaccard"))
+      .unionByName(j.select(col("id_b").as("seed_id"),
+        col("id_a").as("match_id"), col("jaccard")))
+      .filter(col("seed_id") < maxSeedId && col("jaccard") > 0.0)
+    sym.withColumn("match_rank",
+        row_number().over(Window.partitionBy(col("seed_id"))
+          .orderBy(col("jaccard").desc, col("match_id"))).cast("long"))
+      .filter(col("match_rank") <= k)
+  }
+
   def ngramJaccard(docs: DataFrame, n: Int, minJaccard: Double,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val grams = charGrams(docs, n, idCol, textCol)

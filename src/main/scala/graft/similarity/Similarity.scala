@@ -201,6 +201,45 @@ object Similarity {
     ivfSearch(buildIvfIndex(corpus, nlists, iters, idCol, vecCol),
       queries, k, nprobe, idCol, vecCol)
 
+  /** Quantizer health audit — per-list population and mean distance to
+    * centroid: the serving diagnostics an IVF deployment watches (an
+    * empty or mega list ⇒ reseed/rebalance; mean-distance drift ⇒ the
+    * corpus moved and the quantizer needs retraining). One broadcast
+    * join of the assignment against the nlists-row centroid table;
+    * distances are row-local folds and the per-list means ride exact
+    * 1e-9-unit integer sums (layout-proof).
+    *
+    * @return (list, n_vecs, share, mean_dist)
+    */
+  def ivfStats(corpus: DataFrame, nlists: Int = 16, iters: Int = 3,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val idx = buildIvfIndex(corpus, nlists, iters, idCol, vecCol)
+    val spark = idx.assigned.sparkSession
+    import spark.implicits._
+    val centDf = idx.centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("list", "cent")
+    val di = idx.assigned.join(broadcast(centDf), "list")
+      .withColumn("__d2",
+        dot(col("c_vec"), col("c_vec"))
+          - lit(2.0) * dot(col("c_vec"), col("cent"))
+          + dot(col("cent"), col("cent")))
+      .withColumn("__di",
+        round(sqrt(greatest(col("__d2"), lit(0.0))) * 1e9).cast("long"))
+    val perList = di.groupBy(col("list").cast("int").as("list"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__di")).as("__s"))
+    // nlists rows from here on — the constant-key window is bounded
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("list"), lit(1)))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perList
+      .withColumn("__tot", sum(col("n_vecs")).over(w))
+      .select(col("list"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("__tot"), 6).as("share"),
+        round(col("__s").cast("double") / col("n_vecs") / 1e9, 6)
+          .as("mean_dist"))
+  }
+
   /** ANN quality as a GATE ROW (the vocab-sketch envelope discipline):
     * per query, the exact brute-force top-k mean cosine plus a verdict
     * that IVF recall@k against that same in-plan brute result clears

@@ -960,4 +960,31 @@ class ExtensionsSpec extends SparkSpec {
       (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
       (1L, 0L) -> 1L, (1L, 1L) -> 1L))
   }
+
+  test("ivfStats: every vector counted once, shares sum to 1") {
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val rows = graft.similarity.Similarity.ivfStats(emb, nlists = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.map(_._2).sum == 40L)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(rows.forall(_._4 >= 0.0))
+  }
+
+  test("moreLikeThis: the near-identical doc ranks first for its seed") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (7L, "alpha beta gamma delta zeta"),   // near-dup of 1
+      (8L, "alpha beta something else here"),
+      (9L, "totally unrelated words only")
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.moreLikeThis(docs, maxSeedId = 5, k = 3,
+        shingleSize = 2, numHashes = 12, bandRows = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // seed 1 exists; its best match is doc 7; seeds ≥ 5 are excluded
+    assert(out.forall(_._1 == 1L))
+    assert(out.find(_._3 == 1L).map(_._2).contains(7L))
+  }
 }

@@ -403,6 +403,26 @@ class PlanSpec extends SparkSpec {
     assert(noSingleTaskWindow(plan), plan)
   }
 
+  test("bucketed join reads co-located buckets: zero exchanges below the join") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bucket_plan_").toString
+    val left = (1L to 100L).map(k => (k, s"p$k")).toDF("k", "payload")
+    val right = (1L to 300L).map(i => (i % 100 + 1, i)).toDF("k", "item")
+    sources.Bucketing.writeBucketed(left, s"$dir/l", "bp_left", "k", 4)
+    sources.Bucketing.writeBucketed(right, s"$dir/r", "bp_right", "k", 4)
+    // force the SortMergeJoin path (tiny test tables would broadcast,
+    // which is exactly what a 100 TB fact-fact join cannot do)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val exec = sources.Bucketing.bucketedJoin(spark, "bp_left", "bp_right", "k")
+        .queryExecution.executedPlan
+      val plan = exec.toString()
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan) // the bucketing contract
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("rollingDistinctUsers: day-keyed aggregates only, no window") {
     val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("user_id", "ts")
