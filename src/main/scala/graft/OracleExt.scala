@@ -3934,6 +3934,54 @@ object OracleExt {
     sb.append(s"\nSELECT id, hops FROM d$maxHops").toString
   }
 
+  /** Synchronous label propagation (graphs.LabelProp over the simhash
+    * near-dup pairs): each round unrolled as neighbour-label counts +
+    * a (count desc, label) argmax — the qBfsHops/qPageRank discipline.
+    */
+  def qLabelProp(iters: Int = 4): String = {
+    val sb = new StringBuilder(
+      s"""$norm, $simhashPairCtes,
+         |e0 AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e0
+         |        UNION SELECT id_b, id_a FROM e0),
+         |l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)"""
+        .stripMargin)
+    (1 to iters).foreach { i =>
+      sb.append(
+        s""",
+           |c$i AS (SELECT s.src, l.label, COUNT(*) AS n
+           |        FROM sym s JOIN l${i - 1} l ON l.id = s.dst
+           |        GROUP BY 1, 2),
+           |l$i AS (SELECT src AS id, label FROM (
+           |          SELECT src, label, row_number() OVER (PARTITION BY src
+           |            ORDER BY n DESC, label) AS rn FROM c$i) z
+           |        WHERE rn = 1)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, label FROM l$iters").toString
+  }
+
+  /** Exact ROC AUC (ml.Eval.aucRoc over order totals vs high-priority
+    * flag): Mann–Whitney U with average-rank ties from grouped counts,
+    * half-ranks kept integral by doubling.
+    */
+  val qAuc: String =
+    """WITH cells AS (
+      |  SELECT round(o_totalprice, 9) AS s,
+      |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1),
+      |cum AS (SELECT *, SUM(n) OVER (ORDER BY s
+      |          ROWS UNBOUNDED PRECEDING) AS c FROM cells),
+      |r AS (SELECT pos, n, 2 * (c - n) + n + 1 AS r2 FROM cum)
+      |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |  CAST(SUM(n - pos) AS BIGINT) AS n_neg,
+      |  CASE WHEN SUM(pos) = 0 OR SUM(n - pos) = 0 THEN NULL
+      |       ELSE round(CAST(SUM(pos * r2) - SUM(pos) * (SUM(pos) + 1)
+      |                    AS DOUBLE)
+      |                  / (2.0 * SUM(pos) * SUM(n - pos)), 6) END AS auc
+      |FROM r""".stripMargin
+
   /** Per-doc TF-IDF top-k terms (Index.tfidfTerms, k = 5): smoothed
     * idf rounded 1e-9 before the tf multiply, rank over the 1e-6
     * rounded score with the term as tiebreak.

@@ -716,6 +716,18 @@ object SparkEntry {
       graphs.Triangles.triangleCounts(
         dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
           maxDist = 3))),
+    // r9: label-propagation communities over the near-dup graph —
+    // finer than CC (splits weakly-bridged blobs into dense cores)
+    "q_label_prop" -> ((s, dir) =>
+      graphs.LabelProp.labelPropagation(
+        dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
+          maxDist = 3), iters = 4)),
+    // r9: exact ROC AUC of order value predicting high priority —
+    // Mann–Whitney from grouped counts, no per-row window
+    "q_auc" -> ((s, dir) =>
+      ml.Eval.aucRoc(s.read.parquet(s"$dir/orders.parquet"),
+        col("o_totalprice"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))),
     // r9: bounded-hop BFS from a seed set (contamination blast
     // radius) — frontier relaxation, unrolled-CTE oracle
     "q_bfs_hops" -> ((s, dir) =>
@@ -1819,6 +1831,8 @@ object SparkEntry {
     "q_ks_test" -> OracleExt.qKsTest,
     "q_acf" -> OracleExt.qAcf,
     "q_bfs_hops" -> OracleExt.qBfsHops(),
+    "q_label_prop" -> OracleExt.qLabelProp(),
+    "q_auc" -> OracleExt.qAuc,
     "q_cc_stats" -> OracleExt.qCcStats,
     "q_conversion_latency" -> OracleExt.qConversionLatency,
     "q_tfidf_terms" -> OracleExt.qTfidfTerms,

@@ -625,20 +625,15 @@ object TextOps {
     */
   def charEntropy(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
+    // one codegen'd O(len) histogram per row
+    // (functions.CharEntropyExpr) — the earlier explode-per-character
+    // formulation shuffled #chars rows and was the bench outlier (13 s
+    // vs ~1 s); identical 1e-9-term-fixed arithmetic, zero shuffle
     val nt = normalize(col(textCol))
-    val chars = docs
+    docs
       .select(col(idCol), length(nt).cast("long").as("n_chars"),
-        explode(split(nt, "")).as("ch"))
+        graft.functions.CharEntropyExpr.charEntropy(nt).as("char_entropy"))
       .filter(col("n_chars") > 0L)
-    chars.groupBy(col(idCol), col("n_chars"), col("ch"))
-      .agg(count(lit(1)).cast("double").as("cnt"))
-      .select(col(idCol), col("n_chars"),
-        round((col("cnt") / col("n_chars")) *
-          log(col("cnt") / col("n_chars")) * -1e9, 0)
-          .cast("long").as("term_nano"))
-      .groupBy(col(idCol), col("n_chars"))
-      .agg(round(sum(col("term_nano")).cast("double") / 1e9, 6)
-        .as("char_entropy"))
   }
 
   def heavyHittersChecked(docs: DataFrame, k: Int, eps: Double = 1e-4,

@@ -961,6 +961,34 @@ class ExtensionsSpec extends SparkSpec {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L))
   }
 
+  test("labelPropagation splits two triangles across a bridge (CC would fuse them)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = graft.graphs.LabelProp.labelPropagation(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-unrolled synchronous rounds with min-label ties: the two
+    // dense cores converge to labels 1 and 3 despite the bridge 3—4
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("aucRoc: perfect separation = 1.0; average-rank ties handled") {
+    val perfect = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("score", "label")
+    val p = graft.ml.Eval.aucRoc(perfect, col("score"), col("label"))
+      .collect().head
+    assert((p.getLong(0), p.getLong(1), p.getDouble(2)) === (2L, 2L, 1.0))
+    // pos {2,3}, neg {1,2}: tied pair at 2 takes avg rank 2.5 → 0.875
+    val tied = Seq((1.0, false), (2.0, false), (2.0, true), (3.0, true))
+      .toDF("score", "label")
+    assert(graft.ml.Eval.aucRoc(tied, col("score"), col("label"))
+      .collect().head.getDouble(2) === 0.875)
+    // degenerate single-class input → NULL, not a crash
+    val onlyPos = Seq((1.0, true), (2.0, true)).toDF("score", "label")
+    assert(graft.ml.Eval.aucRoc(onlyPos, col("score"), col("label"))
+      .collect().head.isNullAt(2))
+  }
+
   test("ivfStats: every vector counted once, shares sum to 1") {
     val emb = (0 until 40).map(i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)))
