@@ -838,6 +838,34 @@ object Registry {
         a.collectFirst { case s: String => s }.getOrElse("purchase"))),
   )
 
+  /** Graph transforms over an undirected pair list (id_a, id_b) — the
+    * near-dup-graph analytics surface as a fifth wire family: every
+    * step consumes the edge frame a dedup stage emits (simhash /
+    * minhash / winnow / dhash pairs), so curation policies compose as
+    * JSON: pairs → communities → keep-canonical.
+    */
+  val graphTransforms: Map[String, Transform] = Map(
+    "identity" -> ((df, _) => df),
+    // args: [maxHops, maxSeedId] — terminal hop distances from seeds
+    "bfs_hops" -> ((df, a) => {
+      val maxSeed = a.num(1).toLong
+      graphs.Bfs.hopDistance(df, id => id < maxSeed, a.num(0).toInt)
+    }),
+    // args: [iters, damping?] — terminal PageRank
+    "pagerank" -> ((df, a) =>
+      graphs.PageRank.pageRank(df, a.num(0).toInt,
+        a.numOpt(1).getOrElse(0.85))),
+    // args: [iters] — terminal label-propagation communities
+    "label_prop" -> ((df, a) =>
+      graphs.LabelProp.labelPropagation(df, a.num(0).toInt)),
+    // terminal per-node triangle counts
+    "triangles" -> ((df, _) => graphs.Triangles.triangleCounts(df)),
+  )
+
+  /** Run a JSON spec over a pair-list frame. */
+  def runGraph(df: DataFrame, json: String): DataFrame =
+    parse(json).foldLeft(df)(applyIn(graphTransforms, "graph"))
+
   /** Run a JSON spec over an embeddings frame. */
   def runEmbeddings(df: DataFrame, json: String): DataFrame =
     parse(json).foldLeft(df)(applyIn(embeddingTransforms, "embedding"))

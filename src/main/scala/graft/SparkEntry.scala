@@ -728,6 +728,13 @@ object SparkEntry {
       ml.Eval.aucRoc(s.read.parquet(s"$dir/orders.parquet"),
         col("o_totalprice"),
         col("o_orderpriority").isin("1-URGENT", "2-HIGH"))),
+    // r9: the graph wire family — label propagation dispatched from
+    // JSON over the same pairs frame (shares qLabelProp)
+    "q_pipeline_graph" -> ((s, dir) =>
+      Registry.runGraph(
+        dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
+          maxDist = 3),
+        """[{"type":"identity"},{"type":"label_prop","args":[4]}]""")),
     // r9: bounded-hop BFS from a seed set (contamination blast
     // radius) — frontier relaxation, unrolled-CTE oracle
     "q_bfs_hops" -> ((s, dir) =>
@@ -1832,6 +1839,7 @@ object SparkEntry {
     "q_acf" -> OracleExt.qAcf,
     "q_bfs_hops" -> OracleExt.qBfsHops(),
     "q_label_prop" -> OracleExt.qLabelProp(),
+    "q_pipeline_graph" -> OracleExt.qLabelProp(),
     "q_auc" -> OracleExt.qAuc,
     "q_cc_stats" -> OracleExt.qCcStats,
     "q_conversion_latency" -> OracleExt.qConversionLatency,

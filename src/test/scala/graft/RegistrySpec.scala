@@ -559,6 +559,24 @@ class RegistrySpec extends SparkSpec {
     assert(wired == direct && wired.size == 40)
   }
 
+  test("graph wire family dispatches the pair-list analytics") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rowsOf(Registry.runGraph(edges,
+        """[{"type":"label_prop","args":[4]}]""")) ==
+      rowsOf(graft.graphs.LabelProp.labelPropagation(edges, 4)))
+    assert(rowsOf(Registry.runGraph(edges,
+        """[{"type":"pagerank","args":[3]}]""")) ==
+      rowsOf(graft.graphs.PageRank.pageRank(edges, 3)))
+    assert(rowsOf(Registry.runGraph(edges, """[{"type":"triangles"}]""")) ==
+      rowsOf(graft.graphs.Triangles.triangleCounts(edges)))
+    assert(rowsOf(Registry.runGraph(edges,
+        """[{"type":"bfs_hops","args":[2, 2]}]""")) ==
+      rowsOf(graft.graphs.Bfs.hopDistance(edges, id => id < 2, 2)))
+  }
+
   test("a chained window pipeline stays a single-shuffle plan") {
     val out = Registry.run(p, """[{"type":"tlag","args":[1]},
       {"type":"moving_average","args":[3]},{"type":"demean","args":[]}]""")
