@@ -2759,6 +2759,88 @@ object OracleExt {
       |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** Chi-square independence test (Stats.chi2Test over order priority
+    * × status, dof (5−1)(3−1)=8, critical 15.507): cell terms fixed
+    * to 1e-9 integers before the sum.
+    */
+  val qChi2: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS a, o_orderstatus AS b,
+      |         CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+      |ct AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+      |t AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS ka,
+      |             COUNT(DISTINCT b) AS kb FROM cells),
+      |dense AS (
+      |  SELECT rt.a, ct.b, rt.ra, ct.cb, COALESCE(c.o, 0) AS o
+      |  FROM rt CROSS JOIN ct
+      |  LEFT JOIN cells c ON c.a = rt.a AND c.b = ct.b),
+      |terms AS (
+      |  SELECT n, ka, kb,
+      |    CAST(round((o - CAST(ra AS DOUBLE) * cb / n)
+      |             * (o - CAST(ra AS DOUBLE) * cb / n)
+      |             / (CAST(ra AS DOUBLE) * cb / n) * 1e9) AS BIGINT) AS t9
+      |  FROM dense, t)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+      |  round(CAST(SUM(t9) AS DOUBLE) / 1e9, 6) AS chi2,
+      |  round(round(CAST(SUM(t9) AS DOUBLE) / 1e9, 6) - 15.507, 6) > 0.0
+      |    AS significant
+      |FROM terms GROUP BY 1, 2""".stripMargin
+
+  /** One-pass Pearson correlation matrix (Stats.corrMatrix over the
+    * lineitem numerics): exact 1e-6-unit integer sufficient
+    * statistics, the closed form divides exact HUGEINTs.
+    */
+  val qCorrMatrix: String = {
+    val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+      "l_discount" -> "d")
+    val fix = cols.map { case (c, t) =>
+      s"CAST(round($c * 1e6) AS HUGEINT) AS i$t" }.mkString(", ")
+    val sums = cols.map { case (_, t) => s"SUM(i$t) AS s$t" } ++
+      cols.map { case (_, t) => s"SUM(i$t * i$t) AS q$t" }
+    val pairs = for { (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1) }
+      yield (a, b)
+    val xs = pairs.map { case ((_, ta), (_, tb)) =>
+      s"SUM(i$ta * i$tb) AS x$ta$tb" }
+    def corrRow(a: (String, String), b: (String, String)) = {
+      val (ca, ta) = a; val (cb, tb) = b
+      val da = s"CAST(n * q$ta - s$ta * s$ta AS DOUBLE)"
+      val db = s"CAST(n * q$tb - s$tb * s$tb AS DOUBLE)"
+      s"""SELECT '$ca' AS col_a, '$cb' AS col_b,
+         |  CASE WHEN $da <= 0.0 OR $db <= 0.0 THEN NULL
+         |       ELSE round(CAST(n * x$ta$tb - s$ta * s$tb AS DOUBLE)
+         |                  / sqrt($da * $db), 6) END AS corr
+         |FROM s""".stripMargin
+    }
+    s"""WITH f AS (SELECT $fix FROM lineitem),
+       |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+       |        ${(sums ++ xs).mkString(", ")}
+       |      FROM f)
+       |${pairs.map { case (a, b) => corrRow(a, b) }.mkString("\nUNION ALL\n")}"""
+      .stripMargin
+  }
+
+  /** Per-group trimmed mean (Stats.trimmedMean over lineitem prices by
+    * returnflag): exact quantile_cont bounds (Spark `percentile`'s
+    * twin), survivors averaged on exact cents.
+    */
+  val qTrimmedMean: String =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.1) AS lo,
+      |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS hi
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag,
+      |  round(lo, 6) AS q_lo, round(hi, 6) AS q_hi,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  round(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS HUGEINT))
+      |          AS DOUBLE) / COUNT(*) / 100.0, 6) AS trimmed_mean
+      |FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
+      |WHERE l.l_extendedprice >= lo AND l.l_extendedprice <= hi
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val qTopOrders: String =
     """WITH revenue AS (
       |  SELECT l.l_orderkey, o.o_orderdate,

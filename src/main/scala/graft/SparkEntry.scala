@@ -722,6 +722,21 @@ object SparkEntry {
       graphs.LabelProp.labelPropagation(
         dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
           maxDist = 3), iters = 4)),
+    // r9: chi-square independence of priority × status (dof 8,
+    // critical 15.507 at α=0.05 — the Benford inlined-constant
+    // discipline); 1e-9-int cell terms
+    "q_chi2" -> ((s, dir) =>
+      relational.Stats.chi2Test(s.read.parquet(s"$dir/orders.parquet"),
+        "o_orderpriority", "o_orderstatus", critical = 15.507)),
+    // r9: one-pass Pearson correlation matrix over the lineitem
+    // numerics — exact integer sufficient statistics
+    "q_corr_matrix" -> ((s, dir) =>
+      relational.Stats.corrMatrix(s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    // r9: per-flag 10–90% trimmed mean of prices
+    "q_trimmed_mean" -> ((s, dir) =>
+      relational.Stats.trimmedMean(s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_returnflag", "l_extendedprice")),
     // r9: exact ROC AUC of order value predicting high priority —
     // Mann–Whitney from grouped counts, no per-row window
     "q_auc" -> ((s, dir) =>
@@ -1841,6 +1856,9 @@ object SparkEntry {
     "q_label_prop" -> OracleExt.qLabelProp(),
     "q_pipeline_graph" -> OracleExt.qLabelProp(),
     "q_auc" -> OracleExt.qAuc,
+    "q_chi2" -> OracleExt.qChi2,
+    "q_corr_matrix" -> OracleExt.qCorrMatrix,
+    "q_trimmed_mean" -> OracleExt.qTrimmedMean,
     "q_cc_stats" -> OracleExt.qCcStats,
     "q_conversion_latency" -> OracleExt.qConversionLatency,
     "q_tfidf_terms" -> OracleExt.qTfidfTerms,

@@ -1,0 +1,121 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classical statistical tests and summaries at aggregation scale —
+  * the companions of [[Profile]] (moments), [[Experiment]] (two-
+  * proportion z) and [[graft.sampling.Sampling]] (KS): every statistic
+  * here reduces to exact integer sufficient statistics in ONE pass
+  * (map-side combinable), with floats appearing only in the final
+  * closed form — the layout-proof discipline the gate demands.
+  */
+object Stats {
+
+  private val Dec = "decimal(38,0)"
+
+  /** Pearson chi-square test of independence between two categoricals.
+    * One (a, b) cell aggregation (bounded by the category-cardinality
+    * product — categorical columns by assumption), margins derived
+    * from the cells in-plan; each cell's (obs−exp)²/exp term is fixed
+    * to 1e-9 integers before the final sum.
+    *
+    * @param critical the chi-square critical value for the caller's
+    *   dof and significance level (no engine ships the inverse CDF;
+    *   the Benford discipline: inline the published constant)
+    * @return one row (n, dof, chi2, significant)
+    */
+  def chi2Test(df: DataFrame, colA: String, colB: String,
+               critical: Double): DataFrame = {
+    val cells = df.groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = cells.groupBy("__a").agg(sum(col("__o")).as("__ra"))
+    val colTot = cells.groupBy("__b").agg(sum(col("__o")).as("__cb"))
+    val tot = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("__ka"),
+      countDistinct(col("__b")).as("__kb"))
+    val exp = col("__ra").cast("double") * col("__cb") / col("__n")
+    val term = (col("__o") - exp) * (col("__o") - exp) / exp
+    // densify to the full ka×kb table first: an UNOBSERVED cell still
+    // contributes (0 − exp)²/exp = exp — dropping empties understates
+    // the statistic exactly when dependence is strongest
+    rowTot.crossJoin(broadcast(colTot))
+      .join(cells, Seq("__a", "__b"), "left")
+      .na.fill(0L, Seq("__o"))
+      .crossJoin(broadcast(tot))
+      .select(col("__n"), col("__ka"), col("__kb"),
+        round(term * 1e9).cast("long").as("__t9"))
+      .groupBy(col("__n").as("n"),
+        ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"))
+      .agg(round(sum(col("__t9")).cast("double") / 1e9, 6).as("chi2"))
+      .select(col("n"), col("dof"), col("chi2"),
+        (round(col("chi2") - critical, 6) > 0.0).as("significant"))
+  }
+
+  /** Pairwise Pearson correlation of numeric columns in ONE
+    * aggregation pass: per pair, the five sufficient statistics ride
+    * exact 1e-6-unit integer sums (DECIMAL(38,0) — products of two
+    * 1e-6-fixed values are 1e-12-unit integers), and
+    *   r = (n·Sxy − Sx·Sy) / √((n·Sxx − Sx²)(n·Syy − Sy²))
+    * divides one exactly-computed DECIMAL by another. Output is
+    * long-format (col_a, col_b, corr) for a < b, assembled by an
+    * in-plan explode of the single stats row — the [[Profile]] shape.
+    * Bounds: |value| ≤ ~9e12 before the 1e-6 fixing overflows a long.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    require(cols.forall(c => !c.contains(".") && !c.contains("`")),
+      s"corrMatrix column names must be dot/backtick-free: $cols")
+    val fixed = df.select(cols.map(c =>
+      round(col(c) * 1e6).cast("long").as(s"__i_$c")): _*)
+    val pairs = for {
+      (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1)
+    } yield (a, b)
+    val aggs = count(lit(1)).as("__n") +:
+      cols.map(c => sum(col(s"__i_$c").cast(Dec)).as(s"__s_$c")) ++:
+      cols.map(c => sum(col(s"__i_$c").cast(Dec) * col(s"__i_$c"))
+        .as(s"__q_$c")) ++:
+      pairs.map { case (a, b) =>
+        sum(col(s"__i_$a").cast(Dec) * col(s"__i_$b")).as(s"__x_${a}_$b")
+      }
+    val stats = fixed.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast(Dec)
+    stats.select(explode(array(pairs.map { case (a, b) =>
+        val num = (n * col(s"__x_${a}_$b") - col(s"__s_$a") * col(s"__s_$b"))
+          .cast("double")
+        val da = (n * col(s"__q_$a") - col(s"__s_$a") * col(s"__s_$a"))
+          .cast("double")
+        val db = (n * col(s"__q_$b") - col(s"__s_$b") * col(s"__s_$b"))
+          .cast("double")
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          when(da <= 0.0 || db <= 0.0, lit(null).cast("double"))
+            .otherwise(round(num / sqrt(da * db), 6)).as("corr"))
+      }: _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("p.corr").as("corr"))
+  }
+
+  /** Per-group trimmed mean: drop values outside the [lo, hi] exact
+    * quantiles, then average the survivors on exact integer cents.
+    * Two passes (the exact-percentile pass buffers per group — at
+    * 100 TB swap for `approx_percentile`, the profileApprox envelope
+    * discipline); the trim bounds broadcast back.
+    *
+    * @return (groupCol, q_lo, q_hi, n_kept, trimmed_mean)
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  lo: Double = 0.1, hi: Double = 0.9): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad trim bounds [$lo, $hi]")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile(CAST($valueCol AS DOUBLE), $lo)").as("q_lo"),
+        expr(s"percentile(CAST($valueCol AS DOUBLE), $hi)").as("q_hi"))
+    df.join(broadcast(bounds), groupCol)
+      .filter(col(valueCol) >= col("q_lo") && col(valueCol) <= col("q_hi"))
+      .groupBy(col(groupCol), round(col("q_lo"), 6).as("q_lo"),
+        round(col("q_hi"), 6).as("q_hi"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(sum(round(col(valueCol) * 100).cast("long")
+            .cast(Dec)).cast("double") / count(lit(1)) / 100.0, 6)
+          .as("trimmed_mean"))
+  }
+}
