@@ -4130,6 +4130,53 @@ object OracleExt {
       |FROM days d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
       |GROUP BY 1""".stripMargin
 
+  /** Cohort LTV curve (Engagement.ltvCurve): integer-div epoch-week
+    * cohorts (the qRetention convention), exact-cents purchase sums,
+    * per-cohort cumulative over age.
+    */
+  val qLtv: String =
+    """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t,
+      |  value, event_type FROM events),
+      |f AS (SELECT user_id, MIN(t) // 604800000000 AS cohort_week
+      |      FROM e GROUP BY 1),
+      |s AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+      |      FROM f GROUP BY 1),
+      |p AS (SELECT f.cohort_week,
+      |        (e.t // 604800000000) - f.cohort_week AS age_week,
+      |        SUM(CAST(round(e.value * 100) AS HUGEINT)) AS cents
+      |      FROM e JOIN f USING (user_id)
+      |      WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+      |w AS (SELECT cohort_week, age_week, cents,
+      |        SUM(cents) OVER (PARTITION BY cohort_week ORDER BY age_week
+      |          ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM p)
+      |SELECT w.cohort_week, CAST(w.age_week AS BIGINT) AS age_week,
+      |  s.n_users,
+      |  round(CAST(cents AS DOUBLE) / 100, 6) AS revenue,
+      |  round(CAST(cum AS DOUBLE) / 100.0 / s.n_users, 6) AS ltv_per_user
+      |FROM w JOIN s USING (cohort_week)""".stripMargin
+
+  /** Dedup impact report (Dedup.dedupImpact): global keep-lowest-id
+    * exact dedup on md5(nt), per-source doc/token survival.
+    */
+  val qDedupImpact: String =
+    s"""$norm,
+       |b AS (SELECT n.doc_id, d.source, md5(n.nt) AS fp,
+       |        CAST(len(string_split_regex(trim(n.text), '\\s+'))
+       |          AS BIGINT) AS ntok
+       |      FROM norm n JOIN documents d USING (doc_id)),
+       |k AS (SELECT fp, MIN(doc_id) AS keep FROM b GROUP BY 1)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN b.doc_id = k.keep THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  CAST(SUM(ntok) AS BIGINT) AS tokens,
+       |  CAST(SUM(CASE WHEN b.doc_id = k.keep THEN ntok ELSE 0 END)
+       |    AS BIGINT) AS tokens_kept,
+       |  round(1.0 - CAST(SUM(CASE WHEN b.doc_id = k.keep THEN 1 ELSE 0 END)
+       |          AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+       |FROM b JOIN k USING (fp)
+       |GROUP BY source""".stripMargin
+
   /** Top-20 session paths (Engagement.sessionPaths, gap 3600 s, first
     * 8 event types): gap sessions via lag + running sum, ordered
     * array_agg sliced to the path cap.

@@ -1192,6 +1192,13 @@ object SparkEntry {
     // r9: top-20 session event-type paths (gap sessions, first 8 types)
     "q_session_paths" -> ((s, dir) =>
       relational.Engagement.sessionPaths(Panel.readEvents(s, dir))),
+    // r9: cohort LTV — cumulative purchase revenue per user by cohort
+    // age (epoch-week cohorts, exact cents)
+    "q_ltv" -> ((s, dir) =>
+      relational.Engagement.ltvCurve(Panel.readEvents(s, dir))),
+    // r9: dedup impact — per-source doc/token survival of a global
+    // exact dedup (the "is this crawl worth ingesting" report)
+    "q_dedup_impact" -> ((s, dir) => dedup.Dedup.dedupImpact(docs(s, dir))),
     // r9: Pareto revenue-concentration deciles over customers — the
     // gini companion on the same exact-cents discipline
     "q_pareto" -> ((s, dir) =>
@@ -1866,6 +1873,8 @@ object SparkEntry {
     "q_dau_stream" -> OracleExt.qRollingDau,
     "q_session_paths" -> OracleExt.qSessionPaths,
     "q_pipeline_session_paths" -> OracleExt.qSessionPaths,
+    "q_ltv" -> OracleExt.qLtv,
+    "q_dedup_impact" -> OracleExt.qDedupImpact,
     "q_pareto" -> OracleExt.qPareto,
     "q_ref_integrity" -> OracleExt.qRefIntegrity,
     "q_region_revenue" -> OracleExt.qRegionRevenue,

@@ -770,6 +770,37 @@ object Dedup {
     * (the exact-verification path; the LSH variants above are the scale
     * path — never run this on an unbounded corpus).
     */
+  /** Dedup impact report — the curation dashboard number: per source,
+    * how many documents (and tokens) survive a global exact dedup
+    * (keep-lowest-id per normalized fingerprint), and the duplicate
+    * ratio. The decision input for "is this crawl worth ingesting":
+    * a source whose token mass is 60% duplicates of the corpus-wide
+    * keeps shrinks the training mix far below its raw size.
+    *
+    * One fingerprint aggregation (global keeps) + one source-keyed
+    * aggregation over the joined-back flags — both map-side
+    * combinable; output is O(#sources).
+    *
+    * @return (source, n_docs, n_kept, tokens, tokens_kept, dup_ratio)
+    */
+  def dedupImpact(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  sourceCol: String = "source"): DataFrame = {
+    val base = docs.select(col(idCol), col(sourceCol).as("source"),
+      TextOps.fingerprint(col(textCol)).as("__fp"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("__nt"))
+    val keep = base.groupBy("__fp").agg(min(col(idCol)).as("__keep"))
+    base.join(keep, "__fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col(idCol) === col("__keep")).cast("long")).as("n_kept"),
+        sum(col("__nt")).as("tokens"),
+        sum(when(col(idCol) === col("__keep"), col("__nt")).otherwise(0L))
+          .as("tokens_kept"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_kept").cast("double") / col("n_docs"), 6))
+  }
+
   /** "More like this" retrieval: the top-`k` most-similar documents
     * per seed document by EXACT shingle Jaccard, with the candidate
     * set bounded by MinHash banding — the third retrieval modality

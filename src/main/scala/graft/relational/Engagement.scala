@@ -101,6 +101,41 @@ object Engagement {
           greatest(col("dau_exact").cast("double") * relErr, lit(1.0)))
           .as("within_5pct"))
 
+  /** Cohort LTV curve — cumulative purchase revenue per user by cohort
+    * age: users cohorted by their first-event period (integer-div
+    * epoch weeks, the retention convention), purchase value summed as
+    * exact cents per (cohort, age) cell, then accumulated down each
+    * cohort's age axis. The per-cohort cumulative window is bounded by
+    * the observation span in periods, never by users or events.
+    *
+    * @return (cohort_week, age_week, n_users, revenue, ltv_per_user)
+    */
+  def ltvCurve(events: DataFrame, periodSec: Long = 7L * 86400L,
+               conversionType: String = "purchase"): DataFrame = {
+    val periodUs = periodSec * 1000000L
+    val e = events.select(col("user_id"), unix_micros(col("ts")).as("__t"),
+      col("value"), col("event_type"))
+    val cohorts = e.groupBy("user_id")
+      .agg(min(col("__t")).as("__t0"))
+      .select(col("user_id"), expr(s"__t0 div $periodUs").as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_users"))
+    val cells = e.filter(col("event_type") === conversionType)
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (expr(s"__t div $periodUs") - col("cohort_week")).as("age_week"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("__cents"))
+    val w = Window.partitionBy("cohort_week").orderBy("age_week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .join(broadcast(sizes), "cohort_week") // bounded by #periods
+      .withColumn("__cum", sum(col("__cents")).over(w))
+      .select(col("cohort_week"), col("age_week"), col("n_users"),
+        round(col("__cents").cast("double") / 100, 6).as("revenue"),
+        round(col("__cum").cast("double") / 100.0 / col("n_users"), 6)
+          .as("ltv_per_user"))
+  }
+
   /** Top-`k` session event-type paths: gap-based sessions (a new
     * session starts after `gapSeconds` of inactivity), each session's
     * path = its first `maxLen` event types joined with '>', ranked by

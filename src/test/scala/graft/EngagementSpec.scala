@@ -46,6 +46,34 @@ class EngagementSpec extends SparkSpec {
     assert(got.toSeq === Seq("e1>e2"))
   }
 
+  test("ltvCurve: cohorting, cents sums, cumulative per-user value") {
+    // two users in the same cohort week; purchases in weeks 0 and 1
+    val ev = Seq(
+      (1L, ts(1), "view", 0.0), (1L, ts(2), "purchase", 10.0),
+      (2L, ts(3), "view", 0.0), (2L, ts(10), "purchase", 5.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = relational.Engagement.ltvCurve(ev)
+      .orderBy("age_week").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // age 0: 10.0 revenue over 2 users → 5.0; age 1: +5.0 → 7.5
+    assert(got.toSeq === Seq((0L, 2L, 10.0, 5.0), (1L, 2L, 5.0, 7.5)))
+  }
+
+  test("dedupImpact: per-source survival of the global keep-first dedup") {
+    val docs = Seq(
+      (1L, "alpha beta", "s1"), (2L, "alpha beta", "s2"), // dup of 1
+      (3L, "gamma delta epsilon", "s2"),
+      (4L, "Alpha   BETA", "s2") // normalizes to the same fingerprint
+    ).toDF("doc_id", "text", "source")
+    val got = dedup.Dedup.dedupImpact(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(got("s1") === (1L, 1L, 2L, 2L, 0.0))
+    // s2: doc 2 and 4 both lose to doc 1's fingerprint keep
+    assert(got("s2") === (3L, 1L, 7L, 3L, 0.666667))
+  }
+
   test("paretoShare: two-bucket split with exact shares") {
     val df = Seq((1L, 40.0), (2L, 30.0), (3L, 20.0), (4L, 10.0))
       .toDF("cust", "rev")
