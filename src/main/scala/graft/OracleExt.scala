@@ -4258,6 +4258,53 @@ object OracleExt {
        |) checks""".stripMargin
   }
 
+  /** Time-decay attribution (Attribution.timeDecay, halflife 7 d):
+    * the qConversionLatency struct-min encoding, per-touch pow weight
+    * fixed to 1e-9 ints, normalized inside each conversion.
+    */
+  val qTimeDecay: String =
+    """WITH e AS (SELECT user_id,
+      |  CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t, event_id, event_type
+      |  FROM events),
+      |tt AS (SELECT user_id, t, event_id, event_type,
+      |         MIN(CASE WHEN event_type = 'purchase'
+      |             THEN CAST(t AS HUGEINT) * 4294967296 + event_id END)
+      |           OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |           AS ck
+      |       FROM e),
+      |a AS (SELECT user_id, t, event_id AS touch_event_id,
+      |        event_type AS touch_type,
+      |        CAST(ck % 4294967296 AS BIGINT) AS conv_event_id,
+      |        CAST((ck // 4294967296) - t AS DOUBLE) / 1e6 AS age_sec
+      |      FROM tt WHERE event_type <> 'purchase' AND ck IS NOT NULL),
+      |w AS (SELECT *, CAST(round(power(2.0, -age_sec / 604800.0) * 1e9)
+      |        AS BIGINT) AS w9 FROM a),
+      |s AS (SELECT *, SUM(w9) OVER (PARTITION BY user_id, conv_event_id)
+      |        AS tot FROM w)
+      |SELECT user_id, conv_event_id, touch_event_id, touch_type,
+      |  round(age_sec, 6) AS age_sec,
+      |  round(CAST(w9 AS DOUBLE) / tot, 6) AS credit_decay
+      |FROM s""".stripMargin
+
+  /** Equi-width histogram (Stats.histogram over lineitem prices, 12
+    * bins): identical width-then-divide arithmetic, max lands in the
+    * last bin.
+    */
+  val qHistogram: String =
+    """WITH ext AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
+      |  MAX(CAST(l_extendedprice AS DOUBLE)) AS mx FROM lineitem),
+      |b AS (SELECT CASE WHEN mx = mn THEN 0
+      |        ELSE CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+      |               / ((mx - mn) / 12)), 11) AS BIGINT) END AS bin,
+      |        mn, mx
+      |      FROM lineitem, ext)
+      |SELECT bin,
+      |  round(mn + bin * ((mx - mn) / 12), 6) AS lo,
+      |  round(mn + (bin + 1) * ((mx - mn) / 12), 6) AS hi,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM b GROUP BY bin, mn, mx""".stripMargin
+
   /** Component-size histogram (Dedup.componentStats over the
     * q_dedup_clusters labelling): wraps the recursive-CTE clusters
     * oracle as a subquery.

@@ -1166,6 +1166,15 @@ object SparkEntry {
     // conversion, same no-join assignment as multi-touch
     "q_conversion_latency" -> ((s, dir) =>
       relational.Attribution.conversionLatency(Panel.readEvents(s, dir))),
+    // r9: time-decay attribution — the third classic credit model
+    // (2^(−Δt/halflife), normalized per conversion on 1e-9-fixed
+    // weights)
+    "q_attribution_decay" -> ((s, dir) =>
+      relational.Attribution.timeDecay(Panel.readEvents(s, dir))),
+    // r9: equi-width price histogram — one-pass distribution shape
+    "q_histogram" -> ((s, dir) =>
+      relational.Stats.histogram(s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_extendedprice", nbins = 12)),
     // r9: per-doc TF-IDF top-5 keyword extraction
     "q_tfidf_terms" -> ((s, dir) => text.Index.tfidfTerms(docs(s, dir), k = 5)),
     // r9: rolling 7-day distinct actives — the HLL-sketch production
@@ -1868,6 +1877,8 @@ object SparkEntry {
     "q_trimmed_mean" -> OracleExt.qTrimmedMean,
     "q_cc_stats" -> OracleExt.qCcStats,
     "q_conversion_latency" -> OracleExt.qConversionLatency,
+    "q_attribution_decay" -> OracleExt.qTimeDecay,
+    "q_histogram" -> OracleExt.qHistogram,
     "q_tfidf_terms" -> OracleExt.qTfidfTerms,
     "q_rolling_dau" -> OracleExt.qRollingDau,
     "q_dau_stream" -> OracleExt.qRollingDau,

@@ -97,6 +97,51 @@ object Attribution {
         round(position, 6).as("credit_position"))
   }
 
+  /** Time-decay attribution — the third classic credit model next to
+    * [[multiTouch]]'s linear and U-shaped splits: each touch earns
+    * weight 2^(−Δt/halflife) by its distance from the conversion, and
+    * credits normalize per conversion. Same no-join struct-min
+    * assignment; the per-conversion normalizer sums the weights as
+    * exact 1e-9-fixed integers (bounded by that conversion's touch
+    * count), so the rounded credits are layout-proof — the raw pow()
+    * is row-local.
+    *
+    * @return (user_id, conv_event_id, touch_event_id, touch_type,
+    *         age_sec, credit_decay)
+    */
+  def timeDecay(events: DataFrame, halflifeSec: Double = 7.0 * 86400.0,
+                conversionType: String = "purchase",
+                userCol: String = "user_id", typeCol: String = "event_type",
+                tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(halflifeSec > 0.0, s"halflife must be positive, got $halflifeSec")
+    val ev = events.select(col(userCol), unix_micros(col(tsCol)).as("t"),
+      col("event_id"), col(typeCol))
+    val isConv = col(typeCol) === conversionType
+    val wFwd = Window.partitionBy(col(userCol))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val assigned = ev
+      .withColumn("__conv",
+        min(when(isConv, struct(col("t"), col("event_id")))).over(wFwd))
+      .filter(!isConv && col("__conv").isNotNull)
+      .select(col(userCol), col("t"),
+        col("__conv.event_id").as("conv_event_id"),
+        col("event_id").as("touch_event_id"),
+        col(typeCol).as("touch_type"),
+        ((col("__conv.t") - col("t")).cast("double") / 1e6).as("age_sec"))
+    val w9 = round(pow(lit(2.0), -col("age_sec") / halflifeSec) * 1e9)
+      .cast("long")
+    val wConv = Window.partitionBy(col(userCol), col("conv_event_id"))
+    assigned
+      .withColumn("__w9", w9)
+      .withColumn("__tot", sum(col("__w9")).over(wConv))
+      .select(col(userCol), col("conv_event_id"), col("touch_event_id"),
+        col("touch_type"), round(col("age_sec"), 6).as("age_sec"),
+        round(col("__w9").cast("double") / col("__tot"), 6)
+          .as("credit_decay"))
+  }
+
   /** Time-to-convert per conversion — how long the touch path ran
     * before the purchase: the latency distribution a growth readout
     * reports next to the credit split. Same no-join assignment as

@@ -95,6 +95,35 @@ object Stats {
         col("p.corr").as("corr"))
   }
 
+  /** Equi-width histogram: `nbins` fixed-width bins between the exact
+    * global min and max (order-independent aggregates), bin assignment
+    * row-local, one bin-keyed count — the one-pass distribution sketch
+    * every profiling dashboard starts from ([[Profile]] gives moments,
+    * this gives shape). Values at the max land in the last bin.
+    *
+    * @return (bin, lo, hi, n) — lo/hi rounded 1e-6
+    */
+  def histogram(df: DataFrame, valueCol: String, nbins: Int): DataFrame = {
+    require(nbins >= 1, s"nbins must be >= 1, got $nbins")
+    val ext = df.agg(min(col(valueCol).cast("double")).as("__mn"),
+      max(col(valueCol).cast("double")).as("__mx"))
+    val width = (col("__mx") - col("__mn")) / nbins
+    val bin = when(col("__mx") === col("__mn"), lit(0L))
+      .otherwise(least(
+        floor((col(valueCol).cast("double") - col("__mn")) / width),
+        lit(nbins - 1L)).cast("long"))
+    val w2 = (col("__mx") - col("__mn")) / nbins
+    df.crossJoin(broadcast(ext))
+      .select(bin.as("bin"), col("__mn"), col("__mx"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), first(col("__mn")).as("__mn"),
+        first(col("__mx")).as("__mx"))
+      .select(col("bin"),
+        round(col("__mn") + col("bin") * w2, 6).as("lo"),
+        round(col("__mn") + (col("bin") + 1) * w2, 6).as("hi"),
+        col("n"))
+  }
+
   /** Per-group trimmed mean: drop values outside the [lo, hi] exact
     * quantiles, then average the survivors on exact integer cents.
     * Two passes (the exact-percentile pass buffers per group — at

@@ -37,6 +37,33 @@ class StatsSpec extends SparkSpec {
     assert(got(("x", "const")).isEmpty) // zero variance → NULL
   }
 
+  test("histogram: fixed-width bins, max lands in the last bin") {
+    val df = (0 to 10).map(_.toDouble).toDF("v")
+    val got = relational.Stats.histogram(df, "v", nbins = 5)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // width 2: bins [0,2) [2,4) [4,6) [6,8) [8,10], value 10 → bin 4
+    assert(got.map(_._4).toSeq === Seq(2L, 2L, 2L, 2L, 3L))
+    assert(got.head === (0L, 0.0, 2.0, 2L))
+    assert(got.last === (4L, 8.0, 10.0, 3L))
+  }
+
+  test("timeDecay: credits normalize to 1 and decay with age") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // two touches 7 days apart, purchase right after the second:
+    // w(old) = 2^-1, w(new) = 2^0 → credits 1/3 and 2/3
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, 1L, ts("2024-01-08 00:00:00"), "click"),
+      (3L, 1L, ts("2024-01-08 00:00:00"), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = relational.Attribution.timeDecay(ev)
+      .collect().map(r => r.getLong(2) -> r.getDouble(5)).toMap
+    assert(math.abs(got(1L) - 1.0 / 3.0) < 1e-5)
+    assert(math.abs(got(2L) - 2.0 / 3.0) < 1e-5)
+  }
+
   test("trimmedMean drops the tails the plain mean absorbs") {
     // one huge outlier in group g; 10% trim at n=11 removes it
     val vals = (1 to 10).map(_.toDouble) :+ 1000.0
