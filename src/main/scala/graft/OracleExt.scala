@@ -4287,6 +4287,47 @@ object OracleExt {
       |  round(CAST(w9 AS DOUBLE) / tot, 6) AS credit_decay
       |FROM s""".stripMargin
 
+  /** Welch t-test (Stats.welchT over order totals split by customer
+    * parity): identical exact-cent sufficient statistics and closed
+    * forms.
+    */
+  val qWelchT: String = {
+    def stats(pred: String, t: String) =
+      s"""s$t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_$t,
+         |  SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS s_$t,
+         |  SUM(CAST(round(o_totalprice * 100) AS HUGEINT)
+         |    * CAST(round(o_totalprice * 100) AS HUGEINT)) AS q_$t
+         |FROM orders WHERE $pred)""".stripMargin
+    def m(t: String) = s"CAST(s_$t AS DOUBLE) / n_$t / 100.0"
+    def v(t: String) =
+      s"(CAST(n_$t * q_$t - s_$t * s_$t AS DOUBLE) / n_$t / (n_$t - 1) / 1e4)"
+    val se2a = s"(${v("a")} / n_a)"
+    val se2b = s"(${v("b")} / n_b)"
+    val tStat = s"((${m("a")} - ${m("b")}) / sqrt($se2a + $se2b))"
+    val dof = s"(($se2a + $se2b) * ($se2a + $se2b) / ($se2a * $se2a / (n_a - 1) + $se2b * $se2b / (n_b - 1)))"
+    s"""WITH ${stats("o_custkey % 2 = 0", "a")},
+       |${stats("o_custkey % 2 = 1", "b")}
+       |SELECT n_a, n_b,
+       |  round(${m("a")}, 6) AS mean_a, round(${m("b")}, 6) AS mean_b,
+       |  round($tStat, 6) AS t, round($dof, 6) AS dof,
+       |  round(abs($tStat) - 1.96, 6) > 0.0 AS significant
+       |FROM sa, sb""".stripMargin
+  }
+
+  /** Distinct-cardinality profile (Profile.distinctProfile over
+    * lineitem keys): exact counts + TRUE for the sketch envelope (the
+    * estimate is engine-specific — qVocabApprox discipline).
+    */
+  val qDistinctProfile: String = {
+    def row(c: String) =
+      s"""SELECT '$c' AS "column",
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  TRUE AS within_5pct
+         |FROM lineitem""".stripMargin
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+      .map(row).mkString("\nUNION ALL\n")
+  }
+
   /** Equi-width histogram (Stats.histogram over lineitem prices, 12
     * bins): identical width-then-divide arithmetic, max lands in the
     * last bin.

@@ -1175,6 +1175,18 @@ object SparkEntry {
     "q_histogram" -> ((s, dir) =>
       relational.Stats.histogram(s.read.parquet(s"$dir/lineitem.parquet"),
         "l_extendedprice", nbins = 12)),
+    // r9: Welch's t — continuous-metric A/B companion of the
+    // two-proportion z, on the q_ks_test parity split
+    "q_welch_t" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      relational.Stats.welchT(o.filter(col("o_custkey") % 2 === 0),
+        o.filter(col("o_custkey") % 2 === 1), "o_totalprice")
+    }),
+    // r9: distinct-cardinality profile — exact + HLL envelope per key
+    "q_distinct_profile" -> ((s, dir) =>
+      relational.Profile.distinctProfile(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"))),
     // r9: per-doc TF-IDF top-5 keyword extraction
     "q_tfidf_terms" -> ((s, dir) => text.Index.tfidfTerms(docs(s, dir), k = 5)),
     // r9: rolling 7-day distinct actives — the HLL-sketch production
@@ -1879,6 +1891,8 @@ object SparkEntry {
     "q_conversion_latency" -> OracleExt.qConversionLatency,
     "q_attribution_decay" -> OracleExt.qTimeDecay,
     "q_histogram" -> OracleExt.qHistogram,
+    "q_welch_t" -> OracleExt.qWelchT,
+    "q_distinct_profile" -> OracleExt.qDistinctProfile,
     "q_tfidf_terms" -> OracleExt.qTfidfTerms,
     "q_rolling_dau" -> OracleExt.qRollingDau,
     "q_dau_stream" -> OracleExt.qRollingDau,

@@ -225,6 +225,35 @@ object Profile {
             (col("n_units") * col("__t")).cast("double"), 6)).as("gini"))
   }
 
+  /** Per-column distinct-cardinality profile: exact count-distinct
+    * next to the mergeable HLL++ estimate, emitted with the envelope
+    * verdict (the q_vocab_approx discipline — at 100 TB the sketch is
+    * the only viable path, and this row keeps its error gated). One
+    * aggregation carries every column.
+    *
+    * @return (column, n_distinct, within_5pct) long-format
+    */
+  def distinctProfile(df: DataFrame, cols: Seq[String],
+                      relErr: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "distinctProfile needs at least one column")
+    require(cols.forall(c => !c.contains(".") && !c.contains("`")),
+      s"distinctProfile column names must be dot/backtick-free: $cols")
+    val aggs = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"__d_$c"),
+        approx_count_distinct(col(c)).as(s"__a_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"), col(s"__d_$c").as("n_distinct"),
+          (abs(col(s"__a_$c") - col(s"__d_$c")).cast("double") <=
+            greatest(col(s"__d_$c").cast("double") * relErr, lit(1.0)))
+            .as("within_5pct"))
+      }: _*)).as("p"))
+      .select(col("p.column").as("column"),
+        col("p.n_distinct").as("n_distinct"),
+        col("p.within_5pct").as("within_5pct"))
+  }
+
   /** Pareto concentration curve — the "top 20% of customers carry x%
     * of revenue" audit that complements [[gini]]'s single number with
     * the full decile breakdown. Per-unit values are fixed to exact

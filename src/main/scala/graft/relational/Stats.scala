@@ -95,6 +95,43 @@ object Stats {
         col("p.corr").as("corr"))
   }
 
+  /** Welch's unequal-variance t-test between two groups of a numeric
+    * (money-convention) metric — the continuous-metric companion of
+    * [[Experiment.abTest]]'s two-proportion z. Means and variances
+    * derive from exact integer-cent sums (one pass, two 1-row
+    * aggregates); the t statistic and Welch–Satterthwaite dof are
+    * closed forms over them. Large-sample significance compares |t|
+    * to the caller's critical value (1.96 at α=0.05 — the inlined-
+    * constant discipline).
+    *
+    * @return one row (n_a, n_b, mean_a, mean_b, t, dof, significant)
+    */
+  def welchT(a: DataFrame, b: DataFrame, valueCol: String,
+             critical: Double = 1.96): DataFrame = {
+    def stats(df: DataFrame, tag: String) =
+      df.select(round(col(valueCol) * 100).cast("long").as("__c"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(col("__c").cast(Dec)).as(s"__s_$tag"),
+          sum(col("__c").cast(Dec) * col("__c")).as(s"__q_$tag"))
+    def m(t: String) =
+      col(s"__s_$t").cast("double") / col(s"n_$t") / 100.0
+    // unbiased sample variance from the exact sums, in dollars²
+    def v(t: String) =
+      (col(s"n_$t").cast(Dec) * col(s"__q_$t")
+        - col(s"__s_$t") * col(s"__s_$t")).cast("double") /
+        col(s"n_$t") / (col(s"n_$t") - 1) / 1e4
+    val se2a = v("a") / col("n_a")
+    val se2b = v("b") / col("n_b")
+    val t = (m("a") - m("b")) / sqrt(se2a + se2b)
+    val dof = (se2a + se2b) * (se2a + se2b) /
+      (se2a * se2a / (col("n_a") - 1) + se2b * se2b / (col("n_b") - 1))
+    stats(a, "a").crossJoin(broadcast(stats(b, "b")))
+      .select(col("n_a"), col("n_b"),
+        round(m("a"), 6).as("mean_a"), round(m("b"), 6).as("mean_b"),
+        round(t, 6).as("t"), round(dof, 6).as("dof"),
+        (round(abs(t) - critical, 6) > 0.0).as("significant"))
+  }
+
   /** Equi-width histogram: `nbins` fixed-width bins between the exact
     * global min and max (order-independent aggregates), bin assignment
     * row-local, one bin-keyed count — the one-pass distribution sketch

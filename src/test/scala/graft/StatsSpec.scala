@@ -64,6 +64,25 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(got(2L) - 2.0 / 3.0) < 1e-5)
   }
 
+  test("welchT: identical groups t=0; shifted groups flag significant") {
+    val a = (1 to 50).map(i => 10.0 + (i % 5)).toDF("v")
+    val same = relational.Stats.welchT(a, a, "v").collect().head
+    assert(same.getDouble(4) === 0.0 && !same.getBoolean(6))
+    val b = (1 to 50).map(i => 20.0 + (i % 5)).toDF("v")
+    val shifted = relational.Stats.welchT(a, b, "v").collect().head
+    assert(shifted.getDouble(2) === 12.0 && shifted.getDouble(3) === 22.0)
+    assert(shifted.getBoolean(6) && shifted.getDouble(4) < 0.0)
+  }
+
+  test("distinctProfile: exact counts with the sketch inside its envelope") {
+    val df = (1 to 200).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "m7")
+    val got = relational.Profile.distinctProfile(df, Seq("id", "m7"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got("id")._1 === 200L && got("m7")._1 === 7L)
+    assert(got.values.forall(_._2))
+  }
+
   test("trimmedMean drops the tails the plain mean absorbs") {
     // one huge outlier in group g; 10% trim at n=11 removes it
     val vals = (1 to 10).map(_.toDouble) :+ 1000.0
