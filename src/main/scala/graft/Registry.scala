@@ -836,6 +836,16 @@ object Registry {
     "conversion_latency" -> ((df, a) =>
       relational.Attribution.conversionLatency(df,
         a.collectFirst { case s: String => s }.getOrElse("purchase"))),
+    // args: [periodSec?, conversionType?] — terminal cohort LTV curve
+    "ltv" -> ((df, a) =>
+      relational.Engagement.ltvCurve(df,
+        periodSec = a.numOpt(0).getOrElse(7.0 * 86400.0).toLong,
+        conversionType = a.collectFirst { case s: String => s }
+          .getOrElse("purchase"))),
+    // args: [halflifeSec?] — terminal time-decay attribution credits
+    "attribution_decay" -> ((df, a) =>
+      relational.Attribution.timeDecay(df,
+        halflifeSec = a.numOpt(0).getOrElse(7.0 * 86400.0))),
   )
 
   /** Graph transforms over an undirected pair list (id_a, id_b) — the

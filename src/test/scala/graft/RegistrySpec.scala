@@ -172,6 +172,18 @@ class RegistrySpec extends SparkSpec {
       rowsOf(graft.relational.Attribution.multiTouch(ev)))
     assert(rowsOf(Registry.runEvents(ev, """[{"type":"survival","args":[1]}]""")) ==
       rowsOf(graft.relational.Survival.kaplanMeier(ev, censorDays = 1)))
+    assert(rowsOf(Registry.runEvents(ev, """[{"type":"ltv"}]""")) ==
+      rowsOf(graft.relational.Engagement.ltvCurve(ev)))
+    assert(rowsOf(Registry.runEvents(ev,
+        """[{"type":"attribution_decay","args":[86400]}]""")) ==
+      rowsOf(graft.relational.Attribution.timeDecay(ev,
+        halflifeSec = 86400.0)))
+    assert(rowsOf(Registry.runEvents(ev,
+        """[{"type":"session_paths","args":[3600, 4, 5]}]""")) ==
+      rowsOf(graft.relational.Engagement.sessionPaths(ev, 3600L, 4, 5)))
+    assert(rowsOf(Registry.runEvents(ev,
+        """[{"type":"conversion_latency"}]""")) ==
+      rowsOf(graft.relational.Attribution.conversionLatency(ev)))
   }
 
   test("r9 panel wire family: acf dispatch") {
