@@ -2785,9 +2785,11 @@ object OracleExt {
       |SELECT CAST(n AS BIGINT) AS n,
       |  CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
       |  round(CAST(SUM(t9) AS DOUBLE) / 1e9, 6) AS chi2,
+      |  round(sqrt(round(CAST(SUM(t9) AS DOUBLE) / 1e9, 6)
+      |    / (n * (least(ka, kb) - 1))), 6) AS cramers_v,
       |  round(round(CAST(SUM(t9) AS DOUBLE) / 1e9, 6) - 15.507, 6) > 0.0
       |    AS significant
-      |FROM terms GROUP BY 1, 2""".stripMargin
+      |FROM terms GROUP BY n, ka, kb""".stripMargin
 
   /** One-pass Pearson correlation matrix (Stats.corrMatrix over the
     * lineitem numerics): exact 1e-6-unit integer sufficient
@@ -4286,6 +4288,26 @@ object OracleExt {
       |  round(age_sec, 6) AS age_sec,
       |  round(CAST(w9 AS DOUBLE) / tot, 6) AS credit_decay
       |FROM s""".stripMargin
+
+  /** Categorical top-values profile (Profile.topValues over order
+    * priority/status, k = 5): per-column value counts + rank, share
+    * against the table total.
+    */
+  val qTopValues: String = {
+    def cte(c: String, i: Int) =
+      s"""c$i AS (SELECT COALESCE(CAST($c AS VARCHAR), '<null>') AS value,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+         |r$i AS (SELECT '$c' AS "column", value, n,
+         |  CAST(row_number() OVER (ORDER BY n DESC, value) AS BIGINT)
+         |    AS value_rank FROM c$i)""".stripMargin
+    s"""WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM orders),
+       |${cte("o_orderpriority", 1)},
+       |${cte("o_orderstatus", 2)}
+       |SELECT "column", value, n,
+       |  round(CAST(n AS DOUBLE) / tot, 6) AS share, value_rank
+       |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) u, t
+       |WHERE value_rank <= 5""".stripMargin
+  }
 
   /** Welch t-test (Stats.welchT over order totals split by customer
     * parity): identical exact-cent sufficient statistics and closed

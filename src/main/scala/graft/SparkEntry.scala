@@ -1182,6 +1182,11 @@ object SparkEntry {
       relational.Stats.welchT(o.filter(col("o_custkey") % 2 === 0),
         o.filter(col("o_custkey") % 2 === 1), "o_totalprice")
     }),
+    // r9: categorical dataset-card — top-5 values per column with
+    // counts, share, rank
+    "q_top_values" -> ((s, dir) =>
+      relational.Profile.topValues(s.read.parquet(s"$dir/orders.parquet"),
+        Seq("o_orderpriority", "o_orderstatus"), k = 5)),
     // r9: distinct-cardinality profile — exact + HLL envelope per key
     "q_distinct_profile" -> ((s, dir) =>
       relational.Profile.distinctProfile(
@@ -1893,6 +1898,7 @@ object SparkEntry {
     "q_histogram" -> OracleExt.qHistogram,
     "q_welch_t" -> OracleExt.qWelchT,
     "q_distinct_profile" -> OracleExt.qDistinctProfile,
+    "q_top_values" -> OracleExt.qTopValues,
     "q_tfidf_terms" -> OracleExt.qTfidfTerms,
     "q_rolling_dau" -> OracleExt.qRollingDau,
     "q_dau_stream" -> OracleExt.qRollingDau,

@@ -254,6 +254,35 @@ object Profile {
         col("p.within_5pct").as("within_5pct"))
   }
 
+  /** Categorical dataset-card: the top-`k` most frequent values per
+    * column with counts, corpus share, and rank — the categorical
+    * complement of [[profile]]'s numeric moments. Per column: one
+    * value-keyed count aggregation (bounded by that column's
+    * cardinality) and a TakeOrderedAndProject top-k (per-partition
+    * heaps, never a global sort); the k-row rank window is bounded by
+    * construction. NULL prints as `<null>` so both engines order it
+    * identically.
+    *
+    * @return (column, value, n, share, value_rank) long-format
+    */
+  def topValues(df: DataFrame, cols: Seq[String], k: Int = 5): DataFrame = {
+    require(cols.nonEmpty && k >= 1, "topValues needs columns and k >= 1")
+    val tot = df.agg(count(lit(1)).as("__tot"))
+    cols.map { c =>
+      val top = df
+        .groupBy(coalesce(col(c).cast("string"), lit("<null>")).as("value"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("value")).limit(k)
+      top.crossJoin(broadcast(tot))
+        .withColumn("value_rank", row_number().over(
+          Window.partitionBy(pmod(col("n"), lit(1)))
+            .orderBy(col("n").desc, col("value"))).cast("long"))
+        .select(lit(c).as("column"), col("value"), col("n"),
+          round(col("n").cast("double") / col("__tot"), 6).as("share"),
+          col("value_rank"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Pareto concentration curve — the "top 20% of customers carry x%
     * of revenue" audit that complements [[gini]]'s single number with
     * the full decile breakdown. Per-unit values are fixed to exact

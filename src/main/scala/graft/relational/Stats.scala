@@ -46,9 +46,13 @@ object Stats {
       .select(col("__n"), col("__ka"), col("__kb"),
         round(term * 1e9).cast("long").as("__t9"))
       .groupBy(col("__n").as("n"),
-        ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"))
+        ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"),
+        least(col("__ka"), col("__kb")).as("__mindim"))
       .agg(round(sum(col("__t9")).cast("double") / 1e9, 6).as("chi2"))
       .select(col("n"), col("dof"), col("chi2"),
+        // Cramér's V effect size from the already-rounded statistic
+        round(sqrt(col("chi2") /
+          (col("n") * (col("__mindim") - 1))), 6).as("cramers_v"),
         (round(col("chi2") - critical, 6) > 0.0).as("significant"))
   }
 

@@ -15,13 +15,23 @@ class StatsSpec extends SparkSpec {
     val r0 = relational.Stats.chi2Test(indep, "a", "b", critical = 3.841)
       .collect().head
     assert((r0.getLong(0), r0.getLong(1), r0.getDouble(2),
-      r0.getBoolean(3)) === (40L, 1L, 0.0, false))
-    // perfectly dependent 2×2: chi2 = n
+      r0.getDouble(3), r0.getBoolean(4)) === (40L, 1L, 0.0, 0.0, false))
+    // perfectly dependent 2×2: chi2 = n, Cramér's V = 1
     val dep = (Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("y", "v")))
       .toDF("a", "b")
     val r1 = relational.Stats.chi2Test(dep, "a", "b", critical = 3.841)
       .collect().head
-    assert(r1.getDouble(2) === 20.0 && r1.getBoolean(3))
+    assert(r1.getDouble(2) === 20.0 && r1.getDouble(3) === 1.0 &&
+      r1.getBoolean(4))
+  }
+
+  test("topValues: per-column ranked value card with shares") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c"))
+      .map((_, 1)).toDF("cat", "one")
+    val got = relational.Profile.topValues(df, Seq("cat"), k = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(("a", 6L, 0.6, 1L), ("b", 3L, 0.3, 2L)))
   }
 
   test("corrMatrix: linear = 1, anti-linear = -1, constant = NULL") {
