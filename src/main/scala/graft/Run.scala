@@ -10,12 +10,13 @@ import org.apache.spark.sql.SparkSession
   * {{{
   *   spark-submit --class graft.Run graft.jar \
   *     <input.parquet> <spec.json|inline-json> <output.parquet> \
-  *     [panel|corpus|embeddings]
+  *     [panel|corpus|embeddings|events|graph]
   * }}}
   *
   * The frame kind selects the transform namespace (default `panel`,
   * the reference's (month_id, unit_id) surface; `corpus` for
-  * documents, `embeddings` for vectors). The spec is a path to a JSON
+  * documents, `embeddings` for vectors, `events` for user event logs,
+  * `graph` for dedup-stage pair lists). The spec is a path to a JSON
   * file, or — when the argument starts with `[` — the JSON itself.
   * Every transform name and argument list is exactly the registry the
   * in-process API dispatches (`Registry.run/runCorpus/runEmbeddings`),
@@ -25,7 +26,7 @@ object Run {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3 && args.length <= 4,
       "usage: graft.Run <input.parquet> <spec.json|inline-json> " +
-        "<output.parquet> [panel|corpus|embeddings]")
+        "<output.parquet> [panel|corpus|embeddings|events|graph]")
     val Array(in, specArg, out) = args.take(3)
     val kind = args.lift(3).getOrElse("panel")
     val spec =
@@ -44,8 +45,11 @@ object Run {
         case "panel" => Registry.run(df, spec)
         case "corpus" => Registry.runCorpus(df, spec)
         case "embeddings" => Registry.runEmbeddings(df, spec)
+        case "events" => Registry.runEvents(Panel.normalizeTs(df), spec)
+        case "graph" => Registry.runGraph(df, spec)
         case other => throw new IllegalArgumentException(
-          s"unknown frame kind '$other' (want panel|corpus|embeddings)")
+          s"unknown frame kind '$other' " +
+            "(want panel|corpus|embeddings|events|graph)")
       }
       // pre-submit plan lint: surface scale-breaking shapes BEFORE the
       // job burns cluster hours. Findings go to stderr; fatals abort
