@@ -499,4 +499,27 @@ class PropertySpec extends AnyFunSuite {
         .toSet
     assert(outliersOf(2) == outliersOf(13))
   }
+
+  test("partitioning invariance: corr matrix, welch t, auc, pareto") {
+    // the integer-sufficient-statistic discipline must make every
+    // emitted float independent of partition layout by construction
+    val df = (1 to 4000).map { i =>
+      (i.toLong, 1.0e4 + i * 0.37 + math.sin(i * 2.1) * 997.13,
+        math.cos(i * 1.7) * 1e3, i % 3 == 0)
+    }.toDF("id", "x", "y", "label")
+    def allOf(parts: Int): Seq[Set[Seq[Any]]] = {
+      val d = df.repartition(parts)
+      Seq(
+        graft.relational.Stats.corrMatrix(d, Seq("x", "y"))
+          .collect().map(_.toSeq).toSet,
+        graft.relational.Stats.welchT(
+          d.filter(col("id") % 2 === 0), d.filter(col("id") % 2 === 1), "x")
+          .collect().map(_.toSeq).toSet,
+        graft.ml.Eval.aucRoc(d, col("x"), col("label"))
+          .collect().map(_.toSeq).toSet,
+        graft.relational.Profile.paretoShare(d, "x", "id", buckets = 4)
+          .collect().map(_.toSeq).toSet)
+    }
+    assert(allOf(2) == allOf(17))
+  }
 }
