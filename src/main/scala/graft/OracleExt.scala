@@ -4289,6 +4289,36 @@ object OracleExt {
       |  round(CAST(w9 AS DOUBLE) / tot, 6) AS credit_decay
       |FROM s""".stripMargin
 
+  /** Mutual information (Stats.mutualInfo over order priority ×
+    * status): observed-cell 1e-9-int terms, marginal entropies the
+    * same way, NMI from the rounded pieces.
+    */
+  val qMutualInfo: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS a, o_orderstatus AS b,
+      |         CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+      |ct AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+      |t AS (SELECT SUM(o) AS n FROM cells),
+      |mi AS (
+      |  SELECT CAST(n AS BIGINT) AS n,
+      |    round(CAST(SUM(CAST(round((CAST(o AS DOUBLE) / n)
+      |      * ln(CAST(o AS DOUBLE) * n / (CAST(ra AS DOUBLE) * cb))
+      |      * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS mi
+      |  FROM cells JOIN rt USING (a) JOIN ct USING (b), t
+      |  GROUP BY n),
+      |ha AS (SELECT round(CAST(SUM(CAST(round((CAST(ra AS DOUBLE) / n)
+      |         * ln(CAST(ra AS DOUBLE) / n) * -1e9) AS BIGINT)) AS DOUBLE)
+      |         / 1e9, 6) AS h_a FROM rt, t),
+      |hb AS (SELECT round(CAST(SUM(CAST(round((CAST(cb AS DOUBLE) / n)
+      |         * ln(CAST(cb AS DOUBLE) / n) * -1e9) AS BIGINT)) AS DOUBLE)
+      |         / 1e9, 6) AS h_b FROM ct, t)
+      |SELECT n, mi, h_a, h_b,
+      |  CASE WHEN h_a <= 0.0 OR h_b <= 0.0 THEN NULL
+      |       ELSE round(mi / sqrt(h_a * h_b), 6) END AS nmi
+      |FROM mi, ha, hb""".stripMargin
+
   /** Categorical top-values profile (Profile.topValues over order
     * priority/status, k = 5): per-column value counts + rank, share
     * against the table total.

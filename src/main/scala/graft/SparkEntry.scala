@@ -1182,6 +1182,11 @@ object SparkEntry {
       relational.Stats.welchT(o.filter(col("o_custkey") % 2 === 0),
         o.filter(col("o_custkey") % 2 === 1), "o_totalprice")
     }),
+    // r9: mutual information priority↔status (nats + NMI) — the
+    // feature-selection filter statistic next to chi2
+    "q_mutual_info" -> ((s, dir) =>
+      relational.Stats.mutualInfo(s.read.parquet(s"$dir/orders.parquet"),
+        "o_orderpriority", "o_orderstatus")),
     // r9: categorical dataset-card — top-5 values per column with
     // counts, share, rank
     "q_top_values" -> ((s, dir) =>
@@ -1899,6 +1904,7 @@ object SparkEntry {
     "q_welch_t" -> OracleExt.qWelchT,
     "q_distinct_profile" -> OracleExt.qDistinctProfile,
     "q_top_values" -> OracleExt.qTopValues,
+    "q_mutual_info" -> OracleExt.qMutualInfo,
     "q_tfidf_terms" -> OracleExt.qTfidfTerms,
     "q_rolling_dau" -> OracleExt.qRollingDau,
     "q_dau_stream" -> OracleExt.qRollingDau,

@@ -99,6 +99,45 @@ object Stats {
         col("p.corr").as("corr"))
   }
 
+  /** Mutual information between two categoricals (nats), with marginal
+    * entropies and the normalized score MI/√(H_a·H_b) — the effect-size
+    * companion of [[chi2Test]] that also reads as "how many nats does
+    * knowing A tell you about B" (feature-selection's filter statistic).
+    * Only observed cells contribute (the p·ln p limit at 0 is 0, so no
+    * densify); every term is fixed to 1e-9 integers before its sum.
+    *
+    * @return one row (n, mi, h_a, h_b, nmi)
+    */
+  def mutualInfo(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = cells.groupBy("__a").agg(sum(col("__o")).as("__ra"))
+    val colTot = cells.groupBy("__b").agg(sum(col("__o")).as("__cb"))
+    val tot = cells.agg(sum(col("__o")).as("__n"))
+    def ent(m: DataFrame, c: String) = m.crossJoin(broadcast(tot))
+      .select(round((col(c) / col("__n")) *
+        log(col(c).cast("double") / col("__n")) * -1e9).cast("long")
+        .as("__t9"))
+      .agg(round(sum(col("__t9")).cast("double") / 1e9, 6).as("h"))
+    val miTerm = (col("__o") / col("__n")) *
+      log(col("__o").cast("double") * col("__n") /
+        (col("__ra").cast("double") * col("__cb")))
+    val mi = cells
+      .join(broadcast(rowTot), "__a")
+      .join(broadcast(colTot), "__b")
+      .crossJoin(broadcast(tot))
+      .select(col("__n"), round(miTerm * 1e9).cast("long").as("__t9"))
+      .groupBy(col("__n").as("n"))
+      .agg(round(sum(col("__t9")).cast("double") / 1e9, 6).as("mi"))
+    mi.crossJoin(broadcast(ent(rowTot, "__ra").select(col("h").as("h_a"))))
+      .crossJoin(broadcast(ent(colTot, "__cb").select(col("h").as("h_b"))))
+      .select(col("n"), col("mi"), col("h_a"), col("h_b"),
+        when(col("h_a") <= 0.0 || col("h_b") <= 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(col("mi") / sqrt(col("h_a") * col("h_b")), 6))
+          .as("nmi"))
+  }
+
   /** Welch's unequal-variance t-test between two groups of a numeric
     * (money-convention) metric — the continuous-metric companion of
     * [[Experiment.abTest]]'s two-proportion z. Means and variances

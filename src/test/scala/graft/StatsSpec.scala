@@ -25,6 +25,19 @@ class StatsSpec extends SparkSpec {
       r1.getBoolean(4))
   }
 
+  test("mutualInfo: independent = 0; identical columns = full entropy") {
+    val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .flatMap(Seq.fill(5)(_)).toDF("a", "b")
+    val r0 = relational.Stats.mutualInfo(indep, "a", "b").collect().head
+    assert(r0.getDouble(1) === 0.0 && r0.getDouble(4) === 0.0)
+    // A == B: MI = H(A) = ln 2, NMI = 1
+    val same = (Seq.fill(10)(("x", "x")) ++ Seq.fill(10)(("y", "y")))
+      .toDF("a", "b")
+    val r1 = relational.Stats.mutualInfo(same, "a", "b").collect().head
+    assert(math.abs(r1.getDouble(1) - math.log(2.0)) < 1e-6)
+    assert(r1.getDouble(4) === 1.0)
+  }
+
   test("topValues: per-column ranked value card with shares") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c"))
       .map((_, 1)).toDF("cat", "one")
