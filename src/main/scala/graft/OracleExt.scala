@@ -4398,6 +4398,171 @@ object OracleExt {
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM b GROUP BY bin, mn, mx""".stripMargin
 
+  /** One-way ANOVA F (Stats.anovaF over price × return flag): exact
+    * integer-cent group sums → 1e-9-rounded means → integer-fixed
+    * squared-deviation sums (1e-2 units within, 1e0 between), the
+    * identical two-pass arithmetic.
+    */
+  val qAnova: String = {
+    val f = "(CAST(ssb0 AS DOUBLE) / (k - 1)) / " +
+      "(CAST(ssw2 AS DOUBLE) / 100.0 / (n - k))"
+    s"""WITH g AS (SELECT l_returnflag AS grp,
+       |  CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+       |means AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+       |  round(CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) / COUNT(*) / 100.0, 9)
+       |    AS mg FROM g GROUP BY 1),
+       |grand AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  round(CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) / COUNT(*) / 100.0, 9)
+       |    AS mu FROM g),
+       |ssw AS (SELECT SUM(CAST(CAST(round(
+       |    (CAST(c AS DOUBLE) / 100.0 - mg) * (CAST(c AS DOUBLE) / 100.0 - mg)
+       |    * 100) AS BIGINT) AS HUGEINT)) AS ssw2
+       |  FROM g JOIN means USING (grp)),
+       |ssb AS (SELECT SUM(CAST(CAST(round(ng * (mg - mu) * (mg - mu))
+       |    AS BIGINT) AS HUGEINT)) AS ssb0, CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM means, grand)
+       |SELECT n, k,
+       |  round(CAST(ssb0 AS DOUBLE), 6) AS ss_between,
+       |  round(CAST(ssw2 AS DOUBLE) / 100.0, 6) AS ss_within,
+       |  round($f, 6) AS f,
+       |  round($f - 2.996, 6) > 0.0 AS significant
+       |FROM grand, ssw, ssb""".stripMargin
+  }
+
+  /** Spearman rho (Stats.spearman over quantity × discount): doubled
+    * tie-averaged ranks from the margin cumsums, cell-count-weighted
+    * exact HUGEINT sufficient statistics, the same closed form.
+    */
+  val qSpearman: String =
+    """WITH cells AS (SELECT l_quantity AS a, l_discount AS b,
+      |  CAST(COUNT(*) AS BIGINT) AS o FROM lineitem GROUP BY 1, 2),
+      |ra AS (SELECT a, 2 * SUM(nv) OVER (ORDER BY a
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nv + 1 AS r2a
+      |  FROM (SELECT a, SUM(o) AS nv FROM cells GROUP BY 1) ma),
+      |rb AS (SELECT b, 2 * SUM(nv) OVER (ORDER BY b
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nv + 1 AS r2b
+      |  FROM (SELECT b, SUM(o) AS nv FROM cells GROUP BY 1) mb),
+      |s AS (SELECT SUM(o) AS n,
+      |    SUM(CAST(o AS HUGEINT) * r2a) AS sx,
+      |    SUM(CAST(o AS HUGEINT) * r2b) AS sy,
+      |    SUM(CAST(o AS HUGEINT) * r2a * r2a) AS sxx,
+      |    SUM(CAST(o AS HUGEINT) * r2b * r2b) AS syy,
+      |    SUM(CAST(o AS HUGEINT) * r2a * r2b) AS sxy
+      |  FROM cells JOIN ra USING (a) JOIN rb USING (b))
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+      |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |            * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS rho
+      |FROM s""".stripMargin
+
+  /** t-closeness (Profile.tCloseness, quasi = nation, sensitive =
+    * segment, t = 0.2): densified class × sensitive cells, 1e-9-fixed
+    * |p − q| terms, per-class halved sum.
+    */
+  val qTCloseness: String =
+    """WITH cells AS (SELECT c_nationkey AS q, c_mktsegment AS s,
+      |  CAST(COUNT(*) AS BIGINT) AS o FROM customer GROUP BY 1, 2),
+      |ct AS (SELECT q, SUM(o) AS nc FROM cells GROUP BY 1),
+      |st AS (SELECT s, SUM(o) AS gs FROM cells GROUP BY 1),
+      |t AS (SELECT SUM(o) AS n FROM cells),
+      |dens AS (SELECT ct.q, ct.nc, st.s, st.gs, COALESCE(cells.o, 0) AS o, n
+      |  FROM ct CROSS JOIN st
+      |  LEFT JOIN cells ON cells.q = ct.q AND cells.s = st.s, t),
+      |cls AS (SELECT q AS c_nationkey, CAST(nc AS BIGINT) AS n,
+      |    round(CAST(SUM(CAST(round(abs(CAST(o AS DOUBLE) / nc
+      |      - CAST(gs AS DOUBLE) / n) * 1e9) AS BIGINT)) AS DOUBLE) / 2e9, 6)
+      |      AS tvd
+      |  FROM dens GROUP BY 1, 2)
+      |SELECT c_nationkey, n, tvd,
+      |  round(tvd - 0.2, 6) > 0.0 AS at_risk
+      |FROM cls""".stripMargin
+
+  /** Theil–Sen slope (TemporalOps.theilSen on the panel): pairwise
+    * slopes from a unit-keyed self-join, median as the average of the
+    * explicit middle order statistics — the same two floats.
+    */
+  val qTheilSen: String =
+    s"""${Oracle.panel},
+       |pairs AS (SELECT a.unit_id,
+       |    (b.value - a.value) / CAST(b.month_id - a.month_id AS DOUBLE) AS s,
+       |    a.month_id AS m1, b.month_id AS m2
+       |  FROM panel a JOIN panel b
+       |    ON a.unit_id = b.unit_id AND a.month_id < b.month_id
+       |  WHERE a.value IS NOT NULL AND NOT isnan(a.value)
+       |    AND b.value IS NOT NULL AND NOT isnan(b.value)),
+       |r AS (SELECT unit_id, s,
+       |    row_number() OVER (PARTITION BY unit_id ORDER BY s, m1, m2) AS rn,
+       |    COUNT(*) OVER (PARTITION BY unit_id) AS np
+       |  FROM pairs)
+       |SELECT unit_id, CAST(MAX(np) AS BIGINT) AS n_pairs,
+       |  round(SUM(s) / COUNT(*), 6) AS ts_slope
+       |FROM r
+       |WHERE rn = floor((np + 1) / 2.0) OR rn = floor((np + 2) / 2.0)
+       |GROUP BY unit_id""".stripMargin
+
+  /** Level-shift changepoint (TemporalOps.changepoint on the panel):
+    * ordered cumulative sums, the 1e-9-collapsed full-series sum, the
+    * 1e-9-fixed statistic, and the same (stat desc, month asc) argmax.
+    */
+  val qChangepoint: String = {
+    val cum = "OVER (PARTITION BY unit_id ORDER BY month_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    val shift = "((stot - c) / (tt - t) - c / t)"
+    s"""${Oracle.panel},
+       |st AS (SELECT unit_id, month_id, value,
+       |    SUM(value) $cum AS c,
+       |    COUNT(value) $cum AS t,
+       |    round(SUM(value) OVER (PARTITION BY unit_id), 9) AS stot,
+       |    COUNT(value) OVER (PARTITION BY unit_id) AS tt
+       |  FROM panel),
+       |cand AS (SELECT unit_id, month_id, t, tt,
+       |    CAST(round(abs($shift)
+       |      * sqrt(CAST(t * (tt - t) AS DOUBLE) / tt) * 1e9) AS BIGINT) AS s9,
+       |    CAST(round($shift * 1e9) AS BIGINT) AS d9
+       |  FROM st
+       |  WHERE value IS NOT NULL AND NOT isnan(value) AND t >= 1 AND t < tt),
+       |best AS (SELECT unit_id, month_id, s9, d9, tt,
+       |    row_number() OVER (PARTITION BY unit_id
+       |      ORDER BY s9 DESC, month_id ASC) AS rn
+       |  FROM cand)
+       |SELECT unit_id, CAST(tt AS BIGINT) AS n, month_id AS cp_month,
+       |  round(d9 / 1e9, 6) AS shift, round(s9 / 1e9, 6) AS stat
+       |FROM best WHERE rn = 1""".stripMargin
+  }
+
+  /** Zipf fit (TextOps.zipfFit, top 200): the same deterministic head
+    * (count desc, token asc), 1e-9-fixed logs, exact HUGEINT OLS
+    * sufficient statistics, slope rounded 1e-9 before the intercept.
+    */
+  val qZipf: String = {
+    val num = "CAST(n * sxy - sx * sy AS DOUBLE)"
+    val dx = "CAST(n * sxx - sx * sx AS DOUBLE)"
+    val dy = "CAST(n * syy - sy * sy AS DOUBLE)"
+    s"""$norm,
+       |toks AS (SELECT unnest(string_split(nt, ' ')) AS tok FROM norm),
+       |top AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+       |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT 200),
+       |fixed AS (SELECT
+       |    CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+       |      AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e9) AS BIGINT) AS y
+       |  FROM top),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM fixed)
+       |SELECT n AS n_terms,
+       |  round(round($num / $dx, 9), 6) AS slope,
+       |  round((CAST(sy AS DOUBLE) - round($num / $dx, 9)
+       |    * CAST(sx AS DOUBLE)) / n / 1e9, 6) AS intercept,
+       |  CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+       |       ELSE round($num / sqrt($dx * $dy), 6) END AS r
+       |FROM s""".stripMargin
+  }
+
   /** Component-size histogram (Dedup.componentStats over the
     * q_dedup_clusters labelling): wraps the recursive-CTE clusters
     * oracle as a subquery.

@@ -1187,6 +1187,32 @@ object SparkEntry {
     "q_mutual_info" -> ((s, dir) =>
       relational.Stats.mutualInfo(s.read.parquet(s"$dir/orders.parquet"),
         "o_orderpriority", "o_orderstatus")),
+    // r9: one-way ANOVA F — does price differ across return flags
+    // (k=3; F crit 2.996 at α=0.05 for dof (2, ∞) — inlined constant)
+    "q_anova" -> ((s, dir) =>
+      relational.Stats.anovaF(s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_returnflag", "l_extendedprice", critical = 2.996)),
+    // r9: Spearman rank correlation quantity↔discount — monotone
+    // association from joint cells (both columns bounded-cardinality)
+    "q_spearman" -> ((s, dir) =>
+      relational.Stats.spearman(s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_quantity", "l_discount")),
+    // r9: t-closeness — the skewness-attack privacy screen completing
+    // the k-anonymity / l-diversity triple, t = 0.2
+    "q_t_closeness" -> ((s, dir) =>
+      relational.Profile.tCloseness(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_nationkey"), "c_mktsegment", t = 0.2)),
+    // r9: Theil–Sen robust trend — median of pairwise slopes per unit
+    // (breakdown point 29%, the outlier-proof q_trend companion)
+    "q_theil_sen" -> onPanel(p => TemporalOps.theilSen(p, "value")),
+    // r9: most-likely level-shift changepoint per unit — offline
+    // argmax of the standardized mean-shift statistic (binary
+    // segmentation step 1, the q_cusum companion)
+    "q_changepoint" -> onPanel(p => TemporalOps.changepoint(p, "value")),
+    // r9: Zipf-law fit over the top-200 term frequencies — corpus
+    // health: slope ≈ −1 for natural text
+    "q_zipf" -> ((s, dir) => text.TextOps.zipfFit(docs(s, dir), topN = 200)),
     // r9: categorical dataset-card — top-5 values per column with
     // counts, share, rank
     "q_top_values" -> ((s, dir) =>
@@ -1905,6 +1931,12 @@ object SparkEntry {
     "q_distinct_profile" -> OracleExt.qDistinctProfile,
     "q_top_values" -> OracleExt.qTopValues,
     "q_mutual_info" -> OracleExt.qMutualInfo,
+    "q_anova" -> OracleExt.qAnova,
+    "q_spearman" -> OracleExt.qSpearman,
+    "q_t_closeness" -> OracleExt.qTCloseness,
+    "q_theil_sen" -> OracleExt.qTheilSen,
+    "q_changepoint" -> OracleExt.qChangepoint,
+    "q_zipf" -> OracleExt.qZipf,
     "q_tfidf_terms" -> OracleExt.qTfidfTerms,
     "q_rolling_dau" -> OracleExt.qRollingDau,
     "q_dau_stream" -> OracleExt.qRollingDau,

@@ -251,6 +251,94 @@ object TemporalOps {
         col("__s.n_pairs").as("n_pairs"), col("__s.acf").as("acf"))
   }
 
+  /** Theil–Sen robust trend: per unit, the MEDIAN of all pairwise
+    * slopes (vⱼ−vᵢ)/(tⱼ−tᵢ) — the outlier-proof companion of
+    * [[trendFit]]'s OLS (one wild month barely moves it; breakdown
+    * point 29%). The pair generation is a unit-keyed self-join (O(T²)
+    * per unit — T is the series length, bounded and small by the panel
+    * contract, never corpus-sized), so the quadratic blowup stays
+    * inside one unit's partition and scales out across units.
+    *
+    * Determinism: the median is taken as the average of the explicit
+    * middle order statistics (row_number over the unit's sorted
+    * slopes; one value when odd, two when even) rather than an
+    * engine-native percentile — both engines then average the SAME two
+    * floats, and two-term IEEE addition is commutative, so no
+    * interpolation-formula or summation-order variance exists.
+    *
+    * @return (unit_id, n_pairs, ts_slope)
+    */
+  def theilSen(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol)
+    val a = df.filter(x.isNotNull && !isnan(x))
+      .select(col(Panel.UnitCol), col(Panel.TimeCol).as("__m1"),
+        x.as("__v1"))
+    val b = df.filter(x.isNotNull && !isnan(x))
+      .select(col(Panel.UnitCol), col(Panel.TimeCol).as("__m2"),
+        x.as("__v2"))
+    val pairs = a.join(b, Seq(Panel.UnitCol))
+      .filter(col("__m1") < col("__m2"))
+      .select(col(Panel.UnitCol),
+        ((col("__v2") - col("__v1")) /
+          (col("__m2") - col("__m1")).cast("double")).as("__s"),
+        col("__m1"), col("__m2"))
+    val wS = Window.partitionBy(Panel.UnitCol)
+      .orderBy(col("__s"), col("__m1"), col("__m2"))
+    val wA = Window.partitionBy(Panel.UnitCol)
+    pairs
+      .withColumn("__rn", row_number().over(wS))
+      .withColumn("__np", count(lit(1)).over(wA))
+      .filter(col("__rn") === floor((col("__np") + 1) / lit(2.0)) ||
+        col("__rn") === floor((col("__np") + 2) / lit(2.0)))
+      .groupBy(col(Panel.UnitCol))
+      .agg(max(col("__np")).as("n_pairs"),
+        round(sum(col("__s")) / count(lit(1)), 6).as("ts_slope"))
+  }
+
+  /** Single most-likely level-shift changepoint per unit — the offline
+    * companion of [[cusum]]'s sequential drift flag: for every split
+    * boundary t (left = rows 1..t, right = t+1..T) the standardized
+    * mean-shift statistic |mean_R − mean_L|·√(t·(T−t)/T) is evaluated,
+    * and the argmax boundary is reported (the first step of binary
+    * segmentation). All candidate statistics derive from ONE ordered
+    * cumulative sum on the shared unit partitioning (the cusum
+    * determinism discipline: the running sum accumulates left-to-right
+    * under the total (unit, month) sort; the unordered full-series sum
+    * is collapsed to 1e-9 before use), the statistic is fixed to 1e-9
+    * integers, and the argmax is a lexicographic struct-max with a
+    * smallest-month tie-break — engine- and layout-deterministic.
+    *
+    * @return (unit_id, n, cp_month, shift, stat) — cp_month is the
+    *   LAST month of the left segment; shift = mean_R − mean_L
+    */
+  def changepoint(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol)
+    val ok = x.isNotNull && !isnan(x)
+    val xv = when(ok, x)
+    val wAll = Window.partitionBy(Panel.UnitCol)
+    val cSum = sum(xv).over(cum)
+    val tIdx = count(xv).over(cum)
+    val sTot = round(sum(xv).over(wAll), 9)
+    val nTot = count(xv).over(wAll)
+    val meanL = cSum / tIdx
+    val meanR = (sTot - cSum) / (nTot - tIdx)
+    val shift = meanR - meanL
+    val stat = abs(shift) *
+      sqrt((tIdx * (nTot - tIdx)).cast("double") / nTot)
+    df.select(col(Panel.UnitCol), col(Panel.TimeCol),
+        round(stat * 1e9).cast("long").as("__s9"),
+        round(shift * 1e9).cast("long").as("__d9"),
+        tIdx.as("__cpt"), nTot.as("__cpn"), ok.as("__ok"))
+      .filter(col("__ok") && col("__cpt") >= 1 && col("__cpt") < col("__cpn"))
+      .groupBy(col(Panel.UnitCol))
+      .agg(max(struct(col("__s9"), (-col(Panel.TimeCol)).as("__nm"),
+        col(Panel.TimeCol).as("__m"), col("__d9"), col("__cpn"))).as("__b"))
+      .select(col(Panel.UnitCol), col("__b.__cpn").as("n"),
+        col("__b.__m").as("cp_month"),
+        round(col("__b.__d9") / 1e9, 6).as("shift"),
+        round(col("__b.__s9") / 1e9, 6).as("stat"))
+  }
+
   /** Trailing-window Pearson correlation between two features — the
     * rolling co-movement signal (lead/lag co-drift of two panel
     * series). Computed from explicit windowed sums via the textbook

@@ -187,6 +187,47 @@ object Profile {
         (col("distinct_sensitive") < l).as("at_risk"): _*)
   }
 
+  /** t-closeness audit — the third privacy screen after [[kAnonymity]]
+    * and [[lDiversity]]: a class whose sensitive-value DISTRIBUTION
+    * diverges from the table-wide one leaks attribute information even
+    * when it is k-anonymous and l-diverse (the skewness attack). For a
+    * categorical sensitive attribute the earth-mover distance reduces
+    * to total variation: t(class) = ½·Σ_s |p_class(s) − p_global(s)|.
+    *
+    * Exactness: all masses come from one (class, sensitive) cell count
+    * (bounded by cardinality products, map-side combinable); the class
+    * rows are densified against the global sensitive margin first so a
+    * value absent from a class still contributes its global share; per
+    * cell the |p−q| term is fixed to 1e-9 integers before the per-class
+    * sum — partition-layout-proof like every gate statistic.
+    *
+    * @return (quasi..., n, tvd, at_risk) — at_risk when tvd > t
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(t > 0.0 && t < 1.0, s"t must be in (0, 1), got $t")
+    val cells = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__o"))
+    val classTot = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__o")).as("__nc"))
+    val sensTot = cells.groupBy(col(sensitiveCol))
+      .agg(sum(col("__o")).as("__gs"))
+    val tot = cells.agg(sum(col("__o")).as("__n"))
+    val term = abs(col("__o") / col("__nc") -
+      col("__gs").cast("double") / col("__n"))
+    classTot.crossJoin(broadcast(sensTot))
+      .join(cells, quasiCols :+ sensitiveCol, "left")
+      .na.fill(0L, Seq("__o"))
+      .crossJoin(broadcast(tot))
+      .select(quasiCols.map(col) :+ col("__nc") :+
+        round(term * 1e9).cast("long").as("__t9"): _*)
+      .groupBy((quasiCols.map(col) :+ col("__nc").as("n")): _*)
+      .agg(round(sum(col("__t9")).cast("double") / 2e9, 6).as("tvd"))
+      .select(quasiCols.map(col) :+ col("n") :+ col("tvd") :+
+        (round(col("tvd") - t, 6) > 0.0).as("at_risk"): _*)
+  }
+
   /** Gini concentration coefficient of a monetary value across units
     * (customers, suppliers, sources) — the inequality audit a revenue
     * or token-budget review reports: 0 = perfectly even, →1 = all

@@ -204,6 +204,102 @@ object Stats {
         col("n"))
   }
 
+  /** One-way ANOVA F-test: does a numeric (money-convention) metric
+    * differ across k groups — the k-group generalisation of [[welchT]].
+    * Two passes in the [[trimmedMean]] shape: exact integer-cent group
+    * sums give each group mean (rounded 1e-9 — the cusum discipline,
+    * so the subtraction base is partition-layout-proof), then the
+    * within/between sums of squares accumulate per-row / per-group
+    * squared deviations fixed to 1e-2-unit integers (dollars², so
+    * |term·100| stays < 2⁵³ up to ~sf1 within-group; the between terms
+    * use 1e0 units for the same headroom) — every float the engines
+    * sum is an exact integer, whatever the partition order.
+    *
+    * @param critical the F critical value for the caller's dof at the
+    *   chosen significance (inlined-constant discipline — no engine
+    *   ships the inverse F CDF)
+    * @return one row (n, k, ss_between, ss_within, f, significant)
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String,
+             critical: Double): DataFrame = {
+    val g = df.select(col(groupCol).as("__g"),
+      round(col(valueCol) * 100).cast("long").as("__c"))
+    val means = g.groupBy("__g")
+      .agg(count(lit(1)).as("__ng"), sum(col("__c").cast(Dec)).as("__sg"))
+      .select(col("__g"), col("__ng"),
+        round(col("__sg").cast("double") / col("__ng") / 100.0, 9)
+          .as("__mg"))
+    val grand = g
+      .agg(count(lit(1)).as("__n"), sum(col("__c").cast(Dec)).as("__s"))
+      .select(col("__n"),
+        round(col("__s").cast("double") / col("__n") / 100.0, 9)
+          .as("__mu"))
+    val dev = col("__c").cast("double") / 100.0 - col("__mg")
+    val ssw = g.join(broadcast(means), "__g")
+      .select(round(dev * dev * 100).cast("long").cast(Dec).as("__w2"))
+      .agg(sum(col("__w2")).as("__ssw2"))
+    val bdev = col("__mg") - col("__mu")
+    val ssb = means.crossJoin(broadcast(grand))
+      .select(round(col("__ng") * bdev * bdev).cast(Dec).as("__b0"))
+      .agg(sum(col("__b0")).as("__ssb0"), count(lit(1)).as("__k"))
+    // the 1e-2/1e0 fixing scales cancel inside each ratio term
+    val f = (col("__ssb0").cast("double") / (col("__k") - 1)) /
+      (col("__ssw2").cast("double") / 100.0 / (col("__n") - col("__k")))
+    grand.crossJoin(broadcast(ssw)).crossJoin(broadcast(ssb))
+      .select(col("__n").as("n"), col("__k").as("k"),
+        round(col("__ssb0").cast("double"), 6).as("ss_between"),
+        round(col("__ssw2").cast("double") / 100.0, 6).as("ss_within"),
+        round(f, 6).as("f"),
+        (round(f - critical, 6) > 0.0).as("significant"))
+  }
+
+  /** Spearman rank correlation between two BOUNDED-CARDINALITY numeric
+    * columns — the monotone-association companion of [[corrMatrix]]'s
+    * Pearson (robust to outliers and nonlinear-but-monotone links).
+    *
+    * Exactness: instead of per-row ranks (a data-sized global window),
+    * everything derives from the joint (a, b) contingency cells: the
+    * margin tables carry each value's tie-averaged rank DOUBLED so it
+    * stays an integer (2·r̄(v) = 2·cum≤(v) − n_v + 1 — the [[graft.ml.Eval]]
+    * half-rank doubling), and Pearson's five sufficient statistics
+    * over the doubled ranks are cell-count-weighted exact DECIMAL
+    * sums. Floats appear only in the final closed form. The margin
+    * windows ride a constant-but-unfoldable pmod key over tables
+    * bounded by the columns' distinct cardinality (the caller's
+    * contract — for continuous columns quantize first).
+    *
+    * @return one row (n, rho)
+    */
+  def spearman(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    def ranks(c: String, r2: String) = {
+      val m = cells.groupBy(col(c)).agg(sum(col("__o")).as("__nv"))
+      val wm = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(xxhash64(col(c)), lit(1))).orderBy(col(c))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      m.select(col(c),
+        (lit(2) * sum(col("__nv")).over(wm) - col("__nv") + 1).as(r2))
+    }
+    val withRanks = cells
+      .join(broadcast(ranks("__a", "__ra")), "__a")
+      .join(broadcast(ranks("__b", "__rb")), "__b")
+    val o = col("__o").cast(Dec)
+    val s = withRanks.agg(sum(col("__o")).as("__n"),
+      sum(o * col("__ra")).as("__sx"), sum(o * col("__rb")).as("__sy"),
+      sum(o * col("__ra") * col("__ra")).as("__sxx"),
+      sum(o * col("__rb") * col("__rb")).as("__syy"),
+      sum(o * col("__ra") * col("__rb")).as("__sxy"))
+    val n = col("__n").cast(Dec)
+    val num = (n * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val dx = (n * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val dy = (n * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    s.select(col("__n").as("n"),
+      when(dx <= 0.0 || dy <= 0.0, lit(null).cast("double"))
+        .otherwise(round(num / sqrt(dx * dy), 6)).as("rho"))
+  }
+
   /** Per-group trimmed mean: drop values outside the [lo, hi] exact
     * quantiles, then average the survivors on exact integer cents.
     * Two passes (the exact-percentile pass buffers per group — at

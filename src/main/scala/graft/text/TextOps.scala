@@ -291,6 +291,57 @@ object TextOps {
         round(col("__score"), 6).as("tfidf"))
   }
 
+  /** Zipf-law fit over the head of the term-frequency distribution —
+    * the corpus-health diagnostic: natural text has log(freq) falling
+    * roughly linearly in log(rank) with slope ≈ −1; a much flatter or
+    * steeper head flags template spam or vocabulary collapse. OLS of
+    * ln(freq) on ln(rank) over the top `topN` terms (count-desc,
+    * token-asc tie-break — deterministic), with Pearson r as the
+    * goodness-of-fit.
+    *
+    * Scale shape: one token aggregation, a distributed top-N
+    * (TakeOrderedAndProject — never a global sort), then a window over
+    * exactly topN rows on a constant-but-unfoldable pmod key.
+    * Exactness: both logs are fixed to 1e-9 integers BEFORE the five
+    * OLS sufficient statistics (exact DECIMAL sums — the corrMatrix
+    * discipline); floats only in the closed forms, the slope rounded
+    * 1e-9 before the intercept derives from it (the trendFit rule).
+    *
+    * @return one row (n_terms, slope, intercept, r)
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 200,
+              textCol: String = "text"): DataFrame = {
+    require(topN >= 3, s"topN must be >= 3, got $topN")
+    val d = "decimal(38,0)"
+    val top = docs
+      .select(explode(split(normalize(col(textCol)), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(topN)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(xxhash64(col("tok")), lit(1)))
+      .orderBy(col("cnt").desc, col("tok"))
+    val fixed = top.withColumn("__r", row_number().over(wr))
+      .select(
+        round(log(col("__r").cast("double")) * 1e9).cast("long").as("__x"),
+        round(log(col("cnt").cast("double")) * 1e9).cast("long").as("__y"))
+    val s = fixed.agg(count(lit(1)).as("__n"),
+      sum(col("__x").cast(d)).as("__sx"), sum(col("__y").cast(d)).as("__sy"),
+      sum(col("__x").cast(d) * col("__x")).as("__sxx"),
+      sum(col("__y").cast(d) * col("__y")).as("__syy"),
+      sum(col("__x").cast(d) * col("__y")).as("__sxy"))
+    val n = col("__n").cast(d)
+    val num = (n * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val dx = (n * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val dy = (n * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val slope = round(num / dx, 9)
+    s.select(col("__n").as("n_terms"),
+      round(slope, 6).as("slope"),
+      round((col("__sy").cast("double") - slope * col("__sx").cast("double"))
+        / col("__n") / 1e9, 6).as("intercept"),
+      when(dx <= 0.0 || dy <= 0.0, lit(null).cast("double"))
+        .otherwise(round(num / sqrt(dx * dy), 6)).as("r"))
+  }
+
   /** Corpus budgeting: token totals per predicted language. */
   def corpusStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     analyze(docs, textCol)

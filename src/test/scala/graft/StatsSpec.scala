@@ -116,4 +116,67 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(3) === 9L)
     assert(r.getDouble(4) === 6.0)
   }
+
+  test("anovaF: identical groups score 0; separated groups flag") {
+    // two groups with the same values → SSB = 0, F = 0
+    val same = (1 to 10).flatMap(i =>
+      Seq(("a", i.toDouble), ("b", i.toDouble))).toDF("g", "v")
+    val r0 = relational.Stats.anovaF(same, "g", "v", critical = 3.0)
+      .collect().head
+    assert(r0.getLong(0) === 20L && r0.getLong(1) === 2L)
+    assert(r0.getDouble(2) === 0.0 && r0.getDouble(4) === 0.0 &&
+      !r0.getBoolean(5))
+    // hand-computed: a = {1,2,3}, b = {7,8,9} → means 2/8, mu = 5,
+    // SSB = 3·9 + 3·9 = 54, SSW = 2 + 2 = 4, F = 54 / (4/4) = 54
+    val sep = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 7.0), ("b", 8.0), ("b", 9.0)).toDF("g", "v")
+    val r1 = relational.Stats.anovaF(sep, "g", "v", critical = 7.71)
+      .collect().head
+    assert(r1.getDouble(2) === 54.0 && r1.getDouble(3) === 4.0)
+    assert(r1.getDouble(4) === 54.0 && r1.getBoolean(5))
+  }
+
+  test("spearman: monotone nonlinear = 1, reversed = -1, ties average") {
+    // y = x³ is nonlinear but perfectly monotone → rho = 1 exactly
+    val mono = (1 to 12).map(i => (i.toDouble, math.pow(i, 3))).toDF("a", "b")
+    assert(relational.Stats.spearman(mono, "a", "b")
+      .collect().head.getDouble(1) === 1.0)
+    val rev = (1 to 12).map(i => (i.toDouble, -math.pow(i, 3))).toDF("a", "b")
+    assert(relational.Stats.spearman(rev, "a", "b")
+      .collect().head.getDouble(1) === -1.0)
+    // textbook tie case: a = 1,2,3,4 vs b = 1,2,2,3 → rho = 0.9486833
+    val tie = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 2.0), (4.0, 3.0))
+      .toDF("a", "b")
+    assert(math.abs(relational.Stats.spearman(tie, "a", "b")
+      .collect().head.getDouble(1) - 0.948683) < 1e-6)
+  }
+
+  test("tCloseness: uniform classes score 0; a pure class scores the gap") {
+    // global split 50/50; class c1 mirrors it → tvd 0; class c2 is all
+    // "u" → tvd = ½(|1 − 0.5| + |0 − 0.5|) = 0.5
+    val df = (Seq.fill(5)(("c1", "u")) ++ Seq.fill(5)(("c1", "v")) ++
+      Seq.fill(10)(("c2", "u")) ++ Seq.fill(10)(("c3", "v")))
+      .toDF("q", "s")
+    val got = relational.Profile.tCloseness(df, Seq("q"), "s", t = 0.2)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(got("c1") === (0.0, false))
+    assert(got("c2") === (0.5, true))
+    assert(got("c3") === (0.5, true))
+  }
+
+  test("zipfFit: an exact power law recovers its exponent") {
+    // counts ≈ 3000·r⁻¹ → ln(cnt) ≈ −1·ln(r) + ln 3000 up to rounding
+    val tokens = (1 to 30).flatMap { r =>
+      Seq.fill(math.max(1, math.round(3000.0 / r).toInt))(f"tok$r%03d")
+    }
+    val df = tokens.grouped(500).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val r = text.TextOps.zipfFit(df, topN = 30).collect().head
+    assert(r.getLong(0) === 30L)
+    // counts 3000/r fit ln c = ln 3000 − ln r up to rounding → slope ≈ −1
+    assert(math.abs(r.getDouble(1) + 1.0) < 0.02)
+    assert(math.abs(r.getDouble(3) + 1.0) < 0.01) // r ≈ −1 (perfect fit)
+  }
 }

@@ -241,4 +241,32 @@ class TemporalOpsSpec extends SparkSpec {
       PointwiseOps.ln(col("value")).as("l")), "l")
     assert(math.abs(l.head.asInstanceOf[Double]) < 1e-12)
   }
+
+  test("theilSen ignores the outlier OLS absorbs") {
+    // y = 2t except one wild month: the median pairwise slope stays 2
+    val p = panel1(2, 4, 6, 8, 1000, 12, 14)
+    val r = TemporalOps.theilSen(p, "value").collect().head
+    assert(r.getLong(1) === 21L)         // C(7,2) pairs
+    assert(r.getDouble(2) === 2.0)
+    // even pair count: slopes of (1,3,5,7) on months 1..4 are all 2
+    // except pair medians still 2; constant series → slope 0
+    val flat = panel1(5, 5, 5, 5)
+    assert(TemporalOps.theilSen(flat, "value")
+      .collect().head.getDouble(2) === 0.0)
+  }
+
+  test("changepoint finds the level-shift boundary") {
+    // clean shift after month 4: 0,0,0,0,10,10,10,10
+    val p = panel1(0, 0, 0, 0, 10, 10, 10, 10)
+    val r = TemporalOps.changepoint(p, "value").collect().head
+    assert(r.getLong(1) === 8L)          // n
+    assert(r.getLong(2) === 4L)          // cp_month = last left month
+    assert(r.getDouble(3) === 10.0)      // shift = mean_R − mean_L
+    // stat = |10|·sqrt(4·4/8) = 10·sqrt(2)
+    assert(math.abs(r.getDouble(4) - 10.0 * math.sqrt(2.0)) < 1e-6)
+    // constant series: all boundaries tie at 0 → smallest month wins
+    val flat = panel1(3, 3, 3, 3)
+    val rf = TemporalOps.changepoint(flat, "value").collect().head
+    assert(rf.getLong(2) === 1L && rf.getDouble(4) === 0.0)
+  }
 }
