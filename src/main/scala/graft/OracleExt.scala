@@ -1982,6 +1982,106 @@ object OracleExt {
        |FROM rk WHERE rank <= 10""".stripMargin
   }
 
+  /** Retrieval-eval oracle (Similarity.retrievalEval of the int8 MIPS
+    * top-k against the float brute-force ground truth): both rankings
+    * rebuilt exactly, per-item 1e-9-fixed DCG/RR terms, the ideal DCG
+    * as the SAME driver-computed constant.
+    */
+  def qRetrievalEval(k: Int = 10, queryMax: Int = 50): String = {
+    val idcg9: Long = (1 to k).map(i =>
+      math.round((k + 1 - i).toDouble /
+        (math.log(i + 1.0) / math.log(2.0)) * 1e9)).sum
+    s"""$quantCte,
+       |q AS (SELECT vec_id AS query_id, scale AS qs,
+       |        CAST(qv AS DOUBLE[]) AS qq FROM qz WHERE vec_id < $queryMax),
+       |ascored AS (
+       |  SELECT q.query_id, z.vec_id AS neighbor_id,
+       |    q.qs * z.scale * list_dot_product(qq, CAST(z.qv AS DOUBLE[]))
+       |      AS score
+       |  FROM qz z, q WHERE z.vec_id <> q.query_id),
+       |a AS (SELECT query_id, neighbor_id, arank FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS arank
+       |  FROM ascored) t WHERE arank <= $k),
+       |bq AS (SELECT vec_id AS query_id, v AS qv2 FROM c
+       |       WHERE vec_id < $queryMax),
+       |bscored AS (
+       |  SELECT bq.query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("qv2", "v")} AS cosine
+       |  FROM c, bq WHERE c.vec_id <> bq.query_id),
+       |b AS (SELECT query_id, neighbor_id, brank FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS brank
+       |  FROM bscored) t WHERE brank <= $k),
+       |j AS (SELECT a.query_id,
+       |    CAST(round(COALESCE(${k + 1} - b.brank, 0)
+       |      / log2(CAST(a.arank AS DOUBLE) + 1.0) * 1e9) AS BIGINT) AS dcg9,
+       |    CASE WHEN b.brank = 1
+       |         THEN CAST(round(1e9 / a.arank) AS BIGINT)
+       |         ELSE 0 END AS rr9,
+       |    CASE WHEN b.brank IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM a LEFT JOIN b
+       |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id)
+       |SELECT query_id, CAST(SUM(hit) AS BIGINT) AS hits,
+       |  round(SUM(hit) / $k, 6) AS recall,
+       |  round(MAX(rr9) / 1e9, 6) AS rr,
+       |  round(SUM(dcg9) / 1e9, 6) AS dcg,
+       |  round(CAST(SUM(dcg9) AS DOUBLE) / $idcg9, 6) AS ndcg
+       |FROM j GROUP BY query_id""".stripMargin
+  }
+
+  /** kNN majority-vote oracle (Similarity.knnClassify): the brute
+    * ranking, per-(query, label) vote counts, (votes desc, label asc)
+    * argmax, correctness vs the query's own label.
+    */
+  def qKnnClassify(k: Int = 10, queryMax: Int = 50): String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv,
+       |        CAST(label AS BIGINT) AS tl FROM c WHERE vec_id < $queryMax),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    CAST(c.label AS BIGINT) AS nl, ${cosSql("qv", "v")} AS cosine
+       |  FROM c, q WHERE c.vec_id <> q.query_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, neighbor_id) AS rank FROM scored),
+       |votes AS (SELECT query_id, nl, CAST(COUNT(*) AS BIGINT) AS votes
+       |  FROM rk WHERE rank <= $k GROUP BY 1, 2),
+       |best AS (SELECT query_id, nl, votes, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY votes DESC, nl ASC) AS rn
+       |  FROM votes)
+       |SELECT b.query_id, q.tl AS true_label, b.nl AS pred_label,
+       |  b.votes, b.nl = q.tl AS correct
+       |FROM best b JOIN q ON q.query_id = b.query_id WHERE rn = 1""".stripMargin
+
+  /** Centroid-silhouette oracle (Similarity.silhouette): the unrolled
+    * Lloyd assignment, per-vector own/other centroid distances fixed
+    * 1e-9, s = (b−a)/max(a,b) fixed 1e-9, per-list exact-integer mean.
+    */
+  def qSilhouette(nlists: Int = 16, iters: Int = 3, dim: Int = 64): String =
+    s"""${ivfAssignCtes(nlists, iters, dim)},
+       |dd AS (SELECT f.vec_id, f.list, ct.list AS cl,
+       |    CAST(round(sqrt(greatest(
+       |      list_dot_product(f.v, f.v)
+       |        - 2 * list_dot_product(f.v, ct.cent)
+       |        + list_dot_product(ct.cent, ct.cent), 0.0)) * 1e9)
+       |      AS BIGINT) AS d9
+       |  FROM asgnF f CROSS JOIN cent$iters ct),
+       |pv AS (SELECT vec_id, list,
+       |    MIN(CASE WHEN cl = list THEN d9 END) AS a9,
+       |    MIN(CASE WHEN cl <> list THEN d9 END) AS b9
+       |  FROM dd GROUP BY 1, 2),
+       |s AS (SELECT list,
+       |    CASE WHEN greatest(a9, b9) = 0 THEN 0
+       |         ELSE CAST(round(CAST(b9 - a9 AS DOUBLE) / greatest(a9, b9)
+       |                * 1e9) AS BIGINT) END AS s9
+       |  FROM pv)
+       |SELECT CAST(list AS INTEGER) AS list,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  round(CAST(SUM(s9) AS DOUBLE) / COUNT(*) / 1e9, 6) AS silhouette
+       |FROM s GROUP BY 1""".stripMargin
+
   /** LSH-blocked near-dup pairs: sign-bucket self-join + exact cosine
     * verify (mirrors Similarity.lshNearDupPairs with dims 0..7).
     */

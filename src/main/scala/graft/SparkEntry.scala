@@ -905,6 +905,26 @@ object SparkEntry {
           m = 4, ksub = 8),
         k = 10, bound = 0.08)
     }),
+    // r9: per-query retrieval metrics (recall@k, MRR, NDCG@k) of the
+    // int8 MIPS top-k against the float brute-force ground truth —
+    // the ranking-quality eval surface
+    "q_retrieval_eval" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 50)
+      similarity.Similarity.retrievalEval(e, q,
+        similarity.Similarity.quantizedTopK(e, q, k = 10), k = 10)
+    }),
+    // r9: kNN majority-vote classification — the embedding-space
+    // label-quality probe
+    "q_knn_classify" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      similarity.Similarity.knnClassify(e, e.filter(col("vec_id") < 50),
+        k = 10)
+    }),
+    // r9: per-cluster centroid silhouette over the IVF assignment —
+    // cohesion vs separation next to q_embed_ivf_stats
+    "q_silhouette" -> ((s, dir) =>
+      similarity.Similarity.silhouette(embeddings(s, dir), nlists = 16)),
     // r8: product-quantization ADC search — per-subspace codebooks,
     // corpus stored as m codes, per-query LUT + m lookups per candidate
     "q_embed_pq_topk" -> ((s, dir) => {
@@ -1863,6 +1883,9 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> OracleExt.qEmbedNearDupLsh,
     "q_embed_ivf_topk" -> OracleExt.qEmbedIvfTopK(),
     "q_embed_ivf_recall" -> OracleExt.qEmbedIvfRecall,
+    "q_retrieval_eval" -> OracleExt.qRetrievalEval(),
+    "q_knn_classify" -> OracleExt.qKnnClassify(),
+    "q_silhouette" -> OracleExt.qSilhouette(),
     "q_embed_ivf_stats" -> OracleExt.qIvfStats(),
     "q_embed_ivfpq_recall" -> OracleExt.qEmbedIvfPqRecall,
     "q_embed_pq_topk" -> OracleExt.qEmbedPqTopK(),

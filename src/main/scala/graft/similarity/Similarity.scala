@@ -616,4 +616,122 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"),
         col("rank").cast("int").as("rank"))
   }
+
+  /** Per-query retrieval-quality metrics of ANY approximate top-k
+    * result against the exact brute-force ground truth — the ranking
+    * companion of [[annRecallSummary]]'s aggregate gate: recall@k, MRR
+    * (reciprocal rank of the true #1 inside the approximate list) and
+    * NDCG@k with graded relevance rel = k+1 − brute_rank (the ideal
+    * list in brute order scores 1.0).
+    *
+    * Determinism: both rankings are deterministically tie-broken
+    * upstream; every per-item term (rel/log₂(rank+1), 1/rank) is fixed
+    * to 1e-9 integers before its per-query sum, and the ideal DCG is a
+    * driver-computed constant over the SAME fixed terms — no float
+    * accumulates across rows, so the metrics are layout- and
+    * engine-exact. One row per query; averaging is left to the reader
+    * so no cross-query float summation exists either.
+    *
+    * @param approx (query_id, neighbor_id, rank) — rank 1-based
+    * @return (query_id, hits, recall, rr, dcg, ndcg)
+    */
+  def retrievalEval(corpus: DataFrame, queries: DataFrame,
+                    approx: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val brute = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("__brank"))
+    val a = approx.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("__arank"))
+    val rel = coalesce(lit(k + 1) - col("__brank"), lit(0))
+    val dcg9 = round(rel.cast("double") /
+      log2(col("__arank").cast("double") + 1.0) * 1e9).cast("long")
+    val rr9 = when(col("__brank") === 1,
+      round(lit(1e9) / col("__arank")).cast("long")).otherwise(lit(0L))
+    val idcg9: Long = (1 to k).map(i =>
+      math.round((k + 1 - i).toDouble /
+        (math.log(i + 1.0) / math.log(2.0)) * 1e9)).sum
+    a.join(brute, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("__brank").isNotNull, 1L).otherwise(0L)).as("hits"),
+        max(rr9).as("__rr9"), sum(dcg9).as("__dcg9"))
+      .select(col("query_id"), col("hits"),
+        round(col("hits") / k, 6).as("recall"),
+        round(col("__rr9") / 1e9, 6).as("rr"),
+        round(col("__dcg9") / 1e9, 6).as("dcg"),
+        round(col("__dcg9").cast("double") / idcg9, 6).as("ndcg"))
+  }
+
+  /** k-nearest-neighbor majority-vote classification — the standard
+    * label-quality / embedding-quality probe (a good embedding space
+    * classifies by neighborhood): per query, the exact top-k corpus
+    * neighbors vote by label; majority wins, ties break to the
+    * smallest label; `correct` compares against the query's own label.
+    * Vote counts are integers and the argmax is a lexicographic
+    * struct-max — fully deterministic.
+    *
+    * @return (query_id, true_label, pred_label, votes, correct)
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val nn = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val lbl = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("__nl"))
+    val truth = queries.select(col(idCol).as("query_id"),
+      col(labelCol).cast("long").as("true_label"))
+    nn.join(lbl, "neighbor_id")
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("__votes"), (-col("__nl")).as("__neg"),
+        col("__nl").as("__l"))).as("__b"))
+      .join(broadcast(truth), "query_id")
+      .select(col("query_id"), col("true_label"),
+        col("__b.__l").as("pred_label"), col("__b.__votes").as("votes"),
+        (col("__b.__l") === col("true_label")).as("correct"))
+  }
+
+  /** Per-cluster simplified (centroid-based) silhouette over the IVF
+    * assignment — the clustering-quality companion of [[ivfStats]]:
+    * for each vector, a = distance to its own centroid, b = the
+    * smallest distance to any OTHER centroid, s = (b − a)/max(a, b);
+    * the per-list mean of s grades cluster cohesion vs separation
+    * (→1 tight and well-separated, ≤0 overlapping).
+    *
+    * Scale shape: the per-vector candidate set is the nlists-row
+    * centroid table (broadcast cross join — bounded, never corpus²);
+    * distances are fixed to 1e-9 integers, s to 1e-9 from their exact
+    * ratio, and the per-list mean divides exact integer sums — the
+    * gate's layout-proof discipline end to end.
+    *
+    * @return (list, n_vecs, silhouette)
+    */
+  def silhouette(corpus: DataFrame, nlists: Int = 16, iters: Int = 3,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val idx = buildIvfIndex(corpus, nlists, iters, idCol, vecCol)
+    val spark = idx.assigned.sparkSession
+    import spark.implicits._
+    val centDf = idx.centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("__cl", "__cent")
+    val d2 = dot(col("c_vec"), col("c_vec")) -
+      lit(2.0) * dot(col("c_vec"), col("__cent")) +
+      dot(col("__cent"), col("__cent"))
+    val perVec = idx.assigned.crossJoin(broadcast(centDf))
+      .select(col("neighbor_id"), col("list"), col("__cl"),
+        round(sqrt(greatest(d2, lit(0.0))) * 1e9).cast("long").as("__d9"))
+      .groupBy(col("neighbor_id"), col("list"))
+      .agg(min(when(col("__cl") === col("list"), col("__d9"))).as("__a9"),
+        min(when(col("__cl") =!= col("list"), col("__d9"))).as("__b9"))
+    val s9 = when(greatest(col("__a9"), col("__b9")) === 0L, lit(0L))
+      .otherwise(round((col("__b9") - col("__a9")).cast("double") /
+        greatest(col("__a9"), col("__b9")) * 1e9).cast("long"))
+    perVec.select(col("list"), s9.as("__s9"))
+      .groupBy(col("list").cast("int").as("list"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("__s9")).cast("double") / count(lit(1)) / 1e9, 6)
+          .as("silhouette"))
+  }
 }

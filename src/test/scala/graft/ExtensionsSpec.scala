@@ -1015,4 +1015,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.forall(_._1 == 1L))
     assert(out.find(_._3 == 1L).map(_._2).contains(7L))
   }
+
+  test("retrievalEval: the brute list itself scores perfect metrics") {
+    val vecs = (1L to 12L).map(i =>
+      (i, Array(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val q = vecs.filter(col("vec_id") <= 2)
+    val brute = graft.similarity.Similarity.bruteForceTopK(vecs, q, 5)
+    val perfect = graft.similarity.Similarity
+      .retrievalEval(vecs, q, brute, 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(5)))
+    assert(perfect.forall { case (h, rec, rr, ndcg) =>
+      h == 5L && rec == 1.0 && rr == 1.0 && math.abs(ndcg - 1.0) < 1e-6 })
+    // reversing the approximate ranks keeps recall 1 but degrades NDCG
+    // and pushes the true #1 to the list's tail (rr = 1/5)
+    val reversed = brute.withColumn("rank",
+      (lit(6) - col("rank")).cast("int"))
+    val rev = graft.similarity.Similarity
+      .retrievalEval(vecs, q, reversed, 5)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(5)))
+    assert(rev.forall { case (rec, rr, ndcg) =>
+      rec == 1.0 && rr == 0.2 && ndcg < 1.0 })
+  }
+
+  test("knnClassify votes the planted cluster's label") {
+    // two well-separated blobs; query 1 sits in blob A (label 0),
+    // query 10 in blob B (label 1)
+    val a = (1L to 6L).map(i => (i, Array(1.0f + 0.01f * i, 0.0f), 0))
+    val b = (10L to 15L).map(i => (i, Array(-1.0f, 0.01f * i), 1))
+    val df = (a ++ b).toDF("vec_id", "embedding", "label")
+    val q = df.filter(col("vec_id").isin(1L, 10L))
+    val out = graft.similarity.Similarity.knnClassify(df, q, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(1L) === ((0L, 0L, true)))
+    assert(out(10L) === ((1L, 1L, true)))
+  }
+
+  test("silhouette: separated blobs score positive in every list") {
+    val a = (1L to 8L).map(i => (i, Array(1.0f + 0.001f * i, 0.0f), 0))
+    val b = (9L to 16L).map(i => (i, Array(-1.0f, 1.0f + 0.001f * i), 1))
+    val df = (a ++ b).toDF("vec_id", "embedding", "label")
+    val out = graft.similarity.Similarity.silhouette(df, nlists = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).sum === 16L)
+    assert(out.forall(_._3 > 0.5),
+      s"well-separated blobs must score high: ${out.toSeq}")
+  }
 }
