@@ -3941,6 +3941,59 @@ object OracleExt {
        |SELECT d.id, COALESCE(pn.triangles, 0) AS triangles
        |FROM deg d LEFT JOIN pn ON pn.id = d.id""".stripMargin
 
+  /** Link-prediction scores (graphs.LinkPredict over the simhash
+    * near-dup pairs): wedge join on the shared neighbour, 1e-9-fixed
+    * Adamic–Adar terms, exact-integer Jaccard, existing edges
+    * anti-joined away.
+    */
+  val qLinkPredict: String =
+    s"""$norm, $simhashPairCtes,
+       |e0 AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
+       |canon AS (SELECT DISTINCT least(id_a, id_b) AS a,
+       |            greatest(id_a, id_b) AS b
+       |          FROM e0 WHERE id_a <> id_b),
+       |adj AS (SELECT a AS x, b AS z FROM canon
+       |        UNION ALL SELECT b, a FROM canon),
+       |deg AS (SELECT x AS id, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM adj GROUP BY 1),
+       |w AS (SELECT e1.x AS a, e2.x AS b, e1.z AS z
+       |      FROM adj e1 JOIN adj e2
+       |        ON e1.z = e2.z AND e1.x < e2.x),
+       |agg AS (SELECT w.a, w.b,
+       |    CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+       |    SUM(CAST(round(1e9 / ln(CAST(dz.deg AS DOUBLE))) AS BIGINT))
+       |      AS aa9
+       |  FROM w JOIN deg dz ON dz.id = w.z GROUP BY 1, 2),
+       |miss AS (SELECT agg.* FROM agg
+       |  LEFT JOIN canon c ON c.a = agg.a AND c.b = agg.b
+       |  WHERE c.a IS NULL)
+       |SELECT m.a AS id_a, m.b AS id_b, m.common_neighbors,
+       |  round(m.common_neighbors
+       |    / (da.deg + db.deg - m.common_neighbors), 6) AS jaccard,
+       |  round(aa9 / 1e9, 6) AS adamic_adar
+       |FROM miss m
+       |JOIN deg da ON da.id = m.a
+       |JOIN deg db ON db.id = m.b""".stripMargin
+
+  /** Stickiness (Engagement.stickiness): exact daily and rolling-7
+    * distinct actives (the qRollingDau join formulation), observed
+    * days only, one integer division.
+    */
+  val qStickiness: String =
+    """WITH e AS (SELECT
+      |  CAST(epoch_ns(ts) // 1000 // 86400000000 AS BIGINT) AS day,
+      |  user_id FROM events),
+      |p AS (SELECT DISTINCT day, user_id FROM e),
+      |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      |        FROM p GROUP BY 1),
+      |days AS (SELECT DISTINCT day FROM e),
+      |wau AS (SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+      |        FROM days d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+      |        GROUP BY 1)
+      |SELECT dau.day, dau.dau, wau.wau,
+      |  round(dau.dau / wau.wau, 6) AS stickiness
+      |FROM dau JOIN wau ON wau.day = dau.day""".stripMargin
+
   /** Multi-touch attribution (Attribution.multiTouch): the
     * next-conversion assignment is a min over the FOLLOWING frame in
     * (t, event_id) order — the Spark side takes a struct min, the SQL

@@ -716,6 +716,16 @@ object SparkEntry {
       graphs.Triangles.triangleCounts(
         dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
           maxDist = 3))),
+    // r9: link prediction over the near-dup graph — common neighbors,
+    // Jaccard, Adamic–Adar for non-adjacent pairs (the LSH-recall
+    // audit: a high-scoring missing edge is a likely banding miss)
+    "q_link_predict" -> ((s, dir) =>
+      graphs.LinkPredict.scores(
+        dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
+          maxDist = 3))),
+    // r9: DAU/WAU stickiness per day — exact rolling distincts
+    "q_stickiness" -> ((s, dir) =>
+      relational.Engagement.stickiness(Panel.readEvents(s, dir))),
     // r9: label-propagation communities over the near-dup graph —
     // finer than CC (splits weakly-bridged blobs into dense cores)
     "q_label_prop" -> ((s, dir) =>
@@ -1935,6 +1945,8 @@ object SparkEntry {
     "q_l_diversity" -> OracleExt.qLDiversity,
     "q_gini" -> OracleExt.qGini,
     "q_triangles" -> OracleExt.qTriangles,
+    "q_link_predict" -> OracleExt.qLinkPredict,
+    "q_stickiness" -> OracleExt.qStickiness,
     "q_attribution_multi" -> OracleExt.qAttributionMulti,
     "q_survival" -> OracleExt.qSurvival,
     "q_ks_test" -> OracleExt.qKsTest,

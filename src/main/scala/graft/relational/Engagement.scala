@@ -49,6 +49,28 @@ object Engagement {
   private def targets(windowDays: Int) =
     expr(s"explode(sequence(day, day + ${windowDays - 1}))")
 
+  /** Stickiness ratio per day — DAU / rolling `windowDays`-day actives
+    * (the classic DAU/WAU or DAU/MAU habit metric: 1.0 = every weekly
+    * active shows up daily). Both counts are exact distincts on the
+    * [[rollingExact]] machinery; the inner join on the daily side
+    * keeps observed days only (the rolling explode manufactures
+    * target days past the stream end). Integer counts, one division,
+    * 1e-6 output rounding — layout-proof.
+    *
+    * @return (day, dau, wau, stickiness) — day is epoch days
+    */
+  def stickiness(events: DataFrame, idCol: String = "user_id",
+                 windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 2, s"windowDays must be >= 2, got $windowDays")
+    val dau = byDay(events, idCol).distinct()
+      .groupBy("day").agg(countDistinct(col("__id")).as("dau"))
+    val wau = rollingExact(events, idCol, windowDays)
+      .select(col("day"), col("dau_exact").as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau"), 6).as("stickiness"))
+  }
+
   /** Exact rolling distinct — the verification baseline: distinct
     * (day, id) pairs exploded windowDays×, then a distinct count per
     * target day. Bounded by actives×days, never raw events.

@@ -180,4 +180,40 @@ class AnalyticsTailSpec extends SparkSpec {
       .toMap
     assert(got(1) === ((1L, true)) && got(2) === ((3L, false)))
   }
+
+  test("linkPredict: a path's endpoints share the middle; edges excluded") {
+    // star around 2 (edges 2-1, 2-3, 2-4): the non-adjacent pairs all
+    // go through z=2 (deg 3) → AA = 1/ln 3; each leaf has degree 1 so
+    // the neighbor union is 1+1−1 = 1 → Jaccard 1.0
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("id_a", "id_b")
+    val got = graphs.LinkPredict.scores(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val aa = BigDecimal(math.round(1e9 / math.log(3.0)) / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet === Set((1L, 3L), (1L, 4L), (3L, 4L)))
+    assert(got.values.forall { case (c, j, a) =>
+      c == 1L && j == 1.0 && math.abs(a - aa) < 1e-9 })
+    // adjacent pair (1,2) must never appear even though it shares no
+    // neighbor; K3 has no missing links at all
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    assert(graphs.LinkPredict.scores(k3).count() === 0L)
+  }
+
+  test("stickiness: daily regulars score 1, a past spike dilutes") {
+    // user 10 active every day 1..7; users 20, 21 spike on day 6 only
+    val ev = ((1 to 7).map(d => (10L, ts(d))) ++
+      Seq((20L, ts(6)), (21L, ts(6))))
+      .zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, t, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = relational.Engagement.stickiness(ev)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // days 1..5: dau 1 / wau 1 → 1.0; day 6: 3/3 → 1.0;
+    // day 7: only the regular shows, spikers still in the window → 1/3
+    assert(got.length === 7)
+    assert(got.count(_ == ((1L, 1L, 1.0))) === 5)
+    assert(got.count(_ == ((3L, 3L, 1.0))) === 1)
+    assert(got.count(_ == ((1L, 3L, 0.333333))) === 1)
+  }
 }
