@@ -4551,6 +4551,70 @@ object OracleExt {
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM b GROUP BY bin, mn, mx""".stripMargin
 
+  /** Equi-depth histogram (Stats.equiDepthHistogram, 8 bins over
+    * prices): the same exact interior percentiles (quantile_cont ≡
+    * Spark percentile), strictly-below bin assignment, min/max outer
+    * edges.
+    */
+  def qHistogramEq(nbins: Int = 8): String = {
+    val qs = (1 until nbins).map(i => i.toDouble / nbins).mkString(", ")
+    val bin = (1 until nbins)
+      .map(i => s"CASE WHEN CAST(l_extendedprice AS DOUBLE) > qs[$i] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT
+       |  quantile_cont(CAST(l_extendedprice AS DOUBLE), [$qs]) AS qs,
+       |  MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
+       |  MAX(CAST(l_extendedprice AS DOUBLE)) AS mx FROM lineitem),
+       |a AS (SELECT CAST($bin AS BIGINT) AS bin FROM lineitem, b),
+       |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY 1)
+       |SELECT bin,
+       |  round(CASE WHEN bin = 0 THEN mn ELSE qs[CAST(bin AS INTEGER)] END, 6)
+       |    AS q_lo,
+       |  round(CASE WHEN bin = ${nbins - 1} THEN mx
+       |        ELSE qs[CAST(bin + 1 AS INTEGER)] END, 6) AS q_hi,
+       |  n
+       |FROM g, b""".stripMargin
+  }
+
+  /** Flesch readability (TextOps.readability): the same three regex
+    * counts floored at 1 and the same row-local closed form.
+    */
+  val qReadability: String =
+    """WITH c AS (SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |    AS n_words,
+      |  greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+      |    AS n_sentences,
+      |  greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |    AS BIGINT), 1) AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  round(206.835 - 1.015 * (n_words / n_sentences)
+      |    - 84.6 * (n_syllables / n_words), 6) AS flesch
+      |FROM c""".stripMargin
+
+  /** Bloom audit (Dedup.bloomAudit on the qDedupIncremental split):
+    * exact member/non-member ground truth; the filter's false-positive
+    * verdict is the envelope TRUE (q_vocab_approx discipline).
+    */
+  val qBloomAudit: String =
+    s"""$norm, batch AS (
+       |  SELECT doc_id + 10000 AS doc_id,
+       |         CASE WHEN doc_id % 2 = 0 THEN text
+       |              ELSE text || ' fresh-batch-suffix' END AS text
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |bfp AS (SELECT
+       |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       |  FROM batch),
+       |m AS (SELECT CASE WHEN EXISTS (
+       |    SELECT 1 FROM norm c WHERE md5(c.nt) = b.fingerprint)
+       |    THEN 1 ELSE 0 END AS mem FROM bfp b)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+       |  CAST(SUM(mem) AS BIGINT) AS n_members,
+       |  CAST(SUM(1 - mem) AS BIGINT) AS n_nonmembers,
+       |  TRUE AS fpr_ok
+       |FROM m""".stripMargin
+
   /** One-way ANOVA F (Stats.anovaF over price × return flag): exact
     * integer-cent group sums → 1e-9-rounded means → integer-fixed
     * squared-deviation sums (1e-2 units within, 1e0 between), the

@@ -128,6 +128,10 @@ object Registry {
     // args: [maxLag?] — terminal per-unit autocorrelation table
     "acf" -> ((df, a) =>
       TemporalOps.acf(df, "value", a.numOpt(0).getOrElse(3.0).toInt)),
+    // terminal per-unit Theil–Sen robust trend slope
+    "theil_sen" -> ((df, _) => TemporalOps.theilSen(df, "value")),
+    // terminal per-unit level-shift changepoint argmax
+    "changepoint" -> ((df, _) => TemporalOps.changepoint(df, "value")),
     "onset_possible" -> colT((c, a) => TemporalOps.onsetPossible(c, a.num(0).toInt).cast("double")),
     "onset" -> colT((c, a) => TemporalOps.onset(c, a.num(0).toInt).cast("double")),
     "temporal_entropy" -> colT((c, a) => TemporalOps.temporalEntropy(c, a.num(0).toInt, a.num(1))),
@@ -671,6 +675,24 @@ object Registry {
     "topk_q8" -> ((df, a) =>
       similarity.Similarity.quantizedTopK(df, embedQueries(df, a, 1),
         a.num(0).toInt)),
+    // args: [k, queryMax | queryPath] — terminal kNN majority-vote
+    // classification against the frame's own labels
+    "knn" -> ((df, a) =>
+      similarity.Similarity.knnClassify(df, embedQueries(df, a, 1),
+        a.num(0).toInt)),
+    // args: [nlists?, iters?] — terminal per-cluster silhouette
+    "silhouette" -> ((df, a) =>
+      similarity.Similarity.silhouette(df,
+        a.numOpt(0).getOrElse(16.0).toInt,
+        a.numOpt(1).getOrElse(3.0).toInt)),
+    // args: [k, queryMax | queryPath] — terminal retrieval metrics of
+    // the int8 MIPS list against the float brute-force ground truth
+    "retrieval_eval" -> ((df, a) => {
+      val q = embedQueries(df, a, 1)
+      val k = a.num(0).toInt
+      similarity.Similarity.retrievalEval(df, q,
+        similarity.Similarity.quantizedTopK(df, q, k), k)
+    }),
     // args: [k, nlists, nprobe, queryMax | queryPath] — terminal IVF
     // ANN top-k (build + probe in one dispatch; a serving deployment
     // would buildIvfIndex once instead)
@@ -846,6 +868,10 @@ object Registry {
     "attribution_decay" -> ((df, a) =>
       relational.Attribution.timeDecay(df,
         halflifeSec = a.numOpt(0).getOrElse(7.0 * 86400.0))),
+    // args: [windowDays?] — terminal DAU/WAU stickiness per day
+    "stickiness" -> ((df, a) =>
+      relational.Engagement.stickiness(df,
+        windowDays = a.numOpt(0).getOrElse(7.0).toInt)),
   )
 
   /** Graph transforms over an undirected pair list (id_a, id_b) — the
@@ -870,6 +896,8 @@ object Registry {
       graphs.LabelProp.labelPropagation(df, a.num(0).toInt)),
     // terminal per-node triangle counts
     "triangles" -> ((df, _) => graphs.Triangles.triangleCounts(df)),
+    // terminal link-prediction scores for non-adjacent pairs
+    "link_predict" -> ((df, _) => graphs.LinkPredict.scores(df)),
   )
 
   /** Run a JSON spec over a pair-list frame. */

@@ -308,6 +308,11 @@ object SparkEntry {
       Registry.run(p.select(col(T), col(U), col("value")),
         """[{"type":"temporal_tree_lag","args":[0.8,"uniform"]}]""")
         .select(col(T), col(U), col("value").as("treelag"))),
+    // r9: changepoint through the panel wire — must reproduce
+    // q_changepoint bit-for-bit (one oracle pins both)
+    "q_pipeline_changepoint" -> onPanel(p =>
+      Registry.run(p.select(col(T), col(U), col("value")),
+        """[{"type":"identity"},{"type":"changepoint"}]""")),
     "q_pipeline_chain" -> onPanel(p =>
       Registry.run(p.select(col(T), col(U), col("value")),
         """[{"type":"splag4d","args":[1,1,1,false]},{"type":"tlag","args":[2]}]""")
@@ -760,6 +765,12 @@ object SparkEntry {
         dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
           maxDist = 3),
         """[{"type":"identity"},{"type":"label_prop","args":[4]}]""")),
+    // r9: link prediction through the graph wire (shares qLinkPredict)
+    "q_pipeline_link_predict" -> ((s, dir) =>
+      Registry.runGraph(
+        dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
+          maxDist = 3),
+        """[{"type":"link_predict"}]""")),
     // r9: bounded-hop BFS from a seed set (contamination blast
     // radius) — frontier relaxation, unrolled-CTE oracle
     "q_bfs_hops" -> ((s, dir) =>
@@ -1063,6 +1074,11 @@ object SparkEntry {
       Registry.runEmbeddings(embeddings(s, dir),
         """[{"type":"sample_hash","args":[0.5,"e7"]},
            |{"type":"lsh_neardup","args":[0.3,8]}]""".stripMargin)),
+    // r9: kNN classification through the embeddings wire (shares
+    // qKnnClassify)
+    "q_pipeline_knn" -> ((s, dir) =>
+      Registry.runEmbeddings(embeddings(s, dir),
+        """[{"type":"identity"},{"type":"knn","args":[10,50]}]""")),
     "q_pipeline_embed_q8" -> ((s, dir) =>
       Registry.runEmbeddings(embeddings(s, dir),
         """[{"type":"sample_hash","args":[0.5,"e7"]},
@@ -1243,6 +1259,25 @@ object SparkEntry {
     // r9: Zipf-law fit over the top-200 term frequencies — corpus
     // health: slope ≈ −1 for natural text
     "q_zipf" -> ((s, dir) => text.TextOps.zipfFit(docs(s, dir), topN = 200)),
+    // r9: equi-depth (quantile-bin) price histogram — the skew-proof
+    // companion of q_histogram's fixed widths
+    "q_histogram_eq" -> ((s, dir) =>
+      relational.Stats.equiDepthHistogram(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice",
+        nbins = 8)),
+    // r9: Flesch reading-ease per document — row-local regex counts
+    "q_readability" -> ((s, dir) => text.TextOps.readability(docs(s, dir))),
+    // r9: Bloom-filter health audit on the incremental-dedup split —
+    // exact membership ground truth + observed-FPR envelope verdict
+    "q_bloom_audit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") % 3 === 0).select(
+        (col("doc_id") + 10000).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" fresh-batch-suffix")))
+          .as("text"))
+      dedup.Dedup.bloomAudit(batch, d)
+    }),
     // r9: categorical dataset-card — top-5 values per column with
     // counts, share, rank
     "q_top_values" -> ((s, dir) =>
@@ -1472,6 +1507,10 @@ object SparkEntry {
         """[{"type":"identity"},
            |{"type":"funnel","args":["view","click","purchase"]}]"""
           .stripMargin)),
+    // r9: stickiness through the events wire (shares qStickiness)
+    "q_pipeline_stickiness" -> ((s, dir) =>
+      Registry.runEvents(Panel.readEvents(s, dir),
+        """[{"type":"stickiness","args":[7]}]""")),
     // r9: session paths dispatched through the same wire family —
     // shares qSessionPaths with the direct query
     "q_pipeline_session_paths" -> ((s, dir) =>
@@ -1967,6 +2006,13 @@ object SparkEntry {
     "q_top_values" -> OracleExt.qTopValues,
     "q_mutual_info" -> OracleExt.qMutualInfo,
     "q_anova" -> OracleExt.qAnova,
+    "q_histogram_eq" -> OracleExt.qHistogramEq(),
+    "q_readability" -> OracleExt.qReadability,
+    "q_bloom_audit" -> OracleExt.qBloomAudit,
+    "q_pipeline_changepoint" -> OracleExt.qChangepoint,
+    "q_pipeline_link_predict" -> OracleExt.qLinkPredict,
+    "q_pipeline_stickiness" -> OracleExt.qStickiness,
+    "q_pipeline_knn" -> OracleExt.qKnnClassify(),
     "q_spearman" -> OracleExt.qSpearman,
     "q_t_closeness" -> OracleExt.qTCloseness,
     "q_theil_sen" -> OracleExt.qTheilSen,

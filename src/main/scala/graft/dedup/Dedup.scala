@@ -896,6 +896,45 @@ object Dedup {
       .select(col(idCol), col("fingerprint"))
   }
 
+  /** Bloom-filter health audit for the [[incrementalDedup]] path — one
+    * verdict row: exact member/non-member counts of the batch against
+    * the corpus fingerprints (an equi-join ground truth) plus an
+    * envelope check that the filter's OBSERVED false-positive rate
+    * stays within 3× its design `fpp` (the q_vocab_approx discipline:
+    * the bit pattern itself is engine-specific, so the gate pins the
+    * exact counts and the verdict, not the raw rate). A drifting or
+    * corrupted filter — wrong sizing, hash regression — flips the
+    * verdict and hash-mismatches the gate.
+    *
+    * @return one row (n_batch, n_members, n_nonmembers, fpr_ok)
+    */
+  def bloomAudit(batch: DataFrame, corpus: DataFrame,
+                 textCol: String = "text", fpp: Double = 0.03,
+                 expectedItems: Long = -1L): DataFrame = {
+    val bfp = batch.select(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+    val cfp = corpus.select(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+    val n = if (expectedItems > 0) expectedItems
+            else math.max(cfp.count(), 1L)
+    val bloom = cfp.stat.bloomFilter("fingerprint", n, fpp)
+    val hit = graft.functions.BloomContains.contains(col("fingerprint"), bloom)
+    // ground truth with the incrementalDedup broadcast direction: the
+    // BATCH fingerprints broadcast into the corpus scan, and only the
+    // (batch-bounded) matching set comes back — the corpus never does
+    val member = cfp.join(broadcast(bfp), Seq("fingerprint"), "left_semi")
+      .groupBy("fingerprint").agg(max(lit(1L)).as("__m"))
+    bfp.join(broadcast(member), Seq("fingerprint"), "left")
+      .select(hit.cast("long").as("__hit"),
+        coalesce(col("__m"), lit(0L)).as("__member"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(col("__member")).as("n_members"),
+        sum(lit(1L) - col("__member")).as("n_nonmembers"),
+        sum(when(col("__hit") === 1L && col("__member") === 0L, 1L)
+          .otherwise(0L)).as("__fp"))
+      .select(col("n_batch"), col("n_members"), col("n_nonmembers"),
+        (col("__fp") <= greatest((col("n_nonmembers") * 3 * fpp).cast("long"),
+          lit(1L))).as("fpr_ok"))
+  }
+
   /** Edit-distance-verified near-duplicate pairs: MinHash-LSH proposes
     * candidates (banded, never all-pairs), then each pair is verified
     * by normalised Levenshtein similarity over the NORMALISED texts —

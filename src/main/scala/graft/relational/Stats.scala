@@ -300,6 +300,47 @@ object Stats {
         .otherwise(round(num / sqrt(dx * dy), 6)).as("rho"))
   }
 
+  /** Equi-DEPTH histogram: `nbins` quantile bins — the shape sketch
+    * for skewed distributions where [[histogram]]'s fixed widths dump
+    * everything into one bar. Bin boundaries are the exact interior
+    * percentiles (broadcast 1-row, the [[trimmedMean]] discipline —
+    * swap `approx_percentile` at 100 TB); a row's bin is the count of
+    * boundaries strictly below it (values AT a boundary go left), so
+    * assignment is row-local and the only aggregation is the bin-keyed
+    * count. Boundary determinism: an interpolated percentile falls
+    * strictly between data values and an exact-index percentile IS a
+    * data value in both engines, so `v > q` never straddles engines.
+    *
+    * @return (bin, q_lo, q_hi, n) — q_lo/q_hi rounded 1e-6; the outer
+    *   bounds are the exact min/max
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+                         nbins: Int): DataFrame = {
+    require(nbins >= 2, s"nbins must be >= 2, got $nbins")
+    val v = col(valueCol).cast("double")
+    val qs = (1 until nbins).map(_.toDouble / nbins)
+    val bounds = df.agg(
+      expr(s"percentile(CAST($valueCol AS DOUBLE), array(${qs.mkString(",")}))")
+        .as("__qs"),
+      min(v).as("__mn"), max(v).as("__mx"))
+    val bin = (0 until nbins - 1)
+      .map(i => when(v > col("__qs").getItem(i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val edge = (i: Column) => when(i === 0, col("__mn"))
+      .otherwise(element_at(col("__qs"), i.cast("int")))
+    df.crossJoin(broadcast(bounds))
+      .select(bin.as("bin"), col("__qs"), col("__mn"), col("__mx"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), first(col("__qs")).as("__qs"),
+        first(col("__mn")).as("__mn"), first(col("__mx")).as("__mx"))
+      .select(col("bin"),
+        round(edge(col("bin")), 6).as("q_lo"),
+        round(when(col("bin") === (nbins - 1), col("__mx"))
+          .otherwise(element_at(col("__qs"), (col("bin") + 1).cast("int"))), 6)
+          .as("q_hi"),
+        col("n"))
+  }
+
   /** Per-group trimmed mean: drop values outside the [lo, hi] exact
     * quantiles, then average the survivors on exact integer cents.
     * Two passes (the exact-percentile pass buffers per group — at

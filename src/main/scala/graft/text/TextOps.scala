@@ -291,6 +291,37 @@ object TextOps {
         round(col("__score"), 6).as("tfidf"))
   }
 
+  /** Flesch reading-ease readability per document — the classic
+    * surface-form quality score next to [[qualityScore]]'s heuristics:
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    * with sentences counted as terminal-punctuation runs and syllables
+    * approximated as vowel-group runs (the standard regex proxy — no
+    * dictionary). All three counts are per-row integers (regex counts,
+    * floored at 1 so a fragment without punctuation still scores), so
+    * the formula is row-local and engine-exact.
+    *
+    * @return (idCol, n_words, n_sentences, n_syllables, flesch)
+    */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = size(split(trim(t), "\\s+")).cast("long")
+    val sentences = greatest(
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    val syllables = greatest(
+      size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+        .cast("long"), lit(1L))
+    docs.select(col(idCol), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables") / col("n_words")), 6)
+          .as("flesch"))
+  }
+
   /** Zipf-law fit over the head of the term-frequency distribution —
     * the corpus-health diagnostic: natural text has log(freq) falling
     * roughly linearly in log(rank) with slope ≈ −1; a much flatter or

@@ -1016,6 +1016,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.find(_._3 == 1L).map(_._2).contains(7L))
   }
 
+  test("readability: hand-counted Flesch on a two-sentence doc") {
+    // "the cat sat. it ran fast!" → 6 words, 2 sentences, vowel groups:
+    // e/a/a/i/a/a = 6 syllables → 206.835 − 1.015·3 − 84.6·1 = 119.19
+    val df = Seq((1L, "the cat sat. it ran fast!")).toDF("doc_id", "text")
+    val r = graft.text.TextOps.readability(df).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((6L, 2L, 6L)))
+    assert(math.abs(r.getDouble(4) - 119.19) < 1e-9)
+  }
+
+  test("bloomAudit: exact membership splits; observed FPR inside bound") {
+    val corpus = (1L to 200L).map(i => (i, s"corpus doc number $i"))
+      .toDF("doc_id", "text")
+    // 50 exact members + 50 fresh docs
+    val batch = ((1L to 50L).map(i => (i + 1000L, s"corpus doc number $i")) ++
+      (1L to 50L).map(i => (i + 2000L, s"fresh unseen text $i")))
+      .toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.bloomAudit(batch, corpus).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((100L, 50L, 50L)))
+    assert(r.getBoolean(3), "observed FPR must sit inside 3x design fpp")
+  }
+
   test("retrievalEval: the brute list itself scores perfect metrics") {
     val vecs = (1L to 12L).map(i =>
       (i, Array(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat), 0))

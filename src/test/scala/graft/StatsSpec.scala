@@ -165,6 +165,18 @@ class StatsSpec extends SparkSpec {
     assert(got("c3") === (0.5, true))
   }
 
+  test("equiDepthHistogram: quartiles of 1..8 hold 2 values each") {
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val got = relational.Stats.equiDepthHistogram(df, "v", nbins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // interior quantiles of 1..8 at (.25,.5,.75) = (2.75, 4.5, 6.25):
+    // values AT a boundary go left, so each bin holds exactly 2
+    assert(got.map(_._4).toSeq === Seq(2L, 2L, 2L, 2L))
+    assert(got.head === (0L, 1.0, 2.75, 2L))
+    assert(got.last === (3L, 6.25, 8.0, 2L))
+  }
+
   test("zipfFit: an exact power law recovers its exponent") {
     // counts ≈ 3000·r⁻¹ → ln(cnt) ≈ −1·ln(r) + ln 3000 up to rounding
     val tokens = (1 to 30).flatMap { r =>
