@@ -4141,6 +4141,58 @@ object OracleExt {
        |  END AS acf
        |FROM st""".stripMargin
 
+  /** PACF via Durbin–Levinson (TemporalOps.pacf): the full qAcf query
+    * as a derived table, lag-pivoted, then the identical closed forms
+    * over the 1e-6-rounded coefficients.
+    */
+  val qPacf: String =
+    s"""WITH wide AS (
+       |  SELECT unit_id,
+       |    MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+       |    MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+       |    MAX(CASE WHEN lag = 3 THEN acf END) AS r3
+       |  FROM ($qAcf) acf_t GROUP BY 1),
+       |c1 AS (SELECT unit_id, r1, r2, r3,
+       |    (1.0 - r1 * r1) AS den2,
+       |    ((r2 - r1 * r1) / (1.0 - r1 * r1)) AS phi22
+       |  FROM wide),
+       |c2 AS (SELECT *, (r1 * (1.0 - phi22)) AS phi21 FROM c1),
+       |c3 AS (SELECT *,
+       |    (1.0 - phi21 * r1 - phi22 * r2) AS den3,
+       |    ((r3 - phi21 * r2 - phi22 * r1)
+       |      / (1.0 - phi21 * r1 - phi22 * r2)) AS phi33
+       |  FROM c2),
+       |p AS (SELECT unit_id, 1 AS lag, round(r1, 6) AS pacf FROM c3
+       |  UNION ALL
+       |  SELECT unit_id, 2, CASE WHEN den2 = 0.0 THEN NULL
+       |    ELSE round(phi22, 6) END FROM c3
+       |  UNION ALL
+       |  SELECT unit_id, 3, CASE WHEN den2 = 0.0 OR den3 = 0.0 THEN NULL
+       |    ELSE round(phi33, 6) END FROM c3)
+       |SELECT unit_id, CAST(lag AS INTEGER) AS lag, pacf FROM p""".stripMargin
+
+  /** Seasonal-naive backtest (TemporalOps.forecastBacktest, period 7):
+    * the same lag forecast, 1e-9-fixed sMAPE terms, exact-integer
+    * per-unit mean.
+    */
+  val qForecast: String =
+    s"""${Oracle.panel},
+       |lx AS (SELECT unit_id, value AS x,
+       |         lag(value, 7) OVER (PARTITION BY unit_id
+       |           ORDER BY month_id) AS f
+       |       FROM panel),
+       |t AS (SELECT unit_id,
+       |    CAST(round(CASE WHEN abs(f) + abs(x) = 0.0 THEN 0.0
+       |         ELSE 2.0 * abs(f - x) / (abs(f) + abs(x)) END * 1e9)
+       |      AS BIGINT) AS t9
+       |  FROM lx
+       |  WHERE x IS NOT NULL AND NOT isnan(x)
+       |    AND f IS NOT NULL AND NOT isnan(f))
+       |SELECT unit_id, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       |  round(CAST(SUM(CAST(t9 AS HUGEINT)) AS DOUBLE) / COUNT(*) / 1e9, 6)
+       |    AS smape
+       |FROM t GROUP BY 1""".stripMargin
+
   /** Bounded-hop BFS (graphs.Bfs over the simhash near-dup pairs,
     * seeds = doc ids < 5): the frontier relaxation unrolled as one
     * chained CTE per hop — the qPageRank iteration discipline.

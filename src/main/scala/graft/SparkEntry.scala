@@ -138,6 +138,13 @@ object SparkEntry {
     // diagnostic, one row per (unit, lag), all on the shared unit
     // partitioning
     "q_acf" -> onPanel(p => TemporalOps.acf(p, "value", maxLag = 3)),
+    // r9: PACF (Durbin–Levinson over the rounded ACF) — the AR-order
+    // diagnostic companion
+    "q_pacf" -> onPanel(p => TemporalOps.pacf(p, "value")),
+    // r9: seasonal-naive forecast backtest — per-unit sMAPE, the
+    // baseline any forecaster must beat
+    "q_forecast" -> onPanel(p =>
+      TemporalOps.forecastBacktest(p, "value", period = 7)),
     // r9: PSI numeric-feature drift — first-half vs second-half months
     "q_psi" -> onPanel(p => sampling.Sampling.psi(
       p.filter(col(T) <= 15), p.filter(col(T) > 15), "value")),
@@ -2016,6 +2023,8 @@ object SparkEntry {
     "q_spearman" -> OracleExt.qSpearman,
     "q_t_closeness" -> OracleExt.qTCloseness,
     "q_theil_sen" -> OracleExt.qTheilSen,
+    "q_pacf" -> OracleExt.qPacf,
+    "q_forecast" -> OracleExt.qForecast,
     "q_changepoint" -> OracleExt.qChangepoint,
     "q_zipf" -> OracleExt.qZipf,
     "q_tfidf_terms" -> OracleExt.qTfidfTerms,

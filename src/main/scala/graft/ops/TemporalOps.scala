@@ -251,6 +251,70 @@ object TemporalOps {
         col("__s.n_pairs").as("n_pairs"), col("__s.acf").as("acf"))
   }
 
+  /** Partial autocorrelation (lags 1..3) via the Durbin–Levinson
+    * closed forms — the [[acf]] companion that isolates each lag's
+    * DIRECT effect (the Box–Jenkins AR-order diagnostic: an AR(p)
+    * series cuts off after lag p in PACF but decays in ACF).
+    *
+    * Determinism: the inputs are [[acf]]'s 1e-6-rounded coefficients
+    * (layout-proof by its own discipline), and every PACF is a short
+    * closed form over them — both engines compose identical rounded
+    * operands. Zero-variance/short units carry ACF nulls through;
+    * singular denominators (|ρ₁| = 1) yield null.
+    *
+    * @return (unit_id, lag, pacf)
+    */
+  def pacf(df: DataFrame, valueCol: String): DataFrame = {
+    val a = acf(df, valueCol, maxLag = 3)
+    val wide = a.groupBy(col(Panel.UnitCol))
+      .agg(max(when(col("lag") === 1, col("acf"))).as("__r1"),
+        max(when(col("lag") === 2, col("acf"))).as("__r2"),
+        max(when(col("lag") === 3, col("acf"))).as("__r3"))
+    val r1 = col("__r1"); val r2 = col("__r2"); val r3 = col("__r3")
+    val den2 = lit(1.0) - r1 * r1
+    val phi22 = (r2 - r1 * r1) / den2
+    val phi21 = r1 * (lit(1.0) - phi22)
+    val den3 = lit(1.0) - phi21 * r1 - phi22 * r2
+    val phi33 = (r3 - phi21 * r2 - phi22 * r1) / den3
+    val p1 = round(r1, 6)
+    val p2 = when(den2 === 0.0, lit(null).cast("double"))
+      .otherwise(round(phi22, 6))
+    val p3 = when(den2 === 0.0 || den3 === 0.0, lit(null).cast("double"))
+      .otherwise(round(phi33, 6))
+    wide.select(col(Panel.UnitCol),
+        posexplode(array(p1, p2, p3)).as(Seq("__p", "pacf")))
+      .select(col(Panel.UnitCol), (col("__p") + 1).cast("int").as("lag"),
+        col("pacf"))
+  }
+
+  /** Seasonal-naive forecast backtest: predict x(t) = x(t − period)
+    * and grade the unit with sMAPE over every month the forecast
+    * exists — the baseline any real forecaster must beat, and the
+    * drift smoke test (a regime change blows the score up). Per-row
+    * terms 2|f−a|/(|f|+|a|) (0 when both sides are 0) are fixed to
+    * 1e-9 integers before the per-unit mean — one lag window on the
+    * shared unit partitioning, exact integer aggregation.
+    *
+    * @return (unit_id, n_eval, smape) — smape in [0, 2]
+    */
+  def forecastBacktest(df: DataFrame, valueCol: String,
+                       period: Int = 7): DataFrame = {
+    require(period >= 1, s"period must be >= 1, got $period")
+    val x = col(valueCol)
+    val f = lag(x, period).over(w)
+    val ok = x.isNotNull && !isnan(x) && f.isNotNull && !isnan(f)
+    val denom = abs(f) + abs(x)
+    val term = when(denom === 0.0, lit(0.0))
+      .otherwise(lit(2.0) * abs(f - x) / denom)
+    df.select(col(Panel.UnitCol),
+        when(ok, round(term * 1e9).cast("long")).as("__t9"))
+      .filter(col("__t9").isNotNull)
+      .groupBy(col(Panel.UnitCol))
+      .agg(count(lit(1)).as("n_eval"),
+        round(sum(col("__t9")).cast("double") / count(lit(1)) / 1e9, 6)
+          .as("smape"))
+  }
+
   /** Theil–Sen robust trend: per unit, the MEDIAN of all pairwise
     * slopes (vⱼ−vᵢ)/(tⱼ−tᵢ) — the outlier-proof companion of
     * [[trendFit]]'s OLS (one wild month barely moves it; breakdown

@@ -242,6 +242,42 @@ class TemporalOpsSpec extends SparkSpec {
     assert(math.abs(l.head.asInstanceOf[Double]) < 1e-12)
   }
 
+  test("pacf: lag-1 equals acf; a perfectly autocorrelated series " +
+      "nulls the higher lags (singular Durbin-Levinson)") {
+    // linear series: acf = 1 at every lag → den2 = 1 − 1 = 0
+    val lin = panel1((1 to 12).map(_.toDouble): _*)
+    val got = TemporalOps.pacf(lin, "value")
+      .collect().map(r => r.getInt(1) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(1).contains(1.0))
+    assert(got(2).isEmpty && got(3).isEmpty)
+    // irregular series (|r1| < 1): hand-check phi22 from the
+    // Durbin–Levinson closed form over the ROUNDED acf values
+    val irr = panel1(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8)
+    val acfs = TemporalOps.acf(irr, "value", 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    val p = TemporalOps.pacf(irr, "value")
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(p(1) === acfs(1))
+    val r1 = acfs(1); val r2 = acfs(2)
+    val exp22 = BigDecimal((r2 - r1 * r1) / (1.0 - r1 * r1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p(2) === exp22)
+  }
+
+  test("forecastBacktest: an exact period-7 cycle backcasts to sMAPE 0") {
+    val cyc = panel1((0 until 21).map(i => (i % 7 + 1).toDouble): _*)
+    val r = TemporalOps.forecastBacktest(cyc, "value", period = 7)
+      .collect().head
+    assert(r.getLong(1) === 14L && r.getDouble(2) === 0.0)
+    // doubling series: f = a/2 → term = 2·(a/2)/(3a/2) = 2/3 each
+    val dbl = panel1(1, 2, 4, 8, 16, 32, 64, 128)
+    val r2 = TemporalOps.forecastBacktest(dbl, "value", period = 1)
+      .collect().head
+    assert(r2.getLong(1) === 7L)
+    assert(math.abs(r2.getDouble(2) - 2.0 / 3.0) < 1e-6)
+  }
+
   test("theilSen ignores the outlier OLS absorbs") {
     // y = 2t except one wild month: the median pairwise slope stays 2
     val p = panel1(2, 4, 6, 8, 1000, 12, 14)
