@@ -2055,6 +2055,59 @@ object OracleExt {
        |  b.votes, b.nl = q.tl AS correct
        |FROM best b JOIN q ON q.query_id = b.query_id WHERE rn = 1""".stripMargin
 
+  /** Per-label P/R/F1 oracle (Similarity.knnF1): the full kNN
+    * classification as a derived table, exact confusion-cell integers,
+    * 1e-9-rounded ratios composed identically.
+    */
+  def qKnnF1(k: Int = 10, queryMax: Int = 50): String = {
+    val p = "round(tp / npred, 9)"
+    val r = "round(tp / n_true, 9)"
+    s"""WITH cells AS (SELECT true_label, pred_label,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (${qKnnClassify(k, queryMax)}) pr GROUP BY 1, 2),
+       |bt AS (SELECT true_label AS label, SUM(n) AS n_true,
+       |    SUM(CASE WHEN pred_label = true_label THEN n ELSE 0 END) AS tp
+       |  FROM cells GROUP BY 1),
+       |bp AS (SELECT pred_label AS label, SUM(n) AS npred
+       |  FROM cells GROUP BY 1),
+       |j AS (SELECT COALESCE(bt.label, bp.label) AS label,
+       |    COALESCE(n_true, 0) AS n_true, COALESCE(tp, 0) AS tp,
+       |    COALESCE(npred, 0) AS npred
+       |  FROM bt FULL OUTER JOIN bp ON bt.label = bp.label)
+       |SELECT label, CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(tp AS BIGINT) AS tp,
+       |  CAST(npred - tp AS BIGINT) AS fp,
+       |  CAST(n_true - tp AS BIGINT) AS fn,
+       |  CASE WHEN npred = 0 THEN NULL
+       |       ELSE round($p, 6) END AS "precision",
+       |  CASE WHEN n_true = 0 THEN NULL
+       |       ELSE round($r, 6) END AS recall,
+       |  CASE WHEN npred = 0 OR n_true = 0 OR $p + $r = 0.0 THEN NULL
+       |       ELSE round(2.0 * $p * $r / ($p + $r), 6) END AS f1
+       |FROM j""".stripMargin
+  }
+
+  /** Vocabulary-coverage oracle (TextOps.vocabCoverage, ks 10/100/
+    * 1000): the same deterministic head, cumulative masses, exact
+    * integer shares.
+    */
+  def qVocabCoverage(ks: Seq[Int] = Seq(10, 100, 1000)): String =
+    s"""$norm,
+       |toks AS (SELECT unnest(string_split(nt, ' ')) AS tok FROM norm),
+       |counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM toks GROUP BY 1),
+       |tot AS (SELECT SUM(cnt) AS tot FROM counts),
+       |head AS (SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS r,
+       |    SUM(cnt) OVER (ORDER BY cnt DESC, tok
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mass
+       |  FROM (SELECT * FROM counts ORDER BY cnt DESC, tok
+       |        LIMIT ${ks.max}) h),
+       |kk AS (SELECT unnest([${ks.mkString(", ")}]) AS k)
+       |SELECT CAST(k AS INTEGER) AS k, CAST(MAX(r) AS BIGINT) AS top_terms,
+       |  CAST(MAX(mass) AS BIGINT) AS head_mass,
+       |  round(MAX(mass) / tot, 6) AS coverage
+       |FROM kk JOIN head ON r <= k, tot GROUP BY k, tot""".stripMargin
+
   /** Centroid-silhouette oracle (Similarity.silhouette): the unrolled
     * Lloyd assignment, per-vector own/other centroid distances fixed
     * 1e-9, s = (b−a)/max(a,b) fixed 1e-9, per-list exact-integer mean.

@@ -949,6 +949,12 @@ object SparkEntry {
       similarity.Similarity.knnClassify(e, e.filter(col("vec_id") < 50),
         k = 10)
     }),
+    // r9: per-label precision/recall/F1 of the kNN probe — the
+    // aggregate eval readout next to q_knn_classify
+    "q_knn_f1" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      similarity.Similarity.knnF1(e, e.filter(col("vec_id") < 50), k = 10)
+    }),
     // r9: per-cluster centroid silhouette over the IVF assignment —
     // cohesion vs separation next to q_embed_ivf_stats
     "q_silhouette" -> ((s, dir) =>
@@ -1266,6 +1272,10 @@ object SparkEntry {
     // r9: Zipf-law fit over the top-200 term frequencies — corpus
     // health: slope ≈ −1 for natural text
     "q_zipf" -> ((s, dir) => text.TextOps.zipfFit(docs(s, dir), topN = 200)),
+    // r9: vocabulary-coverage curve — token-mass share of the top-k
+    // terms (the tokenizer-budget number)
+    "q_vocab_coverage" -> ((s, dir) =>
+      text.TextOps.vocabCoverage(docs(s, dir), Seq(10, 100, 1000))),
     // r9: equi-depth (quantile-bin) price histogram — the skew-proof
     // companion of q_histogram's fixed widths
     "q_histogram_eq" -> ((s, dir) =>
@@ -1941,6 +1951,8 @@ object SparkEntry {
     "q_embed_ivf_recall" -> OracleExt.qEmbedIvfRecall,
     "q_retrieval_eval" -> OracleExt.qRetrievalEval(),
     "q_knn_classify" -> OracleExt.qKnnClassify(),
+    "q_knn_f1" -> OracleExt.qKnnF1(),
+    "q_vocab_coverage" -> OracleExt.qVocabCoverage(),
     "q_silhouette" -> OracleExt.qSilhouette(),
     "q_embed_ivf_stats" -> OracleExt.qIvfStats(),
     "q_embed_ivfpq_recall" -> OracleExt.qEmbedIvfPqRecall,

@@ -693,6 +693,44 @@ object Similarity {
         (col("__b.__l") === col("true_label")).as("correct"))
   }
 
+  /** Per-label precision/recall/F1 of the [[knnClassify]] predictions
+    * — the aggregate readout of the embedding-space label probe (macro
+    * metrics are left to the reader: per-label rows avoid cross-label
+    * float summation entirely). tp/fp/fn are exact integers from the
+    * confusion cells; precision/recall divide them in one step and F1
+    * composes the two rounded-9 ratios — engine-exact.
+    *
+    * @return (label, n_true, tp, fp, fn, precision, recall, f1)
+    */
+  def knnF1(corpus: DataFrame, queries: DataFrame, k: Int,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            labelCol: String = "label"): DataFrame = {
+    val pred = knnClassify(corpus, queries, k, idCol, vecCol, labelCol)
+    val cells = pred.groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("__n"))
+    val byTrue = cells.groupBy(col("true_label").as("label"))
+      .agg(sum(col("__n")).as("n_true"),
+        sum(when(col("pred_label") === col("true_label"), col("__n"))
+          .otherwise(0L)).as("tp"))
+    val byPred = cells.groupBy(col("pred_label").as("label"))
+      .agg(sum(col("__n")).as("__npred"))
+    val j = byTrue.join(byPred, Seq("label"), "full")
+      .na.fill(0L, Seq("n_true", "tp", "__npred"))
+    val prec = round(col("tp") / col("__npred"), 9)
+    val rec = round(col("tp") / col("n_true"), 9)
+    j.select(col("label"), col("n_true"), col("tp"),
+        (col("__npred") - col("tp")).as("fp"),
+        (col("n_true") - col("tp")).as("fn"),
+        when(col("__npred") === 0, lit(null).cast("double"))
+          .otherwise(round(prec, 6)).as("precision"),
+        when(col("n_true") === 0, lit(null).cast("double"))
+          .otherwise(round(rec, 6)).as("recall"),
+        when(col("__npred") === 0 || col("n_true") === 0 ||
+            (prec + rec) === 0.0, lit(null).cast("double"))
+          .otherwise(round(lit(2.0) * prec * rec / (prec + rec), 6))
+          .as("f1"))
+  }
+
   /** Per-cluster simplified (centroid-based) silhouette over the IVF
     * assignment — the clustering-quality companion of [[ivfStats]]:
     * for each vector, a = distance to its own centroid, b = the

@@ -291,6 +291,44 @@ object TextOps {
         round(col("__score"), 6).as("tfidf"))
   }
 
+  /** Vocabulary-coverage curve: the share of total token mass covered
+    * by the top-k terms for each requested k — the "how head-heavy is
+    * this corpus" budgeting number (a tokenizer's fixed vocab covers
+    * exactly this mass). The head is a distributed top-maxK
+    * (TakeOrderedAndProject on (count desc, token) — deterministic),
+    * the cumulative mass a window over maxK rows on a constant
+    * unfoldable key, and coverage divides exact integer masses.
+    *
+    * @return one row per k: (k, top_terms, head_mass, coverage)
+    */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int],
+                    textCol: String = "text"): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"bad ks: $ks")
+    val maxK = ks.max
+    val counts = docs
+      .select(explode(split(normalize(col(textCol)), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("__tot"),
+      count(lit(1)).as("__nterms"))
+    val wBase = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(xxhash64(col("tok")), lit(1)))
+      .orderBy(col("cnt").desc, col("tok"))
+    val wCum = wBase.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val head = counts.orderBy(col("cnt").desc, col("tok")).limit(maxK)
+      .select(row_number().over(wBase).as("__r"),
+        sum(col("cnt")).over(wCum).as("__mass"))
+    val kDf = docs.sparkSession.range(0, 1).select(
+      explode(array(ks.map(lit): _*)).as("k"))
+    kDf.join(head, col("__r") <= col("k"))
+      .groupBy("k")
+      .agg(max(col("__r")).cast("long").as("top_terms"),
+        max(col("__mass")).as("head_mass"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("top_terms"), col("head_mass"),
+        round(col("head_mass") / col("__tot"), 6).as("coverage"))
+  }
+
   /** Flesch reading-ease readability per document — the classic
     * surface-form quality score next to [[qualityScore]]'s heuristics:
     *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)

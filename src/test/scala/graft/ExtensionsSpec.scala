@@ -1074,6 +1074,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(out(10L) === ((1L, 1L, true)))
   }
 
+  test("knnF1: perfectly separable blobs score 1.0 per label") {
+    val a = (1L to 6L).map(i => (i, Array(1.0f + 0.01f * i, 0.0f), 0))
+    val b = (10L to 15L).map(i => (i, Array(-1.0f, 0.01f * i), 1))
+    val df = (a ++ b).toDF("vec_id", "embedding", "label")
+    val q = df.filter(col("vec_id").isin(1L, 2L, 10L, 11L))
+    val got = graft.similarity.Similarity.knnF1(df, q, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(7))).toMap
+    // two queries per label, all classified right: tp=2, fp=fn=0, f1=1
+    assert(got(0L) === ((2L, 2L, 0L, 0L, 1.0)))
+    assert(got(1L) === ((2L, 2L, 0L, 0L, 1.0)))
+  }
+
+  test("vocabCoverage: hand-counted head shares on a tiny corpus") {
+    // counts: aa×6, bb×3, cc×1 → total 10; top-1 covers .6, top-2 .9
+    val df = Seq((1L, "aa aa aa bb"), (2L, "aa aa aa bb bb cc"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextOps.vocabCoverage(df, Seq(1, 2, 10))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1) === ((1L, 6L, 0.6)))
+    assert(got(2) === ((2L, 9L, 0.9)))
+    assert(got(10) === ((3L, 10L, 1.0))) // vocab smaller than k
+  }
+
   test("silhouette: separated blobs score positive in every list") {
     val a = (1L to 8L).map(i => (i, Array(1.0f + 0.001f * i, 0.0f), 0))
     val b = (9L to 16L).map(i => (i, Array(-1.0f, 1.0f + 0.001f * i), 1))
