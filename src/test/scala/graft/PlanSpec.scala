@@ -432,4 +432,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("hll_sketch_agg"), plan) // the production path
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("linkPredict wedges join on the shared neighbor, never all-pairs") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val plan = graphs.LinkPredict.scores(edges)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("theilSen pairs self-join on the unit key, never a product") {
+    val p = Seq((1L, 1L, 1.0), (2L, 1L, 2.0))
+      .toDF(Panel.TimeCol, Panel.UnitCol, "value")
+    val plan = ops.TemporalOps.theilSen(p, "value")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("silhouette's centroid candidates broadcast — corpus never products") {
+    val emb = (1L to 8L).map(i => (i, Array(i.toFloat, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val plan = similarity.Similarity.silhouette(emb, nlists = 2)
+      .queryExecution.executedPlan.toString()
+    // the ONLY product is the bounded nlists-row centroid broadcast
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }
