@@ -4194,6 +4194,69 @@ object OracleExt {
        |  END AS acf
        |FROM st""".stripMargin
 
+  private val spatialCellsCtes =
+    s"""${Oracle.panel},
+       |cells AS (SELECT month_id, unit_id,
+       |    unit_id % 40 AS lon, unit_id // 40 AS lat,
+       |    CAST(round(value * 1e6) AS BIGINT) AS x6
+       |  FROM panel),
+       |ms AS (SELECT month_id, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(x6 AS HUGEINT)) AS s6,
+       |    SUM(CAST(x6 AS HUGEINT) * x6) AS q
+       |  FROM cells GROUP BY 1)""".stripMargin
+
+  /** Global Moran's I (SpatialStats.moranI): queen pairs via the
+    * coordinate join, exact integer z'ᵢ = n·x6ᵢ − Σx6 cross-products,
+    * the denominator from the month moments — identical closed form.
+    */
+  val qMoranI: String =
+    s"""$spatialCellsCtes,
+       |off(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+       |                       (0,1),(1,-1),(1,0),(1,1)),
+       |pr AS (SELECT c.month_id,
+       |    (m.n * c.x6 - m.s6) * (m.n * nb.x6 - m.s6) AS zz
+       |  FROM cells c CROSS JOIN off k
+       |  JOIN cells nb ON nb.month_id = c.month_id
+       |    AND nb.lon = c.lon + k.dx AND nb.lat = c.lat + k.dy
+       |  JOIN ms m ON m.month_id = c.month_id),
+       |ag AS (SELECT month_id, SUM(zz) AS num,
+       |    CAST(COUNT(*) AS BIGINT) AS w_sum
+       |  FROM pr GROUP BY 1)
+       |SELECT m.month_id, m.n, COALESCE(a.w_sum, 0) AS w_sum,
+       |  CASE WHEN (m.n * m.n * m.q - m.n * m.s6 * m.s6) = 0
+       |            OR COALESCE(a.w_sum, 0) = 0 THEN NULL
+       |       ELSE round((CAST(m.n AS DOUBLE) / a.w_sum)
+       |         * (CAST(a.num AS DOUBLE)
+       |            / CAST(m.n * m.n * m.q - m.n * m.s6 * m.s6 AS DOUBLE)), 6)
+       |  END AS moran_i
+       |FROM ms m LEFT JOIN ag a USING (month_id)""".stripMargin
+
+  /** Local Getis–Ord Gi* (SpatialStats.getisOrdGi): queen-plus-self
+    * neighbour sums, exact month moments, the same z-score closed form.
+    */
+  val qGetisOrd: String =
+    s"""$spatialCellsCtes,
+       |off(dx, dy) AS (VALUES (0,0),(-1,-1),(-1,0),(-1,1),(0,-1),
+       |                       (0,1),(1,-1),(1,0),(1,1)),
+       |gs AS (SELECT c.month_id, c.unit_id,
+       |    CAST(COUNT(*) AS BIGINT) AS w_i,
+       |    SUM(CAST(nb.x6 AS HUGEINT)) AS g6
+       |  FROM cells c CROSS JOIN off k
+       |  JOIN cells nb ON nb.month_id = c.month_id
+       |    AND nb.lon = c.lon + k.dx AND nb.lat = c.lat + k.dy
+       |  GROUP BY 1, 2)
+       |SELECT g.month_id, g.unit_id, g.w_i,
+       |  CASE WHEN (m.n * m.q - m.s6 * m.s6) = 0 OR m.n <= 1
+       |            OR (m.n * g.w_i - g.w_i * g.w_i) = 0 THEN NULL
+       |       ELSE round((CAST(g.g6 AS DOUBLE) / 1e6
+       |           - (CAST(m.s6 AS DOUBLE) / m.n / 1e6) * g.w_i)
+       |         / (sqrt(CAST(m.n * m.q - m.s6 * m.s6 AS DOUBLE)
+       |                 / m.n / m.n / 1e12)
+       |            * sqrt(CAST(m.n * g.w_i - g.w_i * g.w_i AS DOUBLE)
+       |                   / (m.n - 1))), 6)
+       |  END AS gi
+       |FROM gs g JOIN ms m USING (month_id)""".stripMargin
+
   /** PACF via Durbin–Levinson (TemporalOps.pacf): the full qAcf query
     * as a derived table, lag-pivoted, then the identical closed forms
     * over the 1e-6-rounded coefficients.

@@ -224,6 +224,12 @@ object SparkEntry {
             .as("zkey"))),
 
     // §2.8 spatial
+    // r9: global Moran's I per month — "is the map clustered at all",
+    // the inference companion of the spatial-lag features
+    "q_moran" -> onGrid(gp => spatial.SpatialStats.moranI(gp, "value")),
+    // r9: local Getis–Ord Gi* hot/cold-spot z-scores per (month, cell)
+    "q_getis_ord" -> onGrid(gp =>
+      spatial.SpatialStats.getisOrdGi(gp, "value")),
     "q_splag4d" -> onGrid(gp =>
       KernelLag.splag4d(gp, "value", 1, 1, 1.0, norm = false)
         .select(col(T), col(U), col("splag"))),
@@ -1796,6 +1802,8 @@ object SparkEntry {
     "q_list_totally_missing" -> Oracle.qListTotallyMissing,
     "q_panel_gaps" -> Oracle.qPanelGaps,
     "q_zorder" -> OracleExt.qZorder,
+    "q_moran" -> OracleExt.qMoranI,
+    "q_getis_ord" -> OracleExt.qGetisOrd,
     "q_splag4d" -> Oracle.qSplag4d,
     "q_splag4d_norm" -> Oracle.qSplag4dNorm,
     "q_splag4d_multi" -> Oracle.qSplag4dMulti,

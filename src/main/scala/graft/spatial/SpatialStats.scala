@@ -1,0 +1,131 @@
+package graft.spatial
+
+import graft.Panel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classical spatial-autocorrelation statistics over the unit grid —
+  * the inference companions of the spatial-LAG features (splag4d and
+  * friends FEED models; these two TEST the spatial signal itself):
+  *
+  *  - global Moran's I per month ("is the map clustered at all?")
+  *  - local Getis–Ord Gi* per (month, cell) ("WHERE are the hot and
+  *    cold spots?") — the standard conflict-diffusion screening pair
+  *    for exactly the panel data the reference models.
+  *
+  * Both use binary queen contiguity (the 8-neighbour kernel, Gi* with
+  * self), materialised the splag4d way: convolution-as-join against a
+  * broadcast offsets table on exact grid coordinates — |panel|×9 rows
+  * through hash aggregations, no N² pair set, no dense matrix.
+  *
+  * Determinism (the gate discipline): values are fixed to 1e-6
+  * integers at the scan; every neighbour sum, cross-sectional moment
+  * and demeaned cross-product is EXACT integer/DECIMAL arithmetic
+  * (Moran's numerator uses z_i = n·x_i − Σx so no rational mean is
+  * ever summed); floats appear only in the final closed forms.
+  */
+object SpatialStats {
+
+  private val Dec = "decimal(38,0)"
+
+  private def offsets(spark: org.apache.spark.sql.SparkSession,
+                      withSelf: Boolean): DataFrame = {
+    import spark.implicits._
+    val o = for { dx <- -1 to 1; dy <- -1 to 1
+                  if withSelf || dx != 0 || dy != 0 } yield (dx, dy)
+    o.toDF("dx", "dy")
+  }
+
+  private def cells(panel: DataFrame, valueCol: String,
+                    lonCol: String, latCol: String): DataFrame =
+    panel.select(col(Panel.TimeCol), col(Panel.UnitCol),
+      col(lonCol).as("__lon"), col(latCol).as("__lat"),
+      round(col(valueCol) * 1e6).cast("long").as("__x6"))
+
+  private def monthStats(c: DataFrame): DataFrame =
+    c.groupBy(col(Panel.TimeCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x6").cast(Dec)).as("__s6"),
+        sum(col("__x6").cast(Dec) * col("__x6")).as("__q"))
+
+  /** Global Moran's I per month over queen contiguity.
+    *
+    * I = (n/W) · Σᵢⱼ wᵢⱼ zᵢ zⱼ / Σᵢ zᵢ², computed on the integer
+    * z'ᵢ = n·x6ᵢ − Σx6 (= n·zᵢ in 1e-6 units — the scale cancels in
+    * the ratio), with Σ z'ᵢ² = n²·Σx6² − n·(Σx6)² needing no second
+    * pass. W = pair count (binary weights).
+    *
+    * @return (month_id, n, w_sum, moran_i) — null when variance 0
+    */
+  def moranI(panel: DataFrame, valueCol: String,
+             lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    val c = cells(panel, valueCol, lonCol, latCol)
+    val ms = monthStats(c)
+    val nb = c.select(col(Panel.TimeCol).as("__nt"),
+      col("__lon").as("__nlon"), col("__lat").as("__nlat"),
+      col("__x6").as("__nx6"))
+    val z = (cc: org.apache.spark.sql.Column) =>
+      col("__n").cast(Dec) * cc - col("__s6")
+    val num = c
+      .crossJoin(broadcast(offsets(panel.sparkSession, withSelf = false)))
+      .join(nb, col("__nt") === col(Panel.TimeCol) &&
+        col("__nlon") === col("__lon") + col("dx") &&
+        col("__nlat") === col("__lat") + col("dy"))
+      .join(broadcast(ms), Panel.TimeCol)
+      .groupBy(col(Panel.TimeCol))
+      .agg(sum(z(col("__x6")) * z(col("__nx6"))).as("__num"),
+        count(lit(1)).as("w_sum"))
+    val den = col("__n").cast(Dec) * col("__n") * col("__q") -
+      col("__n").cast(Dec) * col("__s6") * col("__s6")
+    ms.join(num, Seq(Panel.TimeCol), "left")
+      .na.fill(0L, Seq("w_sum"))
+      .select(col(Panel.TimeCol), col("__n").as("n"), col("w_sum"),
+        when(den === 0 || col("w_sum") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("__n").cast("double") / col("w_sum")) *
+              (col("__num").cast("double") / den.cast("double")), 6))
+          .as("moran_i"))
+  }
+
+  /** Local Getis–Ord Gi* per (month, cell) over queen-plus-self
+    * contiguity:
+    *   Gi* = (Σⱼ wᵢⱼ xⱼ − x̄·Wᵢ) / (s·√((n·Wᵢ − Wᵢ²)/(n−1)))
+    * with x̄/s the month's cross-sectional mean and population std.
+    * Every input (neighbour sum, Wᵢ, moments) is exact; the z-score is
+    * one closed form. |Gi*| ≳ 2 flags a hot/cold spot.
+    *
+    * @return (month_id, unit_id, w_i, gi) — null when s = 0 or n ≤ 1
+    */
+  def getisOrdGi(panel: DataFrame, valueCol: String,
+                 lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    val c = cells(panel, valueCol, lonCol, latCol)
+    val ms = monthStats(c)
+    val nb = c.select(col(Panel.TimeCol).as("__nt"),
+      col("__lon").as("__nlon"), col("__lat").as("__nlat"),
+      col("__x6").as("__nx6"))
+    val gs = c
+      .crossJoin(broadcast(offsets(panel.sparkSession, withSelf = true)))
+      .join(nb, col("__nt") === col(Panel.TimeCol) &&
+        col("__nlon") === col("__lon") + col("dx") &&
+        col("__nlat") === col("__lat") + col("dy"))
+      .groupBy(col(Panel.TimeCol), col(Panel.UnitCol))
+      .agg(count(lit(1)).as("w_i"),
+        sum(col("__nx6").cast(Dec)).as("__g6"))
+    val mean = col("__s6").cast("double") / col("__n") / 1e6
+    val varPop = (col("__n").cast(Dec) * col("__q") -
+      col("__s6") * col("__s6")).cast("double") /
+      col("__n") / col("__n") / 1e12
+    val varInt = col("__n").cast(Dec) * col("__q") -
+      col("__s6") * col("__s6")
+    val gi = (col("__g6").cast("double") / 1e6 - mean * col("w_i")) /
+      (sqrt(varPop) *
+        sqrt((col("__n") * col("w_i") - col("w_i") * col("w_i"))
+          .cast("double") / (col("__n") - 1)))
+    gs.join(broadcast(ms), Panel.TimeCol)
+      .select(col(Panel.TimeCol), col(Panel.UnitCol), col("w_i"),
+        when(varInt === 0 || col("__n") <= 1 ||
+            col("__n") * col("w_i") - col("w_i") * col("w_i") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(gi, 6)).as("gi"))
+  }
+}

@@ -178,4 +178,54 @@ class SpatialSpec extends SparkSpec {
       }
     }
   }
+
+  /** 3×3 block of the 40-wide unit grid (lat·40 + lon), month 1. */
+  private def grid3x3(vals: Double*): org.apache.spark.sql.DataFrame = {
+    require(vals.length == 9)
+    val units = for { lat <- 0 to 2; lon <- 0 to 2 } yield lat * 40L + lon
+    units.zip(vals).map { case (u, v) => (1L, u, v) }
+      .toDF(T, U, "value")
+      .withColumn("lon", Grid.unitLon(col(U)))
+      .withColumn("lat", Grid.unitLat(col(U)))
+  }
+
+  test("moranI: gradient attracts, checkerboard repels, constant null") {
+    // smooth column gradient → strong positive autocorrelation
+    val grad = grid3x3(0, 1, 2, 0, 1, 2, 0, 1, 2)
+    val rg = spatial.SpatialStats.moranI(grad, "value").collect().head
+    assert(rg.getLong(1) === 9L)
+    assert(rg.getLong(2) === 40L) // queen pair count on a 3x3 block
+    assert(rg.getDouble(3) > 0.2, s"gradient must attract: $rg")
+    // checkerboard: rook neighbours differ, diagonals agree → mildly
+    // negative under QUEEN contiguity (not the rook −1)
+    val checker = grid3x3(1, 0, 1, 0, 1, 0, 1, 0, 1)
+    val rc = spatial.SpatialStats.moranI(checker, "value").collect().head
+    assert(rc.getDouble(3) < 0.0, s"checkerboard must repel: $rc")
+    val flat = grid3x3(5, 5, 5, 5, 5, 5, 5, 5, 5)
+    assert(spatial.SpatialStats.moranI(flat, "value")
+      .collect().head.isNullAt(3), "zero variance must be null")
+  }
+
+  test("getisOrdGi: a planted peak is the hottest cell") {
+    // 4×4 block, peak at (lon 1, lat 1) = unit 41 — interior cells see
+    // 9 of 16 cells so no neighbourhood degenerates to the whole field
+    val units = for { lat <- 0 to 3; lon <- 0 to 3 } yield lat * 40L + lon
+    val peak = units.map(u => (1L, u, if (u == 41L) 9.0 else 0.0))
+      .toDF(T, U, "value")
+      .withColumn("lon", Grid.unitLon(col(U)))
+      .withColumn("lat", Grid.unitLat(col(U)))
+    val got = spatial.SpatialStats.getisOrdGi(peak, "value")
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(41L)._1 === 9L)
+    // every cell whose queen-plus-self neighbourhood contains the peak
+    // is hot (its window holds ALL the mass); everyone else is cold.
+    // Gi* normalizes by window size, so the small corner window (0,0)
+    // scores HIGHER than the peak's own 9-cell window — the statistic
+    // working as designed, not a bug.
+    val nearPeak = Set(0L, 1L, 2L, 40L, 41L, 42L, 80L, 81L, 82L)
+    nearPeak.foreach(u => assert(got(u)._2 > 0.0, s"$u must be hot: $got"))
+    (got.keySet -- nearPeak).foreach(u =>
+      assert(got(u)._2 < 0.0, s"$u must be cold: $got"))
+  }
 }
