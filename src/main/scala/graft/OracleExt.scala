@@ -4231,6 +4231,55 @@ object OracleExt {
        |  END AS moran_i
        |FROM ms m LEFT JOIN ag a USING (month_id)""".stripMargin
 
+  /** Geary's C (SpatialStats.gearyC): exact 1e-12-unit squared
+    * differences over queen pairs, the moranI no-second-pass
+    * denominator, the same closed form.
+    */
+  val qGearyC: String =
+    s"""$spatialCellsCtes,
+       |off(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+       |                       (0,1),(1,-1),(1,0),(1,1)),
+       |pr AS (SELECT c.month_id,
+       |    (CAST(c.x6 AS HUGEINT) - nb.x6) * (CAST(c.x6 AS HUGEINT) - nb.x6)
+       |      AS dd
+       |  FROM cells c CROSS JOIN off k
+       |  JOIN cells nb ON nb.month_id = c.month_id
+       |    AND nb.lon = c.lon + k.dx AND nb.lat = c.lat + k.dy),
+       |ag AS (SELECT month_id, SUM(dd) AS num,
+       |    CAST(COUNT(*) AS BIGINT) AS w_sum
+       |  FROM pr GROUP BY 1)
+       |SELECT m.month_id, m.n, COALESCE(a.w_sum, 0) AS w_sum,
+       |  CASE WHEN (m.n * m.q - m.s6 * m.s6) = 0
+       |            OR COALESCE(a.w_sum, 0) = 0 OR m.n <= 1 THEN NULL
+       |       ELSE round((CAST(m.n - 1 AS DOUBLE) * m.n / (2 * a.w_sum))
+       |         * (CAST(a.num AS DOUBLE)
+       |            / CAST(m.n * m.q - m.s6 * m.s6 AS DOUBLE)), 6)
+       |  END AS geary_c
+       |FROM ms m LEFT JOIN ag a USING (month_id)""".stripMargin
+
+  /** Local Moran Iᵢ (SpatialStats.localMoran): the integer z' scaling,
+    * per-cell neighbour z-sums, one float division.
+    */
+  val qLocalMoran: String =
+    s"""$spatialCellsCtes,
+       |off(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+       |                       (0,1),(1,-1),(1,0),(1,1)),
+       |sums AS (SELECT c.month_id, c.unit_id,
+       |    CAST(COUNT(*) AS BIGINT) AS w_i,
+       |    MAX(m.n * c.x6 - m.s6) AS zi,
+       |    SUM(m.n * nb.x6 - m.s6) AS zsum
+       |  FROM cells c CROSS JOIN off k
+       |  JOIN cells nb ON nb.month_id = c.month_id
+       |    AND nb.lon = c.lon + k.dx AND nb.lat = c.lat + k.dy
+       |  JOIN ms m ON m.month_id = c.month_id
+       |  GROUP BY 1, 2)
+       |SELECT s.month_id, s.unit_id, s.w_i,
+       |  CASE WHEN (m.n * m.n * m.q - m.n * m.s6 * m.s6) = 0 THEN NULL
+       |       ELSE round(CAST(m.n AS DOUBLE) * (CAST(s.zi * s.zsum AS DOUBLE)
+       |         / CAST(m.n * m.n * m.q - m.n * m.s6 * m.s6 AS DOUBLE)), 6)
+       |  END AS local_i
+       |FROM sums s JOIN ms m USING (month_id)""".stripMargin
+
   /** Local Getis–Ord Gi* (SpatialStats.getisOrdGi): queen-plus-self
     * neighbour sums, exact month moments, the same z-score closed form.
     */

@@ -70,6 +70,10 @@ object Registry {
         .withColumn("value", col("__v")).drop("__v")
     }
 
+  private def withGrid(df: DataFrame): DataFrame =
+    df.withColumn("lon", Grid.unitLon(col(Panel.UnitCol)))
+      .withColumn("lat", Grid.unitLat(col(Panel.UnitCol)))
+
   /** Spatial op: derive the grid embedding columns the same way the
     * driver harness does (Grid.unitLon/unitLat), run, re-join.
     */
@@ -132,6 +136,14 @@ object Registry {
     "theil_sen" -> ((df, _) => TemporalOps.theilSen(df, "value")),
     // terminal per-unit level-shift changepoint argmax
     "changepoint" -> ((df, _) => TemporalOps.changepoint(df, "value")),
+    // terminal spatial-autocorrelation statistics (grid geometry
+    // derived the spatialT way)
+    "moran_i" -> ((df, _) => spatial.SpatialStats.moranI(withGrid(df), "value")),
+    "geary_c" -> ((df, _) => spatial.SpatialStats.gearyC(withGrid(df), "value")),
+    "getis_ord" -> ((df, _) =>
+      spatial.SpatialStats.getisOrdGi(withGrid(df), "value")),
+    "local_moran" -> ((df, _) =>
+      spatial.SpatialStats.localMoran(withGrid(df), "value")),
     "onset_possible" -> colT((c, a) => TemporalOps.onsetPossible(c, a.num(0).toInt).cast("double")),
     "onset" -> colT((c, a) => TemporalOps.onset(c, a.num(0).toInt).cast("double")),
     "temporal_entropy" -> colT((c, a) => TemporalOps.temporalEntropy(c, a.num(0).toInt, a.num(1))),

@@ -230,6 +230,11 @@ object SparkEntry {
     // r9: local Getis–Ord Gi* hot/cold-spot z-scores per (month, cell)
     "q_getis_ord" -> onGrid(gp =>
       spatial.SpatialStats.getisOrdGi(gp, "value")),
+    // r9: Geary's C — the difference-based Moran sibling
+    "q_geary" -> onGrid(gp => spatial.SpatialStats.gearyC(gp, "value")),
+    // r9: local Moran Iᵢ (LISA) — which cells sit in / break a cluster
+    "q_local_moran" -> onGrid(gp =>
+      spatial.SpatialStats.localMoran(gp, "value")),
     "q_splag4d" -> onGrid(gp =>
       KernelLag.splag4d(gp, "value", 1, 1, 1.0, norm = false)
         .select(col(T), col(U), col("splag"))),
@@ -1804,6 +1809,8 @@ object SparkEntry {
     "q_zorder" -> OracleExt.qZorder,
     "q_moran" -> OracleExt.qMoranI,
     "q_getis_ord" -> OracleExt.qGetisOrd,
+    "q_geary" -> OracleExt.qGearyC,
+    "q_local_moran" -> OracleExt.qLocalMoran,
     "q_splag4d" -> Oracle.qSplag4d,
     "q_splag4d_norm" -> Oracle.qSplag4dNorm,
     "q_splag4d_multi" -> Oracle.qSplag4dMulti,

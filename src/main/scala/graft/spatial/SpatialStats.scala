@@ -87,6 +87,87 @@ object SpatialStats {
           .as("moran_i"))
   }
 
+  /** Geary's C per month — Moran's difference-based sibling (more
+    * sensitive to LOCAL dissimilarity; 1 = random, <1 clustered,
+    * >1 repelling):
+    *   C = ((n−1)/(2W)) · Σᵢⱼ wᵢⱼ (xᵢ−xⱼ)² / Σᵢ (xᵢ−x̄)²
+    * The pairwise squared differences are exact 1e-12-unit integers
+    * and the denominator uses the same no-second-pass identity as
+    * [[moranI]] (Σ(xᵢ−x̄)² = (n·Σx² − (Σx)²)/n — kept as n·Σ(x−x̄)²
+    * integers so nothing rational is ever summed).
+    *
+    * @return (month_id, n, w_sum, geary_c) — null when variance 0
+    */
+  def gearyC(panel: DataFrame, valueCol: String,
+             lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    val c = cells(panel, valueCol, lonCol, latCol)
+    val ms = monthStats(c)
+    val nbb = c.select(col(Panel.TimeCol).as("__nt"),
+      col("__lon").as("__nlon"), col("__lat").as("__nlat"),
+      col("__x6").as("__nx6"))
+    val d = col("__x6").cast(Dec) - col("__nx6")
+    val num = c
+      .crossJoin(broadcast(offsets(panel.sparkSession, withSelf = false)))
+      .join(nbb, col("__nt") === col(Panel.TimeCol) &&
+        col("__nlon") === col("__lon") + col("dx") &&
+        col("__nlat") === col("__lat") + col("dy"))
+      .groupBy(col(Panel.TimeCol))
+      .agg(sum(d * d).as("__num"), count(lit(1)).as("w_sum"))
+    // n·Σ(x−x̄)² in exact 1e-12-unit integers: n·Σx² − (Σx)²
+    val denInt = col("__n").cast(Dec) * col("__q") -
+      col("__s6") * col("__s6")
+    ms.join(num, Seq(Panel.TimeCol), "left")
+      .na.fill(0L, Seq("w_sum"))
+      .select(col(Panel.TimeCol), col("__n").as("n"), col("w_sum"),
+        when(denInt === 0 || col("w_sum") === 0 || col("__n") <= 1,
+          lit(null).cast("double"))
+          .otherwise(round(
+            ((col("__n") - 1).cast("double") * col("__n") /
+              (lit(2) * col("w_sum"))) *
+              (col("__num").cast("double") / denInt.cast("double")), 6))
+          .as("geary_c"))
+  }
+
+  /** Local Moran Iᵢ (LISA) per (month, cell) — which cells SIT in a
+    * cluster (high-high / low-low → positive) or break one (high-low →
+    * negative):
+    *   Iᵢ = n·z'ᵢ·Σⱼ wᵢⱼ z'ⱼ / Σⱼ z'ⱼ²  over z'ᵢ = n·x6ᵢ − Σx6
+    * (the moranI integer scaling — both n factors cancel against the
+    * denominator's, leaving the textbook zᵢ·Σwz/(Σz²/n)). All products
+    * are exact DECIMALs; one float division at the end.
+    *
+    * @return (month_id, unit_id, w_i, local_i) — null when variance 0
+    */
+  def localMoran(panel: DataFrame, valueCol: String,
+                 lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    val c = cells(panel, valueCol, lonCol, latCol)
+    val ms = monthStats(c)
+    val nbb = c.select(col(Panel.TimeCol).as("__nt"),
+      col("__lon").as("__nlon"), col("__lat").as("__nlat"),
+      col("__x6").as("__nx6"))
+    val zSelf = col("__n").cast(Dec) * col("__x6") - col("__s6")
+    val zNb = col("__n").cast(Dec) * col("__nx6") - col("__s6")
+    val sums = c
+      .crossJoin(broadcast(offsets(panel.sparkSession, withSelf = false)))
+      .join(nbb, col("__nt") === col(Panel.TimeCol) &&
+        col("__nlon") === col("__lon") + col("dx") &&
+        col("__nlat") === col("__lat") + col("dy"))
+      .join(broadcast(ms), Panel.TimeCol)
+      .groupBy(col(Panel.TimeCol), col(Panel.UnitCol))
+      .agg(count(lit(1)).as("w_i"),
+        max(zSelf).as("__zi"), sum(zNb).as("__zsum"))
+    val denInt = col("__n").cast(Dec) * col("__n") * col("__q") -
+      col("__n").cast(Dec) * col("__s6") * col("__s6")
+    sums.join(broadcast(ms), Panel.TimeCol)
+      .select(col(Panel.TimeCol), col(Panel.UnitCol), col("w_i"),
+        when(denInt === 0, lit(null).cast("double"))
+          .otherwise(round(
+            col("__n").cast("double") *
+              ((col("__zi") * col("__zsum")).cast("double") /
+                denInt.cast("double")), 6))
+          .as("local_i"))
+  }
+
   /** Local Getis–Ord Gi* per (month, cell) over queen-plus-self
     * contiguity:
     *   Gi* = (Σⱼ wᵢⱼ xⱼ − x̄·Wᵢ) / (s·√((n·Wᵢ − Wᵢ²)/(n−1)))

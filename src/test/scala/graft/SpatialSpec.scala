@@ -206,6 +206,30 @@ class SpatialSpec extends SparkSpec {
       .collect().head.isNullAt(3), "zero variance must be null")
   }
 
+  test("gearyC: gradient clusters (<1), constant is null") {
+    val grad = grid3x3(0, 1, 2, 0, 1, 2, 0, 1, 2)
+    val rg = spatial.SpatialStats.gearyC(grad, "value").collect().head
+    assert(rg.getLong(2) === 40L)
+    assert(rg.getDouble(3) < 1.0 && rg.getDouble(3) > 0.0,
+      s"gradient must cluster: $rg")
+    val flat = grid3x3(4, 4, 4, 4, 4, 4, 4, 4, 4)
+    assert(spatial.SpatialStats.gearyC(flat, "value")
+      .collect().head.isNullAt(3))
+  }
+
+  test("localMoran: gradient cells agree with neighbours (edges positive)") {
+    // column gradient 0/1/2: left and right columns sit below/above the
+    // mean WITH like-valued neighbours → positive local I; the middle
+    // column IS the mean (z = 0) → local I exactly 0
+    val grad = grid3x3(0, 1, 2, 0, 1, 2, 0, 1, 2)
+    val got = spatial.SpatialStats.localMoran(grad, "value")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    Seq(0L, 40L, 80L, 2L, 42L, 82L).foreach(u =>
+      assert(got(u) > 0.0, s"edge column $u must be positive: $got"))
+    Seq(1L, 41L, 81L).foreach(u =>
+      assert(got(u) === 0.0, s"mean column $u must be zero: $got"))
+  }
+
   test("getisOrdGi: a planted peak is the hottest cell") {
     // 4×4 block, peak at (lon 1, lat 1) = unit 41 — interior cells see
     // 9 of 16 cells so no neighbourhood degenerates to the whole field
