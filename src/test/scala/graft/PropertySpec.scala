@@ -522,4 +522,44 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(allOf(2) == allOf(17))
   }
+
+  test("partitioning invariance: spearman, anova, spatial stats, NDCG") {
+    val panel = (for { u <- 1L to 60L; m <- 1L to 12L } yield
+      (m, u, math.sin(u * 0.7 + m * 1.3) * 50.0 + (u % 7)))
+      .toDF(Panel.TimeCol, Panel.UnitCol, "value")
+      .withColumn("lon", graft.spatial.Grid.unitLon(col(Panel.UnitCol)))
+      .withColumn("lat", graft.spatial.Grid.unitLat(col(Panel.UnitCol)))
+    val li = (1 to 3000).map(i =>
+      (i % 47, (i * 31) % 11, 1e3 + (i % 13) * 7.77, s"g${i % 3}"))
+      .toDF("qty", "disc", "price", "grp")
+    val emb = (1L to 60L).map(i =>
+      (i, Array(math.cos(i * 0.5).toFloat, math.sin(i * 0.3).toFloat,
+        (i % 5).toFloat), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    def allOf(parts: Int): Seq[Set[Seq[Any]]] = {
+      val p = panel.repartition(parts)
+      val l = li.repartition(parts)
+      val e = emb.repartition(parts)
+      val q = e.filter(col("vec_id") <= 5)
+      Seq(
+        graft.relational.Stats.spearman(l, "qty", "disc")
+          .collect().map(_.toSeq).toSet,
+        graft.relational.Stats.anovaF(l, "grp", "price", critical = 3.0)
+          .collect().map(_.toSeq).toSet,
+        graft.spatial.SpatialStats.moranI(p, "value")
+          .collect().map(_.toSeq).toSet,
+        graft.spatial.SpatialStats.gearyC(p, "value")
+          .collect().map(_.toSeq).toSet,
+        graft.spatial.SpatialStats.getisOrdGi(p, "value")
+          .collect().map(_.toSeq).toSet,
+        graft.spatial.SpatialStats.localMoran(p, "value")
+          .collect().map(_.toSeq).toSet,
+        graft.similarity.Similarity.retrievalEval(e, q,
+            graft.similarity.Similarity.quantizedTopK(e, q, 5), 5)
+          .collect().map(_.toSeq).toSet,
+        graft.similarity.Similarity.knnF1(e, q, 5)
+          .collect().map(_.toSeq).toSet)
+    }
+    assert(allOf(2) == allOf(17))
+  }
 }
