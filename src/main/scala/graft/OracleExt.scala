@@ -4306,6 +4306,56 @@ object OracleExt {
        |  END AS gi
        |FROM gs g JOIN ms m USING (month_id)""".stripMargin
 
+  /** Mann–Kendall trend (TemporalOps.mannKendall): the same pair
+    * signs, exact integer S, n recovered from the pair count by the
+    * identical closed form.
+    */
+  val qMannKendall: String =
+    s"""${Oracle.panel},
+       |obs AS (SELECT unit_id, month_id, value AS v FROM panel
+       |  WHERE value IS NOT NULL AND NOT isnan(value)),
+       |pr AS (SELECT a.unit_id, CAST(sign(b.v - a.v) AS BIGINT) AS sgn
+       |  FROM obs a JOIN obs b
+       |    ON a.unit_id = b.unit_id AND a.month_id < b.month_id),
+       |g AS (SELECT unit_id, CAST(COUNT(*) AS BIGINT) AS np,
+       |    SUM(sgn) AS s
+       |  FROM pr GROUP BY 1)
+       |SELECT unit_id,
+       |  CAST(round((1.0 + sqrt(1.0 + 8.0 * np)) / 2.0) AS BIGINT) AS n,
+       |  CAST(s AS BIGINT) AS s, round(s / np, 6) AS tau
+       |FROM g""".stripMargin
+
+  /** Emerging-hot-spot taxonomy (SpatialStats.emergingHotspots): the
+    * full Gi* query as a derived table, exact MK integers over the
+    * rounded z-scores, arg_max for the last month, identical CASE
+    * ladder.
+    */
+  val qEmergingHotspots: String =
+    s"""WITH gi AS (SELECT month_id, unit_id, gi
+       |  FROM ($qGetisOrd) g0 WHERE gi IS NOT NULL),
+       |mk AS (SELECT a.unit_id,
+       |    SUM(CAST(sign(b.gi - a.gi) AS BIGINT)) AS mk_s
+       |  FROM gi a JOIN gi b
+       |    ON a.unit_id = b.unit_id AND a.month_id < b.month_id
+       |  GROUP BY 1),
+       |per AS (SELECT unit_id, CAST(COUNT(*) AS BIGINT) AS n_months,
+       |    CAST(SUM(CASE WHEN gi > 1.96 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hot,
+       |    CAST(SUM(CASE WHEN gi < -1.96 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_cold,
+       |    arg_max(gi, month_id) AS last_gi
+       |  FROM gi GROUP BY 1)
+       |SELECT p.unit_id, p.n_months, p.n_hot, p.n_cold,
+       |  CAST(COALESCE(m.mk_s, 0) AS BIGINT) AS mk_s,
+       |  CASE WHEN p.n_hot * 10 >= p.n_months * 9
+       |            AND COALESCE(m.mk_s, 0) > 0 THEN 'intensifying'
+       |       WHEN p.n_hot * 10 >= p.n_months * 9 THEN 'persistent'
+       |       WHEN p.last_gi > 1.96 AND p.n_hot * 2 <= p.n_months
+       |         THEN 'emerging'
+       |       WHEN p.n_hot > 0 THEN 'sporadic'
+       |       ELSE 'none' END AS pattern
+       |FROM per p LEFT JOIN mk m USING (unit_id)""".stripMargin
+
   /** PACF via Durbin–Levinson (TemporalOps.pacf): the full qAcf query
     * as a derived table, lag-pivoted, then the identical closed forms
     * over the 1e-6-rounded coefficients.

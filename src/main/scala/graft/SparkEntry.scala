@@ -1276,6 +1276,14 @@ object SparkEntry {
     // r9: Theil–Sen robust trend — median of pairwise slopes per unit
     // (breakdown point 29%, the outlier-proof q_trend companion)
     "q_theil_sen" -> onPanel(p => TemporalOps.theilSen(p, "value")),
+    // r9: Mann–Kendall monotone-trend test — decides IF a trend exists
+    // (Theil–Sen estimates how steep); exact integer S, Kendall tau
+    "q_mann_kendall" -> onPanel(p => TemporalOps.mannKendall(p, "value")),
+    // r9: emerging-hot-spot taxonomy — the Gi* series per cell through
+    // a Mann–Kendall trend into intensifying/persistent/emerging/
+    // sporadic labels (the conflict-diffusion screening composition)
+    "q_emerging_hotspots" -> onGrid(gp =>
+      spatial.SpatialStats.emergingHotspots(gp, "value")),
     // r9: most-likely level-shift changepoint per unit — offline
     // argmax of the standardized mean-shift statistic (binary
     // segmentation step 1, the q_cusum companion)
@@ -1811,6 +1819,8 @@ object SparkEntry {
     "q_getis_ord" -> OracleExt.qGetisOrd,
     "q_geary" -> OracleExt.qGearyC,
     "q_local_moran" -> OracleExt.qLocalMoran,
+    "q_mann_kendall" -> OracleExt.qMannKendall,
+    "q_emerging_hotspots" -> OracleExt.qEmergingHotspots,
     "q_splag4d" -> Oracle.qSplag4d,
     "q_splag4d_norm" -> Oracle.qSplag4dNorm,
     "q_splag4d_multi" -> Oracle.qSplag4dMulti,

@@ -315,6 +315,37 @@ object TemporalOps {
           .as("smape"))
   }
 
+  /** Mann–Kendall trend test per unit: S = Σ_{i<j} sign(xⱼ − xᵢ) and
+    * Kendall's tau = S / (n(n−1)/2) — the nonparametric "IS there a
+    * monotone trend" decision that pairs with [[theilSen]]'s "how
+    * steep" estimate (same pair generation, same unit-keyed self-join
+    * bounded by the series length). S is an exact integer; tau one
+    * division. Sign ties (equal values) contribute 0, the standard
+    * treatment.
+    *
+    * @return (unit_id, n, s, tau)
+    */
+  def mannKendall(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol)
+    val obs = df.filter(x.isNotNull && !isnan(x))
+      .select(col(Panel.UnitCol), col(Panel.TimeCol), x.as("__v"))
+    val a = obs.select(col(Panel.UnitCol), col(Panel.TimeCol).as("__m1"),
+      col("__v").as("__v1"))
+    val b = obs.select(col(Panel.UnitCol), col(Panel.TimeCol).as("__m2"),
+      col("__v").as("__v2"))
+    a.join(b, Seq(Panel.UnitCol))
+      .filter(col("__m1") < col("__m2"))
+      .select(col(Panel.UnitCol),
+        signum(col("__v2") - col("__v1")).cast("long").as("__sgn"))
+      .groupBy(col(Panel.UnitCol))
+      .agg(count(lit(1)).as("__np"), sum(col("__sgn")).as("s"))
+      .select(col(Panel.UnitCol),
+        // n from the pair count: np = n(n−1)/2
+        round((lit(1.0) + sqrt(lit(1.0) + lit(8.0) * col("__np"))) / 2.0)
+          .cast("long").as("n"),
+        col("s"), round(col("s") / col("__np"), 6).as("tau"))
+  }
+
   /** Theil–Sen robust trend: per unit, the MEDIAN of all pairwise
     * slopes (vⱼ−vᵢ)/(tⱼ−tᵢ) — the outlier-proof companion of
     * [[trendFit]]'s OLS (one wild month barely moves it; breakdown

@@ -168,6 +168,55 @@ object SpatialStats {
           .as("local_i"))
   }
 
+  /** Emerging-hot-spot classification per cell — the spatio-temporal
+    * composition the Gi* series exists for (conflict-diffusion
+    * screening: WHERE is escalation starting, persisting, fading): the
+    * monthly [[getisOrdGi]] z-scores per cell feed a Mann–Kendall
+    * trend (exact integer S over the 1e-6-rounded gi series) plus
+    * hot/cold month counts, and a deterministic taxonomy labels each
+    * cell:
+    *  - `intensifying` — hot ≥ 90% of months AND rising (S > 0)
+    *  - `persistent`   — hot ≥ 90% of months
+    *  - `emerging`     — hot in the LAST month, hot ≤ half the months
+    *  - `sporadic`     — hot somewhere, none of the above
+    *  - `none`         — never hot
+    * All inputs are gate-deterministic (gi is 1e-6-rounded; counts and
+    * S integers), so the labels are layout- and engine-exact.
+    *
+    * @return (unit_id, n_months, n_hot, n_cold, mk_s, pattern)
+    */
+  def emergingHotspots(panel: DataFrame, valueCol: String,
+                       lonCol: String = "lon", latCol: String = "lat",
+                       z: Double = 1.96): DataFrame = {
+    val gi = getisOrdGi(panel, valueCol, lonCol, latCol)
+      .select(col(Panel.TimeCol), col(Panel.UnitCol), col("gi"))
+      .filter(col("gi").isNotNull)
+    val a = gi.select(col(Panel.UnitCol), col(Panel.TimeCol).as("__m1"),
+      col("gi").as("__g1"))
+    val b = gi.select(col(Panel.UnitCol), col(Panel.TimeCol).as("__m2"),
+      col("gi").as("__g2"))
+    val mk = a.join(b, Seq(Panel.UnitCol))
+      .filter(col("__m1") < col("__m2"))
+      .groupBy(col(Panel.UnitCol))
+      .agg(sum(signum(col("__g2") - col("__g1")).cast("long")).as("mk_s"))
+    val per = gi.groupBy(col(Panel.UnitCol))
+      .agg(count(lit(1)).as("n_months"),
+        sum(when(col("gi") > z, 1L).otherwise(0L)).as("n_hot"),
+        sum(when(col("gi") < -z, 1L).otherwise(0L)).as("n_cold"),
+        max(struct(col(Panel.TimeCol), col("gi"))).as("__last"))
+    per.join(mk, Seq(Panel.UnitCol), "left")
+      .na.fill(0L, Seq("mk_s"))
+      .select(col(Panel.UnitCol), col("n_months"), col("n_hot"),
+        col("n_cold"), col("mk_s"),
+        when(col("n_hot") * 10 >= col("n_months") * 9 && col("mk_s") > 0,
+          "intensifying")
+          .when(col("n_hot") * 10 >= col("n_months") * 9, "persistent")
+          .when(col("__last.gi") > z &&
+            col("n_hot") * 2 <= col("n_months"), "emerging")
+          .when(col("n_hot") > 0, "sporadic")
+          .otherwise("none").as("pattern"))
+  }
+
   /** Local Getis–Ord Gi* per (month, cell) over queen-plus-self
     * contiguity:
     *   Gi* = (Σⱼ wᵢⱼ xⱼ − x̄·Wᵢ) / (s·√((n·Wᵢ − Wᵢ²)/(n−1)))

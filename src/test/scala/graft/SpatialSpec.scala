@@ -230,6 +230,34 @@ class SpatialSpec extends SparkSpec {
       assert(got(u) === 0.0, s"mean column $u must be zero: $got"))
   }
 
+  test("emergingHotspots: ramping corner peak classifies deterministically") {
+    // 6×6 block, fixed (u%3) background, corner peak at unit 0 ramping
+    // m·10 over 6 months. Hand-mirrored arithmetic gives the corner's
+    // gi series [2.771978, 2.888471, 2.888471, 2.880756, 2.873712,
+    // 2.868034] — hot every month with Mann–Kendall S = −4 (the peak
+    // inflates the GLOBAL std faster than its own window after m=2),
+    // so the taxonomy says persistent; ramping DOWN reverses the
+    // series → S = +4 → intensifying.
+    val units = for { lat <- 0 to 5; lon <- 0 to 5 } yield lat * 40L + lon
+    def mk(peakOf: Long => Double) = {
+      val rows = for { m <- 1L to 6L; u <- units } yield
+        (m, u, if (u == 0L) peakOf(m) else (u % 3).toDouble)
+      rows.toDF(T, U, "value")
+        .withColumn("lon", Grid.unitLon(col(U)))
+        .withColumn("lat", Grid.unitLat(col(U)))
+    }
+    val up = spatial.SpatialStats.emergingHotspots(mk(m => m * 10.0), "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(4), r.getString(5))).toMap
+    assert(up(0L) === ((6L, -4L, "persistent")), s"$up")
+    assert(up(205L)._3 === "none", s"far corner must be none: $up")
+    val down = spatial.SpatialStats
+      .emergingHotspots(mk(m => (7 - m) * 10.0), "value")
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getString(5)))
+      .toMap
+    assert(down(0L) === ((4L, "intensifying")), s"$down")
+  }
+
   test("getisOrdGi: a planted peak is the hottest cell") {
     // 4×4 block, peak at (lon 1, lat 1) = unit 41 — interior cells see
     // 9 of 16 cells so no neighbourhood degenerates to the whole field

@@ -278,6 +278,19 @@ class TemporalOpsSpec extends SparkSpec {
     assert(math.abs(r2.getDouble(2) - 2.0 / 3.0) < 1e-6)
   }
 
+  test("mannKendall: monotone series S = n(n-1)/2, tau = ±1, flat 0") {
+    val up = panel1(1, 2, 3, 4, 5)
+    val ru = TemporalOps.mannKendall(up, "value").collect().head
+    assert((ru.getLong(1), ru.getLong(2), ru.getDouble(3)) ===
+      ((5L, 10L, 1.0)))
+    val down = panel1(5, 4, 3, 2, 1)
+    assert(TemporalOps.mannKendall(down, "value")
+      .collect().head.getDouble(3) === -1.0)
+    val flat = panel1(3, 3, 3, 3)
+    val rf = TemporalOps.mannKendall(flat, "value").collect().head
+    assert(rf.getLong(2) === 0L && rf.getDouble(3) === 0.0)
+  }
+
   test("theilSen ignores the outlier OLS absorbs") {
     // y = 2t except one wild month: the median pairwise slope stays 2
     val p = panel1(2, 4, 6, 8, 1000, 12, 14)
