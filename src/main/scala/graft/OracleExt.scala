@@ -4306,6 +4306,64 @@ object OracleExt {
        |  END AS gi
        |FROM gs g JOIN ms m USING (month_id)""".stripMargin
 
+  /** Seasonal/trend strength (TemporalOps.seasonalStrength, period 7,
+    * half 2): the qDecompose windows, 1e-6-fixed components, exact
+    * integer variance quantities whose n factors cancel in the ratio.
+    */
+  def qSeasonalStrength(period: Int = 7, half: Int = 2): String = {
+    def ss(c: String) =
+      s"COUNT(*) * SUM(CAST($c AS HUGEINT) * $c) - " +
+        s"SUM(CAST($c AS HUGEINT)) * SUM(CAST($c AS HUGEINT))"
+    s"""${Oracle.panel}, t AS (
+       |  SELECT month_id, unit_id, value,
+       |    avg(value) OVER (PARTITION BY unit_id ORDER BY month_id
+       |      ROWS BETWEEN $half PRECEDING AND $half FOLLOWING) AS trend
+       |  FROM panel),
+       |s AS (
+       |  SELECT *, avg(value - trend)
+       |    OVER (PARTITION BY unit_id, month_id % $period) AS seasonal
+       |  FROM t),
+       |c AS (SELECT unit_id,
+       |    CAST(round((value - trend - seasonal) * 1e6) AS BIGINT) AS r6,
+       |    CAST(round((value - trend) * 1e6) AS BIGINT) AS dt6,
+       |    CAST(round((value - seasonal) * 1e6) AS BIGINT) AS ds6
+       |  FROM s WHERE (value - trend - seasonal) IS NOT NULL),
+       |g AS (SELECT unit_id, CAST(COUNT(*) AS BIGINT) AS n,
+       |    ${ss("r6")} AS vr, ${ss("dt6")} AS vdt, ${ss("ds6")} AS vds
+       |  FROM c GROUP BY 1)
+       |SELECT unit_id, n,
+       |  CASE WHEN vds = 0 THEN NULL
+       |       ELSE round(greatest(0.0,
+       |         1.0 - CAST(vr AS DOUBLE) / CAST(vds AS DOUBLE)), 6)
+       |  END AS f_trend,
+       |  CASE WHEN vdt = 0 THEN NULL
+       |       ELSE round(greatest(0.0,
+       |         1.0 - CAST(vr AS DOUBLE) / CAST(vdt AS DOUBLE)), 6)
+       |  END AS f_seasonal
+       |FROM g""".stripMargin
+  }
+
+  /** FK-candidate inference (Integrity.fkCandidates): exact distinct
+    * counts and containment via EXISTS, one UNION ALL block per pair.
+    */
+  def qFkCandidates(
+      pairs: Seq[(String, String, String, String, String)]): String =
+    pairs.map { case (name, ct, ck, pt, pk) =>
+      s"""SELECT '$name' AS pair_name,
+         |  CAST(c.n AS BIGINT) AS n_child_distinct,
+         |  CAST(p.n AS BIGINT) AS n_parent_distinct,
+         |  CAST(x.n AS BIGINT) AS n_contained,
+         |  round(x.n / c.n, 6) AS containment,
+         |  x.n = c.n AS is_candidate
+         |FROM (SELECT COUNT(DISTINCT $ck) AS n FROM $ct
+         |      WHERE $ck IS NOT NULL) c,
+         |     (SELECT COUNT(DISTINCT $pk) AS n FROM $pt
+         |      WHERE $pk IS NOT NULL) p,
+         |     (SELECT COUNT(DISTINCT $ck) AS n FROM $ct o
+         |      WHERE $ck IS NOT NULL AND EXISTS
+         |        (SELECT 1 FROM $pt WHERE $pk = o.$ck)) x""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** Mann–Kendall trend (TemporalOps.mannKendall): the same pair
     * signs, exact integer S, n recovered from the pair count by the
     * identical closed form.

@@ -1279,6 +1279,22 @@ object SparkEntry {
     // r9: Mann–Kendall monotone-trend test — decides IF a trend exists
     // (Theil–Sen estimates how steep); exact integer S, Kendall tau
     "q_mann_kendall" -> onPanel(p => TemporalOps.mannKendall(p, "value")),
+    // r9: trend/seasonal strength per unit from the decompose
+    // components (Hyndman F_t/F_s)
+    "q_seasonal_strength" -> onPanel(p =>
+      TemporalOps.seasonalStrength(p, "value", period = 7, half = 2)),
+    // r9: FK-candidate inference — containment-based key discovery,
+    // the data-profiling flip side of q_ref_integrity (the mismatched
+    // pair shows a sub-1 containment that is NOT a candidate)
+    "q_fk_candidates" -> ((s, dir) =>
+      relational.Integrity.fkCandidates(Seq(
+        ("orders_customer", s.read.parquet(s"$dir/orders.parquet"),
+          "o_custkey", s.read.parquet(s"$dir/customer.parquet"), "c_custkey"),
+        ("lineitem_part", s.read.parquet(s"$dir/lineitem.parquet"),
+          "l_partkey", s.read.parquet(s"$dir/part.parquet"), "p_partkey"),
+        ("orderkey_customer_mismatch",
+          s.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey",
+          s.read.parquet(s"$dir/customer.parquet"), "c_custkey")))),
     // r9: emerging-hot-spot taxonomy — the Gi* series per cell through
     // a Mann–Kendall trend into intensifying/persistent/emerging/
     // sporadic labels (the conflict-diffusion screening composition)
@@ -1821,6 +1837,12 @@ object SparkEntry {
     "q_local_moran" -> OracleExt.qLocalMoran,
     "q_mann_kendall" -> OracleExt.qMannKendall,
     "q_emerging_hotspots" -> OracleExt.qEmergingHotspots,
+    "q_seasonal_strength" -> OracleExt.qSeasonalStrength(),
+    "q_fk_candidates" -> OracleExt.qFkCandidates(Seq(
+      ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("orderkey_customer_mismatch", "lineitem", "l_orderkey", "customer",
+        "c_custkey"))),
     "q_splag4d" -> Oracle.qSplag4d,
     "q_splag4d_norm" -> Oracle.qSplag4dNorm,
     "q_splag4d_multi" -> Oracle.qSplag4dMulti,

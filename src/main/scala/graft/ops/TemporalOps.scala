@@ -315,6 +315,45 @@ object TemporalOps {
           .as("smape"))
   }
 
+  /** Seasonal/trend STRENGTH per unit from the [[decompose]] components
+    * (Hyndman's FeatureS/T): F_t = max(0, 1 − Var(R)/Var(T+R)) and
+    * F_s = max(0, 1 − Var(R)/Var(S+R)) — "how much of the series the
+    * trend/seasonal structure explains" (≈0 noise, →1 structured).
+    *
+    * Determinism: the components are fixed to 1e-6 integers per row
+    * (collapsing the decompose windows' sub-1e-6 layout noise exactly
+    * like q_decompose's output rounding), and each variance RATIO is a
+    * quotient of two exact integer quantities n·Σx²−(Σx)² whose n
+    * factors cancel — floats only at the final division.
+    *
+    * @return (unit_id, n, f_trend, f_seasonal) — null on zero variance
+    */
+  def seasonalStrength(df: DataFrame, valueCol: String,
+                       period: Int, half: Int): DataFrame = {
+    val d = decompose(col(valueCol), period, half)
+    val comp = df.select(col(Panel.UnitCol),
+        round((col(valueCol) - d.getField("trend")
+          - d.getField("seasonal")) * 1e6).cast("long").as("__r6"),
+        round((col(valueCol) - d.getField("trend")) * 1e6).cast("long")
+          .as("__dt6"),
+        round((col(valueCol) - d.getField("seasonal")) * 1e6).cast("long")
+          .as("__ds6"))
+      .filter(col("__r6").isNotNull)
+    def ss(c: String) =
+      (count(lit(1)).cast(Dec2) * sum(col(c).cast(Dec2) * col(c)) -
+        sum(col(c).cast(Dec2)) * sum(col(c).cast(Dec2)))
+    val g = comp.groupBy(col(Panel.UnitCol))
+      .agg(count(lit(1)).as("n"), ss("__r6").as("__vr"),
+        ss("__dt6").as("__vdt"), ss("__ds6").as("__vds"))
+    def f(v: String) = when(col(v) === 0, lit(null).cast("double"))
+      .otherwise(round(greatest(lit(0.0),
+        lit(1.0) - col("__vr").cast("double") / col(v).cast("double")), 6))
+    g.select(col(Panel.UnitCol), col("n"),
+      f("__vds").as("f_trend"), f("__vdt").as("f_seasonal"))
+  }
+
+  private val Dec2 = "decimal(38,0)"
+
   /** Mann–Kendall trend test per unit: S = Σ_{i<j} sign(xⱼ − xᵢ) and
     * Kendall's tau = S / (n(n−1)/2) — the nonparametric "IS there a
     * monotone trend" decision that pairs with [[theilSen]]'s "how

@@ -50,4 +50,38 @@ object Integrity {
     require(checks.nonEmpty, "audit needs at least one check")
     checks.reduce(_.unionByName(_))
   }
+
+  /** Foreign-key CANDIDATE inference — the data-discovery flip side of
+    * [[fkCheck]]'s declared-constraint audit: for a (child, parent)
+    * column pair, how much of the child's distinct value set the
+    * parent contains (containment 1.0 = a valid FK target) plus the
+    * key-cardinality ratio. Exact distinct counts and one semi-join
+    * per pair (both key-partitioned aggregations — profiling a 100 TB
+    * fact table shuffles keys, never rows); all ratios divide exact
+    * integers.
+    *
+    * @return one row per pair: (pair_name, n_child_distinct,
+    *   n_parent_distinct, n_contained, containment, is_candidate)
+    */
+  def fkCandidates(
+      pairs: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(pairs.nonEmpty, "fkCandidates needs at least one pair")
+    pairs.map { case (name, child, ck, parent, pk) =>
+      val cd = child.select(col(ck).as("__k")).filter(col("__k").isNotNull)
+        .distinct()
+      val pd = parent.select(col(pk).as("__k")).filter(col("__k").isNotNull)
+        .distinct()
+      val contained = cd.join(pd, Seq("__k"), "left_semi")
+        .agg(count(lit(1)).as("n_contained"))
+      cd.agg(count(lit(1)).as("n_child_distinct"))
+        .crossJoin(pd.agg(count(lit(1)).as("n_parent_distinct")))
+        .crossJoin(contained)
+        .select(lit(name).as("pair_name"), col("n_child_distinct"),
+          col("n_parent_distinct"), col("n_contained"),
+          round(col("n_contained") / col("n_child_distinct"), 6)
+            .as("containment"),
+          (col("n_contained") === col("n_child_distinct"))
+            .as("is_candidate"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -181,6 +181,20 @@ class AnalyticsTailSpec extends SparkSpec {
     assert(got(1) === ((1L, true)) && got(2) === ((3L, false)))
   }
 
+  test("fkCandidates: full containment flags, partial does not") {
+    val parent = (1L to 10L).map(Tuple1(_)).toDF("pk")
+    val childOk = Seq(1L, 2L, 2L, 9L).map(Tuple1(_)).toDF("ck")
+    val childBad = Seq(1L, 2L, 99L).map(Tuple1(_)).toDF("ck")
+    val got = relational.Integrity.fkCandidates(Seq(
+        ("ok", childOk, "ck", parent, "pk"),
+        ("bad", childBad, "ck", parent, "pk")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    assert(got("ok") === ((3L, 3L, 1.0, true)))
+    assert(got("bad") === ((3L, 2L, 0.666667, false)))
+  }
+
   test("linkPredict: a path's endpoints share the middle; edges excluded") {
     // star around 2 (edges 2-1, 2-3, 2-4): the non-adjacent pairs all
     // go through z=2 (deg 3) → AA = 1/ln 3; each leaf has degree 1 so

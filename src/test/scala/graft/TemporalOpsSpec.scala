@@ -278,6 +278,21 @@ class TemporalOpsSpec extends SparkSpec {
     assert(math.abs(r2.getDouble(2) - 2.0 / 3.0) < 1e-6)
   }
 
+  test("seasonalStrength: pure cycle scores seasonal ~1, noise-free " +
+      "line scores trend ~1") {
+    // 18 months of a period-3 sawtooth: detrended variance is all
+    // seasonal structure → f_seasonal high, f_trend ≈ 0
+    val saw = panel1((1 to 18).map(i => (i % 3) * 10.0): _*)
+    val rs = TemporalOps.seasonalStrength(saw, "value", period = 3,
+      half = 1).collect().head
+    assert(rs.getDouble(3) > 0.8, s"sawtooth must be seasonal: $rs")
+    // a straight line: residuals vanish against the trend component
+    val line = panel1((1 to 18).map(_ * 2.0): _*)
+    val rl = TemporalOps.seasonalStrength(line, "value", period = 3,
+      half = 1).collect().head
+    assert(rl.getDouble(2) > 0.8, s"line must be trend: $rl")
+  }
+
   test("mannKendall: monotone series S = n(n-1)/2, tau = ±1, flat 0") {
     val up = panel1(1, 2, 3, 4, 5)
     val ru = TemporalOps.mannKendall(up, "value").collect().head
