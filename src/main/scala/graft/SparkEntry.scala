@@ -1194,6 +1194,29 @@ object SparkEntry {
       relational.Scd.cdcApply(ins.unionByName(upd).unionByName(del),
         "o_orderkey", "seq", "op", Seq("o_totalprice", "o_orderstatus"))
     }),
+    // r9: the STREAMING CDC twin — inserts land in epoch 0, updates +
+    // deletes in epoch 1 (append-only log, idempotent markers); the
+    // merge-on-read serve must equal batch cdcApply exactly (one
+    // oracle pins both)
+    "q_cdc_stream" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val ins = o.select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"), lit(1L).as("seq"), lit("I").as("op"))
+      val upd = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 2.5).as("o_totalprice"),
+          lit("P").as("o_orderstatus"), lit(2L).as("seq"), lit("U").as("op"))
+      val del = o.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), lit(null).cast("double").as("o_totalprice"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(3L).as("seq"), lit("D").as("op"))
+      val store =
+        java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+      streaming.CdcStream.ingestEpoch(ins, store, 0L)
+      streaming.CdcStream.ingestEpoch(upd.unionByName(del), store, 1L)
+      streaming.CdcStream.ingestEpoch(upd.unionByName(del), store, 1L) // replay
+      streaming.CdcStream.serve(s, store, "o_orderkey", "seq", "op",
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
     // r9: RFM quintile segmentation over the orders fact — one fact
     // agg + three exact global ntiles (range-partitioned, never a
     // single-task window)
@@ -2044,6 +2067,7 @@ object SparkEntry {
     "q_top_orders" -> OracleExt.qTopOrders,
     "q_scd2" -> OracleExt.qScd2,
     "q_cdc_apply" -> OracleExt.qCdcApply,
+    "q_cdc_stream" -> OracleExt.qCdcApply,
     "q_rfm" -> OracleExt.qRfm,
     "q_k_anonymity" -> OracleExt.qKAnonymity,
     "q_ab_test" -> OracleExt.qAbTest,

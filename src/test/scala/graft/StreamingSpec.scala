@@ -873,4 +873,34 @@ class StreamingSpec extends SparkSpec {
       served)
     assert(gated.collect().forall(_.getBoolean(2)))
   }
+
+  test("streaming CDC: merge-on-read serve equals batch cdcApply; " +
+      "epoch replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.CdcStream
+    val store =
+      java.nio.file.Files.createTempDirectory("graft_cdc_spec_").toString
+    val src = MemoryStream[(Long, Double, Long, String)]
+    val q = CdcStream.ingest(
+        src.toDS().toDF("k", "v", "seq", "op"), store)
+      .option("checkpointLocation", s"$store/ckpt").start()
+    try {
+      src.addData((1L, 10.0, 1L, "I"), (2L, 20.0, 1L, "I"))
+      q.processAllAvailable()
+      src.addData((1L, 11.0, 2L, "U"), (2L, 0.0, 2L, "D"),
+        (3L, 30.0, 2L, "I"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // a replayed epoch (same id) must be a no-op
+    CdcStream.ingestEpoch(
+      Seq((1L, 99.0, 9L, "U")).toDF("k", "v", "seq", "op"), store, 1L)
+    val served = CdcStream.serve(spark, store, "k", "seq", "op", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(served === Map(1L -> 11.0, 3L -> 30.0)) // 2 deleted, 1 updated
+    val batch = graft.relational.Scd.cdcApply(
+      spark.read.parquet(s"$store/log"), "k", "seq", "op", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(batch === served)
+  }
 }
