@@ -242,6 +242,34 @@ object OracleExt {
   val qMinhashLsh: String = qMinhashLshFiltered("WHERE doc_id < 200", 1, 0.1)
   val qMinhashLshFull: String = qMinhashLshFiltered("", 2, 0.5)
 
+  /** LSH recall audit (Dedup.lshRecallAudit): the shared banded-pair
+    * CTEs for the LSH side, a shingle-keyed COMPLETE candidate set for
+    * the truth side, the same exact-Jaccard verify on both.
+    */
+  def qLshRecallAudit(filter: String, bandRows: Int,
+                      threshold: Double): String =
+    s"""$norm, ${minhashPairCtes(filter, bandRows)},
+       |tc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |ti AS (SELECT c.id_a, c.id_b, count(*) AS n FROM tc c
+       |  JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT t.id_a, t.id_b FROM ti t
+       |  JOIN szs za ON za.doc_id = t.id_a
+       |  JOIN szs zb ON zb.doc_id = t.id_b
+       |  WHERE CAST(t.n AS DOUBLE)
+       |    / CAST(za.sz + zb.sz - t.n AS DOUBLE) >= $threshold),
+       |lshp AS (SELECT id_a, id_b FROM j WHERE jaccard >= $threshold),
+       |hit AS (SELECT t.id_a FROM truth t
+       |  JOIN lshp l ON l.id_a = t.id_a AND l.id_b = t.id_b)
+       |SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+       |  CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) AS n_lsh,
+       |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+       |  round((SELECT COUNT(*) FROM hit)
+       |    / greatest((SELECT COUNT(*) FROM truth), 1), 6) AS recall""".stripMargin
+
   /** More-like-this retrieval (Dedup.moreLikeThis): the shared banded
     * candidate + exact-Jaccard CTEs, symmetrized, top-5 per seed.
     */

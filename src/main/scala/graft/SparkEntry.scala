@@ -636,6 +636,13 @@ object SparkEntry {
       dedup.Dedup.minhashLsh(docs(s, dir).filter(col("doc_id") < 200),
         shingleSize = 2, numHashes = OracleExt.MinhashHashes,
         bandRows = 1, threshold = 0.1)),
+    // r9: the banding-recall audit — LSH pairs at r=2 vs the COMPLETE
+    // shingle-keyed ground truth at threshold 0.5 (real recall < 1;
+    // the row pins the trade so a hash/banding regression flips it)
+    "q_lsh_recall" -> ((s, dir) =>
+      dedup.Dedup.lshRecallAudit(docs(s, dir),
+        shingleSize = 2, numHashes = OracleExt.MinhashHashes,
+        bandRows = 2, threshold = 0.5)),
     // r9: more-like-this — top-5 exact-Jaccard matches per seed doc
     // over the banded candidates (keyword/embedding/shingle retrieval
     // triad complete)
@@ -2076,6 +2083,7 @@ object SparkEntry {
     "q_triangles" -> OracleExt.qTriangles,
     "q_link_predict" -> OracleExt.qLinkPredict,
     "q_stickiness" -> OracleExt.qStickiness,
+    "q_lsh_recall" -> OracleExt.qLshRecallAudit("", 2, 0.5),
     "q_attribution_multi" -> OracleExt.qAttributionMulti,
     "q_survival" -> OracleExt.qSurvival,
     "q_ks_test" -> OracleExt.qKsTest,

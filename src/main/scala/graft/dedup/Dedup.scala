@@ -259,6 +259,44 @@ object Dedup {
     jaccard(cand, sh, idCol).filter(col("jaccard") >= threshold)
   }
 
+  /** LSH banding RECALL audit — one verdict row: the banded-candidate
+    * pipeline's pairs at `threshold` against the COMPLETE ground truth
+    * (every pair sharing at least one shingle, exact-Jaccard-verified —
+    * complete because jaccard > 0 requires a shared shingle, and the
+    * generation is shingle-keyed, never all-pairs). Banding trades
+    * recall for candidate volume by design; this row pins the trade on
+    * the gate data so a hash/banding regression (or an S-curve shift
+    * from a parameter change) hash-mismatches. Precision is 1 by
+    * construction (LSH pairs are exact-verified at the same threshold),
+    * so the row reports the recall side only.
+    *
+    * @return one row (n_true, n_lsh, n_hit, recall)
+    */
+  def lshRecallAudit(docs: DataFrame, shingleSize: Int, numHashes: Int,
+                     bandRows: Int, threshold: Double,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val sh = graft.OpCache.persist(shingles(docs, shingleSize, idCol, textCol))
+    val truthCand = sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val truth = jaccard(truthCand, sh, idCol)
+      .filter(col("jaccard") >= threshold).select("id_a", "id_b")
+    val sig = minhash(sh, numHashes, idCol)
+    val cand = lshCandidates(sig, numHashes, bandRows, idCol)
+    val lsh = jaccard(cand, sh, idCol)
+      .filter(col("jaccard") >= threshold).select("id_a", "id_b")
+    val hits = truth.join(lsh, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(hits)
+      .select(col("n_true"), col("n_lsh"), col("n_hit"),
+        round(col("n_hit") / greatest(col("n_true"), lit(1L)), 6)
+          .as("recall"))
+  }
+
   /** MinHash ESTIMATOR quality as a gate row (the recall-gate
     * discipline applied to the dedup family): over the banded
     * candidate pairs, the exact Jaccard (oracle-checked value) plus a

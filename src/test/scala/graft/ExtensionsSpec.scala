@@ -1016,6 +1016,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.find(_._3 == 1L).map(_._2).contains(7L))
   }
 
+  test("lshRecallAudit: identical pair found, truth side is complete") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "alpha beta zeta eta theta"),      // partial overlap with 1
+      (4L, "completely different words here")).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup
+      .lshRecallAudit(docs, shingleSize = 2, numHashes = 12,
+        bandRows = 1, threshold = 0.9)
+      .collect().head
+    // only (1,2) reaches jaccard 0.9; r=1 banding cannot miss an
+    // identical pair (all signatures equal) → recall 1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ===
+      ((1L, 1L, 1L, 1.0)))
+  }
+
   test("readability: hand-counted Flesch on a two-sentence doc") {
     // "the cat sat. it ran fast!" → 6 words, 2 sentences, vowel groups:
     // e/a/a/i/a/a = 6 syllables → 206.835 − 1.015·3 − 84.6·1 = 119.19
