@@ -4392,6 +4392,72 @@ object OracleExt {
          |        (SELECT 1 FROM $pt WHERE $pk = o.$ck)) x""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** Burstiness (Engagement.burstiness): exact integer-micros gaps
+    * from the same ordered lag, exact moment sums, the identical
+    * (σ−μ)/(σ+μ) closed form.
+    */
+  val qBurstiness: String =
+    """WITH e AS (SELECT user_id,
+      |  CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t, event_id FROM events),
+      |g AS (SELECT user_id,
+      |    t - lag(t, 1) OVER (PARTITION BY user_id
+      |      ORDER BY t, event_id) AS g
+      |  FROM e),
+      |st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    SUM(CAST(g AS HUGEINT)) AS s, SUM(CAST(g AS HUGEINT) * g) AS q
+      |  FROM g WHERE g IS NOT NULL GROUP BY 1),
+      |c AS (SELECT user_id, n_gaps,
+      |    CAST(s AS DOUBLE) / n_gaps AS mu,
+      |    sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) / n_gaps AS sd
+      |  FROM st)
+      |SELECT user_id, n_gaps,
+      |  round(mu / 1e6, 6) AS mean_gap_sec,
+      |  CASE WHEN n_gaps < 2 OR sd + mu = 0.0 THEN NULL
+      |       ELSE round((sd - mu) / (sd + mu), 6) END AS burstiness
+      |FROM c""".stripMargin
+
+  /** Runs test (TemporalOps.runsTest): explicit middle-statistic
+    * median, integer a/b/R, the identical large-sample z.
+    */
+  val qRunsTest: String = {
+    val muR = "(2.0 * n_above * n_below / (n_above + n_below) + 1.0)"
+    val sigR = "sqrt(2.0 * n_above * n_below * " +
+      "(2.0 * n_above * n_below - n_above - n_below) / " +
+      "CAST((n_above + n_below) * (n_above + n_below) * " +
+      "(n_above + n_below - 1) AS DOUBLE))"
+    s"""${Oracle.panel},
+       |obs AS (SELECT unit_id, month_id, value AS v FROM panel
+       |  WHERE value IS NOT NULL AND NOT isnan(value)),
+       |r AS (SELECT *,
+       |    row_number() OVER (PARTITION BY unit_id
+       |      ORDER BY v, month_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY unit_id) AS nn
+       |  FROM obs),
+       |med AS (SELECT unit_id, SUM(v) / COUNT(*) AS med FROM r
+       |  WHERE rn = floor((nn + 1) / 2.0) OR rn = floor((nn + 2) / 2.0)
+       |  GROUP BY 1),
+       |sg AS (SELECT o.unit_id, o.month_id,
+       |    CASE WHEN o.v > m.med THEN 1 ELSE 0 END AS s
+       |  FROM obs o JOIN med m ON m.unit_id = o.unit_id
+       |  WHERE o.v <> m.med),
+       |ch AS (SELECT unit_id, s,
+       |    CASE WHEN lag(s, 1) OVER (PARTITION BY unit_id
+       |           ORDER BY month_id) IS NULL
+       |         OR lag(s, 1) OVER (PARTITION BY unit_id
+       |           ORDER BY month_id) <> s
+       |         THEN 1 ELSE 0 END AS chg
+       |  FROM sg),
+       |st AS (SELECT unit_id, CAST(SUM(s) AS BIGINT) AS n_above,
+       |    CAST(SUM(1 - s) AS BIGINT) AS n_below,
+       |    CAST(SUM(chg) AS BIGINT) AS runs
+       |  FROM ch GROUP BY 1)
+       |SELECT unit_id, n_above, n_below, runs,
+       |  CASE WHEN n_above = 0 OR n_below = 0 OR n_above + n_below < 2
+       |       THEN NULL
+       |       ELSE round((runs - $muR) / $sigR, 6) END AS z
+       |FROM st""".stripMargin
+  }
+
   /** Mann–Kendall trend (TemporalOps.mannKendall): the same pair
     * signs, exact integer S, n recovered from the pair count by the
     * identical closed form.

@@ -1393,6 +1393,13 @@ object SparkEntry {
         relational.Engagement.rollingExact(ev),
         streaming.DauStream.serveRolling(s, store))
     }),
+    // r9: inter-event burstiness per user — (σ−μ)/(σ+μ) over exact
+    // integer-micros gaps (bot/scheduler vs human fingerprint)
+    "q_burstiness" -> ((s, dir) =>
+      relational.Engagement.burstiness(Panel.readEvents(s, dir))),
+    // r9: Wald–Wolfowitz runs test per unit — streaks vs oscillation
+    // around the exact median
+    "q_runs_test" -> onPanel(p => TemporalOps.runsTest(p, "value")),
     // r9: top-20 session event-type paths (gap sessions, first 8 types)
     "q_session_paths" -> ((s, dir) =>
       relational.Engagement.sessionPaths(Panel.readEvents(s, dir))),
@@ -1868,6 +1875,8 @@ object SparkEntry {
     "q_mann_kendall" -> OracleExt.qMannKendall,
     "q_emerging_hotspots" -> OracleExt.qEmergingHotspots,
     "q_seasonal_strength" -> OracleExt.qSeasonalStrength(),
+    "q_burstiness" -> OracleExt.qBurstiness,
+    "q_runs_test" -> OracleExt.qRunsTest,
     "q_fk_candidates" -> OracleExt.qFkCandidates(Seq(
       ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
       ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),

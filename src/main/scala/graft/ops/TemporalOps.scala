@@ -315,6 +315,55 @@ object TemporalOps {
           .as("smape"))
   }
 
+  /** Wald–Wolfowitz RUNS test per unit — "is the series random noise
+    * around its level, or does it streak": rows are classified
+    * above/below the unit's exact median (values AT the median drop,
+    * the standard treatment), the run count R is one ordered boundary
+    * scan, and the large-sample z compares R to its randomness
+    * expectation μ_R = 2ab/(a+b) + 1. Too few runs (z ≪ 0) means
+    * persistence/regimes; too many means oscillation.
+    *
+    * Determinism: the median is the average of the explicit middle
+    * order statistics (the [[theilSen]] discipline); a, b, R are exact
+    * integers; z is one closed form, 1e-6-rounded.
+    *
+    * @return (unit_id, n_above, n_below, runs, z)
+    */
+  def runsTest(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol)
+    val obs = df.filter(x.isNotNull && !isnan(x))
+      .select(col(Panel.UnitCol), col(Panel.TimeCol), x.as("__v"))
+    val wS = Window.partitionBy(Panel.UnitCol)
+      .orderBy(col("__v"), col(Panel.TimeCol))
+    val wA = Window.partitionBy(Panel.UnitCol)
+    val med = obs
+      .withColumn("__rn", row_number().over(wS))
+      .withColumn("__nn", count(lit(1)).over(wA))
+      .filter(col("__rn") === floor((col("__nn") + 1) / lit(2.0)) ||
+        col("__rn") === floor((col("__nn") + 2) / lit(2.0)))
+      .groupBy(col(Panel.UnitCol))
+      .agg((sum(col("__v")) / count(lit(1))).as("__med"))
+    val signed = obs.join(med, Panel.UnitCol)
+      .filter(col("__v") =!= col("__med"))
+      .withColumn("__s", (col("__v") > col("__med")).cast("int"))
+    val wT = Window.partitionBy(Panel.UnitCol).orderBy(col(Panel.TimeCol))
+    val st = signed
+      .withColumn("__chg",
+        when(lag(col("__s"), 1).over(wT).isNull ||
+          lag(col("__s"), 1).over(wT) =!= col("__s"), 1L).otherwise(0L))
+      .groupBy(col(Panel.UnitCol))
+      .agg(sum(col("__s").cast("long")).as("n_above"),
+        sum(lit(1L) - col("__s")).as("n_below"),
+        sum(col("__chg")).as("runs"))
+    val a = col("n_above"); val b = col("n_below")
+    val muR = lit(2.0) * a * b / (a + b) + 1.0
+    val sigR = sqrt(lit(2.0) * a * b * (lit(2.0) * a * b - a - b) /
+      ((a + b) * (a + b) * (a + b - 1)).cast("double"))
+    st.select(col(Panel.UnitCol), a, b, col("runs"),
+      when(a === 0 || b === 0 || (a + b) < 2, lit(null).cast("double"))
+        .otherwise(round((col("runs") - muR) / sigR, 6)).as("z"))
+  }
+
   /** Seasonal/trend STRENGTH per unit from the [[decompose]] components
     * (Hyndman's FeatureS/T): F_t = max(0, 1 − Var(R)/Var(T+R)) and
     * F_s = max(0, 1 − Var(R)/Var(S+R)) — "how much of the series the

@@ -71,6 +71,43 @@ object Engagement {
         round(col("dau") / col("wau"), 6).as("stickiness"))
   }
 
+  /** Per-user inter-event BURSTINESS — Goh–Barabási's
+    * B = (σ − μ)/(σ + μ) over the user's inter-event gaps (−1 perfectly
+    * periodic, 0 Poisson, →1 bursty): the behavioural fingerprint that
+    * separates bots/schedulers from humans in an event log.
+    *
+    * Exactness: gaps are exact integer MICROSECONDS from one ordered
+    * lag on the user partitioning; μ and σ derive from exact integer
+    * sums (the welchT discipline: n·Σg² − (Σg)² in DECIMAL); floats
+    * appear only in the final closed form. Users with < 3 events (< 2
+    * gaps) report null.
+    *
+    * @return (user_id, n_gaps, mean_gap_sec, burstiness)
+    */
+  def burstiness(events: DataFrame, idCol: String = "user_id"): DataFrame = {
+    val d = "decimal(38,0)"
+    val wU = Window.partitionBy(col(idCol))
+      .orderBy(col("__t"), col("event_id"))
+    val gaps = events
+      .select(col(idCol), expr("unix_micros(ts)").as("__t"), col("event_id"))
+      .withColumn("__g", col("__t") - lag(col("__t"), 1).over(wU))
+      .filter(col("__g").isNotNull)
+    val st = gaps.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__g").cast(d)).as("__s"),
+        sum(col("__g").cast(d) * col("__g")).as("__q"))
+    val mean = col("__s").cast("double") / col("n_gaps")
+    // population σ from the exact sums, in micros
+    val varNum = (col("n_gaps").cast(d) * col("__q") -
+      col("__s") * col("__s")).cast("double")
+    val sd = sqrt(varNum) / col("n_gaps")
+    st.select(col(idCol), col("n_gaps"),
+      round(mean / 1e6, 6).as("mean_gap_sec"),
+      when(col("n_gaps") < 2 || (sd + mean) === 0.0,
+        lit(null).cast("double"))
+        .otherwise(round((sd - mean) / (sd + mean), 6)).as("burstiness"))
+  }
+
   /** Exact rolling distinct — the verification baseline: distinct
     * (day, id) pairs exploded windowDays×, then a distinct count per
     * target day. Bounded by actives×days, never raw events.

@@ -181,6 +181,36 @@ class AnalyticsTailSpec extends SparkSpec {
     assert(got(1) === ((1L, true)) && got(2) === ((3L, false)))
   }
 
+  test("burstiness: periodic gaps score -1, two-scale gaps positive-ish") {
+    // user 1: perfectly periodic (gaps all 60 s) → σ = 0 → B = −1
+    val periodic = (0 to 10).map(i => (1L, ts(1, i * 5)))
+    // user 2: nine 1 s gaps then one 3600 s gap → σ ≫ μ → B > 0
+    val bursty = (0 to 9).map(i => (2L, ts(1, i))) :+ ((2L, ts(2, 0)))
+    val ev = (periodic ++ bursty).zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, t, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = relational.Engagement.burstiness(ev)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    assert(got(1L) === ((10L, -1.0)))
+    assert(got(2L)._2 > 0.4, s"bursty user must score high: $got")
+  }
+
+  test("runsTest: alternation maximizes runs, a two-regime block minimizes") {
+    import graft.ops.TemporalOps
+    def p(vs: Double*) = vs.zipWithIndex.map { case (v, i) =>
+      (i + 1L, 1L, v) }.toDF(Panel.TimeCol, Panel.UnitCol, "value")
+    // strict alternation: every kept row starts a new run → z > 0
+    val alt = p(1, 9, 1, 9, 1, 9, 1, 9)
+    val ra = TemporalOps.runsTest(alt, "value").collect().head
+    assert((ra.getLong(1), ra.getLong(2), ra.getLong(3)) === ((4L, 4L, 8L)))
+    assert(ra.getDouble(4) > 1.5)
+    // two regimes: exactly 2 runs → z < 0
+    val reg = p(1, 1, 1, 1, 9, 9, 9, 9)
+    val rr = TemporalOps.runsTest(reg, "value").collect().head
+    assert(rr.getLong(3) === 2L && rr.getDouble(4) < -1.5)
+  }
+
   test("fkCandidates: full containment flags, partial does not") {
     val parent = (1L to 10L).map(Tuple1(_)).toDF("pk")
     val childOk = Seq(1L, 2L, 2L, 9L).map(Tuple1(_)).toDF("ck")
