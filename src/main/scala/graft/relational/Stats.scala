@@ -300,16 +300,55 @@ object Stats {
         .otherwise(round(num / sqrt(dx * dy), 6)).as("rho"))
   }
 
+  /** Exact interpolated global quantiles WITHOUT the single-buffer
+    * `percentile` aggregate: the exact global rank (range partition +
+    * offsets — [[graft.ops.Ranking.globalRank]], no single-task
+    * window, no per-group value buffer) locates each quantile's two
+    * bracketing order statistics, and the standard type-7 linear
+    * interpolation v_lo + (v_hi − v_lo)·frac — the SAME formula Spark
+    * `percentile` and DuckDB `quantile_cont` implement — combines
+    * them. This is the 100 TB path: the data-sized work is one range
+    * exchange; the quantile extraction touches ≤ 2·|qs| rows.
+    * Duplicate values get arbitrary-but-distinct consecutive ranks,
+    * which is harmless: any duplicate at the bracket rank carries the
+    * same value.
+    *
+    * @return one row per q: (q, value)
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0, 1]: $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = graft.ops.Ranking.globalRank(
+      df.select(col(valueCol).cast("double").as("__v"))
+        .filter(col("__v").isNotNull && !isnan(col("__v"))),
+      Seq(col("__v")), "__r")
+    val qdf = qs.toDF("q")
+    val pos = (col("__total") - 1).cast("double") * col("q")
+    val lo = (floor(pos) + 1).cast("long")
+    val hi = (ceil(pos) + 1).cast("long")
+    ranked.join(broadcast(qdf), col("__r") === lo || col("__r") === hi)
+      .groupBy(col("q"))
+      .agg(min(when(col("__r") === lo, col("__v"))).as("__lo"),
+        min(when(col("__r") === hi, col("__v"))).as("__hi"),
+        max(pos).as("__pos"))
+      .select(col("q"),
+        (col("__lo") + (col("__hi") - col("__lo")) *
+          (col("__pos") - floor(col("__pos")))).as("value"))
+  }
+
   /** Equi-DEPTH histogram: `nbins` quantile bins — the shape sketch
     * for skewed distributions where [[histogram]]'s fixed widths dump
-    * everything into one bar. Bin boundaries are the exact interior
-    * percentiles (broadcast 1-row, the [[trimmedMean]] discipline —
-    * swap `approx_percentile` at 100 TB); a row's bin is the count of
-    * boundaries strictly below it (values AT a boundary go left), so
-    * assignment is row-local and the only aggregation is the bin-keyed
-    * count. Boundary determinism: an interpolated percentile falls
-    * strictly between data values and an exact-index percentile IS a
-    * data value in both engines, so `v > q` never straddles engines.
+    * everything into one bar. Bin boundaries are the [[exactQuantiles]]
+    * interior percentiles (distributed rank, never a value buffer;
+    * broadcast back 1-row); a row's bin is the count of boundaries
+    * strictly below it (values AT a boundary go left), so assignment
+    * is row-local and the only aggregation is the bin-keyed count.
+    * Boundary determinism: an interpolated percentile falls strictly
+    * between data values and an exact-index percentile IS a data value
+    * in both engines, so `v > q` never straddles engines.
     *
     * @return (bin, q_lo, q_hi, n) — q_lo/q_hi rounded 1e-6; the outer
     *   bounds are the exact min/max
@@ -319,10 +358,12 @@ object Stats {
     require(nbins >= 2, s"nbins must be >= 2, got $nbins")
     val v = col(valueCol).cast("double")
     val qs = (1 until nbins).map(_.toDouble / nbins)
-    val bounds = df.agg(
-      expr(s"percentile(CAST($valueCol AS DOUBLE), array(${qs.mkString(",")}))")
-        .as("__qs"),
-      min(v).as("__mn"), max(v).as("__mx"))
+    val eq = exactQuantiles(df, valueCol, qs)
+    val bounds = eq
+      .agg(array(qs.map(qi =>
+        min(when(col("q") === qi, col("value")))): _*).as("__qs"))
+      .crossJoin(broadcast(
+        df.agg(min(v).as("__mn"), max(v).as("__mx"))))
     val bin = (0 until nbins - 1)
       .map(i => when(v > col("__qs").getItem(i), 1L).otherwise(0L))
       .reduce(_ + _)
