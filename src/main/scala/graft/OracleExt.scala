@@ -4995,6 +4995,17 @@ object OracleExt {
        |FROM g, b""".stripMargin
   }
 
+  /** Exact global quantiles (Stats.exactQuantiles): quantile_cont per
+    * requested q — the type-7 interpolation both engines share.
+    */
+  def qQuantiles(qs: Seq[Double]): String =
+    qs.map(q =>
+      s"""SELECT $q AS q,
+         |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), $q), 6)
+         |    AS value
+         |FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n")
+
   /** Flesch readability (TextOps.readability): the same three regex
     * counts floored at 1 and the same row-local closed form.
     */

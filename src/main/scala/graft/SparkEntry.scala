@@ -1341,6 +1341,13 @@ object SparkEntry {
     // terms (the tokenizer-budget number)
     "q_vocab_coverage" -> ((s, dir) =>
       text.TextOps.vocabCoverage(docs(s, dir), Seq(10, 100, 1000))),
+    // r9: exact global quantiles via the range-partitioned rank — the
+    // distributed replacement for the single-buffer percentile agg
+    "q_quantiles" -> ((s, dir) =>
+      relational.Stats.exactQuantiles(
+          s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice",
+          Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+        .select(col("q"), round(col("value"), 6).as("value"))),
     // r9: equi-depth (quantile-bin) price histogram — the skew-proof
     // companion of q_histogram's fixed widths
     "q_histogram_eq" -> ((s, dir) =>
@@ -2114,6 +2121,8 @@ object SparkEntry {
     "q_mutual_info" -> OracleExt.qMutualInfo,
     "q_anova" -> OracleExt.qAnova,
     "q_histogram_eq" -> OracleExt.qHistogramEq(),
+    "q_quantiles" -> OracleExt.qQuantiles(
+      Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)),
     "q_readability" -> OracleExt.qReadability,
     "q_bloom_audit" -> OracleExt.qBloomAudit,
     "q_pipeline_changepoint" -> OracleExt.qChangepoint,
