@@ -2136,6 +2136,30 @@ object OracleExt {
        |  round(MAX(mass) / tot, 6) AS coverage
        |FROM kk JOIN head ON r <= k, tot GROUP BY k, tot""".stripMargin
 
+  /** Corpus report card (TextOps.corpusReport): each metric row
+    * recomputed by its component's own oracle as a derived table.
+    */
+  def qCorpusReport: String =
+    s"""SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+       |FROM documents
+       |UNION ALL
+       |SELECT 'total_tokens',
+       |  CAST(SUM(CAST(len(string_split_regex(trim(text), '\\s+'))
+       |    AS BIGINT)) AS DOUBLE)
+       |FROM documents
+       |UNION ALL
+       |SELECT 'mean_flesch',
+       |  round(CAST(SUM(CAST(round(flesch * 1e6) AS BIGINT)) AS DOUBLE)
+       |    / COUNT(*) / 1e6, 6)
+       |FROM ($qReadability) rr
+       |UNION ALL
+       |SELECT 'zipf_slope', slope FROM ($qZipf) z1
+       |UNION ALL
+       |SELECT 'zipf_r', r FROM ($qZipf) z2
+       |UNION ALL
+       |SELECT 'coverage_top100', coverage
+       |FROM (${qVocabCoverage(Seq(100))}) cv WHERE k = 100""".stripMargin
+
   /** Centroid-silhouette oracle (Similarity.silhouette): the unrolled
     * Lloyd assignment, per-vector own/other centroid distances fixed
     * 1e-9, s = (b−a)/max(a,b) fixed 1e-9, per-list exact-integer mean.

@@ -134,6 +134,20 @@ object Registry {
       TemporalOps.acf(df, "value", a.numOpt(0).getOrElse(3.0).toInt)),
     // terminal per-unit Theil–Sen robust trend slope
     "theil_sen" -> ((df, _) => TemporalOps.theilSen(df, "value")),
+    // terminal per-unit Mann–Kendall monotone-trend test
+    "mann_kendall" -> ((df, _) => TemporalOps.mannKendall(df, "value")),
+    // terminal per-unit Wald–Wolfowitz runs test
+    "runs_test" -> ((df, _) => TemporalOps.runsTest(df, "value")),
+    // args: [period, half] — terminal trend/seasonal strength
+    "seasonal_strength" -> ((df, a) =>
+      TemporalOps.seasonalStrength(df, "value",
+        a.num(0).toInt, a.num(1).toInt)),
+    // args: [period?] — terminal seasonal-naive backtest (sMAPE)
+    "forecast_backtest" -> ((df, a) =>
+      TemporalOps.forecastBacktest(df, "value",
+        a.numOpt(0).getOrElse(7.0).toInt)),
+    // terminal PACF (lags 1..3)
+    "pacf" -> ((df, _) => TemporalOps.pacf(df, "value")),
     // terminal per-unit level-shift changepoint argmax
     "changepoint" -> ((df, _) => TemporalOps.changepoint(df, "value")),
     // terminal spatial-autocorrelation statistics (grid geometry
@@ -884,6 +898,8 @@ object Registry {
     "stickiness" -> ((df, a) =>
       relational.Engagement.stickiness(df,
         windowDays = a.numOpt(0).getOrElse(7.0).toInt)),
+    // terminal per-user inter-event burstiness
+    "burstiness" -> ((df, _) => relational.Engagement.burstiness(df)),
   )
 
   /** Graph transforms over an undirected pair list (id_a, id_b) — the

@@ -331,6 +331,11 @@ object SparkEntry {
     "q_pipeline_changepoint" -> onPanel(p =>
       Registry.run(p.select(col(T), col(U), col("value")),
         """[{"type":"identity"},{"type":"changepoint"}]""")),
+    // r9: Moran's I through the panel wire (grid geometry derived by
+    // the registry's spatial helper; shares qMoranI)
+    "q_pipeline_moran" -> onPanel(p =>
+      Registry.run(p.select(col(T), col(U), col("value")),
+        """[{"type":"moran_i"}]""")),
     "q_pipeline_chain" -> onPanel(p =>
       Registry.run(p.select(col(T), col(U), col("value")),
         """[{"type":"splag4d","args":[1,1,1,false]},{"type":"tlag","args":[2]}]""")
@@ -1341,6 +1346,9 @@ object SparkEntry {
     // terms (the tokenizer-budget number)
     "q_vocab_coverage" -> ((s, dir) =>
       text.TextOps.vocabCoverage(docs(s, dir), Seq(10, 100, 1000))),
+    // r9: the one-page corpus report card — volume, readability, Zipf
+    // fit, head coverage as (metric, value) rows
+    "q_corpus_report" -> ((s, dir) => text.TextOps.corpusReport(docs(s, dir))),
     // r9: exact global quantiles via the range-partitioned rank — the
     // distributed replacement for the single-buffer percentile agg
     "q_quantiles" -> ((s, dir) =>
@@ -2046,6 +2054,7 @@ object SparkEntry {
     "q_knn_classify" -> OracleExt.qKnnClassify(),
     "q_knn_f1" -> OracleExt.qKnnF1(),
     "q_vocab_coverage" -> OracleExt.qVocabCoverage(),
+    "q_corpus_report" -> OracleExt.qCorpusReport,
     "q_silhouette" -> OracleExt.qSilhouette(),
     "q_embed_ivf_stats" -> OracleExt.qIvfStats(),
     "q_embed_ivfpq_recall" -> OracleExt.qEmbedIvfPqRecall,
@@ -2126,6 +2135,7 @@ object SparkEntry {
     "q_readability" -> OracleExt.qReadability,
     "q_bloom_audit" -> OracleExt.qBloomAudit,
     "q_pipeline_changepoint" -> OracleExt.qChangepoint,
+    "q_pipeline_moran" -> OracleExt.qMoranI,
     "q_pipeline_link_predict" -> OracleExt.qLinkPredict,
     "q_pipeline_stickiness" -> OracleExt.qStickiness,
     "q_pipeline_knn" -> OracleExt.qKnnClassify(),

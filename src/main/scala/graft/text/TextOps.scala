@@ -291,6 +291,38 @@ object TextOps {
         round(col("__score"), 6).as("tfidf"))
   }
 
+  /** One-page corpus REPORT CARD — the numbers a dataset datasheet
+    * leads with, as (metric, value) rows from the already-verified
+    * component operators: doc/token volume, mean Flesch readability
+    * (1e-6-fixed integer mean — layout-proof), the Zipf head fit
+    * (slope ≈ −1 and its r for natural text), and top-100 vocabulary
+    * coverage. Each row is a 1-row aggregate; the union is the report.
+    *
+    * @return (metric, value) — value DOUBLE
+    */
+  def corpusReport(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val d = "decimal(38,0)"
+    def row(name: String, c: org.apache.spark.sql.Column) = (df: DataFrame) =>
+      df.select(lit(name).as("metric"), c.cast("double").as("value"))
+    val volume = docs.agg(count(lit(1)).as("__n"),
+      sum(tokenCount(col(textCol)).cast("long")).as("__tok"))
+    val nDocs = row("n_docs", col("__n"))(volume)
+    val nTokens = row("total_tokens", col("__tok"))(volume)
+    val meanFlesch = readability(docs, textCol = textCol)
+      .agg(round(sum(round(col("flesch") * 1e6).cast("long").cast(d))
+        .cast("double") / count(lit(1)) / 1e6, 6).as("__mf"))
+      .select(lit("mean_flesch").as("metric"),
+        col("__mf").cast("double").as("value"))
+    val zipf = zipfFit(docs, topN = 200, textCol = textCol)
+    val zSlope = row("zipf_slope", col("slope"))(zipf)
+    val zR = row("zipf_r", col("r"))(zipf)
+    val cov = vocabCoverage(docs, Seq(100), textCol)
+      .select(lit("coverage_top100").as("metric"),
+        col("coverage").cast("double").as("value"))
+    nDocs.unionByName(nTokens).unionByName(meanFlesch)
+      .unionByName(zSlope).unionByName(zR).unionByName(cov)
+  }
+
   /** Vocabulary-coverage curve: the share of total token mass covered
     * by the top-k terms for each requested k — the "how head-heavy is
     * this corpus" budgeting number (a tokenizer's fixed vocab covers
