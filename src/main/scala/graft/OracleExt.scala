@@ -527,6 +527,45 @@ object OracleExt {
       .toString
   }
 
+  /** Personalized PageRank oracle (graphs.PageRank
+    * .personalizedPageRank): seed-restart teleport, the same unrolled
+    * integer-fixed recurrence as qPageRank.
+    */
+  def qPersonalizedPageRank(iters: Int = 5, maxSeed: Long = 5L,
+                            damping: Double = 0.85): String = {
+    def mass(id: String) =
+      s"CASE WHEN $id < $maxSeed THEN 1.0 / ns.n ELSE 0.0 END"
+    val sb = new StringBuilder(
+      s"""$norm, $simhashPairCtes,
+         |e0 AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e0
+         |        UNION SELECT id_b, id_a FROM e0),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM sym GROUP BY src),
+         |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg
+         |       WHERE src < $maxSeed),
+         |r0 AS (SELECT src AS id, round(${mass("src")}, 9) AS rank
+         |       FROM deg, ns)""".stripMargin)
+    (1 to iters).foreach { i =>
+      sb.append(
+        s""",
+           |c$i AS (SELECT s.dst,
+           |          SUM(CAST(round(r.rank / d.deg * 1e15) AS HUGEINT)) AS ci
+           |        FROM sym s
+           |        JOIN deg d ON d.src = s.src
+           |        JOIN r${i - 1} r ON r.id = s.src
+           |        GROUP BY s.dst),
+           |r$i AS (SELECT d.src AS id,
+           |          round(${mass("d.src")} * (1.0 - $damping)
+           |            + CAST(COALESCE(c.ci, 0) AS DOUBLE) / 1e15
+           |              * $damping, 9) AS rank
+           |        FROM deg d CROSS JOIN ns
+           |        LEFT JOIN c$i c ON c.dst = d.src)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, round(rank, 6) AS ppr FROM r$iters")
+      .toString
+  }
+
   /** 64-bit simhash signature CTE — mirrors Dedup.simhash64: bits
     * 1..32 from the hex-MSB projection of md5(tok), 33..64 from
     * md5(tok || '#2').

@@ -919,6 +919,11 @@ object Registry {
     "pagerank" -> ((df, a) =>
       graphs.PageRank.pageRank(df, a.num(0).toInt,
         a.numOpt(1).getOrElse(0.85))),
+    // args: [iters, maxSeedId, damping?] — terminal personalized
+    // PageRank from the seed set id < maxSeedId
+    "ppr" -> ((df, a) =>
+      graphs.PageRank.personalizedPageRank(df, a.num(0).toInt,
+        a.num(1).toLong, a.numOpt(2).getOrElse(0.85))),
     // args: [iters] — terminal label-propagation communities
     "label_prop" -> ((df, a) =>
       graphs.LabelProp.labelPropagation(df, a.num(0).toInt)),

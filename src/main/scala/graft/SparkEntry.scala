@@ -751,6 +751,12 @@ object SparkEntry {
       graphs.Triangles.triangleCounts(
         dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
           maxDist = 3))),
+    // r9: personalized PageRank from seed docs < 5 — grow a labelled
+    // cluster through near-dup structure (contamination expansion)
+    "q_ppr" -> ((s, dir) =>
+      graphs.PageRank.personalizedPageRank(
+        dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
+          maxDist = 3), iters = 5, maxSeedId = 5L)),
     // r9: link prediction over the near-dup graph — common neighbors,
     // Jaccard, Adamic–Adar for non-adjacent pairs (the LSH-recall
     // audit: a high-scoring missing edge is a likely banding miss)
@@ -2109,6 +2115,7 @@ object SparkEntry {
     "q_link_predict" -> OracleExt.qLinkPredict,
     "q_stickiness" -> OracleExt.qStickiness,
     "q_lsh_recall" -> OracleExt.qLshRecallAudit("", 2, 0.5),
+    "q_ppr" -> OracleExt.qPersonalizedPageRank(),
     "q_attribution_multi" -> OracleExt.qAttributionMulti,
     "q_survival" -> OracleExt.qSurvival,
     "q_ks_test" -> OracleExt.qKsTest,

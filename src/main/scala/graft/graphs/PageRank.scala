@@ -65,4 +65,52 @@ object PageRank {
     }
     ranks.select(col("id"), round(col("rank"), 6).as("pagerank"))
   }
+
+  /** PERSONALIZED PageRank — the restart mass teleports to a seed set
+    * instead of uniformly ("similarity to the seeds through the
+    * graph"): the retrieval/expansion score for growing a labelled
+    * cluster (contamination sources, a known-bad template family)
+    * through near-dup structure. Same integer-fixed, per-iteration
+    * 1e-9-rounded recurrence as [[pageRank]]; seeds are the nodes with
+    * id < `maxSeedId` (the [[Bfs]] convention, SQL-mirrorable).
+    *
+    * @return (id, ppr)
+    */
+  def personalizedPageRank(pairs: DataFrame, iters: Int, maxSeedId: Long,
+                           damping: Double = 0.85,
+                           srcCol: String = "id_a",
+                           dstCol: String = "id_b"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val sym = graft.OpCache.persist(
+      pairs.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .unionByName(pairs.select(col(dstCol).cast("long").as("src"),
+          col(srcCol).cast("long").as("dst")))
+        .distinct())
+    val deg = graft.OpCache.persist(
+      sym.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val nSeeds = deg.filter(col("src") < maxSeedId).count()
+    require(nSeeds > 0, s"no seed nodes below $maxSeedId in the graph")
+    val seedMass = (id: org.apache.spark.sql.Column) =>
+      when(id < maxSeedId, lit(1.0 / nSeeds)).otherwise(lit(0.0))
+    var ranks = deg.select(col("src").as("id"),
+      round(seedMass(col("src")), 9).as("rank"))
+    (1 to iters).foreach { _ =>
+      val contrib = sym
+        .join(deg, "src")
+        .join(ranks, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(round(col("rank") / col("deg") * 1e15).cast("long"))
+          .as("__ci"))
+      ranks = deg.select(col("src").as("id"))
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          round(seedMass(col("id")) * (1.0 - damping) +
+            coalesce(col("__ci"), lit(0L)) / 1e15 * damping, 9).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), round(col("rank"), 6).as("ppr"))
+  }
 }

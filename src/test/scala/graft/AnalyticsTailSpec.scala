@@ -181,6 +181,18 @@ class AnalyticsTailSpec extends SparkSpec {
     assert(got(1) === ((1L, true)) && got(2) === ((3L, false)))
   }
 
+  test("personalizedPageRank: mass stays near the seed, sums to ~1") {
+    // path 1-2-3-4-5-6 with seed {1}: ppr decays with distance
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graphs.PageRank
+      .personalizedPageRank(edges, iters = 8, maxSeedId = 2L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-3,
+      s"mass must be conserved: $got")
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > got(4L),
+      s"rank must decay with distance from the seed: $got")
+  }
+
   test("burstiness: periodic gaps score -1, two-scale gaps positive-ish") {
     // user 1: perfectly periodic (gaps all 60 s) → σ = 0 → B = −1
     val periodic = (0 to 10).map(i => (1L, ts(1, i * 5)))
