@@ -4180,6 +4180,66 @@ object OracleExt {
     * identical per-user lifetimes, censor convention, and the
     * 1e-9-rounded log-sum product form.
     */
+  /** Log-rank test (Survival.logRank over the user-parity cohorts):
+    * per-cohort lives against their OWN horizons, the dense two-group
+    * life table, 1e-9-fixed per-time terms, the same χ² closed form.
+    */
+  def qLogRank(censorDays: Int = 7): String = {
+    def lives(pred: String, g: Int) =
+      s"""pu$g AS (SELECT user_id, MIN(ts) AS f, MAX(ts) AS l
+         |  FROM events WHERE $pred GROUP BY 1),
+         |hm$g AS (SELECT MAX(ts) AS hmax FROM events WHERE $pred),
+         |lv$g AS (SELECT $g AS g,
+         |    CAST(date_diff('day', CAST(f AS DATE), CAST(l AS DATE))
+         |      AS BIGINT) AS t,
+         |    CASE WHEN l < hmax - INTERVAL $censorDays DAY
+         |         THEN 1 ELSE 0 END AS churn
+         |  FROM pu$g, hm$g)""".stripMargin
+    val e1 = "CAST(dt AS DOUBLE) * n1 / nt"
+    val v1 = "CASE WHEN nt <= 1 THEN 0.0 ELSE dt * (CAST(n1 AS DOUBLE) / nt)" +
+      " * (1.0 - CAST(n1 AS DOUBLE) / nt)" +
+      " * CAST(nt - dt AS DOUBLE) / (nt - 1) END"
+    val chi2 = "(oe9 / 1e9) * (oe9 / 1e9) / (v9 / 1e9)"
+    s"""WITH ${lives("user_id % 2 = 0", 1)},
+       |${lives("user_id % 2 = 1", 2)},
+       |lv AS (SELECT * FROM lv1 UNION ALL SELECT * FROM lv2),
+       |byt AS (SELECT t, g, CAST(SUM(churn) AS BIGINT) AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS lv_n
+       |  FROM lv GROUP BY 1, 2),
+       |times AS (SELECT DISTINCT t FROM byt),
+       |dense AS (SELECT times.t, gg.g, COALESCE(byt.d, 0) AS d,
+       |    COALESCE(byt.lv_n, 0) AS lv_n
+       |  FROM times CROSS JOIN (SELECT unnest([1, 2]) AS g) gg
+       |  LEFT JOIN byt ON byt.t = times.t AND byt.g = gg.g),
+       |ar AS (SELECT *,
+       |    SUM(lv_n) OVER (PARTITION BY g)
+       |      - COALESCE(SUM(lv_n) OVER (PARTITION BY g ORDER BY t
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+       |  FROM dense),
+       |wide AS (SELECT t,
+       |    MAX(CASE WHEN g = 1 THEN d END) AS d1,
+       |    MAX(CASE WHEN g = 2 THEN d END) AS d2,
+       |    MAX(CASE WHEN g = 1 THEN n END) AS n1,
+       |    MAX(CASE WHEN g = 2 THEN n END) AS n2
+       |  FROM ar GROUP BY 1),
+       |w2 AS (SELECT *, d1 + d2 AS dt, n1 + n2 AS nt FROM wide
+       |  WHERE d1 + d2 >= 1),
+       |terms AS (SELECT
+       |    CAST(round((d1 - $e1) * 1e9) AS BIGINT) AS oe9,
+       |    CAST(round(($v1) * 1e9) AS BIGINT) AS v9
+       |  FROM w2),
+       |s AS (SELECT SUM(oe9) AS oe9, SUM(v9) AS v9 FROM terms),
+       |n1u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_1
+       |  FROM events WHERE user_id % 2 = 0),
+       |n2u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_2
+       |  FROM events WHERE user_id % 2 = 1)
+       |SELECT n_users_1, n_users_2,
+       |  CASE WHEN v9 = 0 THEN NULL ELSE round($chi2, 6) END AS chi2,
+       |  CASE WHEN v9 = 0 THEN NULL
+       |       ELSE round($chi2 - 3.841, 6) > 0.0 END AS significant
+       |FROM s, n1u, n2u""".stripMargin
+  }
+
   val qSurvival: String =
     """WITH pu AS (SELECT user_id, MIN(ts) AS f, MAX(ts) AS l
       |            FROM events GROUP BY 1),

@@ -1273,6 +1273,16 @@ object SparkEntry {
     // lifetimes, right-censored within 7 days of the stream end
     "q_survival" -> ((s, dir) =>
       relational.Survival.kaplanMeier(Panel.readEvents(s, dir))),
+    // r9: log-rank churn comparison between the user-parity cohorts —
+    // one χ² decision row over the two-group life table
+    "q_log_rank" -> ((s, dir) => {
+      val ev = Panel.readEvents(s, dir)
+      // censorDays 1: the dense synthetic stream keeps every user
+      // active into the final week, so the 7-day default would churn
+      // nobody and degenerate the statistic
+      relational.Survival.logRank(ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1), censorDays = 1)
+    }),
     // r9: time-to-convert — first-touch→conversion latency per
     // conversion, same no-join assignment as multi-touch
     "q_conversion_latency" -> ((s, dir) =>
@@ -1897,6 +1907,7 @@ object SparkEntry {
     "q_emerging_hotspots" -> OracleExt.qEmergingHotspots,
     "q_seasonal_strength" -> OracleExt.qSeasonalStrength(),
     "q_burstiness" -> OracleExt.qBurstiness,
+    "q_log_rank" -> OracleExt.qLogRank(censorDays = 1),
     "q_runs_test" -> OracleExt.qRunsTest,
     "q_fk_candidates" -> OracleExt.qFkCandidates(Seq(
       ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),

@@ -77,4 +77,80 @@ object Survival {
       .select(col("duration_days"), col("churned"), col("censored"),
         col("n_risk"), col("survival"))
   }
+
+  /** LOG-RANK test between two cohorts' churn curves — "do these two
+    * groups churn differently" as one decision row (the survival-curve
+    * companion of the Welch/two-proportion A/B tests): at every churn
+    * time t, group 1's observed churns d₁ₜ are compared with the
+    * hypergeometric expectation E₁ₜ = dₜ·n₁ₜ/nₜ under "same hazard",
+    * and χ² = (Σ(d₁ₜ−E₁ₜ))² / ΣV₁ₜ with the standard variance term.
+    *
+    * Scale shape: per-cohort per-user min/max aggregates, then
+    * EVERYTHING runs on the two-group life table (rows bounded by
+    * distinct lifetimes × 2; its cumulative windows use the bounded
+    * constant-key spec). Determinism: dₜ/nₜ are exact longs; each
+    * time's (d₁−E₁) and V₁ terms are fixed to 1e-9 integers before the
+    * cross-time sums; χ² is one closed form.
+    *
+    * @return one row (n_users_1, n_users_2, chi2, significant) —
+    *   critical 3.841 = χ²(1) at α = 0.05, inlined-constant discipline
+    */
+  def logRank(eventsA: DataFrame, eventsB: DataFrame,
+              censorDays: Int = 7, userCol: String = "user_id",
+              tsCol: String = "ts", critical: Double = 3.841): DataFrame = {
+    def lives(events: DataFrame, g: Int) = {
+      val perUser = events.groupBy(col(userCol).as("__u"))
+        .agg(min(col(tsCol)).as("__first"), max(col(tsCol)).as("__last"))
+      val horizon = events.agg(max(col(tsCol)).as("__hmax"))
+      perUser.crossJoin(broadcast(horizon))
+        .select(lit(g).as("__g"),
+          datediff(to_date(col("__last")), to_date(col("__first")))
+            .cast("long").as("__t"),
+          (col("__last") < col("__hmax") - expr(s"INTERVAL $censorDays DAYS"))
+            .cast("long").as("__churn"))
+    }
+    // NOTE: each cohort censors against ITS OWN horizon — the cohorts
+    // are separate frames by contract (the welchT shape)
+    val lv = lives(eventsA, 1).unionByName(lives(eventsB, 2))
+    val byT = lv.groupBy(col("__t"), col("__g"))
+      .agg(sum(col("__churn")).as("__d"), count(lit(1)).as("__leave"))
+    val times = byT.select(col("__t")).distinct()
+    val dense = times.crossJoin(
+        lv.sparkSession.range(1, 3).select(col("id").cast("int").as("__g")))
+      .join(byT, Seq("__t", "__g"), "left")
+      .na.fill(0L, Seq("__d", "__leave"))
+    val k = pmod(xxhash64(col("__g")), lit(1))
+    val wPrev = Window.partitionBy(col("__g"), k).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("__g"), k)
+    val atRisk = dense.withColumn("__n",
+      sum(col("__leave")).over(wTot) -
+        coalesce(sum(col("__leave")).over(wPrev), lit(0L)))
+    val wide = atRisk.groupBy(col("__t"))
+      .agg(max(when(col("__g") === 1, col("__d"))).as("__d1"),
+        max(when(col("__g") === 2, col("__d"))).as("__d2"),
+        max(when(col("__g") === 1, col("__n"))).as("__n1"),
+        max(when(col("__g") === 2, col("__n"))).as("__n2"))
+      .withColumn("__dt", col("__d1") + col("__d2"))
+      .withColumn("__nt", col("__n1") + col("__n2"))
+      .filter(col("__dt") >= 1)
+    val e1 = col("__dt").cast("double") * col("__n1") / col("__nt")
+    val p1 = col("__n1").cast("double") / col("__nt")
+    val v1 = when(col("__nt") <= 1, lit(0.0))
+      .otherwise(col("__dt") * p1 * (lit(1.0) - p1) *
+        (col("__nt") - col("__dt")).cast("double") / (col("__nt") - 1))
+    val sums = wide.agg(
+      sum(round((col("__d1") - e1) * 1e9).cast("long")).as("__oe9"),
+      sum(round(v1 * 1e9).cast("long")).as("__v9"))
+    val nA = eventsA.agg(countDistinct(col(userCol)).as("n_users_1"))
+    val nB = eventsB.agg(countDistinct(col(userCol)).as("n_users_2"))
+    val chi2 = (col("__oe9") / 1e9) * (col("__oe9") / 1e9) /
+      (col("__v9") / 1e9)
+    nA.crossJoin(broadcast(nB)).crossJoin(broadcast(sums))
+      .select(col("n_users_1"), col("n_users_2"),
+        when(col("__v9") === 0, lit(null).cast("double"))
+          .otherwise(round(chi2, 6)).as("chi2"),
+        when(col("__v9") === 0, lit(null).cast("boolean"))
+          .otherwise(round(chi2 - critical, 6) > 0.0).as("significant"))
+  }
 }

@@ -181,6 +181,24 @@ class AnalyticsTailSpec extends SparkSpec {
     assert(got(1) === ((1L, true)) && got(2) === ((3L, false)))
   }
 
+  test("logRank: identical cohorts score 0; early-churn cohort flags") {
+    // cohort A: 8 users churn at day 1; anchor user 99 runs to day 20
+    // (sets the horizon so the early exits really churn)
+    def cohort(base: Long, churnDay: Int) =
+      ((1 to 8).flatMap(u => Seq((base + u, ts(1)), (base + u, ts(churnDay))))
+        ++ Seq((base + 99L, ts(1)), (base + 99L, ts(20))))
+        .zipWithIndex.map { case ((u, t), i) =>
+          (i.toLong, t, u, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val same = relational.Survival.logRank(cohort(100, 2), cohort(200, 2),
+      censorDays = 7).collect().head
+    assert(same.getDouble(2) === 0.0 && !same.getBoolean(3))
+    val diff = relational.Survival.logRank(cohort(100, 2), cohort(200, 12),
+      censorDays = 7).collect().head
+    assert(diff.getDouble(2) > 3.841 && diff.getBoolean(3),
+      s"clearly different churn must flag: $diff")
+  }
+
   test("personalizedPageRank: mass stays near the seed, sums to ~1") {
     // path 1-2-3-4-5-6 with seed {1}: ppr decays with distance
     val edges = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
