@@ -642,10 +642,12 @@ object SparkEntry {
         shingleSize = 2, numHashes = OracleExt.MinhashHashes,
         bandRows = 1, threshold = 0.1)),
     // r9: the banding-recall audit — LSH pairs at r=2 vs the COMPLETE
-    // shingle-keyed ground truth at threshold 0.5 (real recall < 1;
-    // the row pins the trade so a hash/banding regression flips it)
+    // shingle-keyed ground truth at threshold 0.5, on a BOUNDED doc
+    // sample (the ground truth's hot-shingle buckets grow
+    // quadratically with corpus size — the audit is a sampled
+    // estimate by design, the q_minhash_lsh bounding discipline)
     "q_lsh_recall" -> ((s, dir) =>
-      dedup.Dedup.lshRecallAudit(docs(s, dir),
+      dedup.Dedup.lshRecallAudit(docs(s, dir).filter(col("doc_id") < 500),
         shingleSize = 2, numHashes = OracleExt.MinhashHashes,
         bandRows = 2, threshold = 0.5)),
     // r9: more-like-this — top-5 exact-Jaccard matches per seed doc
@@ -2125,7 +2127,7 @@ object SparkEntry {
     "q_triangles" -> OracleExt.qTriangles,
     "q_link_predict" -> OracleExt.qLinkPredict,
     "q_stickiness" -> OracleExt.qStickiness,
-    "q_lsh_recall" -> OracleExt.qLshRecallAudit("", 2, 0.5),
+    "q_lsh_recall" -> OracleExt.qLshRecallAudit("WHERE doc_id < 500", 2, 0.5),
     "q_ppr" -> OracleExt.qPersonalizedPageRank(),
     "q_attribution_multi" -> OracleExt.qAttributionMulti,
     "q_survival" -> OracleExt.qSurvival,
