@@ -2049,6 +2049,34 @@ object OracleExt {
        |FROM rk WHERE rank <= 10""".stripMargin
   }
 
+  /** Embedding drift oracle (Similarity.embeddingDrift over the
+    * vec_id-parity split): per-(label, dim) exact integer component
+    * sums, rounded-9 centroids, 1e-9-fixed squared differences.
+    */
+  def qEmbeddingDrift(threshold: Double, dim: Int = 64): String = {
+    def side(pred: String, t: String) =
+      s"""x$t AS (SELECT CAST(label AS BIGINT) AS label, d.i AS dim,
+         |    CAST(round(v[d.i] * 1e6) AS BIGINT) AS x6
+         |  FROM c, (SELECT unnest(generate_series(1, $dim)) AS i) d
+         |  WHERE $pred),
+         |c$t AS (SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n_$t,
+         |    round(CAST(SUM(CAST(x6 AS HUGEINT)) AS DOUBLE)
+         |      / COUNT(*) / 1e6, 9) AS c_$t
+         |  FROM x$t GROUP BY 1, 2)""".stripMargin
+    s"""WITH c AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |${side("vec_id % 2 = 0", "a")},
+       |${side("vec_id % 2 = 1", "b")},
+       |g AS (SELECT label, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+       |    SUM(CAST(round((c_a - c_b) * (c_a - c_b) * 1e9) AS BIGINT))
+       |      AS d9
+       |  FROM ca JOIN cb USING (label, dim) GROUP BY 1)
+       |SELECT label, n_a, n_b,
+       |  round(sqrt(d9 / 1e9), 6) AS centroid_shift,
+       |  round(sqrt(d9 / 1e9) - $threshold, 6) > 0.0 AS drifted
+       |FROM g""".stripMargin
+  }
+
   /** Retrieval-eval oracle (Similarity.retrievalEval of the int8 MIPS
     * top-k against the float brute-force ground truth): both rankings
     * rebuilt exactly, per-item 1e-9-fixed DCG/RR terms, the ideal DCG
@@ -4580,6 +4608,38 @@ object OracleExt {
        |       ELSE round((runs - $muR) / $sigR, 6) END AS z
        |FROM st""".stripMargin
   }
+
+  /** Dominant period (TemporalOps.dominantPeriod): per-unit DFT power
+    * with 1e-9-rounded trig factors, 1e-9-fixed terms, 1e-6-fixed
+    * power, (power desc, k asc) argmax — identical arithmetic.
+    */
+  val qDominantPeriod: String =
+    s"""${Oracle.panel},
+       |obs AS (SELECT unit_id, value AS v,
+       |    CAST(row_number() OVER (PARTITION BY unit_id
+       |      ORDER BY month_id) - 1 AS BIGINT) AS t,
+       |    CAST(COUNT(*) OVER (PARTITION BY unit_id) AS BIGINT) AS n
+       |  FROM panel),
+       |terms AS (SELECT unit_id, n, kk.k,
+       |    CAST(round(v * round(cos(2 * pi() * kk.k * t / n), 9) * 1e9)
+       |      AS BIGINT) AS c9,
+       |    CAST(round(v * round(sin(2 * pi() * kk.k * t / n), 9) * 1e9)
+       |      AS BIGINT) AS s9
+       |  FROM obs, LATERAL (SELECT
+       |    unnest(generate_series(1, CAST(floor(n / 2.0) AS BIGINT)))
+       |      AS k) kk),
+       |g AS (SELECT unit_id, n, k, SUM(c9) AS c, SUM(s9) AS s
+       |  FROM terms GROUP BY 1, 2, 3),
+       |p AS (SELECT unit_id, n, k,
+       |    CAST(round(((c / 1e9) * (c / 1e9) + (s / 1e9) * (s / 1e9))
+       |      * 1e6) AS BIGINT) AS p9
+       |  FROM g),
+       |best AS (SELECT *, row_number() OVER (PARTITION BY unit_id
+       |    ORDER BY p9 DESC, k ASC) AS rn FROM p)
+       |SELECT unit_id, n, CAST(k AS BIGINT) AS k,
+       |  round(CAST(n AS DOUBLE) / k, 6) AS period,
+       |  round(p9 / 1e6, 6) AS power
+       |FROM best WHERE rn = 1""".stripMargin
 
   /** Mann–Kendall trend (TemporalOps.mannKendall): the same pair
     * signs, exact integer S, n recovered from the pair count by the

@@ -986,6 +986,14 @@ object SparkEntry {
       val e = embeddings(s, dir)
       similarity.Similarity.knnF1(e, e.filter(col("vec_id") < 50), k = 10)
     }),
+    // r9: embedding-space drift — per-label centroid shift between
+    // the vec_id-parity halves (random split → below the 0.05 gate)
+    "q_embed_drift" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      similarity.Similarity.embeddingDrift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), threshold = 0.05)
+    }),
     // r9: per-cluster centroid silhouette over the IVF assignment —
     // cohesion vs separation next to q_embed_ivf_stats
     "q_silhouette" -> ((s, dir) =>
@@ -1336,6 +1344,10 @@ object SparkEntry {
     // components (Hyndman F_t/F_s)
     "q_seasonal_strength" -> onPanel(p =>
       TemporalOps.seasonalStrength(p, "value", period = 7, half = 2)),
+    // r9: dominant period per unit — DFT power argmax (which cycle
+    // the series actually runs on)
+    "q_dominant_period" -> onPanel(p =>
+      TemporalOps.dominantPeriod(p, "value")),
     // r9: FK-candidate inference — containment-based key discovery,
     // the data-profiling flip side of q_ref_integrity (the mismatched
     // pair shows a sub-1 containment that is NOT a candidate)
@@ -1908,6 +1920,7 @@ object SparkEntry {
     "q_mann_kendall" -> OracleExt.qMannKendall,
     "q_emerging_hotspots" -> OracleExt.qEmergingHotspots,
     "q_seasonal_strength" -> OracleExt.qSeasonalStrength(),
+    "q_dominant_period" -> OracleExt.qDominantPeriod,
     "q_burstiness" -> OracleExt.qBurstiness,
     "q_log_rank" -> OracleExt.qLogRank(censorDays = 1),
     "q_runs_test" -> OracleExt.qRunsTest,
@@ -2070,6 +2083,7 @@ object SparkEntry {
     "q_embed_ivf_topk" -> OracleExt.qEmbedIvfTopK(),
     "q_embed_ivf_recall" -> OracleExt.qEmbedIvfRecall,
     "q_retrieval_eval" -> OracleExt.qRetrievalEval(),
+    "q_embed_drift" -> OracleExt.qEmbeddingDrift(0.05),
     "q_knn_classify" -> OracleExt.qKnnClassify(),
     "q_knn_f1" -> OracleExt.qKnnF1(),
     "q_vocab_coverage" -> OracleExt.qVocabCoverage(),

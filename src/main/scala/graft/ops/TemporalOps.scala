@@ -364,6 +364,52 @@ object TemporalOps {
         .otherwise(round((col("runs") - muR) / sigR, 6)).as("z"))
   }
 
+  /** Dominant PERIOD per unit — the argmax of the discrete-Fourier
+    * power spectrum over frequencies k = 1..⌊n/2⌋ (the "what cycle
+    * does this series actually run on" answer [[decompose]] makes the
+    * caller guess): power(k) = (Σxₜ·cos(2πkt/n))² + (Σxₜ·sin(2πkt/n))².
+    *
+    * Scale shape: an in-plan explode of ⌊n/2⌋ frequencies per row —
+    * n·⌊n/2⌋ terms per unit through one (unit, k) aggregation, all on
+    * series-bounded cardinalities. Determinism: each trig factor is
+    * rounded 1e-9 BEFORE the multiply (collapsing libm's cross-engine
+    * ULP — the Survival log discipline), each term fixed to 1e-9
+    * integers before the sum, the power to 1e-6 integers before the
+    * struct-max argmax (smallest-k tie-break).
+    *
+    * @return (unit_id, n, k, period, power) — period = n/k
+    */
+  def dominantPeriod(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol)
+    val wAll = Window.partitionBy(Panel.UnitCol)
+    val obs = df.filter(x.isNotNull && !isnan(x))
+      .select(col(Panel.UnitCol), x.as("__v"),
+        (row_number().over(w) - 1).cast("long").as("__t"),
+        count(lit(1)).over(wAll).as("__n"))
+    val twoPi = lit(2.0 * math.Pi)
+    val ang = twoPi * col("k") * col("__t") / col("__n")
+    val terms = obs
+      .select(col(Panel.UnitCol), col("__v"), col("__t"), col("__n"),
+        explode(sequence(lit(1L),
+          floor(col("__n") / lit(2.0)).cast("long"))).as("k"))
+      .select(col(Panel.UnitCol), col("__n"), col("k"),
+        round(col("__v") * round(cos(ang), 9) * 1e9).cast("long").as("__c9"),
+        round(col("__v") * round(sin(ang), 9) * 1e9).cast("long").as("__s9"))
+    val g = terms.groupBy(col(Panel.UnitCol), col("__n"), col("k"))
+      .agg(sum(col("__c9")).as("__c"), sum(col("__s9")).as("__s"))
+    val p9 = round(((col("__c") / 1e9) * (col("__c") / 1e9) +
+      (col("__s") / 1e9) * (col("__s") / 1e9)) * 1e6).cast("long")
+    g.select(col(Panel.UnitCol), col("__n"), col("k"), p9.as("__p9"))
+      .groupBy(col(Panel.UnitCol))
+      .agg(max(struct(col("__p9"), (-col("k")).as("__nk"),
+        col("k").as("__k"), col("__n").as("__nn"))).as("__b"))
+      .select(col(Panel.UnitCol), col("__b.__nn").as("n"),
+        col("__b.__k").as("k"),
+        round(col("__b.__nn").cast("double") / col("__b.__k"), 6)
+          .as("period"),
+        round(col("__b.__p9") / 1e6, 6).as("power"))
+  }
+
   /** Seasonal/trend STRENGTH per unit from the [[decompose]] components
     * (Hyndman's FeatureS/T): F_t = max(0, 1 − Var(R)/Var(T+R)) and
     * F_s = max(0, 1 − Var(R)/Var(S+R)) — "how much of the series the

@@ -693,6 +693,45 @@ object Similarity {
         (col("__b.__l") === col("true_label")).as("correct"))
   }
 
+  /** Embedding-space DRIFT between two corpus slices — the
+    * vector-valued companion of the scalar PSI/KS monitors: per label,
+    * the euclidean distance between the slices' mean vectors (centroid
+    * shift), plus each side's population count. A retrained or
+    * corrupted encoder moves centroids; scalar monitors on projections
+    * can miss it.
+    *
+    * Exactness: every vector component is fixed to 1e-6 integers at
+    * the scan; centroid components are exact integer sums divided
+    * once; the distance is a Σ over dims of squared differences of
+    * those rounded-9 rationals, each term fixed to 1e-9 before the
+    * (dims-bounded) sum. One aggregation per side.
+    *
+    * @return (label, n_a, n_b, centroid_shift, drifted)
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame, threshold: Double,
+                     vecCol: String = "embedding",
+                     labelCol: String = "label"): DataFrame = {
+    val d = "decimal(38,0)"
+    def centroids(df: DataFrame, tag: String) = df
+      .select(col(labelCol).cast("long").as("label"),
+        posexplode(asDouble(col(vecCol))).as(Seq("__dim", "__x")))
+      .groupBy(col("label"), col("__dim"))
+      .agg(count(lit(1)).as(s"__n_$tag"),
+        sum(round(col("__x") * 1e6).cast("long").cast(d)).as(s"__s_$tag"))
+      .select(col("label"), col("__dim"), col(s"__n_$tag"),
+        round(col(s"__s_$tag").cast("double") / col(s"__n_$tag") / 1e6, 9)
+          .as(s"__c_$tag"))
+    val j = centroids(a, "a").join(centroids(b, "b"),
+      Seq("label", "__dim"))
+    val diff = col("__c_a") - col("__c_b")
+    j.groupBy(col("label"))
+      .agg(max(col("__n_a")).as("n_a"), max(col("__n_b")).as("n_b"),
+        sum(round(diff * diff * 1e9).cast("long")).as("__d9"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(sqrt(col("__d9") / 1e9), 6).as("centroid_shift"),
+        (round(sqrt(col("__d9") / 1e9) - threshold, 6) > 0.0).as("drifted"))
+  }
+
   /** Per-label precision/recall/F1 of the [[knnClassify]] predictions
     * — the aggregate readout of the embedding-space label probe (macro
     * metrics are left to the reader: per-label rows avoid cross-label

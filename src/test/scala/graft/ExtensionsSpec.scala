@@ -1090,6 +1090,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(out(10L) === ((1L, 1L, true)))
   }
 
+  test("embeddingDrift: identical slices shift 0, a planted shift flags") {
+    val base = (1L to 20L).map(i =>
+      (i, Array((i % 5).toFloat, 1.0f), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val same = graft.similarity.Similarity
+      .embeddingDrift(base, base, threshold = 0.1)
+      .collect().map(r => (r.getDouble(3), r.getBoolean(4)))
+    assert(same.forall(_ == ((0.0, false))))
+    val shifted = base.select(col("vec_id"),
+      transform(col("embedding"), v => v + lit(1.0f)).as("embedding"),
+      col("label"))
+    val drift = graft.similarity.Similarity
+      .embeddingDrift(base, shifted, threshold = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // every component moved by exactly 1 → shift = sqrt(2) per label
+    drift.values.foreach(v =>
+      assert(math.abs(v - math.sqrt(2.0)) < 1e-5, s"$drift"))
+  }
+
   test("knnF1: perfectly separable blobs score 1.0 per label") {
     val a = (1L to 6L).map(i => (i, Array(1.0f + 0.01f * i, 0.0f), 0))
     val b = (10L to 15L).map(i => (i, Array(-1.0f, 0.01f * i), 1))

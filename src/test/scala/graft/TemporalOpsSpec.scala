@@ -278,6 +278,19 @@ class TemporalOpsSpec extends SparkSpec {
     assert(math.abs(r2.getDouble(2) - 2.0 / 3.0) < 1e-6)
   }
 
+  test("dominantPeriod recovers a planted cycle") {
+    // pure 6-month cosine over 24 months → k = 24/6 = 4 wins
+    val cyc = panel1((0 until 24).map(t =>
+      10.0 * math.cos(2 * math.Pi * t / 6.0)): _*)
+    val r = TemporalOps.dominantPeriod(cyc, "value").collect().head
+    assert(r.getLong(1) === 24L && r.getLong(2) === 4L)
+    assert(r.getDouble(3) === 6.0)
+    // a linear ramp concentrates power at the lowest frequency k = 1
+    val ramp = panel1((1 to 24).map(_.toDouble): _*)
+    assert(TemporalOps.dominantPeriod(ramp, "value")
+      .collect().head.getLong(2) === 1L)
+  }
+
   test("seasonalStrength: pure cycle scores seasonal ~1, noise-free " +
       "line scores trend ~1") {
     // 18 months of a period-3 sawtooth: detrended variance is all
