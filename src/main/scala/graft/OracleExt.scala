@@ -2203,6 +2203,46 @@ object OracleExt {
        |  round(MAX(mass) / tot, 6) AS coverage
        |FROM kk JOIN head ON r <= k, tot GROUP BY k, tot""".stripMargin
 
+  /** Diversity index (Profile.diversityIndex over document sources):
+    * 1e-9-fixed entropy terms, exact Σc² Simpson, evenness from the
+    * rounded H.
+    */
+  val qSourceDiversity: String =
+    """WITH cells AS (SELECT source AS c, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT SUM(o) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM cells),
+      |h AS (SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+      |    round(CAST(SUM(CAST(round((CAST(o AS DOUBLE) / n)
+      |      * ln(CAST(o AS DOUBLE) / n) * -1e9) AS BIGINT)) AS DOUBLE)
+      |      / 1e9, 6) AS shannon,
+      |    SUM(CAST(o AS HUGEINT) * o) AS s2
+      |  FROM cells, t GROUP BY 1, 2)
+      |SELECT k, n, shannon,
+      |  CASE WHEN k <= 1 THEN NULL
+      |       ELSE round(shannon / ln(CAST(k AS DOUBLE)), 6) END AS evenness,
+      |  round(CAST(s2 AS DOUBLE)
+      |    / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) AS simpson
+      |FROM h""".stripMargin
+
+  /** Token-mass Gini across documents (Profile.gini over per-doc token
+    * counts — the qGini machinery on the corpus).
+    */
+  val qTokenGini: String =
+    """WITH cents AS (SELECT doc_id AS u,
+      |    SUM(CAST(round(CAST(len(string_split_regex(trim(text), '\s+'))
+      |      AS BIGINT) * 100) AS BIGINT)) AS x
+      |  FROM documents GROUP BY 1),
+      |r AS (SELECT x, row_number() OVER (ORDER BY x, u) AS rk FROM cents),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+      |        SUM(CAST(x AS HUGEINT)) AS t,
+      |        SUM(CAST(rk AS HUGEINT) * CAST(x AS HUGEINT)) AS s1
+      |      FROM r)
+      |SELECT n_units, round(CAST(t AS DOUBLE) / 100, 6) AS total,
+      |  CASE WHEN t = 0 THEN NULL
+      |       ELSE round(CAST(2 * s1 - (n_units + 1) * t AS DOUBLE)
+      |                  / CAST(n_units * t AS DOUBLE), 6) END AS gini
+      |FROM a""".stripMargin
+
   /** Corpus report card (TextOps.corpusReport): each metric row
     * recomputed by its component's own oracle as a derived table.
     */

@@ -302,6 +302,8 @@ object Registry {
 
   val corpusTransforms: Map[String, Transform] = Map(
     "identity" -> ((df, _) => df),
+    // terminal one-page corpus report card (metric, value rows)
+    "report" -> ((df, _) => text.TextOps.corpusReport(df)),
     // args: [minQuality, lang?] — quality floor, optional language
     // equality. The scores are evaluated ONCE per row in a projection
     // below a mapPartitions(identity) barrier, then the filter tests

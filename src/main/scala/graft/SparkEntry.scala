@@ -1379,6 +1379,28 @@ object SparkEntry {
     // r9: the one-page corpus report card — volume, readability, Zipf
     // fit, head coverage as (metric, value) rows
     "q_corpus_report" -> ((s, dir) => text.TextOps.corpusReport(docs(s, dir))),
+    // r9: the report through the corpus wire (shares qCorpusReport)
+    "q_pipeline_report" -> ((s, dir) =>
+      Registry.runCorpus(docs(s, dir), """[{"type":"report"}]""")),
+    // r9: source-mixture diversity — Shannon/evenness/Simpson, the
+    // one-row health check of any mixing recipe
+    "q_source_diversity" -> ((s, dir) =>
+      relational.Profile.diversityIndex(docs(s, dir), "source")),
+    // r9: token-mass Gini across documents — "is the corpus dominated
+    // by a few giant docs" (the revenue-gini machinery on tokens)
+    "q_token_gini" -> ((s, dir) =>
+      relational.Profile.gini(
+        docs(s, dir).select(col("doc_id"),
+          text.TextOps.tokenCount(col("text")).cast("double")
+            .as("n_tokens")),
+        "n_tokens", "doc_id")),
+    // r9: personalized PageRank through the graph wire (shares
+    // qPersonalizedPageRank)
+    "q_pipeline_ppr" -> ((s, dir) =>
+      Registry.runGraph(
+        dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
+          maxDist = 3),
+        """[{"type":"ppr","args":[5,5]}]""")),
     // r9: exact global quantiles via the range-partitioned rank — the
     // distributed replacement for the single-buffer percentile agg
     "q_quantiles" -> ((s, dir) =>
@@ -2088,6 +2110,10 @@ object SparkEntry {
     "q_knn_f1" -> OracleExt.qKnnF1(),
     "q_vocab_coverage" -> OracleExt.qVocabCoverage(),
     "q_corpus_report" -> OracleExt.qCorpusReport,
+    "q_pipeline_report" -> OracleExt.qCorpusReport,
+    "q_source_diversity" -> OracleExt.qSourceDiversity,
+    "q_token_gini" -> OracleExt.qTokenGini,
+    "q_pipeline_ppr" -> OracleExt.qPersonalizedPageRank(),
     "q_silhouette" -> OracleExt.qSilhouette(),
     "q_embed_ivf_stats" -> OracleExt.qIvfStats(),
     "q_embed_ivfpq_recall" -> OracleExt.qEmbedIvfPqRecall,

@@ -228,6 +228,43 @@ object Profile {
         (round(col("tvd") - t, 6) > 0.0).as("at_risk"): _*)
   }
 
+  /** Categorical DIVERSITY index — how evenly a mixture spreads across
+    * its categories (sources, languages, labels): Shannon entropy H
+    * (nats), Pielou evenness H/ln k (1 = perfectly balanced), and the
+    * Simpson concentration Σp² (the probability two random rows share
+    * the category — the Gini–Simpson complement). The one-row health
+    * check of any q_mix_* recipe.
+    *
+    * Exactness: one category-count aggregation; each −p·ln p term is
+    * fixed to 1e-9 integers (the mutualInfo discipline), Simpson is an
+    * exact Σc²/n² integer ratio, evenness divides the already-rounded
+    * H by ln k once.
+    *
+    * @return one row (k, n, shannon, evenness, simpson)
+    */
+  def diversityIndex(df: DataFrame, catCol: String): DataFrame = {
+    val d = "decimal(38,0)"
+    val counts = df.groupBy(col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__o"))
+    val tot = counts.agg(sum(col("__o")).as("__n"),
+      count(lit(1)).as("__k"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("__n"), col("__k"),
+        round((col("__o") / col("__n")) *
+          log(col("__o").cast("double") / col("__n")) * -1e9).cast("long")
+          .as("__h9"),
+        (col("__o").cast(d) * col("__o")).as("__o2"))
+      .groupBy(col("__k").as("k"), col("__n").as("n"))
+      .agg(round(sum(col("__h9")).cast("double") / 1e9, 6).as("shannon"),
+        sum(col("__o2")).as("__s2"))
+      .select(col("k"), col("n"), col("shannon"),
+        when(col("k") <= 1, lit(null).cast("double"))
+          .otherwise(round(col("shannon") / log(col("k").cast("double")), 6))
+          .as("evenness"),
+        round(col("__s2").cast("double") /
+          (col("n").cast(d) * col("n")).cast("double"), 6).as("simpson"))
+  }
+
   /** Gini concentration coefficient of a monetary value across units
     * (customers, suppliers, sources) — the inequality audit a revenue
     * or token-budget review reports: 0 = perfectly even, →1 = all

@@ -165,6 +165,22 @@ class StatsSpec extends SparkSpec {
     assert(got("c3") === (0.5, true))
   }
 
+  test("diversityIndex: balanced = evenness 1, single category degenerate") {
+    val balanced = (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++
+      Seq.fill(10)("c")).map((_, 1)).toDF("cat", "one")
+    val r = relational.Profile.diversityIndex(balanced, "cat")
+      .collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 30L)
+    assert(math.abs(r.getDouble(2) - math.log(3.0)) < 1e-6) // H = ln 3
+    assert(r.getDouble(3) === 1.0)                          // evenness
+    assert(math.abs(r.getDouble(4) - 1.0 / 3.0) < 1e-6)     // Simpson
+    val single = Seq.fill(5)("x").map((_, 1)).toDF("cat", "one")
+    val rs = relational.Profile.diversityIndex(single, "cat")
+      .collect().head
+    assert(rs.getDouble(2) === 0.0 && rs.isNullAt(3) &&
+      rs.getDouble(4) === 1.0)
+  }
+
   test("equiDepthHistogram: quartiles of 1..8 hold 2 values each") {
     val df = (1 to 8).map(_.toDouble).toDF("v")
     val got = relational.Stats.equiDepthHistogram(df, "v", nbins = 4)
