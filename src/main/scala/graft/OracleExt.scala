@@ -5229,6 +5229,19 @@ object OracleExt {
          |FROM lineitem""".stripMargin)
       .mkString("\nUNION ALL\n")
 
+  /** Quantile sketch gate (Stats.quantileSketchGate): exact values via
+    * quantile_cont, TRUE for the rank-envelope verdict (the sketch is
+    * engine-specific — qVocabApprox discipline).
+    */
+  def qQuantilesApprox(qs: Seq[Double]): String =
+    qs.map(q =>
+      s"""SELECT $q AS q,
+         |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), $q), 6)
+         |    AS value,
+         |  TRUE AS within_eps
+         |FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n")
+
   /** Flesch readability (TextOps.readability): the same three regex
     * counts floored at 1 and the same row-local closed form.
     */

@@ -1408,6 +1408,12 @@ object SparkEntry {
           s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice",
           Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
         .select(col("q"), round(col("value"), 6).as("value"))),
+    // r9: the sketch path gated — approx_percentile's rank error vs
+    // the exact quantiles, one envelope verdict per q
+    "q_quantiles_approx" -> ((s, dir) =>
+      relational.Stats.quantileSketchGate(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.95))),
     // r9: equi-depth (quantile-bin) price histogram — the skew-proof
     // companion of q_histogram's fixed widths
     "q_histogram_eq" -> ((s, dir) =>
@@ -2192,6 +2198,8 @@ object SparkEntry {
     "q_histogram_eq" -> OracleExt.qHistogramEq(),
     "q_quantiles" -> OracleExt.qQuantiles(
       Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)),
+    "q_quantiles_approx" -> OracleExt.qQuantilesApprox(
+      Seq(0.25, 0.5, 0.75, 0.95)),
     "q_readability" -> OracleExt.qReadability,
     "q_bloom_audit" -> OracleExt.qBloomAudit,
     "q_pipeline_changepoint" -> OracleExt.qChangepoint,

@@ -339,6 +339,44 @@ object Stats {
           (col("__pos") - floor(col("__pos")))).as("value"))
   }
 
+  /** Quantile SKETCH gate — the production `approx_percentile` path
+    * checked against [[exactQuantiles]] in one result (the
+    * q_vocab_approx envelope discipline): per requested q the row
+    * carries the EXACT value (oracle-checkable) plus a verdict that
+    * the sketch value's exact RANK sits within `eps`·n of the target
+    * position — rank error is what the KLL/GK sketch actually bounds,
+    * so a sketch regression flips the verdict and hash-mismatches the
+    * gate while machine-specific sketch internals never enter the
+    * comparison.
+    *
+    * @return one row per q: (q, value, within_eps)
+    */
+  def quantileSketchGate(df: DataFrame, valueCol: String, qs: Seq[Double],
+                         accuracy: Int = 10000,
+                         eps: Double = 0.01): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val exact = exactQuantiles(df, valueCol, qs)
+    val approx = df.agg(expr(
+      s"approx_percentile(CAST($valueCol AS DOUBLE), " +
+        s"array(${qs.mkString(",")}), $accuracy)").as("__aq"),
+      count(v).as("__n"))
+    val aRows = approx.select(col("__n"),
+      posexplode(col("__aq")).as(Seq("__i", "__a")))
+      .select((element_at(
+        array(qs.map(lit): _*), (col("__i") + 1).cast("int"))).as("q"),
+        col("__a"), col("__n"))
+    val ranks = df.select(v.as("__v")).filter(col("__v").isNotNull)
+      .crossJoin(broadcast(aRows))
+      .groupBy(col("q"), col("__n"))
+      .agg(sum(when(col("__v") <= col("__a"), 1L).otherwise(0L)).as("__r"))
+    val target = (col("__n") - 1).cast("double") * col("q") + 1.0
+    exact.join(ranks.select(col("q"),
+        (abs(col("__r") - target) <= col("__n") * eps + 1.0)
+          .as("within_eps")), "q")
+      .select(col("q"), round(col("value"), 6).as("value"),
+        col("within_eps"))
+  }
+
   /** Equi-DEPTH histogram: `nbins` quantile bins — the shape sketch
     * for skewed distributions where [[histogram]]'s fixed widths dump
     * everything into one bar. Bin boundaries are the [[exactQuantiles]]
