@@ -450,6 +450,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("dominantPeriod explodes in-plan — no join, no product") {
+    val p = Seq((1L, 1L, 1.0), (2L, 1L, 2.0))
+      .toDF(Panel.TimeCol, Panel.UnitCol, "value")
+    val plan = ops.TemporalOps.dominantPeriod(p, "value")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Join"), plan) // explode + aggregates only
+    assert(plan.contains("Generate"), plan)
+  }
+
+  test("exactQuantiles is a range exchange, never a value-buffer agg") {
+    val df = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("v")
+    val qe = relational.Stats.exactQuantiles(df, "v", Seq(0.5))
+      .queryExecution
+    // the range exchange lives behind globalRank's eager checkpoint
+    // (RankingSpec pins that machinery); what THIS operator must never
+    // reintroduce is the single-buffer percentile aggregate, and its
+    // only join must be the broadcast of the tiny q table
+    val logical = qe.optimizedPlan.toString()
+    assert(!logical.contains("percentile("), logical)
+    assert(logical.contains("rightHint=(strategy=broadcast)"), logical)
+    assert(!qe.executedPlan.toString().contains("percentile("))
+  }
+
   test("silhouette's centroid candidates broadcast — corpus never products") {
     val emb = (1L to 8L).map(i => (i, Array(i.toFloat, 0.0f), 0))
       .toDF("vec_id", "embedding", "label")

@@ -523,6 +523,49 @@ class PropertySpec extends AnyFunSuite {
     assert(allOf(2) == allOf(17))
   }
 
+  test("partitioning invariance: the late-r9 statistics tail") {
+    val panel = (for { u <- 1L to 40L; m <- 1L to 16L } yield
+      (m, u, math.sin(u * 0.9 + m * 0.7) * 20.0 + (m % 5)))
+      .toDF(Panel.TimeCol, Panel.UnitCol, "value")
+    val ev = (for { u <- 1L to 30L; i <- 0 until (u % 7 + 2).toInt } yield
+      (u * 100 + i, java.sql.Timestamp.valueOf(
+        f"2024-01-${(i % 27) + 1}%02d 0${(u % 9)}%01d:00:00"), u,
+        if (i % 3 == 0) "purchase" else "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val docsDf = (1L to 120L).map(i =>
+      (i, s"tok${i % 17} tok${i % 5} tok${i % 3} body text number $i",
+        if (i % 2 == 0) "en" else "de", s"src${i % 3}", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def allOf(parts: Int): Seq[Set[Seq[Any]]] = {
+      val p = panel.repartition(parts)
+      val e = ev.repartition(parts)
+      val d = docsDf.repartition(parts)
+      Seq(
+        graft.ops.TemporalOps.mannKendall(p, "value")
+          .collect().map(_.toSeq).toSet,
+        graft.ops.TemporalOps.runsTest(p, "value")
+          .collect().map(_.toSeq).toSet,
+        graft.ops.TemporalOps.dominantPeriod(p, "value")
+          .collect().map(_.toSeq).toSet,
+        graft.ops.TemporalOps.seasonalStrength(p, "value", 4, 1)
+          .collect().map(_.toSeq).toSet,
+        graft.relational.Engagement.burstiness(e)
+          .collect().map(_.toSeq).toSet,
+        graft.relational.Survival.logRank(
+            e.filter(col("user_id") % 2 === 0),
+            e.filter(col("user_id") % 2 === 1), censorDays = 1)
+          .collect().map(_.toSeq).toSet,
+        graft.relational.Profile.diversityIndex(d, "source")
+          .collect().map(_.toSeq).toSet,
+        graft.text.TextOps.corpusReport(d)
+          .collect().map(_.toSeq).toSet,
+        graft.relational.Stats.exactQuantiles(d, "n_chars",
+            Seq(0.25, 0.5, 0.75))
+          .collect().map(_.toSeq).toSet)
+    }
+    assert(allOf(2) == allOf(17))
+  }
+
   test("partitioning invariance: spearman, anova, spatial stats, NDCG") {
     val panel = (for { u <- 1L to 60L; m <- 1L to 12L } yield
       (m, u, math.sin(u * 0.7 + m * 1.3) * 50.0 + (u % 7)))
