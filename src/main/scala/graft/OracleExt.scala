@@ -5339,6 +5339,37 @@ object OracleExt {
       |            * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS rho
       |FROM s""".stripMargin
 
+  /** Kruskal–Wallis H (Stats.kruskalWallis over quantity × return
+    * flag): the spearman doubled-rank machinery, exact HUGEINT rank
+    * sums, integer-fixed per-group terms, exact tie correction.
+    */
+  val qKruskalWallis: String = {
+    val corr = "(1.0 - CAST(tt AS DOUBLE) / CAST(n * n * n - n AS DOUBLE))"
+    val h0 = "(3.0 * CAST(t AS DOUBLE) / CAST(n * (n + 1) AS DOUBLE)" +
+      " - 3.0 * (n + 1))"
+    s"""WITH cells AS (SELECT l_returnflag AS g, l_quantity AS v,
+       |    CAST(COUNT(*) AS BIGINT) AS o
+       |  FROM lineitem GROUP BY 1, 2),
+       |m AS (SELECT v, SUM(o) AS nv FROM cells GROUP BY 1),
+       |rk AS (SELECT v, 2 * SUM(nv) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    - nv + 1 AS r2
+       |  FROM m),
+       |pg AS (SELECT g, SUM(o) AS ng,
+       |    SUM(CAST(o AS HUGEINT) * r2) AS s2
+       |  FROM cells JOIN rk USING (v) GROUP BY 1),
+       |s AS (SELECT SUM(ng) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+       |    SUM(CAST(round(CAST(s2 * s2 AS DOUBLE) / ng) AS BIGINT)) AS t
+       |  FROM pg),
+       |tt AS (SELECT SUM(CAST(nv AS HUGEINT) * nv * nv - nv) AS tt FROM m)
+       |SELECT CAST(n AS BIGINT) AS n, k,
+       |  CASE WHEN $corr = 0.0 THEN NULL
+       |       ELSE round($h0 / $corr, 6) END AS h,
+       |  CASE WHEN $corr = 0.0 THEN NULL
+       |       ELSE round($h0 / $corr - 5.991, 6) > 0.0 END AS significant
+       |FROM s, tt""".stripMargin
+  }
+
   /** t-closeness (Profile.tCloseness, quasi = nation, sensitive =
     * segment, t = 0.2): densified class × sensitive cells, 1e-9-fixed
     * |p − q| terms, per-class halved sum.

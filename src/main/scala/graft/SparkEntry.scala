@@ -1328,6 +1328,11 @@ object SparkEntry {
     "q_spearman" -> ((s, dir) =>
       relational.Stats.spearman(s.read.parquet(s"$dir/lineitem.parquet"),
         "l_quantity", "l_discount")),
+    // r9: Kruskal–Wallis H — the nonparametric ANOVA (χ²(2) crit 5.991)
+    "q_kruskal" -> ((s, dir) =>
+      relational.Stats.kruskalWallis(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_returnflag", "l_quantity", critical = 5.991)),
     // r9: t-closeness — the skewness-attack privacy screen completing
     // the k-anonymity / l-diversity triple, t = 0.2
     "q_t_closeness" -> ((s, dir) =>
@@ -2208,6 +2213,7 @@ object SparkEntry {
     "q_pipeline_stickiness" -> OracleExt.qStickiness,
     "q_pipeline_knn" -> OracleExt.qKnnClassify(),
     "q_spearman" -> OracleExt.qSpearman,
+    "q_kruskal" -> OracleExt.qKruskalWallis,
     "q_t_closeness" -> OracleExt.qTCloseness,
     "q_theil_sen" -> OracleExt.qTheilSen,
     "q_pacf" -> OracleExt.qPacf,

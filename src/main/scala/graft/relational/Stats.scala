@@ -420,6 +420,60 @@ object Stats {
         col("n"))
   }
 
+  /** Kruskal–Wallis H — the nonparametric [[anovaF]] (rank-based, so
+    * outliers and non-normality can't lie), completing the test-family
+    * symmetry: Welch↔Mann–Whitney(AUC), ANOVA↔Kruskal–Wallis. Over a
+    * BOUNDED-CARDINALITY value column (the [[spearman]] contract),
+    * everything derives from (group, value) cells: doubled
+    * tie-averaged ranks stay integers, each group's rank-sum is an
+    * exact DECIMAL, the per-group S²/n terms are fixed to integers
+    * before their (k-bounded) sum, and the tie-correction factor is a
+    * ratio of exact integers.
+    *
+    * @param critical χ²(k−1) at the caller's α (inlined constant)
+    * @return one row (n, k, h, significant) — h tie-corrected
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
+                    critical: Double): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__o"))
+    val margin = cells.groupBy(col("__v")).agg(sum(col("__o")).as("__nv"))
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(xxhash64(col("__v")), lit(1))).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val ranked = margin.select(col("__v"),
+      (lit(2) * sum(col("__nv")).over(wm) - col("__nv") + 1).as("__r2"),
+      col("__nv"))
+    val perG = cells.join(broadcast(ranked.select(col("__v"), col("__r2"))),
+        "__v")
+      .groupBy(col("__g"))
+      .agg(sum(col("__o")).as("__ng"),
+        sum(col("__o").cast(Dec) * col("__r2")).as("__s2"))
+    // Σ_g S2_g²/n_g, each term integer-fixed (1e0 units — deterministic
+    // double→long conversion even past 2^53, the anovaF headroom note)
+    val sums = perG.agg(sum(col("__ng")).as("__n"),
+      count(lit(1)).as("__k"),
+      sum(round((col("__s2") * col("__s2")).cast("double") / col("__ng"))
+        .cast("long").cast(Dec)).as("__t"))
+    val ties = margin.agg(
+      sum(col("__nv").cast(Dec) * col("__nv") * col("__nv")
+        - col("__nv")).as("__tt"))
+    val n = col("__n")
+    // doubled ranks: r̄ = r2/2 so 12·Σn r̄² = 3·Σ S2²/n
+    val h0 = lit(3.0) * col("__t").cast("double") /
+      (n * (n + 1)).cast("double") - lit(3.0) * (n + 1)
+    val corr = lit(1.0) - col("__tt").cast("double") /
+      (n.cast(Dec) * n * n - n).cast("double")
+    sums.crossJoin(broadcast(ties))
+      .select(n.as("n"), col("__k").as("k"),
+        when(corr === 0.0, lit(null).cast("double"))
+          .otherwise(round(h0 / corr, 6)).as("h"),
+        when(corr === 0.0, lit(null).cast("boolean"))
+          .otherwise(round(h0 / corr - critical, 6) > 0.0)
+          .as("significant"))
+  }
+
   /** Per-group trimmed mean: drop values outside the [lo, hi] exact
     * quantiles, then average the survivors on exact integer cents.
     * Two passes (the exact-percentile pass buffers per group — at

@@ -165,6 +165,27 @@ class StatsSpec extends SparkSpec {
     assert(got("c3") === (0.5, true))
   }
 
+  test("kruskalWallis: identical groups score 0; shifted groups flag") {
+    // identical distributions: every group's mean rank equals the
+    // global (n+1)/2 → H = 0 exactly
+    val same = (1 to 10).flatMap(i =>
+      Seq(("a", i.toDouble), ("b", i.toDouble))).toDF("g", "v")
+    val r0 = relational.Stats.kruskalWallis(same, "g", "v", critical = 3.841)
+      .collect().head
+    assert(r0.getLong(0) === 20L && r0.getDouble(2) === 0.0 &&
+      !r0.getBoolean(3))
+    // disjoint shifted groups (no ties): textbook H for two groups of
+    // 5 with ranks {1..5} vs {6..10}: H = 12/110·(15²/5+40²/5) − 33
+    val sep = ((1 to 5).map(i => ("a", i.toDouble)) ++
+      (6 to 10).map(i => ("b", i.toDouble))).toDF("g", "v")
+    val r1 = relational.Stats.kruskalWallis(sep, "g", "v", critical = 3.841)
+      .collect().head
+    val expected = 12.0 / (10 * 11) * (15.0 * 15 / 5 + 40.0 * 40 / 5) -
+      3 * 11
+    assert(math.abs(r1.getDouble(2) - expected) < 1e-6, s"$r1 vs $expected")
+    assert(r1.getBoolean(3))
+  }
+
   test("diversityIndex: balanced = evenness 1, single category degenerate") {
     val balanced = (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++
       Seq.fill(10)("c")).map((_, 1)).toDF("cat", "one")
