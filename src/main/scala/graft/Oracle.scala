@@ -120,23 +120,33 @@ object Oracle {
 
   /** CUSUM (TemporalOps.cusum, h=3): running deviation sum + breach at
     * h unit-σ, margin rounded 1e-6 before the comparison (both sides).
-    * Mirrors the impl's order-deterministic derivation exactly: the
-    * ordered running sum of value minus n·round(μ,9) — never
-    * `SUM(value − μ)`, whose float-order noise the accumulation
-    * amplifies by t past the output rounding.
+    * Mirrors the impl's integer fixed-point derivation exactly: values
+    * are fixed to 1e-9-unit BIGINTs at the scan, μ is fixed to the
+    * same grid from the exact integer total, and the cancellation
+    * `S_t − n_t·μ9` is pure integer arithmetic — engine-proof against
+    * both reassociated window SUMs and float-group-sum input noise.
+    * Only the final divide back to DOUBLE touches floats.
     */
   def qCusum(h: Double = 3.0): String =
-    s"""$panel, st AS (
+    s"""$panel, fx AS (
        |  SELECT month_id, unit_id, value,
-       |    round(avg(value) OVER (PARTITION BY unit_id), 9) AS mu,
-       |    round(stddev_pop(value) OVER (PARTITION BY unit_id), 9) AS sd
+       |    CAST(round(value * 1e9) AS BIGINT) AS v9
        |  FROM panel),
+       |st AS (
+       |  SELECT month_id, unit_id,
+       |    CAST(round(
+       |      CAST(sum(v9) OVER (PARTITION BY unit_id) AS DOUBLE)
+       |      / CAST(count(v9) OVER (PARTITION BY unit_id) AS DOUBLE)
+       |    ) AS BIGINT) AS mu9,
+       |    round(stddev_pop(value) OVER (PARTITION BY unit_id), 9) AS sd,
+       |    CAST(sum(v9) OVER (PARTITION BY unit_id ORDER BY month_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s9,
+       |    count(v9) OVER (PARTITION BY unit_id ORDER BY month_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n9
+       |  FROM fx),
        |cs AS (
        |  SELECT month_id, unit_id, sd,
-       |    SUM(value) OVER (PARTITION BY unit_id ORDER BY month_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |    - COUNT(value) OVER (PARTITION BY unit_id ORDER BY month_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * mu AS c
+       |    CAST(s9 - n9 * mu9 AS DOUBLE) / 1e9 AS c
        |  FROM st)
        |SELECT month_id, unit_id, round(c, 6) AS cusum,
        |  CAST(round(abs(c) - $h * sd, 6) > 0.0 AS INTEGER) AS breach

@@ -141,25 +141,37 @@ object TemporalOps {
     * shift makes the cusum ramp; |cusum| crossing h·σ marks the
     * drift). Two stacked windows on the shared unit partitioning.
     *
-    * Determinism: the statistic is NOT accumulated as `Σ(x − μ)` —
-    * μ is an unordered window average whose last-ULP value depends on
-    * the partition layout's intra-partition summation order, and the
-    * running sum amplifies that noise by t, enough to flip the 1e-6
-    * output rounding between runs. Instead it is derived from
-    * order-deterministic parts: the ordered running sum of x (a fixed
-    * left-to-right accumulation under the total (unit, month) sort)
-    * minus `n_t · round(μ, 9)` — the 1e-9 rounding collapses μ's ULP
-    * noise to a partitioning-invariant constant before the
-    * t-amplifying multiply. σ gets the same 1e-9 rounding for the
-    * breach margin. PropertySpec pins partitioning-invariance.
+    * Determinism — integer fixed-point end to end (the changepoint /
+    * PageRank discipline): `S_t − n_t·μ` is a catastrophic
+    * cancellation (two ~n·μ-sized quantities whose small difference IS
+    * the statistic), so ANY float accumulation — even a sequential
+    * one — leaks engine-specific last-ULP noise into the 1e-6-rounded
+    * output: the inputs themselves are float group-sums whose ULPs
+    * differ across engines, and window SUMs may be reassociated
+    * (segment trees) vs sequential. The cure is to leave float space
+    * at the scan: fix each value to a 1e-9-unit long
+    * (`round(value·1e9)` — half-away-from-zero in both engines, and
+    * the half-ULP input noise ~1e-13 is far below the 5e-10
+    * quantization boundary), then EVERY sum, count, and the
+    * cancellation itself is exact integer arithmetic that no
+    * reassociation can perturb. μ is fixed to the same grid from the
+    * exact integer total (`round(Σv9 / n)` — one float division of
+    * identical exact operands, bit-deterministic). Only the final
+    * divide back to double touches floats again. σ keeps the 1e-9
+    * rounding for the breach margin (no t-amplification there).
+    * Long headroom: |n_t·μ9| ≤ n·|v|·1e9, safe for series of 1e6 rows
+    * with |value| up to ~9e3 — per-unit series, not corpus-sized.
     *
     * @return (cusum DOUBLE, breach INT) as a struct column
     */
   def cusum(c: Column, h: Double = 3.0): Column = {
     val wAll = Window.partitionBy(Panel.UnitCol)
-    val mean = round(avg(c).over(wAll), 9)
+    val v9 = round(c * lit(1e9)).cast("long")
+    val mu9 = round(sum(v9).over(wAll).cast("double") /
+      count(v9).over(wAll).cast("double")).cast("long")
     val sd = round(stddev_pop(c).over(wAll), 9)
-    val cs = sum(c).over(cum) - count(c).over(cum) * mean
+    val cs9 = sum(v9).over(cum) - count(v9).over(cum) * mu9
+    val cs = cs9.cast("double") / lit(1e9)
     // the breach decision rounds its margin to 1e-6 so a borderline
     // |cusum| ≈ h·σ resolves identically across engines/partitionings
     struct(cs.as("cusum"),

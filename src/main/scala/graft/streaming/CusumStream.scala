@@ -18,26 +18,43 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the stream (static side, streaming-safe); per-unit state is just
   * (n, Σx) — O(1) per row, the TickStream discipline.
   *
-  * Determinism mirrors the batch fix exactly: the statistic is
-  * `Σx − n·μ` with μ pre-rounded to 1e-9 by the fitter, and Σx
-  * accumulates in month order — no partition-layout float noise.
+  * Determinism mirrors the batch fix exactly — integer fixed-point
+  * end to end (`Σx − n·μ` is a catastrophic cancellation, so even a
+  * sequential float accumulation leaks the inputs' cross-engine ULP
+  * noise into the 1e-6-rounded output): each value is fixed to a
+  * 1e-9-unit long on arrival, the baseline carries μ fixed to the
+  * same grid (`mu9`), and the state carries a LONG Σ — the running
+  * statistic is exact integer arithmetic until the final divide back
+  * to double.
   */
 object CusumStream {
 
   case class ScoredRow(unit_id: Long, month_id: Long, value: Double,
-                       mu: Double, sd: Double)
-  case class CusumState(n: Long, s: Double)
+                       mu9: Long, sd: Double)
+  case class CusumState(n: Long, s9: Long)
   case class CusumOut(unit_id: Long, month_id: Long, cusum: Double,
                       breach: Int)
 
-  /** Per-unit reference stats, the batch fit: (unit_id, mu, sd) with
-    * the 1e-9 rounding that makes downstream accumulation
-    * partitioning-invariant (TemporalOps.cusum's discipline).
+  /** Per-unit reference stats, the batch fit: (unit_id, mu9, sd) with
+    * μ fixed to the 1e-9 integer grid from the exact integer value
+    * total — TemporalOps.cusum's discipline, symbol for symbol.
     */
-  def fitBaseline(panel: DataFrame, valueCol: String = "value"): DataFrame =
+  def fitBaseline(panel: DataFrame, valueCol: String = "value"): DataFrame = {
+    val v9 = round(col(valueCol) * lit(1e9)).cast("long")
     panel.groupBy(col(graft.Panel.UnitCol))
-      .agg(round(avg(col(valueCol)), 9).as("mu"),
+      .agg(round(sum(v9).cast("double") / count(v9).cast("double"))
+             .cast("long").as("mu9"),
         round(stddev_pop(col(valueCol)), 9).as("sd"))
+  }
+
+  /** `round(value·1e9)` exactly as Spark's `round()` computes it:
+    * BigDecimal HALF_UP on the double's shortest decimal rendering —
+    * the streaming scan-side fix must quantize to the identical grid
+    * as the batch plan's Round expression.
+    */
+  def fix9(value: Double): Long =
+    BigDecimal(value * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+      .toLong
 
   private def breachOf(cs: Double, sd: Double, h: Double): Int = {
     // the batch side's round(|cs| − h·σ, 6) > 0 — BigDecimal HALF_UP
@@ -49,10 +66,10 @@ object CusumStream {
 
   def updateGroup(h: Double)(unit: Long, rows: Iterator[ScoredRow],
                              state: GroupState[CusumState]): Iterator[CusumOut] = {
-    var st = state.getOption.getOrElse(CusumState(0L, 0.0))
+    var st = state.getOption.getOrElse(CusumState(0L, 0L))
     val out = rows.toSeq.sortBy(_.month_id).map { r =>
-      st = CusumState(st.n + 1, st.s + r.value)
-      val cs = st.s - st.n * r.mu
+      st = CusumState(st.n + 1, st.s9 + fix9(r.value))
+      val cs = (st.s9 - st.n * r.mu9).toDouble / 1e9
       CusumOut(unit, r.month_id, cs, breachOf(cs, r.sd, h))
     }
     state.update(st)
@@ -83,7 +100,7 @@ object CusumStream {
     cusum(panel
       .join(broadcast(baseline), graft.Panel.UnitCol)
       .select(col(graft.Panel.UnitCol), col(graft.Panel.TimeCol),
-        col("value"), col("mu"), col("sd"))
+        col("value"), col("mu9"), col("sd"))
       .as[ScoredRow], h)
   }
 }
