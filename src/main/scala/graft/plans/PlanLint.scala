@@ -78,4 +78,143 @@ object PlanLint {
   /** The findings a plan must never carry. */
   def fatal(df: DataFrame): Seq[Finding] =
     lint(df).filter(_.severity == "fatal")
+
+  // ------------------------------------------------------------------
+  // Cross-engine float-reassociation gate (the cusum lesson)
+  // ------------------------------------------------------------------
+
+  /** Flags the numeric shape that is invisible to every in-engine test
+    * and only surfaces when a DIFFERENT engine recomputes the query: a
+    * hash-gated output that rounds a float to a coarse grid (≤ 1e-6)
+    * fed by an order-dependent double accumulation of unbounded width.
+    *
+    * The failure class (three rounds of red cusum rows): an ordered
+    * running `SUM(double)` over an unbounded frame is evaluated
+    * sequentially by Spark but via segment-tree reassociation by
+    * columnar engines (DuckDB), so the two disagree in the last ULPs;
+    * when the statistic is a catastrophic cancellation (`S_t − n·μ` —
+    * two ~n·μ-sized quantities whose tiny difference IS the output),
+    * that noise lands above the 1e-6 output rounding and the gate
+    * hash-mismatches. Partitioning-invariance tests pass such a query
+    * — only a by-construction rule catches it pre-driver.
+    *
+    * Detection is attribute-lineage over the ANALYZED logical plan
+    * (the analyzer extracts window expressions into their own nodes,
+    * so the sum and the round usually live in different operators):
+    *
+    *   - an unbounded ordered-window `Sum` over a Float/Double summand
+    *     taints its output attribute as ORDER-DEPENDENT (fatal when it
+    *     reaches a gate round); a plain group/unordered `Sum(double)`
+    *     taints as PLAIN (advisory — one-shot totals have ~ULP noise,
+    *     below coarse grids unless magnitudes are extreme);
+    *   - taint propagates through every expression that references a
+    *     tainted attribute (arithmetic on a noisy sum stays noisy);
+    *   - integral / decimal summands never taint — fixed-point sums
+    *     are exact under ANY association, which is precisely the
+    *     prescribed fix (`round(x·1e9).cast("long")` at the scan,
+    *     integer accumulation and cancellation, divide back at the
+    *     end);
+    *   - bounded frames (`ROWS BETWEEN k PRECEDING …`) never taint as
+    *     order-dependent: k-term float sums carry bounded noise with
+    *     no t-amplification.
+    *
+    * A finding fires where `round(e, scale ≤ maxScale)` has a tainted
+    * `e`. Fatal = order-dependent taint; advisory = plain-sum taint.
+    */
+  def floatGate(df: DataFrame, maxScale: Int = 6): Seq[Finding] =
+    floatGatePlan(df.queryExecution.analyzed, maxScale)
+
+  def floatGatePlan(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                    maxScale: Int = 6): Seq[Finding] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+    // fixed-point summands (integral/decimal) are exact under any
+    // association — only raw float sums accumulate engine-shaped noise
+    def floatSummand(e: Expression): Boolean = e.dataType match {
+      case DoubleType | FloatType => true
+      case _                      => false
+    }
+
+    // 2 = order-dependent unbounded running sum, 1 = plain float sum
+    val taintOf = scala.collection.mutable.Map.empty[ExprId, Int]
+
+    def frameUnbounded(spec: WindowSpecDefinition): Boolean =
+      spec.frameSpecification match {
+        case SpecifiedWindowFrame(_, UnboundedPreceding, _) => true
+        case UnspecifiedFrame                               => spec.orderSpec.nonEmpty
+        case _                                              => false
+      }
+
+    def taintIn(e: Expression): Int = {
+      var worst = 0
+      e.foreach {
+        case we: WindowExpression =>
+          val ordered =
+            we.windowSpec.orderSpec.nonEmpty && frameUnbounded(we.windowSpec)
+          we.windowFunction.foreach {
+            case ae: AggregateExpression =>
+              ae.aggregateFunction match {
+                case s: Sum if floatSummand(s.child) =>
+                  worst = math.max(worst, if (ordered) 2 else 1)
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case ae: AggregateExpression =>
+          ae.aggregateFunction match {
+            case s: Sum if floatSummand(s.child) => worst = math.max(worst, 1)
+            case _                               => ()
+          }
+        case ar: AttributeReference =>
+          worst = math.max(worst, taintOf.getOrElse(ar.exprId, 0))
+        case _ => ()
+      }
+      worst
+    }
+
+    val findings = scala.collection.mutable.ArrayBuffer.empty[Finding]
+    // post-order: producers of an attribute are visited before its
+    // consumers, so taintOf is complete when a referencing node asks
+    plan.foreachUp { node =>
+      node.expressions.foreach { root =>
+        root.foreach {
+          case r: Round =>
+            val coarse = r.scale match {
+              case Literal(s: Int, _) => s <= maxScale
+              case _                  => false
+            }
+            val t = taintIn(r.child)
+            if (coarse && t > 0)
+              findings += Finding(
+                if (t == 2) "fatal" else "advisory",
+                "Round",
+                (if (t == 2)
+                   "coarse-rounded gate output fed by an ORDER-DEPENDENT " +
+                     "unbounded running SUM(double) — cross-engine " +
+                     "reassociation noise lands above the output grid; "
+                 else
+                   "coarse-rounded gate output fed by a float SUM — " +
+                     "one-shot totals carry ~ULP noise, usually below " +
+                     "the grid; ") +
+                  "fix values to a 1e-k integer grid at the scan and " +
+                  "accumulate in integer arithmetic (the changepoint / " +
+                  "PageRank / fixed-cusum discipline)")
+          case _ => ()
+        }
+        root match {
+          case a: Alias =>
+            val t = taintIn(a.child)
+            if (t > 0) taintOf(a.exprId) = math.max(taintOf.getOrElse(a.exprId, 0), t)
+          case _ => ()
+        }
+      }
+    }
+    findings.distinct.toSeq
+  }
+
+  /** The float-gate findings a hash-gated query must never carry. */
+  def floatGateFatal(df: DataFrame, maxScale: Int = 6): Seq[Finding] =
+    floatGate(df, maxScale).filter(_.severity == "fatal")
 }

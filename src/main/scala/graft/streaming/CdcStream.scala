@@ -51,4 +51,58 @@ object CdcStream {
     graft.relational.Scd.cdcApply(
       spark.read.parquet(s"$storePath/log"),
       keyCol, seqCol, opCol, valueCols)
+
+  /** Compact the append-only log: rewrite the accumulated epochs as
+    * ONE resolved base (the served state re-encoded as `I` rows that
+    * keep each key's winning sequence number) via the two-rename
+    * swap discipline of [[graft.text.Packing.compactPartitions]] —
+    * write the base beside the log, stage the log aside, swap, delete.
+    *
+    * Read-equivalence is by construction: resolution is an associative
+    * per-key max_by over the sequence, so
+    * `resolve(base ++ future) == resolve(allEpochs ++ future)` —
+    *   - surviving keys keep their winning (op→I, values, seq); any
+    *     future event carries a strictly higher seq and wins either
+    *     way, and `I` vs `U` is irrelevant to max_by resolution;
+    *   - deleted keys drop out entirely (not tombstoned): the served
+    *     state excludes them, and a future re-insert wins by seq
+    *     against nothing just as it would have won against the
+    *     tombstone.
+    * Epoch markers are NOT touched: a replay of an already-ingested
+    * epoch stays a no-op after compaction (the idempotence contract),
+    * which is exactly why tombstone rows need no afterlife — a
+    * compacted epoch can never be appended twice.
+    *
+    * Scale shape: one key-partitioned aggregation (the serve plan) and
+    * one write, log size drops from O(all change events) to O(live
+    * keys); merge-on-read serving cost is bounded again until the next
+    * compaction cycle.
+    */
+  def compact(spark: SparkSession, storePath: String, keyCol: String,
+              seqCol: String, opCol: String, valueCols: Seq[String]): Unit = {
+    val logPath = s"$storePath/log"
+    val order = spark.read.parquet(logPath).columns
+    val handled = (Seq(keyCol, seqCol, opCol) ++ valueCols).toSet
+    require(order.forall(handled),
+      s"log columns ${order.mkString(",")} exceed the resolved set " +
+        s"${handled.mkString(",")} — compaction would drop data")
+    val base = serve(spark, storePath, keyCol, seqCol, opCol, valueCols)
+      .withColumn(opCol, lit("I"))
+      .select(order.map(col): _*)
+    val fs = new org.apache.hadoop.fs.Path(logPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = logPath + ".compact-tmp"
+    // the base materialises fully into tmp BEFORE any rename — the
+    // lazy read of logPath is consumed here, never during the swap
+    base.write.mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(logPath)
+    val bak = new org.apache.hadoop.fs.Path(logPath + ".compact-bak")
+    require(fs.rename(p, bak), s"could not stage $logPath aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p)) {
+      fs.rename(bak, p) // roll back — the original stays authoritative
+      throw new IllegalStateException(
+        s"swap failed for $logPath; restored original")
+    }
+    fs.delete(bak, true)
+  }
 }

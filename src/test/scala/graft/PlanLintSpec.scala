@@ -41,6 +41,46 @@ class PlanLintSpec extends SparkSpec {
     assert(PlanLint.fatal(agg).isEmpty, PlanLint.lint(agg).mkString("; "))
   }
 
+  test("floatGate red-flags an order-dependent double running sum " +
+      "feeding a coarse-rounded gate output (the broken cusum shape)") {
+    val panel = (1L to 5L).flatMap(m => (0L to 3L).map(u =>
+      (m, u, (m * 7 + u).toDouble / 3.0)))
+      .toDF(Panel.TimeCol, Panel.UnitCol, "value")
+    // the r8/r9 formulation that failed the driver gate three rounds
+    // running: ordered unbounded SUM(double) minus n·round(μ,9), margin
+    // rounded to 1e-6 — the cancellation amplifies cross-engine window
+    // reassociation noise above the output grid
+    val wAll = Window.partitionBy(Panel.UnitCol)
+    val cum = Panel.cumulative
+    val mean = round(avg(col("value")).over(wAll), 9)
+    val sd = round(stddev_pop(col("value")).over(wAll), 9)
+    val cs = sum(col("value")).over(cum) - count(col("value")).over(cum) * mean
+    val broken = panel.select(col(Panel.TimeCol), col(Panel.UnitCol),
+      cs.as("cusum"),
+      (round(abs(cs) - lit(3.0) * sd, 6) > 0.0).cast("int").as("breach"))
+    val f = PlanLint.floatGateFatal(broken)
+    assert(f.nonEmpty, PlanLint.floatGate(broken).mkString("; "))
+  }
+
+  test("floatGate greenlights the integer-fixed cusum and bounded frames") {
+    val panel = (1L to 5L).flatMap(m => (0L to 3L).map(u =>
+      (m, u, (m * 7 + u).toDouble / 3.0)))
+      .toDF(Panel.TimeCol, Panel.UnitCol, "value")
+    // the shipped fix: 1e-9-unit long summands, integer cancellation
+    val fixed = panel.select(col(Panel.TimeCol), col(Panel.UnitCol),
+      graft.ops.TemporalOps.cusum(col("value")).as("c"))
+      .select(col(Panel.TimeCol), col(Panel.UnitCol),
+        col("c.cusum"), col("c.breach"))
+    assert(PlanLint.floatGateFatal(fixed).isEmpty,
+      PlanLint.floatGate(fixed).mkString("; "))
+    // a bounded trailing float sum feeding a rounded output is fine:
+    // k-term noise has no t-amplification (moving_sum family)
+    val msum = panel.select(col(Panel.TimeCol), col(Panel.UnitCol),
+      round(graft.ops.TemporalOps.movingSum(col("value"), 3), 6).as("ms"))
+    assert(PlanLint.floatGateFatal(msum).isEmpty,
+      PlanLint.floatGate(msum).mkString("; "))
+  }
+
   test("the engine's own scale-audited operators lint clean of fatals") {
     val docs = Seq((1L, "a b c d e"), (2L, "b c d e f"), (3L, "x y z w q"))
       .toDF("doc_id", "text")

@@ -60,7 +60,7 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
       .toMap
     val baseline = CusumStream.fitBaseline(p)
-      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val src = MemoryStream[CusumStream.ScoredRow]
     val q = CusumStream.cusum(src.toDS(), h = 2.0)
       .writeStream.format("memory").queryName("cusum_stream")
@@ -69,8 +69,8 @@ class StreamingSpec extends SparkSpec {
       def feed(months: Range): Unit = {
         src.addData(rows.filter(r => months.contains(r._1.toInt)).map {
           case (m, u, v) =>
-            val (mu, sd) = baseline(u)
-            CusumStream.ScoredRow(u, m, v, mu, sd)
+            val (mu9, sd) = baseline(u)
+            CusumStream.ScoredRow(u, m, v, mu9, sd)
         })
         q.processAllAvailable()
       }
@@ -902,5 +902,40 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(s"$store/log"), "k", "seq", "op", Seq("v"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(batch === served)
+  }
+
+  test("CDC compaction: serve is read-equivalent before/after, the log " +
+      "shrinks to live keys, and post-compaction epochs resolve exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.CdcStream
+    val store =
+      java.nio.file.Files.createTempDirectory("graft_cdc_compact_").toString
+    def epoch(id: Long, rows: (Long, Double, Long, String)*): Unit =
+      CdcStream.ingestEpoch(rows.toDF("k", "v", "seq", "op"), store, id)
+    epoch(0L, (1L, 10.0, 1L, "I"), (2L, 20.0, 1L, "I"), (4L, 40.0, 1L, "I"))
+    epoch(1L, (1L, 11.0, 2L, "U"), (2L, 0.0, 2L, "D"), (3L, 30.0, 2L, "I"))
+    epoch(2L, (4L, 41.0, 3L, "U"), (3L, 0.0, 3L, "D"))
+    def servedMap() =
+      CdcStream.serve(spark, store, "k", "seq", "op", Seq("v"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val before = servedMap()
+    val rawRowsBefore = spark.read.parquet(s"$store/log").count()
+    CdcStream.compact(spark, store, "k", "seq", "op", Seq("v"))
+    // read-equivalence: the resolved state (values AND winning seqs)
+    // survives compaction bit-for-bit
+    assert(servedMap() === before)
+    // bounded: the log now holds exactly the live keys (2), down from
+    // every change event (8); deleted keys carry no tombstone afterlife
+    val raw = spark.read.parquet(s"$store/log")
+    assert(raw.count() === 2L && rawRowsBefore === 8L)
+    assert(raw.filter(col("op") =!= "I").count() === 0L)
+    // a replay of a compacted epoch stays a no-op (markers survive)
+    epoch(1L, (1L, 99.0, 9L, "U"))
+    assert(servedMap() === before)
+    // post-compaction epochs resolve exactly as they would have
+    // against the uncompacted log: update a survivor, re-insert a
+    // deleted key, delete a survivor
+    epoch(3L, (1L, 12.0, 4L, "U"), (2L, 22.0, 4L, "I"), (4L, 0.0, 4L, "D"))
+    assert(servedMap() === Set((1L, 12.0, 4L), (2L, 22.0, 4L)))
   }
 }
