@@ -73,15 +73,47 @@ object SpacetimeDist {
     require(ring >= 1, "ring must be >= 1")
   }
 
+  /** Event count past which the O(E) broadcast product stops being the
+    * right stage-1 plan and the ring-bounded banded generator takes
+    * over. The broadcast path ships every event to every task and
+    * streams a units×E product into the top-k aggregation — fine while
+    * E is broadcast-sized (tens of MB), a bottleneck when the event
+    * set itself is data-scale. 2M events ≈ 80 MB broadcast at 5
+    * doubles/row — the upper edge of comfortable.
+    */
+  val AutoBandEvents: Long = 2000000L
+
+  /** The band geometry auto-dispatch falls back to. Any geometry is
+    * EXACT (the banded generator proves each group complete or
+    * recomputes it against the month's full event set), so this only
+    * tunes performance: 4°-wide bands with a 1-cell ring bound
+    * candidates to a 12°×12° neighbourhood.
+    */
+  val DefaultBand: Band = Band(4.0, 1)
+
+  /** The stage-1 dispatch rule, pure so plans/tests can pin it: an
+    * explicit request wins; otherwise band when the event count
+    * crosses `autoBandEvents`.
+    */
+  def chooseBand(eventCount: Long, banded: Option[Band],
+                 autoBandEvents: Long): Option[Band] =
+    banded.orElse(
+      if (eventCount > autoBandEvents) Some(DefaultBand) else None)
+
   /** @param monthCap compat quirk: the reference processes only the
     * first 600 months (`times[0:600]`, spacetime_distance.py:127);
     * pass Some(600) to replicate (months beyond the cap keep their
     * rows but are never computed — they get the 999.0 sentinel).
     * @param banded Some(Band(...)) swaps the stage-1 O(E)-broadcast
     * candidate generator for the ring-bounded banded one (identical
-    * results by construction; see [[Band]]). Keep None for sparse
-    * event sets — the broadcast product is cheaper until event
-    * density makes O(units×E) the bottleneck.
+    * results by construction; see [[Band]]). None defers to the
+    * auto-dispatch: the broadcast product is cheaper for sparse event
+    * sets, the band join once event density makes O(units×E) the
+    * bottleneck.
+    * @param autoBandEvents event-count threshold for the automatic
+    * banded dispatch when `banded` is None (one count job over the
+    * filtered event set — negligible next to the candidate product it
+    * sizes). `Long.MaxValue` pins the broadcast path.
     */
   def spacetimeDistances(panel: DataFrame, valueCol: String,
                          returnValues: String, k: Int, nu: Double, power: Double,
@@ -89,7 +121,8 @@ object SpacetimeDist {
                          lonCol: String = "lon", latCol: String = "lat",
                          out: String = "stdist",
                          monthCap: Option[Int] = None,
-                         banded: Option[Band] = None): DataFrame = {
+                         banded: Option[Band] = None,
+                         autoBandEvents: Long = AutoBandEvents): DataFrame = {
     val spark = panel.sparkSession
     val T = Panel.TimeCol
     val U = Panel.UnitCol
@@ -143,7 +176,13 @@ object SpacetimeDist {
     val sdx = (col(lonCol) - col("e_lon")) * 0.5
     val sdy = (col(latCol) - col("e_lat")) * 0.5
     val topk = udaf(new TopK(k))
-    val perMonthTop: DataFrame = banded match {
+    // explicit request short-circuits the count job; otherwise one
+    // count over the filtered events decides broadcast vs banded
+    val dispatch: Option[Band] =
+      if (banded.isDefined) banded
+      else if (autoBandEvents == Long.MaxValue) None
+      else chooseBand(events.count(), banded, autoBandEvents)
+    val perMonthTop: DataFrame = dispatch match {
       case None =>
         unitGeo.crossJoin(broadcast(events))
           .withColumn("sd2", sdx * sdx + sdy * sdy)

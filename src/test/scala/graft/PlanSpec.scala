@@ -73,6 +73,29 @@ class PlanSpec extends SparkSpec {
     assert(exec.toString().contains("cbx"), exec.toString().take(4000))
   }
 
+  test("spacetime auto-dispatch: broadcast under the event threshold, banded above") {
+    import spatial.SpacetimeDist
+    // the pure dispatch rule, pinned at the switch point
+    assert(SpacetimeDist.chooseBand(
+      SpacetimeDist.AutoBandEvents, None, SpacetimeDist.AutoBandEvents).isEmpty)
+    assert(SpacetimeDist.chooseBand(
+      SpacetimeDist.AutoBandEvents + 1, None, SpacetimeDist.AutoBandEvents)
+      .contains(SpacetimeDist.DefaultBand))
+    // an explicit request always wins over the count
+    assert(SpacetimeDist.chooseBand(1L, Some(SpacetimeDist.Band(2.0, 1)),
+      SpacetimeDist.AutoBandEvents).contains(SpacetimeDist.Band(2.0, 1)))
+    // plan-level: threshold 0 flips stage 1 to the band equi-join
+    // (cbx ring key in the plan); MaxValue pins the broadcast product
+    val auto = SpacetimeDist.spacetimeDistances(
+      gridPanel, "value", "distances", k = 1, nu = 1.0, power = 0.0,
+      eventThreshold = 30.0, autoBandEvents = 0L)
+    assert(auto.queryExecution.executedPlan.toString().contains("cbx"))
+    val bcast = SpacetimeDist.spacetimeDistances(
+      gridPanel, "value", "distances", k = 1, nu = 1.0, power = 0.0,
+      eventThreshold = 30.0, autoBandEvents = Long.MaxValue)
+    assert(!bcast.queryExecution.executedPlan.toString().contains("cbx"))
+  }
+
   test("minhash LSH candidates join on band buckets, never all-pairs") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z w q"))
       .toDF("doc_id", "text")

@@ -171,10 +171,18 @@ class SpatialSpec extends SparkSpec {
       val band = keyed(SpacetimeDist.spacetimeDistances(
         p, "value", rv, k, nu, power, eventThreshold = 400.0,
         banded = Some(SpacetimeDist.Band(2.0, 1))))
-      assert(base.keySet == band.keySet)
+      // auto-dispatch at the switch point: threshold 0 must band (with
+      // the DefaultBand geometry) and still reproduce the base exactly
+      val auto = keyed(SpacetimeDist.spacetimeDistances(
+        p, "value", rv, k, nu, power, eventThreshold = 400.0,
+        autoBandEvents = 0L))
+      assert(base.keySet == band.keySet && base.keySet == auto.keySet)
       base.foreach { case (key, v) =>
         val bv = band(key)
+        val av = auto(key)
         assert(v == bv || math.abs(v - bv) < 1e-9, s"$rv k=$k at $key: $v vs $bv")
+        assert(v == av || math.abs(v - av) < 1e-9,
+          s"auto $rv k=$k at $key: $v vs $av")
       }
     }
   }
