@@ -8,6 +8,16 @@ package graft
   */
 object OracleExt {
 
+  /** Re-target an oracle's `documents` references to the doc_id-bounded
+    * sub-corpus — the second-scale twin discipline: every oracle in the
+    * report/profile family reads the corpus exclusively through `FROM
+    * documents`, so one textual re-target covers the whole composed
+    * query (including shared CTEs embedded as subqueries).
+    */
+  def docsUnder(sql: String, maxDoc: Long): String =
+    sql.replace("FROM documents",
+      s"FROM (SELECT * FROM documents WHERE doc_id < $maxDoc)")
+
   /** Normalised documents + word lists (mirrors TextOps.normalize). */
   private val norm =
     """WITH norm AS (

@@ -904,6 +904,83 @@ object Registry {
     "burstiness" -> ((df, _) => relational.Engagement.burstiness(df)),
   )
 
+  /** Relational-statistics transforms over an arbitrary table — the
+    * sixth wire family: the hypothesis-test / drift / profile surface
+    * (the r9 statistics tail) dispatched by column NAME arguments, so
+    * a data-quality policy ("flag this feed when KS drifts, audit its
+    * quasi-identifiers") ships as JSON like every other family. All
+    * two-sample tests split ONE frame by the parity of a caller-named
+    * integer key (ref = even, cur = odd) — the wire format is
+    * single-frame, and a parity split is the canonical deterministic
+    * cohort assignment the gate queries already use.
+    */
+  val tableTransforms: Map[String, Transform] = Map(
+    "identity" -> ((df, _) => df),
+    // args: [groupCol, valueCol, critical] — one-way ANOVA F
+    "anova" -> ((df, a) =>
+      relational.Stats.anovaF(df, a.str(0), a.str(1), a.num(2))),
+    // args: [groupCol, valueCol, critical] — Kruskal–Wallis H
+    "kruskal" -> ((df, a) =>
+      relational.Stats.kruskalWallis(df, a.str(0), a.str(1), a.num(2))),
+    // args: [colA, colB] — Spearman rank correlation
+    "spearman" -> ((df, a) =>
+      relational.Stats.spearman(df, a.str(0), a.str(1))),
+    // args: [colA, colB] — mutual information + NMI
+    "mutual_info" -> ((df, a) =>
+      relational.Stats.mutualInfo(df, a.str(0), a.str(1))),
+    // args: [colA, colB, critical] — chi-square independence
+    "chi2" -> ((df, a) =>
+      relational.Stats.chi2Test(df, a.str(0), a.str(1), a.num(2))),
+    // args: [valueCol, keyCol] — Welch's t over the parity cohorts
+    "welch_t" -> ((df, a) =>
+      relational.Stats.welchT(df.filter(col(a.str(1)) % 2 === 0),
+        df.filter(col(a.str(1)) % 2 === 1), a.str(0))),
+    // args: [valueCol, keyCol, cAlpha?] — two-sample KS drift test
+    "ks_test" -> ((df, a) =>
+      sampling.Sampling.ksTest(df.filter(col(a.str(1)) % 2 === 0),
+        df.filter(col(a.str(1)) % 2 === 1), a.str(0),
+        a.numOpt(2).getOrElse(1.358))),
+    // args: [valueCol, keyCol, bins?] — population stability index
+    "psi" -> ((df, a) =>
+      sampling.Sampling.psi(df.filter(col(a.str(1)) % 2 === 0),
+        df.filter(col(a.str(1)) % 2 === 1), a.str(0),
+        a.numOpt(2).getOrElse(10.0).toInt)),
+    // args: [valueCol, nbins] — equi-width histogram
+    "histogram" -> ((df, a) =>
+      relational.Stats.histogram(df, a.str(0), a.num(1).toInt)),
+    // args: [valueCol, nbuckets] — equi-depth histogram (exact
+    // range-partitioned quantile edges)
+    "equidepth" -> ((df, a) =>
+      relational.Stats.equiDepthHistogram(df, a.str(0), a.num(1).toInt)),
+    // args: [valueCol, q1, q2, …] — exact global quantiles
+    "quantiles" -> ((df, a) =>
+      relational.Stats.exactQuantiles(df, a.str(0),
+        a.drop(1).collect { case d: Double => d })),
+    // args: [groupCol, valueCol, lo?, hi?] — per-group trimmed mean
+    "trimmed_mean" -> ((df, a) =>
+      relational.Stats.trimmedMean(df, a.str(0), a.str(1),
+        a.numOpt(2).getOrElse(0.1), a.numOpt(3).getOrElse(0.9))),
+    // args: [valueCol] — Benford first-digit screen
+    "benford" -> ((df, a) => relational.Profile.benford(df, a.str(0))),
+    // args: [catCol] — Shannon/Simpson diversity of a category
+    "diversity" -> ((df, a) =>
+      relational.Profile.diversityIndex(df, a.str(0))),
+    // args: [valueCol, unitCol] — concentration Gini
+    "gini" -> ((df, a) =>
+      relational.Profile.gini(df, a.str(0), a.str(1))),
+    // args: [k, quasi1, quasi2, …] — k-anonymity audit
+    "k_anonymity" -> ((df, a) =>
+      relational.Profile.kAnonymity(df,
+        a.drop(1).collect { case s: String => s }, a.num(0).toLong)),
+    // args: [sensitiveCol, t, quasi1, …] — t-closeness audit
+    "t_closeness" -> ((df, a) =>
+      relational.Profile.tCloseness(df,
+        a.drop(2).collect { case s: String => s }, a.str(0), a.num(1))),
+    // args: [col1, col2, …] — per-column profile
+    "profile" -> ((df, a) =>
+      relational.Profile.profile(df, a.collect { case s: String => s })),
+  )
+
   /** Graph transforms over an undirected pair list (id_a, id_b) — the
     * near-dup-graph analytics surface as a fifth wire family: every
     * step consumes the edge frame a dedup stage emits (simhash /
@@ -946,4 +1023,8 @@ object Registry {
   /** Run a JSON spec over an events frame. */
   def runEvents(df: DataFrame, json: String): DataFrame =
     parse(json).foldLeft(df)(applyIn(eventTransforms, "event"))
+
+  /** Run a JSON spec over an arbitrary relational table. */
+  def runTable(df: DataFrame, json: String): DataFrame =
+    parse(json).foldLeft(df)(applyIn(tableTransforms, "table"))
 }

@@ -1333,6 +1333,30 @@ object SparkEntry {
       relational.Stats.kruskalWallis(
         s.read.parquet(s"$dir/lineitem.parquet"),
         "l_returnflag", "l_quantity", critical = 5.991)),
+    // r10: the stats/drift/profile tail through the TABLE wire family
+    // (Registry.runTable) — each twin reuses its direct query's oracle,
+    // proving JSON dispatch is value-identical to the Scala call
+    "q_pipeline_kruskal" -> ((s, dir) =>
+      Registry.runTable(s.read.parquet(s"$dir/lineitem.parquet"),
+        """[{"type":"kruskal","args":["l_returnflag","l_quantity",5.991]}]""")),
+    "q_pipeline_anova" -> ((s, dir) =>
+      Registry.runTable(s.read.parquet(s"$dir/lineitem.parquet"),
+        """[{"type":"anova","args":["l_returnflag","l_extendedprice",2.996]}]""")),
+    "q_pipeline_spearman" -> ((s, dir) =>
+      Registry.runTable(s.read.parquet(s"$dir/lineitem.parquet"),
+        """[{"type":"spearman","args":["l_quantity","l_discount"]}]""")),
+    "q_pipeline_mutual_info" -> ((s, dir) =>
+      Registry.runTable(s.read.parquet(s"$dir/orders.parquet"),
+        """[{"type":"mutual_info","args":["o_orderpriority","o_orderstatus"]}]""")),
+    "q_pipeline_ks" -> ((s, dir) =>
+      Registry.runTable(s.read.parquet(s"$dir/orders.parquet"),
+        """[{"type":"ks_test","args":["o_totalprice","o_custkey"]}]""")),
+    "q_pipeline_welch" -> ((s, dir) =>
+      Registry.runTable(s.read.parquet(s"$dir/orders.parquet"),
+        """[{"type":"welch_t","args":["o_totalprice","o_custkey"]}]""")),
+    "q_pipeline_tcloseness" -> ((s, dir) =>
+      Registry.runTable(s.read.parquet(s"$dir/customer.parquet"),
+        """[{"type":"t_closeness","args":["c_mktsegment",0.2,"c_nationkey"]}]""")),
     // r9: t-closeness — the skewness-attack privacy screen completing
     // the k-anonymity / l-diversity triple, t = 0.2
     "q_t_closeness" -> ((s, dir) =>
@@ -1384,6 +1408,20 @@ object SparkEntry {
     // r9: the one-page corpus report card — volume, readability, Zipf
     // fit, head coverage as (metric, value) rows
     "q_corpus_report" -> ((s, dir) => text.TextOps.corpusReport(docs(s, dir))),
+    // r10: the report/profile family at a SECOND corpus scale (the
+    // doc_id < 150 sub-corpus) — scale-dependent constants (head-N,
+    // bins, top-terms) can't silently overfit the one sf0.01 fixture
+    "q_corpus_report_s" -> ((s, dir) =>
+      text.TextOps.corpusReport(docs(s, dir).filter(col("doc_id") < 150))),
+    "q_source_diversity_s" -> ((s, dir) =>
+      relational.Profile.diversityIndex(
+        docs(s, dir).filter(col("doc_id") < 150), "source")),
+    "q_token_gini_s" -> ((s, dir) =>
+      relational.Profile.gini(
+        docs(s, dir).filter(col("doc_id") < 150).select(col("doc_id"),
+          text.TextOps.tokenCount(col("text")).cast("double")
+            .as("n_tokens")),
+        "n_tokens", "doc_id")),
     // r9: the report through the corpus wire (shares qCorpusReport)
     "q_pipeline_report" -> ((s, dir) =>
       Registry.runCorpus(docs(s, dir), """[{"type":"report"}]""")),
@@ -2122,6 +2160,11 @@ object SparkEntry {
     "q_vocab_coverage" -> OracleExt.qVocabCoverage(),
     "q_corpus_report" -> OracleExt.qCorpusReport,
     "q_pipeline_report" -> OracleExt.qCorpusReport,
+    // r10 second-scale twins: the same oracles over doc_id < 150
+    "q_corpus_report_s" -> OracleExt.docsUnder(OracleExt.qCorpusReport, 150),
+    "q_source_diversity_s" ->
+      OracleExt.docsUnder(OracleExt.qSourceDiversity, 150),
+    "q_token_gini_s" -> OracleExt.docsUnder(OracleExt.qTokenGini, 150),
     "q_source_diversity" -> OracleExt.qSourceDiversity,
     "q_token_gini" -> OracleExt.qTokenGini,
     "q_pipeline_ppr" -> OracleExt.qPersonalizedPageRank(),
@@ -2215,6 +2258,14 @@ object SparkEntry {
     "q_spearman" -> OracleExt.qSpearman,
     "q_kruskal" -> OracleExt.qKruskalWallis,
     "q_t_closeness" -> OracleExt.qTCloseness,
+    // r10 table-wire twins share their direct query's oracle
+    "q_pipeline_kruskal" -> OracleExt.qKruskalWallis,
+    "q_pipeline_anova" -> OracleExt.qAnova,
+    "q_pipeline_spearman" -> OracleExt.qSpearman,
+    "q_pipeline_mutual_info" -> OracleExt.qMutualInfo,
+    "q_pipeline_ks" -> OracleExt.qKsTest,
+    "q_pipeline_welch" -> OracleExt.qWelchT,
+    "q_pipeline_tcloseness" -> OracleExt.qTCloseness,
     "q_theil_sen" -> OracleExt.qTheilSen,
     "q_pacf" -> OracleExt.qPacf,
     "q_forecast" -> OracleExt.qForecast,

@@ -589,6 +589,35 @@ class RegistrySpec extends SparkSpec {
       rowsOf(graft.graphs.Bfs.hopDistance(edges, id => id < 2, 2)))
   }
 
+  test("table wire family dispatches the stats/drift/profile surface") {
+    val t = (1L to 60L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c",
+        (i * 7 % 13).toDouble + i * 0.01)).toDF("id", "grp", "v")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rowsOf(Registry.runTable(t,
+        """[{"type":"kruskal","args":["grp","v",5.991]}]""")) ==
+      rowsOf(relational.Stats.kruskalWallis(t, "grp", "v", 5.991)))
+    assert(rowsOf(Registry.runTable(t,
+        """[{"type":"anova","args":["grp","v",2.996]}]""")) ==
+      rowsOf(relational.Stats.anovaF(t, "grp", "v", 2.996)))
+    // two-sample steps split by the parity of the named key
+    assert(rowsOf(Registry.runTable(t,
+        """[{"type":"ks_test","args":["v","id"]}]""")) ==
+      rowsOf(sampling.Sampling.ksTest(t.filter(col("id") % 2 === 0),
+        t.filter(col("id") % 2 === 1), "v")))
+    assert(rowsOf(Registry.runTable(t,
+        """[{"type":"psi","args":["v","id",8]}]""")) ==
+      rowsOf(sampling.Sampling.psi(t.filter(col("id") % 2 === 0),
+        t.filter(col("id") % 2 === 1), "v", bins = 8)))
+    assert(rowsOf(Registry.runTable(t,
+        """[{"type":"quantiles","args":["v",0.25,0.5,0.75]}]""")) ==
+      rowsOf(relational.Stats.exactQuantiles(t, "v", Seq(0.25, 0.5, 0.75))))
+    assert(rowsOf(Registry.runTable(t,
+        """[{"type":"k_anonymity","args":[2,"grp"]}]""")) ==
+      rowsOf(relational.Profile.kAnonymity(t, Seq("grp"), 2L)))
+  }
+
   test("a chained window pipeline stays a single-shuffle plan") {
     val out = Registry.run(p, """[{"type":"tlag","args":[1]},
       {"type":"moving_average","args":[3]},{"type":"demean","args":[]}]""")
