@@ -5380,6 +5380,131 @@ object OracleExt {
        |FROM s, tt""".stripMargin
   }
 
+  /** Mann–Whitney U (Stats.mannWhitney over quantity split by orderkey
+    * parity): the kruskal doubled-rank cell machinery specialised to
+    * two samples — exact HUGEINT rank sums, exact doubled U, the
+    * tie-corrected normal approximation with identical association.
+    */
+  val qMannWhitney: String = {
+    val varU = "CAST(na * nb AS DOUBLE) / 12.0 * " +
+      "(CAST(na + nb + 1 AS DOUBLE) - CAST(tt AS DOUBLE) " +
+      "/ CAST((na + nb) * (na + nb - 1) AS DOUBLE))"
+    val z = s"CAST(r2a - na * (na + 1) - na * nb AS DOUBLE) / 2.0 " +
+      s"/ sqrt($varU)"
+    s"""WITH cells AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE 1 END
+       |    AS g, l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS o
+       |  FROM lineitem GROUP BY 1, 2),
+       |m AS (SELECT v, SUM(o) AS nv FROM cells GROUP BY 1),
+       |rk AS (SELECT v, 2 * SUM(nv) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    - nv + 1 AS r2
+       |  FROM m),
+       |pg AS (SELECT g, SUM(o) AS ng,
+       |    SUM(CAST(o AS HUGEINT) * r2) AS s2
+       |  FROM cells JOIN rk USING (v) GROUP BY 1),
+       |s AS (SELECT MAX(CASE WHEN g = 0 THEN ng END) AS na,
+       |    MAX(CASE WHEN g = 1 THEN ng END) AS nb,
+       |    MAX(CASE WHEN g = 0 THEN s2 END) AS r2a FROM pg),
+       |tt AS (SELECT SUM(CAST(nv AS HUGEINT) * nv * nv - nv) AS tt FROM m)
+       |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |  round(CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0, 6) AS u,
+       |  round(CAST(r2a - na * (na + 1) AS DOUBLE)
+       |    / CAST(na * nb AS DOUBLE) / 2.0, 6) AS auc,
+       |  CASE WHEN $varU <= 0.0 THEN NULL
+       |       ELSE round($z, 6) END AS z,
+       |  CASE WHEN $varU <= 0.0 THEN NULL
+       |       ELSE round(abs($z) - 1.96, 6) > 0.0 END AS significant
+       |FROM s, tt""".stripMargin
+  }
+
+  /** Brown–Forsythe W (Stats.brownForsythe over quantity × return
+    * flag): per-group explicit-middle medians from the cell cumsums,
+    * 1e-6-fixed absolute deviations, the anovaF arithmetic
+    * cell-weighted at the shared 1e-6 scale.
+    */
+  val qBrownForsythe: String = {
+    val w = "(CAST(ssb6 AS DOUBLE) / (k - 1)) / " +
+      "(CAST(ssw6 AS DOUBLE) / (n - k))"
+    s"""WITH cells AS (SELECT l_returnflag AS g,
+       |    CAST(l_quantity AS DOUBLE) AS v, CAST(COUNT(*) AS BIGINT) AS o
+       |  FROM lineitem GROUP BY 1, 2),
+       |tg AS (SELECT g, SUM(o) AS ngt FROM cells GROUP BY 1),
+       |cc AS (SELECT g, v, o, SUM(o) OVER (PARTITION BY g ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM cells),
+       |meds AS (SELECT g, round((
+       |      MIN(CASE WHEN cum >= floor((ngt + 1) / 2) THEN v END)
+       |    + MIN(CASE WHEN cum >= ceil((ngt + 1) / 2) THEN v END)) / 2.0, 9)
+       |    AS med
+       |  FROM cc JOIN tg USING (g) GROUP BY 1),
+       |zc AS (SELECT g, o, CAST(round(abs(v - med) * 1e6) AS BIGINT) AS z6
+       |  FROM cells JOIN meds USING (g)),
+       |means AS (SELECT g, SUM(o) AS ng,
+       |    round(CAST(SUM(CAST(o AS HUGEINT) * z6) AS DOUBLE)
+       |      / SUM(o) / 1e6, 9) AS mg
+       |  FROM zc GROUP BY 1),
+       |grand AS (SELECT SUM(o) AS n,
+       |    round(CAST(SUM(CAST(o AS HUGEINT) * z6) AS DOUBLE)
+       |      / SUM(o) / 1e6, 9) AS mu
+       |  FROM zc),
+       |ssw AS (SELECT SUM(CAST(o AS HUGEINT) * CAST(round(
+       |    (CAST(z6 AS DOUBLE) / 1e6 - mg) * (CAST(z6 AS DOUBLE) / 1e6 - mg)
+       |    * 1e6) AS BIGINT)) AS ssw6
+       |  FROM zc JOIN means USING (g)),
+       |ssb AS (SELECT SUM(CAST(CAST(round(ng * (mg - mu) * (mg - mu) * 1e6)
+       |    AS BIGINT) AS HUGEINT)) AS ssb6, CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM means, grand)
+       |SELECT CAST(n AS BIGINT) AS n, k,
+       |  round($w, 6) AS w,
+       |  round($w - 2.996, 6) > 0.0 AS significant
+       |FROM grand, ssw, ssb""".stripMargin
+  }
+
+  /** Mood's median test (Stats.moodMedian over quantity × return
+    * flag): grand median as the explicit middle order statistics of
+    * the pooled value margin, then the qChi2 machinery over the 2×k
+    * above-vs-not contingency.
+    */
+  val qMoodMedian: String =
+    """WITH mg AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS nv
+      |  FROM lineitem GROUP BY 1),
+      |mc AS (SELECT v, nv, SUM(nv) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM mg),
+      |mt AS (SELECT SUM(nv) AS nt FROM mg),
+      |med AS (SELECT round((
+      |    MIN(CASE WHEN cum >= floor((nt + 1) / 2) THEN v END)
+      |  + MIN(CASE WHEN cum >= ceil((nt + 1) / 2) THEN v END)) / 2.0, 9)
+      |    AS med FROM mc, mt),
+      |cells AS (SELECT l_returnflag AS a,
+      |    CAST(l_quantity AS DOUBLE) > med AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM lineitem, med GROUP BY 1, 2),
+      |rt AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+      |ct AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+      |t AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS ka,
+      |             COUNT(DISTINCT b) AS kb FROM cells),
+      |dense AS (
+      |  SELECT rt.a, ct.b, rt.ra, ct.cb, COALESCE(c.o, 0) AS o
+      |  FROM rt CROSS JOIN ct
+      |  LEFT JOIN cells c ON c.a = rt.a AND c.b = ct.b),
+      |terms AS (
+      |  SELECT n, ka, kb,
+      |    CAST(round((o - CAST(ra AS DOUBLE) * cb / n)
+      |             * (o - CAST(ra AS DOUBLE) * cb / n)
+      |             / (CAST(ra AS DOUBLE) * cb / n) * 1e9) AS BIGINT) AS t9
+      |  FROM dense, t)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+      |  round(CAST(SUM(t9) AS DOUBLE) / 1e9, 6) AS chi2,
+      |  round(sqrt(round(CAST(SUM(t9) AS DOUBLE) / 1e9, 6)
+      |    / (n * (least(ka, kb) - 1))), 6) AS cramers_v,
+      |  round(round(CAST(SUM(t9) AS DOUBLE) / 1e9, 6) - 5.991, 6) > 0.0
+      |    AS significant,
+      |  (SELECT med FROM med) AS grand_median
+      |FROM terms GROUP BY n, ka, kb""".stripMargin
+
   /** t-closeness (Profile.tCloseness, quasi = nation, sensitive =
     * segment, t = 0.2): densified class × sensitive cells, 1e-9-fixed
     * |p − q| terms, per-class halved sum.

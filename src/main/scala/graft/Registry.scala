@@ -935,6 +935,18 @@ object Registry {
     "welch_t" -> ((df, a) =>
       relational.Stats.welchT(df.filter(col(a.str(1)) % 2 === 0),
         df.filter(col(a.str(1)) % 2 === 1), a.str(0))),
+    // args: [valueCol, keyCol, critical?] — Mann–Whitney U over the
+    // parity cohorts
+    "mann_whitney" -> ((df, a) =>
+      relational.Stats.mannWhitney(df.filter(col(a.str(1)) % 2 === 0),
+        df.filter(col(a.str(1)) % 2 === 1), a.str(0),
+        a.numOpt(2).getOrElse(1.96))),
+    // args: [groupCol, valueCol, critical] — Brown–Forsythe spread test
+    "brown_forsythe" -> ((df, a) =>
+      relational.Stats.brownForsythe(df, a.str(0), a.str(1), a.num(2))),
+    // args: [groupCol, valueCol, critical] — Mood's median test
+    "mood_median" -> ((df, a) =>
+      relational.Stats.moodMedian(df, a.str(0), a.str(1), a.num(2))),
     // args: [valueCol, keyCol, cAlpha?] — two-sample KS drift test
     "ks_test" -> ((df, a) =>
       sampling.Sampling.ksTest(df.filter(col(a.str(1)) % 2 === 0),

@@ -1333,6 +1333,26 @@ object SparkEntry {
       relational.Stats.kruskalWallis(
         s.read.parquet(s"$dir/lineitem.parquet"),
         "l_returnflag", "l_quantity", critical = 5.991)),
+    // r10: Mann–Whitney U — the two-sample nonparametric location test
+    // (kruskal's k=2 specialisation to the classic U, AUC effect size,
+    // tie-corrected z), quantity split by orderkey parity
+    "q_mann_whitney" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      relational.Stats.mannWhitney(li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1), "l_quantity")
+    }),
+    // r10: Brown–Forsythe — the robust Levene spread-homogeneity check
+    // behind ANOVA (median-centred |deviations| through the F machinery)
+    "q_brown_forsythe" -> ((s, dir) =>
+      relational.Stats.brownForsythe(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_returnflag", "l_quantity", critical = 2.996)),
+    // r10: Mood's median test — the coarse k-sample location screen
+    // (above-vs-not the grand median through the chi2 machinery)
+    "q_mood_median" -> ((s, dir) =>
+      relational.Stats.moodMedian(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_returnflag", "l_quantity", critical = 5.991)),
     // r10: the stats/drift/profile tail through the TABLE wire family
     // (Registry.runTable) — each twin reuses its direct query's oracle,
     // proving JSON dispatch is value-identical to the Scala call
@@ -2258,6 +2278,9 @@ object SparkEntry {
     "q_spearman" -> OracleExt.qSpearman,
     "q_kruskal" -> OracleExt.qKruskalWallis,
     "q_t_closeness" -> OracleExt.qTCloseness,
+    "q_mann_whitney" -> OracleExt.qMannWhitney,
+    "q_brown_forsythe" -> OracleExt.qBrownForsythe,
+    "q_mood_median" -> OracleExt.qMoodMedian,
     // r10 table-wire twins share their direct query's oracle
     "q_pipeline_kruskal" -> OracleExt.qKruskalWallis,
     "q_pipeline_anova" -> OracleExt.qAnova,

@@ -474,6 +474,170 @@ object Stats {
           .as("significant"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) — the two-sample companion of
+    * [[kruskalWallis]] (k = 2 specialised to the classic U statistic,
+    * effect size and direction): does `valueCol`'s location differ
+    * between the two samples? Same BOUNDED-CARDINALITY value contract
+    * and doubled-rank cell machinery: ranks derive from the pooled
+    * margin cumsum, each sample's rank-sum is an exact DECIMAL, and
+    * U = R − n(n+1)/2 stays an exact integer (doubled). The normal
+    * approximation carries the exact tie correction; the AUC effect
+    * size U/(n_a·n_b) is the probability a random `a` exceeds a
+    * random `b` (ties half-counted).
+    *
+    * @param critical two-sided |z| cutoff (1.96 at α=0.05 — inlined
+    *   constant, the chi2Test discipline)
+    * @return one row (n_a, n_b, u, auc, z, significant)
+    */
+  def mannWhitney(a: DataFrame, b: DataFrame, valueCol: String,
+                  critical: Double = 1.96): DataFrame = {
+    val cells = a.select(col(valueCol).as("__v"), lit(0).as("__g"))
+      .unionByName(b.select(col(valueCol).as("__v"), lit(1).as("__g")))
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__o"))
+    val margin = cells.groupBy(col("__v")).agg(sum(col("__o")).as("__nv"))
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(xxhash64(col("__v")), lit(1))).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val ranked = margin.select(col("__v"),
+      (lit(2) * sum(col("__nv")).over(wm) - col("__nv") + 1).as("__r2"))
+    val perG = cells.join(broadcast(ranked), "__v")
+      .groupBy(col("__g"))
+      .agg(sum(col("__o")).as("__ng"),
+        sum(col("__o").cast(Dec) * col("__r2")).as("__s2"))
+    val sums = perG.agg(
+      max(when(col("__g") === 0, col("__ng"))).as("__na"),
+      max(when(col("__g") === 1, col("__ng"))).as("__nb"),
+      max(when(col("__g") === 0, col("__s2"))).as("__r2a"))
+    val ties = margin.agg(
+      sum(col("__nv").cast(Dec) * col("__nv") * col("__nv")
+        - col("__nv")).as("__tt"))
+    val na = col("__na").cast(Dec)
+    val nb = col("__nb").cast(Dec)
+    val n = na + nb
+    // doubled U: 2U_a = R2_a − 2·n_a(n_a+1)/2 = R2_a − n_a(n_a+1)
+    val u2 = col("__r2a") - na * (na + 1)
+    // σ²_U = n_a·n_b/12 · [(n+1) − Σ(t³−t)/(n(n−1))] — every operand an
+    // exact integer; the one float expression associates identically
+    // in the oracle
+    val varU = (na * nb).cast("double") / 12.0 *
+      ((n + 1).cast("double") -
+        col("__tt").cast("double") / (n * (n - 1)).cast("double"))
+    val z = (u2 - na * nb).cast("double") / 2.0 / sqrt(varU)
+    sums.crossJoin(broadcast(ties))
+      .select(col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"),
+        round(u2.cast("double") / 2.0, 6).as("u"),
+        round(u2.cast("double") / (na * nb).cast("double") / 2.0, 6)
+          .as("auc"),
+        when(varU <= 0.0, lit(null).cast("double"))
+          .otherwise(round(z, 6)).as("z"),
+        when(varU <= 0.0, lit(null).cast("boolean"))
+          .otherwise(round(abs(z) - critical, 6) > 0.0).as("significant"))
+  }
+
+  /** Brown–Forsythe test — the robust Levene: do the GROUPS differ in
+    * SPREAD? (the variance-homogeneity assumption check behind
+    * [[anovaF]], median-centred so heavy tails can't lie). Per-group
+    * medians come from the (group, value) cell cumsums as explicit
+    * middle order statistics (no per-group buffer); the absolute
+    * deviations are fixed to 1e-6 integers at derivation and the
+    * whole one-way F runs on cell-count-weighted exact DECIMAL sums.
+    *
+    * @param critical F(k−1, n−k) at the caller's α (inlined constant)
+    * @return one row (n, k, w, significant)
+    */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String,
+                    critical: Double): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__o"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val withCum = cells.select(col("__g"), col("__v"), col("__o"),
+      sum(col("__o")).over(wg).as("__cum"))
+    val totals = cells.groupBy(col("__g")).agg(sum(col("__o")).as("__ngt"))
+    // explicit middle order statistics: ranks ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉
+    val meds = withCum.join(broadcast(totals), "__g")
+      .groupBy(col("__g"))
+      .agg(
+        min(when(col("__cum") >= floor((col("__ngt") + 1) / 2), col("__v")))
+          .as("__mlo"),
+        min(when(col("__cum") >= ceil((col("__ngt") + 1) / 2)
+          .cast("long"), col("__v"))).as("__mhi"))
+      .select(col("__g"),
+        round((col("__mlo") + col("__mhi")) / 2.0, 9).as("__med"))
+    // |x − med| fixed to 1e-6 integers; from here the one-way F runs
+    // on exact integer sums (the anovaF arithmetic, cell-weighted)
+    val zc = cells.join(broadcast(meds), "__g")
+      .select(col("__g"), col("__o"),
+        round(abs(col("__v") - col("__med")) * 1e6).cast("long").as("__z6"))
+    val means = zc.groupBy(col("__g"))
+      .agg(sum(col("__o")).as("__ng"),
+        sum(col("__o").cast(Dec) * col("__z6")).as("__sg"))
+      .select(col("__g"), col("__ng"),
+        round(col("__sg").cast("double") / col("__ng") / 1e6, 9).as("__mg"))
+    val grand = zc
+      .agg(sum(col("__o")).as("__n"),
+        sum(col("__o").cast(Dec) * col("__z6")).as("__s"))
+      .select(col("__n"),
+        round(col("__s").cast("double") / col("__n") / 1e6, 9).as("__mu"))
+    val dev = col("__z6").cast("double") / 1e6 - col("__mg")
+    val ssw = zc.join(broadcast(means), "__g")
+      .select((col("__o").cast(Dec) *
+        round(dev * dev * 1e6).cast("long").cast(Dec)).as("__w6"))
+      .agg(sum(col("__w6")).as("__ssw6"))
+    val bdev = col("__mg") - col("__mu")
+    val ssb = means.crossJoin(broadcast(grand))
+      .select(round(col("__ng") * bdev * bdev * 1e6).cast(Dec).as("__b6"))
+      .agg(sum(col("__b6")).as("__ssb6"), count(lit(1)).as("__k"))
+    // the shared 1e-6 fixing scale cancels inside the ratio
+    val w = (col("__ssb6").cast("double") / (col("__k") - 1)) /
+      (col("__ssw6").cast("double") / (col("__n") - col("__k")))
+    grand.crossJoin(broadcast(ssw)).crossJoin(broadcast(ssb))
+      .select(col("__n").as("n"), col("__k").as("k"),
+        round(w, 6).as("w"),
+        (round(w - critical, 6) > 0.0).as("significant"))
+  }
+
+  /** Mood's median test — the coarsest k-sample location screen: does
+    * each group straddle the GRAND median the way chance predicts?
+    * (more robust than either F when tails are wild, at the price of
+    * power). The grand median is the explicit middle order statistic
+    * of the pooled value margin; the 2×k contingency of
+    * above-vs-not-above then rides the [[chi2Test]] machinery.
+    *
+    * @param critical χ²(k−1) at the caller's α (inlined constant)
+    * @return one row (n, dof, chi2, significant) plus grand_median
+    */
+  def moodMedian(df: DataFrame, groupCol: String, valueCol: String,
+                 critical: Double): DataFrame = {
+    val margin = df.select(col(valueCol).cast("double").as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__nv"))
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(xxhash64(col("__v")), lit(1))).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = margin.select(col("__v"), col("__nv"),
+      sum(col("__nv")).over(wm).as("__cum"))
+    val tot = margin.agg(sum(col("__nv")).as("__nt"))
+    val med = cum.crossJoin(broadcast(tot))
+      .agg(
+        min(when(col("__cum") >= floor((col("__nt") + 1) / 2), col("__v")))
+          .as("__mlo"),
+        min(when(col("__cum") >= ceil((col("__nt") + 1) / 2)
+          .cast("long"), col("__v"))).as("__mhi"))
+      .select(round((col("__mlo") + col("__mhi")) / 2.0, 9).as("__med"))
+    val tagged = df.crossJoin(broadcast(med))
+      .select(col(groupCol),
+        (col(valueCol).cast("double") > col("__med")).as("__above"),
+        col("__med"))
+    chi2Test(tagged, groupCol, "__above", critical)
+      .crossJoin(broadcast(med.select(col("__med").as("grand_median"))))
+  }
+
   /** Per-group trimmed mean: drop values outside the [lo, hi] exact
     * quantiles, then average the survivors on exact integer cents.
     * Two passes (the exact-percentile pass buffers per group — at

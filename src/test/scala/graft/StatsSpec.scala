@@ -186,6 +186,59 @@ class StatsSpec extends SparkSpec {
     assert(r1.getBoolean(3))
   }
 
+  test("mannWhitney: U and AUC match brute-force pair counting; " +
+      "identical samples give z = 0") {
+    // ties included — AUC must half-count them
+    val a = Seq(1.0, 2.0, 2.0, 5.0, 7.0)
+    val b = Seq(2.0, 3.0, 3.0, 6.0)
+    val bruteU = (for (x <- a; y <- b)
+      yield if (x > y) 1.0 else if (x == y) 0.5 else 0.0).sum
+    val r = relational.Stats.mannWhitney(
+      a.map(v => Tuple1(v)).toDF("v"), b.map(v => Tuple1(v)).toDF("v"), "v")
+      .collect().head
+    assert(r.getLong(0) === 5L && r.getLong(1) === 4L)
+    assert(math.abs(r.getDouble(2) - bruteU) < 1e-9, s"$r vs U=$bruteU")
+    assert(math.abs(r.getDouble(3) - bruteU / (5 * 4)) < 1e-6)
+    // identical samples: U = n²/2, z = 0
+    val same = (1 to 8).map(i => Tuple1(i.toDouble)).toDF("v")
+    val r0 = relational.Stats.mannWhitney(same, same, "v").collect().head
+    assert(r0.getDouble(2) === 32.0 && r0.getDouble(4) === 0.0 &&
+      !r0.getBoolean(5))
+  }
+
+  test("brownForsythe: equal spreads score ~0; one wild group flags") {
+    // same spread around different centers — BF is location-free
+    val even = (Seq.tabulate(10)(i => ("a", 10.0 + i)) ++
+      Seq.tabulate(10)(i => ("b", 50.0 + i))).toDF("g", "v")
+    val r0 = relational.Stats.brownForsythe(even, "g", "v", critical = 4.351)
+      .collect().head
+    assert(r0.getLong(0) === 20L && r0.getLong(1) === 2L)
+    assert(math.abs(r0.getDouble(2)) < 1e-6 && !r0.getBoolean(3))
+    // group b spread 20× wider → W flags
+    val wild = (Seq.tabulate(10)(i => ("a", 10.0 + i)) ++
+      Seq.tabulate(10)(i => ("b", 50.0 + i * 20))).toDF("g", "v")
+    val r1 = relational.Stats.brownForsythe(wild, "g", "v", critical = 4.351)
+      .collect().head
+    assert(r1.getDouble(2) > 4.351 && r1.getBoolean(3), r1.toString)
+  }
+
+  test("moodMedian: balanced straddle scores 0; disjoint groups flag") {
+    // both groups split evenly around the grand median → chi2 = 0
+    val even = (Seq.tabulate(10)(i => ("a", i.toDouble)) ++
+      Seq.tabulate(10)(i => ("b", i.toDouble))).toDF("g", "v")
+    val r0 = relational.Stats.moodMedian(even, "g", "v", critical = 3.841)
+      .collect().head
+    assert(r0.getLong(0) === 20L && r0.getDouble(2) === 0.0 &&
+      !r0.getBoolean(4))
+    assert(r0.getDouble(5) === 4.5) // grand median of two copies of 0..9
+    // disjoint: all of a below, all of b above → max dependence
+    val apart = (Seq.tabulate(10)(i => ("a", i.toDouble)) ++
+      Seq.tabulate(10)(i => ("b", 100.0 + i))).toDF("g", "v")
+    val r1 = relational.Stats.moodMedian(apart, "g", "v", critical = 3.841)
+      .collect().head
+    assert(r1.getBoolean(4), r1.toString)
+  }
+
   test("diversityIndex: balanced = evenness 1, single category degenerate") {
     val balanced = (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++
       Seq.fill(10)("c")).map((_, 1)).toDF("cat", "one")
