@@ -2253,6 +2253,48 @@ object OracleExt {
       |                  / CAST(n_units * t AS DOUBLE), 6) END AS gini
       |FROM a""".stripMargin
 
+  /** Pairwise source vocabulary drift (TextOps.vocabDrift): JS
+    * divergence from the common-token join only — exclusive mass
+    * contributes the analytic ln2 term; per-token 1e-9-fixed terms,
+    * the ln2 constant inlined (engine ln(2) may differ in the last
+    * ULP).
+    */
+  val qVocabDrift: String = {
+    val ln2 = "0.6931471805599453"
+    val p = "(CAST(a.c AS DOUBLE) / ta.n)"
+    val q = "(CAST(b.c AS DOUBLE) / tb.n)"
+    s"""WITH cw AS (
+       |  SELECT source AS s, unnest(string_split(
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+       |  FROM documents),
+       |cn AS (SELECT s, tok, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM cw GROUP BY 1, 2),
+       |t AS (SELECT s, SUM(c) AS n FROM cn GROUP BY 1),
+       |terms AS (
+       |  SELECT a.s AS sa, b.s AS sb, a.c AS ca, b.c AS cb,
+       |    CAST(round($p * ln(2.0 * $p / ($p + $q)) * 1e9) AS BIGINT) AS ta9,
+       |    CAST(round($q * ln(2.0 * $q / ($p + $q)) * 1e9) AS BIGINT) AS tb9
+       |  FROM cn a JOIN cn b ON a.tok = b.tok AND a.s < b.s
+       |  JOIN t ta ON ta.s = a.s JOIN t tb ON tb.s = b.s),
+       |pp AS (SELECT sa, sb, SUM(CAST(ta9 AS HUGEINT)) AS sta9,
+       |    SUM(CAST(tb9 AS HUGEINT)) AS stb9,
+       |    SUM(ca) AS cca, SUM(cb) AS ccb,
+       |    CAST(COUNT(*) AS BIGINT) AS ncom
+       |  FROM terms GROUP BY 1, 2),
+       |allp AS (SELECT ta.s AS sa, tb.s AS sb, ta.n AS na, tb.n AS nb
+       |  FROM t ta JOIN t tb ON ta.s < tb.s)
+       |SELECT sa AS source_a, sb AS source_b,
+       |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |  COALESCE(ncom, 0) AS n_common,
+       |  round((
+       |    (CAST(COALESCE(sta9, 0) AS DOUBLE) / 1e9
+       |      + $ln2 * CAST(na - COALESCE(cca, 0) AS DOUBLE) / na)
+       |  + (CAST(COALESCE(stb9, 0) AS DOUBLE) / 1e9
+       |      + $ln2 * CAST(nb - COALESCE(ccb, 0) AS DOUBLE) / nb)
+       |  ) / 2.0, 6) AS js
+       |FROM allp LEFT JOIN pp USING (sa, sb)""".stripMargin
+  }
+
   /** Corpus report card (TextOps.corpusReport): each metric row
     * recomputed by its component's own oracle as a derived table.
     */
@@ -4847,6 +4889,40 @@ object OracleExt {
            |        WHERE rn = 1)""".stripMargin)
     }
     sb.append(s"\nSELECT id, label FROM l$iters").toString
+  }
+
+  /** Round-bounded k-core peel (graphs.KCore over the simhash near-dup
+    * pairs): each synchronous peel unrolled as keep-set + semi-joined
+    * degree recount CTEs — the qBfsHops discipline; `converged`
+    * recomputes the Spark side's fixpoint test (last peel kept every
+    * admitted node and nothing remains below k).
+    */
+  def qKCore(k: Int = 2, rounds: Int = 4): String = {
+    val sb = new StringBuilder(
+      s"""$norm, $simhashPairCtes,
+         |e0 AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e0
+         |        UNION SELECT id_b, id_a FROM e0),
+         |d0 AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+         |       FROM sym GROUP BY 1)""".stripMargin)
+    (1 to rounds).foreach { i =>
+      sb.append(
+        s""",
+           |s$i AS (SELECT id FROM d${i - 1} WHERE deg >= $k),
+           |d$i AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+           |        FROM sym
+           |        WHERE src IN (SELECT id FROM s$i)
+           |          AND dst IN (SELECT id FROM s$i)
+           |        GROUP BY 1)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT id, deg,
+         |  ((SELECT COUNT(*) FROM s$rounds) = (SELECT COUNT(*) FROM d$rounds)
+         |   AND (SELECT COUNT(*) FROM d$rounds WHERE deg < $k) = 0)
+         |  AS converged
+         |FROM d$rounds WHERE deg >= $k""".stripMargin)
+    sb.toString
   }
 
   /** Exact ROC AUC (ml.Eval.aucRoc over order totals vs high-priority

@@ -304,6 +304,9 @@ object Registry {
     "identity" -> ((df, _) => df),
     // terminal one-page corpus report card (metric, value rows)
     "report" -> ((df, _) => text.TextOps.corpusReport(df)),
+    // args: [sourceCol?] — terminal pairwise source JS vocabulary drift
+    "vocab_drift" -> ((df, a) =>
+      text.TextOps.vocabDrift(df, a.strOpt(0).getOrElse("source"))),
     // args: [minQuality, lang?] — quality floor, optional language
     // equality. The scores are evaluated ONCE per row in a projection
     // below a mapPartitions(identity) barrier, then the filter tests
@@ -1018,6 +1021,9 @@ object Registry {
     // args: [iters] — terminal label-propagation communities
     "label_prop" -> ((df, a) =>
       graphs.LabelProp.labelPropagation(df, a.num(0).toInt)),
+    // args: [k, rounds] — terminal round-bounded k-core peel
+    "kcore" -> ((df, a) =>
+      graphs.KCore.kcore(df, a.num(0).toInt, a.num(1).toInt)),
     // terminal per-node triangle counts
     "triangles" -> ((df, _) => graphs.Triangles.triangleCounts(df)),
     // terminal link-prediction scores for non-adjacent pairs

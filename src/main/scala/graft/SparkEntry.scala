@@ -815,6 +815,13 @@ object SparkEntry {
       graphs.Bfs.hopDistance(
         dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
           maxDist = 3), id => id < 5, maxHops = 4)),
+    // r10: round-bounded k-core peel — the dense template/boilerplate
+    // nucleus of the near-dup graph (every member near-duplicates >= k
+    // others); converged reports the fixpoint test
+    "q_kcore" -> ((s, dir) =>
+      graphs.KCore.kcore(
+        dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
+          maxDist = 3), k = 2, rounds = 4)),
     // r9: component-size histogram — the dedup-graph health audit
     "q_cc_stats" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("doc_id") < 200)
@@ -1449,6 +1456,10 @@ object SparkEntry {
     // one-row health check of any mixing recipe
     "q_source_diversity" -> ((s, dir) =>
       relational.Profile.diversityIndex(docs(s, dir), "source")),
+    // r10: pairwise source vocabulary drift — JS divergence between
+    // source unigram distributions from the common-token join only
+    // (exclusive mass contributes the analytic ln2 term)
+    "q_vocab_drift" -> ((s, dir) => text.TextOps.vocabDrift(docs(s, dir))),
     // r9: token-mass Gini across documents — "is the corpus dominated
     // by a few giant docs" (the revenue-gini machinery on tokens)
     "q_token_gini" -> ((s, dir) =>
@@ -2186,6 +2197,7 @@ object SparkEntry {
       OracleExt.docsUnder(OracleExt.qSourceDiversity, 150),
     "q_token_gini_s" -> OracleExt.docsUnder(OracleExt.qTokenGini, 150),
     "q_source_diversity" -> OracleExt.qSourceDiversity,
+    "q_vocab_drift" -> OracleExt.qVocabDrift,
     "q_token_gini" -> OracleExt.qTokenGini,
     "q_pipeline_ppr" -> OracleExt.qPersonalizedPageRank(),
     "q_silhouette" -> OracleExt.qSilhouette(),
@@ -2248,6 +2260,7 @@ object SparkEntry {
     "q_ks_test" -> OracleExt.qKsTest,
     "q_acf" -> OracleExt.qAcf,
     "q_bfs_hops" -> OracleExt.qBfsHops(),
+    "q_kcore" -> OracleExt.qKCore(),
     "q_label_prop" -> OracleExt.qLabelProp(),
     "q_pipeline_graph" -> OracleExt.qLabelProp(),
     "q_auc" -> OracleExt.qAuc,

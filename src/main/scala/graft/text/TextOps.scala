@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  private val Dec = "decimal(38,0)"
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
@@ -441,6 +443,71 @@ object TextOps {
         / col("__n") / 1e9, 6).as("intercept"),
       when(dx <= 0.0 || dy <= 0.0, lit(null).cast("double"))
         .otherwise(round(num / sqrt(dx * dy), 6)).as("r"))
+  }
+
+  /** Pairwise vocabulary drift between sources: the Jensen–Shannon
+    * divergence between every pair of source unigram distributions —
+    * "which feeds actually differ in language" for mixture design,
+    * the corpus-level twin of the numeric drift family (PSI/KS).
+    *
+    * Exactness + scale in one identity: against the midpoint
+    * M = (P+Q)/2, a token EXCLUSIVE to one source contributes
+    * analytically (q = 0 ⇒ m = p/2 ⇒ p·ln(p/m) = p·ln 2), so
+    *   JS = ½[Σ_common p·ln(2p/(p+q)) + ln2·(1 − P_common)]
+    *      + ½[Σ_common q·ln(2q/(p+q)) + ln2·(1 − Q_common)]
+    * needs ONLY the tokens common to both sources — one token-keyed
+    * equi-join, never a densified source × vocabulary product. Each
+    * common term is fixed to 1e-9 integers before its unordered sum;
+    * the exclusive masses are ratios of exact token counts; ln 2 is
+    * the inlined double constant (an engine's own ln(2) may differ in
+    * the last ULP).
+    *
+    * @return (source_a, source_b, n_a, n_b, n_common, js) per pair
+    *   with source_a < source_b, all pairs present (no common tokens
+    *   ⇒ the analytic maximum ln 2)
+    */
+  def vocabDrift(docs: DataFrame, sourceCol: String = "source",
+                 textCol: String = "text"): DataFrame = {
+    val ln2 = lit(0.6931471805599453)
+    val cnts = docs.select(col(sourceCol).as("__s"),
+        explode(split(normalize(col(textCol)), " ")).as("tok"))
+      .groupBy(col("__s"), col("tok")).agg(count(lit(1)).as("__c"))
+    val totals = cnts.groupBy(col("__s")).agg(sum(col("__c")).as("__n"))
+    val a = cnts.select(col("__s").as("__sa"), col("tok"),
+      col("__c").as("__ca"))
+    val b = cnts.select(col("__s").as("__sb"), col("tok"),
+      col("__c").as("__cb"))
+    val ta = totals.select(col("__s").as("__sa"), col("__n").as("__na"))
+    val tb = totals.select(col("__s").as("__sb"), col("__n").as("__nb"))
+    val p = col("__ca").cast("double") / col("__na")
+    val q = col("__cb").cast("double") / col("__nb")
+    val perPair = a.join(b, Seq("tok")).filter(col("__sa") < col("__sb"))
+      .join(broadcast(ta), "__sa").join(broadcast(tb), "__sb")
+      .select(col("__sa"), col("__sb"), col("__ca"), col("__cb"),
+        round(p * log(lit(2.0) * p / (p + q)) * 1e9).cast("long")
+          .as("__ta9"),
+        round(q * log(lit(2.0) * q / (p + q)) * 1e9).cast("long")
+          .as("__tb9"))
+      .groupBy(col("__sa"), col("__sb"))
+      .agg(sum(col("__ta9").cast(Dec)).as("__sta9"),
+        sum(col("__tb9").cast(Dec)).as("__stb9"),
+        sum(col("__ca")).as("__cca"), sum(col("__cb")).as("__ccb"),
+        count(lit(1)).as("__ncom"))
+    // densify to every source pair: sources are bounded, so the pair
+    // frame is a broadcast product of two tiny totals tables
+    val jsA = coalesce(col("__sta9"), lit(0L)).cast("double") / lit(1e9) +
+      ln2 * (col("__na") - coalesce(col("__cca"), lit(0L))).cast("double") /
+        col("__na")
+    val jsB = coalesce(col("__stb9"), lit(0L)).cast("double") / lit(1e9) +
+      ln2 * (col("__nb") - coalesce(col("__ccb"), lit(0L))).cast("double") /
+        col("__nb")
+    broadcast(ta).crossJoin(broadcast(tb))
+      .filter(col("__sa") < col("__sb"))
+      .join(perPair, Seq("__sa", "__sb"), "left")
+      .select(col("__sa").as("source_a"), col("__sb").as("source_b"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        coalesce(col("__ncom"), lit(0L)).as("n_common"),
+        round((jsA + jsB) / 2.0, 6).as("js"))
   }
 
   /** Corpus budgeting: token totals per predicted language. */

@@ -130,6 +130,26 @@ class AnalyticsTailSpec extends SparkSpec {
       5L -> -1L, 6L -> -1L, 8L -> -1L, 9L -> -1L))
   }
 
+  test("kcore: pendants and chains peel away, the triangle core survives") {
+    // triangle {1,2,3} + pendant 4-1 + disconnected edge 5-6
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val got = graphs.KCore.kcore(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // 2-core = the triangle with in-core degree 2, fixpoint reached
+    assert(got === Map(1L -> (2L, true), 2L -> (2L, true),
+      3L -> (2L, true)))
+    // 3-core: empty — node 1's degree-3 start collapses once the
+    // pendant peels; convergence still reported (empty fixpoint)
+    assert(graphs.KCore.kcore(edges, k = 3, rounds = 3).isEmpty)
+    // ONE round of k=2 peel keeps the triangle+nothing else and is
+    // already the fixpoint for this graph (4,5,6 drop in round one)
+    val one = graphs.KCore.kcore(edges, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(one.keySet === Set(1L, 2L, 3L) && one.values.forall(_ == true))
+  }
+
   test("componentStats: histogram over a CC labelling with totals") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"), (5L, "w"))
       .toDF("doc_id", "text")

@@ -647,6 +647,26 @@ class TextPipelineSpec extends SparkSpec {
     assert(out == Map(("s1", "s2") -> 2L))
   }
 
+  test("vocabDrift: identical sources score 0, disjoint vocabularies " +
+      "score the analytic maximum ln 2") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha", "s1"),
+      (2L, "alpha beta gamma alpha", "s2"), // identical distribution
+      (3L, "zeta eta theta iota", "s3"))    // zero overlap with s1/s2
+      .toDF("doc_id", "text", "source")
+    val out = graft.text.TextOps.vocabDrift(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getDouble(5))).toMap
+    assert(out.keySet === Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    // identical unigram distributions: every common term ln(2p/2p)=0,
+    // no exclusive mass
+    assert(out(("s1", "s2")) === (3L, 0.0))
+    // disjoint vocabularies: all mass exclusive -> JS = ln 2
+    assert(out(("s1", "s3"))._1 === 0L)
+    assert(math.abs(out(("s1", "s3"))._2 - math.log(2.0)) < 1e-6)
+  }
+
   test("windowed funnel drops conversions outside the gap; anomaly flags median/IQR outliers") {
     val rows = Seq(
       // u1: click 10s after view (inside 60s window), purchase 120s
