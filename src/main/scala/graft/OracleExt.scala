@@ -4891,6 +4891,21 @@ object OracleExt {
     sb.append(s"\nSELECT id, label FROM l$iters").toString
   }
 
+  /** Edit-distance-verified near-dup pairs (Dedup.editPairs): the
+    * simhash band candidates re-verified with DuckDB's own levenshtein
+    * over the shared normalized text — both engines run the textbook
+    * unit-cost DP, so `edits` is an exact integer.
+    */
+  def qEditPairs(maxEdits: Int = 20): String =
+    s"""$norm, $simhashPairCtes,
+       |ecand AS (SELECT id_a, id_b FROM h WHERE hamming <= 3)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(levenshtein(ta.nt, tb.nt) AS INTEGER) AS edits
+       |FROM ecand c
+       |JOIN norm ta ON ta.doc_id = c.id_a
+       |JOIN norm tb ON tb.doc_id = c.id_b
+       |WHERE levenshtein(ta.nt, tb.nt) <= $maxEdits""".stripMargin
+
   /** Round-bounded k-core peel (graphs.KCore over the simhash near-dup
     * pairs): each synchronous peel unrolled as keep-set + semi-joined
     * degree recount CTEs — the qBfsHops discipline; `converged`

@@ -629,6 +629,10 @@ object Registry {
       dedup.Dedup.winnowPairs(df, a.numOpt(0).getOrElse(3.0).toInt,
         a.numOpt(1).getOrElse(4.0).toInt,
         a.numOpt(2).getOrElse(2.0).toLong)),
+    // args: [maxEdits, maxDist?] — terminal edit-verified near-dup pairs
+    "edit_neardup" -> ((df, a) =>
+      dedup.Dedup.editPairs(df, a.num(0).toInt,
+        a.numOpt(1).getOrElse(3.0).toInt)),
     // terminal per-language tokenizer fertility stats
     "tokenizer_fertility" -> ((df, _) =>
       text.TokenizerStats.fertility(df)),

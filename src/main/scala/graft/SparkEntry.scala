@@ -815,6 +815,12 @@ object SparkEntry {
       graphs.Bfs.hopDistance(
         dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
           maxDist = 3), id => id < 5, maxHops = 4)),
+    // r10: edit-distance-verified near-dups — simhash-banded
+    // candidates, exact bounded-Levenshtein verify (the char-level
+    // complement of the token-set and bit-sketch families)
+    "q_edit_pairs" -> ((s, dir) =>
+      dedup.Dedup.editPairs(docs(s, dir).filter(col("doc_id") < 200),
+        maxEdits = 20)),
     // r10: round-bounded k-core peel — the dense template/boilerplate
     // nucleus of the near-dup graph (every member near-duplicates >= k
     // others); converged reports the fixpoint test
@@ -2261,6 +2267,7 @@ object SparkEntry {
     "q_acf" -> OracleExt.qAcf,
     "q_bfs_hops" -> OracleExt.qBfsHops(),
     "q_kcore" -> OracleExt.qKCore(),
+    "q_edit_pairs" -> OracleExt.qEditPairs(),
     "q_label_prop" -> OracleExt.qLabelProp(),
     "q_pipeline_graph" -> OracleExt.qLabelProp(),
     "q_auc" -> OracleExt.qAuc,

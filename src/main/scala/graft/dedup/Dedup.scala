@@ -395,6 +395,35 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Edit-distance-verified near-dup pairs — the character-level
+    * complement of the token-set (MinHash/Jaccard) and bit-sketch
+    * (SimHash) families: catches small SUBSTITUTION edits (typo
+    * variants, template fills, OCR noise) that token shingles smear
+    * across many shingle keys. Candidates come from the simhash band
+    * blocking (never all-pairs); the verify is EXACT bounded
+    * Levenshtein on the normalized text — Spark's thresholded
+    * implementation runs the O(len·maxEdits) banded DP and bails at
+    * maxEdits+1, so a non-match costs O(len·d), not O(len²).
+    *
+    * 100 TB note: per-pair cost scales with document length — bound
+    * `textCol` (a prefix or chunk) for long-document corpora; the
+    * candidate volume itself stays band-bounded.
+    *
+    * @return (id_a, id_b, edits) for verified pairs, edits <= maxEdits
+    */
+  def editPairs(docs: DataFrame, maxEdits: Int, maxDist: Int = 3,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxEdits >= 0, s"maxEdits must be >= 0, got $maxEdits")
+    val cand = simhashPairs(docs, maxDist, idCol, textCol)
+    val txt = docs.select(col(idCol), TextOps.normalize(col(textCol)).as("__nt"))
+    cand
+      .join(txt.select(col(idCol).as("id_a"), col("__nt").as("__ta")), "id_a")
+      .join(txt.select(col(idCol).as("id_b"), col("__nt").as("__tb")), "id_b")
+      .withColumn("edits", levenshtein(col("__ta"), col("__tb"), maxEdits + 1))
+      .filter(col("edits") >= 0 && col("edits") <= maxEdits)
+      .select(col("id_a"), col("id_b"), col("edits"))
+  }
+
   /** 64-bit SimHash — the corpus-scale signature. Bits 1..32 are the
     * hex-MSB projection of md5(tok); bits 33..64 the same projection of
     * md5(tok || '#2') — two independent hash families, same

@@ -43,6 +43,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("editPairs: exact Levenshtein verifies banded candidates; " +
+      "the threshold drops far pairs") {
+    // long shared text so one substituted token flips few signature
+    // bits (the banding's recall regime — short docs are MinHash's job)
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen green bottles hang quietly on the old stone wall " +
+      "beside the river where the miller grinds his corn every day"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("miller", "miler")),   // 1 deletion
+      (3L, base.replace("miller", "weaver")),  // 4 substitutions
+      (4L, "completely different words entirely here banana split"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editPairs(docs, maxEdits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got(1L -> 2L) === 1, got.toString)
+    // (1,3) is 4 edits — a candidate, but the verify drops it
+    assert(!got.contains(1L -> 3L), got.toString)
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // raising the budget admits it with the exact count
+    val wide = Dedup.editPairs(docs, maxEdits = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(wide(1L -> 3L) === 4, wide.toString)
+    // a zero-edit budget keeps only exact (normalized) duplicates
+    assert(Dedup.editPairs(docs, maxEdits = 0).collect().isEmpty)
+  }
+
   test("simhash64: 64-char signature; identical docs collide, disjoint docs differ") {
     val sig = Dedup.simhash64(docsDf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
