@@ -1862,6 +1862,49 @@ object OracleExt {
        | ELSE list_dot_product($a, $b)
        |   / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END""".stripMargin
 
+  /** JL random projection (Similarity.randomProject): the identical
+    * ±1 sign matrix (from Similarity.rpSigns — the oracle builder
+    * calls the same pure function) and one list_dot_product fold per
+    * output component, scaled by the inlined 1/√outDim.
+    */
+  def qEmbedRp(outDim: Int = 16, salt: String = "rp",
+               inDim: Int = 64): String = {
+    val signs = graft.similarity.Similarity.rpSigns(inDim, outDim, salt)
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    val comps = signs.map { row =>
+      val arr = row.map(s => s"$s.0").mkString("[", ", ", "]")
+      s"round(list_dot_product(v, $arr) * $inv, 6)"
+    }.mkString(",\n  ")
+    s"""$embCte
+       |SELECT vec_id, [$comps] AS proj FROM c""".stripMargin
+  }
+
+  /** JL distortion gate (Similarity.randomProjectGate): worst/mean
+    * absolute cosine error over the bounded pair sample, 1e-9-fixed
+    * terms, envelope verdict on the rounded maximum.
+    */
+  def qEmbedRpGate(outDim: Int = 16, maxId: Long = 40,
+                   envelope: Double = 0.8, salt: String = "rp",
+                   inDim: Int = 64): String = {
+    val signs = graft.similarity.Similarity.rpSigns(inDim, outDim, salt)
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    val comps = signs.map { row =>
+      val arr = row.map(s => s"$s.0").mkString("[", ", ", "]")
+      s"round(list_dot_product(v, $arr) * $inv, 6)"
+    }.mkString(",\n    ")
+    s"""$embCte,
+       |o AS (SELECT vec_id, v, [$comps] AS p
+       |  FROM c WHERE vec_id < $maxId),
+       |e AS (SELECT CAST(round(abs((${cosSql("a.v", "b.v")})
+       |      - (${cosSql("a.p", "b.p")})) * 1e9) AS BIGINT) AS e9
+       |  FROM o a JOIN o b ON a.vec_id < b.vec_id)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  round(CAST(MAX(e9) AS DOUBLE) / 1e9, 6) AS max_err,
+       |  round((CAST(SUM(e9) AS DOUBLE) / COUNT(*)) / 1e9, 6) AS mean_err,
+       |  round(CAST(MAX(e9) AS DOUBLE) / 1e9, 6) < $envelope AS ok
+       |FROM e""".stripMargin
+  }
+
   /** Embedding-space outliers (Similarity.centroidOutliers): distance
     * to own-label centroid, z-scored per label. Centroids, distances,
     * and stats all rounded 1e-9 before downstream use; the squared

@@ -663,6 +663,10 @@ object Registry {
     // by vec_id so downstream steps see both precisions
     "quantize" -> ((df, _) =>
       df.join(similarity.Similarity.quantize(df), Seq("vec_id"))),
+    // args: [outDim, salt?] — JL ±1 random projection appended as proj
+    "random_project" -> ((df, a) =>
+      df.join(similarity.Similarity.randomProject(df, a.num(0).toInt,
+        a.strOpt(1).getOrElse("rp")), Seq("vec_id"))),
     // scan-side embedding hygiene: L2 normalization / MRL truncation
     // (args: [d]) of the embedding column in place
     "normalize" -> ((df, _) => similarity.Similarity.l2Normalize(df)),

@@ -1011,6 +1011,15 @@ object SparkEntry {
     // cohesion vs separation next to q_embed_ivf_stats
     "q_silhouette" -> ((s, dir) =>
       similarity.Similarity.silhouette(embeddings(s, dir), nlists = 16)),
+    // r10: JL random projection 64→16 — the map-only pre-ANN byte cut
+    // (deterministic ±1 sign matrix, one dot fold per component)
+    "q_embed_rp" -> ((s, dir) =>
+      similarity.Similarity.randomProject(embeddings(s, dir), outDim = 16)),
+    // r10: its distortion gate — worst/mean cosine error over the
+    // bounded pair sample with an envelope verdict
+    "q_embed_rp_gate" -> ((s, dir) =>
+      similarity.Similarity.randomProjectGate(embeddings(s, dir),
+        outDim = 16, maxId = 40, envelope = 0.8)),
     // r8: product-quantization ADC search — per-subspace codebooks,
     // corpus stored as m codes, per-query LUT + m lookups per candidate
     "q_embed_pq_topk" -> ((s, dir) => {
@@ -2192,6 +2201,8 @@ object SparkEntry {
     "q_embed_ivf_recall" -> OracleExt.qEmbedIvfRecall,
     "q_retrieval_eval" -> OracleExt.qRetrievalEval(),
     "q_embed_drift" -> OracleExt.qEmbeddingDrift(0.05),
+    "q_embed_rp" -> OracleExt.qEmbedRp(),
+    "q_embed_rp_gate" -> OracleExt.qEmbedRpGate(),
     "q_knn_classify" -> OracleExt.qKnnClassify(),
     "q_knn_f1" -> OracleExt.qKnnF1(),
     "q_vocab_coverage" -> OracleExt.qVocabCoverage(),

@@ -588,6 +588,81 @@ object Similarity {
         transform(col("__v"), x => floor(x / col("scale") + lit(0.5)).cast("int")))
       .drop("__v")
 
+  /** The ±1 Johnson–Lindenstrauss projection matrix as a pure function
+    * of (inDim, outDim, salt): sign(j, i) is the parity of the first
+    * md5 byte of "salt:j:i" — computed once in the driver, inlined as
+    * literals in the plan, and reproducible by any engine (the oracle
+    * builder calls this same function).
+    */
+  def rpSigns(inDim: Int, outDim: Int, salt: String): Seq[Seq[Int]] =
+    (0 until outDim).map { j =>
+      (0 until inDim).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$salt:$j:$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1 else -1
+      }
+    }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas ±1 variant):
+    * compress embeddings from inDim to outDim with
+    * y_j = ⟨v, s_j⟩ / √outDim — the cheap pre-ANN dimensionality cut
+    * (pairwise distances survive within (1 ± ε) w.h.p. at
+    * outDim ≈ 8·ln n / ε²). The sign matrix is deterministic (see
+    * [[rpSigns]]), each output component is ONE left-to-right dot
+    * fold, and components round to 1e-6 — so the projection is
+    * engine-exact, scan-local, and shuffle-free: at 100 TB this is a
+    * map-only 4× (64→16) byte cut applied before any index build.
+    *
+    * @return (idCol, proj ARRAY<DOUBLE>)
+    */
+  def randomProject(emb: DataFrame, outDim: Int, salt: String = "rp",
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    val inDim = emb.select(size(col(vecCol)).as("__d")).head().getInt(0)
+    val signs = rpSigns(inDim, outDim, salt)
+    val invSqrt = 1.0 / math.sqrt(outDim.toDouble)
+    val v = asDouble(col(vecCol))
+    val comps = signs.map { row =>
+      round(dot(v, array(row.map(s => lit(s.toDouble)): _*)) * invSqrt, 6)
+    }
+    emb.select(col(idCol), array(comps: _*).as("proj"))
+  }
+
+  /** JL distortion gate: over the deterministic pair sample
+    * (a < b, both id < maxId), the worst and mean absolute cosine
+    * error between the original and the projected space, with an
+    * envelope verdict — the quantileSketchGate discipline applied to
+    * the projection: drift in either the sign matrix or the fold
+    * arithmetic hash-mismatches this row before it silently degrades
+    * ANN recall downstream.
+    *
+    * @return one row (n_pairs, max_err, mean_err, ok)
+    */
+  def randomProjectGate(emb: DataFrame, outDim: Int, maxId: Long,
+                        envelope: Double, salt: String = "rp",
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val sample = emb.filter(col(idCol) < maxId)
+    val proj = randomProject(sample, outDim, salt, idCol, vecCol)
+    val o = sample.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .join(proj, idCol)
+    val a = o.select(col(idCol).as("__ia"), col("__v").as("__va"),
+      col("proj").as("__pa"))
+    val b = o.select(col(idCol).as("__ib"), col("__v").as("__vb"),
+      col("proj").as("__pb"))
+    val err9 = round(abs(cosine(col("__va"), col("__vb")) -
+      cosine(col("__pa"), col("__pb"))) * 1e9).cast("long")
+    a.join(b, col("__ia") < col("__ib"))
+      .select(err9.as("__e9"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(max(col("__e9")).cast("double") / 1e9, 6).as("max_err"),
+        round((sum(col("__e9")).cast("double") / count(lit(1))) / 1e9, 6)
+          .as("mean_err"))
+      .select(col("n_pairs"), col("max_err"), col("mean_err"),
+        (col("max_err") < envelope).as("ok"))
+  }
+
   /** Approximate max-inner-product top-k over the QUANTIZED corpus:
     * score = scale_q·scale_c·(q̂·ĉ), ranked per query with the same
     * deterministic neighbour-id tie-break as the exact path. This is

@@ -143,6 +143,30 @@ class PqSpec extends SparkSpec {
     assert(res < plain, s"residual MSE $res not below plain $plain")
   }
 
+  test("randomProject: deterministic, right-sized, linear in the input") {
+    val proj = Similarity.randomProject(corpus, outDim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(proj.size === 24 && proj.values.forall(_.length === 4))
+    // a second invocation reproduces the identical matrix (pure salt fn)
+    val again = Similarity.randomProject(corpus, outDim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again === proj)
+    // linearity: doubling the input doubles the projection (pre-round)
+    val doubled = Similarity.randomProject(
+      corpus.select(col("vec_id"),
+        transform(col("embedding"), x => x * 2).as("embedding")),
+      outDim = 4).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    proj.foreach { case (id, p) =>
+      p.zip(doubled(id)).foreach { case (x, x2) =>
+        assert(math.abs(x2 - 2 * x) < 1e-5, s"id $id: $x2 vs 2*$x") }
+    }
+    // the distortion gate is reproducible and its stats well-formed
+    val g = Similarity.randomProjectGate(corpus, outDim = 4, maxId = 12,
+      envelope = 1.0).collect().head
+    assert(g.getLong(0) === 66L) // C(12,2) pairs
+    assert(g.getDouble(1) >= g.getDouble(2) && g.getBoolean(3))
+  }
+
   test("search is deterministic across runs") {
     val q = corpus.filter(col("vec_id") === 0)
     val a = Pq.pqTopK(corpus, q, k = 10, m = 2, ksub = 4)
