@@ -4983,6 +4983,47 @@ object OracleExt {
     sb.toString
   }
 
+  /** Shared calibration CTEs (ml.Eval.calibration over max-normalized
+    * order totals vs the high-priority flag): 1e-9-fixed scores,
+    * equal-width clamped bins, per-bin exact integer sums.
+    */
+  private def calibCtes(bins: Int): String =
+    s"""WITH sc AS (SELECT
+       |    o_totalprice / (SELECT MAX(o_totalprice) FROM orders) AS s0,
+       |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS y0
+       |  FROM orders),
+       |r AS (SELECT round(s0, 9) AS s, CAST(y0 AS BIGINT) AS y FROM sc),
+       |cells AS (SELECT
+       |    CAST(least(greatest(floor(s * $bins), 0), ${bins - 1})
+       |      AS INTEGER) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS pos,
+       |    SUM(CAST(round(s * 1e9) AS BIGINT)) AS ss9
+       |  FROM r GROUP BY 1)""".stripMargin
+
+  def qCalibration(bins: Int = 10): String =
+    s"""${calibCtes(bins)}
+       |SELECT bin, n,
+       |  round(CAST(ss9 AS DOUBLE) / n / 1e9, 6) AS mean_pred,
+       |  round(CAST(pos AS DOUBLE) / n, 6) AS frac_pos,
+       |  round(abs(CAST(ss9 AS DOUBLE) / n / 1e9
+       |    - CAST(pos AS DOUBLE) / n), 6) AS gap
+       |FROM cells""".stripMargin
+
+  def qCalibrationSummary(bins: Int = 10): String =
+    s"""${calibCtes(bins)},
+       |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(CAST(round((s - y) * (s - y) * 1e9) AS BIGINT)
+       |      AS HUGEINT)) AS sb9
+       |  FROM r),
+       |g AS (SELECT SUM(CAST(n AS HUGEINT) * CAST(round(abs(
+       |      round(CAST(ss9 AS DOUBLE) / n / 1e9, 6)
+       |      - round(CAST(pos AS DOUBLE) / n, 6)) * 1e9) AS BIGINT)) AS sg9
+       |  FROM cells)
+       |SELECT n,
+       |  round(CAST(sb9 AS DOUBLE) / n / 1e9, 6) AS brier,
+       |  round(CAST(sg9 AS DOUBLE) / n / 1e9, 6) AS ece
+       |FROM b, g""".stripMargin
+
   /** Exact ROC AUC (ml.Eval.aucRoc over order totals vs high-priority
     * flag): Mann–Whitney U with average-rank ties from grouped counts,
     * half-ranks kept integral by doubling.

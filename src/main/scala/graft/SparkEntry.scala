@@ -796,6 +796,23 @@ object SparkEntry {
       ml.Eval.aucRoc(s.read.parquet(s"$dir/orders.parquet"),
         col("o_totalprice"),
         col("o_orderpriority").isin("1-URGENT", "2-HIGH"))),
+    // r10: reliability curve + Brier/ECE of the max-normalized order
+    // value as a probability forecast of high priority — the
+    // calibration companion of q_auc's discrimination
+    "q_calibration" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val mx = o.agg(max(col("o_totalprice")).as("__mx"))
+      ml.Eval.calibration(o.crossJoin(broadcast(mx)),
+        col("o_totalprice") / col("__mx"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    }),
+    "q_calibration_summary" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val mx = o.agg(max(col("o_totalprice")).as("__mx"))
+      ml.Eval.calibrationSummary(o.crossJoin(broadcast(mx)),
+        col("o_totalprice") / col("__mx"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    }),
     // r9: the graph wire family — label propagation dispatched from
     // JSON over the same pairs frame (shares qLabelProp)
     "q_pipeline_graph" -> ((s, dir) =>
@@ -2282,6 +2299,8 @@ object SparkEntry {
     "q_label_prop" -> OracleExt.qLabelProp(),
     "q_pipeline_graph" -> OracleExt.qLabelProp(),
     "q_auc" -> OracleExt.qAuc,
+    "q_calibration" -> OracleExt.qCalibration(),
+    "q_calibration_summary" -> OracleExt.qCalibrationSummary(),
     "q_chi2" -> OracleExt.qChi2,
     "q_corr_matrix" -> OracleExt.qCorrMatrix,
     "q_trimmed_mean" -> OracleExt.qTrimmedMean,

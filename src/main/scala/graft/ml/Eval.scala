@@ -20,6 +20,64 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  private val Dec = "decimal(38,0)"
+
+  /** Reliability curve: bucket scores (assumed in [0, 1]) into `bins`
+    * equal-width bins and compare mean predicted probability with the
+    * observed positive rate per bin — the per-bin view behind ECE.
+    * One hash aggregation; the per-bin means divide exact integer
+    * sums (scores fixed to 1e-9 at the scan), so every output is
+    * engine- and layout-exact.
+    *
+    * @return (bin, n, mean_pred, frac_pos, gap) per non-empty bin
+    */
+  def calibration(df: DataFrame, scoreCol: Column, labelCol: Column,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val cells = df.select(round(scoreCol, 9).as("__s"),
+        labelCol.cast("boolean").cast("long").as("__y"))
+      .select(least(greatest(floor(col("__s") * bins), lit(0)),
+          lit(bins - 1)).cast("int").as("bin"),
+        col("__s"), col("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("__pos"),
+        sum(round(col("__s") * 1e9).cast("long").cast(Dec)).as("__ss9"))
+    val meanPred = col("__ss9").cast("double") / col("n") / 1e9
+    val fracPos = col("__pos").cast("double") / col("n")
+    cells.select(col("bin"), col("n"),
+      round(meanPred, 6).as("mean_pred"),
+      round(fracPos, 6).as("frac_pos"),
+      round(abs(meanPred - fracPos), 6).as("gap"))
+  }
+
+  /** One-row calibration summary: the Brier score (mean squared
+    * error of the probability forecast) and the expected calibration
+    * error (bin-count-weighted |mean_pred − frac_pos| over the same
+    * `bins` grid as [[calibration]]). Brier terms and per-bin gaps are
+    * fixed to 1e-9 integers before their sums.
+    *
+    * @return one row (n, brier, ece)
+    */
+  def calibrationSummary(df: DataFrame, scoreCol: Column, labelCol: Column,
+                         bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val rows = df.select(round(scoreCol, 9).as("__s"),
+      labelCol.cast("boolean").cast("long").as("__y"))
+    val brier = rows
+      .select(round((col("__s") - col("__y")) * (col("__s") - col("__y"))
+        * 1e9).cast("long").cast(Dec).as("__b9"))
+      .agg(count(lit(1)).as("n"), sum(col("__b9")).as("__sb9"))
+    val binGap = calibration(df, scoreCol, labelCol, bins)
+      .select(col("n").as("__nb"),
+        round(abs(col("mean_pred") - col("frac_pos")) * 1e9).cast("long")
+          .as("__g9"))
+      .agg(sum(col("__nb").cast(Dec) * col("__g9")).as("__sg9"))
+    brier.crossJoin(broadcast(binGap))
+      .select(col("n"),
+        round(col("__sb9").cast("double") / col("n") / 1e9, 6).as("brier"),
+        round(col("__sg9").cast("double") / col("n") / 1e9, 6).as("ece"))
+  }
+
   /** @param labelCol boolean (or 0/1-castable) positive-class flag
     * @return one row (n_pos, n_neg, auc) — auc rounded 1e-6; NULL when
     *         either class is empty

@@ -239,6 +239,28 @@ class StatsSpec extends SparkSpec {
     assert(r1.getBoolean(4), r1.toString)
   }
 
+  test("calibration: a perfect forecast scores brier 0 / ece 0; a " +
+      "constant 0.5 on balanced labels gaps by 0") {
+    // perfect probabilities: score == label
+    val perfect = (Seq.fill(10)((1.0, true)) ++ Seq.fill(10)((0.0, false)))
+      .toDF("s", "y")
+    val ps = ml.Eval.calibrationSummary(perfect, col("s"), col("y"))
+      .collect().head
+    assert(ps.getLong(0) === 20L && ps.getDouble(1) === 0.0 &&
+      ps.getDouble(2) === 0.0)
+    // constant 0.5 forecast on a 50/50 class mix: one bin, frac == pred
+    val half = (1 to 20).map(i => (0.5, i % 2 == 0)).toDF("s", "y")
+    val hb = ml.Eval.calibration(half, col("s"), col("y"))
+      .collect()
+    assert(hb.length === 1 && hb.head.getInt(0) === 5 &&
+      hb.head.getDouble(2) === 0.5 && hb.head.getDouble(3) === 0.5 &&
+      hb.head.getDouble(4) === 0.0)
+    // its brier is the irreducible 0.25, ece 0
+    val hs = ml.Eval.calibrationSummary(half, col("s"), col("y"))
+      .collect().head
+    assert(hs.getDouble(1) === 0.25 && hs.getDouble(2) === 0.0)
+  }
+
   test("diversityIndex: balanced = evenness 1, single category degenerate") {
     val balanced = (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++
       Seq.fill(10)("c")).map((_, 1)).toDF("cat", "one")
