@@ -4983,6 +4983,52 @@ object OracleExt {
     sb.toString
   }
 
+  /** IPF raking (Sampling.rake over priority × status toward uniform
+    * marginals): each row/column scaling unrolled as a marginal-mass
+    * CTE (exact 1e-9-unit integer sums) plus a 1e-9-rounded weight
+    * update — the PageRank float-recursion discipline.
+    */
+  def qRake(iters: Int = 4): String = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val stats = Seq("F", "O", "P")
+    val taVals = prios.map(p => s"('$p', CAST(0.2 AS DOUBLE))").mkString(", ")
+    val tbVals = stats.map(s0 => s"('$s0', CAST(${1.0 / 3} AS DOUBLE))")
+      .mkString(", ")
+    val sb = new StringBuilder(
+      s"""WITH cells AS (SELECT CAST(o_orderpriority AS VARCHAR) AS a,
+         |    CAST(o_orderstatus AS VARCHAR) AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM orders GROUP BY 1, 2),
+         |t AS (SELECT SUM(n) AS tot FROM cells),
+         |ta(a, tA) AS (VALUES $taVals),
+         |tb(b, tB) AS (VALUES $tbVals),
+         |w0 AS (SELECT a, b, n, tot, tA, tB, CAST(1.0 AS DOUBLE) AS w
+         |  FROM cells CROSS JOIN t
+         |  JOIN ta USING (a) JOIN tb USING (b))""".stripMargin)
+    (1 to iters).foreach { i =>
+      sb.append(
+        s""",
+           |ra$i AS (SELECT a, SUM(CAST(round(n * w * 1e9) AS BIGINT)) AS m9
+           |  FROM w${i - 1}a GROUP BY 1),
+           |wa$i AS (SELECT w.a, w.b, w.n, w.tot, w.tA, w.tB,
+           |    round(w.w * (tA * tot) / (CAST(m9 AS DOUBLE) / 1e9), 9) AS w
+           |  FROM w${i - 1}a w JOIN ra$i USING (a)),
+           |rb$i AS (SELECT b, SUM(CAST(round(n * w * 1e9) AS BIGINT)) AS m9
+           |  FROM wa$i GROUP BY 1),
+           |w${i}a AS (SELECT w.a, w.b, w.n, w.tot, w.tA, w.tB,
+           |    round(w.w * (tB * tot) / (CAST(m9 AS DOUBLE) / 1e9), 9) AS w
+           |  FROM wa$i w JOIN rb$i USING (b))""".stripMargin
+          .replace(s"w0a", "w0"))
+    }
+    sb.append(
+      s"""
+         |SELECT a AS o_orderpriority, b AS o_orderstatus, n,
+         |  round(w, 6) AS weight
+         |FROM w${iters}a""".stripMargin)
+    sb.toString
+  }
+
   /** Shared calibration CTEs (ml.Eval.calibration over max-normalized
     * order totals vs the high-priority flag): 1e-9-fixed scores,
     * equal-width clamped bins, per-bin exact integer sums.

@@ -1002,6 +1002,10 @@ object Registry {
     // args: [col1, col2, …] — per-column profile
     "profile" -> ((df, a) =>
       relational.Profile.profile(df, a.collect { case s: String => s })),
+    // args: [colA, colB, iters?] — IPF raking to uniform marginals
+    "rake_uniform" -> ((df, a) =>
+      sampling.Sampling.rakeUniform(df, a.str(0), a.str(1),
+        a.numOpt(2).getOrElse(4.0).toInt)),
   )
 
   /** Graph transforms over an undirected pair list (id_a, id_b) — the

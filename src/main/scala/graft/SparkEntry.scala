@@ -796,6 +796,15 @@ object SparkEntry {
       ml.Eval.aucRoc(s.read.parquet(s"$dir/orders.parquet"),
         col("o_totalprice"),
         col("o_orderpriority").isin("1-URGENT", "2-HIGH"))),
+    // r10: IPF raking — per-cell weights pulling BOTH marginals of
+    // priority × status to uniform targets (the principled mixture
+    // reweighting; 1e-9-rounded trajectory, unrolled-CTE oracle)
+    "q_rake" -> ((s, dir) =>
+      sampling.Sampling.rake(s.read.parquet(s"$dir/orders.parquet"),
+        "o_orderpriority", "o_orderstatus",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+          .map(_ -> 0.2),
+        Seq("F", "O", "P").map(_ -> 1.0 / 3))),
     // r10: reliability curve + Brier/ECE of the max-normalized order
     // value as a probability forecast of high priority — the
     // calibration companion of q_auc's discrimination
@@ -2299,6 +2308,7 @@ object SparkEntry {
     "q_label_prop" -> OracleExt.qLabelProp(),
     "q_pipeline_graph" -> OracleExt.qLabelProp(),
     "q_auc" -> OracleExt.qAuc,
+    "q_rake" -> OracleExt.qRake(),
     "q_calibration" -> OracleExt.qCalibration(),
     "q_calibration_summary" -> OracleExt.qCalibrationSummary(),
     "q_chi2" -> OracleExt.qChi2,

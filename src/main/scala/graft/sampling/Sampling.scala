@@ -525,4 +525,77 @@ object Sampling {
     val total = splits.map(_._2).sum
     splits.scanLeft(0.0)(_ + _._2 / total).tail.init.map(thresholdHex)
   }
+
+  /** Iterative proportional fitting (survey raking): per-cell sampling
+    * weights that pull BOTH marginals of an (a, b) contingency toward
+    * caller-given target shares — the principled version of "make the
+    * corpus 30% code without distorting the language mix", where
+    * independent per-axis reweighting would wreck the other axis.
+    *
+    * Each iteration row-scales then column-scales every cell weight by
+    * target/current marginal mass; weights round to 1e-9 after each
+    * scale (the PageRank float-recursion discipline) and marginal
+    * masses accumulate as exact integers in 1e-9 units — so the whole
+    * trajectory is engine- and layout-exact and the oracle unrolls the
+    * identical iterations. Cells are bounded by the category-
+    * cardinality product (the chi2Test contract), so every per-
+    * iteration marginal table broadcasts.
+    *
+    * @param targetsA target share per value of `colA` (must cover
+    *   every observed value; shares needn't sum to 1 — they are used
+    *   as given, the classic raking convention)
+    * @return (colA, colB, n, weight) — weight rounded 1e-6
+    */
+  def rake(df: DataFrame, colA: String, colB: String,
+           targetsA: Seq[(String, Double)], targetsB: Seq[(String, Double)],
+           iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.groupBy(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val total = cells.agg(sum(col("__n")).as("__tot"))
+    val taDf = targetsA.toDF("__a", "__tA")
+    val tbDf = targetsB.toDF("__b", "__tB")
+    var w = cells.crossJoin(broadcast(total))
+      .join(broadcast(taDf), "__a").join(broadcast(tbDf), "__b")
+      .withColumn("__w", lit(1.0))
+      // the iterated plan references `w` twice per scaling (marginal
+      // aggregate + join back): without lineage truncation the DAG
+      // doubles per step — the PageRank localCheckpoint discipline
+      .localCheckpoint()
+    def scaleBy(key: String, target: Column): Unit = {
+      // marginal mass in exact 1e-9 units: n·w is a 1e-9 multiple
+      // because w is 1e-9-rounded, so the sum is layout-proof
+      val sums = w.groupBy(col(key))
+        .agg(sum(round(col("__n") * col("__w") * 1e9).cast("long"))
+          .as("__m9"))
+      w = w.join(broadcast(sums), key)
+        .withColumn("__w", round(col("__w") * (target * col("__tot"))
+          / (col("__m9").cast("double") / 1e9), 9))
+        .drop("__m9")
+        .localCheckpoint()
+    }
+    (1 to iters).foreach { _ =>
+      scaleBy("__a", col("__tA"))
+      scaleBy("__b", col("__tB"))
+    }
+    w.select(col("__a").as(colA), col("__b").as(colB),
+      col("__n").as("n"), round(col("__w"), 6).as("weight"))
+  }
+
+  /** [[rake]] toward UNIFORM marginals on both axes — the "flatten
+    * this mixture" convenience (targets 1/k per observed value; the
+    * two bounded distinct-value collects are category-cardinality).
+    */
+  def rakeUniform(df: DataFrame, colA: String, colB: String,
+                  iters: Int = 4): DataFrame = {
+    def uniform(c: String): Seq[(String, Double)] = {
+      val vals = df.select(col(c).cast("string")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      vals.map(_ -> 1.0 / vals.size)
+    }
+    rake(df, colA, colB, uniform(colA), uniform(colB), iters)
+  }
 }

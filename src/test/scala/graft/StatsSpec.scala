@@ -239,6 +239,30 @@ class StatsSpec extends SparkSpec {
     assert(r1.getBoolean(4), r1.toString)
   }
 
+  test("rake: weighted marginals converge to the targets; already-" +
+      "uniform input keeps weight 1") {
+    // skewed 2x2: a-marginal 30/10, b-marginal 20/20
+    val df = (Seq.fill(15)(("x", "u")) ++ Seq.fill(15)(("x", "v")) ++
+      Seq.fill(5)(("y", "u")) ++ Seq.fill(5)(("y", "v"))).toDF("a", "b")
+    val out = sampling.Sampling.rake(df, "a", "b",
+      Seq("x" -> 0.5, "y" -> 0.5), Seq("u" -> 0.5, "v" -> 0.5), iters = 6)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // achieved a-marginal: sum n*w per a ~ 20 each (N=40, target 0.5)
+    val massX = out(("x", "u"))._1 * out(("x", "u"))._2 +
+      out(("x", "v"))._1 * out(("x", "v"))._2
+    val massU = out(("x", "u"))._1 * out(("x", "u"))._2 +
+      out(("y", "u"))._1 * out(("y", "u"))._2
+    assert(math.abs(massX - 20.0) < 1e-3, s"$massX")
+    assert(math.abs(massU - 20.0) < 1e-3, s"$massU")
+    // a perfectly balanced table needs no reweighting
+    val flat = (Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(10)(("y", "v"))).toDF("a", "b")
+    val w1 = sampling.Sampling.rakeUniform(flat, "a", "b")
+      .collect().map(_.getDouble(3))
+    assert(w1.forall(_ === 1.0), w1.mkString(","))
+  }
+
   test("calibration: a perfect forecast scores brier 0 / ece 0; a " +
       "constant 0.5 on balanced labels gaps by 0") {
     // perfect probabilities: score == label
