@@ -36,6 +36,14 @@ object GeoCache {
 
   private final case class Key(session: SparkSession, planHash: Int)
 
+  // plan-idempotent persist (the OpCache discipline): a ring set can
+  // optimise to a plan CacheManager already holds (order-1 ring ==
+  // the adjacency), and re-persisting an equal plan is a warning +
+  // double bookkeeping, never a second cache
+  private def persistIdem(df: DataFrame): DataFrame =
+    if (df.storageLevel != StorageLevel.NONE) df
+    else df.persist(StorageLevel.MEMORY_AND_DISK)
+
   private def keyOf(panel: DataFrame): Key =
     Key(panel.sparkSession,
       panel.select(col(Panel.TimeCol), col(Panel.UnitCol))
@@ -66,8 +74,7 @@ object GeoCache {
     */
   def adjacency(panel: DataFrame): DataFrame =
     adjs.getOrElseUpdate(keyOf(panel),
-      CountryLag.gridAdjacency(panel, persist = false)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      persistIdem(CountryLag.gridAdjacency(panel, persist = false)))
 
   /** Unit centroids (country_id, lon, lat) for the country lag. */
   def centroids(panel: DataFrame): DataFrame =
@@ -86,8 +93,7 @@ object GeoCache {
     rings.getOrElseUpdate((keyOf(panel), inner, width), {
       val pairs = pairSets.getOrElseUpdate(keyOf(panel),
         CountryLag.gridAdjacencyPairsLocal(panel))
-      CountryLag.ringSetStatic(panel, pairs, inner, width)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      persistIdem(CountryLag.ringSetStatic(panel, pairs, inner, width))
     })
 
   /** Release every cached block owned by `session` and drop the

@@ -4912,10 +4912,12 @@ object OracleExt {
     * near-dup pairs): each round unrolled as neighbour-label counts +
     * a (count desc, label) argmax — the qBfsHops/qPageRank discipline.
     */
-  def qLabelProp(iters: Int = 4): String = {
+  /** The label-propagation CTE chain (sym edges + l0..l{iters}),
+    * shared by qLabelProp and qModularity.
+    */
+  private def labelPropCtes(iters: Int): String = {
     val sb = new StringBuilder(
-      s"""$norm, $simhashPairCtes,
-         |e0 AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
+      s"""e0 AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
          |sym AS (SELECT id_a AS src, id_b AS dst FROM e0
          |        UNION SELECT id_b, id_a FROM e0),
          |l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)"""
@@ -4931,8 +4933,66 @@ object OracleExt {
            |            ORDER BY n DESC, label) AS rn FROM c$i) z
            |        WHERE rn = 1)""".stripMargin)
     }
-    sb.append(s"\nSELECT id, label FROM l$iters").toString
+    sb.toString
   }
+
+  def qLabelProp(iters: Int = 4): String =
+    s"""$norm, $simhashPairCtes,
+       |${labelPropCtes(iters)}
+       |SELECT id, label FROM l$iters""".stripMargin
+
+  /** Newman modularity (GraphStats.modularity of the labelProp
+    * communities over the simhash pairs): exact integer intra-edge /
+    * degree-mass counts on the doubled edge list, per-community
+    * 1e-9-fixed terms.
+    */
+  def qModularity(iters: Int = 4): String =
+    s"""$norm, $simhashPairCtes,
+       |${labelPropCtes(iters)},
+       |tag AS (SELECT s.src, s.dst, la.label AS csrc, lb.label AS cdst
+       |  FROM sym s JOIN l$iters la ON la.id = s.src
+       |  JOIN l$iters lb ON lb.id = s.dst),
+       |intra AS (SELECT csrc AS c, CAST(COUNT(*) AS BIGINT) AS e2
+       |  FROM tag WHERE csrc = cdst GROUP BY 1),
+       |dm AS (SELECT csrc AS c, CAST(COUNT(*) AS BIGINT) AS d
+       |  FROM tag GROUP BY 1),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM tag),
+       |terms AS (SELECT m2, CAST(round((CAST(COALESCE(e2, 0) AS DOUBLE) / m2
+       |    - (CAST(d AS DOUBLE) / m2) * (CAST(d AS DOUBLE) / m2)) * 1e9)
+       |    AS BIGINT) AS t9
+       |  FROM dm LEFT JOIN intra USING (c), mm)
+       |SELECT CAST(m2 / 2 AS BIGINT) AS m,
+       |  CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |  round(CAST(SUM(t9) AS DOUBLE) / 1e9, 6) AS q
+       |FROM terms GROUP BY m2""".stripMargin
+
+  /** Degree assortativity (GraphStats.assortativity over the simhash
+    * pairs): Pearson over edge endpoint degrees, exact HUGEINT
+    * sufficient statistics.
+    */
+  val qAssortativity: String =
+    s"""$norm, $simhashPairCtes,
+       |e0 AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM e0
+       |        UNION SELECT id_b, id_a FROM e0),
+       |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS dg
+       |  FROM sym GROUP BY 1),
+       |ee AS (SELECT da.dg AS da, db.dg AS db
+       |  FROM sym s JOIN deg da ON da.id = s.src
+       |  JOIN deg db ON db.id = s.dst),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+       |    SUM(CAST(da AS HUGEINT)) AS sx, SUM(CAST(db AS HUGEINT)) AS sy,
+       |    SUM(CAST(da AS HUGEINT) * da) AS sxx,
+       |    SUM(CAST(db AS HUGEINT) * db) AS syy,
+       |    SUM(CAST(da AS HUGEINT) * db) AS sxy
+       |  FROM ee)
+       |SELECT CAST(m2 / 2 AS BIGINT) AS m,
+       |  CASE WHEN m2 * sxx - sx * sx <= 0 OR m2 * syy - sy * sy <= 0
+       |       THEN NULL
+       |       ELSE round(CAST(m2 * sxy - sx * sy AS DOUBLE)
+       |         / sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)
+       |              * CAST(m2 * syy - sy * sy AS DOUBLE)), 6) END AS r
+       |FROM st""".stripMargin
 
   /** Edit-distance-verified near-dup pairs (Dedup.editPairs): the
     * simhash band candidates re-verified with DuckDB's own levenshtein

@@ -1036,6 +1036,14 @@ object Registry {
     // args: [k, rounds] — terminal round-bounded k-core peel
     "kcore" -> ((df, a) =>
       graphs.KCore.kcore(df, a.num(0).toInt, a.num(1).toInt)),
+    // args: [iters?] — terminal modularity of the label-prop communities
+    "modularity" -> ((df, a) => {
+      val iters = a.numOpt(0).getOrElse(4.0).toInt
+      graphs.GraphStats.modularity(df,
+        graphs.LabelProp.labelPropagation(df, iters))
+    }),
+    // terminal degree assortativity
+    "assortativity" -> ((df, _) => graphs.GraphStats.assortativity(df)),
     // terminal per-node triangle counts
     "triangles" -> ((df, _) => graphs.Triangles.triangleCounts(df)),
     // terminal link-prediction scores for non-adjacent pairs

@@ -854,6 +854,19 @@ object SparkEntry {
       graphs.KCore.kcore(
         dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
           maxDist = 3), k = 2, rounds = 4)),
+    // r10: modularity of the label-prop communities — "is the near-dup
+    // clustering real structure" before keep-best acts on it
+    "q_modularity" -> ((s, dir) => {
+      val pairs = dedup.Dedup.simhashPairs(
+        docs(s, dir).filter(col("doc_id") < 200), maxDist = 3)
+      graphs.GraphStats.modularity(pairs,
+        graphs.LabelProp.labelPropagation(pairs, 4))
+    }),
+    // r10: degree assortativity — hub-to-hub vs hub-to-leaf mixing
+    "q_assortativity" -> ((s, dir) =>
+      graphs.GraphStats.assortativity(
+        dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
+          maxDist = 3))),
     // r9: component-size histogram — the dedup-graph health audit
     "q_cc_stats" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("doc_id") < 200)
@@ -2305,6 +2318,8 @@ object SparkEntry {
     "q_bfs_hops" -> OracleExt.qBfsHops(),
     "q_kcore" -> OracleExt.qKCore(),
     "q_edit_pairs" -> OracleExt.qEditPairs(),
+    "q_modularity" -> OracleExt.qModularity(),
+    "q_assortativity" -> OracleExt.qAssortativity,
     "q_label_prop" -> OracleExt.qLabelProp(),
     "q_pipeline_graph" -> OracleExt.qLabelProp(),
     "q_auc" -> OracleExt.qAuc,

@@ -82,7 +82,9 @@ object CountryLag {
     else {
       val innerSet0 = orderSet(adjacency, seeds, ninner)
       val innerSet =
-        if (persist)
+        if (persist &&
+            innerSet0.storageLevel ==
+              org.apache.spark.storage.StorageLevel.NONE)
           innerSet0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else innerSet0
       if (nouter - ninner == 1) {
@@ -168,7 +170,9 @@ object CountryLag {
   def gridAdjacency(panel: DataFrame, persist: Boolean = true): DataFrame = {
     val months = panel.select(col(Panel.TimeCol)).distinct()
     val adj = broadcast(months).crossJoin(broadcast(gridAdjacencyPairs(panel)))
-    if (persist) adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (persist &&
+        adj.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else adj
   }
 

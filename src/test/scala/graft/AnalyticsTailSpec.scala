@@ -150,6 +150,31 @@ class AnalyticsTailSpec extends SparkSpec {
     assert(one.keySet === Set(1L, 2L, 3L) && one.values.forall(_ == true))
   }
 
+  test("modularity: perfect two-community split scores 0.5; one blob 0") {
+    // two disjoint triangles
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L)).toDF("id_a", "id_b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("id", "label")
+    val r = graphs.GraphStats.modularity(edges, labels).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === (6L, 2L, 0.5))
+    // everything one community: Q = 1 - 1 = 0 exactly
+    val one = labels.select(col("id"), lit(0L).as("label"))
+    assert(graphs.GraphStats.modularity(edges, one)
+      .collect().head.getDouble(2) === 0.0)
+  }
+
+  test("assortativity: a star is perfectly disassortative (-1); a " +
+      "regular graph is degenerate (null)") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("id_a", "id_b")
+    val rs = graphs.GraphStats.assortativity(star).collect().head
+    assert(rs.getLong(0) === 4L && rs.getDouble(1) === -1.0)
+    // a triangle: every degree 2, zero variance -> null
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    assert(graphs.GraphStats.assortativity(tri).collect().head.isNullAt(1))
+  }
+
   test("componentStats: histogram over a CC labelling with totals") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"), (5L, "w"))
       .toDF("doc_id", "text")
