@@ -566,6 +566,44 @@ class PropertySpec extends AnyFunSuite {
     assert(allOf(2) == allOf(17))
   }
 
+  test("partitioning invariance: the r10 statistics tail") {
+    val tbl = (1L to 240L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c",
+        (i * 7 % 13).toDouble + (i % 4) * 0.25))
+      .toDF("id", "grp", "v")
+    val docsDf = (1L to 90L).map(i =>
+      (i, s"alpha tok${i % 11} tok${i % 4} beta gamma word $i",
+        s"src${i % 4}")).toDF("doc_id", "text", "source")
+    val edges = (1L to 60L).flatMap(i =>
+      Seq((i, i % 20 + 100), (i % 7 + 1, i % 11 + 1)))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    def allOf(parts: Int): Seq[Set[Seq[Any]]] = {
+      val t = tbl.repartition(parts)
+      val d = docsDf.repartition(parts)
+      val e = edges.repartition(parts)
+      Seq(
+        graft.relational.Stats.mannWhitney(t.filter(col("id") % 2 === 0),
+            t.filter(col("id") % 2 === 1), "v")
+          .collect().map(_.toSeq).toSet,
+        graft.relational.Stats.brownForsythe(t, "grp", "v", 2.996)
+          .collect().map(_.toSeq).toSet,
+        graft.relational.Stats.moodMedian(t, "grp", "v", 5.991)
+          .collect().map(_.toSeq).toSet,
+        graft.sampling.Sampling.rakeUniform(t, "grp", "v", iters = 3)
+          .collect().map(_.toSeq).toSet,
+        graft.ml.Eval.calibration(t,
+            col("v") / 13.0, col("id") % 2 === 0)
+          .collect().map(_.toSeq).toSet,
+        graft.text.TextOps.vocabDrift(d)
+          .collect().map(_.toSeq).toSet,
+        graft.graphs.KCore.kcore(e, k = 2, rounds = 3)
+          .collect().map(_.toSeq).toSet,
+        graft.graphs.GraphStats.assortativity(e)
+          .collect().map(_.toSeq).toSet)
+    }
+    assert(allOf(2) == allOf(17))
+  }
+
   test("partitioning invariance: spearman, anova, spatial stats, NDCG") {
     val panel = (for { u <- 1L to 60L; m <- 1L to 12L } yield
       (m, u, math.sin(u * 0.7 + m * 1.3) * 50.0 + (u % 7)))
