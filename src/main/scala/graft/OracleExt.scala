@@ -5043,6 +5043,44 @@ object OracleExt {
     sb.toString
   }
 
+  /** Snapshot diff (Scd.snapshotDiff of orders vs the deterministic
+    * synthetic "next extract": keys %97 removed, prices %31 bumped,
+    * keys %53 re-added shifted): per-row value hashes compared WITHIN
+    * each engine, so the counts are engine-exact whatever the float
+    * rendering.
+    */
+  val qSnapshotDiff: String =
+    """WITH bef AS (SELECT o_orderkey AS k,
+      |    md5(concat_ws(chr(1), CAST(o_totalprice AS VARCHAR),
+      |      o_orderstatus)) AS h
+      |  FROM orders),
+      |aft0 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 53 = 0),
+      |aft AS (SELECT o_orderkey AS k,
+      |    md5(concat_ws(chr(1), CAST(o_totalprice AS VARCHAR),
+      |      o_orderstatus)) AS h
+      |  FROM aft0),
+      |j AS (SELECT b.h AS hb, a.h AS ha
+      |  FROM bef b FULL JOIN aft a ON a.k = b.k)
+      |SELECT CAST(COUNT(hb) AS BIGINT) AS n_before,
+      |  CAST(COUNT(ha) AS BIGINT) AS n_after,
+      |  CAST(SUM(CASE WHEN hb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS added,
+      |  CAST(SUM(CASE WHEN ha IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS removed,
+      |  CAST(SUM(CASE WHEN hb IS NOT NULL AND ha IS NOT NULL AND hb <> ha
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+      |  CAST(SUM(CASE WHEN hb = ha THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS unchanged
+      |FROM j""".stripMargin
+
   /** IPF raking (Sampling.rake over priority × status toward uniform
     * marginals): each row/column scaling unrolled as a marginal-mass
     * CTE (exact 1e-9-unit integer sums) plus a 1e-9-rounded weight

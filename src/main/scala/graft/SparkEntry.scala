@@ -796,6 +796,20 @@ object SparkEntry {
       ml.Eval.aucRoc(s.read.parquet(s"$dir/orders.parquet"),
         col("o_totalprice"),
         col("o_orderpriority").isin("1-URGENT", "2-HIGH"))),
+    // r10: snapshot diff — the "what changed between extracts" audit
+    // (synthetic next extract: keys %97 removed, prices %31 bumped,
+    // keys %53 re-added under shifted ids)
+    "q_snapshot_diff" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val after = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 31 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 53 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      relational.Scd.snapshotDiff(o, after, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
     // r10: IPF raking — per-cell weights pulling BOTH marginals of
     // priority × status to uniform targets (the principled mixture
     // reweighting; 1e-9-rounded trajectory, unrolled-CTE oracle)
@@ -1438,6 +1452,21 @@ object SparkEntry {
     "q_pipeline_tcloseness" -> ((s, dir) =>
       Registry.runTable(s.read.parquet(s"$dir/customer.parquet"),
         """[{"type":"t_closeness","args":["c_mktsegment",0.2,"c_nationkey"]}]""")),
+    // rake_uniform derives 1/5 and 1/3 shares — exactly q_rake's
+    // explicit targets, so the twin shares qRake
+    "q_pipeline_rake" -> ((s, dir) =>
+      Registry.runTable(s.read.parquet(s"$dir/orders.parquet"),
+        """[{"type":"rake_uniform","args":["o_orderpriority","o_orderstatus",4]}]""")),
+    "q_pipeline_kcore" -> ((s, dir) =>
+      Registry.runGraph(
+        dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
+          maxDist = 3),
+        """[{"type":"kcore","args":[2,4]}]""")),
+    "q_pipeline_modularity" -> ((s, dir) =>
+      Registry.runGraph(
+        dedup.Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200),
+          maxDist = 3),
+        """[{"type":"modularity","args":[4]}]""")),
     // r9: t-closeness — the skewness-attack privacy screen completing
     // the k-anonymity / l-diversity triple, t = 0.2
     "q_t_closeness" -> ((s, dir) =>
@@ -2324,6 +2353,7 @@ object SparkEntry {
     "q_pipeline_graph" -> OracleExt.qLabelProp(),
     "q_auc" -> OracleExt.qAuc,
     "q_rake" -> OracleExt.qRake(),
+    "q_snapshot_diff" -> OracleExt.qSnapshotDiff,
     "q_calibration" -> OracleExt.qCalibration(),
     "q_calibration_summary" -> OracleExt.qCalibrationSummary(),
     "q_chi2" -> OracleExt.qChi2,
@@ -2364,6 +2394,9 @@ object SparkEntry {
     "q_pipeline_ks" -> OracleExt.qKsTest,
     "q_pipeline_welch" -> OracleExt.qWelchT,
     "q_pipeline_tcloseness" -> OracleExt.qTCloseness,
+    "q_pipeline_rake" -> OracleExt.qRake(),
+    "q_pipeline_kcore" -> OracleExt.qKCore(),
+    "q_pipeline_modularity" -> OracleExt.qModularity(),
     "q_theil_sen" -> OracleExt.qTheilSen,
     "q_pacf" -> OracleExt.qPacf,
     "q_forecast" -> OracleExt.qForecast,

@@ -68,6 +68,40 @@ object Scd {
         .map(c => col(s"__r.$c")): _*)
   }
 
+  /** Snapshot diff between two versions of a keyed table — the
+    * data-ops "what changed between yesterday's extract and today's"
+    * audit, reduced to one row of counts: keys added, removed,
+    * value-changed, and unchanged.
+    *
+    * Change detection hashes the tracked value columns per row
+    * (md5 over a 0x01-joined string rendering) — each engine
+    * compares its OWN renderings of both versions, so the counts are
+    * engine-exact even where float-to-string formats differ across
+    * engines. One keyed full-outer join + a 1-row aggregate; no
+    * window, no collect.
+    *
+    * @return one row (n_before, n_after, added, removed, changed,
+    *   unchanged)
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty,
+      "need key and value columns")
+    def hashed(df: DataFrame, h: String) =
+      df.select(keyCols.map(col) :+
+        md5(concat_ws("\u0001", valueCols.map(c => col(c).cast("string")): _*))
+          .as(h): _*)
+    hashed(before, "__hb").join(hashed(after, "__ha"), keyCols, "full")
+      .agg(count(col("__hb")).as("n_before"),
+        count(col("__ha")).as("n_after"),
+        sum(when(col("__hb").isNull, 1L).otherwise(0L)).as("added"),
+        sum(when(col("__ha").isNull, 1L).otherwise(0L)).as("removed"),
+        sum(when(col("__hb").isNotNull && col("__ha").isNotNull &&
+          col("__hb") =!= col("__ha"), 1L).otherwise(0L)).as("changed"),
+        sum(when(col("__hb") === col("__ha"), 1L).otherwise(0L))
+          .as("unchanged"))
+  }
+
   /** Type-1 CDC apply — collapse an insert/update/delete change log to
     * the latest state per key: the other half of the warehouse ingest
     * story ([[scd2Merge]] keeps history; this materializes "now").
