@@ -147,31 +147,50 @@ object PlanLint {
         case _                                              => false
       }
 
-    def taintIn(e: Expression): Int = {
-      var worst = 0
-      e.foreach {
-        case we: WindowExpression =>
-          val ordered =
-            we.windowSpec.orderSpec.nonEmpty && frameUnbounded(we.windowSpec)
-          we.windowFunction.foreach {
-            case ae: AggregateExpression =>
-              ae.aggregateFunction match {
-                case s: Sum if floatSummand(s.child) =>
-                  worst = math.max(worst, if (ordered) 2 else 1)
-                case _ => ()
-              }
-            case _ => ()
-          }
-        case ae: AggregateExpression =>
-          ae.aggregateFunction match {
-            case s: Sum if floatSummand(s.child) => worst = math.max(worst, 1)
-            case _                               => ()
-          }
-        case ar: AttributeReference =>
-          worst = math.max(worst, taintOf.getOrElse(ar.exprId, 0))
-        case _ => ()
-      }
-      worst
+    // the FIXING idiom — `round(x · 1e6..1e9)` quantizing a float onto
+    // a fine integer grid before exact integer arithmetic — is the
+    // prescribed CURE, not a gate rounding: recognise it by the large
+    // literal pre-multiplier and treat its subtree as clean (the
+    // residual sub-grid noise only reaches a coarse output through an
+    // integer path, which never re-taints)
+    def numLit(e: Expression): Option[Double] = e match {
+      case Literal(v: Double, _) => Some(v)
+      case Literal(v: Float, _)  => Some(v.toDouble)
+      case Literal(v: Int, _)    => Some(v.toDouble)
+      case Literal(v: Long, _)   => Some(v.toDouble)
+      case _                     => None
+    }
+    def fixingRound(r: Round): Boolean = r.child match {
+      case Multiply(_, k, _) if numLit(k).exists(v => math.abs(v) >= 1e6) =>
+        true
+      case Multiply(k, _, _) if numLit(k).exists(v => math.abs(v) >= 1e6) =>
+        true
+      case _ => false
+    }
+
+    def taintIn(e: Expression): Int = e match {
+      case r: Round if fixingRound(r) => 0
+      case we: WindowExpression =>
+        val ordered =
+          we.windowSpec.orderSpec.nonEmpty && frameUnbounded(we.windowSpec)
+        val own = we.windowFunction match {
+          case ae: AggregateExpression =>
+            ae.aggregateFunction match {
+              case s: Sum if floatSummand(s.child) => if (ordered) 2 else 1
+              case _                               => 0
+            }
+          case _ => 0
+        }
+        (own +: we.children.map(taintIn)).max
+      case ae: AggregateExpression =>
+        val own = ae.aggregateFunction match {
+          case s: Sum if floatSummand(s.child) => 1
+          case _                               => 0
+        }
+        (own +: ae.children.map(taintIn)).max
+      case ar: AttributeReference => taintOf.getOrElse(ar.exprId, 0)
+      case other =>
+        if (other.children.isEmpty) 0 else other.children.map(taintIn).max
     }
 
     val findings = scala.collection.mutable.ArrayBuffer.empty[Finding]
@@ -180,7 +199,7 @@ object PlanLint {
     plan.foreachUp { node =>
       node.expressions.foreach { root =>
         root.foreach {
-          case r: Round =>
+          case r: Round if !fixingRound(r) =>
             val coarse = r.scale match {
               case Literal(s: Int, _) => s <= maxScale
               case _                  => false

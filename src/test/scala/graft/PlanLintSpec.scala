@@ -81,6 +81,24 @@ class PlanLintSpec extends SparkSpec {
       PlanLint.floatGate(msum).mkString("; "))
   }
 
+  test("floatGate sweeps the window-statistics gate family clean " +
+      "(the cusum failure class, by construction)") {
+    // every hash-gated query built on ordered window accumulation —
+    // the family where cross-engine reassociation noise can hide.
+    // Plans are ANALYZED only (floatGate needs no execution beyond
+    // the shared panel build).
+    val family = Seq("q_cusum", "q_cusum_stream", "q_ewma", "q_ewma_stream",
+      "q_mavg", "q_msum", "q_trend", "q_decompose", "q_acf", "q_pacf",
+      "q_changepoint", "q_theil_sen", "q_rolling_corr", "q_forecast",
+      "q_seasonal_strength", "q_mann_kendall", "q_runs_test", "q_entropy",
+      "q_demean", "q_winsorize", "q_robust_scale")
+    family.foreach { name =>
+      val qdf = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      assert(PlanLint.floatGateFatal(qdf).isEmpty,
+        s"$name: ${PlanLint.floatGate(qdf).mkString("; ")}")
+    }
+  }
+
   test("the engine's own scale-audited operators lint clean of fatals") {
     val docs = Seq((1L, "a b c d e"), (2L, "b c d e f"), (3L, "x y z w q"))
       .toDF("doc_id", "text")
