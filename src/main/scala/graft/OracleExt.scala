@@ -5127,6 +5127,51 @@ object OracleExt {
     sb.toString
   }
 
+  /** Weight of evidence + IV (ml.Eval.weightOfEvidence of priority vs
+    * finished status): Laplace-smoothed shares as ratios of exact
+    * counts, identical association, 1e-6-rounded outputs.
+    */
+  val qWoe: String = {
+    val ps = "((n_pos + 0.5) / (tp + k * 0.5))"
+    val ns = "((n - n_pos + 0.5) / (tn - tp + k * 0.5))"
+    s"""WITH cells AS (SELECT o_orderpriority AS f,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_pos
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT SUM(n) AS tn, SUM(n_pos) AS tp,
+       |    CAST(COUNT(*) AS BIGINT) AS k FROM cells)
+       |SELECT f AS o_orderpriority, n, n_pos,
+       |  round(ln($ps / $ns), 6) AS woe,
+       |  round(($ps - $ns) * ln($ps / $ns), 6) AS iv_term
+       |FROM cells, t""".stripMargin
+  }
+
+  /** Decile lift chart (ml.Eval.liftChart of order totals vs high
+    * priority): exact ntile buckets (ties are identical rows, so any
+    * tie assignment gives identical per-bucket counts), cumulative
+    * capture and lift as ratios of exact integers.
+    */
+  def qLiftChart(buckets: Int = 10): String =
+    s"""WITH r AS (SELECT round(o_totalprice, 9) AS s,
+       |    CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT) AS y
+       |  FROM orders),
+       |b AS (SELECT ntile($buckets) OVER (ORDER BY s DESC, y DESC)
+       |    AS bucket, y FROM r),
+       |per AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(y) AS BIGINT) AS n_pos FROM b GROUP BY 1),
+       |t AS (SELECT SUM(n) AS tn, SUM(n_pos) AS tp FROM per),
+       |c AS (SELECT bucket, n, n_pos,
+       |    SUM(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cp,
+       |    SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cn
+       |  FROM per)
+       |SELECT CAST(bucket AS INTEGER) AS bucket, n, n_pos,
+       |  round(CAST(n_pos AS DOUBLE) / tp, 6) AS capture,
+       |  round(CAST(cp AS DOUBLE) / tp, 6) AS cum_capture,
+       |  round((CAST(cp AS DOUBLE) / cn) / (CAST(tp AS DOUBLE) / tn), 6)
+       |    AS lift
+       |FROM c, t""".stripMargin
+
   /** Shared calibration CTEs (ml.Eval.calibration over max-normalized
     * order totals vs the high-priority flag): 1e-9-fixed scores,
     * equal-width clamped bins, per-bin exact integer sums.

@@ -836,6 +836,17 @@ object SparkEntry {
         col("o_totalprice") / col("__mx"),
         col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
     }),
+    // r10: weight-of-evidence + information value — the credit-scoring
+    // feature screen (priority predicting finished status)
+    "q_woe" -> ((s, dir) =>
+      ml.Eval.weightOfEvidence(s.read.parquet(s"$dir/orders.parquet"),
+        "o_orderpriority", col("o_orderstatus") === "F")),
+    // r10: decile lift chart — per-bucket capture and cumulative lift
+    // of the score ranking (the campaign-targeting view of q_auc)
+    "q_lift" -> ((s, dir) =>
+      ml.Eval.liftChart(s.read.parquet(s"$dir/orders.parquet"),
+        col("o_totalprice"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))),
     // r9: the graph wire family — label propagation dispatched from
     // JSON over the same pairs frame (shares qLabelProp)
     "q_pipeline_graph" -> ((s, dir) =>
@@ -2356,6 +2367,8 @@ object SparkEntry {
     "q_snapshot_diff" -> OracleExt.qSnapshotDiff,
     "q_calibration" -> OracleExt.qCalibration(),
     "q_calibration_summary" -> OracleExt.qCalibrationSummary(),
+    "q_woe" -> OracleExt.qWoe,
+    "q_lift" -> OracleExt.qLiftChart(),
     "q_chi2" -> OracleExt.qChi2,
     "q_corr_matrix" -> OracleExt.qCorrMatrix,
     "q_trimmed_mean" -> OracleExt.qTrimmedMean,

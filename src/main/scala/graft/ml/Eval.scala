@@ -78,6 +78,70 @@ object Eval {
         round(col("__sg9").cast("double") / col("n") / 1e9, 6).as("ece"))
   }
 
+  /** Weight-of-evidence encoding + information value — the classic
+    * credit-scoring feature screen: per category,
+    * WOE = ln(pos_share / neg_share) (Laplace-smoothed so empty cells
+    * stay finite), and IV = Σ (pos_share − neg_share)·WOE summarises
+    * the feature's separating power (rule of thumb: < 0.02 useless,
+    * > 0.3 strong). One (category, label) cell aggregation; shares are
+    * ratios of exact integers, WOE rounds to 1e-6 per category, IV
+    * terms fix to 1e-9 integers before the (category-bounded) sum.
+    *
+    * @return one row per category (featureCol, n, n_pos, woe, iv_term)
+    */
+  def weightOfEvidence(df: DataFrame, featureCol: String, labelCol: Column,
+                       alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val cells = df.select(col(featureCol).as("__f"),
+        labelCol.cast("boolean").cast("long").as("__y"))
+      .groupBy(col("__f"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val tot = cells.agg(sum(col("n")).as("__n"), sum(col("n_pos")).as("__p"),
+      count(lit(1)).as("__k"))
+    val posShare = (col("n_pos") + alpha) /
+      (col("__p") + col("__k") * alpha)
+    val negShare = (col("n") - col("n_pos") + alpha) /
+      (col("__n") - col("__p") + col("__k") * alpha)
+    val woe = log(posShare / negShare)
+    cells.crossJoin(broadcast(tot))
+      .select(col("__f").as(featureCol), col("n"), col("n_pos"),
+        round(woe, 6).as("woe"),
+        round((posShare - negShare) * woe, 6).as("iv_term"))
+  }
+
+  /** Decile lift chart: exact global score buckets (range-partitioned
+    * ntile — no single-task window) with per-bucket capture and
+    * cumulative lift over the top-scored population. Bucket 1 is the
+    * HIGHEST scores (the "contact first" decile).
+    *
+    * @return (bucket, n, n_pos, capture, cum_capture, lift) per bucket
+    */
+  def liftChart(df: DataFrame, scoreCol: Column, labelCol: Column,
+                buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val rows = df.select(round(scoreCol, 9).as("__s"),
+      labelCol.cast("boolean").cast("long").as("__y"))
+    val binned = graft.ops.Ranking.globalNtile(rows,
+      Seq(col("__s").desc, col("__y").desc), buckets, binCol = "bucket")
+    val per = binned.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val tot = per.agg(sum(col("n")).as("__n"), sum(col("n_pos")).as("__p"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("bucket").cast("long"), lit(1)))
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    per.crossJoin(broadcast(tot))
+      .withColumn("__cp", sum(col("n_pos")).over(wcum))
+      .withColumn("__cn", sum(col("n")).over(wcum))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("__p"), 6).as("capture"),
+        round(col("__cp").cast("double") / col("__p"), 6).as("cum_capture"),
+        // lift = cumulative positive rate over the base rate
+        round((col("__cp").cast("double") / col("__cn")) /
+          (col("__p").cast("double") / col("__n")), 6).as("lift"))
+  }
+
   /** @param labelCol boolean (or 0/1-castable) positive-class flag
     * @return one row (n_pos, n_neg, auc) — auc rounded 1e-6; NULL when
     *         either class is empty

@@ -285,6 +285,33 @@ class StatsSpec extends SparkSpec {
     assert(hs.getDouble(1) === 0.25 && hs.getDouble(2) === 0.0)
   }
 
+  test("weightOfEvidence: independent feature ~0 IV; perfect separator " +
+      "large; liftChart: a perfect ranking captures all in the top") {
+    // independent: both categories 50% positive -> woe 0, iv 0
+    val indep = (Seq.fill(10)(("a", true)) ++ Seq.fill(10)(("a", false)) ++
+      Seq.fill(10)(("b", true)) ++ Seq.fill(10)(("b", false)))
+      .toDF("f", "y")
+    val w0 = ml.Eval.weightOfEvidence(indep, "f", col("y"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(w0.values.forall { case (woe, iv) => woe === 0.0 && iv === 0.0 })
+    // perfect separator: a all-positive, b all-negative
+    val sep = (Seq.fill(10)(("a", true)) ++ Seq.fill(10)(("b", false)))
+      .toDF("f", "y")
+    val w1 = ml.Eval.weightOfEvidence(sep, "f", col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(w1("a") > 2.0 && w1("b") < -2.0, w1.toString)
+    // lift: scores = labels, 4 buckets over 20 rows (5 pos)
+    val scored = (1 to 20).map(i => (if (i <= 5) 1.0 else 0.0, i <= 5))
+      .toDF("s", "y")
+    val lc = ml.Eval.liftChart(scored, col("s"), col("y"), buckets = 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5))).toMap
+    // bucket 1 (top 5 scores) holds every positive: capture 1, lift 4
+    assert(lc(1) === (5L, 5L, 1.0, 4.0), lc.toString)
+    assert(lc(4)._3 === 1.0 && lc(4)._4 === 1.0) // full population
+  }
+
   test("diversityIndex: balanced = evenness 1, single category degenerate") {
     val balanced = (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++
       Seq.fill(10)("c")).map((_, 1)).toDF("cat", "one")
