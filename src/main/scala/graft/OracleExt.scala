@@ -2296,6 +2296,23 @@ object OracleExt {
       |                  / CAST(n_units * t AS DOUBLE), 6) END AS gini
       |FROM a""".stripMargin
 
+  /** Per-source lexical health (TextOps.lexicalStats): ratios of
+    * exact (source, token) counts.
+    */
+  val qLexicalStats: String =
+    """WITH cw AS (
+      |  SELECT source, unnest(string_split(
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+      |  FROM documents),
+      |cn AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM cw GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
+      |  round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS hapax_share
+      |FROM cn GROUP BY 1""".stripMargin
+
   /** Pairwise source vocabulary drift (TextOps.vocabDrift): JS
     * divergence from the common-token join only — exclusive mass
     * contributes the analytic ln2 term; per-token 1e-9-fixed terms,

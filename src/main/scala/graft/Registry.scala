@@ -307,6 +307,9 @@ object Registry {
     // args: [sourceCol?] — terminal pairwise source JS vocabulary drift
     "vocab_drift" -> ((df, a) =>
       text.TextOps.vocabDrift(df, a.strOpt(0).getOrElse("source"))),
+    // args: [sourceCol?] — terminal per-source TTR/hapax health screen
+    "lexical_stats" -> ((df, a) =>
+      text.TextOps.lexicalStats(df, a.strOpt(0).getOrElse("source"))),
     // args: [minQuality, lang?] — quality floor, optional language
     // equality. The scores are evaluated ONCE per row in a projection
     // below a mapPartitions(identity) barrier, then the filter tests

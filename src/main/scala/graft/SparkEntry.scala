@@ -1554,6 +1554,9 @@ object SparkEntry {
     // source unigram distributions from the common-token join only
     // (exclusive mass contributes the analytic ln2 term)
     "q_vocab_drift" -> ((s, dir) => text.TextOps.vocabDrift(docs(s, dir))),
+    // r10: per-source lexical health — TTR/hapax template-spam screen
+    "q_lexical_stats" -> ((s, dir) =>
+      text.TextOps.lexicalStats(docs(s, dir))),
     // r9: token-mass Gini across documents — "is the corpus dominated
     // by a few giant docs" (the revenue-gini machinery on tokens)
     "q_token_gini" -> ((s, dir) =>
@@ -2294,6 +2297,7 @@ object SparkEntry {
     "q_token_gini_s" -> OracleExt.docsUnder(OracleExt.qTokenGini, 150),
     "q_source_diversity" -> OracleExt.qSourceDiversity,
     "q_vocab_drift" -> OracleExt.qVocabDrift,
+    "q_lexical_stats" -> OracleExt.qLexicalStats,
     "q_token_gini" -> OracleExt.qTokenGini,
     "q_pipeline_ppr" -> OracleExt.qPersonalizedPageRank(),
     "q_silhouette" -> OracleExt.qSilhouette(),

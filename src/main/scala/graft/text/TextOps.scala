@@ -510,6 +510,29 @@ object TextOps {
         round((jsA + jsB) / 2.0, 6).as("js"))
   }
 
+  /** Per-source lexical health: token volume, distinct types,
+    * type-token ratio and hapax share — the quick "is this feed
+    * template spam or real language" screen (template-generated text
+    * shows abnormally LOW TTR and hapax share; boilerplate-free prose
+    * sits near Zipf-predicted levels). One (source, token) count
+    * aggregation; every output is a ratio of exact integers.
+    *
+    * @return (source, n_tokens, n_types, ttr, hapax_share) per source
+    */
+  def lexicalStats(docs: DataFrame, sourceCol: String = "source",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        explode(split(normalize(col(textCol)), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("source"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("__hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("__hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_share"))
+
   /** Corpus budgeting: token totals per predicted language. */
   def corpusStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     analyze(docs, textCol)
