@@ -618,6 +618,36 @@ class RegistrySpec extends SparkSpec {
       rowsOf(relational.Profile.kAnonymity(t, Seq("grp"), 2L)))
   }
 
+  test("r10 corpus/graph/embeddings wires equal their direct calls") {
+    val docsDf = Seq(
+      (1L, "alpha beta gamma alpha delta", "s1"),
+      (2L, "alpha beta gamma alpha delta", "s2"),
+      (3L, "zeta eta theta iota kappa", "s2"))
+      .toDF("doc_id", "text", "source")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rowsOf(Registry.runCorpus(docsDf, """[{"type":"vocab_drift"}]""")) ==
+      rowsOf(text.TextOps.vocabDrift(docsDf)))
+    assert(rowsOf(Registry.runCorpus(docsDf, """[{"type":"lexical_stats"}]""")) ==
+      rowsOf(text.TextOps.lexicalStats(docsDf)))
+    assert(rowsOf(Registry.runCorpus(docsDf,
+        """[{"type":"edit_neardup","args":[5]}]""")) ==
+      rowsOf(dedup.Dedup.editPairs(docsDf, maxEdits = 5)))
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    assert(rowsOf(Registry.runGraph(edges, """[{"type":"kcore","args":[2,3]}]""")) ==
+      rowsOf(graphs.KCore.kcore(edges, 2, 3)))
+    assert(rowsOf(Registry.runGraph(edges, """[{"type":"assortativity"}]""")) ==
+      rowsOf(graphs.GraphStats.assortativity(edges)))
+    val emb = (1L to 6L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 3 + j).toFloat / 10)))
+      .toDF("vec_id", "embedding")
+    assert(rowsOf(Registry.runEmbeddings(emb,
+        """[{"type":"random_project","args":[4]}]""")) ==
+      rowsOf(emb.join(similarity.Similarity.randomProject(emb, 4),
+        Seq("vec_id"))))
+  }
+
   test("a chained window pipeline stays a single-shuffle plan") {
     val out = Registry.run(p, """[{"type":"tlag","args":[1]},
       {"type":"moving_average","args":[3]},{"type":"demean","args":[]}]""")
