@@ -5144,6 +5144,55 @@ object OracleExt {
     sb.toString
   }
 
+  /** McNemar (Stats.mcnemar of high-priority vs finished flags on the
+    * same orders): discordant-cell counts, one exact ratio.
+    */
+  val qMcnemar: String =
+    """WITH r AS (SELECT
+      |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS a,
+      |    o_orderstatus = 'F' AS b
+      |  FROM orders),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |  FROM r)
+      |SELECT n, b, c,
+      |  CASE WHEN b + c = 0 THEN NULL
+      |       ELSE round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)
+      |  END AS chi2,
+      |  CASE WHEN b + c = 0 THEN NULL
+      |       ELSE round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c)
+      |         - 3.841, 6) > 0.0 END AS significant
+      |FROM s""".stripMargin
+
+  /** Cohen's kappa (Stats.cohensKappa of priority-class vs status):
+    * exact cells and margins, p_o/p_e as ratios of exact integers.
+    */
+  val qCohensKappa: String =
+    """WITH cells AS (SELECT
+      |    CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS VARCHAR) AS a,
+      |    CAST(o_orderstatus = 'F' AS VARCHAR) AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM orders GROUP BY 1, 2),
+      |ag AS (SELECT SUM(o) AS n,
+      |    SUM(CASE WHEN a = b THEN o ELSE 0 END) AS agr FROM cells),
+      |ra AS (SELECT a AS v, SUM(o) AS rt FROM cells GROUP BY 1),
+      |cb AS (SELECT b AS v, SUM(o) AS ct FROM cells GROUP BY 1),
+      |pe0 AS (SELECT COALESCE(SUM(CAST(rt AS HUGEINT) * ct), 0) AS p0
+      |  FROM ra JOIN cb USING (v))
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  round(CAST(agr AS DOUBLE) / n, 6) AS po,
+      |  round(CAST(p0 AS DOUBLE) / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6)
+      |    AS pe,
+      |  CASE WHEN CAST(p0 AS DOUBLE) / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)
+      |         = 1.0 THEN NULL
+      |       ELSE round((CAST(agr AS DOUBLE) / n
+      |           - CAST(p0 AS DOUBLE) / CAST(CAST(n AS HUGEINT) * n AS DOUBLE))
+      |         / (1.0 - CAST(p0 AS DOUBLE)
+      |             / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)), 6)
+      |  END AS kappa
+      |FROM ag, pe0""".stripMargin
+
   /** Weight of evidence + IV (ml.Eval.weightOfEvidence of priority vs
     * finished status): Laplace-smoothed shares as ratios of exact
     * counts, identical association, 1e-6-rounded outputs.

@@ -1005,6 +1005,13 @@ object Registry {
     // args: [col1, col2, …] — per-column profile
     "profile" -> ((df, a) =>
       relational.Profile.profile(df, a.collect { case s: String => s })),
+    // args: [colA, colB, critical?] — McNemar on paired binary columns
+    "mcnemar" -> ((df, a) =>
+      relational.Stats.mcnemar(df, col(a.str(0)), col(a.str(1)),
+        a.numOpt(2).getOrElse(3.841))),
+    // args: [colA, colB] — Cohen's kappa agreement
+    "cohens_kappa" -> ((df, a) =>
+      relational.Stats.cohensKappa(df, a.str(0), a.str(1))),
     // args: [colA, colB, iters?] — IPF raking to uniform marginals
     "rake_uniform" -> ((df, a) =>
       sampling.Sampling.rakeUniform(df, a.str(0), a.str(1),

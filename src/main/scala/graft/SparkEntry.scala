@@ -836,6 +836,22 @@ object SparkEntry {
         col("o_totalprice") / col("__mx"),
         col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
     }),
+    // r10: McNemar — paired binary flags on the same rows (did the
+    // flag flip asymmetrically); only the discordant cells matter
+    "q_mcnemar" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      relational.Stats.mcnemar(o,
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        col("o_orderstatus") === "F")
+    }),
+    // r10: Cohen's kappa — chance-corrected agreement of the same two
+    // binary labellings
+    "q_cohens_kappa" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      relational.Stats.cohensKappa(
+        o.select(col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("a"),
+          (col("o_orderstatus") === "F").as("b")), "a", "b")
+    }),
     // r10: weight-of-evidence + information value — the credit-scoring
     // feature screen (priority predicting finished status)
     "q_woe" -> ((s, dir) =>
@@ -2372,6 +2388,8 @@ object SparkEntry {
     "q_calibration" -> OracleExt.qCalibration(),
     "q_calibration_summary" -> OracleExt.qCalibrationSummary(),
     "q_woe" -> OracleExt.qWoe,
+    "q_mcnemar" -> OracleExt.qMcnemar,
+    "q_cohens_kappa" -> OracleExt.qCohensKappa,
     "q_lift" -> OracleExt.qLiftChart(),
     "q_chi2" -> OracleExt.qChi2,
     "q_corr_matrix" -> OracleExt.qCorrMatrix,

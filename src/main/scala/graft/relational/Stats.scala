@@ -638,6 +638,67 @@ object Stats {
       .crossJoin(broadcast(med.select(col("__med").as("grand_median"))))
   }
 
+  /** McNemar's test for paired binary outcomes — "did the flag flip
+    * between conditions more one way than the other" (before/after a
+    * pipeline change on the same units, two filters on the same
+    * documents). Only the discordant cells matter:
+    * χ² = (b − c)²/(b + c) with the continuity correction off (the
+    * large-sample regime this engine lives in). One cell aggregation,
+    * all integers until the final ratio.
+    *
+    * @param critical χ²(1) at the caller's α (3.841 at 0.05)
+    * @return one row (n, b, c, chi2, significant)
+    */
+  def mcnemar(df: DataFrame, colA: Column, colB: Column,
+              critical: Double = 3.841): DataFrame = {
+    val a = colA.cast("boolean")
+    val b = colB.cast("boolean")
+    val cells = df.agg(count(lit(1)).as("n"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("b"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("c"))
+    val chi2 = ((col("b") - col("c")) * (col("b") - col("c")))
+      .cast("double") / (col("b") + col("c"))
+    cells.select(col("n"), col("b"), col("c"),
+      when(col("b") + col("c") === 0, lit(null).cast("double"))
+        .otherwise(round(chi2, 6)).as("chi2"),
+      when(col("b") + col("c") === 0, lit(null).cast("boolean"))
+        .otherwise(round(chi2 - critical, 6) > 0.0).as("significant"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two
+    * categorical labellings of the same rows (two classifiers, a
+    * heuristic vs a model, annotator pairs):
+    * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement and
+    * p_e the marginal-product expectation. Cells and margins are exact
+    * integers (the chi2Test shape); p_o and p_e are ratios of exact
+    * DECIMAL products, so κ is one deterministic float expression.
+    *
+    * @return one row (n, po, pe, kappa)
+    */
+  def cohensKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val agree = cells.agg(sum(col("__o")).as("__n"),
+      sum(when(col("__a") === col("__b"), col("__o")).otherwise(0L))
+        .as("__ag"))
+    val ra = cells.groupBy(col("__a").as("__v")).agg(sum(col("__o")).as("__ra"))
+    val cb = cells.groupBy(col("__b").as("__v")).agg(sum(col("__o")).as("__cb"))
+    // Σ_v rowTot_v · colTot_v as an exact DECIMAL (values absent from
+    // one margin contribute 0 — inner join)
+    val pe0 = ra.join(cb, "__v")
+      .agg(coalesce(sum(col("__ra").cast(Dec) * col("__cb")),
+        lit(0L).cast(Dec)).as("__pe0"))
+    val po = col("__ag").cast("double") / col("__n")
+    val pe = col("__pe0").cast("double") /
+      (col("__n").cast(Dec) * col("__n")).cast("double")
+    agree.crossJoin(broadcast(pe0))
+      .select(col("__n").as("n"), round(po, 6).as("po"),
+        round(pe, 6).as("pe"),
+        when(pe === 1.0, lit(null).cast("double"))
+          .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   /** Per-group trimmed mean: drop values outside the [lo, hi] exact
     * quantiles, then average the survivors on exact integer cents.
     * Two passes (the exact-percentile pass buffers per group — at

@@ -312,6 +312,31 @@ class StatsSpec extends SparkSpec {
     assert(lc(4)._3 === 1.0 && lc(4)._4 === 1.0) // full population
   }
 
+  test("mcnemar: symmetric flips score 0, one-way flips flag; " +
+      "cohensKappa: identity = 1, independence = 0") {
+    // 5 flips each way: chi2 = 0
+    val sym = (Seq.fill(5)((true, false)) ++ Seq.fill(5)((false, true)) ++
+      Seq.fill(10)((true, true))).toDF("x", "y")
+    val r0 = relational.Stats.mcnemar(sym, col("x"), col("y")).collect().head
+    assert(r0.getLong(0) === 20L && r0.getDouble(3) === 0.0 &&
+      !r0.getBoolean(4))
+    // 10 flips one way only: chi2 = 100/10 = 10 > 3.841
+    val one = (Seq.fill(10)((true, false)) ++ Seq.fill(10)((true, true)))
+      .toDF("x", "y")
+    val r1 = relational.Stats.mcnemar(one, col("x"), col("y")).collect().head
+    assert(r1.getDouble(3) === 10.0 && r1.getBoolean(4))
+    // kappa: perfect agreement on a balanced table = 1
+    val same = (Seq.fill(10)(("u", "u")) ++ Seq.fill(10)(("v", "v")))
+      .toDF("a", "b")
+    assert(relational.Stats.cohensKappa(same, "a", "b")
+      .collect().head.getDouble(3) === 1.0)
+    // independence (all four cells equal): po = pe -> kappa 0
+    val indep = (for (x <- Seq("u", "v"); y <- Seq("u", "v");
+                      _ <- 1 to 5) yield (x, y)).toDF("a", "b")
+    assert(relational.Stats.cohensKappa(indep, "a", "b")
+      .collect().head.getDouble(3) === 0.0)
+  }
+
   test("diversityIndex: balanced = evenness 1, single category degenerate") {
     val balanced = (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++
       Seq.fill(10)("c")).map((_, 1)).toDF("cat", "one")
