@@ -39,7 +39,14 @@ object GeoCache {
   // plan-idempotent persist (the OpCache discipline): a ring set can
   // optimise to a plan CacheManager already holds (order-1 ring ==
   // the adjacency), and re-persisting an equal plan is a warning +
-  // double bookkeeping, never a second cache
+  // double bookkeeping, never a second cache.
+  //
+  // The idempotence cuts both ways: the cache entry this memo leans on
+  // can be OWNED by an OpCache handle for an equal plan, and a foreign
+  // `OpCache.release` (Bench runs one per query) then unpersists it
+  // while the memo lives on — a silent recompute-forever cliff. Every
+  // memoized READ therefore re-checks the storage level and re-persists
+  // when a foreign release stranded it (see [[adjacency]]/[[ring]]).
   private def persistIdem(df: DataFrame): DataFrame =
     if (df.storageLevel != StorageLevel.NONE) df
     else df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -73,8 +80,8 @@ object GeoCache {
     * persisted with a retained handle.
     */
   def adjacency(panel: DataFrame): DataFrame =
-    adjs.getOrElseUpdate(keyOf(panel),
-      persistIdem(CountryLag.gridAdjacency(panel, persist = false)))
+    persistIdem(adjs.getOrElseUpdate(keyOf(panel),
+      persistIdem(CountryLag.gridAdjacency(panel, persist = false))))
 
   /** Unit centroids (country_id, lon, lat) for the country lag. */
   def centroids(panel: DataFrame): DataFrame =
@@ -90,11 +97,11 @@ object GeoCache {
     * `CountryLag.ringSet` instead.
     */
   def ring(panel: DataFrame, inner: Int, width: Int): DataFrame =
-    rings.getOrElseUpdate((keyOf(panel), inner, width), {
+    persistIdem(rings.getOrElseUpdate((keyOf(panel), inner, width), {
       val pairs = pairSets.getOrElseUpdate(keyOf(panel),
         CountryLag.gridAdjacencyPairsLocal(panel))
       persistIdem(CountryLag.ringSetStatic(panel, pairs, inner, width))
-    })
+    }))
 
   /** Release every cached block owned by `session` and drop the
     * entries (other sessions' caches are untouched).

@@ -5064,12 +5064,14 @@ object OracleExt {
     * synthetic "next extract": keys %97 removed, prices %31 bumped,
     * keys %53 re-added shifted): per-row value hashes compared WITHIN
     * each engine, so the counts are engine-exact whatever the float
-    * rendering.
+    * rendering; NULLs encode as an explicit 0x00-prefixed sentinel
+    * per column (concat_ws skips NULL operands — the Scala twin).
     */
   val qSnapshotDiff: String =
     """WITH bef AS (SELECT o_orderkey AS k,
-      |    md5(concat_ws(chr(1), CAST(o_totalprice AS VARCHAR),
-      |      o_orderstatus)) AS h
+      |    md5(concat_ws(chr(1),
+      |      coalesce(CAST(o_totalprice AS VARCHAR), chr(0) || 'NULL'),
+      |      coalesce(o_orderstatus, chr(0) || 'NULL'))) AS h
       |  FROM orders),
       |aft0 AS (
       |  SELECT o_orderkey,
@@ -5081,8 +5083,9 @@ object OracleExt {
       |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
       |  FROM orders WHERE o_orderkey % 53 = 0),
       |aft AS (SELECT o_orderkey AS k,
-      |    md5(concat_ws(chr(1), CAST(o_totalprice AS VARCHAR),
-      |      o_orderstatus)) AS h
+      |    md5(concat_ws(chr(1),
+      |      coalesce(CAST(o_totalprice AS VARCHAR), chr(0) || 'NULL'),
+      |      coalesce(o_orderstatus, chr(0) || 'NULL'))) AS h
       |  FROM aft0),
       |j AS (SELECT b.h AS hb, a.h AS ha
       |  FROM bef b FULL JOIN aft a ON a.k = b.k)
@@ -5981,20 +5984,27 @@ object OracleExt {
        |GROUP BY unit_id""".stripMargin
 
   /** Level-shift changepoint (TemporalOps.changepoint on the panel):
-    * ordered cumulative sums, the 1e-9-collapsed full-series sum, the
-    * 1e-9-fixed statistic, and the same (stat desc, month asc) argmax.
+    * values 1e-9-fixed to BIGINT at the scan, EXACT integer cumulative
+    * and full-series sums (association-proof — no window-reassociation
+    * noise can exist), the 1e-9-fixed statistic, and the same
+    * (stat desc, month asc) argmax.
     */
   val qChangepoint: String = {
     val cum = "OVER (PARTITION BY unit_id ORDER BY month_id " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-    val shift = "((stot - c) / (tt - t) - c / t)"
+    val shift = "(CAST(stot9 - c9 AS DOUBLE) / 1e9 / (tt - t) " +
+      "- CAST(c9 AS DOUBLE) / 1e9 / t)"
     s"""${Oracle.panel},
-       |st AS (SELECT unit_id, month_id, value,
-       |    SUM(value) $cum AS c,
-       |    COUNT(value) $cum AS t,
-       |    round(SUM(value) OVER (PARTITION BY unit_id), 9) AS stot,
-       |    COUNT(value) OVER (PARTITION BY unit_id) AS tt
+       |fx AS (SELECT unit_id, month_id, value,
+       |    CASE WHEN value IS NOT NULL AND NOT isnan(value)
+       |         THEN CAST(round(value * 1e9) AS BIGINT) END AS v9
        |  FROM panel),
+       |st AS (SELECT unit_id, month_id, value,
+       |    SUM(v9) $cum AS c9,
+       |    COUNT(v9) $cum AS t,
+       |    SUM(v9) OVER (PARTITION BY unit_id) AS stot9,
+       |    COUNT(v9) OVER (PARTITION BY unit_id) AS tt
+       |  FROM fx),
        |cand AS (SELECT unit_id, month_id, t, tt,
        |    CAST(round(abs($shift)
        |      * sqrt(CAST(t * (tt - t) AS DOUBLE) / tt) * 1e9) AS BIGINT) AS s9,

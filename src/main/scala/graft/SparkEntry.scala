@@ -1823,7 +1823,7 @@ object SparkEntry {
           .limit(20)
           .withColumn("rk", row_number().over(
             org.apache.spark.sql.expressions.Window
-              .partitionBy(pmod(col("user_id"), lit(1)))
+              .partitionBy(graft.plans.PlanLint.kBoundedKey(col("user_id")))
               .orderBy(col("dur").desc, col("user_id"), col("t_start_us"))))
           .select(col("rk").cast("long").as(s"${pfx}_rk"),
             col("user_id").as(s"${pfx}_user"),
@@ -1884,7 +1884,7 @@ object SparkEntry {
         // unpartitioned-window warning reserved for data-dependent cases
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy(pmod(col("user_id"), lit(1)))
+            .partitionBy(graft.plans.PlanLint.kBoundedKey(col("user_id")))
             .orderBy(col("dur").desc, col("user_id"), col("t_start_us"))))
         .select(col("rk").cast("long").as("rk"),
           col("user_id").as("s_user"), col("t_start_us"), col("t_end_us"))
@@ -2025,7 +2025,7 @@ object SparkEntry {
         .limit(20)
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy(pmod(col("user_id"), lit(1)))
+            .partitionBy(graft.plans.PlanLint.kBoundedKey(col("user_id")))
             .orderBy(col("dur").desc, col("user_id"), col("t_start_us"))))
         .select(col("rk").cast("long").as("rk"),
           col("user_id").as("s_user"), col("t_start_us"), col("t_end_us"),

@@ -1,8 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * The per-query dumps are INDEPENDENT Spark jobs, so they run on a
+  * fixed thread pool (Spark schedules concurrent jobs from one session;
+  * task slots backfill across jobs) — the r10 lesson: a single
+  * sequential session grew past ~6 min at 355 queries and a driver-side
+  * timeout zeroed the round's correctness artifact with no trace.
+  * Two defenses here:
+  *   - wall time: SPARK_GRAFT_VERIFY_THREADS-way concurrency
+  *     (default min(8, cpus));
+  *   - evidence: progress.json is atomically rewritten after EVERY
+  *     completed query (name → elapsed ms), so a truncated run leaves
+  *     a diagnosable partial record instead of silence.
+  * Outputs stay deterministic under concurrency: every query's values
+  * are layout-proof by the engine's integer-fixing discipline, and
+  * each dump is its own job — threads share caches, never plans.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -18,17 +34,7 @@ object Verify {
     // Local-iteration subset (the driver leaves this unset → full run).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
-      }
-      }
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -41,6 +47,50 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // progress heartbeat: full map rewritten atomically per completion
+    // (tmp + ATOMIC_MOVE — a reader never sees a torn file), so any
+    // external kill leaves the completed-query record behind
+    val progressDone =
+      new java.util.concurrent.ConcurrentHashMap[String, Long]
+    val t0All = System.nanoTime()
+    def writeProgress(): Unit = Verify.synchronized {
+      val entries = {
+        import scala.jdk.CollectionConverters._
+        progressDone.asScala.toSeq.sortBy(_._1)
+          .map { case (k, ms) => s"${q(k)}: $ms" }
+      }
+      val totalMs = (System.nanoTime() - t0All) / 1000000L
+      val json = s"""{"completed": ${entries.size}, """ +
+        s""""elapsed_ms": $totalMs, "queries": ${
+          entries.mkString("{", ",", "}")}}"""
+      val tmp = Paths.get(s"$outDir/progress.json.tmp")
+      Files.writeString(tmp, json)
+      Files.move(tmp, Paths.get(s"$outDir/progress.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val threads = sys.env.get("SPARK_GRAFT_VERIFY_THREADS").map(_.toInt)
+      .getOrElse(math.min(8, cpus.toInt))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futures = selected.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            errors.put(name,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+          }
+          progressDone.put(name, (System.nanoTime() - t0) / 1000000L)
+          writeProgress()
+        }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
@@ -48,11 +98,17 @@ object Verify {
     // row, not silently vanish from it (round-7 lesson — three broken
     // queries left no trace). The driver can ingest errors.json; even if
     // it doesn't, the file makes regressions evident in the artifact dir.
-    val errJson = errors
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val errJson = {
+      import scala.jdk.CollectionConverters._
+      errors.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    }
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    if (errors.nonEmpty)
-      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    if (!errors.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keySet.asScala.toSeq.sorted.mkString(", "))
+    }
     spark.stop()
   }
 }

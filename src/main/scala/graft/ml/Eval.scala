@@ -127,7 +127,7 @@ object Eval {
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
     val tot = per.agg(sum(col("n")).as("__n"), sum(col("n_pos")).as("__p"))
     val wcum = org.apache.spark.sql.expressions.Window
-      .partitionBy(pmod(col("bucket").cast("long"), lit(1)))
+      .partitionBy(graft.plans.PlanLint.kBoundedKey(col("bucket")))
       .orderBy(col("bucket"))
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0)

@@ -68,10 +68,12 @@ object Ranking {
     // cumulative sum off the "no partition defined" single-task-Window
     // warning path while staying a genuinely bounded computation
     val counts = parted.groupBy(spark_partition_id().as("__pid")).count()
-    // pmod(pid, 1) ≡ 0 but is not constant-folded away, so the bounded
-    // (nPartitions-row) cumsum plans as a keyed window, not the
-    // warning-emitting unpartitioned one
-    val w = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+    // nPartitions-bounded cumsum on the kBoundedKey-marked constant
+    // key: plans as a keyed window (no unpartitioned-window warning)
+    // and carries the machine-checkable boundedness assertion PlanLint
+    // requires of every constant-key window
+    val w = Window.partitionBy(graft.plans.PlanLint.kBoundedKey(col("__pid")))
+      .orderBy(col("__pid"))
     val offsets = counts
       .withColumn("__offset",
         coalesce(sum(col("count")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -140,7 +142,8 @@ object Ranking {
     val parted = df.repartitionByRange(n, order: _*).localCheckpoint()
     val sums = parted.groupBy(spark_partition_id().as("__pid"))
       .agg(sum(col(valueCol)).as("__psum"))
-    val w = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+    val w = Window.partitionBy(graft.plans.PlanLint.kBoundedKey(col("__pid")))
+      .orderBy(col("__pid"))
     val offsets = sums
       .withColumn("__offset", coalesce(
         sum(col("__psum")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
@@ -153,5 +156,34 @@ object Ranking {
       .join(broadcast(offsets), "__pid")
       .withColumn(cumCol, col("__offset") + col("__lcum"))
       .drop("__pid", "__lcum", "__offset")
+  }
+
+  /** Exact PER-GROUP running sum of `valueCol` in `order` within each
+    * value of `groupCol`, with no per-group single task: one
+    * [[globalCumsum]] over the concatenated (group, order) total order,
+    * minus each group's preceding-groups prefix (the per-group totals
+    * cumulated over a kBoundedKey window — one row per group).
+    *
+    * The group COUNT must be k-bounded (test groups, sources, buckets —
+    * the stats-family contract): the prefix table has one row per group
+    * and broadcasts. The per-group ROW counts are unbounded — that is
+    * the whole point: `Window.partitionBy(group)` would funnel the
+    * largest group through one task; this shape range-partitions the
+    * data regardless of group skew.
+    */
+  def groupedCumsum(df: DataFrame, groupCol: String, order: Seq[Column],
+                    valueCol: String, cumCol: String = "cumsum",
+                    numPartitions: Int = 0): DataFrame = {
+    val g = col(groupCol)
+    val cum = globalCumsum(df, g +: order, valueCol, "__gcumAll", numPartitions)
+    val w = Window.partitionBy(graft.plans.PlanLint.kBoundedKey(g)).orderBy(g)
+    val prefix = df.groupBy(g).agg(sum(col(valueCol)).as("__gtot"))
+      .withColumn("__pre", coalesce(
+        sum(col("__gtot")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("__gtot")
+    cum.join(broadcast(prefix), groupCol)
+      .withColumn(cumCol, col("__gcumAll") - col("__pre"))
+      .drop("__gcumAll", "__pre")
   }
 }

@@ -542,11 +542,13 @@ object TemporalOps {
     * mean-shift statistic |mean_R − mean_L|·√(t·(T−t)/T) is evaluated,
     * and the argmax boundary is reported (the first step of binary
     * segmentation). All candidate statistics derive from ONE ordered
-    * cumulative sum on the shared unit partitioning (the cusum
-    * determinism discipline: the running sum accumulates left-to-right
-    * under the total (unit, month) sort; the unordered full-series sum
-    * is collapsed to 1e-9 before use), the statistic is fixed to 1e-9
-    * integers, and the argmax is a lexicographic struct-max with a
+    * cumulative sum of 1e-9-FIXED INTEGER values (the fixed-cusum
+    * discipline: values quantize to longs at the scan, so the running
+    * sum is exact under ANY accumulation order — no cross-engine
+    * window-reassociation noise can exist, which is what lets the
+    * statistic survive the 1e-6 gate rounding by construction rather
+    * than by magnitude luck), the statistic is fixed to 1e-9 integers,
+    * and the argmax is a lexicographic struct-max with a
     * smallest-month tie-break — engine- and layout-deterministic.
     *
     * @return (unit_id, n, cp_month, shift, stat) — cp_month is the
@@ -555,14 +557,14 @@ object TemporalOps {
   def changepoint(df: DataFrame, valueCol: String): DataFrame = {
     val x = col(valueCol)
     val ok = x.isNotNull && !isnan(x)
-    val xv = when(ok, x)
+    val x9 = when(ok, round(x * 1e9).cast("long"))
     val wAll = Window.partitionBy(Panel.UnitCol)
-    val cSum = sum(xv).over(cum)
-    val tIdx = count(xv).over(cum)
-    val sTot = round(sum(xv).over(wAll), 9)
-    val nTot = count(xv).over(wAll)
-    val meanL = cSum / tIdx
-    val meanR = (sTot - cSum) / (nTot - tIdx)
+    val cSum9 = sum(x9).over(cum)
+    val tIdx = count(x9).over(cum)
+    val sTot9 = sum(x9).over(wAll)
+    val nTot = count(x9).over(wAll)
+    val meanL = cSum9.cast("double") / 1e9 / tIdx
+    val meanR = (sTot9 - cSum9).cast("double") / 1e9 / (nTot - tIdx)
     val shift = meanR - meanL
     val stat = abs(shift) *
       sqrt((tIdx * (nTot - tIdx)).cast("double") / nTot)

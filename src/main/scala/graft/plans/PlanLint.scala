@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.execution.SparkPlan
 
 /** Physical-plan linter: walks a DataFrame's executed plan and reports
@@ -27,6 +27,27 @@ object PlanLint {
 
   final case class Finding(severity: String, node: String, detail: String)
 
+  /** Marker literal baked into a deliberately single-partition window
+    * key by [[kBoundedKey]] — the caller's machine-checkable assertion
+    * that the window's input is k-bounded (a `limit`'s survivors, a
+    * buckets/bins/nlists aggregate), so the constant-key check below
+    * can stay fatal for every UNMARKED constant key.
+    */
+  val KBoundedMarker = "__kbounded__"
+
+  /** A constant-but-unfoldable single-partition window key carrying the
+    * k-bounded assertion: `pmod(xxhash64('__kbounded__', c), 1) ≡ 0`,
+    * but neither EliminateWindowPartitions (not foldable) nor the
+    * constant-key lint (marker present) strips or flags it. Use ONLY
+    * over provably bounded inputs — a top-k limit, a bins/buckets
+    * aggregate — never over data-sized rows: the assertion is trusted,
+    * not verified.
+    */
+  def kBoundedKey(c: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    pmod(xxhash64(lit(KBoundedMarker), c), lit(1))
+  }
+
   // the STATIC physical plan: under AQE the executed plan is an
   // AdaptiveSparkPlanExec wrapper whose real tree only materialises at
   // run time — the static plan is what a pre-submit lint can see, and
@@ -49,13 +70,32 @@ object PlanLint {
               "query/kernel tables, fatal if the build side is data-sized")
         case "Window" =>
           // an unpartitioned window funnels the WHOLE input through one
-          // task; the engine's own k-bounded windows carry a constant
-          // pmod partition key precisely so this check stays meaningful
+          // task. The engine's deliberately-bounded windows carry a
+          // constant pmod key — but a constant key is semantically the
+          // SAME single task, so it is only acceptable when the input
+          // is provably k-bounded: a descendant limit in the subtree,
+          // or the caller's [[kBoundedKey]] marker assertion. An
+          // UNMARKED constant key over an unbounded input (the r10
+          // rank-statistics shape) is exactly the funnel this check
+          // exists to catch, dressed up to slip past it.
           node match {
             case w: org.apache.spark.sql.execution.window.WindowExec
                 if w.partitionSpec.isEmpty =>
               findings += Finding("fatal", name,
                 "window with NO partition keys — all rows in one task")
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if {
+                  // the planner extracts computed keys into a child
+                  // Project (_w0 = pmod(..)); resolve attributes back
+                  // to their defining expression before judging them
+                  val keys = w.partitionSpec.map(resolveThroughChild(w, _))
+                  keys.nonEmpty && keys.forall(constantKey) &&
+                    !keys.exists(marked) && !boundedBelow(w)
+                } =>
+              findings += Finding("fatal", name,
+                "window with a CONSTANT partition key over an input " +
+                  "that is neither limit-bounded nor kBoundedKey-" +
+                  "asserted — all rows in one task")
             case _ => ()
           }
         case "Sort" =>
@@ -73,6 +113,61 @@ object PlanLint {
           "single-partition exchange — downstream runs on one task")
     }
     findings.toSeq
+  }
+
+  // a window partition key is usually an AttributeReference to a
+  // `_w0 = <expr>` alias the planner extracted into a child Project
+  // (possibly below the Sort/Exchange) — chase it to the expression
+  private def resolveThroughChild(
+      w: SparkPlan,
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+    case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      val defs = w.collect {
+        case p: org.apache.spark.sql.execution.ProjectExec => p.projectList
+      }.flatten
+      defs.collectFirst {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias
+            if a.exprId == ar.exprId => a.child
+      }.getOrElse(e)
+    case other => other
+  }
+
+  // a partition key that every row evaluates identically: a foldable
+  // expression, or the engine's pmod(x, 1) ≡ 0 idiom (unfoldable on
+  // purpose, so EliminateWindowPartitions keeps it)
+  private def constantKey(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.Pmod
+    e.foldable || (e match {
+      case p: Pmod => p.right.foldable && (p.right.eval() match {
+        case i: Int  => i == 1
+        case l: Long => l == 1L
+        case _       => false
+      })
+      case _ => false
+    })
+  }
+
+  // the [[kBoundedKey]] assertion: the marker string literal anywhere
+  // inside the key expression
+  private def marked(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.exists {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType == org.apache.spark.sql.types.StringType =>
+        String.valueOf(l.value) == KBoundedMarker
+      case _ => false
+    }
+
+  // a limit below the window bounds its input by construction
+  private def boundedBelow(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    p.children.exists(_.exists {
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+      case _ => false
+    })
   }
 
   /** The findings a plan must never carry. */
@@ -160,11 +255,15 @@ object PlanLint {
       case Literal(v: Long, _)   => Some(v.toDouble)
       case _                     => None
     }
+    // ... but ONLY when the quantized operand is not itself an
+    // order-dependent accumulation: round(sum(x) OVER unbounded · 1e9)
+    // quantizes AFTER the reassociation noise has grown past the grid
+    // — that is the failure class, not the cure (taint 2 stays fatal)
     def fixingRound(r: Round): Boolean = r.child match {
-      case Multiply(_, k, _) if numLit(k).exists(v => math.abs(v) >= 1e6) =>
-        true
-      case Multiply(k, _, _) if numLit(k).exists(v => math.abs(v) >= 1e6) =>
-        true
+      case Multiply(x, k, _) if numLit(k).exists(v => math.abs(v) >= 1e6) =>
+        taintIn(x) < 2
+      case Multiply(k, x, _) if numLit(k).exists(v => math.abs(v) >= 1e6) =>
+        taintIn(x) < 2
       case _ => false
     }
 

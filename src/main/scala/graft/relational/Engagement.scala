@@ -231,7 +231,7 @@ object Engagement {
       .groupBy("path").agg(count(lit(1)).as("n_sessions"))
     val top = paths.orderBy(col("n_sessions").desc, col("path")).limit(k)
     top.withColumn("path_rank",
-      row_number().over(Window.partitionBy(pmod(col("n_sessions"), lit(1)))
+      row_number().over(Window.partitionBy(graft.plans.PlanLint.kBoundedKey(col("n_sessions")))
         .orderBy(col("n_sessions").desc, col("path"))).cast("long"))
   }
 }

@@ -139,7 +139,7 @@ object Profile {
       .withColumn("__chi", chiTerm)
       .withColumn("chi2", round(sum(col("__chi")).over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(pmod(xxhash64(col("digit")), lit(1)))), 6))
+          .partitionBy(graft.plans.PlanLint.kBoundedKey(col("digit")))), 6))
       .select(col("digit"), col("n"),
         round(share, 6).as("share"),
         round(col("expected"), 6).as("expected"),
@@ -353,7 +353,7 @@ object Profile {
         .orderBy(col("n").desc, col("value")).limit(k)
       top.crossJoin(broadcast(tot))
         .withColumn("value_rank", row_number().over(
-          Window.partitionBy(pmod(col("n"), lit(1)))
+          Window.partitionBy(graft.plans.PlanLint.kBoundedKey(col("n")))
             .orderBy(col("n").desc, col("value"))).cast("long"))
         .select(lit(c).as("column"), col("value"), col("n"),
           round(col("n").cast("double") / col("__tot"), 6).as("share"),
@@ -381,7 +381,7 @@ object Profile {
     val perBin = binned.groupBy(col("bucket").cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_units"), sum(col("__x")).as("__v"))
     // buckets rows from here on — the constant-key window is bounded
-    val w = Window.partitionBy(pmod(col("bucket"), lit(1)))
+    val w = Window.partitionBy(graft.plans.PlanLint.kBoundedKey(col("bucket")))
       .orderBy(col("bucket"))
     perBin
       .withColumn("__tot", sum(col("__v")).over(

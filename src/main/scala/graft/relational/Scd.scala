@@ -77,8 +77,13 @@ object Scd {
     * (md5 over a 0x01-joined string rendering) — each engine
     * compares its OWN renderings of both versions, so the counts are
     * engine-exact even where float-to-string formats differ across
-    * engines. One keyed full-outer join + a 1-row aggregate; no
-    * window, no collect.
+    * engines. NULLs are encoded EXPLICITLY (a 0x00-prefixed sentinel
+    * per column) because concat_ws silently skips NULL operands: the
+    * raw rendering would hash (x, NULL) and (NULL, x) identically and
+    * count a value-position swap as 'unchanged'. One keyed full-outer
+    * join + a 1-row aggregate; no window, no collect. NULL KEYS never
+    * match across the join (SQL equality), so a NULL-keyed row counts
+    * once removed and once added — both engines agree.
     *
     * @return one row (n_before, n_after, added, removed, changed,
     *   unchanged)
@@ -89,7 +94,8 @@ object Scd {
       "need key and value columns")
     def hashed(df: DataFrame, h: String) =
       df.select(keyCols.map(col) :+
-        md5(concat_ws("\u0001", valueCols.map(c => col(c).cast("string")): _*))
+        md5(concat_ws("\u0001", valueCols.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0000NULL"))): _*))
           .as(h): _*)
     hashed(before, "__hb").join(hashed(after, "__ha"), keyCols, "full")
       .agg(count(col("__hb")).as("n_before"),

@@ -84,7 +84,7 @@ object StarQueries {
     // it strips a bare literal.
     revenue.orderBy(col("revenue").desc, col("l_orderkey")).limit(k)
       .withColumn("rk", row_number().over(
-        Window.partitionBy(pmod(col("l_orderkey"), lit(1)))
+        Window.partitionBy(graft.plans.PlanLint.kBoundedKey(col("l_orderkey")))
           .orderBy(col("revenue").desc, col("l_orderkey"))))
       .select(col("l_orderkey"), col("o_orderdate"), col("revenue"),
         col("rk").cast("int").as("rk"))

@@ -253,7 +253,7 @@ object Stats {
         (round(f - critical, 6) > 0.0).as("significant"))
   }
 
-  /** Spearman rank correlation between two BOUNDED-CARDINALITY numeric
+  /** Spearman rank correlation between two numeric
     * columns — the monotone-association companion of [[corrMatrix]]'s
     * Pearson (robust to outliers and nonlinear-but-monotone links).
     *
@@ -263,10 +263,14 @@ object Stats {
     * stays an integer (2·r̄(v) = 2·cum≤(v) − n_v + 1 — the [[graft.ml.Eval]]
     * half-rank doubling), and Pearson's five sufficient statistics
     * over the doubled ranks are cell-count-weighted exact DECIMAL
-    * sums. Floats appear only in the final closed form. The margin
-    * windows ride a constant-but-unfoldable pmod key over tables
-    * bounded by the columns' distinct cardinality (the caller's
-    * contract — for continuous columns quantize first).
+    * sums. Floats appear only in the final closed form.
+    *
+    * Scale shape: each margin's cumulative count rides
+    * [[graft.ops.Ranking.globalCumsum]] — range partition + bounded
+    * per-partition offsets — so a CONTINUOUS column (margin ≈ row
+    * count) ranks fully parallel; no single-task window, no broadcast
+    * of the margin (the rank join keys on the value — AQE broadcasts
+    * it when small, shuffles when not).
     *
     * @return one row (n, rho)
     */
@@ -275,16 +279,12 @@ object Stats {
       .agg(count(lit(1)).as("__o"))
     def ranks(c: String, r2: String) = {
       val m = cells.groupBy(col(c)).agg(sum(col("__o")).as("__nv"))
-      val wm = org.apache.spark.sql.expressions.Window
-        .partitionBy(pmod(xxhash64(col(c)), lit(1))).orderBy(col(c))
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)
-      m.select(col(c),
-        (lit(2) * sum(col("__nv")).over(wm) - col("__nv") + 1).as(r2))
+      graft.ops.Ranking.globalCumsum(m, Seq(col(c)), "__nv", "__cumv")
+        .select(col(c), (lit(2) * col("__cumv") - col("__nv") + 1).as(r2))
     }
     val withRanks = cells
-      .join(broadcast(ranks("__a", "__ra")), "__a")
-      .join(broadcast(ranks("__b", "__rb")), "__b")
+      .join(ranks("__a", "__ra"), "__a")
+      .join(ranks("__b", "__rb"), "__b")
     val o = col("__o").cast(Dec)
     val s = withRanks.agg(sum(col("__o")).as("__n"),
       sum(o * col("__ra")).as("__sx"), sum(o * col("__rb")).as("__sy"),
@@ -423,8 +423,9 @@ object Stats {
   /** Kruskal–Wallis H — the nonparametric [[anovaF]] (rank-based, so
     * outliers and non-normality can't lie), completing the test-family
     * symmetry: Welch↔Mann–Whitney(AUC), ANOVA↔Kruskal–Wallis. Over a
-    * BOUNDED-CARDINALITY value column (the [[spearman]] contract),
-    * everything derives from (group, value) cells: doubled
+    * value column of ANY cardinality (continuous included — the
+    * margin ranks ride globalCumsum), everything derives from
+    * (group, value) cells: doubled
     * tie-averaged ranks stay integers, each group's rank-sum is an
     * exact DECIMAL, the per-group S²/n terms are fixed to integers
     * before their (k-bounded) sum, and the tie-correction factor is a
@@ -438,15 +439,15 @@ object Stats {
     val cells = df.groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__o"))
     val margin = cells.groupBy(col("__v")).agg(sum(col("__o")).as("__nv"))
-    val wm = org.apache.spark.sql.expressions.Window
-      .partitionBy(pmod(xxhash64(col("__v")), lit(1))).orderBy(col("__v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-    val ranked = margin.select(col("__v"),
-      (lit(2) * sum(col("__nv")).over(wm) - col("__nv") + 1).as("__r2"),
-      col("__nv"))
-    val perG = cells.join(broadcast(ranked.select(col("__v"), col("__r2"))),
-        "__v")
+    // pooled-margin cumulative counts on the range-partitioned global
+    // cumsum (the ks_test shape) — a continuous value column (margin ≈
+    // row count) ranks fully parallel, no single-task window
+    val ranked = graft.ops.Ranking
+      .globalCumsum(margin, Seq(col("__v")), "__nv", "__cumv")
+      .select(col("__v"),
+        (lit(2) * col("__cumv") - col("__nv") + 1).as("__r2"),
+        col("__nv"))
+    val perG = cells.join(ranked.select(col("__v"), col("__r2")), "__v")
       .groupBy(col("__g"))
       .agg(sum(col("__o")).as("__ng"),
         sum(col("__o").cast(Dec) * col("__r2")).as("__s2"))
@@ -477,8 +478,8 @@ object Stats {
   /** Mann–Whitney U (Wilcoxon rank-sum) — the two-sample companion of
     * [[kruskalWallis]] (k = 2 specialised to the classic U statistic,
     * effect size and direction): does `valueCol`'s location differ
-    * between the two samples? Same BOUNDED-CARDINALITY value contract
-    * and doubled-rank cell machinery: ranks derive from the pooled
+    * between the two samples? Same any-cardinality doubled-rank cell
+    * machinery: ranks derive from the pooled
     * margin cumsum, each sample's rank-sum is an exact DECIMAL, and
     * U = R − n(n+1)/2 stays an exact integer (doubled). The normal
     * approximation carries the exact tie correction; the AUC effect
@@ -495,13 +496,13 @@ object Stats {
       .unionByName(b.select(col(valueCol).as("__v"), lit(1).as("__g")))
       .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__o"))
     val margin = cells.groupBy(col("__v")).agg(sum(col("__o")).as("__nv"))
-    val wm = org.apache.spark.sql.expressions.Window
-      .partitionBy(pmod(xxhash64(col("__v")), lit(1))).orderBy(col("__v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-    val ranked = margin.select(col("__v"),
-      (lit(2) * sum(col("__nv")).over(wm) - col("__nv") + 1).as("__r2"))
-    val perG = cells.join(broadcast(ranked), "__v")
+    // pooled-margin cumulative counts via globalCumsum (the
+    // kruskalWallis shape) — parallel at any value cardinality
+    val ranked = graft.ops.Ranking
+      .globalCumsum(margin, Seq(col("__v")), "__nv", "__cumv")
+      .select(col("__v"),
+        (lit(2) * col("__cumv") - col("__nv") + 1).as("__r2"))
+    val perG = cells.join(ranked, "__v")
       .groupBy(col("__g"))
       .agg(sum(col("__o")).as("__ng"),
         sum(col("__o").cast(Dec) * col("__r2")).as("__s2"))
@@ -552,12 +553,13 @@ object Stats {
     val cells = df.groupBy(col(groupCol).as("__g"),
         col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__o"))
-    val wg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__g")).orderBy(col("__v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-    val withCum = cells.select(col("__g"), col("__v"), col("__o"),
-      sum(col("__o")).over(wg).as("__cum"))
+    // per-group cumulative counts WITHOUT a per-group window task: a
+    // group's value margin is data-sized when values are continuous,
+    // so Window.partitionBy(__g) would funnel the largest group
+    // through one task — groupedCumsum range-partitions regardless of
+    // group skew (group COUNT stays k-bounded, the test contract)
+    val withCum = graft.ops.Ranking
+      .groupedCumsum(cells, "__g", Seq(col("__v")), "__o", "__cum")
     val totals = cells.groupBy(col("__g")).agg(sum(col("__o")).as("__ngt"))
     // explicit middle order statistics: ranks ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉
     val meds = withCum.join(broadcast(totals), "__g")
@@ -616,12 +618,10 @@ object Stats {
                  critical: Double): DataFrame = {
     val margin = df.select(col(valueCol).cast("double").as("__v"))
       .groupBy(col("__v")).agg(count(lit(1)).as("__nv"))
-    val wm = org.apache.spark.sql.expressions.Window
-      .partitionBy(pmod(xxhash64(col("__v")), lit(1))).orderBy(col("__v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-    val cum = margin.select(col("__v"), col("__nv"),
-      sum(col("__nv")).over(wm).as("__cum"))
+    // pooled-margin cumulative counts via globalCumsum (the
+    // kruskalWallis shape) — parallel at any value cardinality
+    val cum = graft.ops.Ranking
+      .globalCumsum(margin, Seq(col("__v")), "__nv", "__cum")
     val tot = margin.agg(sum(col("__nv")).as("__nt"))
     val med = cum.crossJoin(broadcast(tot))
       .agg(

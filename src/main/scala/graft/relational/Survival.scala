@@ -54,7 +54,7 @@ object Survival {
       .agg(sum(when(col("__churned"), 1L).otherwise(0L)).as("churned"),
         sum(when(col("__churned"), 0L).otherwise(1L)).as("censored"))
     // bounded windows: one row per distinct lifetime in days
-    val k = pmod(xxhash64(col("duration_days")), lit(1))
+    val k = graft.plans.PlanLint.kBoundedKey(col("duration_days"))
     val wPrev = Window.partitionBy(k).orderBy(col("duration_days"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.partitionBy(k).orderBy(col("duration_days"))
@@ -119,7 +119,7 @@ object Survival {
         lv.sparkSession.range(1, 3).select(col("id").cast("int").as("__g")))
       .join(byT, Seq("__t", "__g"), "left")
       .na.fill(0L, Seq("__d", "__leave"))
-    val k = pmod(xxhash64(col("__g")), lit(1))
+    val k = graft.plans.PlanLint.kBoundedKey(col("__g"))
     val wPrev = Window.partitionBy(col("__g"), k).orderBy(col("__t"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.partitionBy(col("__g"), k)

@@ -94,7 +94,7 @@ object Dsir {
     // window's single partition is B-bounded by construction
     // (constant-but-unfoldable key, the StarQueries pattern).
     val totW = org.apache.spark.sql.expressions.Window
-      .partitionBy(pmod(col("bucket"), lit(1)))
+      .partitionBy(graft.plans.PlanLint.kBoundedKey(col("bucket")))
     val b = buckets.toDouble
     val logRatio = cells
       // both totals in ONE select → a single Window node (chained
@@ -140,7 +140,7 @@ object Dsir {
     // id formats into two window partitions with duplicate ranks.
     scored.orderBy(col("gumbel_score").desc, col(idCol)).limit(k)
       .withColumn("rank", row_number().over(
-        Window.partitionBy(pmod(xxhash64(col(idCol)), lit(1)))
+        Window.partitionBy(graft.plans.PlanLint.kBoundedKey(col(idCol)))
           .orderBy(col("gumbel_score").desc, col(idCol))).cast("int"))
   }
 }

@@ -375,7 +375,7 @@ object Sampling {
       .orderBy(col("gumbel_score").desc, col(idCol)).limit(k)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(pmod(xxhash64(col(idCol)), lit(1)))
+          .partitionBy(graft.plans.PlanLint.kBoundedKey(col(idCol)))
           .orderBy(col("gumbel_score").desc, col(idCol))).cast("int"))
   }
 
@@ -461,7 +461,7 @@ object Sampling {
       .withColumn("psi_total",
         round(sum(col("psi_term")).over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy(pmod(xxhash64(col("bin")), lit(1)))), 6))
+            .partitionBy(graft.plans.PlanLint.kBoundedKey(col("bin")))), 6))
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round(p, 6).as("share_ref"), round(q, 6).as("share_cur"),
         round(col("psi_term"), 6).as("psi_term"), col("psi_total"))
@@ -558,6 +558,22 @@ object Sampling {
     val total = cells.agg(sum(col("__n")).as("__tot"))
     val taDf = targetsA.toDF("__a", "__tA")
     val tbDf = targetsB.toDF("__b", "__tB")
+    // the "must cover every observed value" contract is ENFORCED, not
+    // assumed: the inner joins below would silently drop uncovered
+    // cells from the output AND the marginal masses — weights raked
+    // over a truncated table (the CdcStream.compact coverage-require
+    // pattern). The distinct-category collect is bounded by the
+    // chi2Test category-cardinality contract.
+    def requireCover(key: String, targets: DataFrame, who: String): Unit = {
+      val missing = cells.select(col(key)).distinct()
+        .join(broadcast(targets), Seq(key), "left_anti")
+        .collect().map(_.get(0)).sortBy(String.valueOf(_))
+      require(missing.isEmpty,
+        s"$who must cover every observed value of $key; missing: " +
+          missing.mkString(", "))
+    }
+    requireCover("__a", taDf, "targetsA")
+    requireCover("__b", tbDf, "targetsB")
     var w = cells.crossJoin(broadcast(total))
       .join(broadcast(taDf), "__a").join(broadcast(tbDf), "__b")
       .withColumn("__w", lit(1.0))

@@ -229,7 +229,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), sum(col("__di")).as("__s"))
     // nlists rows from here on — the constant-key window is bounded
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pmod(col("list"), lit(1)))
+      .partitionBy(graft.plans.PlanLint.kBoundedKey(col("list")))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     perList
@@ -613,6 +613,14 @@ object Similarity {
     * engine-exact, scan-local, and shuffle-free: at 100 TB this is a
     * map-only 4× (64→16) byte cut applied before any index build.
     *
+    * The sign matrix rides a BROADCAST variable inside a codegen'd
+    * expression ([[graft.functions.MatVecProject]]) rather than
+    * outDim × inDim plan literals: the plan stays O(1) in the
+    * projection size (no "large task binary" cliff when outDim grows),
+    * while the arithmetic — the same fold, the same ·1/√outDim, the
+    * same round-6 — is bit-identical to the literal formulation the
+    * oracle replays (pinned by SimilaritySpec).
+    *
     * @return (idCol, proj ARRAY<DOUBLE>)
     */
   def randomProject(emb: DataFrame, outDim: Int, salt: String = "rp",
@@ -623,10 +631,9 @@ object Similarity {
     val signs = rpSigns(inDim, outDim, salt)
     val invSqrt = 1.0 / math.sqrt(outDim.toDouble)
     val v = asDouble(col(vecCol))
-    val comps = signs.map { row =>
-      round(dot(v, array(row.map(s => lit(s.toDouble)): _*)) * invSqrt, 6)
-    }
-    emb.select(col(idCol), array(comps: _*).as("proj"))
+    emb.select(col(idCol),
+      graft.functions.MatVecProject.project(emb.sparkSession, v,
+        signs.map(_.map(_.toDouble)), invSqrt, 6).as("proj"))
   }
 
   /** JL distortion gate: over the deterministic pair sample

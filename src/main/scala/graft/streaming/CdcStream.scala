@@ -44,13 +44,46 @@ object CdcStream {
         ingestEpoch(batch, storePath, batchId)
       }
 
-  /** Resolve the current state from the accumulated log. */
+  /** Resolve the current state from the accumulated log, robust to a
+    * CONCURRENT [[compact]]: the two-rename swap has a window where
+    * `log/` does not exist (staged aside, replacement not yet renamed
+    * in), and a reader that listed files just before the swap can hit
+    * deleted parts mid-scan. `serve` therefore materializes the
+    * resolved state EAGERLY (localCheckpoint) inside a bounded retry
+    * loop — a missing-path/missing-file race surfaces INSIDE the loop
+    * (never as a lazy frame that blows up in the caller's action) and
+    * the next attempt reads the post-swap log. Any attempt that
+    * completes returns the SAME state by the compact read-equivalence
+    * contract (resolution is associative per key), and the returned
+    * frame is decoupled from the log files: a compaction AFTER serve
+    * returns cannot invalidate it.
+    */
   def serve(spark: SparkSession, storePath: String, keyCol: String,
             seqCol: String, opCol: String,
-            valueCols: Seq[String]): DataFrame =
-    graft.relational.Scd.cdcApply(
-      spark.read.parquet(s"$storePath/log"),
-      keyCol, seqCol, opCol, valueCols)
+            valueCols: Seq[String]): DataFrame = {
+    val logPath = s"$storePath/log"
+    def missingFile(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
+        t =>
+          t.isInstanceOf[java.io.FileNotFoundException] ||
+            String.valueOf(t.getMessage).contains("PATH_NOT_FOUND") ||
+            String.valueOf(t.getMessage).contains("does not exist")
+      }
+    val maxAttempts = 40
+    var attempt = 0
+    var out: DataFrame = null
+    while (out == null) {
+      try out = graft.relational.Scd.cdcApply(
+        spark.read.parquet(logPath), keyCol, seqCol, opCol, valueCols)
+        .localCheckpoint()
+      catch {
+        case e: Throwable if missingFile(e) && attempt < maxAttempts =>
+          attempt += 1
+          Thread.sleep(25) // the swap gap is two renames — microseconds
+      }
+    }
+    out
+  }
 
   /** Compact the append-only log: rewrite the accumulated epochs as
     * ONE resolved base (the served state re-encoded as `I` rows that

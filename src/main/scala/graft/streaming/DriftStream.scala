@@ -74,7 +74,7 @@ object DriftStream {
       .withColumn("psi_total",
         round(sum(col("psi_term")).over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy(pmod(xxhash64(col("bin")), lit(1)))), 6))
+            .partitionBy(graft.plans.PlanLint.kBoundedKey(col("bin")))), 6))
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round(p, 6).as("share_ref"), round(q, 6).as("share_cur"),
         round(col("psi_term"), 6).as("psi_term"), col("psi_total"))

@@ -345,7 +345,7 @@ object TextOps {
     val tot = counts.agg(sum(col("cnt")).as("__tot"),
       count(lit(1)).as("__nterms"))
     val wBase = org.apache.spark.sql.expressions.Window
-      .partitionBy(pmod(xxhash64(col("tok")), lit(1)))
+      .partitionBy(graft.plans.PlanLint.kBoundedKey(col("tok")))
       .orderBy(col("cnt").desc, col("tok"))
     val wCum = wBase.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -421,7 +421,7 @@ object TextOps {
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(topN)
     val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy(pmod(xxhash64(col("tok")), lit(1)))
+      .partitionBy(graft.plans.PlanLint.kBoundedKey(col("tok")))
       .orderBy(col("cnt").desc, col("tok"))
     val fixed = top.withColumn("__r", row_number().over(wr))
       .select(

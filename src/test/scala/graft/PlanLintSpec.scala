@@ -27,10 +27,57 @@ class PlanLintSpec extends SparkSpec {
     assert(f.exists(_.node == "Window"), PlanLint.lint(w).mkString("; "))
   }
 
-  test("a constant-keyed bounded window passes (the engine convention)") {
+  test("an UNMARKED constant-keyed window over unbounded input is fatal " +
+      "(the r10 rank-statistics blind spot)") {
+    // pmod(k, 1) ≡ 0: semantically the same single task as no key at
+    // all — without a limit below or the kBoundedKey assertion it must
+    // flag exactly like an unpartitioned window. A parquet scan, not a
+    // LocalRelation: driver-local test data gets its extracted window
+    // key folded into the LocalTableScan (and IS bounded by
+    // construction), so the data-sized shape the lint exists for only
+    // appears over a real source.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = docs.withColumn("r", row_number().over(
+      Window.partitionBy(pmod(col("doc_id"), lit(1))).orderBy("doc_id")))
+    assert(PlanLint.fatal(w).exists(_.detail.contains("CONSTANT")),
+      PlanLint.lint(w).mkString("; "))
+    // same shape behind the engine's old xxhash64 dressing: still fatal
+    val wx = docs.withColumn("r", row_number().over(
+      Window.partitionBy(pmod(xxhash64(col("doc_id")), lit(1)))
+        .orderBy("doc_id")))
+    assert(PlanLint.fatal(wx).exists(_.detail.contains("CONSTANT")),
+      PlanLint.lint(wx).mkString("; "))
+  }
+
+  test("a kBoundedKey-marked constant window passes (the engine assertion)") {
     val w = df(10).withColumn("r", row_number().over(
-      Window.partitionBy(pmod(col("k"), lit(1))).orderBy("k")))
+      Window.partitionBy(PlanLint.kBoundedKey(col("k"))).orderBy("k")))
     assert(PlanLint.fatal(w).isEmpty, PlanLint.lint(w).mkString("; "))
+  }
+
+  test("a constant-keyed window fed by a limit passes (provably k-bounded)") {
+    val w = df(100).orderBy(col("v").desc).limit(5)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(pmod(col("k"), lit(1)))
+          .orderBy(col("v").desc, col("k"))))
+    assert(PlanLint.fatal(w).isEmpty, PlanLint.lint(w).mkString("; "))
+  }
+
+  test("the rank statistics plan no constant-key unbounded window " +
+      "(the r10→r11 globalCumsum rewrite, pinned)") {
+    val d = (1 to 200).map(i =>
+      (i.toLong, (i % 7).toString, i * 0.37)).toDF("k", "g", "v")
+    val spearman = relational.Stats.spearman(d, "k", "v")
+    val kruskal = relational.Stats.kruskalWallis(d, "g", "v", 12.592)
+    val mw = relational.Stats.mannWhitney(
+      d.filter(col("k") % 2 === 0), d.filter(col("k") % 2 === 1), "v")
+    val bf = relational.Stats.brownForsythe(d, "g", "v", 2.1)
+    val mood = relational.Stats.moodMedian(d, "g", "v", 12.592)
+    Seq("spearman" -> spearman, "kruskal" -> kruskal, "mannWhitney" -> mw,
+      "brownForsythe" -> bf, "moodMedian" -> mood).foreach { case (n, q) =>
+      assert(PlanLint.fatal(q).isEmpty,
+        s"$n: ${PlanLint.lint(q).mkString("; ")}")
+    }
   }
 
   test("a global sort is advisory, a keyed aggregation is clean") {
@@ -97,6 +144,32 @@ class PlanLintSpec extends SparkSpec {
       assert(PlanLint.floatGateFatal(qdf).isEmpty,
         s"$name: ${PlanLint.floatGate(qdf).mkString("; ")}")
     }
+  }
+
+  test("floatGate: post-accumulation quantization is NOT a fixing round " +
+      "(round(orderDependentSum · 1e9) stays fatal)") {
+    val panel = (1L to 5L).flatMap(m => (0L to 3L).map(u =>
+      (m, u, (m * 7 + u).toDouble / 3.0)))
+      .toDF(Panel.TimeCol, Panel.UnitCol, "value")
+    // quantizing AFTER an ordered unbounded SUM(double) grids noise
+    // that already exceeded the grid — the exemption must not bless it
+    val cum = Panel.cumulative
+    val late = panel.select(col(Panel.TimeCol), col(Panel.UnitCol),
+      (round(sum(col("value")).over(cum) * 1e9).cast("long")
+        .cast("double") / 1e9).as("cs"))
+      .select(col(Panel.TimeCol), col(Panel.UnitCol),
+        round(col("cs"), 6).as("gate"))
+    assert(PlanLint.floatGateFatal(late).nonEmpty,
+      PlanLint.floatGate(late).mkString("; "))
+    // the true fixing idiom — quantize the RAW value, then integer
+    // accumulation — stays blessed
+    val early = panel.select(col(Panel.TimeCol), col(Panel.UnitCol),
+      (sum(round(col("value") * 1e9).cast("long")).over(cum)
+        .cast("double") / 1e9).as("cs"))
+      .select(col(Panel.TimeCol), col(Panel.UnitCol),
+        round(col("cs"), 6).as("gate"))
+    assert(PlanLint.floatGateFatal(early).isEmpty,
+      PlanLint.floatGate(early).mkString("; "))
   }
 
   test("the engine's own scale-audited operators lint clean of fatals") {

@@ -167,6 +167,34 @@ class PqSpec extends SparkSpec {
     assert(g.getDouble(1) >= g.getDouble(2) && g.getBoolean(3))
   }
 
+  test("randomProject's broadcast MatVecProject is bit-identical to the " +
+      "literal dot formulation (the oracle's arithmetic)") {
+    import graft.functions.DotProduct.dot
+    val inDim = 8
+    val outDim = 4
+    val signs = Similarity.rpSigns(inDim, outDim, "rp")
+    val invSqrt = 1.0 / math.sqrt(outDim.toDouble)
+    // the pre-r11 plan-literal formulation, reconstructed verbatim
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val comps = signs.map { row =>
+      round(dot(v, array(row.map(s => lit(s.toDouble)): _*)) * invSqrt, 6)
+    }
+    val viaLits = corpus.select(col("vec_id"), array(comps: _*).as("proj"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaBc = Similarity.randomProject(corpus, outDim = outDim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaBc === viaLits) // EXACT equality — same fold, same round
+    // and the plan carries no sign literals: O(1) in outDim. A parquet
+    // scan, not the LocalRelation corpus — ConvertToLocalRelation
+    // pre-evaluates the projection over driver-local data (which also
+    // exercises the interpreted eval path above).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.randomProject(emb, outDim = outDim)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("matvec_project"), plan)
+    assert(!plan.contains("-1.0"), plan.take(2000))
+  }
+
   test("search is deterministic across runs") {
     val q = corpus.filter(col("vec_id") === 0)
     val a = Pq.pqTopK(corpus, q, k = 10, m = 2, ksub = 4)

@@ -45,6 +45,24 @@ class ScdSpec extends SparkSpec {
       Set((Some(2.0), 0), (None, 1)))
   }
 
+  test("snapshotDiff counts a NULL-position value swap as CHANGED " +
+      "(explicit NULL sentinel in the row hash)") {
+    // (x, NULL) → (NULL, x): concat_ws alone would render both rows as
+    // just "x" and hash them equal — the silent-unchanged advice bug
+    val before = Seq((1L, Option("x"), Option.empty[String]),
+      (2L, Option("a"), Option("b")))
+      .toDF("k", "v1", "v2")
+    val after = Seq((1L, Option.empty[String], Option("x")),
+      (2L, Option("a"), Option("b")))
+      .toDF("k", "v1", "v2")
+    val r = Scd.snapshotDiff(before, after, Seq("k"), Seq("v1", "v2"))
+      .collect().head
+    assert(r.getAs[Long]("changed") === 1L, r.toString)
+    assert(r.getAs[Long]("unchanged") === 1L, r.toString)
+    assert(r.getAs[Long]("added") === 0L && r.getAs[Long]("removed") === 0L,
+      r.toString)
+  }
+
   test("scd2Merge with identical base and update is a pure pass-through") {
     val rows = Seq((1L, Some(1.0), "A"), (2L, Some(2.0), "B"))
     val out = run(rows, rows)

@@ -938,4 +938,49 @@ class StreamingSpec extends SparkSpec {
     epoch(3L, (1L, 12.0, 4L, "U"), (2L, 22.0, 4L, "I"), (4L, 0.0, 4L, "D"))
     assert(servedMap() === Set((1L, 12.0, 4L), (2L, 22.0, 4L)))
   }
+
+  test("CDC compaction under a CONCURRENT reader: every interleaved " +
+      "serve returns the same resolved state (read-retry over the swap)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.CdcStream
+    val store =
+      java.nio.file.Files.createTempDirectory("graft_cdc_race_").toString
+    def epoch(id: Long, rows: (Long, Double, Long, String)*): Unit =
+      CdcStream.ingestEpoch(rows.toDF("k", "v", "seq", "op"), store, id)
+    epoch(0L, (1L to 40L).map(k => (k, k * 1.0, 1L, "I")): _*)
+    epoch(1L, (1L to 40L).filter(_ % 3 == 0)
+      .map(k => (k, 0.0, 2L, "D")): _*)
+    val expect = (1L to 40L).filterNot(_ % 3 == 0)
+      .map(k => (k, k * 1.0)).toSet
+    def servedSet() =
+      CdcStream.serve(spark, store, "k", "seq", "op", Seq("v"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // a compactor thread repeatedly swaps the log while the main
+    // thread serves: a reader landing between the two renames must
+    // retry, never crash or observe a partial log. Repeated compaction
+    // of an already-compacted log is a valid no-op rewrite, so the
+    // resolved state is constant throughout.
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val compactor = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          CdcStream.compact(spark, store, "k", "seq", "op", Seq("v"))
+        }
+      } catch { case t: Throwable => failed.set(t) }
+    })
+    compactor.start()
+    try {
+      (1 to 12).foreach { i =>
+        assert(servedSet() === expect, s"interleaved read $i diverged")
+      }
+    } finally {
+      stop.set(true)
+      compactor.join(60000)
+    }
+    assert(failed.get() == null,
+      s"compactor thread threw: ${failed.get()}")
+    // the final state is intact after the race
+    assert(servedSet() === expect)
+  }
 }
