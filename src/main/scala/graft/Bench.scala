@@ -9,6 +9,14 @@ import org.apache.spark.sql.SparkSession
   * nothing collected) — `count()` would let Catalyst prune the very
   * projections being benchmarked. A small warmup query first absorbs
   * JVM/codegen startup so per-query numbers measure the plans.
+  *
+  * CROSS-RELEASE comparisons must match the `timing` tag in the JSON:
+  * the r10 protocol change (two-pass min-of-2 → min-of-2-ADJACENT with
+  * per-query OpCache release) systematically lowers warm minima
+  * independent of plan changes, so a delta quoted across differently-
+  * tagged artifacts measures the protocol, not the plans — re-run the
+  * prior surface under the current protocol or annotate the comparison
+  * as cross-protocol.
   */
 object Bench {
 
@@ -67,7 +75,13 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    // opt-in stderr trace: interleaves query boundaries with Spark's
+    // WARN lines so a "large task binary" / codegen warning can be
+    // attributed to the query that logged it (stderr only — the
+    // driver's stdout-tail capture never sees it)
+    val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      if (trace) System.err.println(s"[bench] begin $name")
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir))
       catch { case e: Throwable =>
@@ -97,6 +111,7 @@ object Bench {
     val retryFailed = scala.collection.mutable.LinkedHashSet.empty[String]
     def retime(name: String): Option[Double] =
       try {
+        if (trace) System.err.println(s"[bench] begin $name (retime)")
         val t0 = System.nanoTime()
         force(SparkEntry.queries(name)(spark, sfDir))
         Some((System.nanoTime() - t0) / 1e9)

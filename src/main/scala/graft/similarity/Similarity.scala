@@ -660,7 +660,11 @@ object Similarity {
       col("proj").as("__pb"))
     val err9 = round(abs(cosine(col("__va"), col("__vb")) -
       cosine(col("__pa"), col("__pb"))) * 1e9).cast("long")
-    a.join(b, col("__ia") < col("__ib"))
+    // the pair sample is maxId-bounded by contract — broadcast one side
+    // so the inequality join stays a bounded BNLJ (without the hint the
+    // projected side's unknown size estimate lets the planner fall back
+    // to a CartesianProduct, which the lint sweep rightly flags)
+    a.join(broadcast(b), col("__ia") < col("__ib"))
       .select(err9.as("__e9"))
       .agg(count(lit(1)).as("n_pairs"),
         round(max(col("__e9")).cast("double") / 1e9, 6).as("max_err"),

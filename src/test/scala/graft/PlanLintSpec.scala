@@ -172,6 +172,23 @@ class PlanLintSpec extends SparkSpec {
       PlanLint.floatGate(early).mkString("; "))
   }
 
+  test("EVERY registered query lints clean of fatal plan shapes at " +
+      "sf0.001 (cartesians, unpartitioned/unmarked-constant windows)") {
+    // static sparkPlan only — no execution; the sweep is the lint's
+    // whole-surface guarantee, so a future operator cannot reintroduce
+    // the r10 constant-key funnel (or a cartesian) unnoticed
+    val dir = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val f = try PlanLint.fatal(fn(spark, dir))
+                catch { case e: Throwable =>
+                  Seq(PlanLint.Finding("fatal", "build",
+                    s"query failed to plan: ${e.getMessage}")) }
+        f.map(x => s"$name: ${x.node} — ${x.detail.take(80)}")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("the engine's own scale-audited operators lint clean of fatals") {
     val docs = Seq((1L, "a b c d e"), (2L, "b c d e f"), (3L, "x y z w q"))
       .toDF("doc_id", "text")

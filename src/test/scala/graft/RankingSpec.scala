@@ -84,4 +84,22 @@ class RankingSpec extends SparkSpec {
       .tail.takeWhile(_._2 <= 60L).map(_._1).toSet
     assert(kept == expectKept && kept.nonEmpty)
   }
+
+  test("groupedCumsum equals the per-group window cumsum under skew") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy skew: group "big" holds 80% of the rows — exactly the
+    // shape Window.partitionBy(group) funnels through one task and
+    // groupedCumsum must not
+    val rows = (1L to 200L).map { i =>
+      (i, if (i <= 160) "big" else s"g${i % 4}", (i * 11 % 17) + 1L)
+    }
+    val df = rows.toDF("id", "g", "v")
+    val got = graft.ops.Ranking
+      .groupedCumsum(df, "g", Seq(col("id")), "v", "cum", numPartitions = 7)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap
+    val exp = df.withColumn("cum", sum(col("v")).over(
+        Window.partitionBy(col("g")).orderBy(col("id"))))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap
+    assert(got == exp)
+  }
 }
