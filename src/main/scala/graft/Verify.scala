@@ -67,7 +67,25 @@ object Verify {
       Files.writeString(tmp, json)
       Files.move(tmp, Paths.get(s"$outDir/progress.json"),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // errors flush rides the same lock: a kill right after a thrown
+      // query still leaves the red row on disk
+      val errJson = {
+        import scala.jdk.CollectionConverters._
+        errors.asScala.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      }
+      val etmp = Paths.get(s"$outDir/errors.json.tmp")
+      Files.writeString(etmp, errJson)
+      Files.move(etmp, Paths.get(s"$outDir/errors.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
+    // oracle_sql.json is pure driver-side data — write it BEFORE the
+    // dump, so a wall-clock kill mid-dump leaves the oracle plus every
+    // completed query's parquet (r10's empty correctness artifact came
+    // from exactly this ordering hazard: all-or-nothing at the end)
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val threads = sys.env.get("SPARK_GRAFT_VERIFY_THREADS").map(_.toInt)
@@ -91,9 +109,6 @@ object Verify {
     }
     futures.foreach(_.get())
     pool.shutdown()
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Failure marker: a thrown query must age the round record as a red
     // row, not silently vanish from it (round-7 lesson — three broken
     // queries left no trace). The driver can ingest errors.json; even if
