@@ -4444,19 +4444,21 @@ object OracleExt {
       |       FROM tb),
       |lg AS (SELECT *,
       |         CASE WHEN churned < n_risk THEN
-      |           round(ln(1.0 - CAST(churned AS DOUBLE) / n_risk), 9)
-      |         END AS lt,
+      |           CAST(round(ln(1.0 - CAST(churned AS DOUBLE) / n_risk)
+      |             * 1e9) AS BIGINT)
+      |         END AS lt9,
       |         CASE WHEN churned >= n_risk THEN 1 ELSE 0 END AS z
       |       FROM cw),
       |fin AS (SELECT *,
       |          SUM(z) OVER (ORDER BY duration_days
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zc,
-      |          SUM(lt) OVER (ORDER BY duration_days
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls
+      |          SUM(lt9) OVER (ORDER BY duration_days
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls9
       |        FROM lg)
       |SELECT duration_days, churned, censored, n_risk,
       |  CASE WHEN zc > 0 THEN 0.0
-      |       ELSE round(exp(COALESCE(ls, 0.0)), 6) END AS survival
+      |       ELSE round(exp(CAST(COALESCE(ls9, 0) AS DOUBLE) / 1e9), 6)
+      |  END AS survival
       |FROM fin""".stripMargin
 
   /** Two-sample KS drift (Sampling.ksTest over order totals split by

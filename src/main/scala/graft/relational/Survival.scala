@@ -26,10 +26,14 @@ import org.apache.spark.sql.functions._
   * constant-key partition spec (the k-bounded-window discipline), so
   * no data-scale single-task window exists anywhere.
   *
-  * Determinism: dᵢ and nᵢ are exact longs; each factor's log rounds
-  * 1e-9 before the ordered cumulative sum (the PageRank per-iteration
-  * discipline — libm `ln` may differ at the last ULP across engines),
-  * and the survival output rounds 1e-6.
+  * Determinism: dᵢ and nᵢ are exact longs; each factor's log is FIXED
+  * to a 1e-9-unit LONG (libm `ln` may differ at the last ULP across
+  * engines) so the ordered cumulative sum is exact INTEGER arithmetic
+  * — association-proof by construction, not by magnitude (summing
+  * 1e-9-ROUNDED DOUBLES instead would reintroduce the reassociation
+  * noise the changepoint/cusum fix eliminated; the r11 floatGate sweep
+  * caught exactly that here). The survival output rounds 1e-6 after
+  * exp over the exact sum.
   */
 object Survival {
 
@@ -67,13 +71,14 @@ object Survival {
     // ln is engine-hostile there (Spark null, DuckDB error), so the
     // zero factor is tracked as a flag and forces survival to exactly 0
     val factor = lit(1.0) - col("churned").cast("double") / col("n_risk")
-    val logTerm = when(factor > 0.0, round(log(factor), 9))
+    val logTerm9 = when(factor > 0.0, round(log(factor) * 1e9).cast("long"))
     val sawZero = sum(when(factor <= 0.0, 1L).otherwise(0L)).over(wCum)
     table
       .withColumn("n_risk", nRisk)
       .withColumn("survival",
         when(sawZero > 0, lit(0.0))
-          .otherwise(round(exp(sum(logTerm).over(wCum)), 6)))
+          .otherwise(round(exp(
+            sum(logTerm9).over(wCum).cast("double") / 1e9), 6)))
       .select(col("duration_days"), col("churned"), col("censored"),
         col("n_risk"), col("survival"))
   }

@@ -172,18 +172,24 @@ class PlanLintSpec extends SparkSpec {
       PlanLint.floatGate(early).mkString("; "))
   }
 
-  test("EVERY registered query lints clean of fatal plan shapes at " +
-      "sf0.001 (cartesians, unpartitioned/unmarked-constant windows)") {
-    // static sparkPlan only — no execution; the sweep is the lint's
-    // whole-surface guarantee, so a future operator cannot reintroduce
-    // the r10 constant-key funnel (or a cartesian) unnoticed
+  test("EVERY registered query is clean of fatal plan shapes AND fatal " +
+      "float-gate taint at sf0.001 (whole-surface by-construction sweep)") {
+    // static plans only — no execution; one build per query feeds both
+    // checks. The sweep is the lints' whole-surface guarantee: a future
+    // operator cannot reintroduce the r10 constant-key funnel, a
+    // cartesian, or a coarse-rounded order-dependent float accumulation
+    // unnoticed (this sweep caught q_embed_rp_gate's cartesian fallback
+    // and q_survival's summed 1e-9-rounded-DOUBLE log terms in r11 —
+    // both green on the value gate, both latent engine-shaped risks).
     val dir = "/root/testdata/sf0.001"
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val f = try PlanLint.fatal(fn(spark, dir))
-                catch { case e: Throwable =>
-                  Seq(PlanLint.Finding("fatal", "build",
-                    s"query failed to plan: ${e.getMessage}")) }
+        val f = try {
+          val df = fn(spark, dir)
+          PlanLint.fatal(df) ++ PlanLint.floatGateFatal(df)
+        } catch { case e: Throwable =>
+          Seq(PlanLint.Finding("fatal", "build",
+            s"query failed to plan: ${e.getMessage}")) }
         f.map(x => s"$name: ${x.node} — ${x.detail.take(80)}")
     }
     assert(bad.isEmpty, bad.mkString("\n"))
