@@ -222,7 +222,7 @@ object PlanLint {
   def floatGatePlan(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                     maxScale: Int = 6): Seq[Finding] = {
     import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, CentralMomentAgg, Sum}
     import org.apache.spark.sql.types.{DoubleType, FloatType}
 
     // fixed-point summands (integral/decimal) are exact under any
@@ -272,19 +272,28 @@ object PlanLint {
       case we: WindowExpression =>
         val ordered =
           we.windowSpec.orderSpec.nonEmpty && frameUnbounded(we.windowSpec)
+        // avg = sum/count and the central moments (stddev/variance/
+        // skew/kurtosis — streaming Welford merges) reassociate across
+        // engines exactly like a raw float sum: same taint rules
         val own = we.windowFunction match {
           case ae: AggregateExpression =>
             ae.aggregateFunction match {
               case s: Sum if floatSummand(s.child) => if (ordered) 2 else 1
-              case _                               => 0
+              case a: Average if floatSummand(a.child) =>
+                if (ordered) 2 else 1
+              case m: CentralMomentAgg if floatSummand(m.child) =>
+                if (ordered) 2 else 1
+              case _ => 0
             }
           case _ => 0
         }
         (own +: we.children.map(taintIn)).max
       case ae: AggregateExpression =>
         val own = ae.aggregateFunction match {
-          case s: Sum if floatSummand(s.child) => 1
-          case _                               => 0
+          case s: Sum if floatSummand(s.child)     => 1
+          case a: Average if floatSummand(a.child) => 1
+          case m: CentralMomentAgg if floatSummand(m.child) => 1
+          case _                                   => 0
         }
         (own +: ae.children.map(taintIn)).max
       case ar: AttributeReference => taintOf.getOrElse(ar.exprId, 0)
