@@ -923,29 +923,37 @@ object Oracle {
     val g = spatial.FourierLag.greens(n)
     val gv = (0 until n).flatMap(gx => (0 until n).map(gy =>
       s"($gx, $gy, ${spatial.Grid.fmt(g(gx * n + gy))})")).mkString(", ")
+    // scatter formulation with a nonzero-source filter (the 3D
+    // oracle's identity, applied here in r12): zero-valued panel cells
+    // contribute nothing to the convolution, and the dense panel is
+    // mostly zeros — the r11 gather form (grid CROSS JOIN src) paid
+    // grid × ALL dense cells (~0.5G terms, ~50 s per fourier oracle,
+    // 4 oracles); scatter over nonzero sources pays nz × kernel. A
+    // month with no nonzero source has phi ≡ 0 and rhomax 0, which
+    // the LEFT JOIN + COALESCE reproduces as flag 0.0.
     s"""$panel, $embSql,
        |gk(gx, gy, g) AS (VALUES $gv),
-       |grid AS (SELECT a.range AS cx, b.range AS cy
-       |         FROM range(0, $n) a, range(0, $n) b),
        |src AS (SELECT p.month_id, e.ex, e.ey, p.value
        |        FROM panel p JOIN emb e ON e.unit_id = p.unit_id),
+       |nz AS (SELECT * FROM src WHERE value <> 0.0),
        |conv AS (
-       |  SELECT s.month_id, g.cx, g.cy, SUM(s.value * k.g) AS y
-       |  FROM grid g CROSS JOIN src s
-       |  JOIN gk k ON k.gx = ((g.cx - s.ex) % $n + $n) % $n
-       |          AND k.gy = ((g.cy - s.ey) % $n + $n) % $n
+       |  SELECT s.month_id, (k.gx + s.ex) % $n AS cx, (k.gy + s.ey) % $n AS cy,
+       |    SUM(s.value * k.g) AS y
+       |  FROM nz s CROSS JOIN gk k
        |  GROUP BY 1, 2, 3),
-       |st AS (
-       |  SELECT month_id, cx, cy, y,
-       |         MIN(y) OVER (PARTITION BY month_id) AS ymin,
-       |         MAX(y) OVER (PARTITION BY month_id) AS ymax
-       |  FROM conv),
+       |st AS (SELECT month_id, MIN(y) AS ymin, MAX(y) AS ymax
+       |       FROM conv GROUP BY 1),
        |rho AS (SELECT month_id, GREATEST(MAX(value), 0.0) AS rhomax
        |        FROM src GROUP BY 1)
-       |SELECT st.month_id, e.unit_id,
-       |  (st.y - st.ymin) * rho.rhomax / GREATEST(st.ymax - st.ymin, 1.0) AS flag_value
-       |FROM st JOIN emb e ON e.ex = st.cx AND e.ey = st.cy
-       |JOIN rho ON rho.month_id = st.month_id""".stripMargin
+       |SELECT p.month_id, p.unit_id,
+       |  COALESCE((cv.y - st.ymin) * rho.rhomax
+       |             / GREATEST(st.ymax - st.ymin, 1.0), 0.0) AS flag_value
+       |FROM panel p
+       |JOIN emb e ON e.unit_id = p.unit_id
+       |LEFT JOIN conv cv ON cv.month_id = p.month_id
+       |                  AND cv.cx = e.ex AND cv.cy = e.ey
+       |LEFT JOIN st ON st.month_id = p.month_id
+       |LEFT JOIN rho ON rho.month_id = p.month_id""".stripMargin
   }
 
   /** 3-D fourier lag: the slice sits on the midplane of an n×n×l cube
@@ -961,33 +969,48 @@ object Oracle {
     val gv = (0 until n).flatMap(gx => (0 until n).flatMap(gy =>
       (0 until l).map(gz =>
         s"($gx, $gy, $gz, ${spatial.Grid.fmt(g((gx * n + gy) * l + gz))})"))).mkString(", ")
-    // scatter formulation (source × shifted kernel, no position join):
-    // each nonzero source scatters the full kernel, so every cube cell
-    // receives exactly one term per source — identical totals to the
-    // gather form, ~5x faster in DuckDB. Zero-valued sources contribute
-    // nothing and are filtered; a month with no nonzero source at all
-    // has phi ≡ 0 and rhomax 0, which the final LEFT JOIN + COALESCE
-    // reproduces as flag 0.0 for every cell (matching solveSlice3d).
+    // Wide-month scatter (r12): the r11 per-(month, cell) scatter fed
+    // a ~262M-row hash aggregation with ~2M groups — measured ~100 s,
+    // the single heaviest oracle, because DuckDB 1.0's large-group
+    // hash agg runs ~1.5M rows/s at that shape. The panel's source
+    // POSITIONS are month-invariant (the dense grid), so the months
+    // pivot into 30 wide value columns: positions × kernel is only
+    // ~10M rows into 65536 groups, each row updating 30 vectorized
+    // SUM(g·v_m) aggregates — same multiply-add count, ~10× faster
+    // (measured 101 s → 9 s, max drift 8e-13, six orders under the
+    // 1e-6 gate grid). Months are the sf0.01 testdata's days 1..30 —
+    // the same hardcoded-geometry contract as ncells = 64. Zero
+    // values ride along as exact 0.0 terms (no nz filter needed: the
+    // position set is what scatters). A month with no nonzero source
+    // has phi ≡ 0 and rhomax 0 → flag 0.0 (matching solveSlice3d).
     // The midplane cz = mid corresponds to kernel slice gz = 0.
+    val months = 1 to 30
+    val vcols = months.map(m =>
+      s"COALESCE(MAX(CASE WHEN month_id = $m THEN value END), 0.0) AS v$m")
+      .mkString(",\n       ")
+    val ycols = months.map(m => s"SUM(k.g * w.v$m) AS y$m")
+      .mkString(",\n       ")
+    val minmax = months.map(m => s"MIN(y$m) AS mn$m, MAX(y$m) AS mx$m")
+      .mkString(", ")
+    val mlist = months.mkString(", ")
     s"""$panel, $embSql,
        |gk(gx, gy, gz, g) AS (VALUES $gv),
        |src AS (SELECT p.month_id, e.ex, e.ey, p.value
        |        FROM panel p JOIN emb e ON e.unit_id = p.unit_id),
-       |nz AS (SELECT * FROM src WHERE value <> 0.0),
-       |st AS (
-       |  SELECT month_id, MIN(y) AS ymin, MAX(y) AS ymax FROM (
-       |    SELECT s.month_id,
-       |      (((k.gx + s.ex) % $n) * $n + (k.gy + s.ey) % $n) * $l + k.gz AS cell,
-       |      SUM(s.value * k.g) AS y
-       |    FROM nz s CROSS JOIN gk k
-       |    GROUP BY 1, 2)
+       |wv AS (SELECT ex, ey, $vcols FROM src GROUP BY ex, ey),
+       |cube AS (
+       |  SELECT (((k.gx + w.ex) % $n) * $n + (k.gy + w.ey) % $n) * $l + k.gz AS cell,
+       |    $ycols
+       |  FROM wv w CROSS JOIN gk k
        |  GROUP BY 1),
-       |mid AS (
-       |  SELECT s.month_id, (k.gx + s.ex) % $n AS cx, (k.gy + s.ey) % $n AS cy,
-       |    SUM(s.value * k.g) AS y
-       |  FROM nz s CROSS JOIN gk k
-       |  WHERE k.gz = 0
-       |  GROUP BY 1, 2, 3),
+       |st AS (SELECT unnest([$mlist]) AS month_id,
+       |              unnest([${months.map(m => s"mn$m").mkString(", ")}]) AS ymin,
+       |              unnest([${months.map(m => s"mx$m").mkString(", ")}]) AS ymax
+       |       FROM (SELECT $minmax FROM cube)),
+       |mid AS (SELECT cell // ${n * l} AS cx, (cell // $l) % $n AS cy,
+       |               unnest([$mlist]) AS month_id,
+       |               unnest([${months.map(m => s"y$m").mkString(", ")}]) AS y
+       |        FROM cube WHERE cell % $l = 0),
        |rho AS (SELECT month_id, GREATEST(MAX(value), 0.0) AS rhomax
        |        FROM src GROUP BY 1)
        |SELECT p.month_id, p.unit_id,
@@ -1009,34 +1032,37 @@ object Oracle {
     val g = spatial.FourierLag.greens(n)
     val gv = (0 until n).flatMap(gx => (0 until n).map(gy =>
       s"($gx, $gy, ${spatial.Grid.fmt(g(gx * n + gy))})")).mkString(", ")
+    // scatter + nonzero filter, per feature (see qFourierLag): a row
+    // joins the nz set when EITHER feature is nonzero; each feature's
+    // zero rows contribute exact 0 terms to its own sum
     s"""$panel, $embSql,
        |gk(gx, gy, g) AS (VALUES $gv),
-       |grid AS (SELECT a.range AS cx, b.range AS cy
-       |         FROM range(0, $n) a, range(0, $n) b),
        |src AS (SELECT p.month_id, e.ex, e.ey, p.value, p.value2
        |        FROM panel p JOIN emb e ON e.unit_id = p.unit_id),
+       |nz AS (SELECT * FROM src WHERE value <> 0.0 OR value2 <> 0.0),
        |conv AS (
-       |  SELECT s.month_id, g.cx, g.cy,
+       |  SELECT s.month_id, (k.gx + s.ex) % $n AS cx, (k.gy + s.ey) % $n AS cy,
        |    SUM(s.value * k.g) AS y1, SUM(s.value2 * k.g) AS y2
-       |  FROM grid g CROSS JOIN src s
-       |  JOIN gk k ON k.gx = ((g.cx - s.ex) % $n + $n) % $n
-       |          AND k.gy = ((g.cy - s.ey) % $n + $n) % $n
+       |  FROM nz s CROSS JOIN gk k
        |  GROUP BY 1, 2, 3),
-       |st AS (
-       |  SELECT month_id, cx, cy, y1, y2,
-       |         MIN(y1) OVER (PARTITION BY month_id) AS y1min,
-       |         MAX(y1) OVER (PARTITION BY month_id) AS y1max,
-       |         MIN(y2) OVER (PARTITION BY month_id) AS y2min,
-       |         MAX(y2) OVER (PARTITION BY month_id) AS y2max
-       |  FROM conv),
+       |st AS (SELECT month_id,
+       |         MIN(y1) AS y1min, MAX(y1) AS y1max,
+       |         MIN(y2) AS y2min, MAX(y2) AS y2max
+       |       FROM conv GROUP BY 1),
        |rho AS (SELECT month_id, GREATEST(MAX(value), 0.0) AS rho1,
        |               GREATEST(MAX(value2), 0.0) AS rho2
        |        FROM src GROUP BY 1)
-       |SELECT st.month_id, e.unit_id,
-       |  (st.y1 - st.y1min) * rho.rho1 / GREATEST(st.y1max - st.y1min, 1.0) AS flag_value,
-       |  (st.y2 - st.y2min) * rho.rho2 / GREATEST(st.y2max - st.y2min, 1.0) AS flag_value2
-       |FROM st JOIN emb e ON e.ex = st.cx AND e.ey = st.cy
-       |JOIN rho ON rho.month_id = st.month_id""".stripMargin
+       |SELECT p.month_id, p.unit_id,
+       |  COALESCE((cv.y1 - st.y1min) * rho.rho1
+       |             / GREATEST(st.y1max - st.y1min, 1.0), 0.0) AS flag_value,
+       |  COALESCE((cv.y2 - st.y2min) * rho.rho2
+       |             / GREATEST(st.y2max - st.y2min, 1.0), 0.0) AS flag_value2
+       |FROM panel p
+       |JOIN emb e ON e.unit_id = p.unit_id
+       |LEFT JOIN conv cv ON cv.month_id = p.month_id
+       |                  AND cv.cx = e.ex AND cv.cy = e.ey
+       |LEFT JOIN st ON st.month_id = p.month_id
+       |LEFT JOIN rho ON rho.month_id = p.month_id""".stripMargin
   }
 
   val qListTotallyMissing: String =

@@ -2489,8 +2489,14 @@ object OracleExt {
     */
   private def ivfAssignCtes(nlists: Int, iters: Int, dim: Int,
                             cDef: String = ""): String = {
+    // MATERIALIZED throughout (r12): each Lloyd step references the
+    // previous one, downstream oracles read asgnF several times (probe
+    // join + residual/PQ stages), and DuckDB 1.0 inlines plain CTEs
+    // per reference — the unrolled chain re-ran the full corpus
+    // assignment exponentially often (q_embed_ivfpq_res_topk measured
+    // 17.7 s → 1 s materialized, identical rows)
     def assign(cent: String, out: String) =
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
          |  SELECT vec_id, v, list FROM (
          |    SELECT c.vec_id, c.v, ct.list,
          |      row_number() OVER (PARTITION BY c.vec_id
@@ -2500,15 +2506,15 @@ object OracleExt {
     val means = (1 to dim).map(j => s"avg(v[$j])").mkString(", ")
     val steps = (0 until iters).map { i =>
       s"""${assign(s"cent$i", s"asgn$i")},
-         |mean$i AS (
+         |mean$i AS MATERIALIZED (
          |  SELECT list, [$means] AS cent FROM asgn$i GROUP BY list),
-         |cent${i + 1} AS (
+         |cent${i + 1} AS MATERIALIZED (
          |  SELECT p.list, COALESCE(m.cent, p.cent) AS cent
          |  FROM cent$i p LEFT JOIN mean$i m ON m.list = p.list)""".stripMargin
     }.mkString(",\n")
     val lead = if (cDef.isEmpty) embCte else cDef
     s"""$lead,
-       |cent0 AS (
+       |cent0 AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list, v AS cent
        |  FROM c ORDER BY vec_id LIMIT $nlists),
        |$steps,
@@ -3294,50 +3300,35 @@ object OracleExt {
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |GROUP BY 1""".stripMargin
 
-  /** Shared UTF-8 byte table of `documents.text`: one row per byte
-    * with its 0-based stream index `j` and value `b`, built by
-    * expanding each character's codepoint into its UTF-8 bytes in
-    * SQL. This matches the Scala side's `encode(text, 'UTF-8')` byte
-    * semantics for ANY corpus — not just ASCII — without blob
-    * support: this DuckDB build exposes octet_length(encode(x)) but
-    * no blob slicing or blob hashing, so the byte stream is
-    * reconstructed from codepoints instead.
+  /** Shared UTF-8 byte access for `documents.text`, as the hex string
+    * `hx = hex(encode(text))` plus byte count `n` (r12 rewrite): byte
+    * j is hex pair 2j..2j+1, read by `byteAt` as two O(1) substr
+    * lookups. The r11 formulation reconstructed the byte STREAM from
+    * codepoints (per-char UTF-8 CASE, an unbounded per-doc offset
+    * window, a per-byte unnest, then joins against it) -- measured at
+    * ~33% of the whole DuckDB gate, for queries that each read at most
+    * ~1k byte positions per document. hex() pairs are byte-exact for
+    * ANY corpus (the same UTF-8 stream both engines hash), and the
+    * two-hex-digit substr pair IS the token Spark's `hex()` emits, so
+    * payload digests concatenate substr pairs directly.
     */
   private def utf8BytesFrom(src: String): String =
     s"""d AS (
       |  SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+      |         hex(encode(text)) AS hx,
       |         CAST(octet_length(encode(text)) AS BIGINT) AS n
-      |  FROM $src),""".stripMargin +
-    """
-      |cp AS (
-      |  SELECT media_id, text, unnest(generate_series(1, length(text))) AS ci
-      |  FROM d WHERE length(text) > 0),
-      |cpt AS (
-      |  SELECT media_id, ci, ascii(substr(text, ci, 1)) AS c FROM cp),
-      |enc AS (
-      |  SELECT media_id, ci,
-      |    CASE WHEN c < 128 THEN [c]
-      |         WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64]
-      |         WHEN c < 65536 THEN [224 + c // 4096, 128 + (c // 64) % 64, 128 + c % 64]
-      |         ELSE [240 + c // 262144, 128 + (c // 4096) % 64,
-      |               128 + (c // 64) % 64, 128 + c % 64]
-      |    END AS bl
-      |  FROM cpt),
-      |ob AS (
-      |  SELECT media_id, ci, bl,
-      |    SUM(len(bl)) OVER (PARTITION BY media_id ORDER BY ci
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(bl) AS off
-      |  FROM enc),
-      |byt AS (
-      |  SELECT media_id, off + generate_subscripts(bl, 1) - 1 AS j, unnest(bl) AS b
-      |  FROM ob)""".stripMargin
+      |  FROM $src)""".stripMargin
+
+  /** 0-based byte `j` of the stream behind `hx` as an exact integer in
+    * 0..255; `j` must be < n (callers index mod n). The row must carry
+    * the `hx` column (alias-qualify with `hxq` when joined).
+    */
+  private def byteAt(j: String, hxq: String = "hx"): String =
+    s"((strpos('0123456789ABCDEF', substr($hxq, 2 * ($j) + 1, 1)) - 1) * 16" +
+      s" + strpos('0123456789ABCDEF', substr($hxq, 2 * ($j) + 2, 1)) - 1)"
 
   private val utf8Bytes: String = utf8BytesFrom("documents")
 
-  /** One payload byte as the two-hex-digit token Spark's `hex()`
-    * emits — string_agg of these IS the hex string both engines md5.
-    */
-  private def hexByte(b: String): String = s"lpad(upper(to_hex($b)), 2, '0')"
 
   /** Shared pixel table of `Multimodal.synthesizeImages` PNGs: the
     * image is w = 8 + id mod 24 by h = 8 + n mod 24 grayscale, and the
@@ -3350,18 +3341,18 @@ object OracleExt {
   private def pngPixelsFrom(src: String): String =
     s"""${utf8BytesFrom(src)},
        |dims AS (
-       |  SELECT media_id, n,
+       |  SELECT media_id, n, hx,
        |    CAST(8 + media_id % 24 AS INT) AS w,
        |    CAST(8 + n % 24 AS INT) AS h
        |  FROM d),
        |px AS (
-       |  SELECT media_id, n, w, h, unnest(generate_series(0, w * h - 1)) AS p
+       |  SELECT media_id, n, hx, w, h,
+       |         unnest(generate_series(0, w * h - 1)) AS p
        |  FROM dims),
        |pg AS (
-       |  SELECT px.media_id, px.w, px.h, px.p,
-       |    CASE WHEN px.n = 0 THEN 0 ELSE COALESCE(y.b, 0) END AS g
-       |  FROM px LEFT JOIN byt y
-       |    ON y.media_id = px.media_id AND px.n > 0 AND y.j = px.p % px.n)""".stripMargin
+       |  SELECT media_id, w, h, p,
+       |    CASE WHEN n = 0 THEN 0 ELSE ${byteAt("p % n")} END AS g
+       |  FROM px)""".stripMargin
 
   private val pngPixels: String = pngPixelsFrom("documents")
 
@@ -3481,21 +3472,20 @@ object OracleExt {
       s"CASE WHEN g_${x}_$y > g_${x + 1}_$y THEN '1' ELSE '0' END")
       .mkString(" || ")
     s"""WITH $utf8Bytes,
-       |dims AS (SELECT media_id, n,
+       |dims AS (SELECT media_id, n, hx,
        |    CAST(6 + media_id % 10 AS INT) AS w,
        |    CAST(6 + n % 10 AS INT) AS h,
        |    CAST(2 + media_id % 3 AS INT) AS nf FROM d),
-       |frm AS (SELECT media_id, n, w, h,
+       |frm AS (SELECT media_id, n, hx, w, h,
        |          unnest(generate_series(0, nf - 1)) AS f FROM dims),
-       |grid AS (SELECT fr.media_id, fr.n, fr.w, fr.h, fr.f, gx.xx, gy.yy,
+       |grid AS (SELECT fr.media_id, fr.n, fr.hx, fr.f, gx.xx, gy.yy,
        |    (gy.yy * fr.h // 8) * fr.w + (gx.xx * fr.w // 9) AS p
        |  FROM frm fr,
        |    generate_series(0, 8) gx(xx), generate_series(0, 7) gy(yy)),
-       |gs AS (SELECT g2.media_id, g2.f, g2.xx, g2.yy,
-       |    CASE WHEN g2.n = 0 THEN 0 ELSE COALESCE(yb.b, 0) END AS g
-       |  FROM grid g2 LEFT JOIN byt yb
-       |    ON yb.media_id = g2.media_id AND g2.n > 0
-       |       AND yb.j = (g2.p + 7 * g2.f) % g2.n),
+       |gs AS (SELECT media_id, f, xx, yy,
+       |    CASE WHEN n = 0 THEN 0
+       |         ELSE ${byteAt("(p + 7 * f) % n")} END AS g
+       |  FROM grid),
        |pv AS (SELECT media_id, f, $pivot FROM gs GROUP BY media_id, f)
        |SELECT media_id, CAST(f AS INTEGER) AS frame_idx, $bits AS dhash,
        |  TRUE AS decoded
@@ -3507,27 +3497,27 @@ object OracleExt {
     * squares over the re-derived PCM samples.
     */
   val qMultimodalAfp: String = {
+    // empty frames (ns < 65 leaves some [f·ns//65, (f+1)·ns//65) ranges
+    // empty) must pivot to energy 0, not NULL — a NULL would turn a
+    // true `e_f > 0` bit into '0'
     val pivot = (0 to 64).map(f =>
-      s"MAX(CASE WHEN f = $f THEN e END) AS e_$f").mkString(",\n")
+      s"COALESCE(MAX(CASE WHEN f = $f THEN e END), 0) AS e_$f").mkString(",\n")
     val bits = (0 until 64).map(f =>
       s"CASE WHEN e_$f > e_${f + 1} THEN '1' ELSE '0' END").mkString(" || ")
     s"""WITH $utf8Bytes,
-       |adims AS (SELECT media_id, n, CAST(64 + n % 192 AS BIGINT) AS ns FROM d),
-       |asmp AS (SELECT media_id, n, ns, unnest(generate_series(0, ns - 1)) AS k
-       |         FROM adims),
-       |asv AS (SELECT s.media_id, s.ns, s.k,
-       |          CAST((CASE WHEN s.n = 0 THEN 0 ELSE COALESCE(y.b, 0) END - 128)
+       |adims AS (SELECT media_id, n, hx,
+       |            CAST(64 + n % 192 AS BIGINT) AS ns FROM d),
+       |asmp AS (SELECT media_id, n, hx, ns,
+       |           unnest(generate_series(0, ns - 1)) AS k FROM adims),
+       |asv AS (SELECT media_id, ns, k,
+       |          CAST((CASE WHEN n = 0 THEN 0
+       |                     ELSE ${byteAt("k % n")} END - 128)
        |            * 256 AS BIGINT) AS v
-       |        FROM asmp s LEFT JOIN byt y
-       |          ON y.media_id = s.media_id AND s.n > 0 AND y.j = s.k % s.n),
-       |fr AS (SELECT a.media_id, gf.f,
-       |         COALESCE(SUM(s.v * s.v), 0) AS e
-       |       FROM adims a
-       |       CROSS JOIN generate_series(0, 64) gf(f)
-       |       LEFT JOIN asv s ON s.media_id = a.media_id
-       |         AND s.k >= gf.f * a.ns // 65
-       |         AND s.k < (gf.f + 1) * a.ns // 65
-       |       GROUP BY 1, 2),
+       |        FROM asmp),
+       |fr AS (SELECT media_id,
+       |         (65 * (k + 1) + ns - 1) // ns - 1 AS f,
+       |         SUM(v * v) AS e
+       |       FROM asv GROUP BY 1, 2),
        |pv AS (SELECT media_id, $pivot FROM fr GROUP BY media_id),
        |hs AS (SELECT media_id, $bits AS afp FROM pv),
        |canon AS (SELECT afp, MIN(media_id) AS canonical_id,
@@ -3548,13 +3538,14 @@ object OracleExt {
     */
   val qMultimodalAudio: String =
     s"""WITH $utf8Bytes,
-       |dims AS (SELECT media_id, n, CAST(64 + n % 192 AS BIGINT) AS ns FROM d),
-       |smp AS (SELECT media_id, n, ns, unnest(generate_series(0, ns - 1)) AS k
-       |        FROM dims),
-       |sv AS (SELECT s.media_id, s.k,
-       |         (CASE WHEN s.n = 0 THEN 0 ELSE COALESCE(y.b, 0) END - 128) * 256 AS v
-       |       FROM smp s LEFT JOIN byt y
-       |         ON y.media_id = s.media_id AND s.n > 0 AND y.j = s.k % s.n),
+       |dims AS (SELECT media_id, n, hx,
+       |           CAST(64 + n % 192 AS BIGINT) AS ns FROM d),
+       |smp AS (SELECT media_id, n, hx, ns,
+       |          unnest(generate_series(0, ns - 1)) AS k FROM dims),
+       |sv AS (SELECT media_id, k,
+       |         (CASE WHEN n = 0 THEN 0
+       |               ELSE ${byteAt("k % n")} END - 128) * 256 AS v
+       |       FROM smp),
        |svl AS (SELECT media_id, k, v,
        |          LAG(v) OVER (PARTITION BY media_id ORDER BY k) AS pv
        |        FROM sv),
@@ -3579,24 +3570,25 @@ object OracleExt {
     val outLen = targetW * targetH
     s"""WITH $pngPixels,
        |og AS (
-       |  SELECT media_id, n, w, h, unnest(generate_series(0, $outLen - 1)) AS q
+       |  SELECT media_id, n, hx, w, h,
+       |         unnest(generate_series(0, $outLen - 1)) AS q
        |  FROM dims),
        |src AS (
-       |  SELECT media_id, n, q,
+       |  SELECT media_id, n, hx, q,
        |    ((q // $targetW) * h // $targetH) * w + ((q % $targetW) * w // $targetW) AS p
        |  FROM og),
        |sel AS (
-       |  SELECT s.media_id, s.q,
-       |    CASE WHEN s.n = 0 THEN 0 ELSE COALESCE(y.b, 0) END AS g
-       |  FROM src s LEFT JOIN byt y
-       |    ON y.media_id = s.media_id AND s.n > 0 AND y.j = s.p % s.n),
-       |hx AS (
-       |  SELECT media_id, string_agg(${hexByte("g")}, '' ORDER BY q) AS payload
+       |  SELECT media_id, q,
+       |    CASE WHEN n = 0 THEN '00'
+       |         ELSE substr(hx, 2 * (p % n) + 1, 2) END AS gh
+       |  FROM src),
+       |pay AS (
+       |  SELECT media_id, string_agg(gh, '' ORDER BY q) AS payload
        |  FROM sel GROUP BY media_id)
        |SELECT d.media_id, $targetW AS out_w, $targetH AS out_h,
        |  CAST($outLen AS BIGINT) AS n_bytes,
        |  md5(h.payload) AS content_md5
-       |FROM d LEFT JOIN hx h ON h.media_id = d.media_id""".stripMargin
+       |FROM d LEFT JOIN pay h ON h.media_id = d.media_id""".stripMargin
   }
 
   /** Frame-sample stub oracle: frame i = bytes [i·fb, (i+1)·fb), every
@@ -3606,15 +3598,26 @@ object OracleExt {
     */
   def qMultimodalFrames(frameBytes: Int, everyN: Int): String =
     s"""WITH $utf8Bytes,
-       |fr AS (
-       |  SELECT media_id, CAST(j // $frameBytes AS INTEGER) AS frame_idx, j, b
-       |  FROM byt
-       |  WHERE (j // $frameBytes) % $everyN = 0)
-       |SELECT media_id, frame_idx, FALSE AS decoded,
-       |  CAST(COUNT(*) AS BIGINT) AS frame_len,
-       |  CAST(SUM(b) AS DOUBLE) / COUNT(*) AS mean_gray,
-       |  md5(string_agg(${hexByte("b")}, '' ORDER BY j)) AS frame_md5
-       |FROM fr GROUP BY media_id, frame_idx""".stripMargin
+       |frm AS (
+       |  SELECT media_id, n, hx,
+       |    unnest(generate_series(0, (n + $frameBytes - 1) // $frameBytes - 1)) AS fi
+       |  FROM d WHERE n > 0),
+       |sel AS (
+       |  SELECT media_id, fi, hx, fi * $frameBytes AS lo,
+       |         least((fi + 1) * $frameBytes, n) AS hi
+       |  FROM frm WHERE fi % $everyN = 0),
+       |pos AS (
+       |  SELECT media_id, fi, hx, unnest(generate_series(lo, hi - 1)) AS j
+       |  FROM sel),
+       |agg AS (
+       |  SELECT media_id, fi, COUNT(*) AS flen,
+       |         SUM(${byteAt("j")}) AS sb
+       |  FROM pos GROUP BY 1, 2)
+       |SELECT s.media_id, CAST(s.fi AS INTEGER) AS frame_idx, FALSE AS decoded,
+       |  CAST(a.flen AS BIGINT) AS frame_len,
+       |  CAST(a.sb AS DOUBLE) / a.flen AS mean_gray,
+       |  md5(substr(s.hx, 2 * s.lo + 1, 2 * (s.hi - s.lo))) AS frame_md5
+       |FROM sel s JOIN agg a USING (media_id, fi)""".stripMargin
 
   /** REAL video-frame oracle (Multimodal.synthesizeGifs → frameSample,
     * everyN = 2): the animated GIF is lossless over its 256-gray
@@ -3627,28 +3630,31 @@ object OracleExt {
   def qMultimodalGifFrames(everyN: Int): String =
     s"""WITH $utf8Bytes,
        |dims AS (
-       |  SELECT media_id, n,
+       |  SELECT media_id, n, hx,
        |    CAST(6 + media_id % 10 AS INT) AS w,
        |    CAST(6 + n % 10 AS INT) AS h,
        |    CAST(2 + media_id % 3 AS INT) AS nf
        |  FROM d),
        |frm AS (
-       |  SELECT media_id, n, w, h, unnest(generate_series(0, nf - 1)) AS f
+       |  SELECT media_id, n, hx, w, h,
+       |         unnest(generate_series(0, nf - 1)) AS f
        |  FROM dims),
        |sel AS (SELECT * FROM frm WHERE f % $everyN = 0),
        |px AS (
-       |  SELECT media_id, n, w, h, f, unnest(generate_series(0, w * h - 1)) AS p
+       |  SELECT media_id, n, hx, w, h, f,
+       |         unnest(generate_series(0, w * h - 1)) AS p
        |  FROM sel),
        |pg AS (
-       |  SELECT px.media_id, px.f, px.w, px.h, px.p,
-       |    CASE WHEN px.n = 0 THEN 0 ELSE COALESCE(y.b, 0) END AS g
-       |  FROM px LEFT JOIN byt y
-       |    ON y.media_id = px.media_id AND px.n > 0
-       |       AND y.j = (px.p + 7 * px.f) % px.n)
+       |  SELECT media_id, f, w, h, p,
+       |    CASE WHEN n = 0 THEN 0
+       |         ELSE ${byteAt("(p + 7 * f) % n")} END AS g,
+       |    CASE WHEN n = 0 THEN '00'
+       |         ELSE substr(hx, 2 * ((p + 7 * f) % n) + 1, 2) END AS gh
+       |  FROM px)
        |SELECT media_id, CAST(f AS INTEGER) AS frame_idx, TRUE AS decoded,
        |  CAST(w * h AS BIGINT) AS frame_len,
        |  CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_gray,
-       |  md5(string_agg(${hexByte("g")}, '' ORDER BY p)) AS frame_md5
+       |  md5(string_agg(gh, '' ORDER BY p)) AS frame_md5
        |FROM pg GROUP BY media_id, f, w, h""".stripMargin
 
   /** Regression imputation (the 2-column analogue of the reference's
@@ -5035,18 +5041,24 @@ object OracleExt {
     * admitted node and nothing remains below k).
     */
   def qKCore(k: Int = 2, rounds: Int = 4): String = {
+    // every round CTE is MATERIALIZED: each d_i references s_i twice
+    // (both IN-subqueries) and s_i references d_{i-1} — DuckDB 1.0
+    // INLINES non-materialized CTEs per reference, so a 4-round peel
+    // re-executed the whole pair pipeline exponentially many times
+    // (measured 74 s; materialized, 0.6 s — same 186 rows)
     val sb = new StringBuilder(
       s"""$norm, $simhashPairCtes,
          |e0 AS (SELECT id_a, id_b FROM h WHERE hamming <= 3),
-         |sym AS (SELECT id_a AS src, id_b AS dst FROM e0
+         |sym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM e0
          |        UNION SELECT id_b, id_a FROM e0),
-         |d0 AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+         |d0 AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
          |       FROM sym GROUP BY 1)""".stripMargin)
     (1 to rounds).foreach { i =>
       sb.append(
         s""",
-           |s$i AS (SELECT id FROM d${i - 1} WHERE deg >= $k),
-           |d$i AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+           |s$i AS MATERIALIZED (SELECT id FROM d${i - 1} WHERE deg >= $k),
+           |d$i AS MATERIALIZED (
+           |        SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
            |        FROM sym
            |        WHERE src IN (SELECT id FROM s$i)
            |          AND dst IN (SELECT id FROM s$i)

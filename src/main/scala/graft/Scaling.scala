@@ -130,6 +130,26 @@ object Scaling {
         if (want("kcore"))
           timed("kcore", scale)(graphs.KCore.kcore(edges, k = 3, rounds = 4))
       }
+      // rank statistics on a CONTINUOUS value column — margin
+      // cardinality ≈ row count, the exact scenario the r11
+      // globalCumsum rewrite exists for (a per-value margin table as
+      // large as the data, where any constant-key window would funnel
+      // the whole corpus through one task)
+      if ((want("spearman") || want("kruskal")) &&
+          (scale <= 10 || only.isDefined)) {
+        val n = 1000000L * mult
+        val cont = spark.range(n).select(col("id"),
+          (pmod(xxhash64(lit("x"), col("id")), lit(1000000007L))
+            .cast("double") / 1000.0).as("x"),
+          (pmod(xxhash64(lit("y"), col("id")), lit(1000000007L))
+            .cast("double") / 1000.0).as("y"),
+          pmod(col("id"), lit(7)).cast("string").as("g")).localCheckpoint()
+        if (want("spearman"))
+          timed("spearman", scale)(relational.Stats.spearman(cont, "x", "y"))
+        if (want("kruskal"))
+          timed("kruskal", scale)(
+            relational.Stats.kruskalWallis(cont, "g", "y", 12.592))
+      }
       if ((want("spacetime_banded") || want("spacetime_broadcast")) &&
           (scale <= 10 || only.isDefined)) {
         val p = panelAt(3600L * mult)

@@ -2075,7 +2075,35 @@ object SparkEntry {
       f(gp, emb)
     }
 
-  def oracleSql: Map[String, String] = Map(
+  /** Every CTE in every oracle is pinned MATERIALIZED (r12): DuckDB
+    * 1.0 inlines plain CTEs once PER REFERENCE, so any oracle whose
+    * chain references a CTE twice (iterative peels, Lloyd steps,
+    * self-joins, shared normalizations) re-executed whole sub-pipelines
+    * combinatorially — q_kcore measured 74 s against 0.6 s
+    * materialized, with identical rows; the whole-gate DuckDB compare
+    * profile (oracle_timings.json) dropped ~7× under this transform.
+    * The rewrite is purely an evaluation-strategy hint: these oracles
+    * use no nondeterministic functions, so materialization cannot
+    * change a value. VALUES-table CTEs (`gk(gx, gy, g) AS (...)`) are
+    * untouched — the column list puts `)` before AS, defeating the
+    * pattern, and materializing a literal table is pointless anyway.
+    */
+  // negative lookbehind: `WINDOW w AS (...)` is a named-window clause,
+  // not a CTE — materializing it is a parse error
+  private val cteDef = "(?<!WINDOW )(\\w+) AS \\(".r
+  private[graft] def materializeCtes(sql: String): String =
+    // WITH RECURSIVE chains are exempt wholesale: DuckDB 1.0 mis-plans
+    // a recursive member whose sibling CTEs are materialized
+    // (q_chunk_bpe measured 789 rows instead of 2897 under the
+    // transform — a silent wrong answer, not an error), and the
+    // recursive oracles are already sub-10 s un-materialized
+    if (sql.contains("RECURSIVE")) sql
+    else cteDef.replaceAllIn(sql, "$1 AS MATERIALIZED (")
+
+  def oracleSql: Map[String, String] =
+    oracleSqlRaw.map { case (k, v) => k -> materializeCtes(v) }
+
+  private def oracleSqlRaw: Map[String, String] = Map(
     "q_identity" -> Oracle.qIdentity,
     "q_ge" -> Oracle.qGe,
     "q_le" -> Oracle.qLe,

@@ -102,28 +102,45 @@ object Verify {
             errors.put(name,
               s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
           }
-          progressDone.put(name, (System.nanoTime() - t0) / 1000000L)
-          writeProgress()
+          // the heartbeat is best-effort evidence, never a failure
+          // source: an IO error here (disk full mid-run) must not
+          // escape the Runnable — that would abort futures.get() and
+          // skip the shutdown/errors.json/spark.stop tail below
+          try {
+            progressDone.put(name, (System.nanoTime() - t0) / 1000000L)
+            writeProgress()
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] heartbeat write failed " +
+              s"(continuing): ${e.getMessage}")
+          }
         }
       })
     }
-    futures.foreach(_.get())
-    pool.shutdown()
-    // Failure marker: a thrown query must age the round record as a red
-    // row, not silently vanish from it (round-7 lesson — three broken
-    // queries left no trace). The driver can ingest errors.json; even if
-    // it doesn't, the file makes regressions evident in the artifact dir.
-    val errJson = {
-      import scala.jdk.CollectionConverters._
-      errors.asScala.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    try futures.foreach(_.get())
+    finally {
+      pool.shutdown()
+      // Failure marker: a thrown query must age the round record as a
+      // red row, not silently vanish from it (round-7 lesson — three
+      // broken queries left no trace). The driver can ingest
+      // errors.json; even if it doesn't, the file makes regressions
+      // evident in the artifact dir. Rides the finally so even an
+      // escaped wait failure leaves the record and stops the session.
+      try {
+        val errJson = {
+          import scala.jdk.CollectionConverters._
+          errors.asScala.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+        }
+        Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] errors.json write failed: ${e.getMessage}")
+      }
+      if (!errors.isEmpty) {
+        import scala.jdk.CollectionConverters._
+        System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+          errors.keySet.asScala.toSeq.sorted.mkString(", "))
+      }
+      spark.stop()
     }
-    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    if (!errors.isEmpty) {
-      import scala.jdk.CollectionConverters._
-      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
-        errors.keySet.asScala.toSeq.sorted.mkString(", "))
-    }
-    spark.stop()
   }
 }

@@ -71,14 +71,37 @@ case class MatVecProject(child: Expression,
 }
 
 object MatVecProject {
+
+  // broadcast memo, keyed by (session, matrix VALUE): repeated
+  // randomProject calls in a long-lived session (Bench warm+retime
+  // loops, serving sessions) would otherwise register a fresh
+  // block-manager broadcast per CALL and never free it — an unbounded
+  // leak OpCache.release cannot see. One broadcast per distinct matrix
+  // per session is the steady state a serving session expects; the
+  // memo is the owner, so [[clearBroadcasts]] can destroy them.
+  private val bcMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Seq[Seq[Double]]),
+           Broadcast[Array[Array[Double]]]]
+
   /** Column wrapper: `v` must be array<double>; `rows` is the matrix
-    * (one row per output component), broadcast once per call site.
+    * (one row per output component), broadcast once per (session,
+    * matrix) — repeated calls reuse the memoized broadcast.
     */
   def project(session: org.apache.spark.sql.SparkSession, v: Column,
               rows: Seq[Seq[Double]], scale: Double,
               roundScale: Int): Column = {
-    val bc = session.sparkContext.broadcast(rows.map(_.toArray).toArray)
+    val bc = bcMemo.getOrElseUpdate((session, rows),
+      session.sparkContext.broadcast(rows.map(_.toArray).toArray))
     CatalystBridge.column(MatVecProject(
       CatalystBridge.expression(v), bc, scale, roundScale))
   }
+
+  /** Destroy every memoized broadcast owned by `session` (other
+    * sessions' entries untouched). Plans built before the clear must
+    * not run after it — the broadcast handle they carry is gone.
+    */
+  def clearBroadcasts(session: org.apache.spark.sql.SparkSession): Unit =
+    bcMemo.keys.filter(_._1 == session).foreach { k =>
+      bcMemo.remove(k).foreach(_.destroy())
+    }
 }

@@ -131,6 +131,16 @@ object Ranking {
     * is its within-partition running sum plus its partition's offset.
     * Two shuffles (range exchange + the per-partition window's pid
     * exchange) at any data size.
+    *
+    * EAGER: the localCheckpoint that pins the partition boundaries
+    * runs Spark jobs at CALL time — merely constructing a plan through
+    * this operator (and everything built on it: [[globalRank]],
+    * [[groupedCumsum]], Stats.spearman/kruskalWallis/mannWhitney/
+    * moodMedian/brownForsythe) executes the upstream frame. That is
+    * the deliberate price of an exact global order (see the object
+    * doc: two lazily-planned exchanges sample DIFFERENT boundaries);
+    * callers that need a lazy frame must cut the pipeline before the
+    * ranked stage.
     */
   def globalCumsum(df: DataFrame, order: Seq[Column], valueCol: String,
                    cumCol: String = "cumsum",

@@ -58,15 +58,32 @@ object SpacetimeDist {
     * `bandCells`-wide grid cells; each unit joins only the events of
     * the (2·ring+1)² band cells around its own (an equi-join on the
     * cell key — candidate volume is ring-bounded, never O(units×E)).
-    * Exactness is preserved by a distance-bound check: a (unit,
-    * event-month) group is provably complete when it found ≥ k
-    * candidates whose kth spatial distance² is strictly below
-    * (0.5·ring·bandCells)² — the minimum any outside-ring event can
-    * attain — or when the ring already holds ALL of that month's
-    * events; every other group recomputes against the month's full
-    * event set (an equi-join on event month, volume = unsafe pairs ×
-    * month density). The 100 TB path for dense event sets, where the
-    * O(E) broadcast of the default path stops fitting.
+    *
+    * Exactness is preserved by a PER-CELL completeness certificate
+    * (r12 — the r11 per-(unit, month) proof put a units×months row in
+    * the checked frame and, worse, sent every uncertified group to a
+    * full-month recompute whose volume degenerated to the O(U·E)
+    * broadcast product at 100× density; measured DNF, SCALING.md). A
+    * band cell C is provably complete for event-month t at ring R when
+    * the kth smallest MAX-CORNER distance² among t's events within
+    * Chebyshev cell-distance R of C is strictly below (0.5·R·b)² — the
+    * minimum any outside-ring event can attain from ANY point of C —
+    * or when the ring already holds ALL of t's events. The certificate
+    * covers every unit in C at once: max-corner distance dominates the
+    * unit's true distance, so each unit's kth-nearest ring event beats
+    * every outside-ring event. Proof work scales with occupied cells ×
+    * months, not units × months.
+    *
+    * Uncertified (cell, month) pairs ESCALATE to ring 3·ring before
+    * touching the full event set, and the escalation is provably
+    * sufficient for cert-tightness losses: an event within Chebyshev m
+    * of C has max-corner distance ≤ 0.5·(m+1)·b·√2, so any pair with
+    * ≥ k events inside its ORIGINAL ring ((m ≤ R) certifies at 3R
+    * because (R+1)·√2 < 3R for all R ≥ 1. Only neighbourhoods with
+    * fewer than k events in their own ring can reach the final exact
+    * fallback (full month event set) — genuinely sparse pairs, whose
+    * count bounds the fallback volume. The 100 TB path for dense event
+    * sets, where the O(E) broadcast of the default path stops fitting.
     */
   final case class Band(bandCells: Double, ring: Int) {
     require(bandCells > 0.0, "bandCells must be positive")
@@ -190,56 +207,117 @@ object SpacetimeDist {
           .agg(topk(col("sd2"), col("e_t"), col("e_u"), col("e_size")).as("cs"))
           .select(col(U), col("cs"))
       case Some(Band(b, r)) =>
-        // ring-bounded candidates: equi-join unit ring cells × event
-        // band cells, then prove each (unit, event-month) group
-        // complete or recompute it against that month's full event
-        // set. The event table feeds FOUR consumers here (band join,
-        // month totals, distinct months, fallback join) — persist it
+        // Ring-bounded candidates with the PER-CELL certificate (see
+        // [[Band]]): prove whole band cells complete — proof work
+        // scales with occupied cells × months — escalate uncertified
+        // (cell, month) pairs to ring 3r, and only the provably-sparse
+        // residue recomputes against its month's full event set. The
+        // event table feeds several consumers (two ring expansions,
+        // month totals, distinct months, final fallback) — persist it
         // once instead of re-filtering the panel per consumer.
-        val ev = graft.OpCache.persist(events)
-        val eb = ev
+        val ev = graft.OpCache.persist(events
           .withColumn("ebx", floor(col("e_lon") / b).cast("long"))
-          .withColumn("eby", floor(col("e_lat") / b).cast("long"))
-        val offsets = for { dx <- -r to r; dy <- -r to r } yield (dx, dy)
-        val offArr = array(offsets.map { case (dx, dy) =>
-          struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")) }: _*)
-        val unitCells = unitGeo
-          .select(col(U), col(lonCol), col(latCol), explode(offArr).as("o"))
-          .withColumn("cbx", floor(col(lonCol) / b).cast("long") + col("o.dx"))
-          .withColumn("cby", floor(col(latCol) / b).cast("long") + col("o.dy"))
-        val ringTop = unitCells
-          .join(eb, col("cbx") === col("ebx") && col("cby") === col("eby"))
-          .withColumn("sd2", sdx * sdx + sdy * sdy)
-          .groupBy(col(U), col("e_t"))
-          .agg(topk(col("sd2"), col("e_t"), col("e_u"), col("e_size")).as("cs"),
-            count(lit(1)).as("__cnt"))
+          .withColumn("eby", floor(col("e_lat") / b).cast("long")))
+        // event-side ring expansion: each event fans out to the
+        // (2R+1)² target cells whose ring contains it, carrying its
+        // MAX-CORNER distance² to that cell — the certificate metric
+        // (dominates every in-cell unit's true distance) — so one
+        // frame feeds both the per-cell proof and, joined to units on
+        // the unit's OWN cell, the per-unit candidate generation
+        def ringEv(rr: Int) = {
+          val offs = for { dx <- -rr to rr; dy <- -rr to rr } yield (dx, dy)
+          val offArr = array(offs.map { case (dx, dy) =>
+            struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")) }: _*)
+          val cellLon = col("cbx") * b
+          val cellLat = col("cby") * b
+          val dxm = greatest(abs(col("e_lon") - cellLon),
+            abs(col("e_lon") - (cellLon + b))) * 0.5
+          val dym = greatest(abs(col("e_lat") - cellLat),
+            abs(col("e_lat") - (cellLat + b))) * 0.5
+          ev.select(col("e_t"), col("e_lon"), col("e_lat"), col("e_size"),
+              col("e_u"), col("ebx"), col("eby"), explode(offArr).as("o"))
+            .withColumn("cbx", col("ebx") + col("o.dx"))
+            .withColumn("cby", col("eby") + col("o.dy"))
+            .withColumn("maxc2", dxm * dxm + dym * dym)
+            .drop("ebx", "eby", "o")
+        }
+        // persisted: the unit-cell table feeds the level-0/1 unit
+        // joins, the fallback join, and the occupied-cell universe —
+        // four consumers, each otherwise a fresh panel aggregation
+        val unitCell = graft.OpCache.persist(unitGeo
+          .withColumn("cbx", floor(col(lonCol) / b).cast("long"))
+          .withColumn("cby", floor(col(latCol) / b).cast("long")))
+        // tiny frames: occupied unit cells × event months, and the
+        // per-month event totals (the "ring holds the whole month"
+        // certificate arm)
+        val ucells = unitCell.select(col("cbx"), col("cby")).distinct()
         val monthTotals = ev.groupBy(col("e_t"))
           .agg(count(lit(1)).as("__mtotal"))
-        // outside-ring events sit ≥ ring band cells away in some
-        // coordinate, so their scaled distance² is ≥ (0.5·ring·b)²;
-        // strict < keeps distance TIES at the bound exact too
-        val minOut2 = { val g = 0.5 * r * b; g * g }
-        // persisted: the safe filter AND the unsafe fallback both
-        // consume this frame — without a materialization boundary the
-        // whole ring-join + top-k subtree executes once per branch
-        // (measured ~2× the operator)
-        val checked = graft.OpCache.persist(unitGeo
-          .crossJoin(broadcast(ev.select(col("e_t")).distinct()))
-          .join(ringTop, Seq(U, "e_t"), "left")
-          .join(broadcast(monthTotals), Seq("e_t"))
-          .withColumn("__kth2", element_at(col("cs"), -1).getField("_1"))
-          .withColumn("__safe", col("__cnt").isNotNull &&
-            ((col("__cnt") >= k && col("__kth2") < minOut2) ||
-              col("__cnt") === col("__mtotal"))))
-        val safe = checked.filter(col("__safe")).select(col(U), col("cs"))
-        val unsafeTop = checked.filter(!col("__safe"))
+        val cellMonths = ucells.crossJoin(broadcast(
+          ev.select(col("e_t")).distinct()))
+        // per-cell certificate at ring R: kth smallest max-corner
+        // distance² strictly below (0.5·R·b)² — the minimum any
+        // outside-ring event attains from ANY point of the cell (an
+        // outside event differs by > R cells in some coordinate, so
+        // its coordinate gap exceeds R·b) — or the ring holds ALL of
+        // the month's events. Strict < keeps boundary ties exact.
+        val certTop = udaf(new TopK(k))
+        def certify(ring: DataFrame, rr: Int): DataFrame = {
+          val minOut2 = { val g = 0.5 * rr * b; g * g }
+          ring.groupBy(col("cbx"), col("cby"), col("e_t"))
+            .agg(certTop(col("maxc2"), col("e_t"), col("e_u"), col("e_size"))
+              .as("__certs"), count(lit(1)).as("__cnt"))
+            .join(broadcast(monthTotals), Seq("e_t"))
+            .withColumn("__kth2", element_at(col("__certs"), -1).getField("_1"))
+            .withColumn("__safe",
+              (col("__cnt") >= k && col("__kth2") < minOut2) ||
+                col("__cnt") === col("__mtotal"))
+            .select(col("cbx"), col("cby"), col("e_t"), col("__safe"))
+        }
+        // per-unit top-k over a ring-event stream (the certificate
+        // guarantees the ring stream contains each unit's true top-k)
+        def unitTop(ring: DataFrame): DataFrame =
+          unitCell.join(ring, Seq("cbx", "cby"))
+            .withColumn("sd2", sdx * sdx + sdy * sdy)
+            .groupBy(col(U), col("e_t"))
+            .agg(topk(col("sd2"), col("e_t"), col("e_u"), col("e_size")).as("cs"))
+            .select(col(U), col("cs"))
+        // LEVEL 0 — caller's ring. The ring stream feeds the cert agg
+        // and the safe unit join; persist the (tiny) cert instead of
+        // the stream (the stream is a cheap map-side explode of the
+        // persisted event table).
+        val cert0 = graft.OpCache.persist(certify(ringEv(r), r))
+        val safe0 = cert0.filter(col("__safe")).drop("__safe")
+        val unsafe0 = cellMonths.join(cert0.filter(col("__safe")),
+          Seq("cbx", "cby", "e_t"), "left_anti")
+        val top0 = unitTop(ringEv(r).join(safe0, Seq("cbx", "cby", "e_t")))
+        // LEVEL 1 — escalate to ring 3r, restricted to the uncertified
+        // pairs. Provably absorbs cert tightness: an event within
+        // Chebyshev m has max-corner distance ≤ 0.5·(m+1)·b·√2, and
+        // (r+1)·√2 < 3r for every r ≥ 1 — so any pair with ≥ k events
+        // inside its ORIGINAL ring certifies here; only pairs with
+        // fewer than k nearby events can fall through. The restricted
+        // stream is persisted: it feeds the level-1 cert AND the
+        // level-1 unit join.
+        val r1 = 3 * r
+        val ring1 = graft.OpCache.persist(
+          ringEv(r1).join(unsafe0, Seq("cbx", "cby", "e_t")))
+        val cert1 = certify(ring1, r1)
+        val safe1 = cert1.filter(col("__safe")).drop("__safe")
+        val unsafe1 = unsafe0.join(cert1.filter(col("__safe")),
+          Seq("cbx", "cby", "e_t"), "left_anti")
+        val top1 = unitTop(ring1.join(safe1, Seq("cbx", "cby", "e_t")))
+        // LEVEL 2 — the exact fallback, now bounded by the sparse
+        // residue: units of uncertified (cell, month) pairs against
+        // that month's full event set.
+        val top2 = unitCell.join(unsafe1, Seq("cbx", "cby"))
           .select(col("e_t"), col(U), col(lonCol), col(latCol))
           .join(ev, Seq("e_t"))
           .withColumn("sd2", sdx * sdx + sdy * sdy)
           .groupBy(col(U), col("e_t"))
           .agg(topk(col("sd2"), col("e_t"), col("e_u"), col("e_size")).as("cs"))
           .select(col(U), col("cs"))
-        safe.unionByName(unsafeTop)
+        top0.unionByName(top1).unionByName(top2)
     }
     val cand = perMonthTop
       .select(col(U), explode(col("cs")).as("c"))

@@ -62,12 +62,30 @@ object CdcStream {
             seqCol: String, opCol: String,
             valueCols: Seq[String]): DataFrame = {
     val logPath = s"$storePath/log"
+    // Fail-fast guard: the retry loop exists ONLY for the compaction
+    // swap window (log staged aside for two renames). A store that was
+    // never ingested — typo'd path, empty deployment — has no swap in
+    // flight, and 40 blind retries (~1 s busy-wait) would just delay
+    // the real error. Distinguisher: compact always leaves its swap
+    // artifacts (`log.compact-bak` staged aside / `log.compact-tmp`
+    // not yet renamed) and ingest always creates the store root, so a
+    // missing store ROOT can never be a swap race.
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(rootFs.exists(root),
+      s"CDC store $storePath does not exist — nothing was ever ingested " +
+        s"(serve retries only bridge a concurrent compaction swap)")
     def missingFile(e: Throwable): Boolean =
       Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
         t =>
           t.isInstanceOf[java.io.FileNotFoundException] ||
             String.valueOf(t.getMessage).contains("PATH_NOT_FOUND") ||
-            String.valueOf(t.getMessage).contains("does not exist")
+            String.valueOf(t.getMessage).contains("does not exist") ||
+            // Spark wraps a mid-scan deletion as FAILED_READ_FILE; the
+            // NO_HINT variant carries no "does not exist" hint and can
+            // surface the root FileNotFound beyond the cause-chain cap
+            // (seen once under heavy load in the interleaved-race spec)
+            String.valueOf(t.getMessage).contains("FAILED_READ_FILE")
       }
     val maxAttempts = 40
     var attempt = 0

@@ -174,18 +174,26 @@ class PlanLintSpec extends SparkSpec {
 
   test("EVERY registered query is clean of fatal plan shapes AND fatal " +
       "float-gate taint at sf0.001 (whole-surface by-construction sweep)") {
-    // static plans only — no execution; one build per query feeds both
-    // checks. The sweep is the lints' whole-surface guarantee: a future
+    // One build per query feeds both checks. Most queries only PLAN
+    // here; the rank-statistics family (anything through
+    // Ranking.globalCumsum — spearman, kruskal, mannWhitney, mood,
+    // brownForsythe and their pipeline twins) runs real jobs at build
+    // time, because the exact-global-order checkpoint is eager by
+    // contract (Ranking.globalCumsum scaladoc) — cheap at sf0.001.
+    // The sweep is the lints' whole-surface guarantee: a future
     // operator cannot reintroduce the r10 constant-key funnel, a
     // cartesian, or a coarse-rounded order-dependent float accumulation
     // unnoticed (this sweep caught q_embed_rp_gate's cartesian fallback
     // and q_survival's summed 1e-9-rounded-DOUBLE log terms in r11 —
     // both green on the value gate, both latent engine-shaped risks).
     val dir = "/root/testdata/sf0.001"
+    val advisories = scala.collection.mutable.Set.empty[String]
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val f = try {
           val df = fn(spark, dir)
+          if (PlanLint.floatGate(df).exists(_.severity == "advisory"))
+            advisories += name
           PlanLint.fatal(df) ++ PlanLint.floatGateFatal(df)
         } catch { case e: Throwable =>
           Seq(PlanLint.Finding("fatal", "build",
@@ -193,6 +201,36 @@ class PlanLintSpec extends SparkSpec {
         f.map(x => s"$name: ${x.node} — ${x.detail.take(80)}")
     }
     assert(bad.isEmpty, bad.mkString("\n"))
+
+    // The float-gate ADVISORY budget (r12 directive #6): the PLANS.md
+    // r11 audit adjudicated every advisory finding — a plain/unordered
+    // float sum feeding a coarse round — as bounded by one of two
+    // classes (k-bounded term counts; per-entity series bounded by the
+    // month horizon or a document's length). That adjudication is only
+    // durable if the SET it covers cannot grow silently: a new query
+    // whose float sum is NOT bounded by those arguments would otherwise
+    // hide among the blessed ones. Any change here must re-run the
+    // PLANS.md adjudication — add the name only with a boundedness
+    // argument, remove names whose plans got integer-fixed.
+    val blessedAdvisory = PlanLintSpec.FloatGateAdvisoryBlessed
+    val grew = advisories.toSet -- blessedAdvisory
+    val shrunk = blessedAdvisory -- advisories.toSet
+    assert(grew.isEmpty,
+      s"NEW advisory float-gate findings — adjudicate boundedness and " +
+        s"extend the blessed list, or integer-fix: ${grew.toSeq.sorted.mkString(", ")}")
+    assert(shrunk.isEmpty,
+      s"blessed advisory list is stale — these queries no longer carry " +
+        s"advisory findings, remove them: ${shrunk.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("the floatGate advisory budget names are real registered queries") {
+    // guards the blessed list itself against bit-rot: a renamed or
+    // removed query must be pruned from the list, not linger as a
+    // phantom blessing
+    val unknown = PlanLintSpec.FloatGateAdvisoryBlessed
+      .filterNot(SparkEntry.queries.contains)
+    assert(unknown.isEmpty,
+      s"blessed names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
   }
 
   test("the engine's own scale-audited operators lint clean of fatals") {
@@ -206,4 +244,30 @@ class PlanLintSpec extends SparkSpec {
     assert(PlanLint.fatal(panel.select(col(Panel.TimeCol), col(Panel.UnitCol),
       graft.ops.TemporalOps.ewma(col("value"), 0.5, 3).as("e"))).isEmpty)
   }
+}
+
+object PlanLintSpec {
+  /** The adjudicated float-gate ADVISORY set (PLANS.md, r11 float-gate
+    * audit): each query carries a plain/unordered float sum feeding a
+    * coarse-rounded output, and each sum's term count is bounded by
+    * construction — class (a) k-bounded counts (bins, digits, buckets,
+    * rolling windows) or class (b) per-entity series bounded by the
+    * panel month horizon (≤600) or a document's length. Bounded term
+    * counts keep reassociation noise ~2⁻⁴⁴ relative — ten orders below
+    * the 1e-6 output grid. The whole-surface sweep asserts the live
+    * advisory set EQUALS this list, so an unbounded float sum cannot
+    * hide among the blessed ones.
+    */
+  val FloatGateAdvisoryBlessed: Set[String] = Set(
+    // class (a) — k-bounded term counts (bins, digits, buckets,
+    // fixed-window rolling sums)
+    "q_psi", "q_psi_stream", "q_benford", "q_dsir_sample",
+    "q_dsir_weights", "q_dsir_weights_bigram", "q_minhash_estimate",
+    "q_rolling_corr", "q_rolling_median", "q_winsorize", "q_robust_scale",
+    // class (b) — per-entity series bounded by the month horizon
+    // (≤600, the reference cap) or a document's token count
+    "q_acf", "q_pacf", "q_trend", "q_decompose", "q_forecast",
+    "q_theil_sen", "q_mann_kendall", "q_runs_test", "q_ewma", "q_cusum",
+    "q_changepoint", "q_pipeline_changepoint", "q_mice_gen",
+    "q_bm25", "q_lm_score", "q_pipeline_corpus_signals")
 }

@@ -4,7 +4,15 @@ parquet written by graft.Verify, run the corresponding oracle SQL in
 DuckDB over the same testdata tables and compare (sorted columns, sorted
 rows, doubles rounded to 1e-9).
 
-Usage: verify_local.py [--strict] <sfDir> <outDir> [query ...]
+Usage: verify_local.py [--strict] [--profile] <sfDir> <outDir> [query ...]
+
+--profile records per-query DuckDB oracle execution wall ms (SQL run
+time only — parquet reads of the Spark results and the compare are
+excluded) to <outDir>/oracle_timings.json plus a sorted top-20 list on
+stdout. This is the repo's only lever on the DRIVER's compare stage
+(two rounds of empty CORRECTNESS artifacts with a fast, crash-evident
+dump side left the driver's own DuckDB compare as the prime suspect):
+profile, then shrink the top offenders' SQL.
 
 --strict mimics the driver's hash compare: EXACT value equality after
 rounding floats to 1e-6 (the repo's output-rounding convention — the
@@ -16,13 +24,14 @@ persisted panel's partition layout differs from isolated runs) and then
 this script with --strict; that combination reproduces the driver's
 gate locally. Isolated-query runs are for iteration speed only.
 """
-import json, sys, glob, os
+import json, sys, glob, os, time
 import duckdb
 import pandas as pd
 import numpy as np
 
-argv = [a for a in sys.argv[1:] if a != "--strict"]
+argv = [a for a in sys.argv[1:] if a not in ("--strict", "--profile")]
 strict = "--strict" in sys.argv[1:]
+profile = "--profile" in sys.argv[1:]
 sfdir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
 outdir = argv[1] if len(argv) > 1 else "/tmp/verify_out"
 only = set(argv[2:])
@@ -57,6 +66,7 @@ def canon(df):
     return df
 
 fails = 0
+timings = {}
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
@@ -67,7 +77,9 @@ for name, sql in sorted(oracle.items()):
         continue
     try:
         spark_df = pd.read_parquet(res_path)
+        t0 = time.perf_counter()
         duck_df = con.execute(sql).df()
+        timings[name] = round((time.perf_counter() - t0) * 1000.0, 1)
     except Exception as e:
         print(f"FAIL {name}: {e}")
         fails += 1
@@ -104,5 +116,14 @@ for name, sql in sorted(oracle.items()):
             break
     if ok:
         print(f"OK   {name} ({len(a)} rows)")
+if profile and timings:
+    with open(f"{outdir}/oracle_timings.json", "w") as f:
+        json.dump({"total_ms": round(sum(timings.values()), 1),
+                   "queries": dict(sorted(timings.items()))}, f, indent=1)
+    top = sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+    print(f"\noracle DuckDB total: {sum(timings.values())/1000.0:.1f} s "
+          f"over {len(timings)} queries; top offenders:")
+    for n, ms in top:
+        print(f"  {ms/1000.0:7.2f} s  {n}")
 print(f"\n{'ALL OK' if fails == 0 else f'{fails} FAILURES'}")
 sys.exit(1 if fails else 0)
