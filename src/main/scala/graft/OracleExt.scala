@@ -5816,7 +5816,7 @@ object OracleExt {
        |    SUM(CAST(o AS HUGEINT) * r2) AS s2
        |  FROM cells JOIN rk USING (v) GROUP BY 1),
        |s AS (SELECT SUM(ng) AS n, CAST(COUNT(*) AS BIGINT) AS k,
-       |    SUM(CAST(round(CAST(s2 * s2 AS DOUBLE) / ng) AS BIGINT)) AS t
+       |    SUM(CAST(round(CAST(s2 * s2 AS DOUBLE) / ng) AS HUGEINT)) AS t
        |  FROM pg),
        |tt AS (SELECT SUM(CAST(nv AS HUGEINT) * nv * nv - nv) AS tt FROM m)
        |SELECT CAST(n AS BIGINT) AS n, k,

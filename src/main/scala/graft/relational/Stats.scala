@@ -451,12 +451,17 @@ object Stats {
       .groupBy(col("__g"))
       .agg(sum(col("__o")).as("__ng"),
         sum(col("__o").cast(Dec) * col("__r2")).as("__s2"))
-    // Σ_g S2_g²/n_g, each term integer-fixed (1e0 units — deterministic
-    // double→long conversion even past 2^53, the anovaF headroom note)
+    // Σ_g S2_g²/n_g, each term integer-fixed (1e0 units). The fixed
+    // term lands DIRECTLY in Decimal(38,0), never in a long: S2 ~
+    // n²/k, so S2²/n_g ~ n³/k² crosses 2^63 near n = 10M rows with
+    // continuous margins (the r12 scaling fixture hit the CAST_OVERFLOW
+    // cliff exactly there). round() of the double is already an exact
+    // representable value, so double→decimal is as deterministic as
+    // the old double→long — the oracle mirrors with HUGEINT.
     val sums = perG.agg(sum(col("__ng")).as("__n"),
       count(lit(1)).as("__k"),
       sum(round((col("__s2") * col("__s2")).cast("double") / col("__ng"))
-        .cast("long").cast(Dec)).as("__t"))
+        .cast(Dec)).as("__t"))
     val ties = margin.agg(
       sum(col("__nv").cast(Dec) * col("__nv") * col("__nv")
         - col("__nv")).as("__tt"))

@@ -74,16 +74,18 @@ object SpacetimeDist {
     * every outside-ring event. Proof work scales with occupied cells ×
     * months, not units × months.
     *
-    * Uncertified (cell, month) pairs ESCALATE to ring 3·ring before
-    * touching the full event set, and the escalation is provably
-    * sufficient for cert-tightness losses: an event within Chebyshev m
-    * of C has max-corner distance ≤ 0.5·(m+1)·b·√2, so any pair with
-    * ≥ k events inside its ORIGINAL ring ((m ≤ R) certifies at 3R
-    * because (R+1)·√2 < 3R for all R ≥ 1. Only neighbourhoods with
-    * fewer than k events in their own ring can reach the final exact
-    * fallback (full month event set) — genuinely sparse pairs, whose
-    * count bounds the fallback volume. The 100 TB path for dense event
-    * sets, where the O(E) broadcast of the default path stops fitting.
+    * Uncertified (cell, month) pairs ESCALATE through rings 3·ring
+    * and 9·ring before touching the full event set, and the first
+    * escalation is provably sufficient for cert-tightness losses: an
+    * event within Chebyshev m of C has max-corner distance ≤
+    * 0.5·(m+1)·b·√2, so any pair with ≥ k events inside its ORIGINAL
+    * ring (m ≤ R) certifies at 3R because (R+1)·√2 < 3R for all
+    * R ≥ 1. Only neighbourhoods with fewer than k events in their own
+    * ring fall further; the 9·ring step shrinks that tail so the
+    * final exact fallback (full month event set, salted month join)
+    * sees only genuinely event-starved pairs, whose count bounds the
+    * fallback volume. The 100 TB path for dense event sets, where the
+    * O(E) broadcast of the default path stops fitting.
     */
   final case class Band(bandCells: Double, ring: Int) {
     require(bandCells > 0.0, "bandCells must be positive")
@@ -224,23 +226,46 @@ object SpacetimeDist {
         // (dominates every in-cell unit's true distance) — so one
         // frame feeds both the per-cell proof and, joined to units on
         // the unit's OWN cell, the per-unit candidate generation
-        def ringEv(rr: Int) = {
+        def offArr(rr: Int) = {
           val offs = for { dx <- -rr to rr; dy <- -rr to rr } yield (dx, dy)
-          val offArr = array(offs.map { case (dx, dy) =>
+          array(offs.map { case (dx, dy) =>
             struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")) }: _*)
+        }
+        // max-corner distance² of an event to target cell (cbx, cby) —
+        // the certificate metric (dominates every in-cell unit's true
+        // distance)
+        def maxc2 = {
           val cellLon = col("cbx") * b
           val cellLat = col("cby") * b
           val dxm = greatest(abs(col("e_lon") - cellLon),
             abs(col("e_lon") - (cellLon + b))) * 0.5
           val dym = greatest(abs(col("e_lat") - cellLat),
             abs(col("e_lat") - (cellLat + b))) * 0.5
+          dxm * dxm + dym * dym
+        }
+        def ringEv(rr: Int) =
           ev.select(col("e_t"), col("e_lon"), col("e_lat"), col("e_size"),
-              col("e_u"), col("ebx"), col("eby"), explode(offArr).as("o"))
+              col("e_u"), col("ebx"), col("eby"), explode(offArr(rr)).as("o"))
             .withColumn("cbx", col("ebx") + col("o.dx"))
             .withColumn("cby", col("eby") + col("o.dy"))
-            .withColumn("maxc2", dxm * dxm + dym * dym)
+            .withColumn("maxc2", maxc2)
             .drop("ebx", "eby", "o")
-        }
+        // pair-side ring expansion: explode the PENDING (cell, month)
+        // pairs over the ring offsets and equi-join events on their
+        // own cell. Same rows as ringEv ⋈ pending, but the explode
+        // cost scales with the residue, not the event count — the
+        // right orientation for wide rings over small residues (the
+        // event-side 9r explode alone was 361·E rows to serve a
+        // ~1.4k-pair residue).
+        def ringFor(pending: DataFrame, rr: Int) =
+          pending
+            .select(col("cbx"), col("cby"), col("e_t"), explode(offArr(rr)).as("o"))
+            .withColumn("ebx", col("cbx") + col("o.dx"))
+            .withColumn("eby", col("cby") + col("o.dy"))
+            .drop("o")
+            .join(ev, Seq("ebx", "eby", "e_t"))
+            .drop("ebx", "eby")
+            .withColumn("maxc2", maxc2)
         // persisted: the unit-cell table feeds the level-0/1 unit
         // joins, the fallback join, and the occupied-cell universe —
         // four consumers, each otherwise a fresh panel aggregation
@@ -275,49 +300,72 @@ object SpacetimeDist {
             .select(col("cbx"), col("cby"), col("e_t"), col("__safe"))
         }
         // per-unit top-k over a ring-event stream (the certificate
-        // guarantees the ring stream contains each unit's true top-k)
+        // guarantees the ring stream contains each unit's true top-k).
+        // The ring side is EXPLICITLY repartitioned on the join keys:
+        // this join EXPLODES (ring events × in-cell units ≈ 16×), and
+        // AQE's coalescing sizes post-shuffle partitions by INPUT
+        // bytes — it funneled the 42M-row product through a handful of
+        // tasks (measured 28 s → 5.4 s at the 10× fixture). A
+        // REPARTITION_BY_NUM shuffle is not coalescible, and the join
+        // reuses its partitioning.
+        val nPart = spark.sessionState.conf.numShufflePartitions
         def unitTop(ring: DataFrame): DataFrame =
-          unitCell.join(ring, Seq("cbx", "cby"))
+          unitCell.join(ring.repartition(nPart, col("cbx"), col("cby")),
+              Seq("cbx", "cby"))
             .withColumn("sd2", sdx * sdx + sdy * sdy)
             .groupBy(col(U), col("e_t"))
             .agg(topk(col("sd2"), col("e_t"), col("e_u"), col("e_size")).as("cs"))
             .select(col(U), col("cs"))
-        // LEVEL 0 — caller's ring. The ring stream feeds the cert agg
-        // and the safe unit join; persist the (tiny) cert instead of
-        // the stream (the stream is a cheap map-side explode of the
-        // persisted event table).
-        val cert0 = graft.OpCache.persist(certify(ringEv(r), r))
-        val safe0 = cert0.filter(col("__safe")).drop("__safe")
-        val unsafe0 = cellMonths.join(cert0.filter(col("__safe")),
-          Seq("cbx", "cby", "e_t"), "left_anti")
-        val top0 = unitTop(ringEv(r).join(safe0, Seq("cbx", "cby", "e_t")))
-        // LEVEL 1 — escalate to ring 3r, restricted to the uncertified
-        // pairs. Provably absorbs cert tightness: an event within
-        // Chebyshev m has max-corner distance ≤ 0.5·(m+1)·b·√2, and
-        // (r+1)·√2 < 3r for every r ≥ 1 — so any pair with ≥ k events
-        // inside its ORIGINAL ring certifies here; only pairs with
-        // fewer than k nearby events can fall through. The restricted
-        // stream is persisted: it feeds the level-1 cert AND the
-        // level-1 unit join.
-        val r1 = 3 * r
-        val ring1 = graft.OpCache.persist(
-          ringEv(r1).join(unsafe0, Seq("cbx", "cby", "e_t")))
-        val cert1 = certify(ring1, r1)
-        val safe1 = cert1.filter(col("__safe")).drop("__safe")
-        val unsafe1 = unsafe0.join(cert1.filter(col("__safe")),
-          Seq("cbx", "cby", "e_t"), "left_anti")
-        val top1 = unitTop(ring1.join(safe1, Seq("cbx", "cby", "e_t")))
-        // LEVEL 2 — the exact fallback, now bounded by the sparse
-        // residue: units of uncertified (cell, month) pairs against
-        // that month's full event set.
-        val top2 = unitCell.join(unsafe1, Seq("cbx", "cby"))
+        // ESCALATION LADDER — rings r, 3r, 9r, then the exact
+        // fallback. Level 0 is the caller's ring (its stream is a
+        // cheap map-side explode of the persisted event table, so
+        // only the tiny cert persists). Each later level restricts
+        // the wider ring stream to the still-uncertified pairs and
+        // persists it (it feeds that level's cert AND unit join).
+        // The 3r step provably absorbs cert tightness: an event
+        // within Chebyshev m has max-corner distance ≤
+        // 0.5·(m+1)·b·√2, and (R+1)·√2 < 3R for every R ≥ 1 — so any
+        // pair with ≥ k events inside its ring-R certifies at 3R;
+        // only neighbourhoods with fewer than k nearby events fall
+        // through, and the 9r step shrinks that Poisson tail to the
+        // truly degenerate months before the O(month-events) fallback.
+        val ladder = Seq(r, 3 * r, 9 * r)
+        val (tops, residue) = ladder.zipWithIndex
+          .foldLeft((List.empty[DataFrame], cellMonths)) {
+            case ((acc, pending), (rr, i)) =>
+              val ring =
+                if (i == 0) ringEv(rr)
+                else graft.OpCache.persist(ringFor(pending, rr))
+              val cert = graft.OpCache.persist(certify(ring, rr))
+              val safe = cert.filter(col("__safe")).drop("__safe")
+              val top = unitTop(ring.join(safe, Seq("cbx", "cby", "e_t")))
+              val next = pending.join(cert.filter(col("__safe")),
+                Seq("cbx", "cby", "e_t"), "left_anti")
+              (top :: acc, next)
+          }
+        // FINAL exact fallback, bounded by the ladder's sparse
+        // residue: units of still-uncertified (cell, month) pairs
+        // against that month's full event set. The natural join key
+        // (event month) has only O(months) distinct values —
+        // parallelism would cap at the month count however large the
+        // product — so the join is SALTED: each event owns one of
+        // nPart salt buckets (by event-unit hash) and each fallback
+        // pair replicates across all buckets; the union over buckets
+        // is exactly the month's event set, and the product spreads
+        // over months × nPart keys. The salted side is pinned with a
+        // non-coalescible repartition (same AQE hazard as unitTop).
+        val salted = ev.withColumn("__salt",
+          pmod(xxhash64(col("e_u")), lit(nPart.toLong)))
+        val topF = unitCell.join(residue, Seq("cbx", "cby"))
           .select(col("e_t"), col(U), col(lonCol), col(latCol))
-          .join(ev, Seq("e_t"))
+          .withColumn("__salt", explode(sequence(lit(0L), lit(nPart.toLong - 1))))
+          .join(salted.repartition(nPart, col("e_t"), col("__salt")),
+            Seq("e_t", "__salt"))
           .withColumn("sd2", sdx * sdx + sdy * sdy)
           .groupBy(col(U), col("e_t"))
           .agg(topk(col("sd2"), col("e_t"), col("e_u"), col("e_size")).as("cs"))
           .select(col(U), col("cs"))
-        top0.unionByName(top1).unionByName(top2)
+        (topF :: tops).reduce(_ unionByName _)
     }
     val cand = perMonthTop
       .select(col(U), explode(col("cs")).as("c"))
