@@ -29,4 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with per-query persisted panels needs headroom; the box
   // has 128 GiB — 8g forced constant GC churn and 2-4x bench variance
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // pin the initial heap to the max: G1 commit/uncommit churn on an
+  // unpinned heap was the measured amplifier behind the r12 bench
+  // variance (kernel page-fault forensics in SCALING.md) — the forked
+  // Bench/Verify JVMs must page-fault the heap ONCE, like every
+  // hand-run measurement JVM already does
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

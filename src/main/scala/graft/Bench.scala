@@ -218,6 +218,9 @@ object Bench {
         .find(_.length <= 1500).getOrElse(line(Seq.empty))
     }
     println(headlineLine)
+    // release the memoized projection broadcasts this session owns
+    // (the memo outlives stopped sessions otherwise — ADVICE r12)
+    graft.functions.MatVecProject.clearBroadcasts(spark)
     spark.stop()
   }
 }

@@ -119,15 +119,21 @@ object Oracle {
   }
 
   /** CUSUM (TemporalOps.cusum, h=3): running deviation sum + breach at
-    * h unit-σ, margin rounded 1e-6 before the comparison (both sides).
-    * Mirrors the impl's integer fixed-point derivation exactly: values
-    * are fixed to 1e-9-unit BIGINTs at the scan, μ is fixed to the
-    * same grid from the exact integer total, and the cancellation
-    * `S_t − n_t·μ9` is pure integer arithmetic — engine-proof against
-    * both reassociated window SUMs and float-group-sum input noise.
-    * Only the final divide back to DOUBLE touches floats.
+    * h unit-σ. Mirrors the impl's integer fixed-point derivation
+    * exactly: values are fixed to 1e-9-unit BIGINTs at the scan, μ is
+    * fixed to the same grid from the exact integer total, and the
+    * cancellation `S_t − n_t·μ9` is pure integer arithmetic. The
+    * breach flag is the r13 integer certificate (no float anywhere in
+    * the decision — DuckDB's int128→double cast is not correctly
+    * rounded, so even an exact-integer sqrt rendezvous would leak):
+    * with `ex = N·Σv9² − (Σv9)²` and `A = |cs9| − 500`,
+    * breach ⟺ A ≥ 0 AND (A·N)²·d ≥ u·ex, h² = u/d exact — every
+    * operand a HUGEINT (overflow errors loudly, mirroring the Spark
+    * side's null-guard). Only the cusum OUTPUT divides back to DOUBLE.
     */
-  def qCusum(h: Double = 3.0): String =
+  def qCusum(h: Double = 3.0): String = {
+    val (u, d) = graft.ops.TemporalOps.cusumRational(h)
+    val (uS, dS) = (u.toBigInt.toString, d.toBigInt.toString)
     s"""$panel, fx AS (
        |  SELECT month_id, unit_id, value,
        |    CAST(round(value * 1e9) AS BIGINT) AS v9
@@ -138,19 +144,28 @@ object Oracle {
        |      CAST(sum(v9) OVER (PARTITION BY unit_id) AS DOUBLE)
        |      / CAST(count(v9) OVER (PARTITION BY unit_id) AS DOUBLE)
        |    ) AS BIGINT) AS mu9,
-       |    round(stddev_pop(value) OVER (PARTITION BY unit_id), 9) AS sd,
+       |    count(v9) OVER (PARTITION BY unit_id) AS nu,
+       |    CAST(count(v9) OVER (PARTITION BY unit_id) AS HUGEINT)
+       |      * sum(CAST(v9 AS HUGEINT) * v9) OVER (PARTITION BY unit_id)
+       |      - sum(v9) OVER (PARTITION BY unit_id)
+       |      * sum(v9) OVER (PARTITION BY unit_id) AS ex,
        |    CAST(sum(v9) OVER (PARTITION BY unit_id ORDER BY month_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s9,
        |    count(v9) OVER (PARTITION BY unit_id ORDER BY month_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n9
        |  FROM fx),
        |cs AS (
-       |  SELECT month_id, unit_id, sd,
-       |    CAST(s9 - n9 * mu9 AS DOUBLE) / 1e9 AS c
+       |  SELECT month_id, unit_id, nu, ex,
+       |    s9 - n9 * mu9 AS cs9
        |  FROM st)
-       |SELECT month_id, unit_id, round(c, 6) AS cusum,
-       |  CAST(round(abs(c) - $h * sd, 6) > 0.0 AS INTEGER) AS breach
+       |SELECT month_id, unit_id,
+       |  round(CAST(cs9 AS DOUBLE) / 1e9, 6) AS cusum,
+       |  CAST(CASE WHEN abs(cs9) - 500 < 0 THEN FALSE
+       |       ELSE (CAST(abs(cs9) - 500 AS HUGEINT) * nu)
+       |          * (CAST(abs(cs9) - 500 AS HUGEINT) * nu) * $dS
+       |          >= $uS * ex END AS INTEGER) AS breach
        |FROM cs""".stripMargin
+  }
 
   /** Per-unit OLS trend (TemporalOps.trendFit): slope/intercept from
     * the closed-form normal equations, both rounded 1e-9 before the
@@ -995,7 +1010,14 @@ object Oracle {
     val mlist = months.mkString(", ")
     s"""$panel, $embSql,
        |gk(gx, gy, gz, g) AS (VALUES $gv),
-       |src AS (SELECT p.month_id, e.ex, e.ey, p.value
+       |src AS (SELECT
+       |          CASE WHEN p.month_id BETWEEN 1 AND 30 THEN p.month_id
+       |               ELSE CAST(error('fourier-3d oracle month contract: '
+       |                 || 'the wide-month pivot hardcodes months 1..30 '
+       |                 || '(sf0.01 fixture geometry, like ncells=64) - '
+       |                 || 'got month_id ' || p.month_id) AS BIGINT)
+       |          END AS month_id,
+       |          e.ex, e.ey, p.value
        |        FROM panel p JOIN emb e ON e.unit_id = p.unit_id),
        |wv AS (SELECT ex, ey, $vcols FROM src GROUP BY ex, ey),
        |cube AS (

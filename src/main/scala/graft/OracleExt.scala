@@ -1865,7 +1865,10 @@ object OracleExt {
   /** JL random projection (Similarity.randomProject): the identical
     * ±1 sign matrix (from Similarity.rpSigns — the oracle builder
     * calls the same pure function) and one list_dot_product fold per
-    * output component, scaled by the inlined 1/√outDim.
+    * output component, scaled by the inlined 1/√outDim. Exploded to
+    * scalar (vec_id, dim, value) rows (r13) to match the declared
+    * query's wire shape — the driver compare cannot sort an array
+    * column.
     */
   def qEmbedRp(outDim: Int = 16, salt: String = "rp",
                inDim: Int = 64): String = {
@@ -1875,8 +1878,10 @@ object OracleExt {
       val arr = row.map(s => s"$s.0").mkString("[", ", ", "]")
       s"round(list_dot_product(v, $arr) * $inv, 6)"
     }.mkString(",\n  ")
-    s"""$embCte
-       |SELECT vec_id, [$comps] AS proj FROM c""".stripMargin
+    s"""$embCte,
+       |p AS (SELECT vec_id, [$comps] AS proj FROM c)
+       |SELECT vec_id, CAST(g AS INTEGER) AS dim, proj[g + 1] AS value
+       |FROM p, generate_series(0, ${outDim - 1}) t(g)""".stripMargin
   }
 
   /** JL distortion gate (Similarity.randomProjectGate): worst/mean

@@ -1092,9 +1092,17 @@ object SparkEntry {
     "q_silhouette" -> ((s, dir) =>
       similarity.Similarity.silhouette(embeddings(s, dir), nlists = 16)),
     // r10: JL random projection 64→16 — the map-only pre-ANN byte cut
-    // (deterministic ±1 sign matrix, one dot fold per component)
+    // (deterministic ±1 sign matrix, one dot fold per component).
+    // The DECLARED output explodes the projection to scalar
+    // (vec_id, dim, value) rows (r13): the driver's pandas compare
+    // sorts every output column, and an array<double> column is
+    // unsortable there (CORRECTNESS_r12's one compare error). The
+    // operator itself still returns the packed array — this is wire
+    // shape only.
     "q_embed_rp" -> ((s, dir) =>
-      similarity.Similarity.randomProject(embeddings(s, dir), outDim = 16)),
+      similarity.Similarity.randomProject(embeddings(s, dir), outDim = 16)
+        .select(col("vec_id"),
+          posexplode(col("proj")).as(Seq("dim", "value")))),
     // r10: its distortion gate — worst/mean cosine error over the
     // bounded pair sample with an envelope verdict
     "q_embed_rp_gate" -> ((s, dir) =>
@@ -2088,17 +2096,63 @@ object SparkEntry {
     * untouched — the column list puts `)` before AS, defeating the
     * pattern, and materializing a literal table is pointless anyway.
     */
-  // negative lookbehind: `WINDOW w AS (...)` is a named-window clause,
-  // not a CTE — materializing it is a parse error
-  private val cteDef = "(?<!WINDOW )(\\w+) AS \\(".r
+  private val cteDef = "(\\w+) AS \\(".r
+
+  // every span covered by a named-WINDOW clause: from each WINDOW
+  // keyword, walk the comma-separated `name AS ( … )` definitions with
+  // balanced parens — `w AS (` inside such a span is a window spec,
+  // not a CTE, and materializing it is a parse error. A lookbehind
+  // cannot see this (the SECOND definition of `WINDOW w1 AS (...),
+  // w2 AS (...)` is preceded by `), ` exactly like a sibling CTE), so
+  // the spans are computed positionally (r13, the ADVICE carve-out).
+  private def windowClauseSpans(sql: String): Seq[(Int, Int)] =
+    "\\bWINDOW\\s+".r.findAllMatchIn(sql).map { kw =>
+      var i = kw.end
+      var end = kw.end
+      var more = true
+      while (more) {
+        more = false
+        val defRe = "\\G\\s*\\w+\\s+AS\\s*\\(".r
+        defRe.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) =>
+            var j = i + m.end // just past the opening paren
+            var depth = 1
+            while (depth > 0 && j < sql.length) {
+              sql.charAt(j) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1
+                case _   => ()
+              }
+              j += 1
+            }
+            end = j
+            // a trailing comma continues the window list
+            val rest = sql.substring(j)
+            val comma = "\\A\\s*,".r.findPrefixMatchOf(rest)
+            if (comma.isDefined) { i = j + comma.get.end; more = true }
+          case None => ()
+        }
+      }
+      (kw.start, end)
+    }.toSeq
+
   private[graft] def materializeCtes(sql: String): String =
     // WITH RECURSIVE chains are exempt wholesale: DuckDB 1.0 mis-plans
     // a recursive member whose sibling CTEs are materialized
     // (q_chunk_bpe measured 789 rows instead of 2897 under the
     // transform — a silent wrong answer, not an error), and the
-    // recursive oracles are already sub-10 s un-materialized
-    if (sql.contains("RECURSIVE")) sql
-    else cteDef.replaceAllIn(sql, "$1 AS MATERIALIZED (")
+    // recursive oracles are already sub-10 s un-materialized. The
+    // match is the `WITH RECURSIVE` keyword pair, not the bare
+    // substring — a column or literal merely CONTAINING "RECURSIVE"
+    // must not silently lose its siblings' materialization.
+    if (sql.contains("WITH RECURSIVE")) sql
+    else {
+      val spans = windowClauseSpans(sql)
+      cteDef.replaceAllIn(sql, m =>
+        if (spans.exists(s => m.start >= s._1 && m.start < s._2))
+          scala.util.matching.Regex.quoteReplacement(m.matched)
+        else s"${m.group(1)} AS MATERIALIZED (")
+    }
 
   def oracleSql: Map[String, String] =
     oracleSqlRaw.map { case (k, v) => k -> materializeCtes(v) }

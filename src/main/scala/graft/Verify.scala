@@ -105,13 +105,21 @@ object Verify {
           // the heartbeat is best-effort evidence, never a failure
           // source: an IO error here (disk full mid-run) must not
           // escape the Runnable — that would abort futures.get() and
-          // skip the shutdown/errors.json/spark.stop tail below
+          // skip the shutdown/errors.json/spark.stop tail below.
+          // NonFatal only (ADVICE r12): an OOM/VirtualMachineError
+          // must propagate (the JVM is dying — "continuing" would
+          // mask it), and an interrupt must re-set the flag
           try {
             progressDone.put(name, (System.nanoTime() - t0) / 1000000L)
             writeProgress()
-          } catch { case e: Throwable =>
-            System.err.println(s"[verify] heartbeat write failed " +
-              s"(continuing): ${e.getMessage}")
+          } catch {
+            case e: InterruptedException =>
+              Thread.currentThread().interrupt()
+              System.err.println(s"[verify] heartbeat interrupted " +
+                s"(flag restored): ${e.getMessage}")
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[verify] heartbeat write failed " +
+                s"(continuing): ${e.getMessage}")
           }
         }
       })
@@ -140,6 +148,9 @@ object Verify {
         System.err.println(s"[verify] ${errors.size} queries FAILED: " +
           errors.keySet.asScala.toSeq.sorted.mkString(", "))
       }
+      // release the memoized projection broadcasts this session owns
+      // (the memo outlives stopped sessions otherwise — ADVICE r12)
+      graft.functions.MatVecProject.clearBroadcasts(spark)
       spark.stop()
     }
   }

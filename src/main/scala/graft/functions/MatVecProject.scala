@@ -90,8 +90,18 @@ object MatVecProject {
   def project(session: org.apache.spark.sql.SparkSession, v: Column,
               rows: Seq[Seq[Double]], scale: Double,
               roundScale: Int): Column = {
-    val bc = bcMemo.getOrElseUpdate((session, rows),
-      session.sparkContext.broadcast(rows.map(_.toArray).toArray))
+    // putIfAbsent, not getOrElseUpdate: TrieMap.getOrElseUpdate may
+    // evaluate the thunk in TWO racing first-callers, and the loser's
+    // broadcast would be an untracked block-manager leak no registry
+    // owns — create eagerly, install atomically, destroy the loser
+    val key = (session, rows)
+    val bc = bcMemo.get(key).getOrElse {
+      val fresh = session.sparkContext.broadcast(rows.map(_.toArray).toArray)
+      bcMemo.putIfAbsent(key, fresh) match {
+        case Some(winner) => fresh.destroy(); winner
+        case None         => fresh
+      }
+    }
     CatalystBridge.column(MatVecProject(
       CatalystBridge.expression(v), bc, scale, roundScale))
   }

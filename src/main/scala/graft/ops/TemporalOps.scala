@@ -157,25 +157,71 @@ object TemporalOps {
     * reassociation can perturb. μ is fixed to the same grid from the
     * exact integer total (`round(Σv9 / n)` — one float division of
     * identical exact operands, bit-deterministic). Only the final
-    * divide back to double touches floats again. σ keeps the 1e-9
-    * rounding for the breach margin (no t-amplification there).
+    * divide back to double touches floats again.
     * Long headroom: |n_t·μ9| ≤ n·|v|·1e9, safe for series of 1e6 rows
     * with |value| up to ~9e3 — per-unit series, not corpus-sized.
+    *
+    * The BREACH decision is pure integer arithmetic end to end (r13;
+    * the project's only recurring driver-only hash flip — r08, r09,
+    * r12 — was this margin): the old
+    * `round(|cs| − h·round(stddev_pop, 9), 6) > 0` kept one float
+    * aggregate whose last-ULP value differs across engines and merge
+    * orders, and a σ within an ULP of a rounding boundary flips the
+    * bit. Even the "sqrt of an exact integer" repair leaks: DuckDB's
+    * int128→double cast is NOT correctly rounded (measured ~0.6% of
+    * big integers off by 1 ULP vs round-to-nearest), so any float
+    * rendezvous loses. Instead the margin test
+    * `|cs| − h·σ ≥ 0.5e-6` (exactly the old HALF_UP round-6 boundary)
+    * is algebraized on the 1e-9 integer grid: with
+    * `ex = N·Σv9² − (Σv9)²  (= N²·σ9², exact)` and `A = |cs9| − 500`,
+    *   breach ⟺ A ≥ 0  AND  A²·N²·d ≥ u·ex
+    * where h² = u/d as the exact rational of the double h·h — every
+    * operand an exact Decimal(38,0) integer in Spark and a HUGEINT in
+    * DuckDB, no conversion, no sqrt, no rounding. Headroom: all terms
+    * fit 38 digits while N·(|cs9|+500)·√d ≤ 9.9e18 (monthly panels
+    * with |value| ≤ ~1e4 clear this by orders of magnitude); past it
+    * Spark's non-ANSI decimal overflow would return NULL — promoted
+    * to a loud error via the null-guard so the certificate can never
+    * silently degrade.
     *
     * @return (cusum DOUBLE, breach INT) as a struct column
     */
   def cusum(c: Column, h: Double = 3.0): Column = {
     val wAll = Window.partitionBy(Panel.UnitCol)
     val v9 = round(c * lit(1e9)).cast("long")
-    val mu9 = round(sum(v9).over(wAll).cast("double") /
-      count(v9).over(wAll).cast("double")).cast("long")
-    val sd = round(stddev_pop(c).over(wAll), 9)
+    val nAll = count(v9).over(wAll)
+    val s1 = sum(v9).over(wAll)
+    val mu9 = round(s1.cast("double") / nAll.cast("double")).cast("long")
     val cs9 = sum(v9).over(cum) - count(v9).over(cum) * mu9
     val cs = cs9.cast("double") / lit(1e9)
-    // the breach decision rounds its margin to 1e-6 so a borderline
-    // |cusum| ≈ h·σ resolves identically across engines/partitionings
-    struct(cs.as("cusum"),
-      (round(abs(cs) - lit(h) * sd, 6) > 0.0).cast("int").as("breach"))
+    // exact N²σ9² from integer sums: ex = N·Σv9² − (Σv9)²
+    val d19 = "decimal(19,0)"
+    val v9d = v9.cast(d19)
+    val ex = nAll.cast(d19) * sum(v9d * v9d).over(wAll) -
+      s1.cast(d19) * s1.cast(d19)
+    val (hNum, hDen) = cusumRational(h)
+    val a = abs(cs9) - lit(500L)
+    val an = a.cast(d19) * nAll.cast(d19)
+    val lhs = an * an * lit(hDen)
+    val rhs = lit(hNum) * ex
+    val breach = when(a < 0L, lit(0))
+      .when(lhs.isNull || rhs.isNull, raise_error(lit(
+        "cusum breach certificate overflow: N*(|cs9|+500) exceeds the " +
+          "Decimal(38,0) domain — rescale the series")).cast("int"))
+      .otherwise((lhs >= rhs).cast("int"))
+    struct(cs.as("cusum"), breach.as("breach"))
+  }
+
+  /** h² as the exact rational u/d of the DOUBLE h·h (every double is a
+    * finite decimal), shared by the batch operator, the streaming twin
+    * and the oracle generator so all three compare the identical
+    * integers.
+    */
+  private[graft] def cusumRational(h: Double): (BigDecimal, BigDecimal) = {
+    val hh = new java.math.BigDecimal(h * h).stripTrailingZeros
+    val s = math.max(hh.scale, 0)
+    (BigDecimal(hh.movePointRight(s)), BigDecimal(java.math.BigDecimal.ONE
+      .movePointRight(s)))
   }
 
   /** Per-unit OLS trend fit of the feature on time — the classic panel

@@ -344,4 +344,77 @@ object PlanLint {
   /** The float-gate findings a hash-gated query must never carry. */
   def floatGateFatal(df: DataFrame, maxScale: Int = 6): Seq[Finding] =
     floatGate(df, maxScale).filter(_.severity == "fatal")
+
+  // ------------------------------------------------------------------
+  // Value-buffering exact-percentile advisory (the fitBaseline lesson)
+  // ------------------------------------------------------------------
+
+  /** Flags Spark's EXACT percentile family (`Percentile` / `Median` /
+    * `PercentileDisc`) wherever its aggregation buffer is unbounded:
+    * these aggregates hold EVERY value of a group in one in-memory
+    * OpenHashMap — correct at test scale, an executor-OOM cliff when a
+    * group is data-sized (billions of doubles in one buffer at 100 TB;
+    * the r12 q_event_anomaly finding). A grouped/global aggregate
+    * always flags (the group's ROW count is what's unbounded, however
+    * k-bounded the group KEYS are); a window percentile flags only
+    * over an unbounded frame — `ROWS BETWEEN k PRECEDING` buffers k
+    * values by construction.
+    *
+    * Advisory, not fatal: per-entity series bounded by the panel month
+    * horizon (≤600) or a bounded training window are legitimate — the
+    * whole-surface sweep pins the adjudicated set so a NEW unbounded
+    * buffer announces itself (the float-gate budget discipline). The
+    * alternatives ship in-repo: `approx_percentile` twins
+    * (Profile.scala) or the range-partitioned exact-rank machinery
+    * (Ranking.groupedCumsum — Anomaly.fitBaseline is the template).
+    */
+  def percentileBuffer(df: DataFrame): Seq[Finding] =
+    percentileBufferPlan(df.queryExecution.analyzed)
+
+  def percentileBufferPlan(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[Finding] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val exactNames = Set("Percentile", "Median", "PercentileDisc")
+    def isExact(ae: AggregateExpression): Boolean =
+      exactNames.contains(ae.aggregateFunction.getClass.getSimpleName)
+    def boundedFrame(spec: WindowSpecDefinition): Boolean =
+      spec.frameSpecification match {
+        case SpecifiedWindowFrame(RowFrame, lo, _) => lo != UnboundedPreceding
+        case _                                     => false
+      }
+    val findings = scala.collection.mutable.ArrayBuffer.empty[Finding]
+    plan.foreach { node =>
+      // window functions are judged by their frame at the enclosing
+      // WindowExpression; remember them so the bare-aggregate case
+      // below doesn't re-judge the same instance without frame context
+      val inWindow = scala.collection.mutable.Set.empty[AggregateExpression]
+      node.expressions.foreach(_.foreach {
+        case we: WindowExpression =>
+          we.windowFunction match {
+            case ae: AggregateExpression =>
+              inWindow += ae
+              if (isExact(ae) && !boundedFrame(we.windowSpec))
+                findings += Finding("advisory", "Percentile",
+                  "exact percentile over an UNBOUNDED window frame buffers " +
+                    "the partition's whole series in one aggregator — bound " +
+                    "the frame, or use approx_percentile / the exact-rank " +
+                    "machinery (Ranking.groupedCumsum)")
+            case _ => ()
+          }
+        case _ => ()
+      })
+      node.expressions.foreach(_.foreach {
+        case ae: AggregateExpression if isExact(ae) && !inWindow.contains(ae) =>
+          findings += Finding("advisory", "Percentile",
+            "exact percentile buffers every value of its group in one " +
+              "in-memory aggregator — an OOM cliff when groups are " +
+              "data-sized; use approx_percentile or the exact-rank " +
+              "machinery (Ranking.groupedCumsum, Anomaly.fitBaseline)")
+        case _ => ()
+      })
+    }
+    findings.distinct.toSeq
+  }
 }

@@ -62,30 +62,41 @@ object CdcStream {
             seqCol: String, opCol: String,
             valueCols: Seq[String]): DataFrame = {
     val logPath = s"$storePath/log"
-    // Fail-fast guard: the retry loop exists ONLY for the compaction
-    // swap window (log staged aside for two renames). A store that was
-    // never ingested — typo'd path, empty deployment — has no swap in
-    // flight, and 40 blind retries (~1 s busy-wait) would just delay
-    // the real error. Distinguisher: compact always leaves its swap
-    // artifacts (`log.compact-bak` staged aside / `log.compact-tmp`
-    // not yet renamed) and ingest always creates the store root, so a
-    // missing store ROOT can never be a swap race.
     val root = new org.apache.hadoop.fs.Path(storePath)
-    val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(rootFs.exists(root),
-      s"CDC store $storePath does not exist — nothing was ever ingested " +
-        s"(serve retries only bridge a concurrent compaction swap)")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Retryable-miss taxonomy (r13, ADVICE carve-outs both ways):
+    //   - a missing path/file ALWAYS enters the retry loop — including
+    //     a missing store ROOT, which legitimately races the very
+    //     FIRST ingest (the r12 fail-fast regressed that); a store
+    //     that truly was never ingested fails AFTER the bounded
+    //     retries with the informative error, ~1 s later than the old
+    //     fail-fast but never spuriously;
+    //   - FAILED_READ_FILE is only retryable when it also carries an
+    //     observable missing-file signal: a swap artifact on disk
+    //     (`log.compact-bak` staged aside / `log.compact-tmp` not yet
+    //     renamed in), the log dir itself gone (the two-rename gap),
+    //     or a part file named in the message that no longer exists
+    //     (stale pre-swap listing read after the swap completed).
+    //     A genuinely CORRUPT file — log present, no swap in flight,
+    //     every named part still on disk — surfaces immediately
+    //     instead of burning 40 blind retries.
+    def swapObservable: Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(logPath + ".compact-bak")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(logPath + ".compact-tmp")) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(logPath))
+    def vanishedPart(msg: String): Boolean =
+      (java.util.regex.Pattern.quote(logPath) + "/[^\\s'\"\\)\\]]+").r
+        .findAllIn(msg)
+        .exists(p => !fs.exists(new org.apache.hadoop.fs.Path(p)))
     def missingFile(e: Throwable): Boolean =
       Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
         t =>
+          val msg = String.valueOf(t.getMessage)
           t.isInstanceOf[java.io.FileNotFoundException] ||
-            String.valueOf(t.getMessage).contains("PATH_NOT_FOUND") ||
-            String.valueOf(t.getMessage).contains("does not exist") ||
-            // Spark wraps a mid-scan deletion as FAILED_READ_FILE; the
-            // NO_HINT variant carries no "does not exist" hint and can
-            // surface the root FileNotFound beyond the cause-chain cap
-            // (seen once under heavy load in the interleaved-race spec)
-            String.valueOf(t.getMessage).contains("FAILED_READ_FILE")
+            msg.contains("PATH_NOT_FOUND") ||
+            msg.contains("does not exist") ||
+            (msg.contains("FAILED_READ_FILE") &&
+              (swapObservable || vanishedPart(msg)))
       }
     val maxAttempts = 40
     var attempt = 0
@@ -98,6 +109,11 @@ object CdcStream {
         case e: Throwable if missingFile(e) && attempt < maxAttempts =>
           attempt += 1
           Thread.sleep(25) // the swap gap is two renames — microseconds
+        case e: Throwable if missingFile(e) && !fs.exists(root) =>
+          throw new IllegalArgumentException(
+            s"CDC store $storePath does not exist — nothing was ever " +
+              s"ingested ($attempt bounded retries bridge only a " +
+              s"concurrent compaction swap or a racing first ingest)", e)
       }
     }
     out

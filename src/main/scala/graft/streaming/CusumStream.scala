@@ -25,26 +25,37 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * 1e-9-unit long on arrival, the baseline carries μ fixed to the
   * same grid (`mu9`), and the state carries a LONG Σ — the running
   * statistic is exact integer arithmetic until the final divide back
-  * to double.
+  * to double. The breach decision is the batch operator's r13
+  * integer certificate symbol for symbol: the baseline carries the
+  * exact `ex = N·Σv9² − (Σv9)²` (as a decimal STRING — it exceeds
+  * long range, and the default BigDecimal encoder's (38,18) cannot
+  * hold it) plus the fit count N, and scoring compares
+  * `(N·(|cs9| − 500))²·d ≥ u·ex` in BigInteger — no float, no sqrt,
+  * no σ anywhere in the flag.
   */
 object CusumStream {
 
   case class ScoredRow(unit_id: Long, month_id: Long, value: Double,
-                       mu9: Long, sd: Double)
+                       mu9: Long, nb: Long, ex: String)
   case class CusumState(n: Long, s9: Long)
   case class CusumOut(unit_id: Long, month_id: Long, cusum: Double,
                       breach: Int)
 
-  /** Per-unit reference stats, the batch fit: (unit_id, mu9, sd) with
-    * μ fixed to the 1e-9 integer grid from the exact integer value
-    * total — TemporalOps.cusum's discipline, symbol for symbol.
+  /** Per-unit reference stats, the batch fit: (unit_id, mu9, nb, ex)
+    * with μ fixed to the 1e-9 integer grid from the exact integer
+    * value total and `ex` the exact integer N²σ9² —
+    * TemporalOps.cusum's discipline, symbol for symbol.
     */
   def fitBaseline(panel: DataFrame, valueCol: String = "value"): DataFrame = {
     val v9 = round(col(valueCol) * lit(1e9)).cast("long")
+    val v9d = v9.cast("decimal(19,0)")
     panel.groupBy(col(graft.Panel.UnitCol))
       .agg(round(sum(v9).cast("double") / count(v9).cast("double"))
              .cast("long").as("mu9"),
-        round(stddev_pop(col(valueCol)), 9).as("sd"))
+        count(v9).as("nb"),
+        (count(v9).cast("decimal(19,0)") * sum(v9d * v9d) -
+          sum(v9).cast("decimal(19,0)") * sum(v9).cast("decimal(19,0)"))
+          .cast("string").as("ex"))
   }
 
   /** `round(value·1e9)` exactly as Spark's `round()` computes it:
@@ -56,12 +67,16 @@ object CusumStream {
     BigDecimal(value * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP)
       .toLong
 
-  private def breachOf(cs: Double, sd: Double, h: Double): Int = {
-    // the batch side's round(|cs| − h·σ, 6) > 0 — BigDecimal HALF_UP
-    // is exactly Spark's round()
-    val margin = BigDecimal(math.abs(cs) - h * sd)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    if (margin > 0) 1 else 0
+  private def breachOf(cs9: Long, nb: Long, ex: String, h: Double): Int = {
+    // the batch side's integer certificate: A = |cs9| − 500,
+    // breach ⟺ A ≥ 0 AND (A·N)²·d ≥ u·ex with h² = u/d exact
+    val a = math.abs(cs9) - 500L
+    if (a < 0L) 0
+    else {
+      val (u, d) = graft.ops.TemporalOps.cusumRational(h)
+      val an = BigInt(a) * BigInt(nb)
+      if (BigDecimal(an * an) * d >= u * BigDecimal(BigInt(ex))) 1 else 0
+    }
   }
 
   def updateGroup(h: Double)(unit: Long, rows: Iterator[ScoredRow],
@@ -69,8 +84,9 @@ object CusumStream {
     var st = state.getOption.getOrElse(CusumState(0L, 0L))
     val out = rows.toSeq.sortBy(_.month_id).map { r =>
       st = CusumState(st.n + 1, st.s9 + fix9(r.value))
-      val cs = (st.s9 - st.n * r.mu9).toDouble / 1e9
-      CusumOut(unit, r.month_id, cs, breachOf(cs, r.sd, h))
+      val cs9 = st.s9 - st.n * r.mu9
+      CusumOut(unit, r.month_id, cs9.toDouble / 1e9,
+        breachOf(cs9, r.nb, r.ex, h))
     }
     state.update(st)
     out.iterator
@@ -100,7 +116,7 @@ object CusumStream {
     cusum(panel
       .join(broadcast(baseline), graft.Panel.UnitCol)
       .select(col(graft.Panel.UnitCol), col(graft.Panel.TimeCol),
-        col("value"), col("mu9"), col("sd"))
+        col("value"), col("mu9"), col("nb"), col("ex"))
       .as[ScoredRow], h)
   }
 }

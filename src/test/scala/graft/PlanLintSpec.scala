@@ -188,19 +188,59 @@ class PlanLintSpec extends SparkSpec {
     // both green on the value gate, both latent engine-shaped risks).
     val dir = "/root/testdata/sf0.001"
     val advisories = scala.collection.mutable.Set.empty[String]
+    val pctAdvisories = scala.collection.mutable.Set.empty[String]
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val f = try {
           val df = fn(spark, dir)
           if (PlanLint.floatGate(df).exists(_.severity == "advisory"))
             advisories += name
-          PlanLint.fatal(df) ++ PlanLint.floatGateFatal(df)
+          if (PlanLint.percentileBuffer(df).nonEmpty)
+            pctAdvisories += name
+          // the wire rule (r13, from the q_embed_rp driver-compare
+          // crash): a DECLARED query output must be scalar columns
+          // only — the driver's pandas compare sorts every column and
+          // cannot sort an array/map/struct (numpy.ndarray is
+          // unhashable). Explode or project to scalars at the
+          // registration; the operator itself may keep the packed
+          // shape.
+          val nonScalar = df.schema.fields.filter(fd => fd.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.StructType => true
+            case _ => false
+          })
+          val wire =
+            if (nonScalar.isEmpty) Nil
+            else Seq(PlanLint.Finding("fatal", "wire",
+              s"non-scalar declared output column(s) " +
+                s"${nonScalar.map(_.name).mkString(", ")} — the driver " +
+                s"compare cannot sort them; explode to scalar rows"))
+          PlanLint.fatal(df) ++ PlanLint.floatGateFatal(df) ++ wire
         } catch { case e: Throwable =>
           Seq(PlanLint.Finding("fatal", "build",
             s"query failed to plan: ${e.getMessage}")) }
         f.map(x => s"$name: ${x.node} — ${x.detail.take(80)}")
     }
     assert(bad.isEmpty, bad.mkString("\n"))
+
+    // The exact-percentile BUFFER budget (r13 directive #4): every
+    // name here is adjudicated — its percentile's group/frame is
+    // bounded by construction (a per-unit series capped by the month
+    // horizon, a bounded training window, a k-bounded bin set). A new
+    // query with an exact percentile over data-sized groups must be
+    // rewritten (approx_percentile, or Ranking.groupedCumsum — see
+    // Anomaly.fitBaseline) rather than added here without a
+    // boundedness argument.
+    val pctGrew = pctAdvisories.toSet -- PlanLintSpec.PercentileBufferBlessed
+    val pctShrunk = PlanLintSpec.PercentileBufferBlessed -- pctAdvisories.toSet
+    assert(pctGrew.isEmpty,
+      s"NEW exact-percentile buffer findings — adjudicate boundedness " +
+        s"and extend the blessed list, or rewrite on the rank " +
+        s"machinery: ${pctGrew.toSeq.sorted.mkString(", ")}")
+    assert(pctShrunk.isEmpty,
+      s"percentile-buffer blessed list is stale — remove: " +
+        s"${pctShrunk.toSeq.sorted.mkString(", ")}")
 
     // The float-gate ADVISORY budget (r12 directive #6): the PLANS.md
     // r11 audit adjudicated every advisory finding — a plain/unordered
@@ -258,6 +298,30 @@ object PlanLintSpec {
     * advisory set EQUALS this list, so an unbounded float sum cannot
     * hide among the blessed ones.
     */
+  /** The adjudicated exact-percentile BUFFER set (r13): queries whose
+    * exact percentile aggregates over a group/frame that is bounded by
+    * construction —
+    *   - per-unit panel windows capped by the month horizon (≤600, the
+    *     reference cap): q_winsorize, q_robust_scale and their
+    *     pipeline twins;
+    *   - exact/approx envelope gates whose EXACT percentile exists
+    *     precisely to envelope-check the approx sketch on test-scale
+    *     data, with the 100 TB swap documented at the source
+    *     (Profile.scala scale note; the registration comments):
+    *     q_length_quantiles, q_length_quantiles_approx, q_profile,
+    *     q_profile_approx;
+    *   - bounded two-pass trims documented to swap for
+    *     approx_percentile at corpus scale: q_trimmed_mean.
+    * q_rolling_median is NOT here: its trailing ROW frame buffers ≤t
+    * values by construction, which the lint already exempts.
+    * q_event_anomaly / q_anomaly_stream are deliberately NOT here —
+    * their baseline fit rides the exact-rank machinery as of r13.
+    */
+  val PercentileBufferBlessed: Set[String] = Set(
+    "q_winsorize", "q_robust_scale",
+    "q_length_quantiles", "q_length_quantiles_approx",
+    "q_profile", "q_profile_approx", "q_trimmed_mean")
+
   val FloatGateAdvisoryBlessed: Set[String] = Set(
     // class (a) — k-bounded term counts (bins, digits, buckets,
     // fixed-window rolling sums)
@@ -266,8 +330,10 @@ object PlanLintSpec {
     "q_rolling_corr", "q_rolling_median", "q_winsorize", "q_robust_scale",
     // class (b) — per-entity series bounded by the month horizon
     // (≤600, the reference cap) or a document's token count
+    // q_cusum left this list in r13: its breach margin became a pure
+    // integer certificate (no stddev_pop, no float in the decision)
     "q_acf", "q_pacf", "q_trend", "q_decompose", "q_forecast",
-    "q_theil_sen", "q_mann_kendall", "q_runs_test", "q_ewma", "q_cusum",
+    "q_theil_sen", "q_mann_kendall", "q_runs_test", "q_ewma",
     "q_changepoint", "q_pipeline_changepoint", "q_mice_gen",
     "q_bm25", "q_lm_score", "q_pipeline_corpus_signals")
 }

@@ -60,7 +60,9 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
       .toMap
     val baseline = CusumStream.fitBaseline(p)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
     val src = MemoryStream[CusumStream.ScoredRow]
     val q = CusumStream.cusum(src.toDS(), h = 2.0)
       .writeStream.format("memory").queryName("cusum_stream")
@@ -69,8 +71,8 @@ class StreamingSpec extends SparkSpec {
       def feed(months: Range): Unit = {
         src.addData(rows.filter(r => months.contains(r._1.toInt)).map {
           case (m, u, v) =>
-            val (mu9, sd) = baseline(u)
-            CusumStream.ScoredRow(u, m, v, mu9, sd)
+            val (mu9, nb, ex) = baseline(u)
+            CusumStream.ScoredRow(u, m, v, mu9, nb, ex)
         })
         q.processAllAvailable()
       }
