@@ -150,6 +150,31 @@ object Scaling {
           timed("kruskal", scale)(
             relational.Stats.kruskalWallis(cont, "g", "y", 12.592))
       }
+      // the r13 fitBaseline rewrite: per-group median/IQR via the
+      // range-partitioned exact-rank machinery instead of the
+      // value-buffering exact percentile. Both paths measured on the
+      // same continuous-value events fixture (8 k-bounded groups,
+      // group ROW counts growing with scale — the exact shape where
+      // the buffering aggregate's per-group array is data-sized):
+      // the rank path must grow ~linearly; the buffering twin is the
+      // baseline it replaced (fine at local scales, an executor-OOM
+      // cliff at corpus scale — measured here for growth, not death)
+      if ((want("anomaly_fit") || want("anomaly_fit_buffering")) &&
+          (scale <= 10 || only.isDefined)) {
+        val n = 1000000L * mult
+        val ev = spark.range(n).select(col("id").as("event_id"),
+          concat(lit("e"), pmod(col("id"), lit(8))).as("event_type"),
+          (pmod(xxhash64(lit("v"), col("id")), lit(1000000007L))
+            .cast("double") / 1000.0).as("value")).localCheckpoint()
+        if (want("anomaly_fit"))
+          timed("anomaly_fit", scale)(relational.Anomaly.fitBaseline(ev))
+        if (want("anomaly_fit_buffering"))
+          timed("anomaly_fit_buffering", scale)(
+            ev.groupBy(col("event_type")).agg(
+              percentile(col("value"), lit(0.5)).as("__med"),
+              (percentile(col("value"), lit(0.75)) -
+                percentile(col("value"), lit(0.25))).as("__iqr")))
+      }
       if ((want("spacetime_banded") || want("spacetime_broadcast")) &&
           (scale <= 10 || only.isDefined)) {
         val p = panelAt(3600L * mult)

@@ -180,9 +180,11 @@ object TemporalOps {
     * DuckDB, no conversion, no sqrt, no rounding. Headroom: all terms
     * fit 38 digits while N·(|cs9|+500)·√d ≤ 9.9e18 (monthly panels
     * with |value| ≤ ~1e4 clear this by orders of magnitude); past it
-    * Spark's non-ANSI decimal overflow would return NULL — promoted
-    * to a loud error via the null-guard so the certificate can never
-    * silently degrade.
+    * the run fails LOUDLY either way — under ANSI mode (the Spark 4
+    * default) the decimal multiply throws Spark's overflow error, and
+    * with ANSI off the null-guard below promotes the silent NULL to
+    * the named certificate error. DuckDB HUGEINT overflow errors on
+    * its own. The certificate can never silently degrade.
     *
     * @return (cusum DOUBLE, breach INT) as a struct column
     */
@@ -212,13 +214,21 @@ object TemporalOps {
     struct(cs.as("cusum"), breach.as("breach"))
   }
 
-  /** h² as the exact rational u/d of the DOUBLE h·h (every double is a
-    * finite decimal), shared by the batch operator, the streaming twin
-    * and the oracle generator so all three compare the identical
-    * integers.
+  /** h² as a rational u/d (d = 10^s, s ≤ 12), shared by the batch
+    * operator, the streaming twin and the oracle generator so all
+    * three compare the IDENTICAL integers — engine-identity needs a
+    * shared value, not a perfect one. Exact when the double h·h is a
+    * short decimal (every gate h: 9/1, 4/1, 625/100); a long-tail
+    * double (h = 1.7 → 52 digits) is rounded HALF_EVEN to 12 decimal
+    * places — 1e-12 relative on the threshold, four orders tighter
+    * than the old float margin, and capped so (A·N)²·d keeps
+    * Decimal(38,0) headroom (A·N ≤ ~3e15 at the worst-case d = 1e12).
     */
   private[graft] def cusumRational(h: Double): (BigDecimal, BigDecimal) = {
-    val hh = new java.math.BigDecimal(h * h).stripTrailingZeros
+    val raw = new java.math.BigDecimal(h * h).stripTrailingZeros
+    val hh = (if (raw.scale > 12)
+      raw.setScale(12, java.math.RoundingMode.HALF_EVEN)
+    else raw).stripTrailingZeros
     val s = math.max(hh.scale, 0)
     (BigDecimal(hh.movePointRight(s)), BigDecimal(java.math.BigDecimal.ONE
       .movePointRight(s)))

@@ -175,6 +175,56 @@ class TemporalOpsSpec extends SparkSpec {
     assert(minIdx == 9, s"drift extreme at $minIdx, expected 9")
   }
 
+  test("cusumRational renders h² as a shared bounded rational") {
+    assert(TemporalOps.cusumRational(3.0) == (BigDecimal(9), BigDecimal(1)))
+    assert(TemporalOps.cusumRational(2.5) ==
+      (BigDecimal(625), BigDecimal(100)))
+    assert(TemporalOps.cusumRational(2.0) == (BigDecimal(4), BigDecimal(1)))
+    // a long-tail double: d capped at 10^12 (Decimal(38,0) literal
+    // headroom), u/d within 1e-12 relative of h·h — and DETERMINISTIC,
+    // which is the actual contract (all three sides share the value)
+    val (u, d) = TemporalOps.cusumRational(1.7)
+    assert(d <= BigDecimal(10).pow(12))
+    assert(((u / d) - BigDecimal(1.7 * 1.7)).abs / BigDecimal(1.7 * 1.7)
+      < BigDecimal(1e-12))
+  }
+
+  test("cusum breach certificate: the integer margin test agrees with " +
+      "the analytic h·σ boundary on exact cases") {
+    // values chosen so σ and the cusum walk are exact decimals: the
+    // breach set must match |cs| − h·σ ≥ 0.5e-6 computed by hand
+    val rows = (1L to 4L).map(m => (m, 0L, if (m <= 2) 0.0 else 8.0))
+    val p = rows.toDF(T, U, "value")
+    // mean 4, σ = 4; walk: −4, −8, −4, 0 ⇒ |−8| ≥ 2·4 exactly at t=2:
+    // margin 0 < 0.5e-6 ⇒ NOT a breach at h=2 (the old round-6 > 0
+    // boundary, preserved exactly); at h=1.9 the margin is 0.4 ⇒ breach
+    def breaches(h: Double) = p.select(col(T),
+        TemporalOps.cusum(col("value"), h).as("c"))
+      .orderBy(T).collect().map(_.getStruct(1).getInt(1)).toSeq
+    assert(breaches(2.0) == Seq(0, 0, 0, 0))
+    assert(breaches(1.9) == Seq(0, 1, 0, 0))
+  }
+
+  test("cusum certificate overflow raises loudly instead of returning " +
+      "a silent NULL breach") {
+    // |value| ~ 4e8 over 40 rows pushes (A·N)² past Decimal(38,0):
+    // the run must FAIL — under ANSI (the Spark 4 default) the decimal
+    // multiply throws Spark's own overflow; with ANSI off the operator's
+    // null-guard raises the named certificate error. Either way: loud.
+    val rows = (1L to 40L).map(m =>
+      (m, 0L, if (m % 2 == 0) 4.0e8 else -4.0e8))
+    val p = rows.toDF(T, U, "value")
+    val e = intercept[Exception] {
+      p.select(TemporalOps.cusum(col("value"), 3.0).as("c")).collect()
+    }
+    def chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10).map(t => String.valueOf(t.getMessage))
+    assert(chain.exists(m => m.contains("cusum breach certificate") ||
+      m.contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
+      m.contains("ARITHMETIC_OVERFLOW") || m.contains("overflow")),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("decompose recovers a planted period-3 seasonal pattern") {
     val season = Array(3.0, -1.0, -2.0)
     val rows = (0L until 30L).map(m => (m, 0L, 10.0 + season((m % 3).toInt)))

@@ -692,6 +692,47 @@ class TextPipelineSpec extends SparkSpec {
     assert((0L to 6L).forall(fl(_)._2 == 0))
   }
 
+  test("fitBaseline (exact-rank machinery) equals the value-buffering " +
+      "percentile aggregate on ties, n=1 groups, nulls, even/odd counts") {
+    // the r13 rewrite's contract: same (group, __med, __iqr) as the old
+    // `percentile` form, including a group of one value, a group whose
+    // values are ALL null (row kept, stats null), heavy ties, and both
+    // even (interpolating) and odd (exact-position) counts
+    val rows = Seq(
+      ("A", Some(1.0)), ("A", Some(2.0)), ("A", Some(2.0)), ("A", Some(2.0)),
+      ("A", Some(9.0)),                       // odd count, tied median
+      ("B", Some(4.0)), ("B", Some(8.0)),     // even count -> interpolate
+      ("C", Some(7.0)),                       // n = 1
+      ("D", None), ("D", None),               // all-null group
+      ("E", Some(3.0)), ("E", None), ("E", Some(5.0)), ("E", Some(1.0)))
+    val ev = rows.zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v.map(Double.box).orNull) }
+      .toDF("event_id", "event_type", "value")
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+    val got = graft.relational.Anomaly.fitBaseline(ev)
+      .collect()
+      .map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    val want = ev.groupBy(col("event_type")).agg(
+        percentile(col("value"), lit(0.5)).as("m"),
+        (percentile(col("value"), lit(0.75)) -
+          percentile(col("value"), lit(0.25))).as("i"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(got.keySet == want.keySet) // incl. the all-null group D
+    want.foreach { case (g, (wm, wi)) =>
+      val (gm, gi) = got(g)
+      assert(gm.isDefined == wm.isDefined && gi.isDefined == wi.isDefined,
+        s"group $g nullability: got ($gm, $gi) want ($wm, $wi)")
+      for (a <- gm; b <- wm) assert(math.abs(a - b) < 1e-12, s"$g median")
+      for (a <- gi; b <- wi) assert(math.abs(a - b) < 1e-12, s"$g iqr")
+    }
+  }
+
   test("temperature mixing: alpha=1 keeps all, alpha<1 trims heavy sources hardest") {
     val docs = ((0L until 80L).map(i => (i, "sA", 100L)) ++
       (80L until 100L).map(i => (i, "sB", 100L)))
