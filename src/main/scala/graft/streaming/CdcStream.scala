@@ -95,6 +95,14 @@ object CdcStream {
           t.isInstanceOf[java.io.FileNotFoundException] ||
             msg.contains("PATH_NOT_FOUND") ||
             msg.contains("does not exist") ||
+            // mid-FIRST-write window (found by the racing-first-ingest
+            // spec): the log dir exists with only _temporary content
+            // until the write commits, and schema inference over zero
+            // committed parts throws UNABLE_TO_INFER_SCHEMA — the next
+            // attempt sees the committed files. A permanently empty
+            // log burns the bounded retries (~1 s) before the same
+            // error surfaces, which is the retry loop's normal price.
+            msg.contains("UNABLE_TO_INFER_SCHEMA") ||
             (msg.contains("FAILED_READ_FILE") &&
               (swapObservable || vanishedPart(msg)))
       }

@@ -941,6 +941,66 @@ class StreamingSpec extends SparkSpec {
     assert(servedMap() === Set((1L, 12.0, 4L), (2L, 22.0, 4L)))
   }
 
+  test("CDC serve: a store that was never ingested fails AFTER the " +
+      "bounded retries with the informative error, not a blind crash") {
+    import graft.streaming.CdcStream
+    val ghost = java.nio.file.Files
+      .createTempDirectory("graft_cdc_ghost_").toString + "/nope"
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException] {
+      CdcStream.serve(spark, ghost, "k", "seq", "op", Seq("v"))
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(e.getMessage.contains("does not exist"))
+    assert(e.getMessage.contains("nothing was ever ingested"))
+    // bounded: ~40 × 25 ms of bridging, not an unbounded hang
+    assert(sec < 30.0, s"took $sec s")
+  }
+
+  test("CDC serve racing the very FIRST ingest bridges the missing " +
+      "store root (the r12 fail-fast regression, pinned)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.CdcStream
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_cdc_first_").toString + "/store"
+    // serve starts BEFORE anything exists; the first epoch lands
+    // ~200 ms later, inside the retry window
+    val ingester = new Thread(() => {
+      Thread.sleep(200)
+      CdcStream.ingestEpoch(
+        Seq((1L, 10.0, 1L, "I"), (2L, 20.0, 1L, "I"))
+          .toDF("k", "v", "seq", "op"), store, 0L)
+    })
+    ingester.start()
+    try {
+      val served = CdcStream.serve(spark, store, "k", "seq", "op", Seq("v"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(served === Set((1L, 10.0), (2L, 20.0)))
+    } finally ingester.join(60000)
+  }
+
+  test("CDC serve: a genuinely corrupt log file fails FAST (no swap " +
+      "in flight, every named part on disk -> not retryable)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.CdcStream
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_cdc_corrupt_").toString
+    CdcStream.ingestEpoch(
+      Seq((1L, 10.0, 1L, "I")).toDF("k", "v", "seq", "op"), store, 0L)
+    // drop a non-parquet file into the log dir
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$store/log/part-corrupt.parquet"),
+      "this is not parquet".getBytes("UTF-8"))
+    val t0 = System.nanoTime()
+    intercept[Exception] {
+      CdcStream.serve(spark, store, "k", "seq", "op", Seq("v"))
+        .collect()
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    // fail-fast: no 40-retry busy wait before the real error surfaces
+    assert(sec < 20.0, s"corrupt file burned $sec s before failing")
+  }
+
   test("CDC compaction under a CONCURRENT reader: every interleaved " +
       "serve returns the same resolved state (read-retry over the swap)") {
     import org.apache.spark.sql.functions._
