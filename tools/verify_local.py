@@ -48,10 +48,25 @@ for f in glob.glob(f"{sfdir}/*.parquet"):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+class NonScalarColumn(Exception):
+    pass
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
+            # the driver's compare CRASHES on array/list cells inside
+            # sort_values (unhashable ndarray) — r12's q_embed_rp red
+            # row. This harness used to stringify them, which is
+            # exactly how that divergence hid locally: under --strict
+            # (the driver mirror), a non-scalar cell is a FAIL here
+            # too, so the wire rule can never silently regress.
+            if strict and df[c].map(
+                    lambda v: isinstance(v, (np.ndarray, list, dict, tuple))
+                ).any():
+                raise NonScalarColumn(
+                    f"column {c!r} holds array/list cells — the driver "
+                    f"compare cannot sort these; explode to scalar rows")
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.floating):
             df[c] = df[c].astype(float).round(6 if strict else 9)
@@ -84,7 +99,12 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: {e}")
         fails += 1
         continue
-    a, b = canon(spark_df), canon(duck_df)
+    try:
+        a, b = canon(spark_df), canon(duck_df)
+    except NonScalarColumn as e:
+        print(f"FAIL {name}: {e}")
+        fails += 1
+        continue
     if list(a.columns) != list(b.columns):
         print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
         fails += 1
