@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** BENCH main: runs every SparkEntry query against SPARK_GRAFT_SF_DIR
-  * and prints one JSON line with per-query wall-clock seconds.
+  * and prints per-query wall-clock seconds as cumulative JSON lines.
   *
   * Each query is forced through the noop sink (all columns computed,
   * nothing collected) — `count()` would let Catalyst prune the very
@@ -121,6 +121,126 @@ object Bench {
         None
       }
     val loadBefore = loadAvg()
+    // Timeout survivability (r13 verdict #2: BENCH_r13 was an rc-124
+    // DNF with `parsed: null` — ~45 queries' measurements existed and
+    // were LOST because this main printed nothing until the very end).
+    // Two defenses:
+    //   - after EVERY query the cumulative headline line is printed
+    //     (marked "partial":true with completed/of counters) and
+    //     target/bench_full.json is atomically rewritten — the
+    //     driver's ~2000-byte stdout-tail capture always ends with a
+    //     parseable snapshot of whatever completed, so an external
+    //     kill can no longer produce a zero-information record;
+    //   - an optional wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S,
+    //     seconds): past 70% consumed, remaining queries drop to
+    //     SINGLE-SAMPLE mode (no re-time, no arbitration) rather than
+    //     DNF — those names are listed in "degraded" (the r5 "marked,
+    //     never papered over" discipline: a degraded entry is one
+    //     unarbitrated sample, not a protocol-clean minimum).
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.toDouble)
+    val tStart = System.nanoTime()
+    def pastBudget: Boolean =
+      budgetS.exists(b => (System.nanoTime() - tStart) / 1e9 > 0.7 * b)
+    val degraded = scala.collection.mutable.LinkedHashSet.empty[String]
+
+    def sec(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // millisecond precision for the full artifact: %.2f flattens
+    // sub-10ms samples to 0.00/0.01, hiding exactly the spread the
+    // samples exist to show (the compact headline keeps %.2f for the
+    // output-tail byte budget)
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def names(xs: Iterable[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    /** Cumulative snapshot: atomically rewrite target/bench_full.json
+      * and print ONE headline JSON line. Called after EVERY measured
+      * query (partial = true) and once at the end (partial = false);
+      * the driver's tail capture keeps whichever line printed last.
+      */
+    def emit(sampled: Seq[(String, Seq[Double])], partial: Boolean): Unit = {
+      val loadAfter = loadAvg()
+      val results = sampled.map { case (name, ts) => name -> ts.min }
+      // The contention indicator the r5 verdict asked for. A first-run/
+      // re-run spread is expected (per-query codegen + JIT land on the
+      // first sample), so contention is judged on WARM samples only: a
+      // query is contended when its two warm samples (taken only after
+      // the first two diverged) still disagree >2× — a warm, cached
+      // plan does not legitimately vary that much. A clean run has
+      // empty `contended`; a degraded machine fills it.
+      val contended = sampled.collect {
+        case (n, ts) if ts.length >= 3 && {
+          val warm = ts.drop(1)
+          warm.max > 2.0 * warm.min && warm.max > 0.3
+        } => n
+      }
+      val total = results.map(_._2).sum
+      // a thrown query records near-zero wall-clock — surface it so a
+      // regression can't masquerade as a fast run
+      val fj = names(failures)
+      val cj = names(contended)
+      val rj = names(retryFailed)
+      val dj = names(degraded)
+      // "timing" documents the protocol: every query is min-of-2 warm
+      // samples (min-of-3 when the first two diverge >2×), the later
+      // passes run against whatever session caches the first built
+      // (GeoCache persists, cached shingle tables, CacheManager plan
+      // reuse) — so the numbers are warm-cache plan-tracking numbers,
+      // and "total" is a sum of per-query minima, not any single run's
+      // wall-clock. `contended` lists queries whose samples still
+      // spread >2× and `load` is 1-min /proc/loadavg before/after — a
+      // run with many contended entries or load far above core count
+      // is a degraded measurement, not a plan regression. `degraded`
+      // lists single-sample entries forced by the wall-clock budget;
+      // `partial` + completed/of mark a mid-run snapshot (the run was
+      // killed before the suite finished — totals cover only the
+      // completed prefix).
+      val progress =
+        if (partial) s""""partial":true,"completed":${sampled.length},"of":${selected.length},"""
+        else ""
+      val loadJson = s""""load":[${sec(loadBefore)},${sec(loadAfter)}]"""
+      def toJson(rs: Seq[(String, Double)]): String =
+        rs.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
+      def line(qs: Seq[(String, Double)]) =
+        s"""{"metric":"total","value":${sec(total)},"unit":"sec",$progress"timing":"min-of-2-adjacent","contended":$cj,"retry_failed":$rj,"degraded":$dj,$loadJson,"queries":${toJson(qs)},"failures":$fj,"sf":"$sfDir"}"""
+      // full artifact additionally carries every raw sample per query
+      // (ms precision), so a divergent driver run is diagnosable from
+      // the JSON alone
+      val samplesJson = sampled.map { case (n, ts) =>
+        "\"" + n + "\":[" + ts.map(ms).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val fullQueries = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+        .mkString("{", ",", "}")
+      val fullLine =
+        s"""{"metric":"total","value":${ms(total)},"unit":"sec",$progress"timing":"min-of-2-adjacent","contended":$cj,"retry_failed":$rj,"degraded":$dj,$loadJson,"queries":$fullQueries,"failures":$fj,"sf":"$sfDir","samples":$samplesJson}"""
+      val target = java.nio.file.Paths.get("target/bench_full.json")
+      val tmp = java.nio.file.Paths.get("target/bench_full.json.tmp")
+      java.nio.file.Files.createDirectories(target.getParent)
+      java.nio.file.Files.write(tmp, (fullLine + "\n").getBytes("UTF-8"))
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+      // The harness captures only the last ~2000 bytes of the run's
+      // output (sbt's own epilogue included), and the JSON line must
+      // fit inside that tail IN FULL to parse. `total`/`failures`
+      // cover every query; the per-query map carries the SLOWEST
+      // queries that fit under the byte cap (r7 lesson: a fixed
+      // alphabetical prefix truncated at q_pack_*, losing the
+      // spatial/temporal families from round-over-round diffs — the
+      // expensive queries are the ones a diff must see, whatever their
+      // names). The complete map lives in target/bench_full.json;
+      // 1500-byte cap leaves real headroom under the ~2000-byte
+      // capture (sbt epilogue included).
+      val headlineLine = {
+        val byCost = results.sortBy { case (n, t) => (-t, n) }
+        Iterator.iterate(byCost)(_.dropRight(8)).map(line)
+          .find(_.length <= 1500).getOrElse(line(Seq.empty))
+      }
+      println(headlineLine)
+    }
+
     // Samples are taken ADJACENTLY per query (s1, s2, arbitration all
     // back-to-back), and operator-scoped persisted frames are released
     // between queries. The r9 artifact showed 20-35% drift on queries
@@ -132,10 +252,12 @@ object Bench {
     // its blocks. Adjacent samples measure a genuinely warm plan;
     // per-query release bounds the executor-cache working set to ONE
     // query's frames, so suite growth cannot degrade early entries.
-    val sampled: Seq[(String, Seq[Double])] = selected.map { case (name, fn) =>
+    val sampled = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+    selected.foreach { case (name, fn) =>
       val t1 = timed(name, fn)
       val res: (String, Seq[Double]) =
         if (failures.contains(name)) name -> Seq(t1)
+        else if (pastBudget) { degraded += name; name -> Seq(t1) }
         else retime(name) match {
           case None => name -> Seq(t1)
           case Some(t2) =>
@@ -144,80 +266,11 @@ object Bench {
               math.max(t1, t2) > 0.2 // µs-scale jitter on trivial plans is not contention
             name -> (if (diverged) base ++ retime(name) else base)
         }
+      sampled += res
       OpCache.release(spark)
-      res
+      emit(sampled.toSeq, partial = true)
     }
-    val loadAfter = loadAvg()
-    val results = sampled.map { case (name, ts) => name -> ts.min }
-    // The contention indicator the r5 verdict asked for. A first-run/
-    // re-run spread is expected (per-query codegen + JIT land on the
-    // first sample), so contention is judged on WARM samples only: a
-    // query is contended when its two warm samples (taken only after
-    // the first two diverged) still disagree >2× — a warm, cached plan
-    // does not legitimately vary that much. A clean run has empty
-    // `contended`; a degraded machine fills it.
-    val contended = sampled.collect {
-      case (n, ts) if ts.length >= 3 && {
-        val warm = ts.drop(1)
-        warm.max > 2.0 * warm.min && warm.max > 0.3
-      } => n
-    }
-    def sec(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // millisecond precision for the full artifact: %.2f flattens
-    // sub-10ms samples to 0.00/0.01, hiding exactly the spread the
-    // samples exist to show (the compact headline keeps %.2f for the
-    // output-tail byte budget)
-    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def toJson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
-    // every per-query number, for local iteration / round-over-round diffs
-    val total = results.map(_._2).sum
-    // a thrown query records near-zero wall-clock — surface it so a
-    // regression can't masquerade as a fast run
-    val fj = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val cj = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val rj = retryFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // "timing" documents the protocol: every query is min-of-2 warm
-    // samples (min-of-3 when the first two diverge >2×), the later
-    // passes run against whatever session caches the first built
-    // (GeoCache persists, cached shingle tables, CacheManager plan
-    // reuse) — so the numbers are warm-cache plan-tracking numbers, and
-    // "total" is a sum of per-query minima, not any single run's
-    // wall-clock. `contended` lists queries whose samples still spread
-    // >2× and `load` is 1-min /proc/loadavg before/after — a run with
-    // many contended entries or load far above core count is a degraded
-    // measurement, not a plan regression.
-    val loadJson = s""""load":[${sec(loadBefore)},${sec(loadAfter)}]"""
-    def line(qs: Seq[(String, Double)]) =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","timing":"min-of-2-adjacent","contended":$cj,"retry_failed":$rj,$loadJson,"queries":${toJson(qs)},"failures":$fj,"sf":"$sfDir"}"""
-    // full artifact additionally carries every raw sample per query
-    // (ms precision), so a divergent driver run is diagnosable from
-    // the JSON alone
-    val samplesJson = sampled.map { case (n, ts) =>
-      "\"" + n + "\":[" + ts.map(ms).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    val fullQueries = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    val fullLine =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","timing":"min-of-2-adjacent","contended":$cj,"retry_failed":$rj,$loadJson,"queries":$fullQueries,"failures":$fj,"sf":"$sfDir","samples":$samplesJson}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
-    // The harness captures only the last ~2000 bytes of the run's
-    // output (sbt's own epilogue included), and the JSON line must fit
-    // inside that tail IN FULL to parse. `total`/`failures` cover every
-    // query; the per-query map carries the SLOWEST queries that fit
-    // under the byte cap (r7 lesson: a fixed alphabetical prefix
-    // truncated at q_pack_*, losing the spatial/temporal families from
-    // round-over-round diffs — the expensive queries are the ones a
-    // diff must see, whatever their names). The complete map lives in
-    // target/bench_full.json; 1500-byte cap leaves real headroom under
-    // the ~2000-byte capture (sbt epilogue included).
-    val headlineLine = {
-      val byCost = results.sortBy { case (n, t) => (-t, n) }
-      Iterator.iterate(byCost)(_.dropRight(8)).map(line)
-        .find(_.length <= 1500).getOrElse(line(Seq.empty))
-    }
-    println(headlineLine)
+    emit(sampled.toSeq, partial = false)
     // release the memoized projection broadcasts this session owns
     // (the memo outlives stopped sessions otherwise — ADVICE r12)
     graft.functions.MatVecProject.clearBroadcasts(spark)

@@ -14,12 +14,22 @@ object Oracle {
 
   /** Shared dense-panel CTE prefix (ends inside the WITH list, so
     * queries can append further CTEs before the final SELECT).
+    *
+    * `value` mirrors Panel.fromEvents's r14 merge-order-invariant
+    * derivation: per-event 1e-9 integer fixings, an INTEGER cell sum
+    * (order-invariant under any merge schedule, where a float SUM's
+    * last ULP depends on each engine's parallel merge order), then ONE
+    * correctly-rounded division back to double. The HUGEINT total is
+    * cast to BIGINT before the divide because DuckDB's int128→double
+    * cast is not correctly rounded (~0.6% of big integers off by
+    * 1 ULP), while int64→double is exact hardware rounding — the same
+    * op Spark's long→double cast performs.
     */
   val panel: String =
     """WITH raw AS (
       |  SELECT CAST(day(ts) AS BIGINT) AS month_id,
       |         CAST(user_id AS BIGINT) AS unit_id,
-      |         SUM(value) AS value,
+      |         CAST(SUM(CAST(round(value * 1e9) AS BIGINT)) AS BIGINT) / 1e9 AS value,
       |         CAST(COUNT(*) AS DOUBLE) AS value2
       |  FROM events GROUP BY 1, 2
       |), months AS (SELECT DISTINCT month_id FROM raw),
@@ -118,30 +128,49 @@ object Oracle {
        |FROM panel""".stripMargin
   }
 
-  /** CUSUM (TemporalOps.cusum, h=3): running deviation sum + breach at
-    * h unit-σ. Mirrors the impl's integer fixed-point derivation
-    * exactly: values are fixed to 1e-9-unit BIGINTs at the scan, μ is
-    * fixed to the same grid from the exact integer total, and the
-    * cancellation `S_t − n_t·μ9` is pure integer arithmetic. The
-    * breach flag is the r13 integer certificate (no float anywhere in
-    * the decision — DuckDB's int128→double cast is not correctly
-    * rounded, so even an exact-integer sqrt rendezvous would leak):
-    * with `ex = N·Σv9² − (Σv9)²` and `A = |cs9| − 500`,
+  /** CUSUM (TemporalOps.cusumFixed over Panel.densePanel9, h=3):
+    * running deviation sum + breach at h unit-σ. Mirrors the impl's
+    * r14 integer wire exactly: the panel input itself never leaves
+    * integer space — `v9` is an integer SUM of PER-EVENT 1e-9 fixings
+    * (per-event raw doubles are identical bits in both engines, a
+    * single-value round is engine-stable, and an INTEGER sum is
+    * order-invariant under any merge schedule — where the old float
+    * `SUM(value)` + one fixing of the total carried each engine's
+    * merge-order ULP noise straight onto the 1e-9 grid, the r08–r13
+    * recurring driver flip), μ is fixed to the same grid from the
+    * exact integer total, and the cancellation `S_t − n_t·μ9` is pure
+    * integer arithmetic. The breach flag is the r13 integer
+    * certificate (no float anywhere in the decision — DuckDB's
+    * int128→double cast is not correctly rounded, so even an
+    * exact-integer sqrt rendezvous would leak): with
+    * `ex = N·Σv9² − (Σv9)²` and `A = |cs9| − 500`,
     * breach ⟺ A ≥ 0 AND (A·N)²·d ≥ u·ex, h² = u/d exact — every
     * operand a HUGEINT (overflow errors loudly, mirroring the Spark
-    * side's null-guard). Only the cusum OUTPUT divides back to DOUBLE.
+    * side's null-guard). The cusum OUTPUT goes through the 1e-6
+    * integer grid too (`cs6 = sign·((|cs9|+500) // 1000)`, integer
+    * division): one exact BIGINT→DOUBLE cast + one correctly-rounded
+    * division — not a single engine-variant double survives into the
+    * hashed output, so no round() call exists to sit on a tie.
     */
   def qCusum(h: Double = 3.0): String = {
     val (u, d) = graft.ops.TemporalOps.cusumRational(h)
     val (uS, dS) = (u.toBigInt.toString, d.toBigInt.toString)
-    s"""$panel, fx AS (
-       |  SELECT month_id, unit_id, value,
-       |    CAST(round(value * 1e9) AS BIGINT) AS v9
-       |  FROM panel),
+    s"""WITH raw9 AS (
+       |  SELECT CAST(day(ts) AS BIGINT) AS month_id,
+       |         CAST(user_id AS BIGINT) AS unit_id,
+       |         CAST(SUM(CAST(round(value * 1e9) AS BIGINT)) AS BIGINT) AS v9
+       |  FROM events GROUP BY 1, 2
+       |), months AS (SELECT DISTINCT month_id FROM raw9),
+       |units AS (SELECT DISTINCT unit_id FROM raw9),
+       |fx AS (
+       |  SELECT m.month_id, u.unit_id, COALESCE(r.v9, 0) AS v9
+       |  FROM months m CROSS JOIN units u
+       |  LEFT JOIN raw9 r ON r.month_id = m.month_id AND r.unit_id = u.unit_id
+       |),
        |st AS (
        |  SELECT month_id, unit_id,
        |    CAST(round(
-       |      CAST(sum(v9) OVER (PARTITION BY unit_id) AS DOUBLE)
+       |      CAST(CAST(sum(v9) OVER (PARTITION BY unit_id) AS BIGINT) AS DOUBLE)
        |      / CAST(count(v9) OVER (PARTITION BY unit_id) AS DOUBLE)
        |    ) AS BIGINT) AS mu9,
        |    count(v9) OVER (PARTITION BY unit_id) AS nu,
@@ -159,7 +188,8 @@ object Oracle {
        |    s9 - n9 * mu9 AS cs9
        |  FROM st)
        |SELECT month_id, unit_id,
-       |  round(CAST(cs9 AS DOUBLE) / 1e9, 6) AS cusum,
+       |  CAST(CASE WHEN cs9 < 0 THEN -((abs(cs9) + 500) // 1000)
+       |            ELSE (abs(cs9) + 500) // 1000 END AS DOUBLE) / 1e6 AS cusum,
        |  CAST(CASE WHEN abs(cs9) - 500 < 0 THEN FALSE
        |       ELSE (CAST(abs(cs9) - 500 AS HUGEINT) * nu)
        |          * (CAST(abs(cs9) - 500 AS HUGEINT) * nu) * $dS

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
@@ -39,15 +39,65 @@ object Panel {
     * month), unit = `user_id`, features `value` (sum of event values) and
     * `value2` (event count, as double). Keys cast to long so the Spark
     * schema matches DuckDB's BIGINT aggregation keys in the oracle.
+    *
+    * `value` is derived MERGE-ORDER-INVARIANTLY (r14): each event value
+    * is fixed to a 1e-9-unit long at the scan ([[fix9]]) and the cell
+    * total is an INTEGER sum — a float `SUM(value)` is reassociation-
+    * dependent in its last ULP (reversing the event order perturbs
+    * ~13% of cells at ~1e-13 on the gate data), so two engines (or two
+    * partition layouts of one engine) legitimately disagree on the
+    * final bits, and any downstream consumer that re-quantizes the
+    * panel on a fine grid (the cusum family's 1e-9 fixing — the
+    * project's only recurring driver-only hash flip, r08–r13) sits on
+    * that noise. An integer sum is exact under ANY merge schedule, and
+    * the single long→double division back to feature space is one
+    * correctly-rounded IEEE op both engines perform identically. The
+    * semantic shift is ≤ 0.5e-9 per event. Headroom: |Σ v9| must stay
+    * inside a long — |cell value total| · 1e9 < 9.2e18, i.e. per-cell
+    * totals below ~9.2e9 in feature units; beyond that, ANSI mode
+    * (the Spark 4 default) fails the sum loudly rather than wrapping.
     */
-  def fromEvents(spark: SparkSession, dir: String): DataFrame = {
+  def fromEvents(spark: SparkSession, dir: String): DataFrame =
+    fromEvents9(spark, dir)
+      .withColumn("value", col("v9").cast("double") / lit(1e9))
+      .drop("v9")
+
+  /** One event value on the canonical 1e-9 integer grid — the panel's
+    * scan-side fixing, shared by the batch plans and the streaming
+    * twins. Per-event doubles read from parquet are identical bits in
+    * every engine, the multiply is one correctly-rounded IEEE op, and
+    * a single-value half-away-from-zero round is engine-stable off
+    * exact .5 ties (both Spark's HALF_UP and DuckDB's round() resolve
+    * ties away from zero, so even a tie agrees).
+    */
+  def fix9(c: Column): Column = round(c * lit(1e9)).cast("long")
+
+  /** The sparse panel on the integer grid: `v9 = Σ_events fix9(value)`
+    * per (month, unit) cell — the exact-integer input of the 1e-9
+    * re-quantizing consumers (cusum/changepoint class), with no float
+    * round-trip at all.
+    */
+  def fromEvents9(spark: SparkSession, dir: String): DataFrame = {
     val ev = readEvents(spark, dir)
     ev.groupBy(
         dayofmonth(col("ts")).cast("long").as(TimeCol),
         col("user_id").cast("long").as(UnitCol))
       .agg(
-        sum(col("value")).as("value"),
+        sum(fix9(col("value"))).as("v9"),
         count(lit(1)).cast("double").as("value2"))
+  }
+
+  /** Dense integer-grid panel (v9 long, missing cells = 0) — the cusum
+    * twins' wire input: per-event integer fixings, integer cell sums,
+    * dense reindex, not one float anywhere upstream of the operator.
+    */
+  def densePanel9(spark: SparkSession, dir: String): DataFrame = {
+    val cells = fromEvents9(spark, dir).select(col(TimeCol), col(UnitCol), col("v9"))
+    val months = cells.select(TimeCol).distinct()
+    val units = cells.select(UnitCol).distinct()
+    broadcast(months).crossJoin(units)
+      .join(cells, Seq(TimeCol, UnitCol), "left")
+      .na.fill(0L, Seq("v9"))
   }
 
   /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by

@@ -48,6 +48,19 @@ object SparkEntry {
   private def onPanel(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(cachedPanel(s, dir))
 
+  /** The integer-grid panel (v9 = Σ per-event 1e-9 fixings as LONG) —
+    * the cusum twins' wire input (r14): the float panel's `SUM(value)`
+    * carries merge-order-dependent last-ULP noise that a 1e-9
+    * re-quantizing consumer turns into a cross-engine hash flip, so
+    * the 1e-9 family reads a panel that never left integer space.
+    */
+  private val panel9Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedPanel9(s: SparkSession, dir: String): DataFrame =
+    panel9Cache.getOrElseUpdate((s, dir),
+      Panel.densePanel9(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def onMissing(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Panel.withMissing(cachedPanel(s, dir)))
 
@@ -96,11 +109,16 @@ object SparkEntry {
     // seasonal decomposition), all on the shared unit partitioning
     "q_ewma" -> colQ("ewma",
       round(TemporalOps.ewma(col("value"), alpha = 0.5, span = 6), 6)),
-    "q_cusum" -> onPanel { p =>
-      val cs = TemporalOps.cusum(col("value"), 3.0)
-      p.select(col(T), col(U), round(cs.getField("cusum"), 6).as("cusum"),
+    // r14: fed from the integer-grid panel — v9 is an integer SUM of
+    // per-event 1e-9 fixings (merge-order-invariant by construction),
+    // and the emitted cusum is integer-grid-derived inside the
+    // operator, so no output rounding exists or is needed
+    "q_cusum" -> ((s, dir) => {
+      val cs = TemporalOps.cusumFixed(col("v9"), 3.0)
+      cachedPanel9(s, dir).select(col(T), col(U),
+        cs.getField("cusum").as("cusum"),
         cs.getField("breach").as("breach"))
-    },
+    }),
     // r9: the STREAMING EWMA in batch mode — per-unit trailing-window
     // state (last span−1 values); same oracle as q_ewma
     "q_ewma_stream" -> onPanel { p =>
@@ -116,14 +134,13 @@ object SparkEntry {
     // r9: the STREAMING drift monitor in batch mode — per-unit (n, Σx)
     // state scored against the batch-fitted baseline; same oracle as
     // q_cusum pins the replay-with-carry arithmetic engine-side
-    "q_cusum_stream" -> onPanel { p =>
-      streaming.CusumStream.scoreAgainst(
-          p.select(col(U), col(T), col("value")),
-          streaming.CusumStream.fitBaseline(p), h = 3.0)
+    "q_cusum_stream" -> ((s, dir) => {
+      val p9 = cachedPanel9(s, dir)
+      streaming.CusumStream.scoreAgainst9(
+          p9, streaming.CusumStream.fitBaseline9(p9), h = 3.0)
         .toDF()
-        .select(col(T), col(U), round(col("cusum"), 6).as("cusum"),
-          col("breach"))
-    },
+        .select(col(T), col(U), col("cusum"), col("breach"))
+    }),
     // r9: per-unit OLS detrend + rolling co-movement — the remaining
     // classical panel-analytics pair, both on the shared unit window
     "q_trend" -> onPanel { p =>

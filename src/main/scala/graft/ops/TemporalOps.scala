@@ -188,14 +188,30 @@ object TemporalOps {
     *
     * @return (cusum DOUBLE, breach INT) as a struct column
     */
-  def cusum(c: Column, h: Double = 3.0): Column = {
+  def cusum(c: Column, h: Double = 3.0): Column =
+    cusumFixed(Panel.fix9(c), h)
+
+  /** [[cusum]] over an ALREADY-FIXED 1e-9-grid long column — the wire
+    * form the gate twins use (r14): fed from [[Panel.densePanel9]],
+    * every value the operator touches is an integer SUM of per-event
+    * fixings, so not one engine- or merge-order-variant float exists
+    * anywhere upstream of the statistic. The emitted `cusum` is also
+    * integer-derived: `cs6 = sign(cs9)·((|cs9|+500) div 1000)` (the
+    * HALF-UP 1e-6 grid value, computed in pure integer arithmetic so
+    * an exact .5 tie cannot fall to engine-specific float rounding),
+    * then ONE long→double cast and ONE division by 1e6 — both
+    * correctly-rounded IEEE ops every engine performs identically.
+    * No further output rounding is needed or wanted.
+    */
+  def cusumFixed(v9: Column, h: Double = 3.0): Column = {
     val wAll = Window.partitionBy(Panel.UnitCol)
-    val v9 = round(c * lit(1e9)).cast("long")
     val nAll = count(v9).over(wAll)
     val s1 = sum(v9).over(wAll)
     val mu9 = round(s1.cast("double") / nAll.cast("double")).cast("long")
     val cs9 = sum(v9).over(cum) - count(v9).over(cum) * mu9
-    val cs = cs9.cast("double") / lit(1e9)
+    val q6 = call_function("div", abs(cs9) + lit(500L), lit(1000L))
+    val cs6 = when(cs9 < 0L, -q6).otherwise(q6)
+    val cs = cs6.cast("double") / lit(1e6)
     // exact N²σ9² from integer sums: ex = N·Σv9² − (Σv9)²
     val d19 = "decimal(19,0)"
     val v9d = v9.cast(d19)
@@ -206,7 +222,15 @@ object TemporalOps {
     val an = a.cast(d19) * nAll.cast(d19)
     val lhs = an * an * lit(hDen)
     val rhs = lit(hNum) * ex
-    val breach = when(a < 0L, lit(0))
+    // null taxonomy (ADVICE r13): cs9 NULL means the unit has no
+    // observed value up to this row (leading/all-null inputs — the
+    // operator's aggregates are deliberately null-aware), and the
+    // breach is NULL like the oracle's CASE; a NULL certificate term
+    // under a NON-null cs9 can only be decimal overflow with ANSI off
+    // (nAll ≥ 1 and s1 non-null whenever cs9 is), and THAT raises the
+    // named error instead of silently nulling the flag.
+    val breach = when(cs9.isNull, lit(null).cast("int"))
+      .when(a < 0L, lit(0))
       .when(lhs.isNull || rhs.isNull, raise_error(lit(
         "cusum breach certificate overflow: N*(|cs9|+500) exceeds the " +
           "Decimal(38,0) domain — rescale the series")).cast("int"))

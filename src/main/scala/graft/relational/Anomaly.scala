@@ -21,7 +21,7 @@ object Anomaly {
                   groupCol: String = "event_type",
                   valueCol: String = "value",
                   idCol: String = "event_id"): DataFrame =
-    robustFlagsAgainst(events, fitBaseline(events, groupCol, valueCol),
+    robustFlagsAgainst(events, fitBaseline(events, groupCol, valueCol, idCol),
       k, groupCol, valueCol, idCol)
 
   /** The per-group median/IQR baseline fit — (groupCol, __med, __iqr).
@@ -38,10 +38,14 @@ object Anomaly {
     * a per-group count (map-side combinable, k-bounded output —
     * event types, not events) broadcasts the three target positions
     * `idx = p·(n−1)` back; the ≤6 surviving rows per group reduce to
-    * `v_lo + (v_hi − v_lo)·frac` — bit-identical to Spark's
-    * `percentile` interpolation (and DuckDB's quantile_cont, which the
-    * oracle pins): p ∈ {.25,.5,.75} are exact dyadics, so idx/frac are
-    * exact and the selected values are raw data values.
+    * `v_lo + (v_hi − v_lo)·frac` — equal WITHIN 1 ULP to Spark's
+    * `percentile` (which uses the weighted form
+    * `(hiIdx−pos)·lo + (pos−loIdx)·hi`) and to DuckDB's quantile_cont
+    * (ADVICE r13: all three formulas can differ in the last float bit
+    * when frac ∈ {.25,.75}; the 1e-6 output rounding absorbs that
+    * absent boundary ties, and p ∈ {.25,.5,.75} are exact dyadics so
+    * idx/frac themselves are exact and the SELECTED values are raw
+    * data values).
     *
     * Groups whose values are ALL null keep a (null med, null iqr) row,
     * matching the old aggregate's output shape. EAGER by contract:

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -18,58 +18,94 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the stream (static side, streaming-safe); per-unit state is just
   * (n, Σx) — O(1) per row, the TickStream discipline.
   *
-  * Determinism mirrors the batch fix exactly — integer fixed-point
-  * end to end (`Σx − n·μ` is a catastrophic cancellation, so even a
-  * sequential float accumulation leaks the inputs' cross-engine ULP
-  * noise into the 1e-6-rounded output): each value is fixed to a
-  * 1e-9-unit long on arrival, the baseline carries μ fixed to the
-  * same grid (`mu9`), and the state carries a LONG Σ — the running
-  * statistic is exact integer arithmetic until the final divide back
-  * to double. The breach decision is the batch operator's r13
-  * integer certificate symbol for symbol: the baseline carries the
-  * exact `ex = N·Σv9² − (Σv9)²` (as a decimal STRING — it exceeds
-  * long range, and the default BigDecimal encoder's (38,18) cannot
-  * hold it) plus the fit count N, and scoring compares
-  * `(N·(|cs9| − 500))²·d ≥ u·ex` in BigInteger — no float, no sqrt,
-  * no σ anywhere in the flag.
+  * Determinism mirrors the batch operator exactly — integer
+  * fixed-point end to end (`Σx − n·μ` is a catastrophic cancellation,
+  * so even a sequential float accumulation leaks the inputs'
+  * cross-engine ULP noise into the output): the WIRE carries values
+  * already on the 1e-9 integer grid (`v9` — per-event fixings summed
+  * as longs, [[graft.Panel.densePanel9]]; a float value entering via
+  * [[fix9]] quantizes on arrival), the baseline carries μ fixed to
+  * the same grid (`mu9`), and the state carries a LONG Σ — the
+  * running statistic is exact integer arithmetic until the final
+  * divide back to double, which itself goes through the 1e-6 integer
+  * grid (`cs6 = sign·((|cs9|+500) div 1000)`) so the emitted double
+  * is a deterministic function of exact integers. The breach decision
+  * is the batch operator's r13 integer certificate symbol for symbol:
+  * the baseline carries the exact `ex = N·Σv9² − (Σv9)²` (as a
+  * decimal STRING — it exceeds long range, and the default BigDecimal
+  * encoder's (38,18) cannot hold it) plus the fit count N, and
+  * scoring compares `(N·(|cs9| − 500))²·d ≥ u·ex` in BigInteger — no
+  * float, no sqrt, no σ anywhere in the flag.
   */
 object CusumStream {
 
-  case class ScoredRow(unit_id: Long, month_id: Long, value: Double,
+  case class ScoredRow(unit_id: Long, month_id: Long, v9: Long,
                        mu9: Long, nb: Long, ex: String)
   case class CusumState(n: Long, s9: Long)
   case class CusumOut(unit_id: Long, month_id: Long, cusum: Double,
                       breach: Int)
 
-  /** Per-unit reference stats, the batch fit: (unit_id, mu9, nb, ex)
-    * with μ fixed to the 1e-9 integer grid from the exact integer
-    * value total and `ex` the exact integer N²σ9² —
-    * TemporalOps.cusum's discipline, symbol for symbol.
+  /** Per-unit reference stats, the batch fit, over an ALREADY-FIXED
+    * 1e-9-grid long column: (unit_id, mu9, nb, ex) with μ fixed to
+    * the grid from the exact integer value total and `ex` the exact
+    * integer N²σ9² — TemporalOps.cusumFixed's discipline, symbol for
+    * symbol. A NULL `ex` under a non-empty fit can only be decimal
+    * overflow with ANSI off (the certificate's loud-failure contract,
+    * ADVICE r13) — promoted to the named error here, at fit time,
+    * instead of a cryptic NPE when scoring first parses the string.
     */
-  def fitBaseline(panel: DataFrame, valueCol: String = "value"): DataFrame = {
-    val v9 = round(col(valueCol) * lit(1e9)).cast("long")
-    val v9d = v9.cast("decimal(19,0)")
-    panel.groupBy(col(graft.Panel.UnitCol))
+  def fitBaseline9(panel9: DataFrame, v9Col: String = "v9"): DataFrame = {
+    val v9 = col(v9Col)
+    val d19 = "decimal(19,0)"
+    val v9d = v9.cast(d19)
+    val exRaw = count(v9).cast(d19) * sum(v9d * v9d) -
+      sum(v9).cast(d19) * sum(v9).cast(d19)
+    panel9.groupBy(col(graft.Panel.UnitCol))
       .agg(round(sum(v9).cast("double") / count(v9).cast("double"))
              .cast("long").as("mu9"),
         count(v9).as("nb"),
-        (count(v9).cast("decimal(19,0)") * sum(v9d * v9d) -
-          sum(v9).cast("decimal(19,0)") * sum(v9).cast("decimal(19,0)"))
+        when(exRaw.isNull && count(v9) > 0, raise_error(lit(
+            "cusum breach certificate overflow: the baseline fit's " +
+              "N*Σv9² exceeds the Decimal(38,0) domain — rescale the " +
+              "series")).cast("decimal(38,0)"))
+          .otherwise(exRaw)
           .cast("string").as("ex"))
   }
 
+  /** Float-input fit: quantize to the 1e-9 grid at the scan, then
+    * [[fitBaseline9]]. For gate parity prefer feeding the integer
+    * panel directly — a float panel SUM's last ULP is merge-order-
+    * dependent, which is exactly the rendezvous the grid closes.
+    */
+  def fitBaseline(panel: DataFrame, valueCol: String = "value"): DataFrame =
+    fitBaseline9(panel.withColumn("__v9", graft.Panel.fix9(col(valueCol))),
+      "__v9")
+
   /** `round(value·1e9)` exactly as Spark's `round()` computes it:
     * BigDecimal HALF_UP on the double's shortest decimal rendering —
-    * the streaming scan-side fix must quantize to the identical grid
-    * as the batch plan's Round expression.
+    * a float value entering the stream must quantize to the identical
+    * grid as the batch plan's Round expression.
     */
   def fix9(value: Double): Long =
     BigDecimal(value * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP)
       .toLong
 
+  /** cs9 → the emitted double via the 1e-6 integer grid — the batch
+    * operator's emission arithmetic exactly: integer HALF-UP to
+    * micro-units, then one exact long→double cast and one correctly-
+    * rounded division.
+    */
+  private[streaming] def emit(cs9: Long): Double = {
+    val q6 = (math.abs(cs9) + 500L) / 1000L
+    (if (cs9 < 0L) -q6 else q6).toDouble / 1e6
+  }
+
   private def breachOf(cs9: Long, nb: Long, ex: String, h: Double): Int = {
     // the batch side's integer certificate: A = |cs9| − 500,
     // breach ⟺ A ≥ 0 AND (A·N)²·d ≥ u·ex with h² = u/d exact
+    require(ex != null,
+      "cusum breach certificate overflow: the baseline carries a null " +
+        "ex — the fit's decimal domain was exceeded; rescale the series")
     val a = math.abs(cs9) - 500L
     if (a < 0L) 0
     else {
@@ -83,10 +119,9 @@ object CusumStream {
                              state: GroupState[CusumState]): Iterator[CusumOut] = {
     var st = state.getOption.getOrElse(CusumState(0L, 0L))
     val out = rows.toSeq.sortBy(_.month_id).map { r =>
-      st = CusumState(st.n + 1, st.s9 + fix9(r.value))
+      st = CusumState(st.n + 1, st.s9 + r.v9)
       val cs9 = st.s9 - st.n * r.mu9
-      CusumOut(unit, r.month_id, cs9.toDouble / 1e9,
-        breachOf(cs9, r.nb, r.ex, h))
+      CusumOut(unit, r.month_id, emit(cs9), breachOf(cs9, r.nb, r.ex, h))
     }
     state.update(st)
     out.iterator
@@ -106,17 +141,26 @@ object CusumStream {
         GroupStateTimeout.NoTimeout)(updateGroup(h))
   }
 
-  /** Convenience: join the baseline onto a (unit, month, value) frame
-    * and score it — the shape the wire registration uses.
+  /** Join the baseline onto an integer-grid (unit, month, v9) frame
+    * and score it — the wire shape the gate registration uses
+    * ([[graft.Panel.densePanel9]] + [[fitBaseline9]]).
     */
-  def scoreAgainst(panel: DataFrame, baseline: DataFrame,
-                   h: Double = 3.0): Dataset[CusumOut] = {
-    val spark = panel.sparkSession
+  def scoreAgainst9(panel9: DataFrame, baseline: DataFrame,
+                    h: Double = 3.0): Dataset[CusumOut] = {
+    val spark = panel9.sparkSession
     import spark.implicits._
-    cusum(panel
+    cusum(panel9
       .join(broadcast(baseline), graft.Panel.UnitCol)
       .select(col(graft.Panel.UnitCol), col(graft.Panel.TimeCol),
-        col("value"), col("mu9"), col("nb"), col("ex"))
+        col("v9"), col("mu9"), col("nb"), col("ex"))
       .as[ScoredRow], h)
   }
+
+  /** Float-input convenience: quantize `value` to the grid on entry,
+    * then [[scoreAgainst9]].
+    */
+  def scoreAgainst(panel: DataFrame, baseline: DataFrame,
+                   h: Double = 3.0): Dataset[CusumOut] =
+    scoreAgainst9(
+      panel.withColumn("v9", graft.Panel.fix9(col("value"))), baseline, h)
 }

@@ -327,13 +327,18 @@ object PlanLintSpec {
     // fixed-window rolling sums)
     "q_psi", "q_psi_stream", "q_benford", "q_dsir_sample",
     "q_dsir_weights", "q_dsir_weights_bigram", "q_minhash_estimate",
-    "q_rolling_corr", "q_rolling_median", "q_winsorize", "q_robust_scale",
+    "q_rolling_corr",
     // class (b) — per-entity series bounded by the month horizon
     // (≤600, the reference cap) or a document's token count
     // q_cusum left this list in r13: its breach margin became a pure
-    // integer certificate (no stddev_pop, no float in the decision)
-    "q_acf", "q_pacf", "q_trend", "q_decompose", "q_forecast",
-    "q_theil_sen", "q_mann_kendall", "q_runs_test", "q_ewma",
-    "q_changepoint", "q_pipeline_changepoint", "q_mice_gen",
+    // integer certificate (no stddev_pop, no float in the decision).
+    // Eight more left in r14 (q_ewma, q_winsorize, q_robust_scale,
+    // q_rolling_median, q_forecast, q_changepoint,
+    // q_pipeline_changepoint, q_mann_kendall): their ONLY taint source
+    // was the shared panel's float SUM(value) aggregation, which is
+    // now an integer sum of per-event 1e-9 fixings (Panel.fromEvents
+    // r14) — their own arithmetic was already fixing/percentile-based.
+    "q_acf", "q_pacf", "q_trend", "q_decompose",
+    "q_theil_sen", "q_runs_test", "q_mice_gen",
     "q_bm25", "q_lm_score", "q_pipeline_corpus_signals")
 }

@@ -72,7 +72,7 @@ class StreamingSpec extends SparkSpec {
         src.addData(rows.filter(r => months.contains(r._1.toInt)).map {
           case (m, u, v) =>
             val (mu9, nb, ex) = baseline(u)
-            CusumStream.ScoredRow(u, m, v, mu9, nb, ex)
+            CusumStream.ScoredRow(u, m, CusumStream.fix9(v), mu9, nb, ex)
         })
         q.processAllAvailable()
       }

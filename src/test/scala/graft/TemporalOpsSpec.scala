@@ -225,6 +225,54 @@ class TemporalOpsSpec extends SparkSpec {
       s"unexpected error: ${e.getMessage}")
   }
 
+  test("cusum null taxonomy: in-contract null inputs yield null rows, " +
+      "not the certificate-overflow error (ADVICE r13)") {
+    // unit 0: leading null then values — cs9 is null until the first
+    // observed value, like the oracle's CASE; unit 1: ALL null — every
+    // row null. The old guard conflated these with decimal overflow
+    // and raise_error'd the whole query.
+    val rows = Seq[(Long, Long, Option[Double])](
+      (1L, 0L, None), (2L, 0L, Some(2.0)), (3L, 0L, Some(4.0)),
+      (1L, 1L, None), (2L, 1L, None))
+    val p = rows.toDF(T, U, "value")
+    val out = p.select(col(T), col(U),
+        TemporalOps.cusum(col("value"), 3.0).as("c"))
+      .orderBy(U, T).collect()
+      .map(r => (r.getLong(1),
+        if (r.getStruct(2).isNullAt(0)) None else Some(r.getStruct(2).getDouble(0)),
+        if (r.getStruct(2).isNullAt(1)) None else Some(r.getStruct(2).getInt(1))))
+    // unit 0: null row, then exact walk around mean 3: −1, 0
+    assert(out(0) == ((0L, None, None)))
+    assert(out(1) == ((0L, Some(-1.0), Some(0))))
+    assert(out(2) == ((0L, Some(0.0), Some(0))))
+    // unit 1: all null in, all null out
+    assert(out(3) == ((1L, None, None)) && out(4) == ((1L, None, None)))
+  }
+
+  test("cusumFixed: the integer wire equals the float wrapper, and the " +
+      "emitted value is integer-grid-derived (exact at .5e-6 ties)") {
+    // same series through both entries: cusum(value) fixes at the scan,
+    // cusumFixed(v9) consumes the already-fixed grid — identical output
+    val rows = (1L to 8L).map(m => (m, 0L, m * 0.7300001))
+    val p = rows.toDF(T, U, "value")
+    val viaFloat = p.select(col(T), TemporalOps.cusum(col("value"), 3.0).as("c"))
+      .orderBy(T).collect().map(r => (r.getStruct(1).getDouble(0), r.getStruct(1).getInt(1))).toSeq
+    val viaFixed = p.select(col(T),
+        TemporalOps.cusumFixed(graft.Panel.fix9(col("value")), 3.0).as("c"))
+      .orderBy(T).collect().map(r => (r.getStruct(1).getDouble(0), r.getStruct(1).getInt(1))).toSeq
+    assert(viaFloat == viaFixed)
+    // a .5e-6 tie: cs9 lands exactly on ±(k·1000 + 500) — the integer
+    // HALF-UP must resolve away from zero deterministically (a float
+    // round() of cs9/1e9 would sit on engine-specific last-bit noise).
+    // series 0, 1e-6·1.5 → mean 7.5e-7, v9 = (0, 1500), mu9 = 750:
+    // cs9 walk: −750, 0 — not a tie; use (0, 1e-6) : v9=(0,1000),
+    // mu9=500, cs9: −500, 0 → |−500|+500 = 1000 → cs6 = −1 → −1e-6
+    val tie = Seq((1L, 0L, 0.0), (2L, 0L, 1.0e-6)).toDF(T, U, "value")
+    val got = tie.select(TemporalOps.cusum(col("value"), 3.0).as("c"))
+      .orderBy(col("c.cusum")).collect().map(_.getStruct(0).getDouble(0)).toSeq
+    assert(got == Seq(-1.0e-6, 0.0))
+  }
+
   test("decompose recovers a planted period-3 seasonal pattern") {
     val season = Array(3.0, -1.0, -2.0)
     val rows = (0L until 30L).map(m => (m, 0L, 10.0 + season((m % 3).toInt)))

@@ -733,6 +733,19 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("robustFlags forwards a custom idCol to the baseline fit " +
+      "(ADVICE r13: it used to drop it and resolve the default)") {
+    // no column named event_id anywhere — before the fix this threw an
+    // unresolved-column AnalysisException from inside fitBaseline
+    val ev = Seq((10L, "A", 1.0), (11L, "A", 2.0), (12L, "A", 3.0),
+        (13L, "A", 100.0))
+      .toDF("row_key", "event_type", "value")
+    val fl = graft.relational.Anomaly
+      .robustFlags(ev, k = 3.0, idCol = "row_key")
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(fl(13L) == 1 && fl(10L) == 0)
+  }
+
   test("temperature mixing: alpha=1 keeps all, alpha<1 trims heavy sources hardest") {
     val docs = ((0L until 80L).map(i => (i, "sA", 100L)) ++
       (80L until 100L).map(i => (i, "sB", 100L)))

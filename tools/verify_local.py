@@ -92,6 +92,22 @@ for name, sql in sorted(oracle.items()):
         continue
     try:
         spark_df = pd.read_parquet(res_path)
+        # oracle-side wire rule (r14, mirror of the PlanLintSpec sweep's
+        # Spark-side no-array-output assertion): the DECLARED oracle
+        # result schema must be scalar columns only — the driver's
+        # pandas compare sorts every column and cannot sort a LIST/
+        # STRUCT/MAP cell (unhashable ndarray — the r12 q_embed_rp
+        # crash class). DESCRIBE costs a plan, not a run, so the check
+        # covers every oracle even when its execution would later fail.
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        composite = [(c, t) for c, t, *_ in desc
+                     if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST", "UNION"))]
+        if composite:
+            print(f"FAIL {name}: oracle declares non-scalar column(s) "
+                  f"{composite} — the driver compare cannot sort these; "
+                  f"emit scalar rows from the SQL")
+            fails += 1
+            continue
         t0 = time.perf_counter()
         duck_df = con.execute(sql).df()
         timings[name] = round((time.perf_counter() - t0) * 1000.0, 1)
