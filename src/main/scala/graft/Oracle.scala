@@ -442,7 +442,7 @@ object Oracle {
   val qPanelStream: String =
     """SELECT CAST(day(ts) AS BIGINT) AS month_id,
       |       CAST(user_id AS BIGINT) AS unit_id,
-      |       SUM(value) AS value,
+      |       CAST(SUM(CAST(round(value * 1e9) AS BIGINT)) AS BIGINT) / 1e9 AS value,
       |       CAST(COUNT(*) AS DOUBLE) AS value2
       |FROM events GROUP BY 1, 2""".stripMargin
 

@@ -60,10 +60,16 @@ object PanelStream {
       }
     }
     val wm = if (upstreams.nonEmpty) events else events.withWatermark("ts", delay)
+    // value aggregation mirrors the batch panel's r14 integer
+    // discipline (Panel.fromEvents): per-event 1e-9 fixings summed as
+    // longs, one division back — a float SUM's last ULP depends on the
+    // micro-batch/merge schedule, so two replays of the same stream
+    // could legitimately emit different final bits; the integer sum
+    // makes the materialised panel replay- and engine-deterministic.
     wm
       .groupBy(window(col("ts"), "1 day").as("w"),
         col("user_id").cast("long").as(Panel.UnitCol))
-      .agg(sum(col("value")).as("value"),
+      .agg((sum(Panel.fix9(col("value"))).cast("double") / lit(1e9)).as("value"),
         count(lit(1)).cast("double").as("value2"))
       .select(to_date(col("w.start")).as("day"),
         col(Panel.UnitCol), col("value"), col("value2"))
@@ -91,7 +97,10 @@ object PanelStream {
     dayCells
       .groupBy(dayofmonth(col("day")).cast("long").as(Panel.TimeCol),
         col(Panel.UnitCol))
-      .agg(sum(col("value")).as("value"),
+      // day-cell values sit on the 1e-9 grid (panelAggregate fixes
+      // per event), so re-fixing recovers the exact integers and the
+      // cross-month fold stays order-invariant like the batch panel
+      .agg((sum(Panel.fix9(col("value"))).cast("double") / lit(1e9)).as("value"),
         sum(col("value2")).as("value2"))
 
   /** File-stream source over the events parquet layout (same

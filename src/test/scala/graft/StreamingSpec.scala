@@ -342,7 +342,9 @@ class StreamingSpec extends SparkSpec {
         ev.filter(to_date(col("ts")) < lit(maxDay))
           .groupBy(to_date(col("ts")).as("day"),
             col("user_id").cast("long").as(Panel.UnitCol))
-          .agg(sum(col("value")).as("value"),
+          // the r14 integer discipline, mirroring panelAggregate
+          .agg((sum(Panel.fix9(col("value"))).cast("double") / lit(1e9))
+              .as("value"),
             count(lit(1)).cast("double").as("value2")))
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getDouble(2), r.getDouble(3))).toMap
