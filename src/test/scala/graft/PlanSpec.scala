@@ -19,6 +19,19 @@ class PlanSpec extends SparkSpec {
       .withColumn("lat", Grid.unitLat(col(U)))
   }
 
+  test("cusumFixed plans exactly one unit exchange — the integer wire " +
+      "adds no shuffle over the shared temporal partitioning") {
+    val rows = for (m <- 1L to 10L; u <- 0L until 8L)
+      yield (m, u, u * 31L + m)
+    val p = rows.toDF(T, U, "v9")
+    val cs = graft.ops.TemporalOps.cusumFixed(col("v9"), 3.0)
+    val plan = p.select(col(T), col(U),
+        cs.getField("cusum").as("cusum"),
+        cs.getField("breach").as("breach"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+  }
+
   test("splag4d joins the kernel via broadcast, never a shuffled kernel side") {
     val plan = KernelLag.splag4d(gridPanel, "value", 1, 1, 1.0, norm = false)
       .queryExecution.executedPlan.toString()
