@@ -424,6 +424,28 @@ class PropertySpec extends AnyFunSuite {
     assert(codesOf(2) == codesOf(7))
   }
 
+  test("Panel.fix9 (the scan-side Round expression) equals " +
+      "CusumStream.fix9 (the state-side BigDecimal HALF_UP) on every " +
+      "generated double incl. grid boundaries") {
+    // the streaming twin's contract: a value fixed on arrival must land
+    // on the IDENTICAL 1e-9 grid point as the batch plan's round() —
+    // one disagreement and replay ≠ batch. Sample wide magnitudes plus
+    // values engineered to sit ON and NEXT TO .5 grid boundaries.
+    val near = (0L until 50L).flatMap { k =>
+      val tie = (k * 1000 + 500).toDouble / 1e9
+      Seq(tie, math.nextUp(tie), math.nextDown(tie), -tie)
+    }
+    forAll(Gen.listOfN(60, Gen.chooseNum(-1.0e6, 1.0e6)), count = 5) { vs =>
+      val all = (vs ++ near).filter(v => math.abs(v) < 9.0e9)
+      val viaPlan = all.toDF("v")
+        .select(Panel.fix9(col("v")).as("f")).collect().map(_.getLong(0))
+      val viaJvm = all.map(graft.streaming.CusumStream.fix9)
+      assert(viaPlan.toSeq == viaJvm,
+        all.zip(viaPlan.zip(viaJvm)).filter { case (_, (a, b)) => a != b }
+          .take(5).toString)
+    }
+  }
+
   test("partitioning invariance: cusum, ewma, decompose") {
     // the r8 gate failure mode: an unordered window mean's last-ULP value
     // shifts with partition layout, and a running sum amplifies it by t
