@@ -3295,9 +3295,15 @@ object OracleExt {
       |      FROM revenue)
       |WHERE rk <= 10""".stripMargin
 
+  /** revenue mirrors the Spark side's r14 integer fixing: per-row
+    * 1e-6-grid longs summed exactly (order-invariant), one division
+    * back — the float SUM's 6th decimal was scan-order-dependent at
+    * this magnitude (caught by tools/verify_order_invariance.py).
+    */
   val qRegionRevenue: String =
     """SELECT r.r_name,
-      |  SUM(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue,
+      |  CAST(SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 1e6)
+      |           AS BIGINT)) AS BIGINT) / 1e6 AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem l
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey

@@ -98,11 +98,23 @@ object StarQueries {
     val supp = t(spark, dir, "supplier")
     val nation = t(spark, dir, "nation")
     val region = t(spark, dir, "region")
+    // revenue is an integer SUM of per-row 1e-6 fixings (the r14 panel
+    // discipline): at ~4e8 totals over ~60k rows a float SUM's
+    // reassociation noise reaches the 1e-6 output grid, so the result's
+    // 6th decimal depends on scan/merge order — the order-invariance
+    // audit (tools/verify_order_invariance.py) caught exactly this
+    // query flipping under a perturbed scan. Per-row terms are
+    // identical doubles in both engines; the integer sum is exact
+    // under any merge schedule. Long headroom: |Σ·1e6| < 9.2e18 holds
+    // to ~9e12 in revenue units, four orders above TPC-H SF100's
+    // largest regional total.
+    val term = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
       .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+      .agg((sum(round(term * lit(1e6)).cast("long")).cast("double") / lit(1e6))
+          .as("revenue"),
         count(lit(1)).as("n_items"))
   }
 }
