@@ -72,8 +72,31 @@ object Bench {
 
     // optional comma-separated filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // HEAVY-TAIL-FIRST ordering (r14 verdict #1b): two driver benches
+    // DNF'd on box stall waves with only the cheap alphabetical prefix
+    // measured. Running descending by last-recorded cost means a
+    // mid-run timeout's partial snapshot covers the expensive,
+    // interesting queries — ≥90% of recorded wall-time lands in the
+    // first fraction of the run. Costs come from the committed
+    // bench_order.json (min across the three r14 full-surface runs);
+    // unknown names (new queries) run FIRST at assumed-heavy cost so
+    // they are never the ones a timeout drops. Alphabetical order is
+    // one env var away (SPARK_GRAFT_BENCH_ORDER=alpha) for A/B runs.
+    val orderCosts: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_order.json")), "UTF-8")
+        // minimal parse: "name": number pairs inside the "queries" map
+        val re = """"(q_[A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val alpha = sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("alpha")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy { case (n, _) =>
+        if (alpha) (0.0, n)
+        else (-orderCosts.getOrElse(n, Double.MaxValue), n)
+      }
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     // opt-in stderr trace: interleaves query boundaries with Spark's
     // WARN lines so a "large task binary" / codegen warning can be
@@ -142,6 +165,21 @@ object Bench {
     def pastBudget: Boolean =
       budgetS.exists(b => (System.nanoTime() - tStart) / 1e9 > 0.7 * b)
     val degraded = scala.collection.mutable.LinkedHashSet.empty[String]
+    // FAST MODE (r14 verdict #1a, default ON; SPARK_GRAFT_BENCH_FAST=0
+    // restores min-of-2 everywhere): a query whose FIRST sample lands
+    // under 1 s records that single sample and skips the re-time — a
+    // sub-second first sample cannot hide a regression worth arbitrating
+    // (measured on the r14 artifacts: skipping these re-times saves
+    // ~55 s wall per run and raises the composite by ~25 s, all of it
+    // first-sample codegen). Fast-mode names are listed in "fast" in
+    // the full artifact (count only in the headline, for the byte cap)
+    // so a cross-protocol diff can see exactly which entries are
+    // single-sample; queries at or above 1 s keep the full min-of-2 +
+    // divergence-arbitration protocol unchanged.
+    val fastMode = !sys.env.get("SPARK_GRAFT_BENCH_FAST").exists(v =>
+      v == "0" || v.equalsIgnoreCase("false"))
+    val FastCutoffS = 1.0
+    val fast = scala.collection.mutable.LinkedHashSet.empty[String]
 
     def sec(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // millisecond precision for the full artifact: %.2f flattens
@@ -198,10 +236,15 @@ object Bench {
         if (partial) s""""partial":true,"completed":${sampled.length},"of":${selected.length},"""
         else ""
       val loadJson = s""""load":[${sec(loadBefore)},${sec(loadAfter)}]"""
+      // protocol tag: fast mode single-samples sub-1s first samples, so
+      // a cross-release diff must not quote fast-tagged numbers against
+      // plain min-of-2-adjacent artifacts for the sub-second population
+      val timingTag =
+        if (fastMode) "min-of-2-adjacent-fast1s" else "min-of-2-adjacent"
       def toJson(rs: Seq[(String, Double)]): String =
         rs.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
       def line(qs: Seq[(String, Double)]) =
-        s"""{"metric":"total","value":${sec(total)},"unit":"sec",$progress"timing":"min-of-2-adjacent","contended":$cj,"retry_failed":$rj,"degraded":$dj,$loadJson,"queries":${toJson(qs)},"failures":$fj,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${sec(total)},"unit":"sec",$progress"timing":"$timingTag","fast_n":${fast.size},"contended":$cj,"retry_failed":$rj,"degraded":$dj,$loadJson,"queries":${toJson(qs)},"failures":$fj,"sf":"$sfDir"}"""
       // full artifact additionally carries every raw sample per query
       // (ms precision), so a divergent driver run is diagnosable from
       // the JSON alone
@@ -211,7 +254,7 @@ object Bench {
       val fullQueries = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
       val fullLine =
-        s"""{"metric":"total","value":${ms(total)},"unit":"sec",$progress"timing":"min-of-2-adjacent","contended":$cj,"retry_failed":$rj,"degraded":$dj,$loadJson,"queries":$fullQueries,"failures":$fj,"sf":"$sfDir","samples":$samplesJson}"""
+        s"""{"metric":"total","value":${ms(total)},"unit":"sec",$progress"timing":"$timingTag","fast":${names(fast)},"contended":$cj,"retry_failed":$rj,"degraded":$dj,$loadJson,"queries":$fullQueries,"failures":$fj,"sf":"$sfDir","samples":$samplesJson}"""
       val target = java.nio.file.Paths.get("target/bench_full.json")
       val tmp = java.nio.file.Paths.get("target/bench_full.json.tmp")
       java.nio.file.Files.createDirectories(target.getParent)
@@ -258,6 +301,7 @@ object Bench {
       val res: (String, Seq[Double]) =
         if (failures.contains(name)) name -> Seq(t1)
         else if (pastBudget) { degraded += name; name -> Seq(t1) }
+        else if (fastMode && t1 < FastCutoffS) { fast += name; name -> Seq(t1) }
         else retime(name) match {
           case None => name -> Seq(t1)
           case Some(t2) =>

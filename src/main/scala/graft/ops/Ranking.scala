@@ -144,28 +144,67 @@ object Ranking {
     */
   def globalCumsum(df: DataFrame, order: Seq[Column], valueCol: String,
                    cumCol: String = "cumsum",
-                   numPartitions: Int = 0): DataFrame = {
+                   numPartitions: Int = 0): DataFrame =
+    globalCumsumN(df, order, Seq(valueCol -> cumCol), numPartitions)._1
+
+  /** [[globalCumsum]] that also hands back the checkpointed
+    * range-partitioned frame for side aggregates (see globalCumsumN).
+    */
+  private def globalCumsumWithParted(df: DataFrame, order: Seq[Column],
+                                     valueCol: String, cumCol: String,
+                                     numPartitions: Int): (DataFrame, DataFrame) = {
+    val (cum, _, parted) =
+      globalCumsumN(df, order, Seq(valueCol -> cumCol), numPartitions)
+    (cum, parted)
+  }
+
+  /** [[globalCumsum]] for SEVERAL value columns over ONE order, paying
+    * the machinery once (r15): one range exchange, one checkpoint, one
+    * per-partition-sums aggregation, one pid window carrying every
+    * running sum, one broadcast join. Callers that used to CHAIN
+    * single-column calls (ksTest ran two nested checkpoints plus a
+    * third full recompute of its input for the totals) fuse to a
+    * single pass. Also returns the exact per-column grand totals as a
+    * second (1-row) frame derived from the BOUNDED per-partition sums
+    * — summing longs is associative, so the totals are bit-identical
+    * to an independent aggregation of `df`, without re-executing its
+    * lineage — and the CHECKPOINTED range-partitioned frame itself,
+    * so callers needing side aggregates of the input (groupedCumsum's
+    * per-group prefix) scan the materialized data instead of
+    * re-running `df`'s whole lineage.
+    */
+  def globalCumsumN(df: DataFrame, order: Seq[Column],
+                    vals: Seq[(String, String)],
+                    numPartitions: Int = 0): (DataFrame, DataFrame, DataFrame) = {
+    require(vals.nonEmpty, "globalCumsumN needs at least one value column")
     val n = if (numPartitions > 0) numPartitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
     // eager checkpoint: the per-partition-sum branch and the running-sum
     // branch must observe the same boundaries (see the object doc)
     val parted = df.repartitionByRange(n, order: _*).localCheckpoint()
+    val psums = vals.map { case (v, _) => sum(col(v)).as(s"__psum_$v") }
     val sums = parted.groupBy(spark_partition_id().as("__pid"))
-      .agg(sum(col(valueCol)).as("__psum"))
+      .agg(psums.head, psums.tail: _*)
     val w = Window.partitionBy(graft.plans.PlanLint.kBoundedKey(col("__pid")))
       .orderBy(col("__pid"))
-    val offsets = sums
-      .withColumn("__offset", coalesce(
-        sum(col("__psum")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    val offsets = vals.foldLeft(sums) { case (d, (v, _)) =>
+      d.withColumn(s"__offset_$v", coalesce(
+        sum(col(s"__psum_$v")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .drop("__psum")
-    parted
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lcum", sum(col(valueCol)).over(
-        Window.partitionBy(col("__pid")).orderBy(order: _*)))
-      .join(broadcast(offsets), "__pid")
-      .withColumn(cumCol, col("__offset") + col("__lcum"))
-      .drop("__pid", "__lcum", "__offset")
+    }.drop(vals.map { case (v, _) => s"__psum_$v" }: _*)
+    val totals = sums.agg(
+      sum(col(s"__psum_${vals.head._1}")).as(s"${vals.head._1}_total"),
+      vals.tail.map { case (v, _) => sum(col(s"__psum_$v")).as(s"${v}_total") }: _*)
+    val lw = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val withLocal = vals.foldLeft(parted.withColumn("__pid", spark_partition_id())) {
+      case (d, (v, _)) => d.withColumn(s"__lcum_$v", sum(col(v)).over(lw))
+    }
+    val joined = vals.foldLeft(withLocal.join(broadcast(offsets), "__pid")) {
+      case (d, (v, c)) => d.withColumn(c, col(s"__offset_$v") + col(s"__lcum_$v"))
+    }
+    val cum = joined.drop("__pid")
+      .drop(vals.flatMap { case (v, _) => Seq(s"__lcum_$v", s"__offset_$v") }: _*)
+    (cum, totals, parted)
   }
 
   /** Exact PER-GROUP running sum of `valueCol` in `order` within each
@@ -185,9 +224,16 @@ object Ranking {
                     valueCol: String, cumCol: String = "cumsum",
                     numPartitions: Int = 0): DataFrame = {
     val g = col(groupCol)
-    val cum = globalCumsum(df, g +: order, valueCol, "__gcumAll", numPartitions)
+    // the prefix aggregates the CHECKPOINTED frame, not `df` (r15):
+    // aggregating df here re-executed its whole lineage a second time
+    // (Anomaly.fitBaseline's event filter + panel scan, the stats
+    // family's grouped counts); the materialized range partitions hold
+    // exactly the same rows, and sum(long) is associative, so the
+    // per-group totals are bit-identical.
+    val (cum, parted) =
+      globalCumsumWithParted(df, g +: order, valueCol, "__gcumAll", numPartitions)
     val w = Window.partitionBy(graft.plans.PlanLint.kBoundedKey(g)).orderBy(g)
-    val prefix = df.groupBy(g).agg(sum(col(valueCol)).as("__gtot"))
+    val prefix = parted.groupBy(g).agg(sum(col(valueCol)).as("__gtot"))
       .withColumn("__pre", coalesce(
         sum(col("__gtot")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))

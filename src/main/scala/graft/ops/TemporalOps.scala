@@ -555,21 +555,20 @@ object TemporalOps {
     val x = col(valueCol)
     val obs = df.filter(x.isNotNull && !isnan(x))
       .select(col(Panel.UnitCol), col(Panel.TimeCol), x.as("__v"))
-    val a = obs.select(col(Panel.UnitCol), col(Panel.TimeCol).as("__m1"),
-      col("__v").as("__v1"))
-    val b = obs.select(col(Panel.UnitCol), col(Panel.TimeCol).as("__m2"),
-      col("__v").as("__v2"))
-    a.join(b, Seq(Panel.UnitCol))
-      .filter(col("__m1") < col("__m2"))
-      .select(col(Panel.UnitCol),
-        signum(col("__v2") - col("__v1")).cast("long").as("__sgn"))
-      .groupBy(col(Panel.UnitCol))
-      .agg(count(lit(1)).as("__np"), sum(col("__sgn")).as("s"))
-      .select(col(Panel.UnitCol),
-        // n from the pair count: np = n(n−1)/2
-        round((lit(1.0) + sqrt(lit(1.0) + lit(8.0) * col("__np"))) / 2.0)
-          .cast("long").as("n"),
-        col("s"), round(col("s") / col("__np"), 6).as("tau"))
+    // bounded single-pass aggregate (graft.ops.MannKendall — r15)
+    // instead of the former T²-row self-join: same pairs, same sign
+    // comparisons, same associative ±1 sum — identical S — with one
+    // exchange and no pair table. Single-observation units produced
+    // no pair rows under the inner join (absent from the output), so
+    // the n ≥ 2 filter preserves the exact row set.
+    val mkS = udaf(new graft.ops.MannKendall.MkS)
+    val np = (col("__mk.n") * (col("__mk.n") - 1) / lit(2L)).cast("long")
+    obs.groupBy(col(Panel.UnitCol))
+      .agg(mkS(col(Panel.TimeCol).cast("long"), col("__v")).as("__mk"))
+      .filter(col("__mk.n") >= 2)
+      .select(col(Panel.UnitCol), col("__mk.n").as("n"),
+        col("__mk.s").as("s"),
+        round(col("__mk.s") / np, 6).as("tau"))
   }
 
   /** Theil–Sen robust trend: per unit, the MEDIAN of all pairwise

@@ -316,11 +316,27 @@ object Profile {
     require(cols.nonEmpty, "distinctProfile needs at least one column")
     require(cols.forall(c => !c.contains(".") && !c.contains("`")),
       s"distinctProfile column names must be dot/backtick-free: $cols")
-    val aggs = cols.flatMap { c =>
-      Seq(countDistinct(col(c)).as(s"__d_$c"),
-        approx_count_distinct(col(c)).as(s"__a_$c"))
-    }
-    df.agg(aggs.head, aggs.tail: _*)
+    // The exact counts and the HLL sketches run as TWO aggregations
+    // (r15). Mixing countDistinct with approx_count_distinct in ONE
+    // agg made Catalyst's multi-distinct Expand rewrite attach every
+    // column's partial HLL buffer (4 × 52 longs) to EVERY
+    // (distinct-value, gid) group: sketches were built per distinct
+    // key and shuffled in a 213-column exchange, then all but the
+    // gid=0 group's thrown away by the first(...) FILTER — measured
+    // as the whole cost of q_distinct_profile. Split, the exact pass
+    // shuffles narrow (value, gid) rows only and the approx pass
+    // keeps 4 sketches per PARTITION, merged once; at corpus scale
+    // that is the difference between an HLL per distinct value and an
+    // HLL per partition crossing the wire. HLL register merge is a
+    // bitwise max — order-independent — and countDistinct is
+    // untouched, so both emitted numbers are bit-identical.
+    val exact = df.agg(
+      countDistinct(col(cols.head)).as(s"__d_${cols.head}"),
+      cols.tail.map(c => countDistinct(col(c)).as(s"__d_$c")): _*)
+    val approx = df.agg(
+      approx_count_distinct(col(cols.head)).as(s"__a_${cols.head}"),
+      cols.tail.map(c => approx_count_distinct(col(c)).as(s"__a_$c")): _*)
+    exact.crossJoin(broadcast(approx))
       .select(explode(array(cols.map { c =>
         struct(lit(c).as("column"), col(s"__d_$c").as("n_distinct"),
           (abs(col(s"__a_$c") - col(s"__d_$c")).cast("double") <=

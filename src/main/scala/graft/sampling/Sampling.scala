@@ -496,11 +496,15 @@ object Sampling {
         .groupBy("v").agg(count(lit(1)).as(as))
     val merged = counts(ref, "n_ref").join(counts(cur, "n_cur"), Seq("v"), "full")
       .na.fill(0L, Seq("n_ref", "n_cur"))
-    val cum = graft.ops.Ranking.globalCumsum(
-      graft.ops.Ranking.globalCumsum(merged, Seq(col("v")), "n_ref", "__cr"),
-      Seq(col("v")), "n_cur", "__cc")
-    val totals = merged.agg(sum(col("n_ref")).as("__tr"),
-      sum(col("n_cur")).as("__tc"))
+    // fused two-column cumsum (r15): the former NESTED globalCumsum
+    // chain checkpointed the working set twice and re-executed
+    // `merged`'s whole lineage a third time for the totals; one
+    // globalCumsumN pass carries both running counts and derives the
+    // identical exact-long totals from its bounded per-partition sums.
+    val (cum, totalsRaw, _) = graft.ops.Ranking.globalCumsumN(merged,
+      Seq(col("v")), Seq("n_ref" -> "__cr", "n_cur" -> "__cc"))
+    val totals = totalsRaw.select(col("n_ref_total").as("__tr"),
+      col("n_cur_total").as("__tc"))
     cum.crossJoin(broadcast(totals))
       .select(col("__tr"), col("__tc"),
         abs(col("__cr").cast("double") / col("__tr") -

@@ -191,21 +191,23 @@ object SpatialStats {
     val gi = getisOrdGi(panel, valueCol, lonCol, latCol)
       .select(col(Panel.TimeCol), col(Panel.UnitCol), col("gi"))
       .filter(col("gi").isNotNull)
-    val a = gi.select(col(Panel.UnitCol), col(Panel.TimeCol).as("__m1"),
-      col("gi").as("__g1"))
-    val b = gi.select(col(Panel.UnitCol), col(Panel.TimeCol).as("__m2"),
-      col("gi").as("__g2"))
-    val mk = a.join(b, Seq(Panel.UnitCol))
-      .filter(col("__m1") < col("__m2"))
-      .groupBy(col(Panel.UnitCol))
-      .agg(sum(signum(col("__g2") - col("__g1")).cast("long")).as("mk_s"))
+    // Mann–Kendall S through the bounded single-pass aggregate
+    // (graft.ops.MannKendall — r15): the former unit-keyed self-join
+    // (T²/2 pair rows per unit through a join + shuffle) is folded
+    // into the SAME aggregation that computes the month counters —
+    // one exchange for the whole taxonomy, no pair table. S is the
+    // identical integer (same sign comparisons, associative ±1 sum);
+    // a single-month unit gets S = 0 exactly as the old left-join +
+    // fill(0) did for its empty pair set.
+    val mkS = udaf(new graft.ops.MannKendall.MkS)
     val per = gi.groupBy(col(Panel.UnitCol))
       .agg(count(lit(1)).as("n_months"),
         sum(when(col("gi") > z, 1L).otherwise(0L)).as("n_hot"),
         sum(when(col("gi") < -z, 1L).otherwise(0L)).as("n_cold"),
-        max(struct(col(Panel.TimeCol), col("gi"))).as("__last"))
-    per.join(mk, Seq(Panel.UnitCol), "left")
-      .na.fill(0L, Seq("mk_s"))
+        max(struct(col(Panel.TimeCol), col("gi"))).as("__last"),
+        mkS(col(Panel.TimeCol).cast("long"), col("gi")).as("__mk"))
+    per
+      .withColumn("mk_s", col("__mk.s"))
       .select(col(Panel.UnitCol), col("n_months"), col("n_hot"),
         col("n_cold"), col("mk_s"),
         when(col("n_hot") * 10 >= col("n_months") * 9 && col("mk_s") > 0,
