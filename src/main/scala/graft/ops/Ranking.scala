@@ -207,6 +207,71 @@ object Ranking {
     (cum, totals, parted)
   }
 
+  /** Exact Σ rank(row)·x(row) plus exact totals, in ONE branch with NO
+    * checkpoint (r15): for statistics whose OUTPUT is an aggregate of
+    * the ranks (gini's rank-weighted revenue sum), materializing a
+    * per-row rank via [[globalRank]] pays an eager localCheckpoint of
+    * the working set plus a broadcast join the result immediately
+    * collapses. Here one linear plan — range exchange →
+    * within-partition sort → a per-partition scan emitting ONE row
+    * (count, Σx, Σ localIdx·x as exact integers) — feeds an
+    * nPartitions-bounded offset window:
+    *
+    *   Σ rank·x = Σ_p (offset_p · Σx_p + Σ localIdx·x_p)
+    *
+    * The scan is a typed mapPartitions (justified non-codegen: it
+    * reads two primitive columns, emits one row per partition, and
+    * replaces a full materialization + join — the multimodal decode
+    * precedent); the single-branch shape also removes the two-branch
+    * boundary-consistency hazard outright, so no checkpoint is needed
+    * at ANY scale: this is strictly lighter than globalRank at 100 TB
+    * (zero extra materializations of the data). Rank ties of equal
+    * `xCol` values are interchangeable in the dot product, so the
+    * result is bit-identical to globalRank's Σ rank·x whatever
+    * boundaries the range sampler draws. Null x rows occupy a rank
+    * (counted) but contribute nothing to either sum — exactly
+    * sum()'s null semantics in the join form.
+    *
+    * @return one row: (__n BIGINT — row count including null x,
+    *         __sx DECIMAL(38,0) — exact Σx,
+    *         __srx DECIMAL(38,0) — exact Σ rank·x); zero rows when
+    *         `df` is empty (aggregate it with null-tolerant exprs)
+    */
+  def rankDot(df: DataFrame, order: Seq[Column], xCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val Dec = "decimal(38,0)"
+    val n = spark.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .select(col(xCol).isNull.as("__isnull"),
+        coalesce(col(xCol).cast("long"), lit(0L)).as("__v"))
+      .as[(Boolean, Long)]
+    val per = parted.mapPartitions { it =>
+      var cnt = 0L
+      var s = BigInt(0)
+      var jx = BigInt(0)
+      while (it.hasNext) {
+        val (isNull, x) = it.next()
+        cnt += 1
+        if (!isNull) { s += x; jx += BigInt(cnt) * x }
+      }
+      if (cnt == 0) Iterator.empty
+      else Iterator.single((org.apache.spark.TaskContext.getPartitionId(),
+        cnt, s.toString, jx.toString))
+    }.toDF("__pid", "__cnt", "__psx", "__pjx")
+    val w = Window.partitionBy(graft.plans.PlanLint.kBoundedKey(col("__pid")))
+      .orderBy(col("__pid"))
+    per
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .agg(sum(col("__cnt")).as("__n"),
+        sum(col("__psx").cast(Dec)).as("__sx"),
+        sum(col("__pjx").cast(Dec) +
+          col("__off").cast(Dec) * col("__psx").cast(Dec)).as("__srx"))
+  }
+
   /** Exact PER-GROUP running sum of `valueCol` in `order` within each
     * value of `groupCol`, with no per-group single task: one
     * [[globalCumsum]] over the concatenated (group, order) total order,
@@ -224,16 +289,9 @@ object Ranking {
                     valueCol: String, cumCol: String = "cumsum",
                     numPartitions: Int = 0): DataFrame = {
     val g = col(groupCol)
-    // the prefix aggregates the CHECKPOINTED frame, not `df` (r15):
-    // aggregating df here re-executed its whole lineage a second time
-    // (Anomaly.fitBaseline's event filter + panel scan, the stats
-    // family's grouped counts); the materialized range partitions hold
-    // exactly the same rows, and sum(long) is associative, so the
-    // per-group totals are bit-identical.
-    val (cum, parted) =
-      globalCumsumWithParted(df, g +: order, valueCol, "__gcumAll", numPartitions)
+    val cum = globalCumsum(df, g +: order, valueCol, "__gcumAll", numPartitions)
     val w = Window.partitionBy(graft.plans.PlanLint.kBoundedKey(g)).orderBy(g)
-    val prefix = parted.groupBy(g).agg(sum(col(valueCol)).as("__gtot"))
+    val prefix = df.groupBy(g).agg(sum(col(valueCol)).as("__gtot"))
       .withColumn("__pre", coalesce(
         sum(col("__gtot")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))

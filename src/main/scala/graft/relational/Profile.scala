@@ -288,12 +288,14 @@ object Profile {
   def gini(df: DataFrame, valueCol: String, unitCol: String): DataFrame = {
     val cents = df.groupBy(col(unitCol).as("__u"))
       .agg(sum(round(col(valueCol) * 100).cast("long")).as("__x"))
-    val ranked = graft.ops.Ranking.rank(cents,
-      Seq(col("__x"), col("__u")), "__r")
-    val d = "decimal(38,0)"
-    ranked.agg(count(lit(1)).as("n_units"),
-      sum(col("__x").cast(d)).as("__t"),
-      sum(col("__r").cast(d) * col("__x").cast(d)).as("__s1"))
+    // Σ rank·x through the single-branch rankDot (r15): gini only
+    // consumes the rank-weighted SUM, so the per-row rank join
+    // (eager checkpoint + broadcast join) was pure overhead — one
+    // linear pass computes the identical exact integers with no
+    // materialization of the working set at any scale.
+    graft.ops.Ranking.rankDot(cents, Seq(col("__x"), col("__u")), "__x")
+      .select(coalesce(col("__n"), lit(0L)).as("n_units"),
+        col("__sx").as("__t"), col("__srx").as("__s1"))
       .select(col("n_units"),
         round(col("__t").cast("double") / 100, 6).as("total"),
         when(col("__t") === 0, lit(null).cast("double"))
