@@ -202,6 +202,14 @@ object TemporalOps {
     * then ONE long→double cast and ONE division by 1e6 — both
     * correctly-rounded IEEE ops every engine performs identically.
     * No further output rounding is needed or wanted.
+    *
+    * Long.MinValue edge (ADVICE r14, documentation only): at
+    * cs9 == Long.MinValue, `abs` overflows — JVM math.abs returns
+    * Long.MinValue while Spark/DuckDB differ (ANSI error vs wrap).
+    * That requires |Σv9 − n·μ9| > 9.2e18, i.e. drift at the full
+    * documented ~9.2e18 integer headroom — the series is rescaled
+    * long before then per the loud-failure contract above; no code
+    * path guards it because no representable gate input reaches it.
     */
   def cusumFixed(v9: Column, h: Double = 3.0): Column = {
     val wAll = Window.partitionBy(Panel.UnitCol)

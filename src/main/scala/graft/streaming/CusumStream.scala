@@ -102,7 +102,18 @@ object CusumStream {
 
   private def breachOf(cs9: Long, nb: Long, ex: String, h: Double): Int = {
     // the batch side's integer certificate: A = |cs9| − 500,
-    // breach ⟺ A ≥ 0 AND (A·N)²·d ≥ u·ex with h² = u/d exact
+    // breach ⟺ A ≥ 0 AND (A·N)²·d ≥ u·ex with h² = u/d exact.
+    // Null-taxonomy (r15, ADVICE r14): an all-null baseline (nb = 0)
+    // also carries ex = NULL — that is "no observations", not decimal
+    // overflow, and gets its own diagnosis instead of the misleading
+    // rescale message (the batch side emits NULL breach for all-null
+    // units; a typed Int stream has no null lane, so scoring such a
+    // unit is a caller error named as such).
+    require(!(ex == null && nb == 0L),
+      "cusum baseline has no observations for this unit (all-null " +
+        "series): no breach decision is defined — filter all-null " +
+        "units out of the scored stream (the batch operator emits " +
+        "NULL breach for them)")
     require(ex != null,
       "cusum breach certificate overflow: the baseline carries a null " +
         "ex — the fit's decimal domain was exceeded; rescale the series")

@@ -70,9 +70,15 @@ object PanelStream {
       .groupBy(window(col("ts"), "1 day").as("w"),
         col("user_id").cast("long").as(Panel.UnitCol))
       .agg((sum(Panel.fix9(col("value"))).cast("double") / lit(1e9)).as("value"),
-        count(lit(1)).cast("double").as("value2"))
+        count(lit(1)).cast("double").as("value2"),
+        // the integer sum itself rides along (r15, ADVICE r14): the
+        // double round-trip value·1e9 is only exact below ~2^53 in
+        // 1e-9 units (~1e6 feature units per day cell) — far below
+        // the ~9.2e9-unit long headroom — so the monthly fold
+        // consumes THIS column and never re-quantizes a double
+        sum(Panel.fix9(col("value"))).as("value9"))
       .select(to_date(col("w.start")).as("day"),
-        col(Panel.UnitCol), col("value"), col("value2"))
+        col(Panel.UnitCol), col("value"), col("value2"), col("value9"))
   }
 
   /** Streaming ingest dedup: drop re-delivered events by id while the
@@ -93,15 +99,22 @@ object PanelStream {
     * equivalence checks, directly over panelAggregate's plan in batch
     * mode, where the watermark is a no-op.
     */
-  def toPanel(dayCells: DataFrame): DataFrame =
+  def toPanel(dayCells: DataFrame): DataFrame = {
+    // prefer the carried integer column (r15, ADVICE r14): summing the
+    // longs directly is exact up to the full ~9.2e18 headroom, where
+    // re-fixing the double day-cell value is only exact below ~2^53 in
+    // 1e-9 units (~1e6 feature units per day cell). Sinks written
+    // before the column existed still fold via the re-fix (its
+    // exactness bound now documented above), so old data stays
+    // readable.
+    val v9 = if (dayCells.columns.contains("value9")) col("value9")
+             else Panel.fix9(col("value"))
     dayCells
       .groupBy(dayofmonth(col("day")).cast("long").as(Panel.TimeCol),
         col(Panel.UnitCol))
-      // day-cell values sit on the 1e-9 grid (panelAggregate fixes
-      // per event), so re-fixing recovers the exact integers and the
-      // cross-month fold stays order-invariant like the batch panel
-      .agg((sum(Panel.fix9(col("value"))).cast("double") / lit(1e9)).as("value"),
+      .agg((sum(v9).cast("double") / lit(1e9)).as("value"),
         sum(col("value2")).as("value2"))
+  }
 
   /** File-stream source over the events parquet layout (same
     * TIMESTAMP(NANOS) handling as the batch Panel.readEvents).

@@ -44,9 +44,14 @@ for path, q, full in runs:
     print(f"\n== {path}")
     print(f"   total {total:.1f}s over {len(common)} common queries; "
           f"median ratio {med:.2f}x; contended={full.get('contended')}")
-    # wave spans: consecutive alphabetical stretches over the threshold
+    # wave spans: stretches contiguous IN EXECUTION ORDER over the
+    # threshold. Bench emits its queries map in run order (alphabetical
+    # before r15, descending recorded cost after the heavy-first
+    # reorder), and json.load preserves file order — so each run's own
+    # key order IS its timeline, whatever protocol produced it.
+    run_order = [k for k in q if k in common and base[k] > 0.05]
     spans, cur = [], []
-    for k in comp:
+    for k in run_order:
         if ratios[k] > WAVE_RATIO:
             cur.append(k)
         else:
