@@ -281,12 +281,18 @@ object Dedup {
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), "shingle")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val truth = jaccard(truthCand, sh, idCol)
-      .filter(col("jaccard") >= threshold).select("id_a", "id_b")
+    // truth and lsh are each consumed twice below (the hit join and
+    // their own counts) — persisted (releasable, OpCache) so the
+    // shingle-join + jaccard pipelines run once per side, not twice
+    // (r15: the audit's cost was dominated by exactly this re-run).
+    // Both frames are post-threshold pair lists, far smaller than the
+    // candidate products that build them.
+    val truth = graft.OpCache.persist(jaccard(truthCand, sh, idCol)
+      .filter(col("jaccard") >= threshold).select("id_a", "id_b"))
     val sig = minhash(sh, numHashes, idCol)
     val cand = lshCandidates(sig, numHashes, bandRows, idCol)
-    val lsh = jaccard(cand, sh, idCol)
-      .filter(col("jaccard") >= threshold).select("id_a", "id_b")
+    val lsh = graft.OpCache.persist(jaccard(cand, sh, idCol)
+      .filter(col("jaccard") >= threshold).select("id_a", "id_b"))
     val hits = truth.join(lsh, Seq("id_a", "id_b"))
       .agg(count(lit(1)).as("n_hit"))
     truth.agg(count(lit(1)).as("n_true"))
@@ -886,7 +892,10 @@ object Dedup {
     val sh = graft.OpCache.persist(shingles(docs, shingleSize, idCol, textCol))
     val sig = minhash(sh, numHashes, idCol)
     val cand = lshCandidates(sig, numHashes, bandRows, idCol)
-    val j = jaccard(cand, sh, idCol)
+    // persisted (releasable, OpCache): the symmetrization consumes j
+    // in BOTH directions — unpersisted, the banded candidate join +
+    // jaccard aggregation executed twice per call (r15)
+    val j = graft.OpCache.persist(jaccard(cand, sh, idCol))
     val sym = j.select(col("id_a").as("seed_id"), col("id_b").as("match_id"),
         col("jaccard"))
       .unionByName(j.select(col("id_b").as("seed_id"),

@@ -32,11 +32,7 @@ object Bfs {
                   dstCol: String = "id_b"): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val sym = graft.OpCache.persist(
-      pairs.select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .unionByName(pairs.select(col(dstCol).cast("long").as("src"),
-          col(srcCol).cast("long").as("dst")))
-        .distinct())
+      Edges.symmetrize(pairs, srcCol, dstCol))
     var dist = sym.select(col("src").as("id")).distinct()
       .select(col("id"),
         when(seedPred(col("id")), 0L).cast("long").as("hops"))

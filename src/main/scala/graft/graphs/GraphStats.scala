@@ -23,11 +23,7 @@ object GraphStats {
 
   private def symmetrize(pairs: DataFrame, srcCol: String,
                          dstCol: String): DataFrame =
-    pairs.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .unionByName(pairs.select(col(dstCol).cast("long").as("src"),
-        col(srcCol).cast("long").as("dst")))
-      .distinct()
+    Edges.symmetrize(pairs, srcCol, dstCol)
 
   /** Newman modularity of a labelling:
     *   Q = Σ_c [ e_c/m − (d_c / 2m)² ]

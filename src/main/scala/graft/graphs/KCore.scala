@@ -36,11 +36,7 @@ object KCore {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val sym = graft.OpCache.persist(
-      pairs.select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .unionByName(pairs.select(col(dstCol).cast("long").as("src"),
-          col(srcCol).cast("long").as("dst")))
-        .distinct())
+      Edges.symmetrize(pairs, srcCol, dstCol))
     // degree table of the current surviving subgraph; edges survive
     // when BOTH endpoints do, so filtering the degree table node-wise
     // and re-deriving degrees from the semi-joined edge list IS the

@@ -29,11 +29,7 @@ object LabelProp {
                        dstCol: String = "id_b"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val sym = graft.OpCache.persist(
-      pairs.select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .unionByName(pairs.select(col(dstCol).cast("long").as("src"),
-          col(srcCol).cast("long").as("dst")))
-        .distinct())
+      Edges.symmetrize(pairs, srcCol, dstCol))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     (1 to iters).foreach { _ =>

@@ -33,11 +33,15 @@ object LinkPredict {
     *   id_a < id_b
     */
   def scores(pairs: DataFrame): DataFrame = {
-    val canon = pairs
+    // persisted (releasable, OpCache — r15): adj feeds the degree
+    // table and BOTH wedge-join sides — unpersisted, each of the
+    // three consumers re-ran canon's whole pipeline (the banded pair
+    // generator) twice over (once per union branch)
+    val canon = graft.OpCache.persist(pairs
       .select(least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
+      .distinct())
     val adj = canon.select(col("a").as("x"), col("b").as("z"))
       .union(canon.select(col("b").as("x"), col("a").as("z")))
     val deg = adj.groupBy(col("x").as("id")).agg(count(lit(1)).as("deg"))

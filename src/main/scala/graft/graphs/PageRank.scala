@@ -33,11 +33,7 @@ object PageRank {
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
     val sym = graft.OpCache.persist(
-      pairs.select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .unionByName(pairs.select(col(dstCol).cast("long").as("src"),
-          col(srcCol).cast("long").as("dst")))
-        .distinct())
+      Edges.symmetrize(pairs, srcCol, dstCol))
     val deg = graft.OpCache.persist(
       sym.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val n = deg.count()
@@ -84,11 +80,7 @@ object PageRank {
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
     val sym = graft.OpCache.persist(
-      pairs.select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst"))
-        .unionByName(pairs.select(col(dstCol).cast("long").as("src"),
-          col(srcCol).cast("long").as("dst")))
-        .distinct())
+      Edges.symmetrize(pairs, srcCol, dstCol))
     val deg = graft.OpCache.persist(
       sym.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val nSeeds = deg.filter(col("src") < maxSeedId).count()
