@@ -275,8 +275,12 @@ object Stats {
     * @return one row (n, rho)
     */
   def spearman(df: DataFrame, colA: String, colB: String): DataFrame = {
-    val cells = df.groupBy(col(colA).as("__a"), col(colB).as("__b"))
-      .agg(count(lit(1)).as("__o"))
+    // r15: persisted — the cell table feeds both margins' cumsum
+    // checkpoints and the final rank join (three full re-executions
+    // of the source scan + exchange before)
+    val cells = graft.OpCache.persist(
+      df.groupBy(col(colA).as("__a"), col(colB).as("__b"))
+        .agg(count(lit(1)).as("__o")))
     def ranks(c: String, r2: String) = {
       val m = cells.groupBy(col(c)).agg(sum(col("__o")).as("__nv"))
       graft.ops.Ranking.globalCumsum(m, Seq(col(c)), "__nv", "__cumv")
@@ -354,18 +358,25 @@ object Stats {
   def quantileSketchGate(df: DataFrame, valueCol: String, qs: Seq[Double],
                          accuracy: Int = 10000,
                          eps: Double = 0.01): DataFrame = {
-    val v = col(valueCol).cast("double")
-    val exact = exactQuantiles(df, valueCol, qs)
-    val approx = df.agg(expr(
-      s"approx_percentile(CAST($valueCol AS DOUBLE), " +
+    // r15: three full consumers of the value column (exact quantiles,
+    // the sketch aggregation, the rank-audit scan) used to re-execute
+    // the caller's lineage three times — project the double column
+    // once, persist narrow, scan the source ONCE (the
+    // equiDepthHistogram pattern; results bit-identical: same
+    // expressions over the same values)
+    val vals = graft.OpCache.persist(
+      df.select(col(valueCol).cast("double").as("__v")))
+    val exact = exactQuantiles(vals, "__v", qs)
+    val approx = vals.agg(expr(
+      s"approx_percentile(__v, " +
         s"array(${qs.mkString(",")}), $accuracy)").as("__aq"),
-      count(v).as("__n"))
+      count(col("__v")).as("__n"))
     val aRows = approx.select(col("__n"),
       posexplode(col("__aq")).as(Seq("__i", "__a")))
       .select((element_at(
         array(qs.map(lit): _*), (col("__i") + 1).cast("int"))).as("q"),
         col("__a"), col("__n"))
-    val ranks = df.select(v.as("__v")).filter(col("__v").isNotNull)
+    val ranks = vals.filter(col("__v").isNotNull)
       .crossJoin(broadcast(aRows))
       .groupBy(col("q"), col("__n"))
       .agg(sum(when(col("__v") <= col("__a"), 1L).otherwise(0L)).as("__r"))
@@ -394,24 +405,32 @@ object Stats {
   def equiDepthHistogram(df: DataFrame, valueCol: String,
                          nbins: Int): DataFrame = {
     require(nbins >= 2, s"nbins must be >= 2, got $nbins")
-    val v = col(valueCol).cast("double")
     val qs = (1 until nbins).map(_.toDouble / nbins)
-    val eq = exactQuantiles(df, valueCol, qs)
+    // r15: the separate min/max bounds scan is GONE — binning is
+    // monotone in the value, so the global min is the per-bin min of
+    // bin 0 and the global max is the per-bin max of the top bin
+    // (NaN sorts above every cut into the top bin, exactly as the
+    // global max aggregate treated it; nulls bin to 0 and are ignored
+    // by min, exactly as the global min did), and both ride the SAME
+    // aggregation that counts the bins. Two source scans (quantile
+    // rank pass + binning pass) instead of three, no extra state, at
+    // any scale.
+    val vals = df.select(col(valueCol).cast("double").as("__v"))
+    val v = col("__v")
+    val eq = exactQuantiles(vals, "__v", qs)
     val bounds = eq
       .agg(array(qs.map(qi =>
         min(when(col("q") === qi, col("value")))): _*).as("__qs"))
-      .crossJoin(broadcast(
-        df.agg(min(v).as("__mn"), max(v).as("__mx"))))
     val bin = (0 until nbins - 1)
       .map(i => when(v > col("__qs").getItem(i), 1L).otherwise(0L))
       .reduce(_ + _)
     val edge = (i: Column) => when(i === 0, col("__mn"))
       .otherwise(element_at(col("__qs"), i.cast("int")))
-    df.crossJoin(broadcast(bounds))
-      .select(bin.as("bin"), col("__qs"), col("__mn"), col("__mx"))
+    vals.crossJoin(broadcast(bounds))
+      .select(bin.as("bin"), col("__v"), col("__qs"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), first(col("__qs")).as("__qs"),
-        first(col("__mn")).as("__mn"), first(col("__mx")).as("__mx"))
+        min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
       .select(col("bin"),
         round(edge(col("bin")), 6).as("q_lo"),
         round(when(col("bin") === (nbins - 1), col("__mx"))
@@ -436,14 +455,23 @@ object Stats {
     */
   def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
                     critical: Double): DataFrame = {
-    val cells = df.groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
-      .agg(count(lit(1)).as("__o"))
+    // r15: the cell table feeds the margin (whose lineage the cumsum
+    // checkpoint executes) AND the per-group rank-sum join — persisted
+    // once, the source is scanned once instead of three times
+    val cells = graft.OpCache.persist(
+      df.groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
+        .agg(count(lit(1)).as("__o")))
     val margin = cells.groupBy(col("__v")).agg(sum(col("__o")).as("__nv"))
     // pooled-margin cumulative counts on the range-partitioned global
     // cumsum (the ks_test shape) — a continuous value column (margin ≈
-    // row count) ranks fully parallel, no single-task window
-    val ranked = graft.ops.Ranking
-      .globalCumsum(margin, Seq(col("__v")), "__nv", "__cumv")
+    // row count) ranks fully parallel, no single-task window. The
+    // checkpointed range-partitioned margin comes back too: the tie
+    // term scans IT instead of re-running the margin aggregation
+    // (bit-identical — same rows, and the integer-decimal sum is
+    // order-free)
+    val (cum, _, parted) = graft.ops.Ranking
+      .globalCumsumN(margin, Seq(col("__v")), Seq("__nv" -> "__cumv"))
+    val ranked = cum
       .select(col("__v"),
         (lit(2) * col("__cumv") - col("__nv") + 1).as("__r2"),
         col("__nv"))
@@ -462,7 +490,7 @@ object Stats {
       count(lit(1)).as("__k"),
       sum(round((col("__s2") * col("__s2")).cast("double") / col("__ng"))
         .cast(Dec)).as("__t"))
-    val ties = margin.agg(
+    val ties = parted.agg(
       sum(col("__nv").cast(Dec) * col("__nv") * col("__nv")
         - col("__nv")).as("__tt"))
     val n = col("__n")
@@ -497,14 +525,21 @@ object Stats {
     */
   def mannWhitney(a: DataFrame, b: DataFrame, valueCol: String,
                   critical: Double = 1.96): DataFrame = {
-    val cells = a.select(col(valueCol).as("__v"), lit(0).as("__g"))
-      .unionByName(b.select(col(valueCol).as("__v"), lit(1).as("__g")))
-      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__o"))
+    // r15: persisted — the cell table feeds the margin (executed by
+    // the cumsum checkpoint) and the rank-sum join; each used to
+    // re-run both source scans + the union
+    val cells = graft.OpCache.persist(
+      a.select(col(valueCol).as("__v"), lit(0).as("__g"))
+        .unionByName(b.select(col(valueCol).as("__v"), lit(1).as("__g")))
+        .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__o")))
     val margin = cells.groupBy(col("__v")).agg(sum(col("__o")).as("__nv"))
     // pooled-margin cumulative counts via globalCumsum (the
-    // kruskalWallis shape) — parallel at any value cardinality
-    val ranked = graft.ops.Ranking
-      .globalCumsum(margin, Seq(col("__v")), "__nv", "__cumv")
+    // kruskalWallis shape) — parallel at any value cardinality; the
+    // tie term scans the checkpointed range-partitioned margin
+    // instead of re-running the margin aggregation
+    val (cum, _, parted) = graft.ops.Ranking
+      .globalCumsumN(margin, Seq(col("__v")), Seq("__nv" -> "__cumv"))
+    val ranked = cum
       .select(col("__v"),
         (lit(2) * col("__cumv") - col("__nv") + 1).as("__r2"))
     val perG = cells.join(ranked, "__v")
@@ -515,7 +550,7 @@ object Stats {
       max(when(col("__g") === 0, col("__ng"))).as("__na"),
       max(when(col("__g") === 1, col("__ng"))).as("__nb"),
       max(when(col("__g") === 0, col("__s2"))).as("__r2a"))
-    val ties = margin.agg(
+    val ties = parted.agg(
       sum(col("__nv").cast(Dec) * col("__nv") * col("__nv")
         - col("__nv")).as("__tt"))
     val na = col("__na").cast(Dec)
@@ -555,6 +590,12 @@ object Stats {
     */
   def brownForsythe(df: DataFrame, groupCol: String, valueCol: String,
                     critical: Double): DataFrame = {
+    // r15 note: persisting this cell table was A/B'd and REVERTED —
+    // with a continuous value column the cells are data-sized, and
+    // materializing them cost more at sf0.1 (min 2.0 s → 3.6 s over
+    // four interleaved pairs) than the repeated pruned parquet scans
+    // it saved; the k-bounded-cells stats (kruskal/mannWhitney/
+    // spearman) keep their persists, where the same A/B won
     val cells = df.groupBy(col(groupCol).as("__g"),
         col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__o"))
@@ -624,10 +665,13 @@ object Stats {
     val margin = df.select(col(valueCol).cast("double").as("__v"))
       .groupBy(col("__v")).agg(count(lit(1)).as("__nv"))
     // pooled-margin cumulative counts via globalCumsum (the
-    // kruskalWallis shape) — parallel at any value cardinality
-    val cum = graft.ops.Ranking
-      .globalCumsum(margin, Seq(col("__v")), "__nv", "__cum")
-    val tot = margin.agg(sum(col("__nv")).as("__nt"))
+    // kruskalWallis shape) — parallel at any value cardinality. The
+    // grand total comes from the cumsum machinery's exact
+    // per-partition sums (r15) instead of re-running the margin
+    // aggregation — one fewer full pass over the source
+    val (cum, totals, _) = graft.ops.Ranking
+      .globalCumsumN(margin, Seq(col("__v")), Seq("__nv" -> "__cum"))
+    val tot = totals.select(col("__nv_total").as("__nt"))
     val med = cum.crossJoin(broadcast(tot))
       .agg(
         min(when(col("__cum") >= floor((col("__nt") + 1) / 2), col("__v")))

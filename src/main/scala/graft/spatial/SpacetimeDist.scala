@@ -301,27 +301,35 @@ object SpacetimeDist {
         }
         // per-unit top-k over a ring-event stream (the certificate
         // guarantees the ring stream contains each unit's true top-k).
-        // The ring side is EXPLICITLY repartitioned on the join keys:
-        // this join EXPLODES (ring events × in-cell units ≈ 16×), and
-        // AQE's coalescing sizes post-shuffle partitions by INPUT
-        // bytes — it funneled the 42M-row product through a handful of
-        // tasks (measured 28 s → 5.4 s at the 10× fixture). A
-        // REPARTITION_BY_NUM shuffle is not coalescible, and the join
-        // reuses its partitioning.
+        // The ring side arrives ALREADY hash-partitioned on the join
+        // keys (the persisted per-level ring below carries a
+        // REPARTITION_BY_NUM exchange inside the cache): this join
+        // EXPLODES (ring events × in-cell units ≈ 16×), and AQE's
+        // coalescing sizes post-shuffle partitions by INPUT bytes — it
+        // funneled the 42M-row product through a handful of tasks
+        // (measured 28 s → 5.4 s at the 10× fixture). A
+        // REPARTITION_BY_NUM shuffle is not coalescible, the cache
+        // preserves its layout, and the join reuses it.
         val nPart = spark.sessionState.conf.numShufflePartitions
         def unitTop(ring: DataFrame): DataFrame =
-          unitCell.join(ring.repartition(nPart, col("cbx"), col("cby")),
-              Seq("cbx", "cby"))
+          unitCell.join(ring, Seq("cbx", "cby"))
             .withColumn("sd2", sdx * sdx + sdy * sdy)
             .groupBy(col(U), col("e_t"))
             .agg(topk(col("sd2"), col("e_t"), col("e_u"), col("e_size")).as("cs"))
             .select(col(U), col("cs"))
         // ESCALATION LADDER — rings r, 3r, 9r, then the exact
-        // fallback. Level 0 is the caller's ring (its stream is a
-        // cheap map-side explode of the persisted event table, so
-        // only the tiny cert persists). Each later level restricts
-        // the wider ring stream to the still-uncertified pairs and
-        // persists it (it feeds that level's cert AND unit join).
+        // fallback. Each level's ring stream feeds BOTH the
+        // certificate aggregation and the unit join, so it is
+        // persisted ONCE, pre-partitioned on (cbx, cby) (r15): the
+        // certificate's groupBy(cbx, cby, e_t) is satisfied by that
+        // hash partitioning (group keys are a superset of the
+        // partition keys — no second exchange), and the unit join
+        // reuses the same layout through the broadcast certificate
+        // join. Before this fusion the level-0 explode executed twice
+        // (once into the cert exchange, once into the unit-join
+        // repartition) — two full exchanges of the ~(2R+1)²·E stream;
+        // now one exchange and one materialization serve both
+        // consumers at every scale.
         // The 3r step provably absorbs cert tightness: an event
         // within Chebyshev m has max-corner distance ≤
         // 0.5·(m+1)·b·√2, and (R+1)·√2 < 3R for every R ≥ 1 — so any
@@ -329,43 +337,67 @@ object SpacetimeDist {
         // only neighbourhoods with fewer than k nearby events fall
         // through, and the 9r step shrinks that Poisson tail to the
         // truly degenerate months before the O(month-events) fallback.
-        val ladder = Seq(r, 3 * r, 9 * r)
-        val (tops, residue) = ladder.zipWithIndex
-          .foldLeft((List.empty[DataFrame], cellMonths)) {
-            case ((acc, pending), (rr, i)) =>
-              val ring =
-                if (i == 0) ringEv(rr)
-                else graft.OpCache.persist(ringFor(pending, rr))
-              val cert = graft.OpCache.persist(certify(ring, rr))
-              val safe = cert.filter(col("__safe")).drop("__safe")
-              val top = unitTop(ring.join(safe, Seq("cbx", "cby", "e_t")))
-              val next = pending.join(cert.filter(col("__safe")),
-                Seq("cbx", "cby", "e_t"), "left_anti")
-              (top :: acc, next)
-          }
-        // FINAL exact fallback, bounded by the ladder's sparse
-        // residue: units of still-uncertified (cell, month) pairs
-        // against that month's full event set. The natural join key
-        // (event month) has only O(months) distinct values —
-        // parallelism would cap at the month count however large the
-        // product — so the join is SALTED: each event owns one of
-        // nPart salt buckets (by event-unit hash) and each fallback
-        // pair replicates across all buckets; the union over buckets
-        // is exactly the month's event set, and the product spreads
-        // over months × nPart keys. The salted side is pinned with a
-        // non-coalescible repartition (same AQE hazard as unitTop).
-        val salted = ev.withColumn("__salt",
-          pmod(xxhash64(col("e_u")), lit(nPart.toLong)))
-        val topF = unitCell.join(residue, Seq("cbx", "cby"))
-          .select(col("e_t"), col(U), col(lonCol), col(latCol))
-          .withColumn("__salt", explode(sequence(lit(0L), lit(nPart.toLong - 1))))
-          .join(salted.repartition(nPart, col("e_t"), col("__salt")),
-            Seq("e_t", "__salt"))
-          .withColumn("sd2", sdx * sdx + sdy * sdy)
-          .groupBy(col(U), col("e_t"))
-          .agg(topk(col("sd2"), col("e_t"), col("e_u"), col("e_size")).as("cs"))
-          .select(col(U), col("cs"))
-        (topF :: tops).reduce(_ unionByName _)
+        //
+        // The ladder SHORT-CIRCUITS after level 0 ONLY (r15):
+        // `pending` is bounded (occupied unit cells × event months —
+        // geometry × calendar, never data volume), so one isEmpty
+        // probe against the persisted level-0 certificate is a tiny
+        // job — and at event-dense scale (the regime this path is
+        // FOR) level 0 certifies everything, so the probe skips the
+        // 3r/9r ring joins, their certs AND the salted fallback
+        // outright. When the probe finds a residue (the event-sparse
+        // sf0.1 regime), the remaining levels and the fallback stay
+        // ONE lazy plan with no further probes — per-level probes
+        // were A/B'd and lost: they serialize subtrees that
+        // otherwise overlap on idle cores, and a sparse panel's
+        // residue never empties before the fallback anyway.
+        val ring0 = graft.OpCache.persist(
+          ringEv(r).repartition(nPart, col("cbx"), col("cby")))
+        val cert0 = graft.OpCache.persist(certify(ring0, r))
+        val safe0 = cert0.filter(col("__safe")).drop("__safe")
+        val top0 = unitTop(ring0.join(broadcast(safe0), Seq("cbx", "cby", "e_t")))
+        val pending0 = cellMonths.join(cert0.filter(col("__safe")),
+          Seq("cbx", "cby", "e_t"), "left_anti")
+        if (pending0.isEmpty) top0
+        else {
+          val (tops, residue) = Seq(3 * r, 9 * r)
+            .foldLeft((List(top0), pending0)) {
+              case ((acc, pending), rr) =>
+                val ring = graft.OpCache.persist(
+                  ringFor(pending, rr)
+                    .repartition(nPart, col("cbx"), col("cby")))
+                val cert = graft.OpCache.persist(certify(ring, rr))
+                val safe = cert.filter(col("__safe")).drop("__safe")
+                val top = unitTop(
+                  ring.join(broadcast(safe), Seq("cbx", "cby", "e_t")))
+                val next = pending.join(cert.filter(col("__safe")),
+                  Seq("cbx", "cby", "e_t"), "left_anti")
+                (top :: acc, next)
+            }
+          // FINAL exact fallback, bounded by the ladder's sparse
+          // residue: units of still-uncertified (cell, month) pairs
+          // against that month's full event set. The natural join key
+          // (event month) has only O(months) distinct values —
+          // parallelism would cap at the month count however large the
+          // product — so the join is SALTED: each event owns one of
+          // nPart salt buckets (by event-unit hash) and each fallback
+          // pair replicates across all buckets; the union over buckets
+          // is exactly the month's event set, and the product spreads
+          // over months × nPart keys. The salted side is pinned with a
+          // non-coalescible repartition (same AQE hazard as unitTop).
+          val salted = ev.withColumn("__salt",
+            pmod(xxhash64(col("e_u")), lit(nPart.toLong)))
+          val topF = unitCell.join(residue, Seq("cbx", "cby"))
+            .select(col("e_t"), col(U), col(lonCol), col(latCol))
+            .withColumn("__salt", explode(sequence(lit(0L), lit(nPart.toLong - 1))))
+            .join(salted.repartition(nPart, col("e_t"), col("__salt")),
+              Seq("e_t", "__salt"))
+            .withColumn("sd2", sdx * sdx + sdy * sdy)
+            .groupBy(col(U), col("e_t"))
+            .agg(topk(col("sd2"), col("e_t"), col("e_u"), col("e_size")).as("cs"))
+            .select(col(U), col("cs"))
+          (topF :: tops).reduce(_ unionByName _)
+        }
     }
     val cand = perMonthTop
       .select(col(U), explode(col("cs")).as("c"))

@@ -135,4 +135,50 @@ class R15OptimizationSpec extends SparkSpec {
     assert(unitOnly.isEmpty,
       s"found unit-only self-join(s) in emergingHotspots: $unitOnly")
   }
+
+  // ---- spacetime banded ladder: short-circuit path still exact
+
+  test("banded spacetime with a fully-certified level-0 ladder (short-" +
+    "circuited escalations + skipped fallback) matches broadcast") {
+    // every unit sits in ONE 40°-wide band cell, so each month's ring
+    // holds ALL of that month's events — the level-0 certificate
+    // covers every (cell, month) via the all-events arm, pending is
+    // empty after level 0, and the r15 short-circuit skips the 3r/9r
+    // rings and the salted fallback outright. Values must still equal
+    // the broadcast path bit-for-bit.
+    val units = for (y <- 0L until 3L; x <- 0L until 3L) yield y * 40L + x
+    val rows = for (m <- 1L to 4L; u <- units) yield
+      (m, u, if ((u + m) % 4L == 0L) 500.0 + (u % 7L) else 1.0)
+    val p = rows.toDF(Panel.TimeCol, Panel.UnitCol, "value")
+      .withColumn("lon", spatial.Grid.unitLon(col(Panel.UnitCol)))
+      .withColumn("lat", spatial.Grid.unitLat(col(Panel.UnitCol)))
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (k <- Seq(1, 5)) {
+      val base = keyed(spatial.SpacetimeDist.spacetimeDistances(
+        p, "value", "distances", k, 2.0, 0.0, eventThreshold = 400.0))
+      val band = keyed(spatial.SpacetimeDist.spacetimeDistances(
+        p, "value", "distances", k, 2.0, 0.0, eventThreshold = 400.0,
+        banded = Some(spatial.SpacetimeDist.Band(40.0, 1))))
+      assert(base.keySet == band.keySet)
+      base.foreach { case (key, v) =>
+        val bv = band(key)
+        assert(v == bv || math.abs(v - bv) < 1e-9, s"k=$k at $key: $v vs $bv")
+      }
+    }
+  }
+
+  // ---- equiDepthHistogram: single-scan rewrite keeps null/NaN bins
+
+  test("equiDepthHistogram single-scan rewrite bins nulls low, NaN high") {
+    val df = (Seq.tabulate(16)(i => java.lang.Double.valueOf(i + 1.0)) ++
+      Seq(null.asInstanceOf[java.lang.Double],
+        java.lang.Double.valueOf(Double.NaN))).toDF("v")
+    val got = relational.Stats.equiDepthHistogram(df, "v", nbins = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // 16 real values split 4/4/4/4; the null row lands in bin 0
+    // (null > q is null → otherwise-0), NaN compares above every cut
+    // (bin 3) — the pre-rewrite semantics, pinned
+    assert(got == Map(0L -> 5L, 1L -> 4L, 2L -> 4L, 3L -> 5L))
+  }
 }
